@@ -1,0 +1,55 @@
+"""mpcore — pure-numpy matrix-profile kernels (no Spark dependency).
+
+This is the exactness layer (SURVEY.md §7.1): everything here is unit-tested
+against brute-force references and the tsmp consistency matrix
+(test-stamps.R:101-199), then applied per-series inside Spark pandas UDFs by
+``tsmp_spark.operators``.
+"""
+
+from .discovery import DiscordSet, MotifSet, find_chains, find_discords, find_motifs, min_mp_idx
+from .fluss import (
+    arc_counts,
+    floss,
+    floss_cac,
+    floss_extract,
+    fluss,
+    fluss_cac,
+    fluss_extract,
+    fluss_score,
+)
+from .mass import MassPre, dist_profile, mass_pre, mass_pre_weighted, mass_v2, mass_v3, mass_weighted
+from .mpdist import SnippetResult, cal_mp_dist, find_snippets, mpdist, mpdist_vect
+from .mpx import MpxResult, diag_chunks, merge_partials, mpx, mpx_ab, mpx_partial, partials_to_result
+from .scrimp import scrimp
+from .stats import (
+    EPS,
+    KMODE,
+    binary_split,
+    complexity,
+    corr_ed,
+    diff2_lag,
+    diff_lag,
+    ed_corr,
+    exclusion_zone_size,
+    fast_avg_sd,
+    inner_product,
+    ipaa,
+    list_to_matrix,
+    mode,
+    movmax,
+    movmean,
+    movmin,
+    movsum,
+    muinvn,
+    normalize,
+    paa,
+    r_round,
+    sum2s,
+    sum_of_squares,
+    znorm,
+    zero_crossings,
+    zero_one_norm,
+)
+from .stomp import MatrixProfile, stamp, stomp, stompi_update
+
+__all__ = [name for name in dir() if not name.startswith("_")]
