@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline on sf0.001 (SURVEY.md §7.4):
+scan → per-series MPX kernel → tier-1 rollup → top motif/discord per
+series, one Catalyst plan.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 (registry in ``tsmp_spark/queries.py``). 30 of 32 queries are
+DuckDB-oracle-checked, including the matrix-profile kernels themselves via
+a brute-force z-normalized MP written in pure SQL.
 """
 
 from __future__ import annotations
@@ -16,23 +19,33 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from tsmp_spark.operators import matrix_profile, rollup_tier
+    from tsmp_spark.operators.series import events_to_long, long_to_nested
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sequences = long_to_nested(events_to_long(events))
+    profile = matrix_profile(sequences, window_size=8)
+    tier1 = rollup_tier(profile, bucket=8)
+    return tier1.select(
+        "doc_id",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.round("mp_min", 4).alias("mp_min"),
+        F.col("pi_argmin").cast("bigint").alias("pi_argmin"),
+        F.round("mp_avg", 4).alias("mp_avg"),
+        F.col("n").cast("bigint").alias("n"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from tsmp_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tsmp_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -46,6 +46,10 @@ def _precompute(a: np.ndarray, w: int):
     a = np.asarray(a, dtype=np.float64)
     n = a.shape[0]
     mu, sig = muinvn(a, w)
+    # flat (zero-variance) windows: sig = inf → poison to NaN so any pair
+    # involving them never wins a max-corr comparison (NaN > x is False) —
+    # the recurrence analogue of stomp.R:182-184's low-variance Inf mask
+    sig[~np.isfinite(sig)] = np.nan
     profile_len = n - w + 1
     df = np.empty(profile_len, dtype=np.float64)
     dg = np.empty(profile_len, dtype=np.float64)
@@ -131,6 +135,7 @@ def mpx(
                 )
             d_act = diags[active]
             corr = c[active] * sig[offset] * sig[offset + d_act]
+            corr = np.where(np.isnan(corr), -np.inf, corr)  # flat-window pairs lose
             # row-side best (benign race in the reference → exact argmax here)
             j = int(np.argmax(corr))
             if corr[j] > mp_corr[offset]:
@@ -170,6 +175,8 @@ def mpx_ab(
         raise ValueError("window larger than a series")
     mua, siga = muinvn(a, w)
     mub, sigb = muinvn(b, w)
+    siga[~np.isfinite(siga)] = np.nan  # flat-window poison (see _precompute)
+    sigb[~np.isfinite(sigb)] = np.nan
 
     # Cross dot-product matrix row 0 via FFT in both orientations, then
     # diagonal cumulative updates — vectorized across diagonals.
@@ -210,6 +217,7 @@ def mpx_ab(
                     + dfy[offset + d_act] * dgx[offset]
                 )
             corr = c[act] * sigx[offset] * sigy[offset + d_act]
+            corr = np.where(np.isnan(corr), -np.inf, corr)
             jj = int(np.argmax(corr))
             if corr[jj] > mpx_c[offset]:
                 mpx_c[offset] = corr[jj]
@@ -239,6 +247,7 @@ def mpx_ab(
                     + dfa[offset + d_act] * dgb[offset]
                 )
             corr = c[act] * sigb[offset] * siga[offset + d_act]
+            corr = np.where(np.isnan(corr), -np.inf, corr)
             jj = int(np.argmax(corr))
             if corr[jj] > mpb_corr[offset]:
                 mpb_corr[offset] = corr[jj]

@@ -1,0 +1,207 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hash functions are built on ``md5`` (hex → bigint) so every operator is
+engine-portable: the DuckDB oracles in ``__spark_entry__.py`` reproduce the
+exact same signatures. Spark-side everything is built-in expressions
+(JVM-side, codegen) — no Python in the hot path.
+
+Scale notes:
+- exact dedup is one hash-groupBy (map-side combinable).
+- n-gram Jaccard and MinHash-LSH avoid the O(n²) cross join: candidates
+  come from an equi-join on shingle / band key, so the shuffle is
+  |shingles| not |docs|². Hot shingles (stopword runs) are the skew risk —
+  the candidate join uses AQE skew handling plus a frequency cap on
+  shingles (a shingle shared by > ``max_shingle_freq`` docs carries almost
+  no signal and is dropped, bounding the join fan-out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _h64(col: Column, seed: int) -> Column:
+    """Portable 32-bit-ish hash: first 8 hex chars of md5(seed || value).
+    Reproducible in DuckDB as cast('0x'||substr(md5(...),1,8) as bigint)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"s{seed}:"), col)), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text for dedup: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by content hash; keeps the smallest id as the
+    canonical representative. Returns (keep_id, dup_count)."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        documents.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def word_shingles(text_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (distinct)."""
+    words = F.split(normalize_text(text_col), " ")
+    k = F.size(words) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def shingle_table(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) exploded table — the base of Jaccard and MinHash."""
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    ).filter(F.length("shingle") > 0)
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+
+    |A ∩ B| from the shingle equi-join; |A ∪ B| = |A| + |B| − |A ∩ B|.
+    Hot shingles capped at ``max_shingle_freq`` docs (skew + noise control).
+    Emits (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = shingle_table(documents, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
+    sh_f = sh.join(freq.filter(F.col("freq") <= max_shingle_freq), "shingle")
+
+    a = sh_f.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_f.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per document: ``sig[i] = min over shingles of
+    h_i(shingle)`` with the portable md5 family. Output:
+    (doc_id, sig array<long>)."""
+    sh = shingle_table(documents, text_col, id_col, n)
+    mins = [F.min(_h64(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-dup candidates: split the signature into
+    ``bands`` bands of ``num_hashes/bands`` rows; docs sharing any band key
+    become candidates; verify candidates with the estimated Jaccard
+    (= fraction of agreeing minhashes). Emits (doc_a, doc_b, est_jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, text_col, id_col, n, num_hashes)
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+    return (
+        cand.withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash64(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over words: per bit, sum +1/−1 over the word
+    multiset; positive sum → bit set. Emitted as two portable 32-bit
+    halves (bigint) so the DuckDB oracle reproduces it bit-for-bit.
+    Output: (doc_id, simhash_lo, simhash_hi)."""
+    words = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+    hashed = words.select(
+        "doc_id",
+        _h64(F.col("word"), 1).alias("h_lo"),
+        _h64(F.col("word"), 2).alias("h_hi"),
+    )
+
+    def half(src: str) -> Column:
+        total = None
+        for i in range(32):
+            bit_sum = F.sum(
+                F.when(F.shiftright(F.col(src), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            )
+            term = F.when(bit_sum > 0, F.lit(int(2**i))).otherwise(F.lit(0))
+            total = term if total is None else (total + term)
+        return total.cast("long")
+
+    return hashed.groupBy("doc_id").agg(
+        half("h_lo").alias("simhash_lo"), half("h_hi").alias("simhash_hi")
+    )

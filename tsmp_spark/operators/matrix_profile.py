@@ -1,0 +1,272 @@
+"""Matrix-profile Spark operators: per-series kernels as Arrow-batched
+pandas UDFs, with a diagonal-chunk fan-out mode for long series.
+
+Physical strategies (SURVEY.md §7.1-2):
+
+- **per-series** (default): one input row = one series, so the kernel runs
+  inside ``mapInPandas`` with *no shuffle at all* — each Arrow batch of
+  series rows yields exploded profile rows. Balancing across executors is a
+  round-robin ``repartition(n)`` (rows are independent; no key co-location
+  needed).
+- **diagonal-chunk** (long series): the MPX diagonal sweep is split into
+  ~equal-work diagonal ranges (mpcore.diag_chunks), fanned out as
+  (series × chunk) rows, computed as max-correlation partials, then merged
+  per series with an elementwise max — the deterministic Spark rendering of
+  the reference's thread-parallel benign-race design (mpx.cpp:256-370) and
+  of stomp-par.R:102-117's partial+final min-merge.
+
+All kernels are vectorized numpy from ``tsmp_spark.mpcore`` — never
+per-row Python (input_hint requirement).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..mpcore import (
+    exclusion_zone_size,
+    diag_chunks,
+    merge_partials,
+    mpx,
+    mpx_ab,
+    partials_to_result,
+    stomp,
+)
+
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+        T.StructField("mp", T.DoubleType(), True),
+        T.StructField("pi", T.IntegerType(), True),
+        T.StructField("lmp", T.DoubleType(), True),
+        T.StructField("lpi", T.IntegerType(), True),
+        T.StructField("rmp", T.DoubleType(), True),
+        T.StructField("rpi", T.IntegerType(), True),
+    ]
+)
+
+PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("corr", T.ArrayType(T.DoubleType()), False),
+        T.StructField("pi", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+
+def _clean(arr: np.ndarray) -> np.ndarray:
+    """inf → NaN for storage (parquet/Arrow have no ±inf conventions that
+    DuckDB oracles can reproduce portably; NULL is the external sentinel)."""
+    out = np.asarray(arr, dtype=np.float64).copy()
+    out[~np.isfinite(out)] = np.nan
+    return out
+
+
+def matrix_profile(
+    sequences: DataFrame,
+    window_size: int,
+    exclusion_zone: float = 0.5,
+    algorithm: str = "mpx",
+    num_partitions: int | None = None,
+    long_series_threshold: int = 65536,
+    n_chunks: int = 32,
+) -> DataFrame:
+    """Self-join matrix profile of every series in ``sequences``.
+
+    Input: nested form ``(doc_id, tokens, ...)``. Output: exploded profile
+    table ``(doc_id, pos, mp, pi, lmp, lpi, rmp, rpi)`` — the tier-0
+    full-resolution continuous aggregate. ``mp`` is NULL where the
+    reference would emit Inf (masked window).
+
+    ``algorithm``: ``mpx`` (diagonal recurrence, exclusion |i-j| <= ez_n via
+    ``minlag = ez_n + 1``) or ``stomp`` (MASS + rolling recurrence; also
+    fills left/right profiles). Both agree on mp/pi (tested).
+    """
+    w = int(window_size)
+    ez_n = exclusion_zone_size(w, exclusion_zone)
+    spark = sequences.sparkSession
+
+    short = sequences.filter(F.size("tokens") <= F.lit(long_series_threshold))
+    long_ = sequences.filter(F.size("tokens") > F.lit(long_series_threshold))
+
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(tokens, dtype=np.float64)
+                if a.shape[0] < w + ez_n + 1:
+                    continue  # too short for any non-trivial neighbor
+                if algorithm == "stomp":
+                    r = stomp(a, w, exclusion_zone=exclusion_zone)
+                    lmp, lpi, rmp, rpi = r.lmp, r.lpi, r.rmp, r.rpi
+                else:
+                    r = mpx(a, w, minlag=ez_n + 1)
+                    lmp = lpi = rmp = rpi = None
+                r.mp[r.pi < 0] = np.nan  # no neighbor → NULL externally
+                n = r.mp.shape[0]
+                frame = {
+                    "doc_id": np.repeat(doc_id, n),
+                    "pos": np.arange(n, dtype=np.int32),
+                    "mp": _clean(r.mp),
+                    "pi": r.pi.astype(np.int32),
+                    "lmp": _clean(lmp) if lmp is not None else np.full(n, np.nan),
+                    "lpi": lpi.astype(np.int32) if lpi is not None else np.full(n, -1, np.int32),
+                    "rmp": _clean(rmp) if rmp is not None else np.full(n, np.nan),
+                    "rpi": rpi.astype(np.int32) if rpi is not None else np.full(n, -1, np.int32),
+                }
+                out.append(pd.DataFrame(frame))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    result = (
+        short.select("doc_id", "tokens")
+        .repartition(num_partitions)  # round-robin balance, no key shuffle
+        .mapInPandas(kernel, PROFILE_SCHEMA)
+    )
+
+    # Long-series path: diagonal-chunk fan-out + per-series partial merge.
+    # Planned lazily; when no series crosses the threshold Catalyst prunes
+    # the empty side of the union at runtime (AQE).
+    long_result = _matrix_profile_chunked(long_, w, ez_n, n_chunks)
+    return result.unionByName(long_result)
+
+
+def _matrix_profile_chunked(
+    sequences: DataFrame, w: int, ez_n: int, n_chunks: int
+) -> DataFrame:
+    """(series × diagonal-chunk) fan-out; exact merge via elementwise
+    max-correlation (mpcore.merge_partials)."""
+    minlag = ez_n + 1
+    fan = sequences.select(
+        "doc_id", "tokens", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk_id")
+    ).repartition(F.col("doc_id"), F.col("chunk_id"))
+
+    def partial_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..mpcore import mpx_partial
+
+        for pdf in batches:
+            rows = []
+            for doc_id, tokens, chunk_id in zip(pdf["doc_id"], pdf["tokens"], pdf["chunk_id"]):
+                a = np.asarray(tokens, dtype=np.float64)
+                plen = a.shape[0] - w + 1
+                chunks = diag_chunks(plen, minlag, n_chunks)
+                if chunk_id >= len(chunks):
+                    continue
+                lo, hi = chunks[int(chunk_id)]
+                corr, pi = mpx_partial(a, w, lo, hi, minlag=minlag)
+                rows.append(
+                    {"doc_id": doc_id, "corr": corr.tolist(), "pi": pi.astype(np.int32).tolist()}
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    partials = fan.mapInPandas(partial_kernel, PARTIAL_SCHEMA)
+
+    def merge_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = [
+            (np.asarray(c, dtype=np.float64), np.asarray(p, dtype=np.int64))
+            for c, p in zip(pdf["corr"], pdf["pi"])
+        ]
+        corr, pi = merge_partials(parts)
+        r = partials_to_result(corr, pi, w)
+        n = r.mp.shape[0]
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(key[0], n),
+                "pos": np.arange(n, dtype=np.int32),
+                "mp": _clean(r.mp),
+                "pi": r.pi.astype(np.int32),
+                "lmp": np.full(n, np.nan),
+                "lpi": np.full(n, -1, np.int32),
+                "rmp": np.full(n, np.nan),
+                "rpi": np.full(n, -1, np.int32),
+            }
+        )
+
+    return partials.groupBy("doc_id").applyInPandas(merge_kernel, PROFILE_SCHEMA)
+
+
+AB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id_a", T.StringType(), False),
+        T.StructField("doc_id_b", T.StringType(), False),
+        T.StructField("side", T.StringType(), False),  # 'a' or 'b'
+        T.StructField("pos", T.IntegerType(), False),
+        T.StructField("mp", T.DoubleType(), True),
+        T.StructField("pi", T.IntegerType(), True),
+    ]
+)
+
+
+def matrix_profile_join(
+    pairs: DataFrame,
+    window_size: int,
+) -> DataFrame:
+    """AB-join over a DataFrame of series *pairs*:
+    ``(doc_id_a, tokens_a, doc_id_b, tokens_b)`` →
+    ``(doc_id_a, doc_id_b, side, pos, mp, pi)`` with both directions
+    (reference semantics: ez = 0, mpx.cpp:106-252).
+
+    Build ``pairs`` with a relational join; broadcast the smaller side when
+    joining one query series against a large table of candidates:
+    ``candidates.crossJoin(F.broadcast(query_df))``.
+    """
+    w = int(window_size)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for da, ta, db, tb in zip(
+                pdf["doc_id_a"], pdf["tokens_a"], pdf["doc_id_b"], pdf["tokens_b"]
+            ):
+                a = np.asarray(ta, dtype=np.float64)
+                b = np.asarray(tb, dtype=np.float64)
+                if a.shape[0] < w or b.shape[0] < w:
+                    continue
+                # reference guard: query must be <= data (stomp.R:92-94) —
+                # the kernel itself is symmetric, so enforce by swap
+                swapped = b.shape[0] > a.shape[0]
+                if swapped:
+                    r = mpx_ab(b, a, w)
+                    mpa, pia, mpb, pib = r.mpb, r.pib, r.mp, r.pi
+                else:
+                    r = mpx_ab(a, b, w)
+                    mpa, pia, mpb, pib = r.mp, r.pi, r.mpb, r.pib
+                na, nb = mpa.shape[0], mpb.shape[0]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id_a": np.repeat(da, na),
+                            "doc_id_b": np.repeat(db, na),
+                            "side": np.repeat("a", na),
+                            "pos": np.arange(na, dtype=np.int32),
+                            "mp": _clean(mpa),
+                            "pi": pia.astype(np.int32),
+                        }
+                    )
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id_a": np.repeat(da, nb),
+                            "doc_id_b": np.repeat(db, nb),
+                            "side": np.repeat("b", nb),
+                            "pos": np.arange(nb, dtype=np.int32),
+                            "mp": _clean(mpb),
+                            "pi": pib.astype(np.int32),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return pairs.mapInPandas(kernel, AB_SCHEMA)

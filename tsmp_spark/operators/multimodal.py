@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The decode step is STUBBED (the container ships no image/audio libs): each
+transform has a real Spark-side contract — schema, partition sizing, UDF
+signature, Arrow batch shape — and a deterministic fake "decoder" so the
+plumbing is testable end-to-end. Swap ``_decode_image`` for PIL/ffmpeg in a
+real deployment.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """STUB — deterministic fake decode: bytes → pseudo-pixel grid.
+
+    Real deployments replace this with ``PIL.Image.open(BytesIO(payload))``;
+    everything downstream (shape, dtype contract) is already correct.
+    """
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    side = max(int(np.sqrt(arr.shape[0])), 1)
+    return arr[: side * side].reshape(side, side).astype(np.float32)
+
+
+def extract_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:
+    """Decode → pooled feature vector, Arrow batch at a time.
+
+    Partition sizing note: binary payloads dominate batch memory — callers
+    should keep ``spark.sql.execution.arrow.maxRecordsPerBatch`` low (the
+    session default here is 2048) and repartition by size, not row count,
+    when payloads exceed ~1 MB.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                img = _decode_image(bytes(payload))
+                h, w = img.shape
+                # pooled histogram features (deterministic)
+                hist, _ = np.histogram(img, bins=feat_dim, range=(0, 255))
+                feats = (hist / max(img.size, 1)).astype(np.float32)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "kind": kind,
+                        "width": np.int32(w),
+                        "height": np.int32(h),
+                        "n_bytes": len(payload),
+                        "features": feats,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling STUB: emits (media_id, frame_no, frame_bytes)
+    by slicing the payload deterministically — the real decoder plugs into
+    the same contract."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("frame_no", T.IntegerType(), False),
+            T.StructField("frame_bytes", T.BinaryType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                chunk = max(len(payload) // 32, 1)
+                for i, start in enumerate(range(0, len(payload), chunk * every_n)):
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_no": np.int32(i),
+                            "frame_bytes": payload[start : start + chunk],
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, out_schema)

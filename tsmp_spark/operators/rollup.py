@@ -1,0 +1,181 @@
+"""Tier rollups, gap-fill, and retention — the continuous-aggregate layer.
+
+Pure Catalyst (no Python in the hot path): tier-0 is the full-resolution
+profile table from ``matrix_profile``; tier k downsamples by bucketing
+``pos`` (or event time) and aggregating with min/argmin/avg/max/count —
+PAA semantics (tsmp misc.R:463-486) extended with the index-carrying
+argmin the profile needs. Gap-fill materializes missing buckets via
+``sequence()`` + left join with optional LOCF. Retention expires buckets
+older than a per-tier horizon.
+
+Everything here is expressible in ANSI SQL — each operator has a DuckDB
+oracle in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def rollup_tier(
+    profile: DataFrame,
+    bucket: int,
+    value_col: str = "mp",
+    index_col: str = "pi",
+    pos_col: str = "pos",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Tier rollup of an exploded profile/series table.
+
+    Emits per ``(key, pos div bucket)``: ``mp_min``, ``pi_argmin`` (the
+    profile index at the bucket's minimum — deterministic tie-break on
+    smallest pos), ``mp_avg``, ``mp_max``, ``n``.
+
+    argmin is expressed with ``min_by``-free deterministic semantics:
+    ``min(struct(value, pos, index))`` — struct ordering gives
+    (min value, then smallest pos), so ties are stable across engines.
+    """
+    b = F.floor(F.col(pos_col) / bucket).alias("bucket")
+    v = F.col(value_col)
+    winner = F.min(F.when(v.isNotNull(), F.struct(v, F.col(pos_col), F.col(index_col))))
+    return (
+        profile.groupBy(F.col(key_col), b)
+        .agg(
+            F.min(v).alias("mp_min"),
+            winner.getField(index_col).alias("pi_argmin"),
+            F.avg(v).alias("mp_avg"),
+            F.max(v).alias("mp_max"),
+            F.count(v).alias("n"),
+        )
+    )
+
+
+def rollup_rollup(tier: DataFrame, factor: int) -> DataFrame:
+    """Re-rollup a tier into a coarser one (tier-k → tier-k+1) without
+    touching tier-0: mins of mins, weighted avg of avgs, sum of counts.
+    This is the map-side-combinable shape — at 100 TB each tier reads only
+    the previous tier, never raw data."""
+    b = F.floor(F.col("bucket") / factor).alias("bucket")
+    winner = F.min(
+        F.when(F.col("mp_min").isNotNull(), F.struct("mp_min", "bucket", "pi_argmin"))
+    )
+    return (
+        tier.groupBy("doc_id", b)
+        .agg(
+            F.min("mp_min").alias("mp_min"),
+            winner.getField("pi_argmin").alias("pi_argmin"),
+            (F.sum(F.col("mp_avg") * F.col("n")) / F.sum("n")).alias("mp_avg"),
+            F.max("mp_max").alias("mp_max"),
+            F.sum("n").alias("n"),
+        )
+    )
+
+
+def gap_fill(
+    tier: DataFrame,
+    key_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    fill_cols: tuple[str, ...] = ("mp_min", "mp_avg"),
+    locf: bool = False,
+) -> DataFrame:
+    """Materialize missing buckets per key over each key's [min, max] bucket
+    range: ``sequence()`` + explode + left join. ``locf=True`` fills value
+    columns with the last observation carried forward
+    (``last(..., ignorenulls)`` over an unbounded-preceding window)."""
+    spine = (
+        tier.groupBy(key_col)
+        .agg(F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi"))
+        .select(
+            key_col,
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias(bucket_col),
+        )
+    )
+    joined = spine.join(tier, [key_col, bucket_col], "left")
+    joined = joined.withColumn("gap_filled", F.col("n").isNull())
+    if locf:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for c in fill_cols:
+            joined = joined.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return joined
+
+
+def retention_expire(
+    tiers: DataFrame,
+    horizon_buckets: int,
+    bucket_col: str = "bucket",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Retention: keep only the trailing ``horizon_buckets`` buckets per
+    key. Catalyst turns the max-bucket lookup into a cheap aggregate +
+    broadcast join at scale (per-key horizons, not a global timestamp)."""
+    latest = tiers.groupBy(key_col).agg(F.max(bucket_col).alias("_latest"))
+    return (
+        tiers.join(F.broadcast(latest), key_col)
+        .filter(F.col(bucket_col) > F.col("_latest") - horizon_buckets)
+        .drop("_latest")
+    )
+
+
+def arc_count_cac(
+    profile: DataFrame,
+    window_size: int,
+    exclusion_zone: float = 0.5,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """FLUSS corrected arc counts as *pure relational SQL* — no UDF.
+
+    fluss.R:320-349 re-expressed: explode each (pos, pi) arc into a +1 at
+    min(pos, pi) and a -1 at max(pos, pi), sum per position, cumulative-sum
+    with a window, normalize by the ideal beta(2,2) parabola, clamp to 1,
+    force the edge exclusion zone (ez·10 window fractions) to 1.
+
+    Shuffle budget: one groupBy(key, pos) + one window over key — both on
+    the same key partitioning, so AQE coalesces to a single exchange.
+    """
+    ez_n = int(round(window_size * exclusion_zone * 10 + 1e-8))
+
+    n_per = profile.groupBy(key_col).agg(F.max("pos").alias("_max_pos"))
+    p = profile.join(F.broadcast(n_per), key_col).withColumn(
+        "_n", F.col("_max_pos") + 1
+    )
+    valid = p.filter(
+        F.col("pi").isNotNull() & (F.col("pi") >= 0) & (F.col("pi") <= F.col("_max_pos"))
+    )
+    marks = valid.select(
+        key_col,
+        "_n",
+        F.least(F.col("pos"), F.col("pi")).alias("lo"),
+        F.greatest(F.col("pos"), F.col("pi")).alias("hi"),
+    )
+    deltas = marks.select(
+        key_col, "_n", F.col("lo").alias("pos"), F.lit(1.0).alias("delta")
+    ).unionByName(
+        marks.select(key_col, "_n", F.col("hi").alias("pos"), F.lit(-1.0).alias("delta"))
+    )
+    per_pos = deltas.groupBy(key_col, "_n", "pos").agg(F.sum("delta").alias("d"))
+
+    # dense position spine so the cumsum sees every pos
+    spine = profile.select(key_col, "pos").join(
+        per_pos, [key_col, "pos"], "left"
+    ).join(F.broadcast(n_per), key_col).withColumn("_n", F.col("_max_pos") + 1)
+
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    x = F.col("pos") / (F.col("_n") - 1)
+    ideal = F.lit(6.0) * x * (1.0 - x) * F.col("_n") / F.lit(3.0)
+    ac = F.sum(F.coalesce(F.col("d"), F.lit(0.0))).over(w_cum)
+    cac_raw = F.least(ac / ideal, F.lit(1.0))
+    cac = (
+        F.when(F.col("pos") < ez_n, 1.0)
+        .when(F.col("pos") >= F.col("_n") - ez_n, 1.0)
+        .otherwise(F.coalesce(cac_raw, F.lit(1.0)))
+    )
+    return spine.select(key_col, "pos", ac.alias("arc_count"), cac.alias("cac"))

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — exact brute-force top-k neighbors, the correctness
+  baseline. Dot products via ``F.aggregate(F.zip_with(...))`` — JVM-side,
+  no Python. The O(n·m) join is bounded by broadcasting the (small) query
+  side; for all-pairs at scale use the LSH variant.
+- :func:`lsh_bucket_topk` — random-hyperplane LSH: bucket by sign bits of
+  projections onto deterministic pseudo-hyperplanes, candidate join within
+  buckets, exact re-rank. The hyperplanes are an arithmetic function of
+  (plane, dim) — ``sin(plane·1013904223 + dim·1664525)`` — so the DuckDB
+  oracle reproduces them without sharing code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector among
+    ``embeddings``. ``queries`` is broadcast (the small side). Ties break
+    on smaller neighbor id (deterministic). Self-matches excluded.
+
+    Output: (query_id, neighbor_id, rank, cosine).
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v_e"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("v_q"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("v_q"), F.col("v_e"))
+                / (_norm(F.col("v_q")) * _norm(F.col("v_e")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplane(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane component (portable)."""
+    return F.sin(F.lit(float(plane)) * 1013904223.0 + F.lit(float(dim)) * 1664525.0)
+
+
+def lsh_bucket_keys(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit bucket key per vector: bit p = (v · h_p) >= 0."""
+    v = F.col(vec_col).cast("array<double>")
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(F.sequence(F.lit(0), F.size(v) - 1), lambda d: F.sin(
+                    F.lit(float(p)) * 1013904223.0 + d.cast("double") * 1664525.0
+                )),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p))
+    key = bits[0]
+    for b in bits[1:]:
+        key = key + b
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), v.alias("v"), key.alias("bucket")
+    )
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs top-k: candidates share an LSH bucket, exact
+    cosine re-rank within bucket. The shuffle is per-bucket, never all-pairs
+    — the scale path for ANN over billions of vectors (bucket sizes are
+    tunable via n_planes)."""
+    keyed = lsh_bucket_keys(embeddings, n_planes, id_col, vec_col)
+    a = keyed.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("v_q"), "bucket"
+    )
+    b = keyed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("v_e"), "bucket"
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("v_q"), F.col("v_e")) / (_norm(F.col("v_q")) * _norm(F.col("v_e")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,1469 @@
+"""Driver-facing query registry: one entry per implemented operator
+(SURVEY.md §2), each as a (Spark callable, DuckDB oracle SQL) pair.
+
+The Spark side runs the real engine (numpy kernels inside Arrow UDFs,
+Catalyst rollups); the oracle re-derives the same answer with brute-force
+ANSI SQL on the same parquet — including a full brute-force z-normalized
+matrix profile in SQL, so the kernel itself is oracle-gated, not just the
+relational shell.
+
+Conventions shared by BOTH sides (hash-compare safe):
+- per-user series from ``events`` ordered by (ts, event_id), pos 0-based
+- window W = 8, exclusion zone ez_n = round(W/2) = 4 (pairs |i-j| <= 4
+  are trivial matches; stomp.R:86 rounding semantics)
+- series shorter than MIN_LEN = W + ez_n + 1 are skipped (no possible
+  neighbor)
+- floats rounded to 4 decimals in the *final* select on both sides,
+  integer outputs cast to bigint
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+W = 8
+EZ_N = 4
+MIN_LEN = W + EZ_N + 1
+BUCKET = 8
+
+# ---------------------------------------------------------------------------
+# shared oracle fragments
+# ---------------------------------------------------------------------------
+
+
+def sql_series() -> str:
+    return """
+s AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+         value
+  FROM events
+)"""
+
+
+def sql_mp_cte(w: int = W, ez_n: int = EZ_N, min_len: int = MIN_LEN) -> str:
+    """Brute-force z-normalized self-join matrix profile in pure SQL:
+    rolling stats + per-diagonal rolling dot products + min over both arc
+    endpoints. Exact same semantics as the MPX kernel (validated
+    bit-for-bit at 4 decimals)."""
+    return f"""
+{sql_series()},
+len AS (
+  SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id HAVING count(*) >= {min_len}
+),
+st AS (
+  SELECT s.doc_id, s.pos,
+         avg(value) OVER w AS mu,
+         stddev_pop(value) OVER w AS sd,
+         count(*) OVER w AS cnt
+  FROM s JOIN len USING (doc_id)
+  WINDOW w AS (PARTITION BY s.doc_id ORDER BY s.pos
+               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+),
+stats AS (SELECT doc_id, pos, mu, sd FROM st WHERE cnt = {w}),
+pr AS (
+  SELECT a.doc_id, a.pos AS t, b.pos - a.pos AS d, a.value * b.value AS p
+  FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.pos > a.pos + {ez_n}
+  JOIN len ON len.doc_id = a.doc_id
+),
+qt AS (
+  SELECT doc_id, t AS i, d,
+         sum(p) OVER win AS qt,
+         count(p) OVER win AS m
+  FROM pr
+  WINDOW win AS (PARTITION BY doc_id, d ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+),
+dists AS (
+  SELECT q.doc_id, q.i, q.i + q.d AS j,
+         sqrt(greatest(2.0 * {w} * (1.0 - (q.qt - {w} * si.mu * sj.mu)
+              / ({w} * si.sd * sj.sd)), 0.0)) AS dist
+  FROM qt q
+  JOIN stats si ON si.doc_id = q.doc_id AND si.pos = q.i
+  JOIN stats sj ON sj.doc_id = q.doc_id AND sj.pos = q.i + q.d
+  WHERE q.m = {w} AND si.sd > 1e-8 AND sj.sd > 1e-8
+),
+sides AS (
+  SELECT doc_id, i AS pos, j AS nn, dist FROM dists
+  UNION ALL
+  SELECT doc_id, j AS pos, i AS nn, dist FROM dists
+),
+mp AS (
+  SELECT doc_id, pos, nn AS pi, dist AS mp
+  FROM (SELECT doc_id, pos, nn, dist,
+               row_number() OVER (PARTITION BY doc_id, pos ORDER BY dist, nn) AS rn
+        FROM sides)
+  WHERE rn = 1
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side helpers
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.series import events_to_long, long_to_nested
+
+    return long_to_nested(events_to_long(_events(spark, sf_dir)))
+
+
+def _profile(spark: SparkSession, sf_dir: str, algorithm: str = "mpx") -> DataFrame:
+    from .operators import matrix_profile
+
+    return matrix_profile(_sequences(spark, sf_dir), W, algorithm=algorithm)
+
+
+def _r4(c):
+    return F.round(c, 4)
+
+
+# ---------------------------------------------------------------------------
+# queries — matrix profile family
+# ---------------------------------------------------------------------------
+
+
+def q_mp_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join MP via the MPX diagonal-recurrence kernel."""
+    return _profile(spark, sf_dir).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        _r4("mp").alias("mp_r"),
+        F.col("pi").cast("bigint").alias("pi"),
+    )
+
+
+SQL_MP_SELFJOIN = f"""
+WITH {sql_mp_cte()}
+SELECT doc_id, pos, round(mp, 4) AS mp_r, pi FROM mp
+"""
+
+
+def q_mp_stomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same profile via the independent STOMP (MASS+recurrence) kernel —
+    cross-algorithm consistency, oracle-checked."""
+    return _profile(spark, sf_dir, algorithm="stomp").select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        _r4("mp").alias("mp_r"),
+        F.col("pi").cast("bigint").alias("pi"),
+    )
+
+
+def q_mp_rollup_tier1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import rollup_tier
+
+    t1 = rollup_tier(_profile(spark, sf_dir), BUCKET)
+    return t1.select(
+        "doc_id",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        _r4("mp_min").alias("mp_min"),
+        F.col("pi_argmin").cast("bigint").alias("pi_argmin"),
+        _r4("mp_avg").alias("mp_avg"),
+        _r4("mp_max").alias("mp_max"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+SQL_MP_ROLLUP_TIER1 = f"""
+WITH {sql_mp_cte()},
+t1 AS (
+  SELECT doc_id, CAST(floor(pos / {BUCKET}) AS BIGINT) AS bucket,
+         min(mp) AS mp_min, avg(mp) AS mp_avg, max(mp) AS mp_max, count(mp) AS n
+  FROM mp GROUP BY 1, 2
+),
+winner AS (
+  SELECT doc_id, bucket, pi AS pi_argmin FROM (
+    SELECT doc_id, CAST(floor(pos / {BUCKET}) AS BIGINT) AS bucket, pi,
+           row_number() OVER (PARTITION BY doc_id, floor(pos / {BUCKET})
+                              ORDER BY mp ASC, pos ASC) AS rn
+    FROM mp WHERE mp IS NOT NULL
+  ) WHERE rn = 1
+)
+SELECT t1.doc_id, t1.bucket, round(mp_min, 4) AS mp_min, winner.pi_argmin,
+       round(mp_avg, 4) AS mp_avg, round(mp_max, 4) AS mp_max, n
+FROM t1 JOIN winner ON t1.doc_id = winner.doc_id AND t1.bucket = winner.bucket
+"""
+
+
+def q_mp_rollup_tier2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import rollup_rollup, rollup_tier
+
+    t1 = rollup_tier(_profile(spark, sf_dir), BUCKET)
+    t2 = rollup_rollup(t1, 4)
+    return t2.select(
+        "doc_id",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        _r4("mp_min").alias("mp_min"),
+        _r4("mp_avg").alias("mp_avg"),
+        _r4("mp_max").alias("mp_max"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+SQL_MP_ROLLUP_TIER2 = f"""
+WITH {sql_mp_cte()},
+t1 AS (
+  SELECT doc_id, CAST(floor(pos / {BUCKET}) AS BIGINT) AS bucket,
+         min(mp) AS mp_min, avg(mp) AS mp_avg, max(mp) AS mp_max, count(mp) AS n
+  FROM mp GROUP BY 1, 2
+),
+t2 AS (
+  SELECT doc_id, CAST(floor(bucket / 4) AS BIGINT) AS bucket,
+         min(mp_min) AS mp_min,
+         sum(mp_avg * n) / sum(n) AS mp_avg,
+         max(mp_max) AS mp_max,
+         CAST(sum(n) AS BIGINT) AS n
+  FROM t1 GROUP BY 1, 2
+)
+SELECT doc_id, bucket, round(mp_min, 4) AS mp_min, round(mp_avg, 4) AS mp_avg,
+       round(mp_max, 4) AS mp_max, n
+FROM t2
+"""
+
+
+def q_mp_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import retention_expire, rollup_tier
+
+    t1 = rollup_tier(_profile(spark, sf_dir), BUCKET)
+    kept = retention_expire(t1, horizon_buckets=4)
+    return kept.select(
+        "doc_id",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        _r4("mp_min").alias("mp_min"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+SQL_MP_RETENTION = f"""
+WITH {sql_mp_cte()},
+t1 AS (
+  SELECT doc_id, CAST(floor(pos / {BUCKET}) AS BIGINT) AS bucket,
+         min(mp) AS mp_min, count(mp) AS n
+  FROM mp GROUP BY 1, 2
+),
+latest AS (SELECT doc_id, max(bucket) AS latest FROM t1 GROUP BY doc_id)
+SELECT t1.doc_id, t1.bucket, round(t1.mp_min, 4) AS mp_min, t1.n
+FROM t1 JOIN latest ON t1.doc_id = latest.doc_id
+WHERE t1.bucket > latest.latest - 4
+"""
+
+
+def q_arc_cac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLUSS corrected arc counts, fully relational (no UDF) on top of the
+    kernel profile — segmentation's aggregation layer (fluss.R:320-349)."""
+    from .operators import arc_count_cac
+
+    cac = arc_count_cac(_profile(spark, sf_dir), W, exclusion_zone=0.1)
+    return cac.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        _r4("arc_count").alias("arc_count"),
+        _r4("cac").alias("cac"),
+    )
+
+
+SQL_ARC_CAC = f"""
+WITH {sql_mp_cte()},
+nper AS (SELECT doc_id, max(pos) + 1 AS n FROM mp GROUP BY doc_id),
+marks AS (
+  SELECT mp.doc_id, least(pos, pi) AS lo, greatest(pos, pi) AS hi
+  FROM mp JOIN nper ON mp.doc_id = nper.doc_id
+  WHERE pi IS NOT NULL AND pi >= 0 AND pi <= nper.n - 1
+),
+deltas AS (
+  SELECT doc_id, lo AS pos, 1.0 AS d FROM marks
+  UNION ALL
+  SELECT doc_id, hi AS pos, -1.0 AS d FROM marks
+),
+per_pos AS (SELECT doc_id, pos, sum(d) AS d FROM deltas GROUP BY 1, 2),
+spine AS (
+  SELECT mp.doc_id, mp.pos, nper.n, coalesce(per_pos.d, 0.0) AS d
+  FROM mp JOIN nper ON mp.doc_id = nper.doc_id
+  LEFT JOIN per_pos ON per_pos.doc_id = mp.doc_id AND per_pos.pos = mp.pos
+),
+cum AS (
+  SELECT doc_id, pos, n,
+         sum(d) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ac
+  FROM spine
+),
+final AS (
+  SELECT doc_id, pos, ac,
+         CASE
+           WHEN pos < {int(round(W * 0.1 * 10 + 1e-8))} THEN 1.0
+           WHEN pos >= n - {int(round(W * 0.1 * 10 + 1e-8))} THEN 1.0
+           ELSE coalesce(least(ac / (6.0 * (pos / (n - 1.0)) * (1.0 - pos / (n - 1.0)) * n / 3.0), 1.0), 1.0)
+         END AS cac
+  FROM cum
+)
+SELECT doc_id, pos, round(ac, 4) AS arc_count, round(cac, 4) AS cac FROM final
+"""
+
+
+def q_motif_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 motif candidates per series: smallest profile values with
+    row_number + deterministic tie-break — the relational top-k form of
+    find-motifs.R's argmin loop."""
+    prof = _profile(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("mp").asc_nulls_last(), F.col("pos").asc()
+    )
+    return (
+        prof.filter(F.col("mp").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("pi").cast("bigint").alias("pi"),
+            _r4("mp").alias("mp_r"),
+        )
+    )
+
+
+SQL_MOTIF_TOPK = f"""
+WITH {sql_mp_cte()},
+ranked AS (
+  SELECT doc_id, pos, pi, mp,
+         row_number() OVER (PARTITION BY doc_id ORDER BY mp ASC, pos ASC) AS rank
+  FROM mp WHERE mp IS NOT NULL
+)
+SELECT doc_id, rank, pos, pi, round(mp, 4) AS mp_r FROM ranked WHERE rank <= 3
+"""
+
+
+def q_discord_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 discords per series: largest profile values (find-discord.R)."""
+    prof = _profile(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("mp").desc_nulls_last(), F.col("pos").asc()
+    )
+    return (
+        prof.filter(F.col("mp").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("pos").cast("bigint").alias("pos"),
+            _r4("mp").alias("mp_r"),
+        )
+    )
+
+
+SQL_DISCORD_TOPK = f"""
+WITH {sql_mp_cte()},
+ranked AS (
+  SELECT doc_id, pos, mp,
+         row_number() OVER (PARTITION BY doc_id ORDER BY mp DESC, pos ASC) AS rank
+  FROM mp WHERE mp IS NOT NULL
+)
+SELECT doc_id, rank, pos, round(mp, 4) AS mp_r FROM ranked WHERE rank <= 3
+"""
+
+# ---------------------------------------------------------------------------
+# queries — relational series operators (Catalyst-native)
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling mean / population SD / min / max over the subsequence window
+    (fast_avg_sd, misc.R:102-133 + movmin/movmax, windowfunc.cpp)."""
+    from .functions import rolling_window
+    from .operators.series import events_to_long
+
+    s = events_to_long(_events(spark, sf_dir))
+    win = rolling_window("doc_id", "pos", W)
+    n = F.count("value").over(win)
+    return (
+        s.select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            _r4(F.sum("value").over(win)).alias("mov_sum"),
+            _r4(F.stddev_pop("value").over(win)).alias("mov_sd"),
+            _r4(F.min("value").over(win)).alias("mov_min"),
+            _r4(F.max("value").over(win)).alias("mov_max"),
+            n.alias("cnt"),
+        )
+        .filter(F.col("cnt") == W)
+        .drop("cnt")
+    )
+
+
+SQL_ROLLING_STATS = f"""
+WITH {sql_series()},
+r AS (
+  SELECT doc_id, pos,
+         sum(value) OVER w AS mov_sum,
+         stddev_pop(value) OVER w AS mov_sd,
+         min(value) OVER w AS mov_min,
+         max(value) OVER w AS mov_max,
+         count(value) OVER w AS cnt
+  FROM s
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)
+)
+SELECT doc_id, pos, round(mov_sum, 4) AS mov_sum, round(mov_sd, 4) AS mov_sd,
+       round(mov_min, 4) AS mov_min, round(mov_max, 4) AS mov_max
+FROM r WHERE cnt = {W}
+"""
+
+
+def q_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series z-normalization with the 0.01 low-variance guard
+    (math.cpp:132-142)."""
+    from .operators.series import events_to_long
+
+    s = events_to_long(_events(spark, sf_dir))
+    whole = Window.partitionBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mu = F.avg("value").over(whole)
+    sd = F.stddev_pop("value").over(whole)
+    z = F.when(sd <= 0.01, F.col("value") - mu).otherwise((F.col("value") - mu) / sd)
+    return s.select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), _r4(z).alias("znorm")
+    )
+
+
+SQL_ZNORM = f"""
+WITH {sql_series()},
+st AS (
+  SELECT doc_id, avg(value) AS mu, stddev_pop(value) AS sd FROM s GROUP BY doc_id
+)
+SELECT s.doc_id, s.pos,
+       round(CASE WHEN st.sd <= 0.01 THEN s.value - st.mu
+                  ELSE (s.value - st.mu) / st.sd END, 4) AS znorm
+FROM s JOIN st ON s.doc_id = st.doc_id
+"""
+
+
+def q_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise Aggregate Approximation, factor 4 (misc.R:463-486)."""
+    from .operators.series import events_to_long
+
+    s = events_to_long(_events(spark, sf_dir))
+    return (
+        s.groupBy("doc_id", F.floor(F.col("pos") / 4).alias("bucket"))
+        .agg(_r4(F.avg("value")).alias("paa"), F.count("*").alias("n"))
+        .select(
+            "doc_id",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "paa",
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+SQL_PAA = f"""
+WITH {sql_series()}
+SELECT doc_id, CAST(floor(pos / 4) AS BIGINT) AS bucket,
+       round(avg(value), 4) AS paa, count(*) AS n
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_series_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series scalar features: complexity sqrt(sum(diff^2))
+    (misc.R:1007-1022) and zero crossings of the centered series
+    (misc.R:950-988)."""
+    from .operators.series import events_to_long
+
+    s = events_to_long(_events(spark, sf_dir))
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    whole = Window.partitionBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    centered = F.col("value") - F.avg("value").over(whole)
+    d = F.col("value") - F.lag("value").over(wseq)
+    prev_c = F.lag(centered).over(wseq)
+    crossing = (
+        F.when(prev_c.isNull(), 0)
+        .when((centered > 0) & (prev_c < 0), 1)
+        .when((centered < 0) & (prev_c > 0), 1)
+        .otherwise(0)
+    )
+    per_row = s.select("doc_id", (d * d).alias("dd"), crossing.alias("zc"))
+    return per_row.groupBy("doc_id").agg(
+        _r4(F.sqrt(F.sum("dd"))).alias("complexity"),
+        F.sum("zc").cast("bigint").alias("zero_crossings"),
+    )
+
+
+SQL_SERIES_FEATURES = f"""
+WITH {sql_series()},
+st AS (SELECT doc_id, avg(value) AS mu FROM s GROUP BY doc_id),
+rows_ AS (
+  SELECT s.doc_id,
+         s.value - lag(s.value) OVER (PARTITION BY s.doc_id ORDER BY s.pos) AS d,
+         s.value - st.mu AS c,
+         lag(s.value - st.mu) OVER (PARTITION BY s.doc_id ORDER BY s.pos) AS pc
+  FROM s JOIN st ON s.doc_id = st.doc_id
+)
+SELECT doc_id,
+       round(sqrt(sum(d * d)), 4) AS complexity,
+       CAST(sum(CASE WHEN pc IS NULL THEN 0
+                WHEN c > 0 AND pc < 0 THEN 1
+                WHEN c < 0 AND pc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM rows_ GROUP BY doc_id
+"""
+
+
+def q_events_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate over event time (hour buckets) with gap-fill +
+    LOCF — the rollup/retention engine shape on the raw stream table."""
+    from .operators import gap_fill
+
+    ev = _events(spark, sf_dir)
+    hours = ev.select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.floor(F.unix_timestamp("ts") / 3600).alias("bucket"),
+        "value",
+    )
+    t = hours.groupBy("doc_id", "bucket").agg(
+        F.sum("value").alias("mp_sum"),
+        F.min("value").alias("mp_min"),
+        F.count("*").alias("n"),
+    )
+    filled = gap_fill(t, fill_cols=("mp_sum",), locf=True)
+    return filled.select(
+        "doc_id",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        _r4("mp_sum").alias("sum_locf"),
+        F.col("gap_filled").cast("int").cast("bigint").alias("gap_filled"),
+    )
+
+
+SQL_EVENTS_ROLLUP_GAPFILL = """
+WITH hours AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, value
+  FROM events
+),
+t AS (
+  SELECT doc_id, bucket, sum(value) AS mp_sum, count(*) AS n
+  FROM hours GROUP BY 1, 2
+),
+bounds AS (SELECT doc_id, min(bucket) AS lo, max(bucket) AS hi FROM t GROUP BY doc_id),
+spine AS (
+  SELECT doc_id, unnest(generate_series(lo, hi)) AS bucket FROM bounds
+),
+joined AS (
+  SELECT spine.doc_id, spine.bucket, t.mp_sum, t.n IS NULL AS gap_filled
+  FROM spine LEFT JOIN t ON spine.doc_id = t.doc_id AND spine.bucket = t.bucket
+),
+locf AS (
+  SELECT doc_id, bucket, gap_filled,
+         last_value(mp_sum IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_locf
+  FROM joined
+)
+SELECT doc_id, bucket, round(sum_locf, 4) AS sum_locf,
+       CAST(gap_filled AS BIGINT) AS gap_filled
+FROM locf
+"""
+
+
+def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic relational top-k: top-5 users by total event value."""
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy(F.col("user_id").cast("bigint").alias("user_id")).agg(
+        _r4(F.sum("value")).alias("total_value"), F.count("*").alias("n_events")
+    )
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "user_id",
+            "total_value",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+SQL_TOPK_USERS = """
+WITH agg AS (
+  SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n_events
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY total_value DESC, user_id ASC) AS rank,
+         user_id, total_value, n_events
+  FROM agg
+)
+SELECT rank, user_id, total_value, n_events FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — joins (AB similarity join, MPdist)
+# ---------------------------------------------------------------------------
+
+
+def _pairs(spark: SparkSession, sf_dir: str, n_pairs: int = 5) -> DataFrame:
+    """Deterministic series pairs: (user 2k, user 2k+1) for k < n_pairs."""
+    seqs = _sequences(spark, sf_dir)
+    a = seqs.select(
+        F.col("doc_id").cast("bigint").alias("ida"),
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("tokens").alias("tokens_a"),
+    ).filter((F.col("ida") % 2 == 0) & (F.col("ida") < 2 * n_pairs))
+    b = seqs.select(
+        F.col("doc_id").cast("bigint").alias("idb"),
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("tokens").alias("tokens_b"),
+    ).filter((F.col("idb") % 2 == 1) & (F.col("idb") < 2 * n_pairs))
+    return a.join(b, a.ida + 1 == b.idb).select(
+        "doc_id_a", "tokens_a", "doc_id_b", "tokens_b"
+    )
+
+
+def q_ab_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AB similarity join (mpx.cpp:106-252): both-direction profiles for
+    the deterministic user pairs, ez = 0."""
+    from .operators import matrix_profile_join
+
+    prof = matrix_profile_join(_pairs(spark, sf_dir), W)
+    return prof.select(
+        "doc_id_a",
+        "doc_id_b",
+        "side",
+        F.col("pos").cast("bigint").alias("pos"),
+        _r4("mp").alias("mp_r"),
+    )
+
+
+SQL_AB_JOIN = f"""
+WITH {sql_series()},
+pairsel AS (
+  SELECT CAST(a.doc_id AS BIGINT) AS ida, CAST(b.doc_id AS BIGINT) AS idb
+  FROM (SELECT DISTINCT doc_id FROM s) a
+  JOIN (SELECT DISTINCT doc_id FROM s) b
+    ON CAST(a.doc_id AS BIGINT) % 2 = 0 AND CAST(a.doc_id AS BIGINT) < 10
+   AND CAST(b.doc_id AS BIGINT) = CAST(a.doc_id AS BIGINT) + 1
+),
+el AS (SELECT doc_id, pos, value FROM s),
+pr AS (
+  SELECT p.ida, p.idb, ea.pos AS t, eb.pos - ea.pos AS d, ea.value * eb.value AS prod
+  FROM pairsel p
+  JOIN el ea ON ea.doc_id = CAST(p.ida AS VARCHAR)
+  JOIN el eb ON eb.doc_id = CAST(p.idb AS VARCHAR)
+),
+qt AS (
+  SELECT ida, idb, t AS i, d,
+         sum(prod) OVER win AS qt, count(prod) OVER win AS m
+  FROM pr
+  WINDOW win AS (PARTITION BY ida, idb, d ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)
+),
+sta AS (
+  SELECT doc_id, pos,
+         avg(value) OVER w AS mu, stddev_pop(value) OVER w AS sd, count(*) OVER w AS cnt
+  FROM s
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)
+),
+stats AS (SELECT doc_id, pos, mu, sd FROM sta WHERE cnt = {W}),
+dists AS (
+  SELECT q.ida, q.idb, q.i, q.i + q.d AS j,
+         sqrt(greatest(2.0 * {W} * (1.0 - (q.qt - {W} * si.mu * sj.mu)
+              / ({W} * si.sd * sj.sd)), 0.0)) AS dist
+  FROM qt q
+  JOIN stats si ON si.doc_id = CAST(q.ida AS VARCHAR) AND si.pos = q.i
+  JOIN stats sj ON sj.doc_id = CAST(q.idb AS VARCHAR) AND sj.pos = q.i + q.d
+  WHERE q.m = {W} AND si.sd > 1e-8 AND sj.sd > 1e-8
+),
+mpa AS (
+  SELECT ida, idb, i AS pos, min(dist) AS mp FROM dists GROUP BY 1, 2, 3
+),
+mpb AS (
+  SELECT ida, idb, j AS pos, min(dist) AS mp FROM dists GROUP BY 1, 2, 3
+)
+SELECT CAST(ida AS VARCHAR) AS doc_id_a, CAST(idb AS VARCHAR) AS doc_id_b,
+       'a' AS side, pos, round(mp, 4) AS mp_r FROM mpa
+UNION ALL
+SELECT CAST(ida AS VARCHAR) AS doc_id_a, CAST(idb AS VARCHAR) AS doc_id_b,
+       'b' AS side, pos, round(mp, 4) AS mp_r FROM mpb
+"""
+
+
+def q_mpdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPdist scalar distance per deterministic pair (mpdist.R:125-131):
+    k-th smallest of the concatenated AB/BA profiles, k = ceil(0.05·(na+nb))."""
+    import numpy as np
+    import pandas as pd
+
+    from .mpcore import mpdist as mpdist_kernel
+
+    pairs = _pairs(spark, sf_dir)
+    schema = "doc_id_a string, doc_id_b string, mpdist double"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for da, ta, db, tb in zip(
+                pdf["doc_id_a"], pdf["tokens_a"], pdf["doc_id_b"], pdf["tokens_b"]
+            ):
+                a = np.asarray(ta, dtype=np.float64)
+                b = np.asarray(tb, dtype=np.float64)
+                if a.shape[0] < W or b.shape[0] < W:
+                    continue
+                if b.shape[0] > a.shape[0]:
+                    a, b = b, a
+                rows.append(
+                    {"doc_id_a": da, "doc_id_b": db, "mpdist": mpdist_kernel(a, b, W)}
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    out = pairs.mapInPandas(kernel, schema)
+    return out.select("doc_id_a", "doc_id_b", _r4("mpdist").alias("mpdist"))
+
+
+SQL_MPDIST = f"""
+WITH {sql_series()},
+pairsel AS (
+  SELECT CAST(a.doc_id AS BIGINT) AS ida, CAST(b.doc_id AS BIGINT) AS idb
+  FROM (SELECT DISTINCT doc_id FROM s) a
+  JOIN (SELECT DISTINCT doc_id FROM s) b
+    ON CAST(a.doc_id AS BIGINT) % 2 = 0 AND CAST(a.doc_id AS BIGINT) < 10
+   AND CAST(b.doc_id AS BIGINT) = CAST(a.doc_id AS BIGINT) + 1
+),
+el AS (SELECT doc_id, pos, value FROM s),
+sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+pr AS (
+  SELECT p.ida, p.idb, ea.pos AS t, eb.pos - ea.pos AS d, ea.value * eb.value AS prod
+  FROM pairsel p
+  JOIN el ea ON ea.doc_id = CAST(p.ida AS VARCHAR)
+  JOIN el eb ON eb.doc_id = CAST(p.idb AS VARCHAR)
+),
+qt AS (
+  SELECT ida, idb, t AS i, d,
+         sum(prod) OVER win AS qt, count(prod) OVER win AS m
+  FROM pr
+  WINDOW win AS (PARTITION BY ida, idb, d ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)
+),
+sta AS (
+  SELECT doc_id, pos,
+         avg(value) OVER w AS mu, stddev_pop(value) OVER w AS sd, count(*) OVER w AS cnt
+  FROM s
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)
+),
+stats AS (SELECT doc_id, pos, mu, sd FROM sta WHERE cnt = {W}),
+dists AS (
+  SELECT q.ida, q.idb, q.i, q.i + q.d AS j,
+         sqrt(greatest(2.0 * {W} * (1.0 - (q.qt - {W} * si.mu * sj.mu)
+              / ({W} * si.sd * sj.sd)), 0.0)) AS dist
+  FROM qt q
+  JOIN stats si ON si.doc_id = CAST(q.ida AS VARCHAR) AND si.pos = q.i
+  JOIN stats sj ON sj.doc_id = CAST(q.idb AS VARCHAR) AND sj.pos = q.i + q.d
+  WHERE q.m = {W} AND si.sd > 1e-8 AND sj.sd > 1e-8
+),
+hist AS (
+  SELECT ida, idb, i AS pos, min(dist) AS v FROM dists GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT ida, idb, j AS pos, min(dist) AS v FROM dists GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT ida, idb, v,
+         row_number() OVER (PARTITION BY ida, idb ORDER BY v ASC) AS rn,
+         count(*) OVER (PARTITION BY ida, idb) AS cnt
+  FROM hist
+),
+ksel AS (
+  SELECT r.ida, r.idb, r.v, r.rn, r.cnt,
+         CAST(ceil(0.05 * (sa.n + sb.n)) AS BIGINT) AS k
+  FROM ranked r
+  JOIN sizes sa ON sa.doc_id = CAST(r.ida AS VARCHAR)
+  JOIN sizes sb ON sb.doc_id = CAST(r.idb AS VARCHAR)
+)
+SELECT CAST(ida AS VARCHAR) AS doc_id_a, CAST(idb AS VARCHAR) AS doc_id_b,
+       round(v, 4) AS mpdist
+FROM ksel WHERE rn = least(k, cnt)
+"""
+
+
+def q_pmp_multi_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pan-matrix-profile: the (series × window) grid fan-out for windows
+    {6, 8} (pmp.R:52-227 re-expressed as embarrassingly parallel tasks)."""
+    from .plans import compute
+
+    prof = compute(_sequences(spark, sf_dir), [6, 8])
+    # guard identical to the per-window kernel: series long enough per w
+    return prof.select(
+        "doc_id",
+        F.col("w").cast("bigint").alias("w"),
+        F.col("pos").cast("bigint").alias("pos"),
+        _r4("mp").alias("mp_r"),
+        F.col("pi").cast("bigint").alias("pi"),
+    )
+
+
+def _sql_mp_for_w(w: int) -> str:
+    ez = int(round(w * 0.5 + 1e-8))
+    return sql_mp_cte(w, ez, w + ez + 1)
+
+
+SQL_PMP_MULTI = f"""
+WITH {_sql_mp_for_w(6)}
+SELECT doc_id, 6 AS w, pos, round(mp, 4) AS mp_r, pi FROM mp
+UNION ALL
+SELECT doc_id, 8 AS w, pos, mp_r, pi FROM (
+  WITH {_sql_mp_for_w(8)}
+  SELECT doc_id, pos, round(mp, 4) AS mp_r, pi FROM mp
+)
+"""
+
+# ---------------------------------------------------------------------------
+# queries — training-data pipeline: dedup / text / similarity
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import exact_dedup
+
+    d = exact_dedup(_documents(spark, sf_dir))
+    return d.select(
+        "content_hash",
+        F.col("keep_id").cast("bigint").alias("keep_id"),
+        F.col("dup_count").cast("bigint").alias("dup_count"),
+    )
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+_SQL_SHINGLES = r"""
+norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+wordlists AS (SELECT doc_id, string_split(t, ' ') AS words FROM norm),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(words[i:i+2], ' ') AS shingle
+  FROM wordlists,
+       unnest(generate_series(1, greatest(len(words) - 2, 1))) AS g(i)
+  WHERE len(array_to_string(words[i:i+2], ' ')) > 0
+)"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import ngram_jaccard_pairs
+
+    p = ngram_jaccard_pairs(_documents(spark, sf_dir), threshold=0.1, max_shingle_freq=1000000)
+    return p.select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        _r4("jaccard").alias("jaccard"),
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= 0.1
+"""
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import minhash_signatures
+
+    sig = minhash_signatures(_documents(spark, sf_dir), num_hashes=8)
+    return sig.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode("sig").alias("hash_idx", "minhash"),
+    ).select(
+        "doc_id",
+        F.col("hash_idx").cast("bigint").alias("hash_idx"),
+        F.col("minhash").cast("bigint").alias("minhash"),
+    )
+
+
+def _sql_minhash(num_hashes: int = 8) -> str:
+    hash_rows = " UNION ALL ".join(f"SELECT {i} AS hash_idx" for i in range(num_hashes))
+    return f"""
+{_SQL_SHINGLES},
+hashes AS ({hash_rows}),
+hashed AS (
+  SELECT s.doc_id, h.hash_idx,
+         CAST(('0x' || substr(md5('s' || h.hash_idx || ':' || s.shingle), 1, 8)) AS BIGINT) AS hv
+  FROM shingles s CROSS JOIN hashes h
+),
+minhash AS (
+  SELECT doc_id, hash_idx, min(hv) AS minhash FROM hashed GROUP BY 1, 2
+)"""
+
+
+SQL_MINHASH_SIG = f"""
+WITH {_sql_minhash(8)}
+SELECT doc_id, hash_idx, minhash FROM minhash
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import minhash_lsh_pairs
+
+    p = minhash_lsh_pairs(
+        _documents(spark, sf_dir), num_hashes=8, bands=4, threshold=0.25
+    )
+    return p.select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        _r4("est_jaccard").alias("est_jaccard"),
+    )
+
+
+SQL_MINHASH_LSH = f"""
+WITH {_sql_minhash(8)},
+banded AS (
+  SELECT doc_id, CAST(floor(hash_idx / 2) AS INT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hash_idx) AS key
+  FROM minhash GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_agree
+  FROM cand c
+  JOIN minhash ma ON ma.doc_id = c.doc_a
+  JOIN minhash mb ON mb.doc_id = c.doc_b AND mb.hash_idx = ma.hash_idx
+                 AND mb.minhash = ma.minhash
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(n_agree / 8.0, 4) AS est_jaccard
+FROM agree WHERE n_agree / 8.0 >= 0.25
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import simhash64
+
+    s = simhash64(_documents(spark, sf_dir))
+    return s.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("simhash_lo").cast("bigint").alias("simhash_lo"),
+        F.col("simhash_hi").cast("bigint").alias("simhash_hi"),
+    )
+
+
+def _sql_simhash_half(col: str, seed: int) -> str:
+    return f"""
+  SELECT w.doc_id, b.bit,
+         sum(CASE WHEN (CAST(('0x' || substr(md5('s{seed}:' || w.word), 1, 8)) AS BIGINT) >> b.bit) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM words w CROSS JOIN bits b
+  GROUP BY 1, 2
+"""
+
+
+SQL_SIMHASH = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+words AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(t, ' ')) AS word FROM norm
+  ) WHERE len(word) > 0
+),
+bits AS (SELECT unnest(generate_series(0, 31)) AS bit),
+lo AS (
+  SELECT w.doc_id, b.bit,
+         sum(CASE WHEN (CAST(('0x' || substr(md5('s1:' || w.word), 1, 8)) AS BIGINT) >> b.bit) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM words w CROSS JOIN bits b GROUP BY 1, 2
+),
+hi AS (
+  SELECT w.doc_id, b.bit,
+         sum(CASE WHEN (CAST(('0x' || substr(md5('s2:' || w.word), 1, 8)) AS BIGINT) >> b.bit) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM words w CROSS JOIN bits b GROUP BY 1, 2
+)
+SELECT l.doc_id,
+       CAST(sum(CASE WHEN l.s > 0 THEN CAST(pow(2, l.bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_lo,
+       CAST(sum(CASE WHEN h.s > 0 THEN CAST(pow(2, h.bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_hi
+FROM lo l JOIN hi h ON l.doc_id = h.doc_id AND l.bit = h.bit
+GROUP BY l.doc_id
+"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import quality_features
+
+    qf = quality_features(_documents(spark, sf_dir))
+    return qf.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_chars",
+        "n_tokens",
+        _r4("mean_word_len").alias("mean_word_len"),
+        _r4("punct_ratio").alias("punct_ratio"),
+        _r4("stopword_ratio").alias("stopword_ratio"),
+    )
+
+
+SQL_QUALITY = r"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+         length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g')) AS n_punct,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(CAST(n_nonspace AS DOUBLE) / greatest(n_tokens, 1), 4) AS mean_word_len,
+       round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio,
+       round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 4) AS stopword_ratio
+FROM f
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import lang_scores
+
+    ls = lang_scores(_documents(spark, sf_dir))
+    return ls.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang_pred",
+        _r4("lang_score").alias("lang_score"),
+    )
+
+
+SQL_LANG_ID = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+scores AS (
+  SELECT doc_id,
+         len(list_filter(ws, w -> w IN ('der','die','und','das','ist'))) / CAST(greatest(len(ws), 1) AS DOUBLE) AS s_de,
+         len(list_filter(ws, w -> w IN ('the','and','of','to','is'))) / CAST(greatest(len(ws), 1) AS DOUBLE) AS s_en,
+         len(list_filter(ws, w -> w IN ('el','la','de','que','es'))) / CAST(greatest(len(ws), 1) AS DOUBLE) AS s_es,
+         len(list_filter(ws, w -> w IN ('le','la','et','les','des'))) / CAST(greatest(len(ws), 1) AS DOUBLE) AS s_fr
+  FROM words
+),
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+  FROM (
+    SELECT doc_id, 'de' AS lang, s_de AS score FROM scores
+    UNION ALL SELECT doc_id, 'en', s_en FROM scores
+    UNION ALL SELECT doc_id, 'es', s_es FROM scores
+    UNION ALL SELECT doc_id, 'fr', s_fr FROM scores
+  )
+)
+SELECT doc_id, lang AS lang_pred, round(score, 4) AS lang_score
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bpe_ish_token_count, token_count
+
+    d = _documents(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        token_count(F.col("text")).cast("bigint").alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("bigint").alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import doc_fingerprint
+
+    fp = doc_fingerprint(_documents(spark, sf_dir), n=5)
+    return fp.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("fingerprint").cast("bigint").alias("fingerprint"),
+    )
+
+
+SQL_FINGERPRINT = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+wordlists AS (SELECT doc_id, string_split(t, ' ') AS words FROM norm),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS shingle
+  FROM wordlists,
+       unnest(generate_series(1, greatest(len(words) - 4, 1))) AS g(i)
+  WHERE len(array_to_string(words[i:i+4], ' ')) > 0
+)
+SELECT doc_id,
+       min(CAST(('0x' || substr(md5('s0:' || shingle), 1, 8)) AS BIGINT)) AS fingerprint
+FROM shingles GROUP BY doc_id
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 20 — the exact
+    ANN baseline."""
+    from .operators import cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        _r4("cosine").alias("cosine"),
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(v) AS x,
+         unnest(generate_series(1, len(v))) AS i
+  FROM e
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, sum(q.x * n.x) AS dot
+  FROM ex q JOIN ex n ON q.i = n.i AND q.vec_id < 20 AND q.vec_id != n.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id, d.dot / (nq.nrm * nn.nrm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nn ON nn.vec_id = d.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-3 neighbors (sign-bit random
+    hyperplanes, deterministic arithmetic planes)."""
+    from .operators import lsh_bucket_topk
+
+    out = lsh_bucket_topk(_embeddings(spark, sf_dir), k=3, n_planes=6)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        _r4("cosine").alias("cosine"),
+    )
+
+
+SQL_LSH_ANN = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(v) AS x,
+         unnest(generate_series(1, len(v))) AS i
+  FROM e
+),
+planes AS (SELECT unnest(generate_series(0, 5)) AS p),
+proj AS (
+  SELECT ex.vec_id, pl.p,
+         sum(ex.x * sin(pl.p * 1013904223.0 + (ex.i - 1) * 1664525.0)) AS dot
+  FROM ex CROSS JOIN planes pl
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+cand AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, sum(q.x * n.x) AS dot
+  FROM cand c
+  JOIN ex q ON q.vec_id = c.query_id
+  JOIN ex n ON n.vec_id = c.neighbor_id AND n.i = q.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id, d.dot / (nq.nrm * nn.nrm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nn ON nn.vec_id = d.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+FROM ranked WHERE rank <= 3
+"""
+
+# ---------------------------------------------------------------------------
+# queries — codec round-trip, streaming, kernel-only (rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-1 rollup → Gorilla XOR + delta-of-delta pack per series →
+    unpack → rows. Oracle-checked against the plain tier-1 SQL, so the
+    codec is proven lossless end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    from .codecs import pack_rollup, unpack_rollup
+    from .operators import rollup_tier
+
+    t1 = rollup_tier(_profile(spark, sf_dir), BUCKET).select("doc_id", "bucket", "mp_min")
+
+    def pack_unpack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket")
+        blob = pack_rollup(
+            pdf["bucket"].to_numpy(np.int64), pdf["mp_min"].to_numpy(np.float64)
+        )
+        buckets, values = unpack_rollup(blob)
+        return pd.DataFrame(
+            {"doc_id": np.repeat(key[0], len(buckets)), "bucket": buckets, "mp_min": values}
+        )
+
+    out = t1.groupBy("doc_id").applyInPandas(
+        pack_unpack, "doc_id string, bucket long, mp_min double"
+    )
+    return out.select("doc_id", "bucket", _r4("mp_min").alias("mp_min"))
+
+
+SQL_GORILLA_ROUNDTRIP = f"""
+WITH {sql_mp_cte()}
+SELECT doc_id, CAST(floor(pos / {BUCKET}) AS BIGINT) AS bucket,
+       round(min(mp), 4) AS mp_min
+FROM mp GROUP BY 1, 2
+"""
+
+
+def q_stompi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental STOMPi (stompi.R:18-134): bootstrap on a prefix, then
+    chunked appends — final profile must equal the batch profile, so it
+    shares the brute-force SQL oracle with ``mp_selfjoin``. This is the
+    micro-batch form of the Structured Streaming operator
+    (tsmp_spark.streaming.stompi_stateful)."""
+    import numpy as np
+    import pandas as pd
+
+    from .mpcore import stomp, stompi_update
+
+    seqs = _sequences(spark, sf_dir)
+    schema = "doc_id string, pos long, mp_r double, pi long"
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(tokens, dtype=np.float64)
+                if a.shape[0] < MIN_LEN:
+                    continue
+                boot = min(a.shape[0], max(2 * W, MIN_LEN))
+                prof = stomp(a[:boot], W)
+                for st in range(boot, a.shape[0], 10):
+                    prof = stompi_update(prof, a[st : st + 10])
+                mp = prof.mp.copy()
+                mp[prof.pi < 0] = np.nan
+                mp[~np.isfinite(mp)] = np.nan
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": np.repeat(doc_id, mp.shape[0]),
+                            "pos": np.arange(mp.shape[0], dtype=np.int64),
+                            "mp_r": np.round(mp, 4),
+                            "pi": prof.pi.astype(np.int64),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return seqs.select("doc_id", "tokens").repartition(n_parts).mapInPandas(kernel, schema)
+
+
+def q_fluss_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLUSS semantic segmentation per series (fluss.R): CAC + greedy
+    extraction. Iterative suppression is not SQL-expressible — rows-only
+    driver check; pytest covers the semantics on planted regime changes."""
+    import numpy as np
+    import pandas as pd
+
+    from .mpcore import fluss, stomp
+
+    seqs = _sequences(spark, sf_dir)
+    schema = "doc_id string, rank long, segment_pos long, cac_min double"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(tokens, dtype=np.float64)
+                if a.shape[0] < MIN_LEN:
+                    continue
+                prof = stomp(a, W)
+                segs = fluss(prof, num_segments=2, exclusion_zone=0.5)
+                for rank, s in enumerate(segs):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "rank": rank,
+                            "segment_pos": int(s),
+                            "cac_min": float(np.round(prof.cac[s], 4)),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return seqs.select("doc_id", "tokens").repartition(n_parts).mapInPandas(kernel, schema)
+
+
+def q_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analyze() flagship (analyze.R:44-73): top-3 motifs + top-3 discords
+    per series with MASS neighbor re-query — the full discovery pipeline.
+    Rows-only check (iterative ez suppression is not SQL-expressible)."""
+    from .plans import analyze
+
+    return analyze(_sequences(spark, sf_dir), W, n_motifs=3, n_discords=3)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # matrix profile family (kernels oracle-gated by brute-force SQL MP)
+    "mp_selfjoin": q_mp_selfjoin,
+    "mp_stomp": q_mp_stomp,
+    "mp_rollup_tier1": q_mp_rollup_tier1,
+    "mp_rollup_tier2": q_mp_rollup_tier2,
+    "mp_retention": q_mp_retention,
+    "arc_cac": q_arc_cac,
+    "motif_topk": q_motif_topk,
+    "discord_topk": q_discord_topk,
+    "ab_join": q_ab_join,
+    "mpdist": q_mpdist,
+    "pmp_multi_window": q_pmp_multi_window,
+    # relational series operators
+    "rolling_stats": q_rolling_stats,
+    "znorm": q_znorm,
+    "paa": q_paa,
+    "series_features": q_series_features,
+    "events_rollup_gapfill": q_events_rollup_gapfill,
+    "topk_users": q_topk_users,
+    # training-data pipeline
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_sig": q_minhash_sig,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "embedding_topk": q_embedding_topk,
+    "lsh_ann": q_lsh_ann,
+    # codec + streaming + discovery (stompi/gorilla oracle-checked too)
+    "gorilla_roundtrip": q_gorilla_roundtrip,
+    "stompi_stream": q_stompi_stream,
+    "fluss_segments": q_fluss_segments,
+    "analyze_motifs_discords": q_analyze,
+}
+
+ORACLES: dict[str, str] = {
+    "mp_selfjoin": SQL_MP_SELFJOIN,
+    "mp_stomp": SQL_MP_SELFJOIN,  # independent kernel, same ground truth
+    "mp_rollup_tier1": SQL_MP_ROLLUP_TIER1,
+    "mp_rollup_tier2": SQL_MP_ROLLUP_TIER2,
+    "mp_retention": SQL_MP_RETENTION,
+    "arc_cac": SQL_ARC_CAC,
+    "motif_topk": SQL_MOTIF_TOPK,
+    "discord_topk": SQL_DISCORD_TOPK,
+    "ab_join": SQL_AB_JOIN,
+    "mpdist": SQL_MPDIST,
+    "pmp_multi_window": SQL_PMP_MULTI,
+    "rolling_stats": SQL_ROLLING_STATS,
+    "znorm": SQL_ZNORM,
+    "paa": SQL_PAA,
+    "series_features": SQL_SERIES_FEATURES,
+    "events_rollup_gapfill": SQL_EVENTS_ROLLUP_GAPFILL,
+    "topk_users": SQL_TOPK_USERS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "minhash_sig": SQL_MINHASH_SIG,
+    "minhash_lsh": SQL_MINHASH_LSH,
+    "simhash": SQL_SIMHASH,
+    "quality": SQL_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "fingerprint": SQL_FINGERPRINT,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "lsh_ann": SQL_LSH_ANN,
+    "gorilla_roundtrip": SQL_GORILLA_ROUNDTRIP,
+    "stompi_stream": SQL_MP_SELFJOIN,  # streaming == batch == brute force
+    # fluss_segments, analyze_motifs_discords: rows-only (non-SQL iterative)
+}
