@@ -1,0 +1,121 @@
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+ "sf": ..., "mp_windows_per_sec": ..., "rolled_points_per_sec": ...,
+ "cpus": ...}
+
+Headline suite (BASELINE.json metric: rolled-up points/sec +
+matrix-profile windows/sec):
+- ``mp_kernel_synth``: self-join MP over the deterministic synthetic
+  sequences table (fixtures.generate_sequences — the input_hint shape) —
+  kernel throughput, CPU-bound, scales with cores.
+- ``mp_pipeline_events``: events → sequences → MPX → tier-1 + tier-2
+  rollup (the flagship plan: scan → shuffle → Arrow UDF → agg).
+- rollup / segmentation / dedup / ANN headliners at $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), BENCH_SYNTH_DOCS / BENCH_SYNTH_LEN.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_SYNTH_DOCS", "768"))
+    synth_len = int(os.environ.get("BENCH_SYNTH_LEN", "4096"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    from tsmp_spark.fixtures import generate_sequences
+    from tsmp_spark.operators import (
+        arc_count_cac,
+        matrix_profile,
+        minhash_lsh_pairs,
+        rollup_rollup,
+        rollup_tier,
+    )
+    from tsmp_spark.operators.series import events_to_long, long_to_nested
+    from tsmp_spark.queries import W, q_embedding_topk, q_events_rollup_gapfill
+    from tsmp_spark.session import get_spark
+
+    spark = get_spark(app_name="tsmp_bench", cpus=cpus)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # 1) kernel throughput on the synthetic input_hint table (CPU-bound)
+    seqs = generate_sequences(spark, n_docs=n_docs, length=synth_len).cache()
+    total_tokens = seqs.agg(F.sum("n_tok")).collect()[0][0]  # materialize cache
+
+    n_windows = timed(
+        "mp_kernel_synth",
+        lambda: matrix_profile(seqs, 64).count(),
+    )
+    extras["mp_windows_per_sec"] = round(n_windows / timings["mp_kernel_synth"], 1)
+    extras["synth_tokens"] = int(total_tokens)
+
+    # 2) flagship pipeline on the SF events table
+    def pipeline():
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        sequences = long_to_nested(events_to_long(ev))
+        prof = matrix_profile(sequences, W)
+        t1 = rollup_tier(prof, 8)
+        t2 = rollup_rollup(t1, 4)
+        return t1.count() + t2.count()
+
+    rolled = timed("mp_pipeline_events", pipeline)
+    extras["rolled_points_per_sec"] = round(rolled / timings["mp_pipeline_events"], 1)
+
+    # 3) segmentation (relational CAC over the kernel profile)
+    def seg():
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        sequences = long_to_nested(events_to_long(ev))
+        return arc_count_cac(matrix_profile(sequences, W), W, 0.1).count()
+
+    timed("arc_cac", seg)
+
+    # 4) gap-filled continuous aggregate over raw events
+    timed("events_rollup_gapfill", lambda: q_events_rollup_gapfill(spark, sf_dir).count())
+
+    # 5) dedup: minhash LSH candidates over documents
+    timed(
+        "minhash_lsh",
+        lambda: minhash_lsh_pairs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), num_hashes=8, bands=4,
+            threshold=0.25,
+        ).count(),
+    )
+
+    # 6) similarity: brute-force cosine top-k
+    timed("embedding_topk", lambda: q_embedding_topk(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (mp kernel + rollup pipeline + segmentation + dedup + ann)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
