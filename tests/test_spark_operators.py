@@ -1,0 +1,173 @@
+"""Spark operator layer: kernel-vs-local equality through the Arrow UDF
+boundary, rollup correctness, partition invariance, skew salting."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from tsmp_spark.fixtures import generate_sequences, make_tokens
+from tsmp_spark.mpcore import exclusion_zone_size, mpx, stomp
+from tsmp_spark.operators import (
+    gap_fill,
+    matrix_profile,
+    matrix_profile_join,
+    retention_expire,
+    rollup_rollup,
+    rollup_tier,
+    salted_repartition,
+)
+from tsmp_spark.operators.series import events_to_long, long_to_nested, nested_to_long
+
+W = 16
+EZ_N = exclusion_zone_size(W, 0.5)
+
+
+@pytest.fixture(scope="module")
+def seqs(spark):
+    return generate_sequences(spark, n_docs=24, seed=7).cache()
+
+
+def test_fixture_generation_deterministic(spark):
+    a = generate_sequences(spark, n_docs=10, seed=7).orderBy("doc_id").collect()
+    b = generate_sequences(spark, n_docs=10, seed=7, num_partitions=3).orderBy("doc_id").collect()
+    for ra, rb in zip(a, b):
+        assert ra.doc_id == rb.doc_id
+        assert list(ra.tokens) == list(rb.tokens)
+        assert ra.source == rb.source
+
+
+def test_token_array_equality_through_pipeline(spark, seqs):
+    """input_hint invariant: tokens survive the long↔nested round trip."""
+    back = long_to_nested(nested_to_long(seqs))
+    joined = (
+        seqs.alias("a")
+        .join(back.alias("b"), "doc_id")
+        .select(
+            F.expr("aggregate(zip_with(a.tokens, b.tokens, (x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v)").alias("eq"),
+            F.size("a.tokens").alias("n"),
+        )
+        .collect()
+    )
+    assert all(r.eq == r.n for r in joined)
+
+
+def test_matrix_profile_matches_local_kernel(spark, seqs):
+    prof = matrix_profile(seqs, W).toPandas()
+    rows = seqs.select("doc_id", "tokens").collect()
+    for row in rows:
+        a = np.asarray(row.tokens, dtype=np.float64)
+        if a.shape[0] < W + EZ_N + 1:
+            assert len(prof[prof.doc_id == row.doc_id]) == 0
+            continue
+        local = mpx(a, W, minlag=EZ_N + 1)
+        got = prof[prof.doc_id == row.doc_id].sort_values("pos")
+        assert len(got) == local.mp.shape[0]
+        np.testing.assert_allclose(got["mp"].to_numpy(), local.mp, atol=1e-9)
+        np.testing.assert_array_equal(got["pi"].to_numpy(), local.pi)
+
+
+def test_chunked_long_series_path(spark):
+    """Diagonal-chunk fan-out (forced low threshold) equals the one-shot
+    kernel — the distributed long-series strategy is exact."""
+    docs = generate_sequences(spark, n_docs=4, seed=3, length=2000)
+    prof = matrix_profile(docs, W, long_series_threshold=100, n_chunks=8).toPandas()
+    for row in docs.collect():
+        a = np.asarray(row.tokens, dtype=np.float64)
+        local = mpx(a, W, minlag=EZ_N + 1)
+        got = prof[prof.doc_id == row.doc_id].sort_values("pos")
+        mp = got["mp"].to_numpy().copy()
+        ref = local.mp.copy()
+        ref[local.pi < 0] = np.nan
+        np.testing.assert_allclose(mp, ref, atol=1e-9)
+
+
+def test_partition_invariance(spark, seqs):
+    """local[8]-style vs wide partitioning: identical results regardless of
+    parallelism (north-rule evidence class)."""
+    p1 = matrix_profile(seqs, W, num_partitions=2).orderBy("doc_id", "pos").toPandas()
+    p2 = matrix_profile(seqs, W, num_partitions=16).orderBy("doc_id", "pos").toPandas()
+    np.testing.assert_allclose(p1["mp"].to_numpy(), p2["mp"].to_numpy(), atol=0)
+    np.testing.assert_array_equal(p1["pi"].to_numpy(), p2["pi"].to_numpy())
+
+
+def test_ab_join_operator(spark):
+    a = make_tokens(1, seed=9, length=400).astype(np.float64)
+    b = make_tokens(2, seed=9, length=300).astype(np.float64)
+    pairs = spark.createDataFrame(
+        [("a", a.tolist(), "b", b.tolist())],
+        "doc_id_a string, tokens_a array<double>, doc_id_b string, tokens_b array<double>",
+    )
+    out = matrix_profile_join(pairs, W).toPandas()
+    from tsmp_spark.mpcore import mpx_ab
+
+    local = mpx_ab(a, b, W)
+    got_a = out[out.side == "a"].sort_values("pos")["mp"].to_numpy()
+    got_b = out[out.side == "b"].sort_values("pos")["mp"].to_numpy()
+    np.testing.assert_allclose(got_a, local.mp, atol=1e-9)
+    np.testing.assert_allclose(got_b, local.mpb, atol=1e-9)
+
+
+def test_rollup_tier_and_rerollup(spark, seqs):
+    prof = matrix_profile(seqs, W)
+    t1 = rollup_tier(prof, 8)
+    t2 = rollup_rollup(t1, 4)
+    pdf = prof.toPandas()
+    t1p = t1.toPandas()
+    one = pdf[pdf.doc_id == pdf.doc_id.iloc[0]]
+    bucket0 = one[one.pos < 8]
+    got = t1p[(t1p.doc_id == one.doc_id.iloc[0]) & (t1p.bucket == 0)].iloc[0]
+    assert got["mp_min"] == pytest.approx(bucket0["mp"].min())
+    assert got["n"] == len(bucket0)
+    # tier2 min-of-min == direct min over 32 positions
+    t2p = t2.toPandas()
+    got2 = t2p[(t2p.doc_id == one.doc_id.iloc[0]) & (t2p.bucket == 0)].iloc[0]
+    assert got2["mp_min"] == pytest.approx(one[one.pos < 32]["mp"].min())
+
+
+def test_gap_fill_locf(spark):
+    t = spark.createDataFrame(
+        [("d1", 0, 1.0, 5), ("d1", 3, 4.0, 5)],
+        "doc_id string, bucket long, mp_avg double, n long",
+    )
+    filled = gap_fill(t, fill_cols=("mp_avg",), locf=True).orderBy("bucket").collect()
+    assert [r.bucket for r in filled] == [0, 1, 2, 3]
+    assert [r.mp_avg for r in filled] == [1.0, 1.0, 1.0, 4.0]
+    assert [r.gap_filled for r in filled] == [False, True, True, False]
+
+
+def test_retention_expire(spark):
+    t = spark.createDataFrame(
+        [("d1", b, float(b), 1) for b in range(10)],
+        "doc_id string, bucket long, mp_min double, n long",
+    )
+    kept = retention_expire(t, horizon_buckets=3).collect()
+    assert sorted(r.bucket for r in kept) == [7, 8, 9]
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 900, "hot").otherwise("cold").alias("source"),
+        F.col("id"),
+    )
+    out = salted_repartition(df, "source", num_partitions=8, salt_buckets=8)
+    sizes = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    # the hot key must not land in a single partition
+    assert max(r["count"] for r in sizes) < 900
+
+
+def test_events_series_roundtrip(spark):
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    long_df = events_to_long(ev)
+    nested = long_to_nested(long_df)
+    n_series = nested.count()
+    assert n_series == ev.select("user_id").distinct().count()
+    total = nested.agg(F.sum("n_tok")).collect()[0][0]
+    assert total == ev.count()

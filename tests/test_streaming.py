@@ -1,0 +1,95 @@
+"""Structured Streaming STOMPi: stateful incremental profile equals the
+batch profile when the stream is drained (micro-batched file source)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from tsmp_spark.mpcore import stomp
+from tsmp_spark.streaming import stompi_stateful
+
+W = 16
+
+
+@pytest.fixture()
+def chunk_dir(tmp_path, spark):
+    """Write per-chunk parquet files of two series so maxFilesPerTrigger=1
+    drives multiple ordered micro-batches."""
+    rng = np.random.default_rng(11)
+    series = {
+        "s1": np.cumsum(rng.choice([-1.0, 1.0], size=300)),
+        "s2": np.cumsum(rng.choice([-1.0, 1.0], size=260)),
+    }
+    base = str(tmp_path / "chunks")
+    os.makedirs(base)
+    chunk = 50
+    max_len = max(len(v) for v in series.values())
+    file_no = 0
+    for start in range(0, max_len, chunk):
+        rows = []
+        for doc_id, vals in series.items():
+            seg = vals[start : start + chunk]
+            for k, v in enumerate(seg):
+                rows.append((doc_id, start // chunk, k, float(v)))
+        if rows:
+            df = spark.createDataFrame(
+                rows, "doc_id string, chunk_id long, seq long, value double"
+            )
+            df.coalesce(1).write.parquet(f"{base}/f{file_no:03d}.parquet")
+            file_no += 1
+    return base, series
+
+
+def test_stompi_stateful_equals_batch(spark, chunk_dir, tmp_path):
+    base, series = chunk_dir
+    stream = (
+        spark.readStream.schema("doc_id string, chunk_id long, seq long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/*")
+    )
+    out = stompi_stateful(stream, W)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stompi_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql(
+        """
+        SELECT doc_id, pos, mp, pi FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id, pos
+                                       ORDER BY upd_seq DESC) AS rn
+          FROM stompi_out
+        ) WHERE rn = 1
+        """
+    ).toPandas()
+
+    from brute import brute_distance_matrix
+    from tsmp_spark.mpcore import exclusion_zone_size
+
+    ez_n = exclusion_zone_size(W, 0.5)
+    for doc_id, vals in series.items():
+        ref = stomp(vals, W)
+        g = got[got.doc_id == doc_id].sort_values("pos")
+        assert len(g) == ref.mp.shape[0]
+        ref_mp = ref.mp.copy()
+        ref_mp[~np.isfinite(ref_mp)] = np.nan
+        np.testing.assert_allclose(g["mp"].to_numpy(), ref_mp, atol=1e-6)
+        # pi may flip on float-level ties (FFT sizes differ between the
+        # incremental and batch paths); the distance AT pi must match and
+        # the neighbor must be outside the exclusion zone
+        bd = brute_distance_matrix(vals, vals, W)
+        pis = g["pi"].to_numpy()
+        pos = g["pos"].to_numpy()
+        valid = pis >= 0
+        assert np.all(np.abs(pos[valid] - pis[valid]) > ez_n)
+        np.testing.assert_allclose(
+            bd[pos[valid], pis[valid]], ref_mp[valid], atol=1e-5
+        )

@@ -71,7 +71,7 @@ def gorilla_encode(values: np.ndarray) -> bytes:
             lead = min(lead, 31)
             trail = (xor & -xor).bit_length() - 1
             mean = 64 - lead - trail
-            if prev_lead >= 0 and lead >= prev_lead and (lead + prev_mean) >= (64 - trail):
+            if prev_lead >= 0 and lead >= prev_lead and (prev_lead + prev_mean) >= (64 - trail):
                 # fits inside the previous meaningful window: control bit 0
                 w.write(0, 1)
                 w.write(xor >> (64 - prev_lead - prev_mean), prev_mean)

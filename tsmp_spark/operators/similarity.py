@@ -82,61 +82,75 @@ def hyperplane(plane: int, dim: int) -> Column:
 def lsh_bucket_keys(
     embeddings: DataFrame,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Sign-bit bucket key per vector: bit p = (v · h_p) >= 0."""
+    """Sign-bit bucket key per (vector, table): bit p of table t uses plane
+    index ``t·n_planes + p``. One output row per table."""
     v = F.col(vec_col).cast("array<double>")
-    bits = []
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(F.sequence(F.lit(0), F.size(v) - 1), lambda d: F.sin(
-                    F.lit(float(p)) * 1013904223.0 + d.cast("double") * 1664525.0
-                )),
-                lambda x, h: x * h,
-            ),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
+
+    def plane_fn(plane: int):
+        # single-arg lambda: PySpark treats a 2nd param as the array index
+        return lambda d: F.sin(
+            F.lit(float(plane)) * 1013904223.0 + d.cast("double") * 1664525.0
         )
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p))
-    key = bits[0]
-    for b in bits[1:]:
-        key = key + b
+
+    rows = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    v,
+                    F.transform(F.sequence(F.lit(0), F.size(v) - 1), plane_fn(t * n_planes + p)),
+                    lambda x, h: x * h,
+                ),
+                F.lit(0.0),
+                lambda acc, term: acc + term,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p))
+        key = bits[0]
+        for b in bits[1:]:
+            key = key + b
+        rows.append(F.struct(F.lit(t).alias("tbl"), key.alias("bucket")))
     return embeddings.select(
-        F.col(id_col).alias("vec_id"), v.alias("v"), key.alias("bucket")
-    )
+        F.col(id_col).alias("vec_id"), v.alias("v"), F.explode(F.array(*rows)).alias("tb")
+    ).select("vec_id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
 
 def lsh_bucket_topk(
     embeddings: DataFrame,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate all-pairs top-k: candidates share an LSH bucket, exact
-    cosine re-rank within bucket. The shuffle is per-bucket, never all-pairs
-    — the scale path for ANN over billions of vectors (bucket sizes are
-    tunable via n_planes)."""
-    keyed = lsh_bucket_keys(embeddings, n_planes, id_col, vec_col)
+    """Approximate all-pairs top-k: candidates share an LSH bucket in ANY
+    of ``n_tables`` independent tables; exact cosine re-rank on the
+    candidate union. The shuffle is per-bucket, never all-pairs — the scale
+    path for ANN over billions of vectors. Recall ↑ with n_tables,
+    candidate cost ↑ with 1/2^n_planes."""
+    keyed = lsh_bucket_keys(embeddings, n_planes, n_tables, id_col, vec_col)
     a = keyed.select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("v_q"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("v").alias("v_q"), "tbl", "bucket"
     )
     b = keyed.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("v_e"), "bucket"
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("v_e"), "tbl", "bucket"
     )
-    scored = (
-        a.join(b, "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (_dot(F.col("v_q"), F.col("v_e")) / (_norm(F.col("v_q")) * _norm(F.col("v_e")))).alias(
-                "cosine"
-            ),
-        )
+        .select("query_id", "v_q", "neighbor_id", "v_e")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("v_q"), F.col("v_e")) / (_norm(F.col("v_q")) * _norm(F.col("v_e")))).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

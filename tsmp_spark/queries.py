@@ -1200,7 +1200,7 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes, deterministic arithmetic planes)."""
     from .operators import lsh_bucket_topk
 
-    out = lsh_bucket_topk(_embeddings(spark, sf_dir), k=3, n_planes=6)
+    out = lsh_bucket_topk(_embeddings(spark, sf_dir), k=3, n_planes=6, n_tables=2)
     return out.select(
         F.col("query_id").cast("bigint").alias("query_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
@@ -1219,7 +1219,7 @@ ex AS (
          unnest(generate_series(1, len(v))) AS i
   FROM e
 ),
-planes AS (SELECT unnest(generate_series(0, 5)) AS p),
+planes AS (SELECT unnest(generate_series(0, 11)) AS p),
 proj AS (
   SELECT ex.vec_id, pl.p,
          sum(ex.x * sin(pl.p * 1013904223.0 + (ex.i - 1) * 1664525.0)) AS dot
@@ -1227,14 +1227,15 @@ proj AS (
   GROUP BY 1, 2
 ),
 buckets AS (
-  SELECT vec_id,
-         CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-  FROM proj GROUP BY vec_id
+  SELECT vec_id, CAST(floor(p / 6) AS INT) AS tbl,
+         CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p % 6) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY 1, 2
 ),
 norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
 cand AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
-  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM buckets a
+  JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id != b.vec_id
 ),
 dots AS (
   SELECT c.query_id, c.neighbor_id, sum(q.x * n.x) AS dot

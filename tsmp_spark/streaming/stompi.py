@@ -34,6 +34,10 @@ OUTPUT_SCHEMA = T.StructType(
         T.StructField("pos", T.IntegerType(), False),  # absolute (offset applied)
         T.StructField("mp", T.DoubleType(), True),
         T.StructField("pi", T.IntegerType(), True),
+        # batch sequence of this emission: a position's final value is the
+        # row with the highest upd_seq (old positions can improve when a
+        # later window turns out to be their nearest neighbor)
+        T.StructField("upd_seq", T.IntegerType(), False),
     ]
 )
 
@@ -47,12 +51,13 @@ STATE_SCHEMA = T.StructType(
         T.StructField("rmp", T.ArrayType(T.DoubleType()), True),
         T.StructField("rpi", T.ArrayType(T.IntegerType()), True),
         T.StructField("offset", T.IntegerType(), True),
+        T.StructField("upd_seq", T.IntegerType(), True),
     ]
 )
 
 
-def _profile_from_state(state_tuple, w: int) -> MatrixProfile:
-    data, mp, pi, lmp, lpi, rmp, rpi, offset = state_tuple
+def _profile_from_state(state_tuple, w: int) -> tuple[MatrixProfile, int]:
+    data, mp, pi, lmp, lpi, rmp, rpi, offset, upd_seq = state_tuple
     def arr(x, dt):
         return np.asarray(x, dtype=dt)
     mpo = MatrixProfile(
@@ -64,10 +69,10 @@ def _profile_from_state(state_tuple, w: int) -> MatrixProfile:
     # stored NaN means Inf internally (Arrow has no inf-safe transport here)
     for v in (mpo.mp, mpo.lmp, mpo.rmp):
         v[np.isnan(v)] = np.inf
-    return mpo
+    return mpo, int(upd_seq or 0)
 
 
-def _state_from_profile(p: MatrixProfile):
+def _state_from_profile(p: MatrixProfile, upd_seq: int = 0):
     def clean(v):
         out = np.asarray(v, dtype=np.float64).copy()
         out[~np.isfinite(out)] = np.nan
@@ -81,12 +86,19 @@ def _state_from_profile(p: MatrixProfile):
         clean(p.rmp),
         p.rpi.astype(np.int32).tolist(),
         int(p.offset),
+        int(upd_seq),
     )
 
 
 def make_stompi_func(window_size: int, history_size: int = 0):
-    """Build the applyInPandasWithState function. Emits the *newly computed*
-    profile rows of each micro-batch (append output mode)."""
+    """Build the applyInPandasWithState function.
+
+    Emits every profile row whose value changed this micro-batch (update
+    semantics): consumers take, per (doc_id, pos), the row with the highest
+    ``upd_seq``. A matrix profile is never append-final — an old position
+    improves whenever a later window becomes its nearest neighbor — so
+    changed-row emission is the only correct streaming contract.
+    """
     w = int(window_size)
 
     def fn(
@@ -98,7 +110,10 @@ def make_stompi_func(window_size: int, history_size: int = 0):
         chunks = chunks.sort_values(["chunk_id", "seq"], kind="stable")
         new_values = chunks["value"].to_numpy(dtype=np.float64)
 
-        prev = _profile_from_state(state.get, w) if state.exists else None
+        prev, upd_seq = (
+            _profile_from_state(state.get, w) if state.exists else (None, 0)
+        )
+        upd_seq += 1
         if prev is None or prev.mp.shape[0] == 0:
             buffered = (
                 np.concatenate([prev.data, new_values]) if prev is not None else new_values
@@ -110,31 +125,46 @@ def make_stompi_func(window_size: int, history_size: int = 0):
                     lmp=np.empty(0), lpi=np.empty(0, np.int64),
                     rmp=np.empty(0), rpi=np.empty(0, np.int64), data=buffered,
                 )
-                state.update(_state_from_profile(empty))
+                state.update(_state_from_profile(empty, upd_seq))
                 return
             profile = stomp(buffered, w)
-            old_len = 0
+            old_mp = np.empty(0)
+            old_pi = np.empty(0, np.int64)
+            old_offset = 0
         else:
-            old_len = prev.mp.shape[0]
+            old_mp, old_pi, old_offset = prev.mp.copy(), prev.pi.copy(), prev.offset
             profile = stompi_update(prev, new_values, history_size=history_size)
 
-        if profile.mp.shape[0] == 0:
-            state.update(_state_from_profile(profile))
+        state.update(_state_from_profile(profile, upd_seq))
+        n = profile.mp.shape[0]
+        if n == 0:
             return
 
-        state.update(_state_from_profile(profile))
-        # emit rows whose value may have changed: everything from old tail on
-        # (conservative append of the new suffix, absolute positions)
-        start = max(old_len - 1, 0)
-        n = profile.mp.shape[0]
-        mp_out = profile.mp[start:n].copy()
+        # changed-row detection in ABSOLUTE positions (offset-rebased)
+        changed = np.ones(n, dtype=bool)
+        if old_mp.shape[0]:
+            shift = profile.offset - old_offset  # rows trimmed this batch
+            overlap = old_mp.shape[0] - shift
+            if overlap > 0:
+                same = (
+                    (profile.mp[:overlap] == old_mp[shift:])
+                    | (~np.isfinite(profile.mp[:overlap]) & ~np.isfinite(old_mp[shift:]))
+                ) & (profile.pi[:overlap] == (old_pi[shift:] - shift))
+                changed[:overlap] = ~same
+        idx = np.flatnonzero(changed)
+        if idx.shape[0] == 0:
+            return
+        mp_out = profile.mp[idx].copy()
         mp_out[~np.isfinite(mp_out)] = np.nan
+        pi_out = profile.pi[idx].astype(np.int64)
+        pi_abs = np.where(pi_out >= 0, pi_out + profile.offset, -1)
         yield pd.DataFrame(
             {
-                "doc_id": np.repeat(doc_id, n - start),
-                "pos": (np.arange(start, n) + profile.offset).astype(np.int32),
+                "doc_id": np.repeat(doc_id, idx.shape[0]),
+                "pos": (idx + profile.offset).astype(np.int32),
                 "mp": mp_out,
-                "pi": profile.pi[start:n].astype(np.int32),
+                "pi": pi_abs.astype(np.int32),
+                "upd_seq": np.full(idx.shape[0], upd_seq, np.int32),
             }
         )
 
@@ -147,12 +177,13 @@ def stompi_stateful(
     """chunk_stream: streaming DataFrame
     ``(doc_id string, chunk_id long, seq long, value double)`` —
     one row per new point, (chunk_id, seq) gives the per-key order.
-    Returns a streaming DataFrame of incrementally extended profile rows."""
+    Returns a streaming DataFrame of changed profile rows (take the max
+    ``upd_seq`` per (doc_id, pos) for the current value)."""
     return chunk_stream.groupBy("doc_id").applyInPandasWithState(
         make_stompi_func(window_size, history_size),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
-        outputMode="append",
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
