@@ -6,6 +6,14 @@ against brute-force references and the tsmp consistency matrix
 ``tsmp_spark.operators``.
 """
 
+from .av import (
+    av_apply,
+    av_complexity,
+    av_hardlimit_artifact,
+    av_motion_artifact,
+    av_stop_word,
+    av_zerocrossing,
+)
 from .discovery import DiscordSet, MotifSet, find_chains, find_discords, find_motifs, min_mp_idx
 from .fluss import (
     arc_counts,
@@ -20,7 +28,14 @@ from .fluss import (
 from .mass import MassPre, dist_profile, mass_pre, mass_pre_weighted, mass_v2, mass_v3, mass_weighted
 from .mpdist import SnippetResult, cal_mp_dist, find_snippets, mpdist, mpdist_vect
 from .mpx import MpxResult, diag_chunks, merge_partials, mpx, mpx_ab, mpx_partial, partials_to_result
+from .mstomp import MultiMatrixProfile, mstomp
+from .pmp import PMP, pmp, pmp_upper_bound
+from .salient import SalientResult, salient_subsequences, sorted_candidate_idx
 from .scrimp import scrimp
+from .sdts import SdtsModel, sdts_predict, sdts_score, sdts_train
+from .serialize import head_profile, read_profile, subset_profile, tail_profile, write_profile
+from .simple import SimpleMatrixProfile, simple_fast
+from .valmod import Valmod, valmod
 from .stats import (
     EPS,
     KMODE,
