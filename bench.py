@@ -70,9 +70,11 @@ def main() -> None:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         sequences = long_to_nested(events_to_long(ev))
         prof = matrix_profile(sequences, W)
-        t1 = rollup_tier(prof, 8)
+        t1 = rollup_tier(prof, 8).persist()  # tier-1 feeds tier-2: one kernel pass
         t2 = rollup_rollup(t1, 4)
-        return t1.count() + t2.count()
+        n = t1.count() + t2.count()
+        t1.unpersist()
+        return n
 
     rolled = timed("mp_pipeline_events", pipeline)
     extras["rolled_points_per_sec"] = round(rolled / timings["mp_pipeline_events"], 1)

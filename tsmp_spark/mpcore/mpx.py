@@ -120,32 +120,31 @@ def mpx(
         diags = np.arange(lo, hi, dtype=np.int64)
         # c[d] = centered dot product of window 0 and window d
         c = _first_row_products(a, w, mu, diags)
-        n_off = profile_len - lo  # longest diagonal in this chunk
         # March along all diagonals simultaneously: offset = row index.
-        # Diagonal d is active while offset < profile_len - d.
-        lengths = profile_len - diags
-        for offset in range(int(lengths.max())):
-            active = lengths > offset
+        # Diagonal d is active while offset < profile_len - d; since diags
+        # ascend, the active set is always a PREFIX — use slices (views),
+        # not boolean masks (copies), to keep memory traffic minimal.
+        n_diag = hi - lo
+        for offset in range(profile_len - lo):
+            k = min(n_diag, profile_len - lo - offset)  # active prefix
+            col0 = offset + lo
             if offset > 0:
-                d_act = diags[active]
-                c[active] = (
-                    c[active]
-                    + df[offset] * dg[offset + d_act]
-                    + df[offset + d_act] * dg[offset]
-                )
-            d_act = diags[active]
-            corr = c[active] * sig[offset] * sig[offset + d_act]
-            corr = np.where(np.isnan(corr), -np.inf, corr)  # flat-window pairs lose
+                c_k = c[:k]
+                c_k += df[offset] * dg[col0 : col0 + k]
+                c_k += dg[offset] * df[col0 : col0 + k]
+            corr = c[:k] * sig[offset] * sig[col0 : col0 + k]
+            corr[np.isnan(corr)] = -np.inf  # flat-window pairs lose
             # row-side best (benign race in the reference → exact argmax here)
             j = int(np.argmax(corr))
             if corr[j] > mp_corr[offset]:
                 mp_corr[offset] = corr[j]
-                pi[offset] = offset + int(d_act[j])
-            # column-side updates
-            cols = offset + d_act
-            better = corr > mp_corr[cols]
-            mp_corr[cols[better]] = corr[better]
-            pi[cols[better]] = offset
+                pi[offset] = col0 + j
+            # column-side updates (contiguous slice of mp_corr)
+            mpc = mp_corr[col0 : col0 + k]
+            better = corr > mpc
+            if better.any():
+                np.copyto(mpc, corr, where=better)
+                pi[col0 : col0 + k][better] = offset
 
     return _finish(mp_corr, pi, w, euclidean)
 

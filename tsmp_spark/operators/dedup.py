@@ -82,7 +82,10 @@ def ngram_jaccard_pairs(
     Hot shingles capped at ``max_shingle_freq`` docs (skew + noise control).
     Emits (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sh = shingle_table(documents, text_col, id_col, n)
+    # the shingle table feeds four lineages (sizes, freq, both join sides);
+    # persist it once — at scale this is the "write shingles, then join"
+    # pattern, and locally it avoids 4× re-derivation of the explode+hash
+    sh = shingle_table(documents, text_col, id_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
     sh_f = sh.join(freq.filter(F.col("freq") <= max_shingle_freq), "shingle")
@@ -142,7 +145,10 @@ def minhash_lsh_pairs(
     (= fraction of agreeing minhashes). Emits (doc_a, doc_b, est_jaccard).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(documents, text_col, id_col, n, num_hashes)
+    # signatures are tiny (one row per doc) but expensive to derive
+    # (shingle explode + num_hashes md5 scans) — persist before the
+    # self-join uses them on both sides
+    sig = minhash_signatures(documents, text_col, id_col, n, num_hashes).persist()
     banded = sig.select(
         "doc_id",
         "sig",

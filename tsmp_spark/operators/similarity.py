@@ -132,7 +132,9 @@ def lsh_bucket_topk(
     candidate union. The shuffle is per-bucket, never all-pairs — the scale
     path for ANN over billions of vectors. Recall ↑ with n_tables,
     candidate cost ↑ with 1/2^n_planes."""
-    keyed = lsh_bucket_keys(embeddings, n_planes, n_tables, id_col, vec_col)
+    # bucket keys feed both join sides — persist the tiny keyed table so
+    # the projection aggregates run once
+    keyed = lsh_bucket_keys(embeddings, n_planes, n_tables, id_col, vec_col).persist()
     a = keyed.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("v_q"), "tbl", "bucket"
     )

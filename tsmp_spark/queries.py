@@ -1468,3 +1468,165 @@ ORACLES: dict[str, str] = {
     "stompi_stream": SQL_MP_SELFJOIN,  # streaming == batch == brute force
     # fluss_segments, analyze_motifs_discords: rows-only (non-SQL iterative)
 }
+
+# ---------------------------------------------------------------------------
+# queries — VALMOD + annotation vectors (appended coverage)
+# ---------------------------------------------------------------------------
+
+
+def q_valmod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALMOD (valmod.R:52-702): per position the best length-normalized
+    match over windows [6, 8], ties to the smallest window."""
+    import numpy as np
+    import pandas as pd
+
+    from .mpcore import valmod as valmod_kernel
+
+    seqs = _sequences(spark, sf_dir)
+    schema = "doc_id string, pos long, w long, mp_r double, pi long"
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(tokens, dtype=np.float64)
+                if a.shape[0] < 10:  # w_min + ez_min + 1 = 6 + 3 + 1
+                    continue
+                r = valmod_kernel(a, 6, 8)
+                keep = r.pi >= 0
+                idx = np.flatnonzero(keep)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": np.repeat(doc_id, idx.shape[0]),
+                            "pos": idx.astype(np.int64),
+                            "w": r.w[idx].astype(np.int64),
+                            "mp_r": np.round(r.mp[idx], 4),
+                            "pi": r.pi[idx].astype(np.int64),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return seqs.select("doc_id", "tokens").repartition(n_parts).mapInPandas(kernel, schema)
+
+
+def _sql_valmod() -> str:
+    blocks = []
+    for w in (6, 7, 8):
+        ez = int(round(w * 0.5 + 1e-8))
+        blocks.append(
+            f"""SELECT doc_id, {w} AS w, pos, mp * sqrt(1.0 / {w}) AS norm, pi FROM (
+  WITH {sql_mp_cte(w, ez, w + ez + 1)}
+  SELECT doc_id, pos, mp, pi FROM mp
+)"""
+        )
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH allw AS (
+{union}
+),
+ranked AS (
+  SELECT doc_id, pos, w, norm, pi,
+         row_number() OVER (PARTITION BY doc_id, pos ORDER BY norm ASC, w ASC) AS rn
+  FROM allw
+)
+SELECT doc_id, pos, w, round(norm, 4) AS mp_r, pi FROM ranked WHERE rn = 1
+"""
+
+
+SQL_VALMOD = _sql_valmod()
+
+
+def q_av_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation vector (complexity) applied to the profile
+    (annotations.R:32-67 + av_apply :322): mp' = mp + (1−av)·max(mp)."""
+    import numpy as np
+    import pandas as pd
+
+    from .mpcore import av_apply, av_complexity, stomp
+
+    seqs = _sequences(spark, sf_dir)
+    schema = "doc_id string, pos long, av double, mp_av double"
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(tokens, dtype=np.float64)
+                if a.shape[0] < MIN_LEN:
+                    continue
+                prof = stomp(a, W)
+                av = av_complexity(prof)
+                applied = av_apply(prof, av)
+                n = av.shape[0]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": np.repeat(doc_id, n),
+                            "pos": np.arange(n, dtype=np.int64),
+                            "av": np.round(av, 4),
+                            "mp_av": np.round(applied.mp, 4),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return seqs.select("doc_id", "tokens").repartition(n_parts).mapInPandas(kernel, schema)
+
+
+SQL_AV_COMPLEXITY = f"""
+WITH {sql_mp_cte()},
+zstats AS (
+  SELECT doc_id, avg(value) AS mu, stddev_pop(value) AS sd
+  FROM s JOIN len USING (doc_id) GROUP BY doc_id
+),
+z AS (
+  SELECT s.doc_id, s.pos,
+         CASE WHEN zstats.sd <= 0.01 THEN s.value - zstats.mu
+              ELSE (s.value - zstats.mu) / zstats.sd END AS zv
+  FROM s JOIN zstats ON s.doc_id = zstats.doc_id
+),
+zd AS (
+  SELECT doc_id, pos,
+         power(lead(zv) OVER (PARTITION BY doc_id ORDER BY pos) - zv, 2) AS dd
+  FROM z
+),
+cx AS (
+  SELECT doc_id, pos,
+         sqrt(sum(dd) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND {W - 2} FOLLOWING)) AS c,
+         count(dd) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND {W - 2} FOLLOWING) AS m
+  FROM zd
+),
+cxv AS (
+  SELECT mp.doc_id, mp.pos, cx.c
+  FROM mp JOIN cx ON mp.doc_id = cx.doc_id AND mp.pos = cx.pos
+  WHERE cx.m = {W - 1}
+),
+norm AS (
+  SELECT doc_id, min(c) AS cmin, max(c) AS cmax FROM cxv GROUP BY doc_id
+),
+av AS (
+  SELECT cxv.doc_id, cxv.pos,
+         CASE WHEN norm.cmax = norm.cmin THEN 0.0
+              ELSE (cxv.c - norm.cmin) / (norm.cmax - norm.cmin) END AS av
+  FROM cxv JOIN norm ON cxv.doc_id = norm.doc_id
+),
+mpmax AS (SELECT doc_id, max(mp) AS mmax FROM mp GROUP BY doc_id)
+SELECT av.doc_id, av.pos, round(av.av, 4) AS av,
+       round(mp.mp + (1.0 - av.av) * mpmax.mmax, 4) AS mp_av
+FROM av
+JOIN mp ON av.doc_id = mp.doc_id AND av.pos = mp.pos
+JOIN mpmax ON av.doc_id = mpmax.doc_id
+"""
+
+QUERIES["valmod"] = q_valmod
+QUERIES["av_complexity"] = q_av_complexity
+ORACLES["valmod"] = SQL_VALMOD
+ORACLES["av_complexity"] = SQL_AV_COMPLEXITY

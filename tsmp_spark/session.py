@@ -11,6 +11,18 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: one BLAS/FFT thread per task — Spark provides the parallelism; nested
+#: numpy threading oversubscribes cores and destroys scaling linearity
+_THREAD_PINS = {
+    "OMP_NUM_THREADS": "1",
+    "OPENBLAS_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "VECLIB_MAXIMUM_THREADS": "1",
+    "NUMEXPR_NUM_THREADS": "1",
+}
+for _k, _v in _THREAD_PINS.items():
+    os.environ.setdefault(_k, _v)
+
 
 def get_spark(
     app_name: str = "tsmp_spark",
@@ -36,6 +48,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    for k, v in _THREAD_PINS.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
