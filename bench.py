@@ -58,9 +58,13 @@ def main() -> None:
     seqs = generate_sequences(spark, n_docs=n_docs, length=synth_len).cache()
     total_tokens = seqs.agg(F.sum("n_tok")).collect()[0][0]  # materialize cache
 
+    # warm every python worker (imports + JIT) before the timed section —
+    # worker spin-up is a fixed cost, not operator throughput
+    matrix_profile(seqs.limit(cpus), 64, num_partitions=cpus).count()
+
     n_windows = timed(
         "mp_kernel_synth",
-        lambda: matrix_profile(seqs, 64).count(),
+        lambda: matrix_profile(seqs, 64, num_partitions=2 * cpus).count(),
     )
     extras["mp_windows_per_sec"] = round(n_windows / timings["mp_kernel_synth"], 1)
     extras["synth_tokens"] = int(total_tokens)

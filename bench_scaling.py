@@ -21,11 +21,15 @@ def run_at(cpus: int) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # fixed, CPU-heavy synthetic workload — identical input at both sizes
-    env["BENCH_SYNTH_DOCS"] = os.environ.get("BENCH_SYNTH_DOCS", "768")
+    env["BENCH_SYNTH_DOCS"] = os.environ.get("BENCH_SYNTH_DOCS", "1536")
     env["BENCH_SYNTH_LEN"] = os.environ.get("BENCH_SYNTH_LEN", "8192")
+    # Pin the process tree to exactly `cpus` cores: an N-executor cluster
+    # has N cores *total* — without the pin, the local[N] JVM's shuffle/
+    # Arrow/GC threads spill onto the idle cores and inflate the small-
+    # cluster baseline, understating true scaling.
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "bench.py"]
     out = subprocess.run(
-        [sys.executable, "bench.py"], capture_output=True, text=True, env=env,
-        timeout=3600,
+        cmd, capture_output=True, text=True, env=env, timeout=3600,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)

@@ -126,7 +126,11 @@ def _sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _profile(spark: SparkSession, sf_dir: str, algorithm: str = "mpx") -> DataFrame:
     from .operators import matrix_profile
 
-    return matrix_profile(_sequences(spark, sf_dir), W, algorithm=algorithm)
+    # events-derived series are short; disabling the long-series branch
+    # halves the input scan (single union-free plan)
+    return matrix_profile(
+        _sequences(spark, sf_dir), W, algorithm=algorithm, long_series_threshold=None
+    )
 
 
 def _r4(c):
