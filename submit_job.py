@@ -1,0 +1,130 @@
+"""spark-submit entry point: the full rollup + downsample + retention
+pipeline as a resumable, checkpointed batch job.
+
+Usage (north rule launch mode):
+
+    zip -r tsmp_spark.zip tsmp_spark
+    spark-submit --master local[32] --py-files tsmp_spark.zip \
+        submit_job.py --input /root/testdata/sf0.1/events.parquet \
+        --output /tmp/tsmp_out --window 8 --tiers 8,4,4 --n-parts 16
+
+Reads the input events (or a ``sequences`` parquet in input_hint shape),
+computes the tier-0 matrix profile per series, rolls it up through the
+requested retention tiers, Gorilla-packs each tier, and writes everything
+under ``--output`` with a per-partition manifest (lineage + metrics) —
+interrupt and re-submit to resume (jobs.CheckpointedJob).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_args(argv):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="events parquet or sequences parquet")
+    p.add_argument("--input-kind", choices=["events", "sequences"], default="events")
+    p.add_argument("--output", required=True)
+    p.add_argument("--window", type=int, default=8)
+    p.add_argument("--tiers", default="8,4", help="bucket factors, tier1,tier2,...")
+    p.add_argument("--n-parts", type=int, default=16, help="checkpoint partitions")
+    p.add_argument("--retention-buckets", type=int, default=0, help="0 = keep all")
+    p.add_argument("--salt-buckets", type=int, default=8)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = build_args(argv)
+    from pyspark.sql import SparkSession, functions as F
+
+    # under spark-submit the session is provided by the launcher config;
+    # getOrCreate picks it up (local runs get tsmp defaults)
+    spark = SparkSession.builder.appName("tsmp_rollup_job").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from tsmp_spark.codecs import pack_rollup
+    from tsmp_spark.jobs import CheckpointedJob
+    from tsmp_spark.operators import (
+        matrix_profile,
+        retention_expire,
+        rollup_rollup,
+        rollup_tier,
+        salted_repartition,
+    )
+    from tsmp_spark.operators.series import events_to_long, long_to_nested
+
+    t0 = time.time()
+    if args.input_kind == "events":
+        sequences = long_to_nested(events_to_long(spark.read.parquet(args.input)))
+    else:
+        sequences = spark.read.parquet(args.input).select(
+            "doc_id", F.col("tokens").cast("array<double>").alias("tokens")
+        )
+    # skew control on the shuffle into the kernel stage (north rule)
+    sequences = salted_repartition(
+        sequences, "doc_id", spark.sparkContext.defaultParallelism, args.salt_buckets
+    )
+
+    tiers = [int(x) for x in args.tiers.split(",") if x]
+    job = CheckpointedJob(spark=spark, base_dir=f"{args.output}/tier0", n_parts=args.n_parts)
+
+    def tier0_transform(part):
+        return matrix_profile(part, args.window, num_partitions=0)
+
+    lineage = {
+        "input": args.input,
+        "window": args.window,
+        "tiers": tiers,
+        "stage": "tier0_matrix_profile",
+    }
+    profile = job.run(sequences, tier0_transform, lineage=lineage)
+
+    import numpy as np
+    import pandas as pd
+
+    prev = profile
+    for k, bucket in enumerate(tiers, start=1):
+        tier = (
+            rollup_tier(prev, bucket)
+            if k == 1
+            else rollup_rollup(prev, bucket)
+        )
+        if args.retention_buckets > 0:
+            tier = retention_expire(tier, args.retention_buckets)
+        tier = tier.persist()
+        tier.write.mode("overwrite").parquet(f"{args.output}/tier{k}")
+
+        def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("bucket")
+            blob = pack_rollup(
+                pdf["bucket"].to_numpy(np.int64), pdf["mp_min"].to_numpy(np.float64)
+            )
+            return pd.DataFrame({"doc_id": [key[0]], "blob": [blob], "n": [len(pdf)]})
+
+        packed = tier.groupBy("doc_id").applyInPandas(
+            pack, "doc_id string, blob binary, n long"
+        )
+        packed.write.mode("overwrite").parquet(f"{args.output}/tier{k}_packed")
+        prev = tier
+
+    metrics = job.metrics().agg(
+        F.sum("rows").alias("rows"),
+        F.sum("input_rows").alias("input_rows"),
+        F.sum("wall_sec").alias("kernel_wall_sec"),
+    ).collect()[0]
+    summary = {
+        "rows_tier0": metrics.rows,
+        "input_series": metrics.input_rows,
+        "kernel_wall_sec": round(metrics.kernel_wall_sec, 2),
+        "total_wall_sec": round(time.time() - t0, 2),
+        "tiers": tiers,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
