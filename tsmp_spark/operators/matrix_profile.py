@@ -68,20 +68,31 @@ NESTED_PROFILE_SCHEMA = T.StructType(
 
 
 def _explode_nested(nested: DataFrame) -> DataFrame:
-    """Nested per-series arrays → PROFILE_SCHEMA rows, all JVM-side."""
-    pos1 = F.col("pos") + 1
-    return nested.select(
-        "doc_id", "pi", "lmp", "lpi", "rmp", "rpi",
-        F.posexplode("mp").alias("pos", "mp"),
-    ).select(
+    """Nested per-series arrays → PROFILE_SCHEMA rows, all JVM-side.
+
+    One ``arrays_zip`` + ``posexplode`` of the zipped struct: Generate then
+    carries a single struct per output row. (Exploding one array while
+    retaining the others would copy every retained array into every output
+    row — quadratic in series length.)"""
+    null_d = F.array_repeat(F.lit(None).cast("double"), F.size("mp"))
+    null_i = F.array_repeat(F.lit(None).cast("int"), F.size("mp"))
+    z = F.arrays_zip(
+        F.col("mp"),
+        F.col("pi"),
+        F.coalesce(F.col("lmp"), null_d).alias("lmp"),
+        F.coalesce(F.col("lpi"), null_i).alias("lpi"),
+        F.coalesce(F.col("rmp"), null_d).alias("rmp"),
+        F.coalesce(F.col("rpi"), null_i).alias("rpi"),
+    )
+    return nested.select("doc_id", F.posexplode(z).alias("pos", "s")).select(
         "doc_id",
         F.col("pos").cast("int").alias("pos"),
-        F.col("mp"),
-        F.element_at("pi", pos1).alias("pi"),
-        F.element_at("lmp", pos1).alias("lmp"),
-        F.element_at("lpi", pos1).alias("lpi"),
-        F.element_at("rmp", pos1).alias("rmp"),
-        F.element_at("rpi", pos1).alias("rpi"),
+        F.col("s.mp").alias("mp"),
+        F.col("s.pi").alias("pi"),
+        F.col("s.lmp").alias("lmp"),
+        F.col("s.lpi").alias("lpi"),
+        F.col("s.rmp").alias("rmp"),
+        F.col("s.rpi").alias("rpi"),
     )
 
 PARTIAL_SCHEMA = T.StructType(
