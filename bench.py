@@ -73,7 +73,9 @@ def main() -> None:
     def pipeline():
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         sequences = long_to_nested(events_to_long(ev))
-        prof = matrix_profile(sequences, W)
+        # events-derived series are short: long_series_threshold=None avoids
+        # the union plan's second scan of the input
+        prof = matrix_profile(sequences, W, long_series_threshold=None)
         t1 = rollup_tier(prof, 8).persist()  # tier-1 feeds tier-2: one kernel pass
         t2 = rollup_rollup(t1, 4)
         n = t1.count() + t2.count()
@@ -87,7 +89,8 @@ def main() -> None:
     def seg():
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         sequences = long_to_nested(events_to_long(ev))
-        return arc_count_cac(matrix_profile(sequences, W), W, 0.1).count()
+        prof = matrix_profile(sequences, W, long_series_threshold=None)
+        return arc_count_cac(prof, W, 0.1).count()
 
     timed("arc_cac", seg)
 
