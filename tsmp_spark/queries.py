@@ -1634,3 +1634,283 @@ QUERIES["valmod"] = q_valmod
 QUERIES["av_complexity"] = q_av_complexity
 ORACLES["valmod"] = SQL_VALMOD
 ORACLES["av_complexity"] = SQL_AV_COMPLEXITY
+
+# ---------------------------------------------------------------------------
+# queries — multidimensional kernels (mSTOMP, SiMPle) + chains/snippets
+# ---------------------------------------------------------------------------
+
+_SQL_2DIM_BASE = f"""
+{sql_series()},
+len AS (
+  SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id HAVING count(*) >= {MIN_LEN}
+),
+s2 AS (
+  SELECT s.doc_id, s.pos, s.value AS v1,
+         coalesce(s.value - lag(s.value) OVER (PARTITION BY s.doc_id ORDER BY s.pos), 0.0) AS v2
+  FROM s JOIN len USING (doc_id)
+),
+st AS (
+  SELECT doc_id, pos,
+         avg(v1) OVER w AS mu1, stddev_pop(v1) OVER w AS sd1,
+         avg(v2) OVER w AS mu2, stddev_pop(v2) OVER w AS sd2,
+         sum(v1 * v1) OVER w AS ss1, sum(v2 * v2) OVER w AS ss2,
+         count(*) OVER w AS cnt
+  FROM s2
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)
+),
+stats AS (SELECT * FROM st WHERE cnt = {W}),
+pr AS (
+  SELECT a.doc_id, a.pos AS t, b.pos - a.pos AS d,
+         a.v1 * b.v1 AS p1, a.v2 * b.v2 AS p2
+  FROM s2 a JOIN s2 b ON a.doc_id = b.doc_id AND b.pos > a.pos + {EZ_N}
+),
+qt AS (
+  SELECT doc_id, t AS i, d,
+         sum(p1) OVER win AS qt1, sum(p2) OVER win AS qt2,
+         count(p1) OVER win AS m
+  FROM pr
+  WINDOW win AS (PARTITION BY doc_id, d ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)
+)"""
+
+
+def q_mstomp_2dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mSTOMP (mstomp.R:59-320) over a 2-dim series (value, lag-diff):
+    column k = best k-dim profile (sorted squared distances, cumulative
+    mean). Oracle re-derives both k-profiles in pure SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from .mpcore import mstomp as mstomp_kernel
+
+    from pyspark.sql.window import Window as W_
+
+    ev = _events(spark, sf_dir)
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    from .operators.series import events_to_long
+
+    s = events_to_long(ev)
+    s2 = s.select(
+        "doc_id",
+        "pos",
+        F.col("value").alias("v1"),
+        F.coalesce(F.col("value") - F.lag("value").over(wspec), F.lit(0.0)).alias("v2"),
+    )
+    nested = (
+        s2.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "v1", "v2"))),
+                lambda r: F.array(r["v1"], r["v2"]),
+            ).alias("dims")
+        )
+        .filter(F.size("dims") >= MIN_LEN)
+    )
+
+    schema = "doc_id string, pos long, k long, mp_r double"
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, dims in zip(pdf["doc_id"], pdf["dims"]):
+                data = np.asarray([np.asarray(x) for x in dims], dtype=np.float64)
+                r = mstomp_kernel(data, W)
+                for k in (1, 2):
+                    col = r.mp[:, k - 1]
+                    keep = np.isfinite(col)
+                    idx = np.flatnonzero(keep)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "doc_id": np.repeat(doc_id, idx.shape[0]),
+                                "pos": idx.astype(np.int64),
+                                "k": np.repeat(np.int64(k), idx.shape[0]),
+                                "mp_r": np.round(col[idx], 4),
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return nested.repartition(n_parts).mapInPandas(kernel, schema)
+
+
+SQL_MSTOMP_2DIM = f"""
+WITH {_SQL_2DIM_BASE},
+dists AS (
+  SELECT q.doc_id, q.i, q.i + q.d AS j,
+         2.0 * {W} * (1.0 - (q.qt1 - {W} * si.mu1 * sj.mu1) / ({W} * si.sd1 * sj.sd1)) AS dsq1,
+         2.0 * {W} * (1.0 - (q.qt2 - {W} * si.mu2 * sj.mu2) / ({W} * si.sd2 * sj.sd2)) AS dsq2
+  FROM qt q
+  JOIN stats si ON si.doc_id = q.doc_id AND si.pos = q.i
+  JOIN stats sj ON sj.doc_id = q.doc_id AND sj.pos = q.i + q.d
+  WHERE q.m = {W} AND si.sd1 > 1e-8 AND sj.sd1 > 1e-8
+    AND si.sd2 > 1e-8 AND sj.sd2 > 1e-8
+),
+sides AS (
+  SELECT doc_id, i AS pos, dsq1, dsq2 FROM dists
+  UNION ALL
+  SELECT doc_id, j AS pos, dsq1, dsq2 FROM dists
+),
+merged AS (
+  SELECT doc_id, pos,
+         min(least(dsq1, dsq2)) AS k1sq,
+         min((dsq1 + dsq2) / 2.0) AS k2sq
+  FROM sides GROUP BY doc_id, pos
+)
+SELECT doc_id, pos, 1 AS k, round(sqrt(greatest(k1sq, 0.0)), 4) AS mp_r FROM merged
+UNION ALL
+SELECT doc_id, pos, 2 AS k, round(sqrt(greatest(k2sq, 0.0)), 4) AS mp_r FROM merged
+"""
+
+
+def q_simple_2dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SiMPle-Fast (simple.R:29-232): NON-normalized multidim ED summed
+    over (value, lag-diff) dims, self-join with exclusion zone."""
+    import numpy as np
+    import pandas as pd
+
+    from .mpcore import simple_fast
+
+    from .operators.series import events_to_long
+
+    ev = _events(spark, sf_dir)
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    s = events_to_long(ev)
+    s2 = s.select(
+        "doc_id",
+        "pos",
+        F.col("value").alias("v1"),
+        F.coalesce(F.col("value") - F.lag("value").over(wspec), F.lit(0.0)).alias("v2"),
+    )
+    nested = (
+        s2.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "v1", "v2"))),
+                lambda r: F.array(r["v1"], r["v2"]),
+            ).alias("dims")
+        )
+        .filter(F.size("dims") >= MIN_LEN)
+    )
+
+    schema = "doc_id string, pos long, mp_r double"
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, dims in zip(pdf["doc_id"], pdf["dims"]):
+                data = np.asarray([np.asarray(x) for x in dims], dtype=np.float64)
+                r = simple_fast(data, W)
+                keep = np.isfinite(r.mp)
+                idx = np.flatnonzero(keep)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": np.repeat(doc_id, idx.shape[0]),
+                            "pos": idx.astype(np.int64),
+                            "mp_r": np.round(r.mp[idx], 4),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return nested.repartition(n_parts).mapInPandas(kernel, schema)
+
+
+SQL_SIMPLE_2DIM = f"""
+WITH {_SQL_2DIM_BASE},
+dists AS (
+  SELECT q.doc_id, q.i, q.i + q.d AS j,
+         (si.ss1 + sj.ss1 - 2.0 * q.qt1) + (si.ss2 + sj.ss2 - 2.0 * q.qt2) AS dsq
+  FROM qt q
+  JOIN stats si ON si.doc_id = q.doc_id AND si.pos = q.i
+  JOIN stats sj ON sj.doc_id = q.doc_id AND sj.pos = q.i + q.d
+  WHERE q.m = {W}
+),
+sides AS (
+  SELECT doc_id, i AS pos, dsq FROM dists
+  UNION ALL
+  SELECT doc_id, j AS pos, dsq FROM dists
+)
+SELECT doc_id, pos, round(sqrt(greatest(min(dsq), 0.0)), 4) AS mp_r
+FROM sides GROUP BY doc_id, pos
+"""
+
+
+def q_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series chains (find-chains.R:20-80): follow rpi while the
+    backward link agrees. Iterative link-walk — rows-only check."""
+    import numpy as np
+    import pandas as pd
+
+    from .mpcore import find_chains, stomp
+
+    seqs = _sequences(spark, sf_dir)
+    schema = "doc_id string, chain_rank long, link long, pos long"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(tokens, dtype=np.float64)
+                if a.shape[0] < MIN_LEN:
+                    continue
+                r = stomp(a, W)
+                chains, best = find_chains(r)
+                chains_sorted = sorted(chains, key=lambda c: (-len(c), c[0]))
+                for rank, chain in enumerate(chains_sorted[:3]):
+                    for link, pos in enumerate(chain):
+                        rows.append(
+                            {"doc_id": doc_id, "chain_rank": rank, "link": link, "pos": int(pos)}
+                        )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return seqs.select("doc_id", "tokens").repartition(n_parts).mapInPandas(kernel, schema)
+
+
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative snippets (find-snippet.R:60-139): greedy min-area
+    coverage. Rows-only (iterative greedy selection)."""
+    import numpy as np
+    import pandas as pd
+
+    from .mpcore import find_snippets
+
+    seqs = _sequences(spark, sf_dir)
+    schema = "doc_id string, rank long, snippet_pos long, frac double"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(tokens, dtype=np.float64)
+                if a.shape[0] < 40:
+                    continue
+                s = find_snippets(a, s_size=20, n_snippets=2, window_size=8)
+                for rank, (pos, frac) in enumerate(zip(s.snippet_idx, s.snippet_frac)):
+                    rows.append(
+                        {
+                            "doc_id": doc_id, "rank": rank,
+                            "snippet_pos": int(pos), "frac": float(np.round(frac, 4)),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return seqs.select("doc_id", "tokens").repartition(n_parts).mapInPandas(kernel, schema)
+
+
+QUERIES["mstomp_2dim"] = q_mstomp_2dim
+QUERIES["simple_2dim"] = q_simple_2dim
+QUERIES["chains"] = q_chains
+QUERIES["snippets"] = q_snippets
+ORACLES["mstomp_2dim"] = SQL_MSTOMP_2DIM
+ORACLES["simple_2dim"] = SQL_SIMPLE_2DIM
