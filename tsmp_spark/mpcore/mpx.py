@@ -125,14 +125,22 @@ def mpx(
         # ascend, the active set is always a PREFIX — use slices (views),
         # not boolean masks (copies), to keep memory traffic minimal.
         n_diag = hi - lo
+        buf = np.empty(n_diag)  # reused work buffers: no per-iteration alloc
+        corr_buf = np.empty(n_diag)
+        mask_buf = np.empty(n_diag, dtype=bool)
         for offset in range(profile_len - lo):
             k = min(n_diag, profile_len - lo - offset)  # active prefix
             col0 = offset + lo
+            c_k = c[:k]
+            t = buf[:k]
             if offset > 0:
-                c_k = c[:k]
-                c_k += df[offset] * dg[col0 : col0 + k]
-                c_k += dg[offset] * df[col0 : col0 + k]
-            corr = c[:k] * sig[offset] * sig[col0 : col0 + k]
+                np.multiply(dg[col0 : col0 + k], df[offset], out=t)
+                c_k += t
+                np.multiply(df[col0 : col0 + k], dg[offset], out=t)
+                c_k += t
+            corr = corr_buf[:k]
+            np.multiply(c_k, sig[offset], out=corr)
+            corr *= sig[col0 : col0 + k]
             corr[np.isnan(corr)] = -np.inf  # flat-window pairs lose
             # row-side best (benign race in the reference → exact argmax here)
             j = int(np.argmax(corr))
@@ -141,7 +149,8 @@ def mpx(
                 pi[offset] = col0 + j
             # column-side updates (contiguous slice of mp_corr)
             mpc = mp_corr[col0 : col0 + k]
-            better = corr > mpc
+            better = mask_buf[:k]
+            np.greater(corr, mpc, out=better)
             if better.any():
                 np.copyto(mpc, corr, where=better)
                 pi[col0 : col0 + k][better] = offset

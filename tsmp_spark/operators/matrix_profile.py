@@ -121,12 +121,31 @@ def matrix_profile(
     long_series_threshold: int | None = 65536,
     n_chunks: int = 32,
 ) -> DataFrame:
+    """Exploded-form wrapper over :func:`matrix_profile_nested`."""
+    return _explode_nested(
+        matrix_profile_nested(
+            sequences, window_size, exclusion_zone, algorithm,
+            num_partitions, long_series_threshold, n_chunks,
+        )
+    )
+
+
+def matrix_profile_nested(
+    sequences: DataFrame,
+    window_size: int,
+    exclusion_zone: float = 0.5,
+    algorithm: str = "mpx",
+    num_partitions: int | None = None,
+    long_series_threshold: int | None = 65536,
+    n_chunks: int = 32,
+) -> DataFrame:
     """Self-join matrix profile of every series in ``sequences``.
 
-    Input: nested form ``(doc_id, tokens, ...)``. Output: exploded profile
-    table ``(doc_id, pos, mp, pi, lmp, lpi, rmp, rpi)`` — the tier-0
-    full-resolution continuous aggregate. ``mp`` is NULL where the
-    reference would emit Inf (masked window).
+    Input: nested form ``(doc_id, tokens, ...)``. Output: NESTED profile
+    table (one row per series, array columns) — explode with
+    :func:`matrix_profile` / ``_explode_nested`` for the tier-0
+    ``(doc_id, pos, mp, pi, ...)`` form. ``mp`` is NULL where the reference
+    would emit Inf (masked window).
 
     ``algorithm``: ``mpx`` (diagonal recurrence, exclusion |i-j| <= ez_n via
     ``minlag = ez_n + 1``) or ``stomp`` (MASS + rolling recurrence; also
@@ -186,16 +205,16 @@ def matrix_profile(
         num_partitions = short.sparkSession.sparkContext.defaultParallelism
     if num_partitions > 0:
         base = base.repartition(num_partitions)
-    result = _explode_nested(base.mapInPandas(kernel, NESTED_PROFILE_SCHEMA))
+    result = base.mapInPandas(kernel, NESTED_PROFILE_SCHEMA)
 
     if long_ is None:
         return result
     # Long-series path: diagonal-chunk fan-out + per-series partial merge.
-    long_result = _matrix_profile_chunked(long_, w, ez_n, n_chunks)
+    long_result = _matrix_profile_chunked_nested(long_, w, ez_n, n_chunks)
     return result.unionByName(long_result)
 
 
-def _matrix_profile_chunked(
+def _matrix_profile_chunked_nested(
     sequences: DataFrame, w: int, ez_n: int, n_chunks: int
 ) -> DataFrame:
     """(series × diagonal-chunk) fan-out; exact merge via elementwise
@@ -247,9 +266,7 @@ def _matrix_profile_chunked(
             }
         )
 
-    return _explode_nested(
-        partials.groupBy("doc_id").applyInPandas(merge_kernel, NESTED_PROFILE_SCHEMA)
-    )
+    return partials.groupBy("doc_id").applyInPandas(merge_kernel, NESTED_PROFILE_SCHEMA)
 
 
 AB_SCHEMA = T.StructType(
