@@ -1914,3 +1914,151 @@ QUERIES["chains"] = q_chains
 QUERIES["snippets"] = q_snippets
 ORACLES["mstomp_2dim"] = SQL_MSTOMP_2DIM
 ORACLES["simple_2dim"] = SQL_SIMPLE_2DIM
+
+# ---------------------------------------------------------------------------
+# queries — subsetting + SDTS + salient
+# ---------------------------------------------------------------------------
+
+
+def q_mp_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-consistent profile subsetting (subset.R:8-45): positions
+    [10, 40) with index rebasing; neighbors escaping the slice clamp to
+    NULL — oracle re-derives the slice relationally."""
+    import numpy as np
+    import pandas as pd
+
+    from .mpcore import stomp, subset_profile
+
+    seqs = _sequences(spark, sf_dir)
+    schema = "doc_id string, pos long, mp_r double, pi long"
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(tokens, dtype=np.float64)
+                if a.shape[0] < MIN_LEN:
+                    continue
+                prof = stomp(a, W)
+                end = min(40, prof.mp.shape[0])
+                if end <= 10:
+                    continue
+                sub = subset_profile(prof, 10, end)
+                mp = sub.mp.copy()
+                mp[~np.isfinite(mp)] = np.nan
+                pi = sub.pi.astype(np.float64)
+                pi[pi < 0] = np.nan
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": np.repeat(doc_id, mp.shape[0]),
+                            "pos": np.arange(mp.shape[0], dtype=np.int64),
+                            "mp_r": np.round(mp, 4),
+                            "pi": pi,
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    out = seqs.select("doc_id", "tokens").repartition(n_parts).mapInPandas(kernel, schema)
+    return out.select("doc_id", "pos", "mp_r", F.col("pi").cast("bigint").alias("pi"))
+
+
+SQL_MP_SUBSET = f"""
+WITH {sql_mp_cte()}
+SELECT doc_id, pos - 10 AS pos, round(mp, 4) AS mp_r,
+       CASE WHEN pi >= 10 AND pi < 40 THEN pi - 10 ELSE NULL END AS pi
+FROM mp WHERE pos >= 10 AND pos < 40
+"""
+
+
+def q_sdts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDTS weakly-labeled dictionary learning (sdts-train.R / misc.R
+    golden-section): per series, plant a deterministic pattern, train on
+    the first half, score prediction on the second half. Rows-only
+    (threshold search is iterative)."""
+    import numpy as np
+    import pandas as pd
+
+    from .mpcore import sdts_predict, sdts_score, sdts_train
+
+    seqs = _sequences(spark, sf_dir).limit(40)
+    schema = "doc_id string, n_patterns long, train_score double, test_score double"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                base = np.asarray(tokens, dtype=np.float64)
+                if base.shape[0] < 30:
+                    continue
+                # deterministic labeled stream seeded by the series
+                rng = np.random.default_rng(int(abs(base[:8].sum())) + 7)
+                n, w = 1200, 20
+                data = rng.standard_normal(n) * 0.3
+                labels = np.zeros(n, dtype=bool)
+                pattern = np.sin(np.linspace(0, 4 * np.pi, w)) * 3
+                for start in (100, 400, 700, 1000):
+                    data[start : start + w] += pattern
+                    labels[start : start + w] = True
+                try:
+                    model = sdts_train(data[:600], labels[:600], w)
+                except ValueError:
+                    continue
+                pred = sdts_predict(model, data[600:])
+                score = sdts_score(pred, labels[600 : n - w + 1], w)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_patterns": len(model.patterns),
+                        "train_score": round(float(model.score), 4),
+                        "test_score": round(float(score), 4),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return seqs.select("doc_id", "tokens").repartition(n_parts).mapInPandas(kernel, schema)
+
+
+def q_salient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salient subsequences by MDL (salient.R:44-356): per series, the
+    picks that compress the series best. Rows-only (iterative MDL)."""
+    import numpy as np
+    import pandas as pd
+
+    from .mpcore import salient_subsequences, stomp
+
+    seqs = _sequences(spark, sf_dir)
+    schema = "doc_id string, rank long, pos long, bit_save double"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(tokens, dtype=np.float64)
+                if a.shape[0] < MIN_LEN:
+                    continue
+                prof = stomp(a, W)
+                s = salient_subsequences(prof, n_bits=6, max_picks=3)
+                for rank, (pos, save) in enumerate(zip(s.indexes, s.bit_save)):
+                    rows.append(
+                        {
+                            "doc_id": doc_id, "rank": rank,
+                            "pos": int(pos), "bit_save": round(float(save), 4),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return seqs.select("doc_id", "tokens").repartition(n_parts).mapInPandas(kernel, schema)
+
+
+QUERIES["mp_subset"] = q_mp_subset
+QUERIES["sdts"] = q_sdts
+QUERIES["salient"] = q_salient
+ORACLES["mp_subset"] = SQL_MP_SUBSET
