@@ -93,3 +93,61 @@ def test_stompi_stateful_equals_batch(spark, chunk_dir, tmp_path):
         np.testing.assert_allclose(
             bd[pos[valid], pis[valid]], ref_mp[valid], atol=1e-5
         )
+
+
+def test_floss_stateful_detects_regime(spark, tmp_path):
+    """Streaming FLOSS: regime change in a drained stream produces a split
+    near the true boundary (matches the batch floss driver semantics)."""
+    import os
+
+    import numpy as np
+
+    from tsmp_spark.streaming import floss_stateful
+
+    rng = np.random.default_rng(13)
+    n_per = 400
+    t = np.arange(n_per, dtype=np.float64)
+    seg1 = np.sin(2 * np.pi * t / 25.0) + rng.standard_normal(n_per) * 0.05
+    seg2 = np.cumsum(rng.standard_normal(n_per)) * 0.3
+    series = np.concatenate([seg1, seg2 - seg2[0] + seg1[-1]])
+
+    base = str(tmp_path / "floss_chunks")
+    os.makedirs(base)
+    chunk = 80
+    fno = 0
+    for start in range(0, len(series), chunk):
+        seg = series[start : start + chunk]
+        rows = [("s1", start // chunk, k, float(v)) for k, v in enumerate(seg)]
+        spark.createDataFrame(
+            rows, "doc_id string, chunk_id long, seq long, value double"
+        ).coalesce(1).write.parquet(f"{base}/f{fno:03d}.parquet")
+        fno += 1
+
+    stream = (
+        spark.readStream.schema("doc_id string, chunk_id long, seq long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/*")
+    )
+    out = floss_stateful(stream, window_size=25, data_window=300, threshold=0.8)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("floss_out")
+        .option("checkpointLocation", str(tmp_path / "floss_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql(
+        """
+        SELECT doc_id, split_rank, split_pos FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id, split_rank
+                                       ORDER BY upd_seq DESC) AS rn
+          FROM floss_out
+        ) WHERE rn = 1
+        """
+    ).toPandas()
+    assert len(got) >= 1
+    # at least one split within 150 of the true regime change at 400
+    assert (got.split_pos - 400).abs().min() < 150, got
