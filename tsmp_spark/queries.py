@@ -1984,7 +1984,11 @@ def q_sdts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .mpcore import sdts_predict, sdts_score, sdts_train
 
-    seqs = _sequences(spark, sf_dir).limit(40)
+    seqs = (
+        _sequences(spark, sf_dir)
+        .orderBy(F.col("doc_id").cast("bigint"))
+        .limit(40)
+    )
     schema = "doc_id string, n_patterns long, train_score double, test_score double"
 
     def kernel(batches):
@@ -2062,3 +2066,49 @@ QUERIES["mp_subset"] = q_mp_subset
 QUERIES["sdts"] = q_sdts
 QUERIES["salient"] = q_salient
 ORACLES["mp_subset"] = SQL_MP_SUBSET
+
+def q_floss_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked FLOSS driver (fluss.R:66-137): bootstrap profile, then
+    stompi_update + online CAC per chunk with history trimming, split
+    extraction with update-or-append. Rows-only (stateful streaming op;
+    the Structured Streaming form is tsmp_spark.streaming.floss_stateful,
+    tested in pytest)."""
+    import numpy as np
+    import pandas as pd
+
+    from .mpcore import floss, stomp
+
+    seqs = _sequences(spark, sf_dir)
+    schema = "doc_id string, split_rank long, split_pos long, cac_value double"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(tokens, dtype=np.float64)
+                if a.shape[0] < 3 * W:
+                    continue
+                boot = a.shape[0] // 2
+                prof = stomp(a[:boot], W)
+                segments: list[int] = []
+                seg_vals: list[float] = []
+                for st in range(boot, a.shape[0], 10):
+                    prof, segments, seg_vals = floss(
+                        prof, a[st : st + 10], data_window=boot,
+                        threshold=1.0, segments=segments, seg_vals=seg_vals,
+                    )
+                for rank, (s, v) in enumerate(zip(segments, seg_vals)):
+                    rows.append(
+                        {
+                            "doc_id": doc_id, "split_rank": rank,
+                            "split_pos": int(s), "cac_value": round(float(v), 4),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return seqs.select("doc_id", "tokens").repartition(n_parts).mapInPandas(kernel, schema)
+
+
+QUERIES["floss_chunked"] = q_floss_chunked
