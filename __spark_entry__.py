@@ -12,7 +12,14 @@ a brute-force z-normalized MP written in pure SQL.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make tsmp_spark importable regardless of the driver's cwd
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 from pyspark.sql import DataFrame, SparkSession
 

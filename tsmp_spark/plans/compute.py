@@ -70,7 +70,10 @@ def _scrimp_sampled(
                 if a.shape[0] < w + ez_n + 1:
                     continue
                 # deterministic per-doc seed → reproducible anytime sample
-                seed = abs(hash(doc_id)) % (2**31)
+                # (zlib.crc32, not hash(): PYTHONHASHSEED varies per process)
+                import zlib
+
+                seed = zlib.crc32(str(doc_id).encode()) % (2**31)
                 r = scrimp(a, w, exclusion_zone, s_size=sample_pct, seed=seed)
                 n = r.mp.shape[0]
                 out.append(
