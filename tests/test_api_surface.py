@@ -1,0 +1,83 @@
+"""API-surface parity: every verb the reference exports (NAMESPACE:61-130)
+exists in tsmp_spark.api with working call shapes (plot verbs return data;
+pipes/print are language features, excluded)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from brute import random_walk
+from tsmp_spark import api
+
+REFERENCE_EXPORTS = [
+    # NAMESPACE exports minus R-language artifacts (%>% pipes, plot/print S3)
+    "analyze", "as_arccount", "as_chain", "as_discord", "as_fluss",
+    "as_matrixprofile", "as_motif", "as_multimatrixprofile", "as_multimotif",
+    "as_pmp", "as_salient", "as_valmod",
+    "av_apply", "av_complexity", "av_hardlimit_artifact",
+    "av_motion_artifact", "av_stop_word", "av_zerocrossing",
+    "compute", "discords", "dist_profile", "fast_avg_sd", "fast_movavg",
+    "fast_movsd", "find_chains", "find_discord", "find_motif",
+    "find_snippet", "floss", "floss_cac", "floss_extract", "fluss",
+    "fluss_cac", "fluss_extract", "fluss_score", "get_data", "mass",
+    "mass_pre", "mass_v3", "min_mp_idx", "motifs", "mpdist", "mpx",
+    "mstomp", "mstomp_par", "plot_arcs", "pmp", "pmp_upper_bound", "read",
+    "remove_class", "salient_mds", "salient_score", "salient_subsequences",
+    "scrimp", "sdts_predict", "sdts_score", "sdts_train", "set_data",
+    "simple_fast", "stamp", "stamp_par", "stomp", "stomp_par",
+    "stompi_update", "tsmp", "valmod", "visualize", "write",
+]
+
+
+def test_every_reference_export_exists():
+    missing = [name for name in REFERENCE_EXPORTS if not hasattr(api, name)]
+    assert not missing, f"missing API verbs: {missing}"
+
+
+def test_tsmp_dispatcher_modes():
+    x = random_walk(300, seed=4)
+    for mode in ("stomp", "stamp", "scrimp", "mpx"):
+        r = api.tsmp(x, 25, mode=mode)
+        assert r.mp.shape[0] == 300 - 25 + 1
+    r = api.tsmp(np.stack([x, x[::-1]], axis=1), 25, mode="mstomp")
+    assert r.mp.shape == (276, 2)
+    r = api.tsmp(x, 20, mode="pmp", windows=[20, 30])
+    assert sorted(r.pmp) == [20, 30]
+
+
+def test_compute_rule_table():
+    x = random_walk(260, seed=5)
+    exact = api.compute(x, 25)
+    assert exact.mp.shape[0] == 236
+    sampled = api.compute(x, 25, sample_pct=0.4)
+    assert np.isfinite(sampled.mp).any()
+    ab = api.compute(x, 25, query=random_walk(100, seed=6))
+    assert ab.join
+    multi = api.compute(x, [20, 30])
+    assert sorted(multi.pmp) == [20, 30]
+
+
+def test_analyze_and_wrappers():
+    x = random_walk(300, seed=7)
+    profile, m, d = api.analyze(x, 25)
+    assert len(m.motif_idx) >= 1 and len(d.discord_idx) >= 1
+    assert api.motifs(profile, 2).motif_idx
+    assert api.discords(profile, 2).discord_idx
+    assert api.get_data(profile) is not None
+    av = api.av_complexity(profile)
+    assert api.av_apply(profile, av).mp.shape == profile.mp.shape
+    arcs = api.plot_arcs(profile)
+    assert arcs.shape[0] == profile.mp.shape[0]
+    assert set(api.visualize(profile)) == {"mp", "pi", "w"}
+
+
+def test_salient_mds_and_score():
+    from brute import planted_series
+
+    x = planted_series()
+    profile = api.stomp(x, 30)
+    emb = api.salient_mds(profile)
+    assert emb.shape[1] == 2 or emb.shape[0] == 0
+    s = api.salient_score(np.array([33, 200]), np.array([35, 400]), 30)
+    assert s == pytest.approx(0.5)
