@@ -119,7 +119,7 @@ def delta_of_delta_encode(ts: np.ndarray) -> bytes:
     if t.shape[0] == 1:
         return w.to_bytes()
     first_delta = int(t[1] - t[0])
-    w.write(first_delta & ((1 << 32) - 1), 32)
+    w.write(first_delta & ((1 << 64) - 1), 64)
     prev_delta = first_delta
     for i in range(2, t.shape[0]):
         delta = int(t[i] - t[i - 1])
@@ -138,7 +138,7 @@ def delta_of_delta_encode(ts: np.ndarray) -> bytes:
             w.write((dod + 2047) & 0xFFF, 12)
         else:
             w.write(0b1111, 4)
-            w.write(dod & ((1 << 32) - 1), 32)
+            w.write(dod & ((1 << 64) - 1), 64)
     return w.to_bytes()
 
 
@@ -152,9 +152,9 @@ def delta_of_delta_decode(data: bytes) -> np.ndarray:
     out[0] = np.int64(np.uint64(v))
     if n == 1:
         return out
-    delta = r.read(32)
-    if delta >= 1 << 31:
-        delta -= 1 << 32
+    delta = r.read(64)
+    if delta >= 1 << 63:
+        delta -= 1 << 64
     out[1] = out[0] + delta
     for i in range(2, n):
         if r.read(1) == 0:
@@ -166,9 +166,9 @@ def delta_of_delta_decode(data: bytes) -> np.ndarray:
         elif r.read(1) == 0:
             dod = r.read(12) - 2047
         else:
-            dod = r.read(32)
-            if dod >= 1 << 31:
-                dod -= 1 << 32
+            dod = r.read(64)
+            if dod >= 1 << 63:
+                dod -= 1 << 64
         delta += dod
         out[i] = out[i - 1] + delta
     return out
