@@ -21,11 +21,15 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _h64(col: Column, seed: int) -> Column:
-    """Portable 32-bit-ish hash: first 8 hex chars of md5(seed || value).
-    Reproducible in DuckDB as cast('0x'||substr(md5(...),1,8) as bigint)."""
-    return F.conv(F.substring(F.md5(F.concat(F.lit(f"s{seed}:"), col)), 1, 8), 16, 10).cast(
-        "long"
-    )
+    """Portable 32-bit-ish hash #seed: one md5 digest yields FOUR hashes
+    (8 hex chars each) — seed selects digest ``seed // 4`` (salted with
+    's{g}:') and hex slice ``seed % 4``. Reproducible in DuckDB as
+    cast('0x' || substr(md5('s{g}:' || value), 1+8*(seed%4), 8) as bigint);
+    4× fewer digests than hashing per seed."""
+    g, part = divmod(seed, 4)
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"s{g}:"), col)), 1 + 8 * part, 8), 16, 10
+    ).cast("long")
 
 
 def normalize_text(col: Column) -> Column:
@@ -194,8 +198,9 @@ def simhash64(
     ).filter(F.length("word") > 0)
     hashed = words.select(
         "doc_id",
-        _h64(F.col("word"), 1).alias("h_lo"),
-        _h64(F.col("word"), 2).alias("h_hi"),
+        # seeds 4 and 8 = digests 's1:'/'s2:' slice 0 (oracle-stable)
+        _h64(F.col("word"), 4).alias("h_lo"),
+        _h64(F.col("word"), 8).alias("h_hi"),
     )
 
     def half(src: str) -> Column:

@@ -927,7 +927,8 @@ def _sql_minhash(num_hashes: int = 8) -> str:
 hashes AS ({hash_rows}),
 hashed AS (
   SELECT s.doc_id, h.hash_idx,
-         CAST(('0x' || substr(md5('s' || h.hash_idx || ':' || s.shingle), 1, 8)) AS BIGINT) AS hv
+         CAST(('0x' || substr(md5('s' || CAST(floor(h.hash_idx / 4) AS INT) || ':' || s.shingle),
+                              1 + 8 * (h.hash_idx % 4), 8)) AS BIGINT) AS hv
   FROM shingles s CROSS JOIN hashes h
 ),
 minhash AS (
