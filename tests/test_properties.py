@@ -63,8 +63,14 @@ def test_stomp_mpx_consistency_random(a, w):
 def test_sum2s_movminmax_random(a, w):
     if a.shape[0] < w:
         return
-    naive = np.array([a[i : i + w].sum() for i in range(a.shape[0] - w + 1)])
-    np.testing.assert_allclose(sum2s(a, w), naive, rtol=1e-9)
+    # Compare against the exactly-rounded per-window sum (math.fsum). A pure
+    # rtol bound is unattainable when the window nearly cancels (|sum| ~ 1e-4
+    # from |values| ~ 24), so allow absolute error scaled to input magnitude.
+    import math
+
+    exact = np.array([math.fsum(a[i : i + w]) for i in range(a.shape[0] - w + 1)])
+    scale = max(1.0, float(np.abs(a).max()) * w)
+    np.testing.assert_allclose(sum2s(a, w), exact, rtol=1e-9, atol=1e-13 * scale)
     np.testing.assert_array_equal(
         movmin(a, w), [a[i : i + w].min() for i in range(a.shape[0] - w + 1)]
     )
@@ -111,7 +117,9 @@ def test_ed_corr_inverse(d, w):
     d = min(d, dmax)
     c = ed_corr(np.array([d]), w)
     back = corr_ed(c, w)
-    assert back[0] == pytest.approx(d, abs=1e-9)
+    # Round-tripping through corr = 1 - d^2/(2w) squares d, so for tiny d the
+    # recovered value only agrees in squared space (abs error ~ 2w * eps).
+    assert back[0] ** 2 == pytest.approx(d * d, rel=1e-9, abs=4 * w * 2.3e-16)
 
 
 def test_stats_utilities():
