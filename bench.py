@@ -104,12 +104,20 @@ def main() -> None:
 
     # 5) dedup: minhash LSH candidates over documents
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # warm the plan shape: the generated code for the hash-expression tree
-    # costs ~10s of one-time Janino compilation (cached by plan content)
-    minhash_lsh_pairs(docs.limit(32), num_hashes=8, bands=4, threshold=0.25).count()
+    # warm-up: one untimed run of the IDENTICAL plan — the first execution
+    # pays ~9s of one-time Janino codegen compilation keyed by plan shape
+    # (a limit()-ed warm plan does NOT warm it); steady-state is what the
+    # suite measures. parallelism: the local sf file is one parquet row
+    # group (unsplittable), so spread the shingle+md5 work across cores —
+    # at warehouse scale the scan has natural splits and this knob stays None.
+    minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, threshold=0.25, parallelism=2 * cpus
+    ).count()
     timed(
         "minhash_lsh",
-        lambda: minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.25).count(),
+        lambda: minhash_lsh_pairs(
+            docs, num_hashes=8, bands=4, threshold=0.25, parallelism=2 * cpus
+        ).count(),
     )
 
     # 6) similarity: brute-force cosine top-k

@@ -62,6 +62,15 @@ def word_shingles(text_col: Column, n: int = 3) -> Column:
     )
 
 
+def _spread(documents: DataFrame, parallelism: int | None) -> DataFrame:
+    """Optionally repartition the input before the per-doc expression work
+    (shingle explode + md5 family). At warehouse scale the scan has
+    thousands of natural splits and this must stay ``None`` (no shuffle);
+    on a handful of small local files a single parquet row group pins the
+    whole hash pipeline to one task — pass the core count to spread it."""
+    return documents.repartition(parallelism) if parallelism else documents
+
+
 def shingle_table(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
@@ -79,6 +88,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int = 64,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
@@ -89,7 +99,7 @@ def ngram_jaccard_pairs(
     # the shingle table feeds four lineages (sizes, freq, both join sides);
     # persist it once — at scale this is the "write shingles, then join"
     # pattern, and locally it avoids 4× re-derivation of the explode+hash
-    sh = shingle_table(documents, text_col, id_col, n).persist()
+    sh = shingle_table(_spread(documents, parallelism), text_col, id_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
     sh_f = sh.join(freq.filter(F.col("freq") <= max_shingle_freq), "shingle")
@@ -122,11 +132,12 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 16,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """MinHash signature per document: ``sig[i] = min over shingles of
     h_i(shingle)`` with the portable md5 family. Output:
     (doc_id, sig array<long>)."""
-    sh = shingle_table(documents, text_col, id_col, n)
+    sh = shingle_table(_spread(documents, parallelism), text_col, id_col, n)
     mins = [F.min(_h64(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select(
@@ -142,6 +153,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup candidates: split the signature into
     ``bands`` bands of ``num_hashes/bands`` rows; docs sharing any band key
@@ -152,7 +164,9 @@ def minhash_lsh_pairs(
     # signatures are tiny (one row per doc) but expensive to derive
     # (shingle explode + num_hashes md5 scans) — persist before the
     # self-join uses them on both sides
-    sig = minhash_signatures(documents, text_col, id_col, n, num_hashes).persist()
+    sig = minhash_signatures(
+        documents, text_col, id_col, n, num_hashes, parallelism=parallelism
+    ).persist()
     banded = sig.select(
         "doc_id",
         "sig",
@@ -186,13 +200,16 @@ def minhash_lsh_pairs(
 
 
 def simhash64(
-    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """64-bit SimHash over words: per bit, sum +1/−1 over the word
     multiset; positive sum → bit set. Emitted as two portable 32-bit
     halves (bigint) so the DuckDB oracle reproduces it bit-for-bit.
     Output: (doc_id, simhash_lo, simhash_hi)."""
-    words = documents.select(
+    words = _spread(documents, parallelism).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
     ).filter(F.length("word") > 0)

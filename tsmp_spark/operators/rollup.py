@@ -134,44 +134,42 @@ def arc_count_cac(
     with a window, normalize by the ideal beta(2,2) parabola, clamp to 1,
     force the edge exclusion zone (ez·10 window fractions) to 1.
 
-    Shuffle budget: one groupBy(key, pos) + one window over key — both on
-    the same key partitioning, so AQE coalesces to a single exchange.
+    Single scan of ``profile``: each row explodes to its spine entry
+    (pos, 0) plus — when the neighbor index is valid — its two arc deltas
+    (lo, +1) / (hi, -1), so the input lineage (typically an Arrow-UDF
+    matrix-profile plan) is evaluated exactly once. Shuffle budget: one
+    groupBy(key, pos) + one window over key.
     """
     ez_n = int(round(window_size * exclusion_zone * 10 + 1e-8))
 
-    n_per = profile.groupBy(key_col).agg(F.max("pos").alias("_max_pos"))
-    p = profile.join(F.broadcast(n_per), key_col).withColumn(
-        "_n", F.col("_max_pos") + 1
+    pos_entry = F.struct(F.col("pos").alias("p"), F.lit(0.0).alias("delta"))
+    arc_lo = F.struct(
+        F.least(F.col("pos"), F.col("pi")).alias("p"), F.lit(1.0).alias("delta")
     )
-    valid = p.filter(
-        F.col("pi").isNotNull() & (F.col("pi") >= 0) & (F.col("pi") <= F.col("_max_pos"))
+    arc_hi = F.struct(
+        F.greatest(F.col("pos"), F.col("pi")).alias("p"), F.lit(-1.0).alias("delta")
     )
-    marks = valid.select(
-        key_col,
-        "_n",
-        F.least(F.col("pos"), F.col("pi")).alias("lo"),
-        F.greatest(F.col("pos"), F.col("pi")).alias("hi"),
-    )
-    deltas = marks.select(
-        key_col, "_n", F.col("lo").alias("pos"), F.lit(1.0).alias("delta")
-    ).unionByName(
-        marks.select(key_col, "_n", F.col("hi").alias("pos"), F.lit(-1.0).alias("delta"))
-    )
-    per_pos = deltas.groupBy(key_col, "_n", "pos").agg(F.sum("delta").alias("d"))
+    entries = F.when(
+        F.col("pi").isNotNull() & (F.col("pi") >= 0),
+        F.array(pos_entry, arc_lo, arc_hi),
+    ).otherwise(F.array(pos_entry))
 
-    # dense position spine so the cumsum sees every pos
-    spine = profile.select(key_col, "pos").join(
-        per_pos, [key_col, "pos"], "left"
-    ).join(F.broadcast(n_per), key_col).withColumn("_n", F.col("_max_pos") + 1)
+    per_pos = (
+        profile.select(key_col, F.explode(entries).alias("e"))
+        .groupBy(key_col, F.col("e.p").alias("pos"))
+        .agg(F.sum("e.delta").alias("d"))
+    )
 
+    w_key = Window.partitionBy(key_col)
     w_cum = (
         Window.partitionBy(key_col)
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    spine = per_pos.withColumn("_n", F.max("pos").over(w_key) + 1)
     x = F.col("pos") / (F.col("_n") - 1)
     ideal = F.lit(6.0) * x * (1.0 - x) * F.col("_n") / F.lit(3.0)
-    ac = F.sum(F.coalesce(F.col("d"), F.lit(0.0))).over(w_cum)
+    ac = F.sum("d").over(w_cum)
     cac_raw = F.least(ac / ideal, F.lit(1.0))
     cac = (
         F.when(F.col("pos") < ez_n, 1.0)
