@@ -2113,3 +2113,75 @@ def q_floss_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["floss_chunked"] = q_floss_chunked
+
+
+# ---------------------------------------------------------------------------
+# fluss_segments oracle — greedy extraction unrolled in SQL
+# ---------------------------------------------------------------------------
+
+def _sql_fluss_segments() -> str:
+    """FLUSS segmentation (fluss.R:254-349) as pure SQL: CAC from the
+    brute-force MP's pi column (arc counts are integer-exact — cac uses
+    only pi, never mp), then the num_segments=2 greedy argmin loop
+    UNROLLED: pick1 = argmin(cac) where cac < 1 (ties → smallest pos, like
+    np.argmin); pick2 = argmin outside pick1's asymmetric suppression zone
+    [s1-ez, s1+ez-1). Matches q_fluss_segments (stomp ez=0.5, fluss
+    exclusion_zone=0.5 → edge/suppression zone = rint(w*0.5) = 4)."""
+    ez = int(round(W * 0.5 + 1e-8))  # cac edge zone AND extraction zone
+    return f"""
+WITH {sql_mp_cte()},
+nper AS (SELECT doc_id, max(pos) + 1 AS n FROM mp GROUP BY doc_id),
+marks AS (
+  SELECT mp.doc_id, least(pos, pi) AS lo, greatest(pos, pi) AS hi
+  FROM mp JOIN nper ON mp.doc_id = nper.doc_id
+  WHERE pi IS NOT NULL AND pi >= 0 AND pi <= nper.n - 1
+),
+deltas AS (
+  SELECT doc_id, lo AS pos, 1.0 AS d FROM marks
+  UNION ALL
+  SELECT doc_id, hi AS pos, -1.0 AS d FROM marks
+),
+per_pos AS (SELECT doc_id, pos, sum(d) AS d FROM deltas GROUP BY 1, 2),
+spine AS (
+  SELECT mp.doc_id, mp.pos, nper.n, coalesce(per_pos.d, 0.0) AS d
+  FROM mp JOIN nper ON mp.doc_id = nper.doc_id
+  LEFT JOIN per_pos ON per_pos.doc_id = mp.doc_id AND per_pos.pos = mp.pos
+),
+cum AS (
+  SELECT doc_id, pos, n,
+         sum(d) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ac
+  FROM spine
+),
+cac AS (
+  SELECT doc_id, pos,
+         CASE
+           WHEN pos < {ez} THEN 1.0
+           WHEN pos >= n - {ez} THEN 1.0
+           ELSE coalesce(least(ac / (6.0 * (pos / (n - 1.0)) * (1.0 - pos / (n - 1.0)) * n / 3.0), 1.0), 1.0)
+         END AS cac
+  FROM cum
+),
+p1 AS (
+  SELECT doc_id, pos AS s1, cac AS c1
+  FROM (SELECT doc_id, pos, cac,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cac, pos) AS rn
+        FROM cac) t
+  WHERE rn = 1 AND cac < 1.0
+),
+p2 AS (
+  SELECT doc_id, pos AS s2, cac AS c2
+  FROM (SELECT c.doc_id, c.pos, c.cac,
+               row_number() OVER (PARTITION BY c.doc_id ORDER BY c.cac, c.pos) AS rn
+        FROM cac c JOIN p1 ON c.doc_id = p1.doc_id
+        WHERE c.pos < p1.s1 - {ez} OR c.pos >= p1.s1 + {ez - 1}) t
+  WHERE rn = 1 AND cac < 1.0
+)
+SELECT doc_id, 0 AS rank, s1 AS segment_pos, round(c1, 4) AS cac_min FROM p1
+UNION ALL
+SELECT doc_id, 1 AS rank, s2 AS segment_pos, round(c2, 4) AS cac_min FROM p2
+"""
+
+
+SQL_FLUSS_SEGMENTS = _sql_fluss_segments()
+ORACLES["fluss_segments"] = SQL_FLUSS_SEGMENTS
