@@ -49,6 +49,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # BENCH_ONLY=q1,q2 runs just those queries (used by bench_scaling.py's
+    # repeated kernel legs; default runs the whole suite)
+    only = {q for q in os.environ.get("BENCH_ONLY", "").split(",") if q}
+
+    def want(name):
+        return not only or name in only
+
     def timed(name, fn):
         t0 = time.time()
         out = fn()
@@ -87,8 +94,11 @@ def main() -> None:
         t1.unpersist()
         return n
 
-    rolled = timed("mp_pipeline_events", pipeline)
-    extras["rolled_points_per_sec"] = round(rolled / timings["mp_pipeline_events"], 1)
+    if want("mp_pipeline_events"):
+        rolled = timed("mp_pipeline_events", pipeline)
+        extras["rolled_points_per_sec"] = round(
+            rolled / timings["mp_pipeline_events"], 1
+        )
 
     # 3) segmentation (relational CAC over the kernel profile)
     def seg():
@@ -97,10 +107,15 @@ def main() -> None:
         prof = matrix_profile(sequences, W, long_series_threshold=None)
         return arc_count_cac(prof, W, 0.1).count()
 
-    timed("arc_cac", seg)
+    if want("arc_cac"):
+        timed("arc_cac", seg)
 
     # 4) gap-filled continuous aggregate over raw events
-    timed("events_rollup_gapfill", lambda: q_events_rollup_gapfill(spark, sf_dir).count())
+    if want("events_rollup_gapfill"):
+        timed(
+            "events_rollup_gapfill",
+            lambda: q_events_rollup_gapfill(spark, sf_dir).count(),
+        )
 
     # 5) dedup: minhash LSH candidates over documents
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -110,18 +125,20 @@ def main() -> None:
     # suite measures. parallelism: the local sf file is one parquet row
     # group (unsplittable), so spread the shingle+md5 work across cores —
     # at warehouse scale the scan has natural splits and this knob stays None.
-    minhash_lsh_pairs(
-        docs, num_hashes=8, bands=4, threshold=0.25, parallelism=2 * cpus
-    ).count()
-    timed(
-        "minhash_lsh",
-        lambda: minhash_lsh_pairs(
+    if want("minhash_lsh"):
+        minhash_lsh_pairs(
             docs, num_hashes=8, bands=4, threshold=0.25, parallelism=2 * cpus
-        ).count(),
-    )
+        ).count()
+        timed(
+            "minhash_lsh",
+            lambda: minhash_lsh_pairs(
+                docs, num_hashes=8, bands=4, threshold=0.25, parallelism=2 * cpus
+            ).count(),
+        )
 
     # 6) similarity: brute-force cosine top-k
-    timed("embedding_topk", lambda: q_embedding_topk(spark, sf_dir).count())
+    if want("embedding_topk"):
+        timed("embedding_topk", lambda: q_embedding_topk(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     print(

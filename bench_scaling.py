@@ -51,9 +51,11 @@ def hardware_ceiling(cpus: int) -> float:
     return float(out.stdout.strip().splitlines()[-1])
 
 
-def run_at(cpus: int) -> dict:
+def run_at(cpus: int, only: str | None = None) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
+    if only:
+        env["BENCH_ONLY"] = only
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # fixed, CPU-heavy synthetic workload — identical input at both sizes
     env["BENCH_SYNTH_DOCS"] = os.environ.get("BENCH_SYNTH_DOCS", "1536")
@@ -71,12 +73,25 @@ def run_at(cpus: int) -> dict:
 
 
 def main() -> None:
-    hw_lo = hardware_ceiling(8)
-    hw_hi = hardware_ceiling(32)
-    lo = run_at(8)
+    # This box is a shared/noisy VM: single measurements of either leg swing
+    # by 30-40% with ambient load and turbo state. Each leg is therefore
+    # measured three times INTERLEAVED (8, 32, 8, 32, ...) so slow drift
+    # hits both legs equally, and the per-leg throughput is the BEST of the
+    # three (interference only ever subtracts throughput; max is the
+    # closest observable to the unloaded machine). Same for the hardware
+    # ceiling probes.
+    reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
+    hw_lo = max(hardware_ceiling(8) for _ in range(2))
+    hw_hi = max(hardware_ceiling(32) for _ in range(2))
+    lo = run_at(8)       # one full-suite run per leg (pipeline numbers)
     hi = run_at(32)
-    thr_lo = lo["mp_windows_per_sec"]
-    thr_hi = hi["mp_windows_per_sec"]
+    thr_lo_runs = [lo["mp_windows_per_sec"]]
+    thr_hi_runs = [hi["mp_windows_per_sec"]]
+    for _ in range(reps - 1):  # kernel-only reps, interleaved
+        thr_lo_runs.append(run_at(8, only="mp_kernel_synth")["mp_windows_per_sec"])
+        thr_hi_runs.append(run_at(32, only="mp_kernel_synth")["mp_windows_per_sec"])
+    thr_lo = max(thr_lo_runs)
+    thr_hi = max(thr_hi_runs)
     raw_eff = (thr_hi / thr_lo) / 4.0
     hw_speedup = hw_hi / hw_lo
     # engine efficiency: how much of the HARDWARE's own 8→32 speedup the
@@ -91,6 +106,8 @@ def main() -> None:
         "cpus_hi": 32,
         "windows_per_sec_lo": thr_lo,
         "windows_per_sec_hi": thr_hi,
+        "windows_per_sec_lo_runs": [round(x, 1) for x in thr_lo_runs],
+        "windows_per_sec_hi_runs": [round(x, 1) for x in thr_hi_runs],
         "wall_sec_lo": lo["queries"]["mp_kernel_synth"],
         "wall_sec_hi": hi["queries"]["mp_kernel_synth"],
         "raw_scaling_efficiency": round(raw_eff, 3),
