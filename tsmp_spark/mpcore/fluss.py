@@ -58,7 +58,10 @@ def fluss_cac(
         exclusion_zone = profile.ez * 10.0
     n = profile.pi.shape[0]
     ac = arc_counts(profile.pi, n)
-    x = np.linspace(0.0, 1.0, n)
+    # arange/(n-1), not linspace: bit-identical to SQL's pos/(n-1.0) so
+    # ulp-level ties in cac resolve the same way in the DuckDB oracle
+    # (identical at the reference's golden precision either way)
+    x = np.arange(n, dtype=np.float64) / (n - 1.0)
     if subset:
         ideal = _dbeta(x, 2.1, 2.1) * n / 3.0
     else:
@@ -160,7 +163,7 @@ def floss_cac(
     np.add.at(nnmark, np.maximum(i, j), -1.0)
     ac = np.cumsum(nnmark)
 
-    x = np.linspace(0.0, 1.0, cac_size)
+    x = np.arange(cac_size, dtype=np.float64) / (cac_size - 1.0)
     if mp_offset > 0:
         mode = KMODE
         ideal = (

@@ -2185,3 +2185,67 @@ SELECT doc_id, 1 AS rank, s2 AS segment_pos, round(c2, 4) AS cac_min FROM p2
 
 SQL_FLUSS_SEGMENTS = _sql_fluss_segments()
 ORACLES["fluss_segments"] = SQL_FLUSS_SEGMENTS
+
+
+# ---------------------------------------------------------------------------
+# chains oracle — recursive CTE over right-profile links
+# ---------------------------------------------------------------------------
+
+def _sql_chains() -> str:
+    """Time-series chains (find-chains.R:20-80) in pure SQL. Left/right
+    profiles come from the brute-force pairwise distances (``sides``):
+    rpi = argmin dist over nn > pos, lpi = argmin over nn < pos (ties →
+    smallest nn, matching the kernel's first-encounter update). A link
+    j → rpi[j] is an edge iff lpi[rpi[j]] == j; that condition makes links
+    one-to-one, so chains are vertex-disjoint increasing paths — walked
+    with WITH RECURSIVE from the heads (positions that are no edge's
+    target). Keep chains with length > 2; rank by (-length, head), top 3."""
+    return f"""
+WITH RECURSIVE {sql_mp_cte()},
+right_p AS (
+  SELECT doc_id, pos, nn AS rpi
+  FROM (SELECT doc_id, pos, nn, row_number() OVER
+          (PARTITION BY doc_id, pos ORDER BY dist, nn) AS rn
+        FROM sides WHERE nn > pos) t
+  WHERE rn = 1
+),
+left_p AS (
+  SELECT doc_id, pos, nn AS lpi
+  FROM (SELECT doc_id, pos, nn, row_number() OVER
+          (PARTITION BY doc_id, pos ORDER BY dist, nn) AS rn
+        FROM sides WHERE nn < pos) t
+  WHERE rn = 1
+),
+edges AS (
+  SELECT r.doc_id, r.pos AS j, r.rpi AS k
+  FROM right_p r JOIN left_p l ON l.doc_id = r.doc_id AND l.pos = r.rpi
+  WHERE l.lpi = r.pos
+),
+heads AS (
+  SELECT DISTINCT s.doc_id, s.pos
+  FROM sides s
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.doc_id = s.doc_id AND e.k = s.pos)
+),
+walk AS (
+  SELECT doc_id, pos AS head, 0 AS link, pos FROM heads
+  UNION ALL
+  SELECT w.doc_id, w.head, w.link + 1, e.k
+  FROM walk w JOIN edges e ON e.doc_id = w.doc_id AND e.j = w.pos
+),
+lens AS (
+  SELECT doc_id, head, count(*) AS len FROM walk GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, head, row_number() OVER
+    (PARTITION BY doc_id ORDER BY len DESC, head) AS rn
+  FROM lens WHERE len > 2
+)
+SELECT w.doc_id, r.rn - 1 AS chain_rank, w.link, w.pos
+FROM walk w JOIN ranked r ON r.doc_id = w.doc_id AND r.head = w.head
+WHERE r.rn <= 3
+"""
+
+
+SQL_CHAINS = _sql_chains()
+ORACLES["chains"] = SQL_CHAINS
