@@ -41,7 +41,7 @@ def main() -> None:
         rollup_tier,
     )
     from tsmp_spark.operators.matrix_profile import matrix_profile_nested
-    from tsmp_spark.operators.series import events_to_long, long_to_nested
+    from tsmp_spark.operators.series import events_to_nested
     from tsmp_spark.queries import W, q_embedding_topk, q_events_rollup_gapfill
     from tsmp_spark.session import get_spark
 
@@ -84,7 +84,7 @@ def main() -> None:
     # 2) flagship pipeline on the SF events table
     def pipeline():
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        sequences = long_to_nested(events_to_long(ev))
+        sequences = events_to_nested(ev)
         # events-derived series are short: long_series_threshold=None avoids
         # the union plan's second scan of the input
         prof = matrix_profile(sequences, W, long_series_threshold=None)
@@ -103,7 +103,7 @@ def main() -> None:
     # 3) segmentation (relational CAC over the kernel profile)
     def seg():
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        sequences = long_to_nested(events_to_long(ev))
+        sequences = events_to_nested(ev)
         prof = matrix_profile(sequences, W, long_series_threshold=None)
         return arc_count_cac(prof, W, 0.1).count()
 

@@ -54,11 +54,11 @@ def main(argv=None) -> int:
         rollup_tier,
         salted_repartition,
     )
-    from tsmp_spark.operators.series import events_to_long, long_to_nested
+    from tsmp_spark.operators.series import events_to_nested
 
     t0 = time.time()
     if args.input_kind == "events":
-        sequences = long_to_nested(events_to_long(spark.read.parquet(args.input)))
+        sequences = events_to_nested(spark.read.parquet(args.input))
     else:
         sequences = spark.read.parquet(args.input).select(
             "doc_id", F.col("tokens").cast("array<double>").alias("tokens")

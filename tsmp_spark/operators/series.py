@@ -83,3 +83,30 @@ def salted_repartition(
     )
     out = salted.repartition(num_partitions, F.col(key), F.col("_salt"))
     return out.drop("_salt")
+
+
+def events_to_nested(events: DataFrame, source: str = "events") -> DataFrame:
+    """events → nested (doc_id, tokens, n_tok, source) in ONE aggregate.
+
+    Fuses ``long_to_nested(events_to_long(...))``: ordering by
+    (ts, event_id) happens inside ``sort_array`` on the collected structs
+    (struct comparison is lexicographic by field order), so the separate
+    row_number Window — a second sort over the same shuffle — disappears.
+    One exchange on doc_id, one sort per group, map-side partial collect.
+    Produces exactly the same tokens arrays as the two-step path.
+    """
+    out = (
+        events.select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.struct(F.col("ts"), F.col("event_id"), F.col("value").cast("double").alias("value")).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.transform(F.sort_array(F.collect_list("e")), lambda s: s["value"]).alias(
+                "tokens"
+            )
+        )
+        .withColumn("n_tok", F.size("tokens"))
+        .withColumn("source", F.lit(source))
+    )
+    return out

@@ -118,9 +118,9 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.series import events_to_long, long_to_nested
+    from .operators.series import events_to_nested
 
-    return long_to_nested(events_to_long(_events(spark, sf_dir)))
+    return events_to_nested(_events(spark, sf_dir))
 
 
 def _profile(spark: SparkSession, sf_dir: str, algorithm: str = "mpx") -> DataFrame:
