@@ -1,0 +1,94 @@
+"""Physical-plan shape regressions — the scale contract, asserted.
+
+These tests pin the *plan*, not the output: at 100 TB an extra exchange or
+a second evaluation of an Arrow-UDF lineage is the difference between a
+job that finishes and one that doesn't. Each assertion here corresponds
+to a measured lesson in SCALE.md §7.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsmp_spark.operators import arc_count_cac, rollup_tier
+from tsmp_spark.operators.dedup import minhash_lsh_pairs
+from tsmp_spark.operators.matrix_profile import matrix_profile, matrix_profile_nested
+from tsmp_spark.operators.series import events_to_nested
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_events_to_nested_single_exchange(events):
+    """The fused converter shuffles exactly once (no row_number window)."""
+    plan = _plan(events_to_nested(events))
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+
+
+def test_arc_cac_single_kernel_scan(events):
+    """arc_count_cac evaluates the Arrow-UDF profile lineage exactly once
+    (regression: the union/spine formulation re-ran it ~5x)."""
+    prof = matrix_profile(events_to_nested(events), 8, long_series_threshold=None)
+    plan = _plan(arc_count_cac(prof, 8, 0.1))
+    assert plan.count("MapInPandas") == 1
+
+
+def test_profile_explode_is_jvm_side(events):
+    """Nested kernel output explodes via Generate (codegen), never Python:
+    the Python boundary appears once, for the kernel itself."""
+    prof = matrix_profile(events_to_nested(events), 8, long_series_threshold=None)
+    plan = _plan(prof)
+    assert plan.count("MapInPandas") == 1
+    assert "Generate" in plan  # posexplode of arrays_zip, JVM-side
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def test_rollup_tier_no_extra_python(events):
+    prof = matrix_profile(events_to_nested(events), 8, long_series_threshold=None)
+    plan = _plan(rollup_tier(prof, 8))
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_minhash_pure_jvm(docs):
+    """The whole dedup pipeline is built-in expressions — zero Python."""
+    plan = _plan(minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.25))
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_scan_filter_pushdown(events):
+    """Predicate + projection reach the parquet scan."""
+    df = events.filter(F.col("user_id") == 7).select("user_id", "value")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters")[1][:80]
+    assert "ReadSchema" in plan
+
+
+def test_kernel_plan_whole_stage_codegen(events):
+    """The relational shell around the kernel stays inside codegen (AQE
+    only materializes WholeStageCodegen spans in the final plan, so
+    execute first)."""
+    df = matrix_profile_nested(
+        events_to_nested(events), 8, long_series_threshold=None
+    ).agg(F.sum(F.size("mp")))
+    df.collect()
+    # codegen spans render as "*(N)" prefixes in the executed-plan string
+    assert "*(" in _plan(df)
