@@ -74,7 +74,9 @@ def main() -> None:
     # explode (the rollup pipeline below pays the explode where it's used)
     n_windows = timed(
         "mp_kernel_synth",
-        lambda: matrix_profile_nested(seqs, 64, num_partitions=2 * cpus)
+        # uniform-length synthetic docs: exact-fit partitioning measured
+        # faster than 2x overdecomposition (fewer Arrow batches)
+        lambda: matrix_profile_nested(seqs, 64, num_partitions=cpus)
         .agg(F.sum(F.size("mp")))
         .collect()[0][0],
     )

@@ -151,3 +151,76 @@ def test_floss_stateful_detects_regime(spark, tmp_path):
     assert len(got) >= 1
     # at least one split within 150 of the true regime change at 400
     assert (got.split_pos - 400).abs().min() < 150, got
+
+
+def test_rollup_stream_matches_batch(spark, tmp_path):
+    """Streaming continuous aggregate == batch rollup once drained.
+
+    Events are written as two parquet files (simulating micro-batches,
+    second file containing in-watermark late rows for buckets opened by
+    the first); the update-mode sink's LAST emission per bucket must equal
+    the batch aggregate over all rows."""
+    import pandas as pd
+
+    from tsmp_spark.streaming import rollup_batch_equivalent, rollup_stream
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows1, rows2 = [], []
+    for u in range(4):
+        for k in range(40):
+            rows1.append(
+                {"ts": base + pd.Timedelta(minutes=3 * k), "user_id": u,
+                 "value": float((u + 1) * k % 7)}
+            )
+        # late-but-in-watermark rows landing in the first hour's bucket
+        for k in range(5):
+            rows2.append(
+                {"ts": base + pd.Timedelta(minutes=7 * k + 1), "user_id": u,
+                 "value": float(100 + k)}
+            )
+    spark.createDataFrame(pd.DataFrame(rows1)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b1"))
+    spark.createDataFrame(pd.DataFrame(rows2)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = rollup_stream(stream, bucket_duration="1 hour", watermark="4 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("roll_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last emission per (doc_id, bucket) wins (update mode re-emits)
+    got = (
+        spark.sql(
+            """
+            SELECT doc_id, bucket_start, v_min, v_avg, v_max, n FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id, bucket_start ORDER BY n DESC) AS rn
+              FROM roll_sink) WHERE rn = 1
+            """
+        )
+        .toPandas()
+        .sort_values(["doc_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    all_events = spark.read.parquet(str(src / "*"))
+    want = (
+        rollup_batch_equivalent(all_events, bucket_duration="1 hour")
+        .toPandas()
+        .sort_values(["doc_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -2249,3 +2249,68 @@ WHERE r.rn <= 3
 
 SQL_CHAINS = _sql_chains()
 ORACLES["chains"] = SQL_CHAINS
+
+
+# ---------------------------------------------------------------------------
+# streaming continuous aggregate — real Structured Streaming, oracle-checked
+# ---------------------------------------------------------------------------
+
+def q_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous tier aggregate maintained by an actual Structured
+    Streaming query (streaming.rollup_stream): events replayed through a
+    file stream (availableNow), update-mode memory sink, last emission per
+    bucket. Must equal the plain GROUP BY date_trunc rollup — the oracle.
+    """
+    import uuid
+
+    from .streaming import rollup_stream
+
+    name = "roll_sink_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props map<string,string>"
+        )
+        # FileStreamSource needs a directory: stream the sf dir, filtered
+        # to the events table file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # watermarks require TIMESTAMP (tz-aware); session tz is pinned UTC
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = rollup_stream(stream, bucket_duration="1 hour", watermark="4 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""
+        SELECT doc_id,
+               date_format(bucket_start, 'yyyy-MM-dd HH:mm:ss') AS bucket_start,
+               round(v_min, 4) AS v_min, round(v_avg, 4) AS v_avg,
+               round(v_max, 4) AS v_max, n
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id, bucket_start ORDER BY n DESC) AS rn
+          FROM {name}) WHERE rn = 1
+        """
+    )
+
+
+SQL_ROLLUP_STREAM = """
+SELECT CAST(user_id AS VARCHAR) AS doc_id,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       round(min(value), 4) AS v_min,
+       round(avg(value), 4) AS v_avg,
+       round(max(value), 4) AS v_max,
+       count(value) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+QUERIES["rollup_stream"] = q_rollup_stream
+ORACLES["rollup_stream"] = SQL_ROLLUP_STREAM

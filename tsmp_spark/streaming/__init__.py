@@ -1,4 +1,11 @@
 from .floss import floss_stateful
+from .rollup import rollup_batch_equivalent, rollup_stream
 from .stompi import stompi_stateful, stompi_update_batch
 
-__all__ = ["floss_stateful", "stompi_stateful", "stompi_update_batch"]
+__all__ = [
+    "floss_stateful",
+    "rollup_batch_equivalent",
+    "rollup_stream",
+    "stompi_stateful",
+    "stompi_update_batch",
+]
