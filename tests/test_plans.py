@@ -92,3 +92,27 @@ def test_kernel_plan_whole_stage_codegen(events):
     df.collect()
     # codegen spans render as "*(N)" prefixes in the executed-plan string
     assert "*(" in _plan(df)
+
+
+def test_tier_partition_pruning(spark, tmp_path):
+    """Tier tables written partitioned by bucket_range: a retention /
+    trailing-window read prunes expired partitions at the scan
+    (PartitionFilters), reading zero bytes of old history."""
+    import pandas as pd
+
+    tier = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["a"] * 32,
+                "bucket": range(32),
+                "mp_min": [float(i) for i in range(32)],
+            }
+        )
+    ).withColumn("bucket_range", (F.col("bucket") / 8).cast("long"))
+    path = str(tmp_path / "tier1")
+    tier.write.partitionBy("bucket_range").parquet(path)
+
+    recent = spark.read.parquet(path).filter(F.col("bucket_range") >= 3)
+    plan = _plan(recent)
+    assert "PartitionFilters" in plan and "bucket_range" in plan.split("PartitionFilters")[1][:120]
+    assert recent.count() == 8  # only the trailing partition was read
