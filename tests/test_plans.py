@@ -116,3 +116,16 @@ def test_tier_partition_pruning(spark, tmp_path):
     plan = _plan(recent)
     assert "PartitionFilters" in plan and "bucket_range" in plan.split("PartitionFilters")[1][:120]
     assert recent.count() == 8  # only the trailing partition was read
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    """ANN brute-force baseline: the small query side is broadcast — the
+    big embeddings table never shuffles."""
+    from tsmp_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(cosine_topk(emb, emb.limit(4), k=3))
+    assert "BroadcastExchange" in plan and "BroadcastNestedLoopJoin" in plan
+    # rank pushdown: WindowGroupLimit keeps only ~k rows per query on the
+    # map side, so the top-k shuffle moves O(queries*k), not O(emb*queries)
+    assert "WindowGroupLimit" in plan
