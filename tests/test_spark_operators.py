@@ -171,3 +171,24 @@ def test_events_series_roundtrip(spark):
     assert n_series == ev.select("user_id").distinct().count()
     total = nested.agg(F.sum("n_tok")).collect()[0][0]
     assert total == ev.count()
+
+
+def test_masked_profile_is_null_externally(spark):
+    """The kernel's NaN (masked window / no neighbor) must surface as SQL
+    NULL — not NaN — so relational aggregates (count/min/avg, DuckDB
+    oracles) treat masked positions correctly. An all-constant series
+    masks every window (zero variance everywhere -> pi = -1)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tsmp_spark.operators import matrix_profile, rollup_tier
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["flat"], "tokens": [[5.0] * 50]})
+    )
+    prof = matrix_profile(df, 8, long_series_threshold=None)
+    assert prof.filter(F.isnan("mp")).count() == 0  # never NaN externally
+    n_rows = prof.count()
+    assert n_rows == 43 and prof.filter(F.col("mp").isNull()).count() == n_rows
+    t1 = rollup_tier(prof, 8)
+    assert t1.filter(F.col("n") != 0).count() == 0  # masked rows don't count
