@@ -38,7 +38,7 @@ def main() -> None:
         matrix_profile,
         minhash_lsh_pairs,
         rollup_rollup,
-        rollup_tier,
+        rollup_tier_nested,
     )
     from tsmp_spark.operators.matrix_profile import matrix_profile_nested
     from tsmp_spark.operators.series import events_to_nested
@@ -88,9 +88,12 @@ def main() -> None:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         sequences = events_to_nested(ev)
         # events-derived series are short: long_series_threshold=None avoids
-        # the union plan's second scan of the input
-        prof = matrix_profile(sequences, W, long_series_threshold=None)
-        t1 = rollup_tier(prof, 8).persist()  # tier-1 feeds tier-2: one kernel pass
+        # the union plan's second scan of the input. Tier-1 straight from
+        # the NESTED profile: bucket aggregation happens inside the arrays
+        # (JVM expressions, zero shuffle) — the full-resolution explode
+        # never materializes on this path.
+        prof = matrix_profile_nested(sequences, W, long_series_threshold=None)
+        t1 = rollup_tier_nested(prof, 8).persist()  # tier-1 feeds tier-2
         t2 = rollup_rollup(t1, 4)
         n = t1.count() + t2.count()
         t1.unpersist()

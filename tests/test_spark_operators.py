@@ -192,3 +192,42 @@ def test_masked_profile_is_null_externally(spark):
     assert n_rows == 43 and prof.filter(F.col("mp").isNull()).count() == n_rows
     t1 = rollup_tier(prof, 8)
     assert t1.filter(F.col("n") != 0).count() == 0  # masked rows don't count
+
+
+def test_rollup_tier_nested_equals_exploded(spark):
+    """Shuffle-free in-array tier-1 == explode->groupBy tier-1, including
+    masked (NULL) windows and ragged tail buckets."""
+    import pandas as pd
+
+    from tsmp_spark.operators import matrix_profile, rollup_tier, rollup_tier_nested
+    from tsmp_spark.operators.matrix_profile import matrix_profile_nested
+    from tsmp_spark.operators.series import events_to_nested
+
+    seq = events_to_nested(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    flat = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["flat"], "tokens": [[5.0] * 50]})
+    ).selectExpr("doc_id", "tokens", "size(tokens) n_tok", "'t' source")
+    seq = seq.unionByName(flat)
+    a = rollup_tier(matrix_profile(seq, 8, long_series_threshold=None), 8)
+    b = rollup_tier_nested(
+        matrix_profile_nested(seq, 8, long_series_threshold=None), 8
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_rollup_tier_nested_plan_shuffle_free(spark):
+    """The nested tier adds NO exchange beyond the kernel's own."""
+    from tsmp_spark.operators import rollup_tier_nested
+    from tsmp_spark.operators.matrix_profile import matrix_profile_nested
+    from tsmp_spark.operators.series import events_to_nested
+
+    seq = events_to_nested(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    nested = matrix_profile_nested(seq, 8, long_series_threshold=None)
+    base = nested._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    tier = rollup_tier_nested(nested, 8)
+    t = tier._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    assert t == base

@@ -7,7 +7,14 @@ from .dedup import (
 )
 from .matrix_profile import matrix_profile, matrix_profile_join
 from .multimodal import extract_features, frame_sample
-from .rollup import arc_count_cac, gap_fill, retention_expire, rollup_rollup, rollup_tier
+from .rollup import (
+    arc_count_cac,
+    gap_fill,
+    retention_expire,
+    rollup_rollup,
+    rollup_tier,
+    rollup_tier_nested,
+)
 from .series import events_to_long, long_to_nested, nested_to_long, salted_repartition
 from .similarity import cosine_topk, lsh_bucket_topk
 from .text import (
@@ -41,6 +48,7 @@ __all__ = [
     "retention_expire",
     "rollup_rollup",
     "rollup_tier",
+    "rollup_tier_nested",
     "salted_repartition",
     "simhash64",
     "token_count",

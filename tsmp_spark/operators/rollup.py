@@ -177,3 +177,81 @@ def arc_count_cac(
         .otherwise(F.coalesce(cac_raw, F.lit(1.0)))
     )
     return spine.select(key_col, "pos", ac.alias("arc_count"), cac.alias("cac"))
+
+
+def rollup_tier_nested(
+    nested_profile: DataFrame,
+    bucket: int,
+    value_col: str = "mp",
+    index_col: str = "pi",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Tier-1 rollup computed INSIDE the nested profile arrays — the
+    shuffle-free form of :func:`rollup_tier`.
+
+    ``matrix_profile_nested`` emits one row per series with array columns;
+    bucketing positions is then a per-row JVM expression (slice +
+    array_min over (value, pos, index) structs, struct ordering = the same
+    deterministic argmin tie-break as ``rollup_tier``), followed by ONE
+    explode of bucket structs. Compared to explode→groupBy this moves
+    ``bucket×`` fewer rows into the plan and needs NO exchange at all —
+    at 10^12-token scale the full-resolution explode is the largest
+    intermediate, and this skips it entirely when only tiers are needed.
+
+    Output schema/values are identical to
+    ``rollup_tier(_explode_nested(x), bucket)`` (equality-tested).
+    """
+    b = int(bucket)
+    mp = F.col(value_col)
+    pi = F.col(index_col)
+
+    def bucket_struct(bk):
+        # positions bk*b .. bk*b+b-1 (slice clips the tail automatically)
+        vals = F.slice(mp, bk * b + 1, b)
+        idxs = F.slice(pi, bk * b + 1, b)
+        trip = F.zip_with(
+            vals,
+            idxs,
+            lambda v, i: F.struct(v.alias("v"), i.alias("i")),
+        )
+        # attach absolute pos for the deterministic (value, pos, index)
+        # argmin; filter masked (NULL) entries
+        withpos = F.filter(
+            F.transform(
+                trip,
+                lambda s, j: F.struct(
+                    s["v"].alias("v"),
+                    (bk * b + j).cast("long").alias("pos"),
+                    s["i"].alias("i"),
+                ),
+            ),
+            lambda s: s["v"].isNotNull(),
+        )
+        vclean = F.transform(withpos, lambda s: s["v"])
+        winner = F.array_min(withpos)
+        n = F.size(withpos)
+        return F.struct(
+            bk.cast("long").alias("bucket"),
+            F.array_min(vclean).alias("mp_min"),
+            winner["i"].alias("pi_argmin"),
+            F.when(
+                n > 0,
+                F.aggregate(vclean, F.lit(0.0), lambda acc, x: acc + x) / n,
+            ).alias("mp_avg"),
+            F.array_max(vclean).alias("mp_max"),
+            n.cast("long").alias("n"),
+        )
+
+    n_buckets = F.ceil(F.size(mp) / F.lit(b)).cast("int")
+    buckets = F.transform(F.sequence(F.lit(0), n_buckets - 1), bucket_struct)
+    return nested_profile.select(
+        key_col, F.explode(buckets).alias("t")
+    ).select(
+        key_col,
+        F.col("t.bucket").alias("bucket"),
+        F.col("t.mp_min").alias("mp_min"),
+        F.col("t.pi_argmin").alias("pi_argmin"),
+        F.col("t.mp_avg").alias("mp_avg"),
+        F.col("t.mp_max").alias("mp_max"),
+        F.col("t.n").alias("n"),
+    )

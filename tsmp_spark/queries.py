@@ -2314,3 +2314,29 @@ GROUP BY 1, 2
 
 QUERIES["rollup_stream"] = q_rollup_stream
 ORACLES["rollup_stream"] = SQL_ROLLUP_STREAM
+
+
+def q_mp_rollup_tier1_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-1 straight from the nested profile arrays (shuffle-free JVM
+    bucket aggregation) — must equal the explode->groupBy tier exactly,
+    so it shares SQL_MP_ROLLUP_TIER1."""
+    from .operators import rollup_tier_nested
+    from .operators.matrix_profile import matrix_profile_nested
+
+    nested = matrix_profile_nested(
+        _sequences(spark, sf_dir), W, long_series_threshold=None
+    )
+    t1 = rollup_tier_nested(nested, BUCKET)
+    return t1.select(
+        "doc_id",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        _r4("mp_min").alias("mp_min"),
+        F.col("pi_argmin").cast("bigint").alias("pi_argmin"),
+        _r4("mp_avg").alias("mp_avg"),
+        _r4("mp_max").alias("mp_max"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+QUERIES["mp_rollup_tier1_nested"] = q_mp_rollup_tier1_nested
+ORACLES["mp_rollup_tier1_nested"] = SQL_MP_ROLLUP_TIER1
