@@ -152,6 +152,13 @@ def test_multimodal_plumbing(spark):
     assert feats[0].n_bytes == 1024
     frames = frame_sample(media, every_n=4).collect()
     assert len(frames) >= 2
+    # empty payload must not crash the worker (zero-padded 1x1 grid)
+    empty = spark.createDataFrame(
+        [("m0", "image", bytearray(b""), {"fmt": "fake"})],
+        "media_id string, kind string, payload binary, meta map<string,string>",
+    )
+    row = extract_features(empty).collect()[0]
+    assert (row.width, row.height, row.n_bytes) == (1, 1, 0)
 
 
 def test_text_quality_and_lang(spark, docs):

@@ -46,6 +46,8 @@ def _decode_image(payload: bytes) -> np.ndarray:
     """
     arr = np.frombuffer(payload, dtype=np.uint8)
     side = max(int(np.sqrt(arr.shape[0])), 1)
+    if arr.shape[0] < side * side:  # empty/short payload: zero-pad the grid
+        arr = np.concatenate([arr, np.zeros(side * side - arr.shape[0], np.uint8)])
     return arr[: side * side].reshape(side, side).astype(np.float32)
 
 

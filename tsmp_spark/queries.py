@@ -2340,3 +2340,42 @@ def q_mp_rollup_tier1_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["mp_rollup_tier1_nested"] = q_mp_rollup_tier1_nested
 ORACLES["mp_rollup_tier1_nested"] = SQL_MP_ROLLUP_TIER1
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing over the documents table: payload
+    = UTF-8 bytes of the text (deterministic stand-in for an image blob —
+    the container ships no decoders, operators/multimodal.py stubs decode),
+    through the Arrow binary transfer + mapInPandas feature extractor.
+    The geometry contract (n_bytes through Arrow, side = floor(sqrt(n)))
+    is oracle-checked; the histogram features are pytest-gated."""
+    from .operators.multimodal import extract_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    )
+    feats = extract_features(media, feat_dim=16)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "n_bytes",
+    )
+
+
+SQL_MULTIMODAL = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       'image' AS kind,
+       greatest(CAST(floor(sqrt(octet_length(encode(text)))) AS BIGINT), 1) AS width,
+       greatest(CAST(floor(sqrt(octet_length(encode(text)))) AS BIGINT), 1) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+QUERIES["multimodal_features"] = q_multimodal_features
+ORACLES["multimodal_features"] = SQL_MULTIMODAL
