@@ -28,14 +28,17 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from pyspark.sql import functions as F
 
-    from tsmp_spark.operators import matrix_profile, rollup_tier
-    from tsmp_spark.operators.series import events_to_long, long_to_nested
+    from tsmp_spark.operators import rollup_tier_nested
+    from tsmp_spark.operators.matrix_profile import matrix_profile_nested
+    from tsmp_spark.operators.series import events_to_nested
 
     sf_dir = "/root/testdata/sf0.001"
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    sequences = long_to_nested(events_to_long(events))
-    profile = matrix_profile(sequences, window_size=8)
-    tier1 = rollup_tier(profile, bucket=8)
+    # one-exchange conversion -> Arrow kernel on nested arrays ->
+    # shuffle-free in-array tier rollup (see SCALE.md)
+    sequences = events_to_nested(events)
+    profile = matrix_profile_nested(sequences, window_size=8)
+    tier1 = rollup_tier_nested(profile, bucket=8)
     return tier1.select(
         "doc_id",
         F.col("bucket").cast("bigint").alias("bucket"),
