@@ -26,7 +26,15 @@ import time
 def build_args(argv):
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="events parquet or sequences parquet")
-    p.add_argument("--input-kind", choices=["events", "sequences"], default="events")
+    p.add_argument(
+        "--input-kind",
+        choices=["events", "sequences", "events-stream"],
+        default="events",
+        help="events-stream: run the tier-1 continuous aggregate as a "
+        "Structured Streaming job over the input DIRECTORY (availableNow); "
+        "resumes from Spark's own checkpointLocation on re-submit — new "
+        "files since the last run are the only work done",
+    )
     p.add_argument("--output", required=True)
     p.add_argument("--window", type=int, default=8)
     p.add_argument("--tiers", default="8,4", help="bucket factors, tier1,tier2,...")
@@ -40,6 +48,89 @@ def build_args(argv):
         "(0 = unpartitioned)",
     )
     return p.parse_args(argv)
+
+
+def run_streaming(spark, args, t0) -> int:
+    """Streaming tier-1: file stream -> watermarked continuous aggregate ->
+    foreachBatch parquet upsert, checkpointed by Spark (exactly-once file
+    progress). Re-submitting with the same --output resumes: already-seen
+    input files are skipped by the checkpoint, matching the batch job's
+    manifest-resume contract but with Spark-native streaming state."""
+    from pyspark.sql import functions as F
+
+    from tsmp_spark.streaming import rollup_stream
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props map<string,string>"
+        )
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(args.input)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    tier = rollup_stream(stream, bucket_duration="1 hour", watermark="4 hours")
+
+    n_batches = {"n": 0, "rows": 0}
+    log_dir = f"{args.output}/tier1_stream_log"
+    compact_dir = f"{args.output}/tier1_stream"
+
+    def upsert(batch_df, batch_id):
+        """Merge-on-read upsert: update-mode re-emissions APPEND to a
+        batch-stamped log (overwriting a partition per batch would drop
+        that partition's rows not re-emitted in the batch — measured).
+        Latest batch_seq per (doc_id, bucket_start) wins at compaction."""
+        n_batches["n"] += 1
+        n_batches["rows"] += batch_df.count()
+        (
+            batch_df.withColumn("batch_seq", F.lit(int(batch_id)))
+            .withColumn("bucket_date", F.to_date("bucket_start"))
+            .write.mode("append")
+            .partitionBy("bucket_date")
+            .parquet(log_dir)
+        )
+
+    q = (
+        tier.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", f"{args.output}/_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # compaction: latest emission per bucket (at warehouse scale this runs
+    # periodically over recent date partitions only; the full-log rewrite
+    # here matches the demo data size)
+    from pyspark.sql.window import Window
+
+    log = spark.read.parquet(log_dir)
+    w_last = Window.partitionBy("doc_id", "bucket_start").orderBy(
+        F.col("batch_seq").desc()
+    )
+    compacted = (
+        log.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch_seq")
+    )
+    (
+        compacted.write.mode("overwrite")
+        .partitionBy("bucket_date")
+        .parquet(compact_dir)
+    )
+    n_rows = spark.read.parquet(compact_dir).count()
+    print(
+        json.dumps(
+            {
+                "mode": "streaming",
+                "micro_batches": n_batches["n"],
+                "rows_upserted": n_batches["rows"],
+                "rows_compacted": n_rows,
+                "total_wall_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+    return 0
 
 
 def main(argv=None) -> int:
@@ -63,6 +154,8 @@ def main(argv=None) -> int:
     from tsmp_spark.operators.series import events_to_nested
 
     t0 = time.time()
+    if args.input_kind == "events-stream":
+        return run_streaming(spark, args, t0)
     if args.input_kind == "events":
         sequences = events_to_nested(spark.read.parquet(args.input))
     else:
