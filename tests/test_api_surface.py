@@ -81,3 +81,33 @@ def test_salient_mds_and_score():
     assert emb.shape[1] == 2 or emb.shape[0] == 0
     s = api.salient_score(np.array([33, 200]), np.array([35, 400]), 30)
     assert s == pytest.approx(0.5)
+
+
+def test_print_format_parity_with_reference_goldens():
+    """Our format_* output must reproduce the reference's print.* layout
+    byte-for-byte. The reference golden tests/prints/mp-print was produced
+    from a 1000-point series at w=10 — any profile with that shape prints
+    the identical header block, so we can compare against the shipped
+    golden file directly."""
+    from pathlib import Path
+
+    import numpy as np
+
+    from tsmp_spark.mpcore import stomp
+    from tsmp_spark.mpcore.printing import format_matrix_profile
+
+    rng = np.random.default_rng(7)
+    a = np.cumsum(rng.choice([-1.0, 1.0], size=1000))
+    prof = stomp(a, 10)
+    prof.data = a
+    got = format_matrix_profile(prof)
+
+    golden = Path("/root/reference/tests/prints/mp-print")
+    expected = (
+        "Matrix Profile\n--------------\n"
+        "Profile size = 991 \nWindow size = 10 \nExclusion zone = 5 \n"
+        "Contains 1 set of data with 1000 observations and 1 dimension \n"
+    )
+    assert got == expected
+    if golden.exists():  # byte-level check vs the reference's own golden
+        assert got == golden.read_text()

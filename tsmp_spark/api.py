@@ -147,6 +147,14 @@ def visualize(profile: MatrixProfile):
     return {"mp": profile.mp, "pi": profile.pi, "w": profile.w}
 
 
+def describe(profile: MatrixProfile) -> str:
+    """print.MatrixProfile parity (print.R:35-53): the exact text the
+    reference prints, byte-for-byte vs its tests/prints goldens."""
+    from .mpcore import format_matrix_profile
+
+    return format_matrix_profile(profile)
+
+
 def plot_arcs(profile: MatrixProfile):
     from .mpcore import arc_counts
 

@@ -68,3 +68,19 @@ from .stats import (
 from .stomp import MatrixProfile, stamp, stomp, stompi_update
 
 __all__ = [name for name in dir() if not name.startswith("_")]
+
+from .printing import (  # noqa: E402
+    format_arc_count,
+    format_chain,
+    format_discord,
+    format_floss,
+    format_fluss,
+    format_matrix_profile,
+    format_motif,
+    format_multi_matrix_profile,
+    format_pmp,
+    format_salient,
+    format_simple_matrix_profile,
+    format_snippet,
+    format_valmod,
+)
