@@ -52,7 +52,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from tsmp_spark.queries import QUERIES
 
-    return dict(QUERIES)
+    def _utc(fn):
+        # timestamp queries (gap-fill, streaming rollup) align buckets via
+        # the session tz; the driver's own session may not pin it, and the
+        # DuckDB oracles are tz-naive — force UTC per call
+        def wrapped(spark, sf_dir):
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        return wrapped
+
+    return {k: _utc(fn) for k, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

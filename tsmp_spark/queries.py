@@ -2266,6 +2266,10 @@ def q_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import rollup_stream
 
     name = "roll_sink_" + uuid.uuid4().hex[:8]
+    # the ntz -> timestamp cast and date_format both use the session tz;
+    # bucket alignment must match DuckDB's tz-naive date_trunc, so pin UTC
+    # (the driver's own session may not have it set)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = (
         spark.readStream.schema(
             "event_id long, ts timestamp_ntz, user_id long, event_type string, "
