@@ -2383,3 +2383,82 @@ FROM documents
 
 QUERIES["multimodal_features"] = q_multimodal_features
 ORACLES["multimodal_features"] = SQL_MULTIMODAL
+
+
+def q_av_zerocrossing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing annotation vector (annotations.R:1-30): znormed
+    series, per-window sign-change counts, 0-1 normalized per series."""
+    import numpy as np
+    import pandas as pd
+
+    from .mpcore import av_zerocrossing, stomp
+
+    seqs = _sequences(spark, sf_dir)
+    schema = "doc_id string, pos long, av double"
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(tokens, dtype=np.float64)
+                if a.shape[0] < MIN_LEN:
+                    continue
+                prof = stomp(a, W)
+                prof.data = a
+                av = av_zerocrossing(prof)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": np.repeat(doc_id, av.shape[0]),
+                            "pos": np.arange(av.shape[0], dtype=np.int64),
+                            "av": np.round(av, 4),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return seqs.select("doc_id", "tokens").repartition(n_parts).mapInPandas(kernel, schema)
+
+
+SQL_AV_ZEROCROSSING = f"""
+WITH {sql_series()},
+len AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id HAVING count(*) >= {MIN_LEN}),
+st AS (SELECT doc_id, avg(value) AS mu, stddev_pop(value) AS sd FROM s GROUP BY doc_id),
+z AS (
+  SELECT s.doc_id, s.pos,
+         CASE WHEN st.sd > 0.01 THEN (s.value - st.mu) / st.sd
+              ELSE s.value - st.mu END AS z
+  FROM s JOIN st ON s.doc_id = st.doc_id JOIN len ON s.doc_id = len.doc_id
+),
+nz AS (SELECT doc_id, pos, z, z < 0 AS neg FROM z WHERE z <> 0),
+flags AS (
+  SELECT doc_id, pos AS curr,
+         lag(pos) OVER w AS prev,
+         CASE WHEN neg <> lag(neg) OVER w THEN 1 ELSE 0 END AS flip
+  FROM nz WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+spine AS (
+  SELECT l.doc_id, i.pos AS i
+  FROM len l JOIN (SELECT DISTINCT doc_id, pos FROM s) i ON i.doc_id = l.doc_id
+  WHERE i.pos <= l.n - {W}
+),
+counts AS (
+  SELECT sp.doc_id, sp.i AS pos, coalesce(sum(f.flip), 0) AS c
+  FROM spine sp
+  LEFT JOIN flags f ON f.doc_id = sp.doc_id
+       AND f.curr BETWEEN sp.i AND sp.i + {W - 1}
+       AND f.prev >= sp.i
+  GROUP BY 1, 2
+),
+mm AS (SELECT doc_id, min(c) AS lo, max(c) AS hi FROM counts GROUP BY doc_id)
+SELECT counts.doc_id, counts.pos,
+       round(CASE WHEN mm.hi > mm.lo
+                  THEN (counts.c - mm.lo) / (mm.hi - mm.lo)
+                  ELSE 0.0 END, 4) AS av
+FROM counts JOIN mm ON counts.doc_id = mm.doc_id
+"""
+
+QUERIES["av_zerocrossing"] = q_av_zerocrossing
+ORACLES["av_zerocrossing"] = SQL_AV_ZEROCROSSING
