@@ -81,8 +81,14 @@ def main() -> None:
     # closest observable to the unloaded machine). Same for the hardware
     # ceiling probes.
     reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
-    hw_lo = max(hardware_ceiling(8) for _ in range(2))
-    hw_hi = max(hardware_ceiling(32) for _ in range(2))
+    # the ceiling probes are the noisiest inputs (they feed a ratio):
+    # interleave 4 reps of each and keep the max
+    hw_lo_runs, hw_hi_runs = [], []
+    for _ in range(4):
+        hw_lo_runs.append(hardware_ceiling(8))
+        hw_hi_runs.append(hardware_ceiling(32))
+    hw_lo = max(hw_lo_runs)
+    hw_hi = max(hw_hi_runs)
     lo = run_at(8)       # one full-suite run per leg (pipeline numbers)
     hi = run_at(32)
     thr_lo_runs = [lo["mp_windows_per_sec"]]
