@@ -231,3 +231,22 @@ def test_rollup_tier_nested_plan_shuffle_free(spark):
     tier = rollup_tier_nested(nested, 8)
     t = tier._jdf.queryExecution().executedPlan().toString().count("Exchange")
     assert t == base
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF multi-probe candidates recover most exact top-1 neighbors."""
+    from tsmp_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, emb, k=1).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, k=5, n_clusters=8, nprobe=4).collect()
+    }
+    hit = sum(1 for pair in exact if pair in approx)
+    # fixture embeddings are iid-uniform (no cluster structure — the
+    # hardest regime for IVF); measured 0.75 at nprobe=4, floor at 0.6
+    assert hit / max(len(exact), 1) >= 0.6

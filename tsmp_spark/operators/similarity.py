@@ -162,3 +162,81 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def ivf_assignments(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its ``nprobe`` best
+    clusters by dot product against deterministic pseudo-random centroids
+    ``c_p[i] = sin(p·2654435761 + i·40503)`` (engine-portable, like the
+    LSH hyperplanes — a real deployment would plug k-means centroids in,
+    the inverted-file machinery is identical). Output:
+    (vec_id, v array<double>, cluster int)."""
+    v = F.col(vec_col).cast("array<double>")
+    dim = F.size(v)
+    centroid = lambda p: F.transform(
+        F.sequence(F.lit(0), dim - 1),
+        lambda i: F.sin(p * F.lit(2654435761.0) + i.cast("double") * F.lit(40503.0)),
+    )
+    scores = F.transform(
+        F.sequence(F.lit(0), F.lit(n_clusters - 1)),
+        lambda p: F.struct(
+            _dot(v, centroid(p.cast("double"))).alias("score"), p.alias("cluster")
+        ),
+    )
+    exploded = embeddings.select(
+        F.col(id_col).alias("vec_id"), v.alias("v"), F.explode(scores).alias("s")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("s.score").desc(), F.col("s.cluster").asc()
+    )
+    return (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("vec_id", "v", F.col("s.cluster").alias("cluster"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF all-pairs approximate top-k: candidates share ANY of each
+    vector's ``nprobe`` probed clusters (the inverted-file join — shuffle
+    is per-cluster, never all-pairs), exact cosine re-rank inside the
+    candidate set. The complement of :func:`lsh_bucket_topk`: data-adaptive
+    partition-by-region rather than hash-by-hyperplane. Recall ↑ with
+    nprobe; candidate cost ~ n²·nprobe²/n_clusters per cluster balance."""
+    keyed = ivf_assignments(embeddings, n_clusters, nprobe, id_col, vec_col).persist()
+    a = keyed.select(F.col("vec_id").alias("query_id"), F.col("v").alias("v_q"), "cluster")
+    b = keyed.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("v_e"), "cluster")
+    cand = (
+        a.join(b, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "v_q", "neighbor_id", "v_e")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("v_q"), F.col("v_e")) / (_norm(F.col("v_q")) * _norm(F.col("v_e")))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

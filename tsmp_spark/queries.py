@@ -2462,3 +2462,74 @@ FROM counts JOIN mm ON counts.doc_id = mm.doc_id
 
 QUERIES["av_zerocrossing"] = q_av_zerocrossing
 ORACLES["av_zerocrossing"] = SQL_AV_ZEROCROSSING
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (coarse quantizer + inverted-file
+    candidate join + exact re-rank) — the second scale-path ANN variant
+    alongside LSH."""
+    from .operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_topk(emb, k=5, n_clusters=8, nprobe=2)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        _r4("cosine").alias("cosine"),
+    )
+
+
+SQL_IVF_ANN = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(v) AS x,
+         unnest(generate_series(1, len(v))) AS i
+  FROM e
+),
+cl AS (SELECT unnest(generate_series(0, 7)) AS p),
+scores AS (
+  SELECT ex.vec_id, cl.p,
+         sum(ex.x * sin(cl.p * 2654435761.0 + (ex.i - 1) * 40503.0)) AS score
+  FROM ex CROSS JOIN cl
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, p AS cluster FROM (
+    SELECT vec_id, p, row_number() OVER (PARTITION BY vec_id
+           ORDER BY score DESC, p ASC) AS rn
+    FROM scores) WHERE rn <= 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id != b.vec_id
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, sum(q.x * n.x) AS dot
+  FROM cand c
+  JOIN ex q ON q.vec_id = c.query_id
+  JOIN ex n ON n.vec_id = c.neighbor_id AND n.i = q.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id, d.dot / (nq.nrm * nn.nrm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nn ON nn.vec_id = d.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+QUERIES["ivf_ann"] = q_ivf_ann
+ORACLES["ivf_ann"] = SQL_IVF_ANN
