@@ -240,3 +240,43 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = False,
+    n_planes: int = 8,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= τ).
+
+    ``use_lsh=False`` (default) compares all pairs — exact, oracle-
+    checkable, fine up to ~10^5 vectors per partition group. At warehouse
+    scale pass ``use_lsh=True``: candidates come from the LSH bucket join
+    (recall < 1 by design, bounded shuffle) and are re-ranked exactly —
+    same output columns, approximate pair set."""
+    v = F.col(vec_col).cast("array<double>")
+    e = embeddings.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    if use_lsh:
+        keyed = lsh_bucket_keys(embeddings, n_planes, n_tables, id_col, vec_col)
+        a = keyed.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "tbl", "bucket")
+        b = keyed.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "tbl", "bucket")
+        cand = (
+            a.join(b, ["tbl", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "va", "id_b", "vb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+        b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

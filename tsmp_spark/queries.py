@@ -2533,3 +2533,45 @@ FROM ranked WHERE rank <= 5
 
 QUERIES["ivf_ann"] = q_ivf_ann
 ORACLES["ivf_ann"] = SQL_IVF_ANN
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold — the
+    embedding leg of the dedup family (exact mode; use_lsh=True is the
+    bounded-shuffle scale path with the same columns)."""
+    from .operators.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_neardup_pairs(emb, threshold=0.3)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        _r4("cosine").alias("cosine"),
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(v) AS x,
+         unnest(generate_series(1, len(v))) AS i
+  FROM e
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.id_a
+JOIN norms nb ON nb.vec_id = d.id_b
+WHERE d.dot / (na.nrm * nb.nrm) >= 0.3
+"""
+
+QUERIES["embedding_neardup"] = q_embedding_neardup
+ORACLES["embedding_neardup"] = SQL_EMBEDDING_NEARDUP
