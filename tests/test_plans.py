@@ -129,3 +129,25 @@ def test_cosine_topk_broadcasts_queries(spark):
     # rank pushdown: WindowGroupLimit keeps only ~k rows per query on the
     # map side, so the top-k shuffle moves O(queries*k), not O(emb*queries)
     assert "WindowGroupLimit" in plan
+
+
+def test_long_series_fanout_not_coalesced(spark):
+    """The diagonal-chunk fan-out must NOT let AQE byte-coalesce the tiny
+    (series x chunk) rows into one partition — each row carries seconds of
+    kernel CPU (measured 5x wall regression when keyed repartition was
+    coalesced)."""
+    import pandas as pd
+
+    from tsmp_spark.operators.matrix_profile import matrix_profile_nested
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [f"d{i}" for i in range(4)],
+                "tokens": [[float(j % 17) for j in range(600)]] * 4,
+            }
+        )
+    )
+    nested = matrix_profile_nested(docs, 8, long_series_threshold=512, n_chunks=8)
+    plan = nested._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan  # exempt from AQE coalescing

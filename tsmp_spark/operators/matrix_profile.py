@@ -220,9 +220,16 @@ def _matrix_profile_chunked_nested(
     """(series × diagonal-chunk) fan-out; exact merge via elementwise
     max-correlation (mpcore.merge_partials)."""
     minlag = ez_n + 1
+    # Round-robin with an EXPLICIT partition count: the fan rows are tiny
+    # in bytes but each carries ~seconds of kernel CPU — a keyed
+    # repartition here gets AQE-coalesced into one partition (measured:
+    # 32 chunk tasks -> 1 task, 5x wall) because coalescing is byte-based.
+    # REPARTITION_BY_NUM is exempt from AQE coalescing.
+    spark = sequences.sparkSession
+    n_tasks = max(spark.sparkContext.defaultParallelism * 4, n_chunks)
     fan = sequences.select(
         "doc_id", "tokens", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk_id")
-    ).repartition(F.col("doc_id"), F.col("chunk_id"))
+    ).repartition(n_tasks)
 
     def partial_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..mpcore import mpx_partial
