@@ -2575,3 +2575,32 @@ WHERE d.dot / (na.nrm * nb.nrm) >= 0.3
 
 QUERIES["embedding_neardup"] = q_embedding_neardup
 ORACLES["embedding_neardup"] = SQL_EMBEDDING_NEARDUP
+
+
+def q_mp_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join MP computed through the DISTRIBUTED long-series path —
+    every series forced through the diagonal-chunk fan-out + exact
+    max-correlation merge (long_series_threshold below all lengths).
+    Distances must equal the brute-force SQL MP; pi is excluded because
+    at exact distance ties the merge may pick a different (equally
+    correct) neighbor than the sequential kernel — the same benign
+    degeneracy as the reference's parallel mpx (mpx.cpp:278-309)."""
+    from .operators import matrix_profile
+
+    prof = matrix_profile(
+        _sequences(spark, sf_dir), W, long_series_threshold=16, n_chunks=4
+    )
+    return prof.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        _r4("mp").alias("mp_r"),
+    )
+
+
+SQL_MP_CHUNKED = f"""
+WITH {sql_mp_cte()}
+SELECT doc_id, pos, round(mp, 4) AS mp_r FROM mp
+"""
+
+QUERIES["mp_chunked"] = q_mp_chunked
+ORACLES["mp_chunked"] = SQL_MP_CHUNKED
