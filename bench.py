@@ -47,6 +47,7 @@ def main() -> None:
 
     spark = get_spark(app_name="tsmp_bench", cpus=cpus)
     timings: dict[str, float] = {}
+    warmups: dict[str, float] = {}
     extras: dict[str, float] = {}
 
     # BENCH_ONLY=q1,q2 runs just those queries (used by bench_scaling.py's
@@ -56,7 +57,15 @@ def main() -> None:
     def want(name):
         return not only or name in only
 
-    def timed(name, fn):
+    def timed(name, fn, warm=True):
+        # one untimed run of the IDENTICAL plan first: the first execution
+        # pays one-time Janino codegen keyed to plan shape (~1-9 s) and
+        # python-worker spin-up; the suite measures steady-state operator
+        # throughput (warm-up cost is recorded separately as warm_sec)
+        if warm:
+            t0 = time.time()
+            fn()
+            warmups[name] = round(time.time() - t0, 3)
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 3)
@@ -131,9 +140,6 @@ def main() -> None:
     # group (unsplittable), so spread the shingle+md5 work across cores —
     # at warehouse scale the scan has natural splits and this knob stays None.
     if want("minhash_lsh"):
-        minhash_lsh_pairs(
-            docs, num_hashes=8, bands=4, threshold=0.25, parallelism=2 * cpus
-        ).count()
         timed(
             "minhash_lsh",
             lambda: minhash_lsh_pairs(
@@ -153,6 +159,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "warm_sec": warmups,
                 "sf": sf,
                 "cpus": cpus,
                 **extras,
