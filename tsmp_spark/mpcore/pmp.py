@@ -53,10 +53,18 @@ def pmp(
 
 
 def pmp_upper_bound(
-    data: np.ndarray, threshold: float = 0.95, exclusion_zone: float = 0.5
+    data: np.ndarray,
+    threshold: float = 0.95,
+    refine_stepsize: float = 0.25,
+    exclusion_zone: float = 0.5,
 ) -> int:
-    """Upper window bound (pmp.R:296-340): double w from 8 while the best
-    correlation stays >= threshold; then refine downward by 25% steps."""
+    """Upper window bound — exact pmp.R:262-350 trace: double w from 8
+    while the max Pearson correlation stays >= threshold; once a doubling
+    fails, test refine windows ``2*round((frac+1)*w/4)`` for frac in
+    (step, 2*step, ...), each APPENDED before its threshold check (the
+    first failing refine window therefore still raises the bound — R's
+    ``upper_window = max(windows)`` semantics, reproduced golden:
+    toy data @ 0.98 -> 20)."""
     data = np.asarray(data, dtype=np.float64)
     n = data.shape[0]
 
@@ -68,24 +76,22 @@ def pmp_upper_bound(
         finite = r.mp[np.isfinite(r.mp)]
         if finite.shape[0] == 0:
             return -1.0
-        return float(ed_corr(finite.min(), w))
+        return float(min(ed_corr(finite.min(), w), 1.0))
 
+    windows: list[int] = []
     w = 8
-    last_ok = 8
-    while w <= n // 2:
+    max_window = n // 2
+    while w <= max_window:
         if max_corr(w) < threshold:
             break
-        last_ok = w
+        windows.append(w)
         w *= 2
-    else:
-        return last_ok
 
-    # refine: step down from the failing w by 25% of the gap (pmp.R:322-340)
-    hi, lo = w, last_ok
-    while hi - lo > max(1, lo // 4):
-        mid = (hi + lo) // 2
-        if max_corr(mid) >= threshold:
-            lo = mid
-        else:
-            hi = mid
-    return lo
+    if w <= max_window:
+        fracs = np.arange(refine_stepsize, 1.0 - 1e-5, refine_stepsize)
+        for frac in fracs:
+            tw = int(2.0 * np.round((frac + 1.0) * w / 4.0))
+            windows.append(tw)
+            if max_corr(tw) < threshold:
+                break
+    return max(windows) if windows else 8
