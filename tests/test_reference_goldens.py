@@ -107,23 +107,21 @@ def test_fluss_golden(tilt_abp):
 
 
 def test_floss_golden(tilt_abp):
-    """test-fluss.R streaming half. The split index and CAC extremes are
-    exact; the trailing-window mean/sd agree to ~6e-4 (a residual
-    boundary-accounting difference in the chunked driver vs fluss.R:80-111
-    — under investigation, tracked loosely here so a regression is still
-    caught)."""
+    """test-fluss.R streaming half — all six goldens exact (requires the
+    raw-negative index rebase in stompi trimming and the 1-based half-arc
+    histogram of fluss.R:412-421)."""
     d = tilt_abp[:1000]
     prof = stomp(d, 10)
     prof.data = d
     fluss_cac(prof)
     prof2, segs, vals = floss(prof, tilt_abp[1000:2000], 1001)
-    assert [int(s) + 1 for s in segs] == [1649]  # exact
+    assert [int(s) + 1 for s in segs] == [1649]
+    assert round(float(vals[0]), 3) == 0.871
+    assert round(float(np.mean(prof2.cac)), 4) == 0.8643
+    assert round(_r_sd(prof2.cac), 4) == 0.2007
     assert round(float(np.min(prof2.cac)), 3) == 0.0
     assert float(np.max(prof2.cac)) == 1.0
-    assert abs(float(np.mean(prof2.cac)) - 0.8643) < 1e-3
-    assert abs(_r_sd(prof2.cac) - 0.2007) < 1e-3
-    assert abs(float(np.nanmean(prof2.cac_final)) - 0.9755) < 2e-3
-    assert abs(vals[0] - 0.871) < 5e-3
+    assert round(float(np.nanmean(prof2.cac_final)), 4) == 0.9755
 
 
 def test_motif_golden(toy):

@@ -307,9 +307,12 @@ def stompi_update(
         mp, pi = mp[keep:], pi[keep:] - keep
         lmp, lpi = lmp[keep:], lpi[keep:] - keep
         rmp, rpi = rmp[keep:], rpi[keep:] - keep
-        # indexes pointing before the buffer become -1 (trimmed away)
-        for arr_pi in (pi, lpi, rpi):
-            arr_pi[arr_pi < 0] = -1
+        # Indexes pointing before the buffer stay RAW negatives — exactly
+        # stompi.R:103-108 (plain subtraction, no clamping). floss_cac's
+        # reference-exact arc histogram depends on the distinction between
+        # "one position before the buffer" (half-arc) and further away
+        # (skipped); clamping to -1 destroyed it (measured: FLOSS golden
+        # cac off by 6e-4 until this was kept raw).
         offset += trim
 
     return MatrixProfile(
