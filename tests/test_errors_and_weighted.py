@@ -87,8 +87,10 @@ def test_dist_profile_gap_query():
     query = data.copy()
     w = 30
     query[50:55] = np.nan  # gap inside window starting at 45
-    res = dist_profile(data, query, index=45, window_size=w)
+    res = dist_profile(data, query, index=45, window_size=w, gap_mode="aligned")
     dp = res.distance_profile
     assert np.isfinite(dp[45])
     # perfect self-match outside the gap → near-zero distance at 45
+    # (aligned mode; the default "reference" mode replicates the R
+    # padding quirk and is golden-tested in test_reference_goldens)
     assert dp[45] == pytest.approx(0.0, abs=1e-6)

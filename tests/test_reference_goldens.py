@@ -164,3 +164,56 @@ def test_mpdist_golden(toy):
 
     # paper-correct both-sides values (ours), pinned for regression
     assert round(mpdist(ts, qe, w), 5) == 1.87054
+
+
+def test_annotation_goldens():
+    """test-annotation.R:38-42: five AV ratios on mp_test_data$train[1:1000],
+    w=50. (av_stop_word reproduces the reference's unscaled-ez suppression
+    quirk — see mpcore/av.py.)"""
+    from tsmp_spark.mpcore import (
+        av_complexity,
+        av_hardlimit_artifact,
+        av_motion_artifact,
+        av_stop_word,
+        av_zerocrossing,
+    )
+
+    t = r_list_as_dict(load_rda("/root/reference/data/mp_test_data.rda")["mp_test_data"])
+    data = np.asarray(r_list_as_dict(t["train"])["data"].value, dtype=np.float64).ravel()[:1000]
+    prof = stomp(data, 50)
+    prof.data = data
+
+    def ratio(av, digits):
+        return round(float(np.sum(av) / np.std(av, ddof=1)), digits)
+
+    assert ratio(av_complexity(prof), 2) == 1689.92
+    assert ratio(av_hardlimit_artifact(prof), 2) == 3568.52
+    assert ratio(av_motion_artifact(prof), 1) == 1015.7
+    assert ratio(av_stop_word(prof, stop_word_loc=149), 2) == 1336.86  # R loc 150
+    assert ratio(av_zerocrossing(prof), 2) == 666.75
+
+
+def test_mass_family_goldens(toy):
+    """test-basics.R:22, 63-69: gap-query, MASS v2/v3/weighted sums on toy
+    data (gap golden requires the reference's left-pad alignment quirk,
+    dist_profile.R:135-137)."""
+    from tsmp_spark.mpcore.mass import dist_profile
+
+    data, w = toy
+    ref = data[:, 0]
+    gap_q = np.concatenate(
+        [np.arange(10, 0, -1.0), np.full(10, np.nan), np.arange(10, 21.0)]
+    )
+    dp = dist_profile(ref, gap_q, window_size=w).distance_profile
+    assert round(float(np.sum(np.round(dp[20:541], 2))), 2) == 38257.03
+
+    res = dist_profile(ref, ref, index=0, window_size=w)
+    assert round(float(np.sum(np.round(res.distance_profile, 2))), 2) == 30737.17
+    assert round(float(np.sum(np.round(res.last_product, 2))), 2) == 5965.13
+    res3 = dist_profile(ref, ref, index=0, window_size=w, method="v3")
+    assert round(float(np.sum(np.round(res3.distance_profile, 2))), 2) == 30737.17
+    assert round(float(np.sum(np.round(res3.last_product, 2))), 2) == 5965.13
+    wgt = np.concatenate([np.ones(15), np.full(15, 0.5)])
+    resw = dist_profile(ref, ref, index=0, window_size=w, method="weighted", weight=wgt)
+    assert round(float(np.sum(np.round(resw.distance_profile, 2))), 2) == 21944.89
+    assert round(float(np.sum(np.round(resw.last_product, 2))), 2) == -1076.72

