@@ -88,8 +88,8 @@ def test_simple_fast_brute(series):
     """Non-normalized multidim ED vs brute force."""
     rng = np.random.default_rng(5)
     data = np.stack([series[:200], rng.standard_normal(200)], axis=1)
-    r = simple_fast(data, 20)
-    # brute
+    r = simple_fast(data, 20, first_row_quirk=False)
+    # brute (mp is SQUARED per the reference convention, simple.R:198-212)
     n, d = data.shape
     plen = n - 20 + 1
     ez_n = exclusion_zone_size(20, 0.5)
@@ -97,7 +97,7 @@ def test_simple_fast_brute(series):
     for i in [0, 50, plen - 1]:
         dd = ((wins - wins[i]) ** 2).sum(axis=(1, 2))
         dd[max(0, i - ez_n) : min(plen, i + ez_n + 1)] = np.inf
-        assert r.mp[i] == pytest.approx(np.sqrt(dd.min()), rel=1e-9)
+        assert r.mp[i] == pytest.approx(dd.min(), rel=1e-9)
 
 
 def test_simple_fast_ab(series):

@@ -217,3 +217,53 @@ def test_mass_family_goldens(toy):
     resw = dist_profile(ref, ref, index=0, window_size=w, method="weighted", weight=wgt)
     assert round(float(np.sum(np.round(resw.distance_profile, 2))), 2) == 21944.89
     assert round(float(np.sum(np.round(resw.last_product, 2))), 2) == -1076.72
+
+
+def test_stamp_scrimp_goldens(toy):
+    """test-stamps.R:102-111, 139-142: STAMP full six-profile stats and
+    SCRIMP on toy[1:400, 1], w=40 (indexes 1-based; Inf positions of the
+    left/right profiles included)."""
+    from tsmp_spark.mpcore import scrimp, stamp
+
+    data, _ = toy
+    d = data[:400, 0]
+
+    def rat(x, dig):
+        x = np.asarray(x, dtype=np.float64)
+        return round(float(np.sum(x) / np.std(x, ddof=1)), dig)
+
+    st = stamp(d, 40)
+    assert rat(st.mp, 3) == 1091.226
+    assert int((np.flatnonzero(~np.isfinite(st.rmp)) + 1).sum()) == 7371
+    assert rat(st.rmp[:155], 3) == 445.228
+    assert int((np.flatnonzero(~np.isfinite(st.lmp)) + 1).sum()) == 231
+    assert rat(st.lmp[21:150], 3) == 284.888
+    assert rat(st.pi + 1, 3) == 497.011
+    assert rat(st.rpi[:340] + 1, 3) == 1640.354
+    assert rat(st.lpi[21:361] + 1, 3) == 352.708
+
+    sc = scrimp(d, 40)
+    assert rat(sc.mp, 2) == 1091.23
+    assert rat(sc.pi + 1, 3) == 497.011
+
+
+def test_simple_goldens(toy):
+    """test-simple.R:42-50: SiMPle self + AB join on the 3-dim toy data,
+    w=30. mp is the reference's SQUARED non-normalized multidim ED;
+    reproducing the self-join requires the asymmetric first-data-window
+    mask (simple.R:168 masks only queries [1:ez], one narrower than the
+    loop's symmetric zone)."""
+    from tsmp_spark.mpcore import simple_fast
+
+    data, _ = toy
+    s = simple_fast(data[:250, :], window_size=30)
+    assert round(float(np.sum(s.mp)), 3) == 419.509
+    assert round(float(np.std(s.mp, ddof=1)), 3) == 0.841
+    assert int(np.sum(s.pi + 1)) == 23878
+    assert round(float(np.std(s.pi + 1.0, ddof=1)), 3) == 64.977
+
+    j = simple_fast(data[:250, :], window_size=30, query=data[250:500, :])
+    assert round(float(np.sum(j.mp)), 3) == 908.248
+    assert round(float(np.std(j.mp, ddof=1)), 3) == 2.263
+    assert int(np.sum(j.pi + 1)) == 24981
+    assert round(float(np.std(j.pi + 1.0, ddof=1)), 3) == 61.021

@@ -45,6 +45,7 @@ def simple_fast(
     window_size: int,
     query: np.ndarray | None = None,
     exclusion_zone: float = 0.5,
+    first_row_quirk: bool = True,
 ) -> SimpleMatrixProfile:
     """``data``/``query``: (n, n_dim). Returns the SiMPle profile
     (simple.R:221-230): per data position, the non-normalized multidim ED
@@ -61,6 +62,11 @@ def simple_fast(
     w = int(window_size)
     ez = 0.0 if join else exclusion_zone
     ez_n = 0 if join else exclusion_zone_size(w, ez)
+    # simple.R:127+168: the FIRST data window's profile masks query
+    # positions [1:ez] computed from the ez PARAMETER — applied even for
+    # joins (the "no ez if join" comment notwithstanding), and one
+    # narrower than the symmetric zone (query ez stays allowed)
+    ez_first = exclusion_zone_size(w, exclusion_zone) if first_row_quirk else 0
 
     n, d = data.shape
     plen = n - w + 1
@@ -88,12 +94,17 @@ def simple_fast(
             qt[0, :] = first_dots[i, :]
         dp = (ss_data + ss_query[i][None, :] - 2.0 * qt).sum(axis=1)
         np.maximum(dp, 0.0, out=dp)
+        if ez_first > 0 and i < ez_first:
+            dp[0] = np.inf  # data window 0 rejects queries [0, ez-1]
         if not join and ez_n > 0:
-            dp[max(0, i - ez_n) : min(plen, i + ez_n + 1)] = np.inf
+            lo = (max(1, i - ez_n) if first_row_quirk else max(0, i - ez_n))
+            dp[lo : min(plen, i + ez_n + 1)] = np.inf
         upd = dp < mp
         mp[upd] = dp[upd]
         pi[upd] = i
 
+    # reference convention (simple.R:198-212): mp is the SQUARED
+    # non-normalized multidim ED — never rooted
     return SimpleMatrixProfile(
-        mp=np.sqrt(mp), pi=pi, w=w, ez=ez, n_dim=d, join=join
+        mp=mp, pi=pi, w=w, ez=ez, n_dim=d, join=join
     )

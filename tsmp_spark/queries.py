@@ -1804,7 +1804,10 @@ def q_simple_2dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for doc_id, dims in zip(pdf["doc_id"], pdf["dims"]):
                 data = np.asarray([np.asarray(x) for x in dims], dtype=np.float64)
-                r = simple_fast(data, W)
+                # symmetric variant for the relational oracle; the
+                # reference's asymmetric first-row quirk (and its SQUARED
+                # mp convention) are golden-tested in mpcore directly
+                r = simple_fast(data, W, first_row_quirk=False)
                 keep = np.isfinite(r.mp)
                 idx = np.flatnonzero(keep)
                 out.append(
@@ -1812,7 +1815,7 @@ def q_simple_2dim(spark: SparkSession, sf_dir: str) -> DataFrame:
                         {
                             "doc_id": np.repeat(doc_id, idx.shape[0]),
                             "pos": idx.astype(np.int64),
-                            "mp_r": np.round(r.mp[idx], 4),
+                            "mp_r": np.round(np.sqrt(r.mp[idx]), 4),
                         }
                     )
                 )
