@@ -267,3 +267,74 @@ def test_simple_goldens(toy):
     assert round(float(np.std(j.mp, ddof=1)), 3) == 2.263
     assert int(np.sum(j.pi + 1)) == 24981
     assert round(float(np.std(j.pi + 1.0, ddof=1)), 3) == 61.021
+
+
+def test_multidim_motif_goldens(toy):
+    """test-mstomp-search.R:12-17: guided and unconstrained (MDL)
+    multidimensional motif search on the 3-dim toy data."""
+    from tsmp_spark.mpcore import find_motifs_multi, mstomp
+
+    data, w = toy
+    d = data[:200, :]
+    r = mstomp(d, w)
+    r.data = d
+    g = find_motifs_multi(r, d, n_motifs=2, mode="guided")
+    assert [int(p) + 1 for p in g.motif_idx[0]] == [45, 108]
+    assert [int(x) + 1 for x in g.motif_window[0]] == [1, 2, 3]
+    u = find_motifs_multi(r, d, n_motifs=2, mode="unconstrained")
+    assert [[int(p) + 1 for p in pr] for pr in u.motif_idx] == [[33, 102]]
+    assert [[int(x) + 1 for x in dd] for dd in u.motif_window] == [[1]]
+
+
+def test_misc_and_api_goldens(toy):
+    """test-misc.R:45-48 (ed_corr/normalize/paa/ipaa ratios) and
+    test-motifs.R / test-discords.R / test-find-chains.R /
+    test-find-discord.R API-level goldens."""
+    from tsmp_spark.mpcore import find_chains, find_discords
+    from tsmp_spark.mpcore.stats import ed_corr as _edc, ipaa, normalize, paa
+
+    data, w = toy
+
+    def rat(x, dig):
+        x = np.asarray(x, dtype=np.float64)
+        return round(float(np.sum(x) / np.std(x, ddof=1)), dig)
+
+    d100 = data[:100, 0]
+    mp = stomp(d100, 10)
+    assert rat(_edc(mp.mp, 10), 3) == 695.805
+    assert rat(normalize(d100), 3) == 168.874
+    pt = paa(d100, 2)
+    assert rat(pt, 3) == 155.269
+    assert rat(ipaa(pt, 2), 3) == 312.118
+
+    # chains + discord on the gait dataset, w=50, ez=1/4
+    gait = np.asarray(
+        load_rda("/root/reference/data/mp_gait_data.rda")["mp_gait_data"].value,
+        dtype=np.float64,
+    ).ravel()
+    gp = stomp(gait, 50, exclusion_zone=0.25)
+    gp.data = gait
+    chains, best = find_chains(gp)
+    assert len(chains) == 58 and len(best) == 6
+    disc = find_discords(gp, n_discords=1)
+    assert [int(i) + 1 for i in disc.discord_idx] == [48]
+    assert [int(n) + 1 for n in disc.discord_neighbor[0]] == [483, 184, 584]
+
+    # motifs()/discords() API wrappers on compute(ts, 30) == mpx minlag 15
+    full = data[:, 0]
+    prof = mpx(full, 30, minlag=15)
+    prof.data = full
+    m = find_motifs(prof, n_motifs=3)
+    vals = (
+        [p + 1 for pair in m.motif_idx for p in pair]
+        + [n + 1 for nb in m.motif_neighbor for n in nb]
+        + [30] * len(m.motif_window)
+    )
+    assert round(float(np.mean(vals)), 4) == 256.3182
+    assert round(float(np.std(vals, ddof=1)), 4) == 167.7008
+    dd = find_discords(prof, n_discords=3, n_neighbors=10)
+    dvals = [i + 1 for i in dd.discord_idx] + [
+        n + 1 for nb in dd.discord_neighbor for n in nb
+    ]
+    assert round(float(np.mean(dvals)), 4) == 298.8182
+    assert round(float(np.std(dvals, ddof=1)), 4) == 148.6915

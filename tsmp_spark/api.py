@@ -15,6 +15,7 @@ import numpy as np
 # ---- kernels & profiles under reference names ------------------------------
 from .mpcore import MatrixProfile
 from .mpcore import av_apply as av_apply
+from .mpcore import find_motifs_multi as find_motif_multi  # find_motif.MultiMatrixProfile
 from .mpcore import av_complexity as av_complexity
 from .mpcore import av_hardlimit_artifact as av_hardlimit_artifact
 from .mpcore import av_motion_artifact as av_motion_artifact

@@ -14,7 +14,16 @@ from .av import (
     av_stop_word,
     av_zerocrossing,
 )
-from .discovery import DiscordSet, MotifSet, find_chains, find_discords, find_motifs, min_mp_idx
+from .discovery import (
+    DiscordSet,
+    MotifSet,
+    find_chains,
+    find_discords,
+    find_motifs,
+    find_motifs_multi,
+    min_mp_idx,
+    min_mp_idx_multi,
+)
 from .fluss import (
     arc_counts,
     floss,

@@ -188,3 +188,135 @@ def find_chains(profile: MatrixProfile) -> tuple[list[np.ndarray], np.ndarray | 
                 best_mean = m
                 best = c
     return chains, best
+
+
+def min_mp_idx_multi(
+    mp2d: np.ndarray, pi2d: np.ndarray, n_dim: int | None = None
+) -> np.ndarray | None:
+    """Multidimensional argmin-with-validity-walk (misc.R:539-597): per
+    k-dim-profile column, the global minimum and its recorded neighbor;
+    minima whose neighbor is masked/invalid are poisoned and re-searched.
+    ``n_dim`` selects a single column (1-based like the reference).
+    Returns an (n_cols, 2) array of 0-based (idx, neighbor) or None."""
+    mp = mp2d[:, [n_dim - 1]] if n_dim else mp2d
+    pi = pi2d[:, [n_dim - 1]] if n_dim else pi2d
+    mp = np.array(mp, dtype=np.float64, copy=True)
+    m, d = mp.shape
+    while True:
+        mins = np.nanargmin(np.where(np.isfinite(mp), mp, np.inf), axis=0)
+        if any(mins[c] == 0 and not np.isfinite(mp[0, c]) for c in range(d)):
+            return None
+        if not np.isfinite(mp[mins, np.arange(d)]).all():
+            return None
+        nn = np.array([pi[mins[c], c] for c in range(d)], dtype=np.int64)
+        if ((nn >= 0) & (nn < m)).all() and np.isfinite(
+            mp[nn, np.arange(d)]
+        ).all():
+            return np.stack([mins.astype(np.int64), nn], axis=1)
+        mp[mins, np.arange(d)] = np.inf
+
+
+def _mdl_discretize(motif: np.ndarray, n_bit: int) -> np.ndarray:
+    """misc.R:1059-1087 discretization by normal-quantile split points."""
+    from statistics import NormalDist
+
+    m = np.array(motif, dtype=np.float64, copy=True)
+    for c in range(m.shape[1]):
+        mu = m[:, c].mean()
+        sd = float(np.std(m[:, c]))  # population SD (tsmp std, math.cpp:4-20)
+        m[:, c] = (m[:, c] - mu) / (sd if sd > 0 else 1.0)
+    splits = np.array(
+        [NormalDist().inv_cdf(q / 2.0**n_bit) for q in range(1, 2**n_bit)]
+    )
+    disc = np.zeros(m.shape, dtype=np.int64)
+    for i, sp in enumerate(splits, start=1):
+        disc[(m < sp) & (disc == 0)] = i
+    disc[disc == 0] = splits.shape[0] + 1
+    return disc
+
+
+def _bit_save_multi(
+    motif_1: np.ndarray, motif_2: np.ndarray, n_dim: int, n_bit: int
+) -> tuple[float, np.ndarray]:
+    """misc.R:1024-1048: MDL bit size of encoding the pair over its best
+    ``n_dim`` dimensions; returns (bit_sz, 0-based dim ids)."""
+    tot_dim = motif_1.shape[1]
+    w = motif_1.shape[0]
+    d1 = _mdl_discretize(motif_1, n_bit)
+    d2 = _mdl_discretize(motif_2, n_bit)
+    order = np.argsort(np.abs(d1 - d2).sum(axis=0), kind="stable")
+    dim_id = order[:n_dim]
+    diff = d1[:, dim_id] - d2[:, dim_id]
+    n_val = np.unique(diff).shape[0]
+    bit_sz = n_bit * (tot_dim * w * 2 - n_dim * w)
+    bit_sz += n_dim * w * np.log2(n_val) + n_val * n_bit
+    return float(bit_sz), dim_id
+
+
+def find_motifs_multi(
+    profile,
+    data: np.ndarray | None = None,
+    n_motifs: int = 3,
+    mode: str = "guided",
+    n_bit: int = 4,
+    n_dim: int | None = None,
+    exclusion_zone: float | None = None,
+) -> MotifSet:
+    """Multidimensional motif discovery (find-motifs.R:186-352).
+
+    ``guided``: the pair at the minimum of the ``n_dim``-dim profile
+    column; dimensions ranked by the pair's per-dimension discrepancy.
+    ``unconstrained`` (R mode "u"): iterative MDL search — per candidate
+    pair the bit cost of encoding it over its best j dimensions, stop when
+    the best cost exceeds the raw encoding (n_bit·dims·w·2)."""
+    data = np.asarray(profile.data if data is None else data, dtype=np.float64)
+    if data.ndim == 1:
+        data = data[:, None]
+    if data.shape[0] < data.shape[1]:
+        data = data.T
+    w = profile.w
+    out = MotifSet()
+
+    if mode.startswith("g"):
+        k = n_dim or profile.n_dim
+        found = min_mp_idx_multi(profile.mp, profile.pi, n_dim=k)
+        if found is None:
+            return out
+        pair = np.sort(found[0])
+        m1 = data[pair[0] : pair[0] + w, :]
+        m2 = data[pair[1] : pair[1] + w, :]
+        order = np.argsort(np.abs(m1 - m2).sum(axis=0), kind="stable")
+        out.motif_idx.append(pair)
+        out.motif_window.append(np.sort(order[:k]))  # motif_dim (0-based)
+        return out
+
+    # unconstrained
+    ez = profile.ez if exclusion_zone is None else exclusion_zone
+    ez_n = exclusion_zone_size(w, ez)
+    tot_dim = profile.n_dim
+    mp = np.array(profile.mp, dtype=np.float64, copy=True)
+    base_bit = n_bit * tot_dim * w * 2
+    n = mp.shape[0]
+    for _ in range(n_motifs):
+        found = min_mp_idx_multi(mp, profile.pi)
+        if found is None:
+            break
+        vals = mp[found[:, 0], np.arange(found.shape[0])]
+        if not np.isfinite(vals).all():
+            break
+        best_bit, best_j, best_dims = np.inf, -1, None
+        for j in range(tot_dim):
+            i1, i2 = int(found[j, 0]), int(found[j, 1])
+            bits, dims = _bit_save_multi(
+                data[i1 : i1 + w, :], data[i2 : i2 + w, :], j + 1, n_bit
+            )
+            if bits < best_bit:
+                best_bit, best_j, best_dims = bits, j, dims
+        if best_bit > base_bit:
+            break
+        pair = np.sort(found[best_j])
+        out.motif_idx.append(pair)
+        out.motif_window.append(np.sort(best_dims))
+        for p in pair:
+            mp[max(0, p - ez_n) : min(n, p + ez_n + 1), :] = np.inf
+    return out
