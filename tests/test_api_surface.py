@@ -79,8 +79,10 @@ def test_salient_mds_and_score():
     profile = api.stomp(x, 30)
     emb = api.salient_mds(profile)
     assert emb.shape[1] == 2 or emb.shape[0] == 0
-    s = api.salient_score(np.array([33, 200]), np.array([35, 400]), 30)
-    assert s == pytest.approx(0.5)
+    res = api.salient_subsequences(profile, n_bits=[4, 6])
+    scr = api.salient_score(res, np.array([35, 400]), 30)
+    assert set(scr) == {"fscore", "precision", "recall"}
+    assert 0.0 <= scr["precision"] <= 1.0
 
 
 def test_print_format_parity_with_reference_goldens():

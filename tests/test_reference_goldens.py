@@ -338,3 +338,43 @@ def test_misc_and_api_goldens(toy):
     ]
     assert round(float(np.mean(dvals)), 4) == 298.8182
     assert round(float(np.std(dvals, ddof=1)), 4) == 148.6915
+
+
+def test_salient_goldens(toy):
+    """test-salient.R:23-36: the full MDL hypothesis/compressible
+    selection, discretization suite, sorted-candidate order, MDS
+    projection, and score (with the reference's fscore-of-last-column
+    quirk) on toy data."""
+    import tsmp_spark.api as api
+    from tsmp_spark.mpcore import salient_subsequences
+    from tsmp_spark.mpcore.salient import (
+        discrete_norm,
+        discrete_norm_pre,
+        get_bitsize,
+        get_sorted_idx,
+    )
+
+    data, w = toy
+    d = data[:, 0]
+    assert get_bitsize(d > 0, 10) == 5490
+    assert int(np.sum(discrete_norm(d, 3, float(d.max()), float(d.min())))) == 546
+    mx, mn = discrete_norm_pre(d, 100)
+    assert (round(mx, 4), round(mn, 4)) == (3.3845, -3.4308)
+
+    mp = stomp(d, w)
+    mp.data = d
+    res = salient_subsequences(mp, n_bits=[4, 6, 8])
+
+    def rat(x, dig):
+        x = np.asarray(x, dtype=np.float64)
+        return round(float(np.sum(x) / np.std(x, ddof=1)), dig)
+
+    assert rat(res.indexes + 1, 4) == 93.7207
+    assert rat(res.bit_save, 2) == 195.59
+    expected = {36, 408, 37, 407, 35, 200, 9, 199, 10, 406}
+    assert sum(1 for s in get_sorted_idx(mp.mp, 10) + 1 if s in expected) == 10
+    assert round(float(np.std(api.salient_mds(mp, res=res), ddof=1)), 2) == 3.69
+    scr = api.salient_score(res, np.arange(2, 501, 110) - 1, w)
+    assert round(scr["precision"], 4) == 0.5
+    assert round(scr["recall"], 4) == 0.2
+    assert round(scr["fscore"], 4) == 0.2857

@@ -162,15 +162,22 @@ def plot_arcs(profile: MatrixProfile):
     return arc_counts(profile.pi, profile.pi.shape[0])
 
 
-def salient_mds(profile: MatrixProfile, data=None, n_bits: int = 8):
-    """salient.R:358-408: classical MDS of the salient subsequences
-    (2-D embedding of pairwise distances via double-centering)."""
+def salient_mds(profile: MatrixProfile, data=None, res=None, n_bits=8, bit_idx: int = 0):
+    """salient.R:358-408: classical MDS (cmdscale) of the znormed salient
+    subsequences of the ``bit_idx``-th bit column."""
     from .mpcore import salient_subsequences
 
-    res = salient_subsequences(profile, data=data, n_bits=n_bits)
-    src = np.asarray(profile.data if data is None else data, np.float64)
+    if res is None:
+        res = salient_subsequences(profile, data=data, n_bits=n_bits)
+    src = np.asarray(profile.data if data is None else data, np.float64).ravel()
     w = profile.w
-    subs = np.stack([src[i : i + w] for i in res.indexes]) if len(res.indexes) else np.empty((0, w))
+    idxs = np.atleast_2d(res.indexes.T)[bit_idx] if res.indexes.ndim > 1 else res.indexes
+    subs = []
+    for i in idxs:
+        x = src[i : i + w]
+        sd = float(np.std(x))
+        subs.append((x - x.mean()) / (sd if sd != 0 else 1.0))
+    subs = np.stack(subs) if subs else np.empty((0, w))
     if subs.shape[0] < 2:
         return np.zeros((subs.shape[0], 2))
     d2 = ((subs[:, None, :] - subs[None, :, :]) ** 2).sum(axis=2)
@@ -181,15 +188,39 @@ def salient_mds(profile: MatrixProfile, data=None, n_bits: int = 8):
     return vecs[:, order] * np.sqrt(np.maximum(vals[order], 0.0))
 
 
-def salient_score(extracted: np.ndarray, gtruth: np.ndarray, w: int) -> float:
-    """salient.R:410-479: fraction of ground-truth locations matched by an
-    extracted index within ±w."""
-    gtruth = np.asarray(gtruth)
-    extracted = np.asarray(extracted)
-    if gtruth.shape[0] == 0:
-        return 0.0
-    hits = sum(1 for g in gtruth if extracted.shape[0] and np.abs(extracted - g).min() <= w)
-    return hits / gtruth.shape[0]
+def salient_score(res, gtruth: np.ndarray, w: int):
+    """salient.R:410-479, exact semantics: per bit column, a pick is a hit
+    when its distance to the nearest ground-truth index is < 0.2·w; the
+    pick list is cut at the first increase of the running description
+    length; returns (fscore, precision, recall) with the reference's quirk
+    preserved — fscore is the LAST column's score while precision/recall
+    track the best column."""
+    gtruth = np.asarray(gtruth, dtype=np.int64)
+    idxs = res.indexes if res.indexes.ndim > 1 else res.indexes[:, None]
+    sizes = res.bit_save if res.bit_save.ndim > 1 else res.bit_save[:, None]
+    f_score = best_f = best_p = best_r = 0.0
+    for b in range(idxs.shape[1]):
+        hit = np.array(
+            [np.abs(int(i) - gtruth).min() < 0.2 * w for i in idxs[:, b]]
+        )
+        d = np.diff(sizes[:, b])
+        inc = np.flatnonzero(d > 0)
+        if inc.shape[0] == 0:
+            continue
+        cutoff = int(inc[0])  # R: which(...)[1] - 1 picks, 1-based
+        if cutoff <= 0:
+            continue
+        h = hit[:cutoff]
+        precision = float(h.sum()) / h.shape[0]
+        recall = float(h.sum()) / gtruth.shape[0]
+        f_score = (
+            2 * precision * recall / (precision + recall)
+            if (precision + recall) > 0
+            else 0.0
+        )
+        if f_score > best_f:
+            best_p, best_r, best_f = precision, recall, f_score
+    return {"fscore": f_score, "precision": best_p, "recall": best_r}
 
 
 # S3 converters: the schema is the class — validation no-ops kept for

@@ -1,129 +1,220 @@
 """Salient subsequences — MDL-based selection of the subsequence set that
 best compresses the series.
 
-Re-derives tsmp salient.R:44-356 + the discretization suite
-(misc.R:851-1100) at the semantic level: candidates are profile minima in
-ascending order with exclusion-zone suppression (get_sorted_idx,
-misc.R:816-849); each round keeps the candidate whose dictionary encoding
-saves the most bits (get_bit_save MDL, misc.R:1024-1057); stops when the
-bit cost no longer improves.
+Faithful re-derivation of salient.R:44-356 and its discretization suite:
+``discrete_norm_pre`` (misc.R:866-900: sliding-znorm global max/min),
+``discrete_norm`` (misc.R:915-932: znorm → [min,max] scale → n-bit
+levels 1..2^n), ``get_bitsize`` (misc.R:851-855: nonzero count ×
+mismatch bits), ``get_sorted_idx`` (misc.R:816-849: ascending-mp order
+with exclusion dedup on the first n candidates). The main loop keeps a
+hypothesis dictionary and a compressible set: each round every candidate
+is scored both as a new hypothesis (vs its profile pair) and as
+compressible against the existing dictionary; the better role wins, the
+pick's exclusion zone is masked, and the running description length
+(compress + hypothesis + raw-other cost) is recorded. Golden-tested
+against the reference's published values on its own data.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
-from .mass import dist_profile
-from .stats import exclusion_zone_size
+from .stats import EPS, exclusion_zone_size
 from .stomp import MatrixProfile
-
-
-def discrete_norm_pre(data: np.ndarray) -> tuple[float, float]:
-    """Robust bounds for quantization (misc.R:866-913): mean ± 3·sd."""
-    data = np.asarray(data, dtype=np.float64)
-    mu, sd = data.mean(), data.std(ddof=0)
-    return mu - 3.0 * sd, mu + 3.0 * sd
-
-def discrete_norm(x: np.ndarray, n_bits: int, lo: float, hi: float) -> np.ndarray:
-    """n-bit quantization to integer levels 1..2^n_bits (misc.R:915-948)."""
-    x = np.clip(np.asarray(x, dtype=np.float64), lo, hi)
-    levels = (1 << n_bits) - 1
-    return np.rint((x - lo) / (hi - lo) * levels).astype(np.int64) + 1
-
-
-def get_bitsize(x: np.ndarray, n_bits: int) -> float:
-    """Bits to store the quantized vector raw (misc.R:851-864)."""
-    return float(x.shape[0] * n_bits)
-
-
-def get_bit_save(
-    candidate: np.ndarray, hits: list[np.ndarray], n_bits: int
-) -> float:
-    """MDL bit save of encoding each hit as (pointer + sparse diff from
-    the candidate) instead of raw (misc.R:1024-1057): saved bits =
-    Σ_hits [raw − (log2(n_levels)·|nonzero diff| + pointer)]."""
-    save = 0.0
-    for h in hits:
-        diff = h - candidate
-        nz = int(np.count_nonzero(diff))
-        raw = get_bitsize(h, n_bits)
-        encoded = nz * (n_bits + np.log2(max(h.shape[0], 2))) + np.log2(
-            max(h.shape[0], 2)
-        )
-        save += raw - encoded
-    return save
 
 
 @dataclass
 class SalientResult:
-    indexes: np.ndarray
-    bit_save: np.ndarray
-    n_bits: int
+    indexes: np.ndarray  # (k,) for one n_bits, (k, len(n_bits)) for several
+    bit_save: np.ndarray  # running description length per pick (idx_bit_size)
+    n_bits: int | list[int]
 
 
+def discrete_norm_pre(
+    data: np.ndarray, window_size: int = 1
+) -> tuple[float, float]:
+    """Global (max, min) over all sliding znormed windows (misc.R:866-900)."""
+    data = np.asarray(data, dtype=np.float64).ravel()
+    n = data.shape[0]
+    mx, mn = -np.inf, np.inf
+    for i in range(n - window_size + 1):
+        win = data[i : i + window_size]
+        mu = win.mean()
+        sd = float(np.std(win))  # population SD (tsmp std, math.cpp:4-20)
+        win = (win - mu) / sd if sd != 0 else (win - mu)
+        mx = max(mx, float(win.max()))
+        mn = min(mn, float(win.min()))
+    return mx, mn
+
+
+def discrete_norm(
+    data: np.ndarray, n_bits: int, mx: float, mn: float
+) -> np.ndarray:
+    """znorm → scale to [mn, mx] → n-bit integer levels (misc.R:915-932)."""
+    x = np.asarray(data, dtype=np.float64)
+    mu = x.mean()
+    sd = float(np.std(x))
+    x = (x - mu) / sd if sd != 0 else (x - mu)
+    x = (x - mn) / (mx - mn)
+    return (np.rint(x * (2.0**n_bits - 1.0) + EPS) + 1.0).astype(np.int64)
+
+
+def get_bitsize(x: np.ndarray, mismatch_bit: float) -> float:
+    """Reduced description length (misc.R:851-855)."""
+    return float(np.count_nonzero(np.asarray(x)) * mismatch_bit)
+
+
+def get_sorted_idx(
+    mp: np.ndarray, n_cand: int, exclusion_zone: int = 0
+) -> np.ndarray:
+    """Ascending-mp candidate order, exclusion-dedup applied to the first
+    ``n_cand`` entries, infinite entries dropped (misc.R:816-849)."""
+    mp = np.asarray(mp, dtype=np.float64)
+    idx = np.argsort(mp, kind="stable")
+    if exclusion_zone > 0:
+        i = 0
+        idx = list(idx)
+        while i < min(n_cand, len(idx)):
+            head = idx[: i + 1]
+            tail = [j for j in idx[i + 1 :] if abs(j - idx[i]) >= exclusion_zone]
+            idx = head + tail
+            i += 1
+        idx = np.asarray(idx, dtype=np.int64)
+    idx = idx[np.isfinite(mp[idx])]
+    return idx[: min(n_cand, idx.shape[0])]
+
+
+#: back-compat alias for the pre-faithful name
 def sorted_candidate_idx(
     mp: np.ndarray, ez_n: int, limit: int | None = None
 ) -> np.ndarray:
-    """Ascending-mp candidate order with exclusion suppression
-    (misc.R:816-849)."""
-    mp = mp.copy()
-    n = mp.shape[0]
-    out = []
-    while limit is None or len(out) < limit:
-        i = int(np.argmin(mp))
-        if not np.isfinite(mp[i]):
+    return get_sorted_idx(mp, limit or mp.shape[0], ez_n)
+
+
+def _salient_one(
+    profile: MatrixProfile,
+    data: np.ndarray,
+    n_bits: int,
+    n_cand: int,
+    ez_n: int,
+    max_index_num: int,
+    mx: float,
+    mn: float,
+) -> tuple[list[int], list[float]]:
+    """One n_bits pass of salient.R:122-317 (1-dim branch)."""
+    w = profile.w
+    mp = np.array(profile.mp, dtype=np.float64, copy=True)
+    mp_size = mp.shape[0]
+    uncompressed_bit = n_bits * w
+    mismatch_bit = n_bits + np.log2(w)
+
+    indexes: list[int] = []
+    idx_bit_size: list[float] = []
+    hypothesis: list[np.ndarray] = []
+    compressible_n = 0
+    compress_cost = 0.0
+    pending: tuple[str, int] | None = None  # role, idx of the newest pick
+    init_bit = uncompressed_bit * mp_size
+
+    while True:
+        # process the newest pick (salient.R:165-230)
+        if pending is not None:
+            role, p = pending
+            win = discrete_norm(data[p : p + w], n_bits, mx, mn)
+            mp[max(0, p - ez_n) : min(mp_size, p + ez_n + 1)] = np.inf
+            if role == "hypothesis":
+                hypothesis.append(win)
+                if len(indexes) > 1:
+                    idx_bit_size.append(idx_bit_size[-1])
+                else:
+                    idx_bit_size.append(init_bit)
+            else:
+                compressible_n += 1
+                new_len = np.inf
+                for h in hypothesis:
+                    new_len = min(new_len, get_bitsize(win - h, mismatch_bit))
+                compress_cost += new_len
+                hyp_cost = uncompressed_bit * len(hypothesis) + (
+                    compressible_n * np.log2(len(hypothesis))
+                    if hypothesis
+                    else 0.0
+                )
+                other = uncompressed_bit * (
+                    mp_size - len(hypothesis) - compressible_n
+                )
+                idx_bit_size.append(compress_cost + hyp_cost + other)
+            pending = None
+
+        if len(indexes) >= max_index_num:
             break
-        out.append(i)
-        mp[max(0, i - ez_n) : min(n, i + ez_n + 1)] = np.inf
-    return np.asarray(out, dtype=np.int64)
+
+        cands = get_sorted_idx(mp, n_cand, ez_n)
+        if cands.shape[0] == 0:
+            break
+
+        best_save, best_i, best_role = -np.inf, -1, "hypothesis"
+        for c in cands:
+            can = discrete_norm(data[c : c + w], n_bits, mx, mn)
+            pair = int(profile.pi[c])
+            save_h = -np.inf
+            if 0 <= pair <= data.shape[0] - w:
+                motif = discrete_norm(data[pair : pair + w], n_bits, mx, mn)
+                save_h = uncompressed_bit - get_bitsize(motif - can, mismatch_bit)
+            save_c = -np.inf
+            if hypothesis:
+                new_len = min(
+                    get_bitsize(can - h, mismatch_bit) for h in hypothesis
+                )
+                save_c = uncompressed_bit - new_len
+            if save_h > save_c:
+                save, role = save_h, "hypothesis"
+            else:
+                save, role = save_c, "compressible"
+            if save > best_save:
+                best_save, best_i, best_role = save, int(c), role
+
+        indexes.append(best_i)
+        pending = (best_role, best_i)
+
+    return indexes, idx_bit_size
 
 
 def salient_subsequences(
     profile: MatrixProfile,
     data: np.ndarray | None = None,
-    n_bits: int = 8,
+    n_bits: int | list[int] = 8,
     n_cand: int = 10,
-    max_picks: int = 10,
+    exclusion_zone: float | None = None,
+    max_picks: int | None = None,
 ) -> SalientResult:
-    data = np.asarray(profile.data if data is None else data, dtype=np.float64)
+    """salient.R:44-356 (1-dim branch): MDL hypothesis/compressible
+    selection per requested bit width. ``max_picks`` caps the index count
+    below the reference's ``round(n/w)`` default."""
+    data = np.asarray(profile.data if data is None else data, dtype=np.float64).ravel()
     w = profile.w
-    ez_n = exclusion_zone_size(w, profile.ez)
-    lo, hi = discrete_norm_pre(data)
+    ez = profile.ez if exclusion_zone is None else exclusion_zone
+    ez_n = int(np.rint(w * ez + EPS))
+    max_index_num = int(np.rint(data.shape[0] / w + EPS))
+    if max_picks is not None:
+        max_index_num = min(max_index_num, max_picks)
+    mx, mn = discrete_norm_pre(data, w)
 
-    cands = sorted_candidate_idx(profile.mp, ez_n, limit=n_cand * max_picks)
-    picked: list[int] = []
-    saves: list[float] = []
-    par = None
-    best_total = 0.0
-    for c in cands[: n_cand * max_picks]:
-        cand_q = discrete_norm(data[c : c + w], n_bits, lo, hi)
-        # neighbors of the candidate = its compressible hits
-        res = dist_profile(data, data, index=int(c), window_size=w, par=par)
-        par = res.par
-        dp = res.distance_profile.copy()
-        dp[max(0, c - ez_n) : min(dp.shape[0], c + ez_n + 1)] = np.inf
-        order = np.argsort(dp)
-        save = 0.0
-        for j in order[:5]:
-            if not np.isfinite(dp[j]):
-                break
-            hit_q = discrete_norm(data[j : j + w], n_bits, lo, hi)
-            # only compressible neighbors join the dictionary entry — an
-            # incompressible window is cheaper stored raw (MDL choice)
-            hit_save = get_bit_save(cand_q, [hit_q], n_bits)
-            if hit_save > 0:
-                save += hit_save
-        if save <= 0:
-            continue
-        picked.append(int(c))
-        saves.append(save)
-        best_total += save
-        if len(picked) >= max_picks:
-            break
+    bits_list = [n_bits] if isinstance(n_bits, int) else list(n_bits)
+    all_idx, all_bits = [], []
+    for b in bits_list:
+        idxs, sizes = _salient_one(
+            profile, data, int(b), n_cand, ez_n, max_index_num, mx, mn
+        )
+        all_idx.append(np.asarray(idxs, dtype=np.int64))
+        all_bits.append(np.asarray(sizes, dtype=np.float64))
+
+    if isinstance(n_bits, int):
+        return SalientResult(indexes=all_idx[0], bit_save=all_bits[0], n_bits=n_bits)
+    k = min(a.shape[0] for a in all_idx)
     return SalientResult(
-        indexes=np.asarray(picked, dtype=np.int64),
-        bit_save=np.asarray(saves),
-        n_bits=n_bits,
+        indexes=np.stack([a[:k] for a in all_idx], axis=1),
+        bit_save=np.stack([a[:k] for a in all_bits], axis=1),
+        n_bits=bits_list,
     )
