@@ -172,9 +172,9 @@ def test_sdts_train_predict_score():
     model = sdts_train(data[:2000], labels[:2000], w)
     assert len(model.patterns) >= 1
     assert model.score > 0.5
-    pred = sdts_predict(model, data[2000:])
-    score = sdts_score(pred, labels[2000 : n - w + 1], w)
-    assert score > 0.5  # finds the held-out occurrence
+    pred = sdts_predict(model, data[2000:], w)
+    score = sdts_score(pred, labels[2000 : n - w + 1])
+    assert score["f_score"] > 0.5  # finds the held-out occurrences
 
 
 # ---------- salient ----------

@@ -2015,14 +2015,14 @@ def q_sdts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     model = sdts_train(data[:600], labels[:600], w)
                 except ValueError:
                     continue
-                pred = sdts_predict(model, data[600:])
-                score = sdts_score(pred, labels[600 : n - w + 1], w)
+                pred = sdts_predict(model, data[600:], w)
+                score = sdts_score(pred, labels[600 : n - w + 1])
                 rows.append(
                     {
                         "doc_id": doc_id,
                         "n_patterns": len(model.patterns),
                         "train_score": round(float(model.score), 4),
-                        "test_score": round(float(score), 4),
+                        "test_score": round(float(score["f_score"]), 4),
                     }
                 )
             if rows:
