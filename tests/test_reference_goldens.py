@@ -416,3 +416,82 @@ def test_sdts_goldens():
     sc = sdts_score(pred, te_label, 1)
     assert round(sc["recall"], 4) == 0.4
     assert round(sc["f_score"], 4) == 0.3636
+
+
+def test_print_goldens_byte_exact(toy, tilt_abp):
+    """Byte-level comparison against the reference's shipped
+    tests/prints/ golden FILES, rebuilding each printed object from its
+    exact generating trace (test-plot-print.R:7-38). snippet-print and
+    motif_valmod-print are excluded: their generating algorithms are
+    numerics-noise-sensitive on degenerate (zero-padded / heap-pruned)
+    inputs — documented in SCALE.md."""
+    from pathlib import Path
+
+    from tsmp_spark.mpcore import (
+        find_chains,
+        find_discords,
+        find_motifs,
+        find_motifs_multi,
+        fluss_cac,
+        fluss_extract,
+        mstomp,
+        salient_subsequences,
+        simple_fast,
+        valmod,
+    )
+    from tsmp_spark.mpcore.printing import (
+        format_arc_count,
+        format_chain,
+        format_discord,
+        format_fluss,
+        format_matrix_profile,
+        format_motif,
+        format_multi_matrix_profile,
+        format_multi_motif,
+        format_salient,
+        format_simple_matrix_profile,
+        format_valmod,
+    )
+
+    prints = Path("/root/reference/tests/prints")
+    d = tilt_abp[:1000]
+    mp = stomp(d, 10)
+    mp.data = d
+    fluss_cac(mp)
+    segs = fluss_extract(mp, 3)
+    chains, best = find_chains(mp)
+    motifs = find_motifs(mp)
+    discords = find_discords(mp, n_discords=1)
+    sal = salient_subsequences(mp, n_bits=[4, 6, 8])
+
+    assert format_matrix_profile(mp) == (prints / "mp-print").read_text()
+    assert format_arc_count(mp) == (prints / "cac-print").read_text()
+    assert format_fluss(mp, segs) == (prints / "fluss-print").read_text()
+    assert format_chain(mp, chains, best) == (prints / "chain-print").read_text()
+    assert format_discord(mp, discords) == (prints / "discord-print").read_text()
+    assert (
+        format_salient(mp, sal.indexes, [4, 6, 8])
+        == (prints / "salient-print").read_text()
+    )
+    assert format_motif(mp, motifs) == (prints / "motif-print").read_text()
+
+    data, w = toy
+    md = data[:200, :]
+    mmp = mstomp(md, w)
+    mmp.data = md
+    mmotif = find_motifs_multi(mmp, md, n_motifs=2, mode="guided")
+    assert (
+        format_multi_matrix_profile(mmp, n_obs=200)
+        == (prints / "mmp-print").read_text()
+    )
+    assert (
+        format_multi_motif(mmp, mmotif, n_obs=200)
+        == (prints / "mmotif-print").read_text()
+    )
+    smp = simple_fast(md, window_size=w)
+    assert (
+        format_simple_matrix_profile(smp, n_obs=200)
+        == (prints / "smp-print").read_text()
+    )
+    val = valmod(d, window_min=30, window_max=40)
+    assert format_valmod(val, n_obs=1000) == (prints / "valmod-print").read_text()

@@ -84,6 +84,8 @@ def format_multi_matrix_profile(result, n_obs: int | None = None) -> str:
     s += _cat("Exclusion zone =", exclusion_zone_size(result.w, result.ez))
     must = getattr(result, "must", None)
     exc = getattr(result, "exc", None)
+    must = None if must is None or len(must) == 0 else must
+    exc = None if exc is None or len(exc) == 0 else exc
     s += _cat("Must dimensions =", "None" if must is None else ", ".join(str(m + 1) for m in must))
     s += _cat("Excluded dimensions =", "None" if exc is None else ", ".join(str(e + 1) for e in exc))
     s += _data_line(n_obs, n_dim=result.n_dim)
@@ -119,7 +121,8 @@ def format_valmod(result, n_obs: int | None = None, n_dim: int = 1) -> str:
     s = _header("Valmod Matrix Profile")
     s += _cat("Profile size =", result.mp.shape[0])
     s += _cat("Window size =", int(np.min(result.w)), "-", int(np.max(result.w)))
-    s += _cat("Exclusion zone =", result.ez, "times the windows size")
+    # print.Valmod embeds the newline in the last string -> no trailing space
+    s += " ".join([_num("Exclusion zone ="), _num(result.ez), "times the windows size"]) + "\n"
     s += _data_line(n_obs, n_dim=n_dim)
     return s
 
@@ -208,7 +211,19 @@ def format_snippet(result) -> str:
 def format_salient(profile, indexes, bits) -> str:
     """print.Salient (print.R:369-388)."""
     s = format_matrix_profile(profile)
-    s += "\n" + _header("Salient Subsequences")
+    # print.R:373-374 hardcodes a 22-dash rule under the 20-char title
+    s += "\n" + "Salient Subsequences\n" + "-" * 22 + "\n"
     s += _cat("Subsequences found =", int(np.asarray(indexes).shape[0]))
     s += _cat("Bitsizes tested =", *[int(b) for b in np.atleast_1d(bits)])
+    return s
+
+
+def format_multi_motif(result, motifs, n_obs: int | None = None) -> str:
+    """print.MultiMotif (print.R:342-367): appended below the
+    multidimensional profile; dims and pairs 1-based."""
+    s = format_multi_matrix_profile(result, n_obs=n_obs)
+    s += "\n" + _header("Multidimensional Motif")
+    s += _cat("Motif pairs found =", len(motifs.motif_idx))
+    s += _cat("Motif pairs indexes =", _bracketed(motifs.motif_idx))
+    s += _cat("Motifs pairs dimensions =", _bracketed(motifs.motif_window))
     return s
