@@ -76,15 +76,30 @@ def av_stop_word(
     wins = _windows(data, w)[: profile.mp.shape[0]]
     diff = wins - stop[None, :]
     av = zero_one_norm(np.sqrt((diff * diff).sum(axis=1)))
-    # Reference-exact suppression (annotations.R:212-219): the R code uses
-    # the RAW ez fraction (0.5) as an index distance — never scaled by w —
-    # and fractional bounds through R's colon+truncation zero exactly the
-    # flagged position and its predecessor. Reproduces the published
-    # golden (sum/sd = 1336.86 on mp_test_data, test-annotation.R:41).
+    # Reference-exact suppression (annotations.R:211-220): R uses the RAW
+    # exclusion_zone value (defaulting to the FRACTIONAL .mp$ez, never
+    # scaled by w) as an index distance, zeroing [i-ez+1, min(i+ez-1, n)]
+    # (or from 1 when i < ez) through its colon operator + truncating
+    # indexing. With the 0.5 default the fractional colon bounds descend
+    # (i+0.5):(i-0.5) and truncate to exactly {i, i-1} — reproducing the
+    # published golden (sum/sd = 1336.86 on mp_test_data,
+    # test-annotation.R:41). A user-supplied integer ez widens the zeroed
+    # neighborhood exactly as R does.
+    ez = float(profile.ez if exclusion_zone is None else exclusion_zone)
+    ps = av.shape[0]
     for idx in np.flatnonzero(av <= threshold):
-        av[idx] = 0.0
-        if idx >= 1:
-            av[idx - 1] = 0.0
+        i = idx + 1.0  # R 1-based
+        if i < ez:
+            start, end = 1.0, min(i + ez - 1.0, float(ps))
+        else:
+            start, end = i - ez + 1.0, min(i + ez - 1.0, float(ps))
+        # R colon: ±1 steps from start, floor(|end-start|)+1 values
+        count = int(np.floor(abs(end - start))) + 1
+        sign = 1.0 if start <= end else -1.0
+        for k in range(count):
+            j = int(start + sign * k)  # R truncating index
+            if 1 <= j <= ps:
+                av[j - 1] = 0.0
     return av
 
 

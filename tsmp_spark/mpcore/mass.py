@@ -333,10 +333,3 @@ def _gap_profile(
         combined = combined + np.sqrt(aligned[: n - w + 1])
     out = combined * combined
     return DistProfileResult(out, np.zeros_like(out), par)
-    combined = np.zeros(n - w + 1)
-    for dp, offset, sw in parts:
-        aligned = dp[offset : offset + n - w + 1]
-        aligned = np.clip(aligned, 0.0, None)
-        combined = combined + np.sqrt(aligned[: n - w + 1])
-    out = combined * combined
-    return DistProfileResult(out, np.zeros_like(out), par)

@@ -258,6 +258,12 @@ def sdts_train(
         thold_cur: dict[int, np.ndarray] = {}
         exc_st = np.zeros(n_c, dtype=np.int64)
         exc_ed = np.zeros(n_c, dtype=np.int64)
+        # sdts-train.R:253 copies exc_mask into exc_mask_cur once per outer
+        # iteration; candidate zones are set/unset on the COPY only (R:268,316)
+        # so accepted zones on exc_mask stay pristine.  R's within-iteration
+        # quirk — an unset that overlaps an accepted zone erases those bits in
+        # the copy for later candidates of the same iteration — is preserved.
+        exc_cur = exc_mask.copy()
         for j in range(n_c):
             if best_pat[j]:
                 continue
@@ -265,7 +271,7 @@ def sdts_train(
             sel[j] = True
             exc_st[j] = max(0, candi_idx[j] - max_w)
             exc_ed[j] = min(max_pro_len - 1, candi_idx[j] + max_w)
-            exc_mask[exc_st[j] : exc_ed[j] + 1] = True
+            exc_cur[exc_st[j] : exc_ed[j] + 1] = True
 
             pro_cur = [candi_pro[k].copy() for k in np.flatnonzero(sel)]
             pro_max, pro_min = -np.inf, np.inf
@@ -274,7 +280,7 @@ def sdts_train(
                 if fin.shape[0]:
                     pro_max = max(pro_max, float(fin.max()))
                 pro_min = min(pro_min, float(p.min()))
-                m = exc_mask[: p.shape[0]]
+                m = exc_cur[: p.shape[0]]
                 p[m] = np.inf
 
             th = candi_thold[sel].astype(np.float64)
@@ -291,7 +297,7 @@ def sdts_train(
                         break
             thold_cur[j] = th
             pat_score[j] = score
-            exc_mask[exc_st[j] : exc_ed[j] + 1] = False
+            exc_cur[exc_st[j] : exc_ed[j] + 1] = False
 
         best_j = int(np.argmax(pat_score))
         if pat_score[best_j] - best_score > 0:

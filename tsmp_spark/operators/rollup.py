@@ -135,48 +135,72 @@ def arc_count_cac(
     force the edge exclusion zone (ez·10 window fractions) to 1.
 
     Single scan of ``profile``: each row explodes to its spine entry
-    (pos, 0) plus — when the neighbor index is valid — its two arc deltas
-    (lo, +1) / (hi, -1), so the input lineage (typically an Arrow-UDF
-    matrix-profile plan) is evaluated exactly once. Shuffle budget: one
-    groupBy(key, pos) + one window over key.
+    (pos, 0) plus — when the neighbor index is a valid in-range position —
+    its two arc deltas (lo, +1) / (hi, -1), so the input lineage (typically
+    an Arrow-UDF matrix-profile plan) is evaluated exactly once. Arcs whose
+    neighbor index falls beyond the profile length are skipped entirely
+    (matching ``mpcore.arc_counts``); the per-key max position that gates
+    them is a pre-explode window, which also supplies ``_n`` downstream.
+    Shuffle budget: ONE exchange on key — the max-pos window, the explode
+    (partitioning-preserving), and the range-frame cumulative sum all share
+    it; there is no groupBy.
     """
     ez_n = int(round(window_size * exclusion_zone * 10 + 1e-8))
-
-    pos_entry = F.struct(F.col("pos").alias("p"), F.lit(0.0).alias("delta"))
-    arc_lo = F.struct(
-        F.least(F.col("pos"), F.col("pi")).alias("p"), F.lit(1.0).alias("delta")
-    )
-    arc_hi = F.struct(
-        F.greatest(F.col("pos"), F.col("pi")).alias("p"), F.lit(-1.0).alias("delta")
-    )
-    entries = F.when(
-        F.col("pi").isNotNull() & (F.col("pi") >= 0),
-        F.array(pos_entry, arc_lo, arc_hi),
-    ).otherwise(F.array(pos_entry))
-
-    per_pos = (
-        profile.select(key_col, F.explode(entries).alias("e"))
-        .groupBy(key_col, F.col("e.p").alias("pos"))
-        .agg(F.sum("e.delta").alias("d"))
-    )
 
     w_key = Window.partitionBy(key_col)
     w_cum = (
         Window.partitionBy(key_col)
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .orderBy("p")
+        .rangeBetween(Window.unboundedPreceding, 0)
     )
-    spine = per_pos.withColumn("_n", F.max("pos").over(w_key) + 1)
-    x = F.col("pos") / (F.col("_n") - 1)
+
+    pos_entry = F.struct(
+        F.col("pos").alias("p"), F.lit(0.0).alias("delta"), F.lit(1).alias("spine")
+    )
+    arc_lo = F.struct(
+        F.least(F.col("pos"), F.col("pi")).alias("p"),
+        F.lit(1.0).alias("delta"),
+        F.lit(0).alias("spine"),
+    )
+    arc_hi = F.struct(
+        F.greatest(F.col("pos"), F.col("pi")).alias("p"),
+        F.lit(-1.0).alias("delta"),
+        F.lit(0).alias("spine"),
+    )
+    entries = F.when(
+        F.col("pi").isNotNull()
+        & (F.col("pi") >= 0)
+        & (F.col("pi") <= F.col("_maxpos")),
+        F.array(pos_entry, arc_lo, arc_hi),
+    ).otherwise(F.array(pos_entry))
+
+    exploded = (
+        profile.withColumn("_maxpos", F.max("pos").over(w_key))
+        .select(key_col, "_maxpos", F.explode(entries).alias("e"))
+        .select(
+            key_col,
+            (F.col("_maxpos") + 1).alias("_n"),
+            F.col("e.p").alias("p"),
+            F.col("e.delta").alias("delta"),
+            F.col("e.spine").alias("spine"),
+        )
+    )
+    # range frame: every entry at the same position sees the same running
+    # total, so the spine row carries the full per-position aggregate
+    ac = F.sum("delta").over(w_cum)
+    spine = exploded.withColumn("arc_count", ac).filter(F.col("spine") == 1)
+
+    x = F.col("p") / (F.col("_n") - 1)
     ideal = F.lit(6.0) * x * (1.0 - x) * F.col("_n") / F.lit(3.0)
-    ac = F.sum("d").over(w_cum)
-    cac_raw = F.least(ac / ideal, F.lit(1.0))
+    cac_raw = F.least(F.col("arc_count") / ideal, F.lit(1.0))
     cac = (
-        F.when(F.col("pos") < ez_n, 1.0)
-        .when(F.col("pos") >= F.col("_n") - ez_n, 1.0)
+        F.when(F.col("p") < ez_n, 1.0)
+        .when(F.col("p") >= F.col("_n") - ez_n, 1.0)
         .otherwise(F.coalesce(cac_raw, F.lit(1.0)))
     )
-    return spine.select(key_col, "pos", ac.alias("arc_count"), cac.alias("cac"))
+    return spine.select(
+        key_col, F.col("p").alias("pos"), "arc_count", cac.alias("cac")
+    )
 
 
 def rollup_tier_nested(
@@ -243,7 +267,12 @@ def rollup_tier_nested(
         )
 
     n_buckets = F.ceil(F.size(mp) / F.lit(b)).cast("int")
-    buckets = F.transform(F.sequence(F.lit(0), n_buckets - 1), bucket_struct)
+    # sequence(0, -1) yields a DESCENDING [0, -1] — guard the empty-profile
+    # case so it emits no buckets (matching rollup_tier on zero rows)
+    buckets = F.when(
+        n_buckets > 0,
+        F.transform(F.sequence(F.lit(0), n_buckets - 1), bucket_struct),
+    ).otherwise(F.array())
     return nested_profile.select(
         key_col, F.explode(buckets).alias("t")
     ).select(
