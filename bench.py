@@ -58,6 +58,8 @@ def main() -> None:
         return not only or name in only
 
     def timed(name, fn, warm=True):
+        from tsmp_spark.operators.cache import release_caches
+
         # one untimed run of the IDENTICAL plan first: the first execution
         # pays one-time Janino codegen keyed to plan shape (~1-9 s) and
         # python-worker spin-up; the suite measures steady-state operator
@@ -66,9 +68,11 @@ def main() -> None:
             t0 = time.time()
             fn()
             warmups[name] = round(time.time() - t0, 3)
+            release_caches()
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 3)
+        release_caches()  # operator-pinned intermediates don't span queries
         return out
 
     # 1) kernel throughput on the synthetic input_hint table (CPU-bound)

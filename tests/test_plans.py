@@ -151,3 +151,74 @@ def test_long_series_fanout_not_coalesced(spark):
     nested = matrix_profile_nested(docs, 8, long_series_threshold=512, n_chunks=8)
     plan = nested._jdf.queryExecution().executedPlan().toString()
     assert "REPARTITION_BY_NUM" in plan  # exempt from AQE coalescing
+
+
+def test_neardup_default_not_quadratic(spark):
+    """cosine_neardup_pairs' DEFAULT path must be the LSH bucket equi-join
+    — never a nested-loop / cartesian all-pairs comparison (the exact mode
+    stays available behind an explicit use_lsh=False for small inputs)."""
+    from tsmp_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(cosine_neardup_pairs(emb, threshold=0.9))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ab_join_rebalanced(spark):
+    """matrix_profile_join spreads the pairs rows across the cluster width
+    before the kernel (same single-row-group lesson as the self-join)."""
+    import pandas as pd
+
+    from tsmp_spark.operators.matrix_profile import matrix_profile_join
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id_a": ["a", "b"],
+                "tokens_a": [[float(i % 7) for i in range(64)]] * 2,
+                "doc_id_b": ["c", "d"],
+                "tokens_b": [[float(i % 5) for i in range(64)]] * 2,
+            }
+        )
+    )
+    out = matrix_profile_join(pairs, 8)
+    plan = _plan(out)
+    assert "REPARTITION_BY_NUM" in plan
+    assert out.rdd.getNumPartitions() > 1
+
+
+def test_scrimp_sampled_rebalanced(spark):
+    """The sampled-SCRIMP path rebalances like the self-join path."""
+    from tsmp_spark.operators.series import events_to_nested
+    from tsmp_spark.plans.compute import _scrimp_sampled
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    out = _scrimp_sampled(events_to_nested(events), 8, 0.3, 0.5)
+    plan = _plan(out)
+    assert "REPARTITION_BY_NUM" in plan
+
+
+def test_caches_released_after_action(spark):
+    """Operators that pin shared intermediates leave NO persisted RDDs
+    behind once the caller releases the scope — the long-lived-session
+    storage-leak regression."""
+    from tsmp_spark.operators.cache import release_caches
+    from tsmp_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from tsmp_spark.operators.similarity import ivf_topk, lsh_bucket_topk
+
+    def persistent_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    release_caches()  # clear pins left by other tests' lazy plans
+    before = persistent_ids()  # caches other suite components own
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.25).count()
+    ngram_jaccard_pairs(docs, threshold=0.5).count()
+    lsh_bucket_topk(emb, k=2).count()
+    ivf_topk(emb, k=2).count()
+    assert release_caches() == 4
+    assert persistent_ids() <= before

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .cache import pin
+
 
 def _h64(col: Column, seed: int) -> Column:
     """Portable 32-bit-ish hash #seed: one md5 digest yields FOUR hashes
@@ -97,9 +99,10 @@ def ngram_jaccard_pairs(
     Emits (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     # the shingle table feeds four lineages (sizes, freq, both join sides);
-    # persist it once — at scale this is the "write shingles, then join"
-    # pattern, and locally it avoids 4× re-derivation of the explode+hash
-    sh = shingle_table(_spread(documents, parallelism), text_col, id_col, n).persist()
+    # pin it once — at scale this is the "write shingles, then join"
+    # pattern, and locally it avoids 4× re-derivation of the explode+hash;
+    # callers release via operators.cache.release_caches() after the action
+    sh = pin(shingle_table(_spread(documents, parallelism), text_col, id_col, n))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
     sh_f = sh.join(freq.filter(F.col("freq") <= max_shingle_freq), "shingle")
@@ -162,11 +165,13 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     # signatures are tiny (one row per doc) but expensive to derive
-    # (shingle explode + num_hashes md5 scans) — persist before the
-    # self-join uses them on both sides
-    sig = minhash_signatures(
-        documents, text_col, id_col, n, num_hashes, parallelism=parallelism
-    ).persist()
+    # (shingle explode + num_hashes md5 scans) — pin before the
+    # self-join uses them on both sides (release via cache.release_caches)
+    sig = pin(
+        minhash_signatures(
+            documents, text_col, id_col, n, num_hashes, parallelism=parallelism
+        )
+    )
     banded = sig.select(
         "doc_id",
         "sig",

@@ -291,6 +291,7 @@ AB_SCHEMA = T.StructType(
 def matrix_profile_join(
     pairs: DataFrame,
     window_size: int,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """AB-join over a DataFrame of series *pairs*:
     ``(doc_id_a, tokens_a, doc_id_b, tokens_b)`` →
@@ -300,6 +301,13 @@ def matrix_profile_join(
     Build ``pairs`` with a relational join; broadcast the smaller side when
     joining one query series against a large table of candidates:
     ``candidates.crossJoin(F.broadcast(query_df))``.
+
+    ``parallelism``: round-robin rebalance before the kernel, defaulting
+    to the cluster width — same rationale as the self-join path (pair
+    rows are tiny in bytes but quadratic in kernel CPU; an unsplittable
+    single-row-group input would otherwise pin every AB-join to 1 task).
+    ``parallelism=0`` trusts the input layout (the at-scale setting when
+    the pairs table already has thousands of natural splits).
     """
     w = int(window_size)
 
@@ -350,4 +358,8 @@ def matrix_profile_join(
             if out:
                 yield pd.concat(out, ignore_index=True)
 
+    if parallelism is None:
+        parallelism = pairs.sparkSession.sparkContext.defaultParallelism
+    if parallelism > 0:
+        pairs = pairs.repartition(parallelism)
     return pairs.mapInPandas(kernel, AB_SCHEMA)

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from .cache import pin
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -132,9 +134,9 @@ def lsh_bucket_topk(
     candidate union. The shuffle is per-bucket, never all-pairs — the scale
     path for ANN over billions of vectors. Recall ↑ with n_tables,
     candidate cost ↑ with 1/2^n_planes."""
-    # bucket keys feed both join sides — persist the tiny keyed table so
-    # the projection aggregates run once
-    keyed = lsh_bucket_keys(embeddings, n_planes, n_tables, id_col, vec_col).persist()
+    # bucket keys feed both join sides — pin the tiny keyed table so the
+    # projection aggregates run once (release via cache.release_caches)
+    keyed = pin(lsh_bucket_keys(embeddings, n_planes, n_tables, id_col, vec_col))
     a = keyed.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("v_q"), "tbl", "bucket"
     )
@@ -216,7 +218,7 @@ def ivf_topk(
     candidate set. The complement of :func:`lsh_bucket_topk`: data-adaptive
     partition-by-region rather than hash-by-hyperplane. Recall ↑ with
     nprobe; candidate cost ~ n²·nprobe²/n_clusters per cluster balance."""
-    keyed = ivf_assignments(embeddings, n_clusters, nprobe, id_col, vec_col).persist()
+    keyed = pin(ivf_assignments(embeddings, n_clusters, nprobe, id_col, vec_col))
     a = keyed.select(F.col("vec_id").alias("query_id"), F.col("v").alias("v_q"), "cluster")
     b = keyed.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("v_e"), "cluster")
     cand = (
@@ -247,17 +249,19 @@ def cosine_neardup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    use_lsh: bool = False,
+    use_lsh: bool = True,
     n_planes: int = 8,
     n_tables: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= τ).
 
-    ``use_lsh=False`` (default) compares all pairs — exact, oracle-
-    checkable, fine up to ~10^5 vectors per partition group. At warehouse
-    scale pass ``use_lsh=True``: candidates come from the LSH bucket join
-    (recall < 1 by design, bounded shuffle) and are re-ranked exactly —
-    same output columns, approximate pair set."""
+    ``use_lsh=True`` (default) is the scale-safe path: candidates come
+    from the LSH bucket equi-join (bounded shuffle — |bucket pairs|,
+    never |vectors|²) and are verified with the exact cosine, so false
+    positives are impossible; recall < 1 by design (raise ``n_tables``
+    to push it up). Pass ``use_lsh=False`` ONLY for small inputs needing
+    the exact pair set (e.g. the DuckDB oracle): that path compares all
+    pairs via a BroadcastNestedLoopJoin and goes quadratic at scale."""
     v = F.col(vec_col).cast("array<double>")
     e = embeddings.select(F.col(id_col).alias("_id"), v.alias("_v"))
     if use_lsh:

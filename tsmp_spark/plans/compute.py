@@ -93,7 +93,13 @@ def _scrimp_sampled(
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    return sequences.select("doc_id", "tokens").mapInPandas(kernel, PROFILE_SCHEMA)
+    # same round-robin rebalance as matrix_profile_nested: sampled-SCRIMP
+    # rows are tiny in bytes but quadratic in kernel CPU, and a single-
+    # row-group local parquet would otherwise run the stage on 1 task
+    base = sequences.select("doc_id", "tokens").repartition(
+        sequences.sparkSession.sparkContext.defaultParallelism
+    )
+    return base.mapInPandas(kernel, PROFILE_SCHEMA)
 
 
 def pan_matrix_profile(

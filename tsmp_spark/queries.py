@@ -2540,12 +2540,13 @@ ORACLES["ivf_ann"] = SQL_IVF_ANN
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold — the
-    embedding leg of the dedup family (exact mode; use_lsh=True is the
-    bounded-shuffle scale path with the same columns)."""
+    embedding leg of the dedup family. Explicit ``use_lsh=False`` here:
+    the oracle needs the exact pair set (the operator's default is the
+    LSH bounded-shuffle scale path with the same columns)."""
     from .operators.similarity import cosine_neardup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = cosine_neardup_pairs(emb, threshold=0.3)
+    out = cosine_neardup_pairs(emb, threshold=0.3, use_lsh=False)
     return out.select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),

@@ -14,6 +14,7 @@ import duckdb
 import pandas as pd
 
 import __spark_entry__ as entry_mod
+from tsmp_spark.operators.cache import release_caches
 from tsmp_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -53,6 +54,8 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
+        finally:
+            release_caches()  # drop operator-pinned intermediates per query
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(got)} rows, {time.time()-t0:.1f}s)")
             if len(got) == 0:
