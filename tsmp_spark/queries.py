@@ -1391,10 +1391,179 @@ def q_fluss_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """analyze() flagship (analyze.R:44-73): top-3 motifs + top-3 discords
     per series with MASS neighbor re-query — the full discovery pipeline.
-    Rows-only check (iterative ez suppression is not SQL-expressible)."""
+    Oracle: the greedy discovery loops (argmin/argmax + neighbor scan +
+    ez suppression) unrolled into recursive-CTE SQL by
+    :func:`sql_analyze`."""
     from .plans import analyze
 
-    return analyze(_sequences(spark, sf_dir), W, n_motifs=3, n_discords=3)
+    out = analyze(_sequences(spark, sf_dir), W, n_motifs=3, n_discords=3)
+    return out.select(
+        "doc_id",
+        "kind",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("pair_pos").cast("bigint").alias("pair_pos"),
+        _r4("value").alias("value"),
+    )
+
+
+def sql_analyze(n_motifs: int = 3, n_discords: int = 3) -> str:
+    """Brute-force SQL for analyze(): full squared-distance matrix +
+    find-motifs.R/find-discord.R greedy loops unrolled per round.
+
+    Each round r is four CTEs: pick (argmin/argmax over the suppressed
+    profile, with find-motifs' neighbor-validity walk as a self-join),
+    cand (the MASS re-query distance profile, radius- and ez-masked,
+    collected into an ordered candidate list), a RECURSIVE greedy scan
+    (find-motifs.R:141-143 dead-zone suppression |x−cand| < ez while
+    taking up to n_neighbors picks), and the cumulative suppression-center
+    accumulator that the next round's pick reads. The squared distances
+    mirror mass_v2's exact expression order
+    ``2(w − (qt − w·μμ)/(σσ))`` (mass_v2.R:45-59)."""
+    w, ez = W, EZ_N
+    parts: list[str] = []
+    # full-lag squared-distance matrix (the MASS re-query ground truth):
+    # unlike the profile CTE's pr (lags > ez only), neighbors may sit at
+    # any lag >= 1 — masking near the pair happens per-round below
+    parts.append(f"""
+prf AS MATERIALIZED (
+  SELECT a.doc_id, a.pos AS i, b.pos - a.pos AS dlag, a.value * b.value AS p
+  FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.pos > a.pos
+  JOIN len ON len.doc_id = a.doc_id
+),
+qtf AS MATERIALIZED (
+  SELECT doc_id, i, dlag, sum(p) OVER winf AS qt, count(p) OVER winf AS m
+  FROM prf
+  WINDOW winf AS (PARTITION BY doc_id, dlag ORDER BY i
+                  ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+),
+dh AS MATERIALIZED (
+  SELECT q.doc_id, q.i, q.i + q.dlag AS j,
+         2.0 * ({w} - (q.qt - {w} * si.mu * sj.mu) / (si.sd * sj.sd)) AS d2
+  FROM qtf q
+  JOIN stats si ON si.doc_id = q.doc_id AND si.pos = q.i
+  JOIN stats sj ON sj.doc_id = q.doc_id AND sj.pos = q.i + q.dlag
+  WHERE q.m = {w} AND si.sd > 1e-8 AND sj.sd > 1e-8
+),
+dfull AS MATERIALIZED (
+  SELECT doc_id, i AS qi, j AS p, d2 FROM dh
+  UNION ALL
+  SELECT doc_id, j AS qi, i AS p, d2 FROM dh
+),
+mcent0 AS (SELECT CAST(NULL AS VARCHAR) AS doc_id, CAST(NULL AS BIGINT) AS c WHERE false),
+dcent0 AS (SELECT CAST(NULL AS VARCHAR) AS doc_id, CAST(NULL AS BIGINT) AS c WHERE false)""")
+
+    def greedy(prefix: str, r: int, k: int) -> str:
+        # find-motifs.R:131-147: scan candidates by (distance, pos), skip
+        # dead ones, dead-zone |x - pick| <= ez-1, stop at k picks
+        return f"""
+{prefix}g{r}(doc_id, i, picked) AS (
+  SELECT doc_id, 0, CAST([] AS BIGINT[]) FROM {prefix}cand{r}
+  UNION ALL
+  SELECT g.doc_id, g.i + 1,
+    CASE
+      WHEN len(g.picked) >= {k}
+        OR len(list_filter(g.picked, x -> abs(x - c.cands[g.i + 1]) <= {ez - 1})) > 0
+      THEN g.picked
+      ELSE list_append(g.picked, c.cands[g.i + 1])
+    END
+  FROM {prefix}g{r} g JOIN {prefix}cand{r} c ON c.doc_id = g.doc_id
+  WHERE g.i < len(c.cands)
+),
+{prefix}neigh{r} AS MATERIALIZED (
+  SELECT g.doc_id, g.picked
+  FROM {prefix}g{r} g JOIN {prefix}cand{r} c ON c.doc_id = g.doc_id
+  WHERE g.i = len(c.cands)
+)"""
+
+    for r in range(1, n_motifs + 1):
+        parts.append(f"""
+mpick{r} AS MATERIALIZED (
+  -- min_mp_idx walk (misc.R:539-597): candidates are visited in
+  -- (mp, pos) order and POISONED on rejection, so a position whose
+  -- neighbor precedes it in that order (mp[pi] < mp[i], or equal with
+  -- pi < pos) finds the neighbor already poisoned and is rejected too;
+  -- the accepted pick is the first position whose neighbor FOLLOWS it
+  SELECT doc_id, pos, pi, mp FROM (
+    SELECT m.doc_id, m.pos, m.pi, m.mp,
+           row_number() OVER (PARTITION BY m.doc_id ORDER BY m.mp ASC, m.pos ASC) AS rn
+    FROM mp m
+    JOIN mp mj ON mj.doc_id = m.doc_id AND mj.pos = m.pi
+    WHERE (mj.mp > m.mp OR (mj.mp = m.mp AND m.pi > m.pos))
+      AND NOT EXISTS (SELECT 1 FROM mcent{r - 1} cc
+                      WHERE cc.doc_id = m.doc_id AND abs(m.pos - cc.c) <= {ez})
+      AND NOT EXISTS (SELECT 1 FROM mcent{r - 1} cc
+                      WHERE cc.doc_id = m.doc_id AND abs(m.pi - cc.c) <= {ez})
+  ) WHERE rn = 1
+),
+mpair{r} AS MATERIALIZED (
+  SELECT doc_id, least(pos, pi) AS lo, greatest(pos, pi) AS hi, mp AS md
+  FROM mpick{r}
+),
+mcand{r} AS MATERIALIZED (
+  SELECT p.doc_id, list(d.p ORDER BY d.d2 ASC, d.p ASC) AS cands
+  FROM mpair{r} p
+  JOIN dfull d ON d.doc_id = p.doc_id AND d.qi = p.lo
+  WHERE d.d2 <= (p.md * 3.0) * (p.md * 3.0)
+    AND abs(d.p - p.lo) > {ez} AND abs(d.p - p.hi) > {ez}
+  GROUP BY p.doc_id
+),{greedy('m', r, 10)},
+mcent{r} AS MATERIALIZED (
+  SELECT doc_id, c FROM mcent{r - 1}
+  UNION ALL SELECT doc_id, lo AS c FROM mpair{r}
+  UNION ALL SELECT doc_id, hi AS c FROM mpair{r}
+  UNION ALL SELECT doc_id, unnest(picked) AS c FROM mneigh{r}
+)""")
+
+    for r in range(1, n_discords + 1):
+        parts.append(f"""
+dpick{r} AS MATERIALIZED (
+  SELECT doc_id, pos, pi, mp FROM (
+    SELECT m.doc_id, m.pos, m.pi, m.mp,
+           row_number() OVER (PARTITION BY m.doc_id ORDER BY m.mp DESC, m.pos ASC) AS rn
+    FROM mp m
+    WHERE NOT EXISTS (SELECT 1 FROM dcent{r - 1} cc
+                      WHERE cc.doc_id = m.doc_id AND abs(m.pos - cc.c) <= {ez})
+  ) WHERE rn = 1
+),
+dcand{r} AS MATERIALIZED (
+  SELECT p.doc_id, list(d.p ORDER BY d.d2 ASC, d.p ASC) AS cands
+  FROM dpick{r} p
+  JOIN dfull d ON d.doc_id = p.doc_id AND d.qi = p.pos
+  WHERE d.d2 <= (p.mp * 3.0) * (p.mp * 3.0)
+    AND abs(d.p - p.pos) > {ez}
+  GROUP BY p.doc_id
+),{greedy('d', r, 3)},
+dcent{r} AS MATERIALIZED (
+  SELECT doc_id, c FROM dcent{r - 1}
+  UNION ALL SELECT doc_id, pos AS c FROM dpick{r}
+  UNION ALL SELECT doc_id, unnest(picked) AS c FROM dneigh{r}
+)""")
+
+    selects = []
+    for r in range(1, n_motifs + 1):
+        selects.append(
+            f"""SELECT pr.doc_id, 'motif' AS kind, CAST({r - 1} AS BIGINT) AS rank,
+       pr.lo AS pos, pr.hi AS pair_pos, round(mv.mp, 4) AS value
+FROM mpair{r} pr JOIN mp mv ON mv.doc_id = pr.doc_id AND mv.pos = pr.lo"""
+        )
+    for r in range(1, n_discords + 1):
+        selects.append(
+            f"""SELECT doc_id, 'discord' AS kind, CAST({r - 1} AS BIGINT) AS rank,
+       pos, pi AS pair_pos, round(mp, 4) AS value
+FROM dpick{r}"""
+        )
+    body = ",".join(parts)
+    # materialize the shared CTEs — DuckDB inlines CTEs per reference, and
+    # the round-chained suppression lists reference each other twice per
+    # round, which inlines the whole prior-round tree exponentially
+    head = sql_mp_cte()
+    for name in ("s", "len", "stats", "mp"):
+        head = head.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
+    return (
+        f"WITH RECURSIVE {head},{body}\n"
+        + "\nUNION ALL\n".join(selects)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1471,7 +1640,8 @@ ORACLES: dict[str, str] = {
     "lsh_ann": SQL_LSH_ANN,
     "gorilla_roundtrip": SQL_GORILLA_ROUNDTRIP,
     "stompi_stream": SQL_MP_SELFJOIN,  # streaming == batch == brute force
-    # fluss_segments, analyze_motifs_discords: rows-only (non-SQL iterative)
+    "analyze_motifs_discords": sql_analyze(),
+    # fluss_segments: rows-only (non-SQL iterative)
 }
 
 # ---------------------------------------------------------------------------
