@@ -2051,7 +2051,11 @@ def q_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Representative snippets (find-snippet.R:60-139): greedy min-area
-    coverage. Rows-only (iterative greedy selection)."""
+    coverage over mpdist-vect profiles. Series are truncated to a multiple
+    of s_size so the kernel's zero-pad branch is a no-op — that keeps the
+    oracle free of the pad's zero-variance-window NaN semantics (which
+    stay pytest-covered); the mpdist-vect + greedy pipeline itself is
+    fully oracle-checked by SQL_SNIPPETS."""
     import numpy as np
     import pandas as pd
 
@@ -2067,6 +2071,7 @@ def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 a = np.asarray(tokens, dtype=np.float64)
                 if a.shape[0] < 40:
                     continue
+                a = a[: 20 * (a.shape[0] // 20)]
                 s = find_snippets(a, s_size=20, n_snippets=2, window_size=8)
                 for rank, (pos, frac) in enumerate(zip(s.snippet_idx, s.snippet_frac)):
                     rows.append(
@@ -2082,12 +2087,146 @@ def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seqs.select("doc_id", "tokens").repartition(n_parts).mapInPandas(kernel, schema)
 
 
+_SNIP_EPS = 1.4901161193847656e-08  # sqrt(float64 eps), stats.py EPS
+
+SQL_SNIPPETS = f"""
+WITH sfull AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+         value
+  FROM events
+),
+nlen AS MATERIALIZED (
+  SELECT doc_id, 20 * CAST(floor(count(*) / 20.0) AS BIGINT) AS n20
+  FROM sfull GROUP BY doc_id HAVING count(*) >= 40
+),
+s AS MATERIALIZED (
+  SELECT f.doc_id, f.pos, f.value
+  FROM sfull f JOIN nlen ON nlen.doc_id = f.doc_id
+  WHERE f.pos < nlen.n20
+),
+st AS (
+  SELECT doc_id, pos,
+         avg(value) OVER w8 AS mu,
+         stddev_pop(value) OVER w8 AS sd,
+         sum(value * value) OVER w8 AS vv,
+         count(*) OVER w8 AS cnt
+  FROM s
+  WINDOW w8 AS (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+),
+stats AS MATERIALIZED (SELECT doc_id, pos, mu, sd, vv FROM st WHERE cnt = 8),
+-- all-pairs window dot products via per-diagonal rolling sums
+pr AS (
+  SELECT a.doc_id, a.pos AS i, b.pos - a.pos AS dlag, a.value * b.value AS p
+  FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.pos > a.pos
+),
+qts AS (
+  SELECT doc_id, i, dlag, sum(p) OVER winq AS qt, count(p) OVER winq AS m
+  FROM pr
+  WINDOW winq AS (PARTITION BY doc_id, dlag ORDER BY i
+                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+),
+dhs AS (SELECT doc_id, i, i + dlag AS j, qt FROM qts WHERE m = 8),
+dots AS MATERIALIZED (
+  SELECT doc_id, i AS qi, j AS p, qt FROM dhs
+  UNION ALL SELECT doc_id, j AS qi, i AS p, qt FROM dhs
+  UNION ALL SELECT doc_id, pos AS qi, pos AS p, vv AS qt FROM stats
+),
+cand AS (SELECT doc_id, unnest(range(0, n20 - 20, 20)) AS c FROM nlen),
+-- mat[c][j][p]: mass_v2's exact squared-distance expression
+matv AS MATERIALIZED (
+  SELECT c.doc_id, c.c, d.qi - c.c AS j, d.p,
+         2.0 * (8.0 - (d.qt - 8.0 * sq.mu * sp.mu) / (sq.sd * sp.sd)) AS v
+  FROM cand c
+  JOIN dots d ON d.doc_id = c.doc_id AND d.qi >= c.c AND d.qi <= c.c + 12
+  JOIN stats sq ON sq.doc_id = c.doc_id AND sq.pos = d.qi
+  JOIN stats sp ON sp.doc_id = c.doc_id AND sp.pos = d.p
+),
+-- movmin width 13 per query row (mpdist.R:167 slid_min)
+leftv AS MATERIALIZED (
+  SELECT doc_id, c, j, p,
+         min(v) OVER wmin AS lv, count(v) OVER wmin AS wcnt
+  FROM matv
+  WINDOW wmin AS (PARTITION BY doc_id, c, j ORDER BY p
+                  ROWS BETWEEN CURRENT ROW AND 12 FOLLOWING)
+),
+-- column minima (mpdist.R:160 all_right_histogram)
+righth AS MATERIALIZED (
+  SELECT doc_id, c, p, min(v) AS rv FROM matv GROUP BY doc_id, c, p
+),
+offs AS (SELECT doc_id, unnest(range(0, n20 - 19)) AS p FROM nlen),
+recreated AS (
+  SELECT doc_id, c, p, lv AS val FROM leftv WHERE wcnt = 13
+  UNION ALL
+  SELECT o.doc_id, r.c, o.p AS p, r.rv AS val
+  FROM offs o JOIN righth r
+    ON r.doc_id = o.doc_id AND r.p BETWEEN o.p AND o.p + 12
+),
+-- cal_mp_dist: k-th smallest with k = ceil(0.05 * 2 * 20) = 2
+dvec AS MATERIALIZED (
+  SELECT doc_id, c, p,
+         CASE WHEN val < {_SNIP_EPS} THEN 0.0 ELSE sqrt(val) END AS dv
+  FROM (
+    SELECT doc_id, c, p, val,
+           row_number() OVER (PARTITION BY doc_id, c, p ORDER BY val ASC) AS rn
+    FROM recreated
+  ) WHERE rn = 2
+),
+a1 AS (SELECT doc_id, c, sum(dv) AS area FROM dvec GROUP BY doc_id, c),
+b1 AS MATERIALIZED (
+  SELECT doc_id, c FROM (
+    SELECT doc_id, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY area ASC, c ASC) AS rn
+    FROM a1
+  ) WHERE rn = 1
+),
+minis AS MATERIALIZED (
+  SELECT d.doc_id, d.p, d.dv
+  FROM dvec d JOIN b1 ON b1.doc_id = d.doc_id AND b1.c = d.c
+),
+a2 AS (
+  SELECT d.doc_id, d.c, sum(least(d.dv, m.dv)) AS area
+  FROM dvec d JOIN minis m ON m.doc_id = d.doc_id AND m.p = d.p
+  GROUP BY d.doc_id, d.c
+),
+b2 AS MATERIALIZED (
+  SELECT doc_id, c FROM (
+    SELECT doc_id, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY area ASC, c ASC) AS rn
+    FROM a2
+  ) WHERE rn = 1
+),
+snip2 AS MATERIALIZED (
+  SELECT d.doc_id, d.p, d.dv
+  FROM dvec d JOIN b2 ON b2.doc_id = d.doc_id AND b2.c = d.c
+),
+-- fractions: snippet 0 claims positions where its profile <= the other's
+-- (find-snippet.R:118-131 reduces to exactly this two-snippet split)
+cmp AS (
+  SELECT d1.doc_id,
+         sum(CASE WHEN d1.dv <= d2.dv THEN 1 ELSE 0 END) AS n_le,
+         sum(CASE WHEN d2.dv < d1.dv THEN 1 ELSE 0 END) AS n_lt,
+         count(*) AS plen
+  FROM minis d1 JOIN snip2 d2 ON d2.doc_id = d1.doc_id AND d2.p = d1.p
+  GROUP BY d1.doc_id
+)
+SELECT b1.doc_id, CAST(0 AS BIGINT) AS rank, b1.c AS snippet_pos,
+       round(cmp.n_le / cmp.plen, 4) AS frac
+FROM b1 JOIN cmp ON cmp.doc_id = b1.doc_id
+UNION ALL
+SELECT b2.doc_id, CAST(1 AS BIGINT) AS rank, b2.c AS snippet_pos,
+       round(cmp.n_lt / cmp.plen, 4) AS frac
+FROM b2 JOIN cmp ON cmp.doc_id = b2.doc_id
+"""
+
 QUERIES["mstomp_2dim"] = q_mstomp_2dim
 QUERIES["simple_2dim"] = q_simple_2dim
 QUERIES["chains"] = q_chains
 QUERIES["snippets"] = q_snippets
 ORACLES["mstomp_2dim"] = SQL_MSTOMP_2DIM
 ORACLES["simple_2dim"] = SQL_SIMPLE_2DIM
+ORACLES["snippets"] = SQL_SNIPPETS
 
 # ---------------------------------------------------------------------------
 # queries — subsetting + SDTS + salient
