@@ -222,3 +222,57 @@ def test_subset_head_tail(series):
     t = tail_profile(r, 40)
     assert t.mp.shape[0] == 40
     np.testing.assert_allclose(t.mp, r.mp[-40:])
+
+
+def test_valmod_pruned_equals_exact_grid(series):
+    """lb=True (heap pruning + exact re-verify) must reproduce the exact
+    per-window grid bit-for-bit in picks and to float tolerance in values
+    — pruning is a cost optimization, never an approximation here."""
+    ex = valmod(series, 20, 30, lb=False)
+    pr = valmod(series, 20, 30, lb=True, heap_size=24)
+    assert np.array_equal(ex.w, pr.w)
+    fin = np.isfinite(ex.mp)
+    assert np.array_equal(fin, np.isfinite(pr.mp))
+    np.testing.assert_allclose(ex.mp[fin], pr.mp[fin], atol=1e-9)
+    np.testing.assert_allclose(
+        ex.mpnn[np.isfinite(ex.mpnn)], pr.mpnn[np.isfinite(pr.mpnn)], atol=1e-9
+    )
+    # picks may differ ONLY where two candidates tie to float noise
+    # (different float paths — recurrence vs diagonal march — break exact
+    # ties differently; both picks are equally-correct argmins)
+    flip = np.flatnonzero(ex.pi != pr.pi)
+    for i in flip:
+        w = int(ex.w[i])
+        ez_n = exclusion_zone_size(w, 0.5)
+        rw = mpx(series, w, minlag=ez_n + 1)
+        d_ex = rw.mp[i] * np.sqrt(1.0 / w)
+        assert ex.mp[i] == pytest.approx(pr.mp[i], abs=1e-9)
+        assert d_ex == pytest.approx(pr.mp[i], abs=1e-9)
+    assert flip.shape[0] <= 2
+    assert pr.total_rows > 0
+
+
+def test_valmod_lb_pruning_skips_rows():
+    """The reference's algorithmic economy (valmod.R:233-410): on
+    structured data most rows per window are PROVEN from the O(heap_size)
+    candidate heap and never pay the O(n) distance profile."""
+    rng = np.random.default_rng(7)
+    n = 1000
+    t = np.arange(n)
+    data = np.sin(2 * np.pi * t / 50) + 0.1 * rng.standard_normal(n)
+    pr = valmod(data, 20, 40, lb=True, heap_size=20)
+    ex = valmod(data, 20, 40, lb=False)
+    assert np.array_equal(ex.w, pr.w) and np.array_equal(ex.pi, pr.pi)
+    assert pr.pruned_rows / pr.total_rows >= 0.5  # measured 0.885
+
+
+def test_valmod_heap_covers_all_candidates():
+    """Series shorter than heap_size: every candidate is in the heap, the
+    cutoff is +inf, and every row proves without recompute."""
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal(60)
+    ex = valmod(data, 6, 10, lb=False)
+    pr = valmod(data, 6, 10, lb=True, heap_size=200)
+    assert np.array_equal(ex.w, pr.w) and np.array_equal(ex.pi, pr.pi)
+    fin = np.isfinite(ex.mp)
+    np.testing.assert_allclose(ex.mp[fin], pr.mp[fin], atol=1e-9)
