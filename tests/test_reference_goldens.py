@@ -419,12 +419,12 @@ def test_sdts_goldens():
 
 
 def test_print_goldens_byte_exact(toy, tilt_abp):
-    """Byte-level comparison against the reference's shipped
+    """Byte-level comparison against ALL 13 of the reference's shipped
     tests/prints/ golden FILES, rebuilding each printed object from its
-    exact generating trace (test-plot-print.R:7-38). snippet-print and
-    motif_valmod-print are excluded: their generating algorithms are
-    numerics-noise-sensitive on degenerate (zero-padded / heap-pruned)
-    inputs — documented in SCALE.md."""
+    exact generating trace (test-plot-print.R:7-38). snippet-print needed
+    windowfunc.cpp's NaN-skipping movmin semantics (zero-pad windows);
+    motif_valmod-print needed the Valmod find_motif branch with its
+    per-position ez vector and sqrt(1/w)-scale-mixing radius quirk."""
     from pathlib import Path
 
     from tsmp_spark.mpcore import (
@@ -432,6 +432,8 @@ def test_print_goldens_byte_exact(toy, tilt_abp):
         find_discords,
         find_motifs,
         find_motifs_multi,
+        find_motifs_valmod,
+        find_snippets,
         fluss_cac,
         fluss_extract,
         mstomp,
@@ -450,7 +452,9 @@ def test_print_goldens_byte_exact(toy, tilt_abp):
         format_multi_motif,
         format_salient,
         format_simple_matrix_profile,
+        format_snippet,
         format_valmod,
+        format_valmod_motif,
     )
 
     prints = Path("/root/reference/tests/prints")
@@ -495,3 +499,16 @@ def test_print_goldens_byte_exact(toy, tilt_abp):
     )
     val = valmod(d, window_min=30, window_max=40)
     assert format_valmod(val, n_obs=1000) == (prints / "valmod-print").read_text()
+
+    vmotif = find_motifs_valmod(val, d)
+    assert (
+        format_valmod_motif(val, vmotif, n_obs=1000)
+        == (prints / "motif_valmod-print").read_text()
+    )
+
+    gait = np.asarray(
+        load_rda("/root/reference/data/mp_gait_data.rda")["mp_gait_data"].value,
+        dtype=np.float64,
+    ).ravel()[:500]
+    snip = find_snippets(gait, 80)
+    assert format_snippet(snip) == (prints / "snippet-print").read_text()

@@ -21,6 +21,7 @@ from .discovery import (
     find_discords,
     find_motifs,
     find_motifs_multi,
+    find_motifs_valmod,
     min_mp_idx,
     min_mp_idx_multi,
 )

@@ -103,6 +103,77 @@ def find_motifs(
     return out
 
 
+def find_motifs_valmod(
+    result,
+    data: np.ndarray,
+    n_motifs: int = 3,
+    n_neighbors: int = 10,
+    radius: float = 3.0,
+    exclusion_zone: float | None = None,
+) -> MotifSet:
+    """Variable-length motif pairs on a VALMOD profile
+    (find-motifs.R:35-160, the ``valmod`` branches).
+
+    Differences from the fixed-window walk, all reference-faithful:
+    the exclusion zone is a PER-POSITION vector ``round(w[i]·ez + eps)``
+    (w varies by winning window); the neighbor re-query slides the window
+    of the picked position's winning length from ``min_idx`` (not the
+    sorted pair head); and the squared distance profile is scaled by
+    ``sqrt(1/w)`` BEFORE the ``(dist·radius)²`` threshold — mixing
+    squared/linear scales exactly as find-motifs.R:108-113 does, which
+    usually empties the neighbor set (reproduced: the shipped
+    motif_valmod-print golden has ``neighbors = [] [] []``)."""
+    from .stats import EPS
+
+    data = np.asarray(data, dtype=np.float64).ravel()
+    mp = np.array(result.mp, dtype=np.float64, copy=True)
+    pi = result.pi
+    w_vec = np.asarray(result.w, dtype=np.int64)
+    n = mp.shape[0]
+    ez = result.ez if exclusion_zone is None else exclusion_zone
+    ez_vec = np.rint(w_vec * ez + EPS).astype(np.int64)
+
+    out = MotifSet()
+    for _ in range(n_motifs):
+        found = min_mp_idx(mp, pi)
+        if found is None:
+            break
+        min_idx, nn_idx = found
+        motif_distance = float(mp[min_idx])
+        pair = np.sort(np.array([min_idx, nn_idx], dtype=np.int64))
+        window = int(w_vec[min_idx])
+        e_zone = int(ez_vec[min_idx])
+
+        res = dist_profile(data, data, index=min_idx, window_size=window)
+        d = res.distance_profile * np.sqrt(1.0 / window)
+        d = d.copy()
+        d[d > (motif_distance * radius) ** 2] = np.inf
+        dn = d.shape[0]
+        for m in pair:
+            d[max(0, m - e_zone) : min(dn, m + e_zone + 1)] = np.inf
+
+        order = np.argsort(d, kind="stable")
+        neighbors: list[int] = []
+        dead = np.zeros(dn, dtype=bool)
+        for cand in order:
+            if len(neighbors) >= n_neighbors or not np.isfinite(d[cand]):
+                break
+            if dead[cand]:
+                continue
+            neighbors.append(int(cand))
+            lo = max(0, cand - e_zone + 1)
+            hi = min(dn, cand + e_zone)
+            dead[lo:hi] = True
+
+        out.motif_idx.append(pair)
+        out.motif_neighbor.append(np.asarray(neighbors, dtype=np.int64))
+        out.motif_window.append(window)
+
+        for m in np.concatenate([pair, np.asarray(neighbors, dtype=np.int64)]):
+            mp[max(0, m - e_zone) : min(n, m + e_zone + 1)] = np.inf
+    return out
+
+
 def find_discords(
     profile: MatrixProfile,
     data: np.ndarray | None = None,

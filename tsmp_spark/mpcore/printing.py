@@ -218,6 +218,24 @@ def format_salient(profile, indexes, bits) -> str:
     return s
 
 
+def format_valmod_motif(result, motifs, n_obs: int | None = None) -> str:
+    """print.Motif on a Valmod object (print.R:287-332): the Valmod
+    profile header, then the motif block titled 'Valmod Motif' with the
+    extra per-pair windows line (window SIZES, printed as-is)."""
+    s = format_valmod(result, n_obs=n_obs)
+    s += "\n" + _header("Valmod Motif")
+    n = len(motifs.motif_idx)
+    s += _cat("Motif pairs found =", n)
+    s += _cat("Motif pairs indexes =", _bracketed(motifs.motif_idx))
+    s += _cat("Motif pairs neighbors =", _bracketed(motifs.motif_neighbor))
+    windows = ""
+    for w in motifs.motif_window:
+        arr = np.atleast_1d(np.asarray(w))
+        windows += "[" + ", ".join(str(int(v)) for v in arr) + "] "
+    s += _cat("Motif pairs windows =", windows)
+    return s
+
+
 def format_multi_motif(result, motifs, n_obs: int | None = None) -> str:
     """print.MultiMotif (print.R:342-367): appended below the
     multidimensional profile; dims and pairs 1-based."""

@@ -101,22 +101,30 @@ def movmean(a: np.ndarray, w: int) -> np.ndarray:
 
 
 def movmin(a: np.ndarray, w: int) -> np.ndarray:
-    """O(n) amortized sliding minimum (tsmp windowfunc.cpp:18-56)."""
-    return _sliding_extreme(a, w, np.minimum)
+    """Sliding minimum with the reference's NaN semantics
+    (windowfunc.cpp:18-56 + math.h:8 ``MIN``): NaN entries are SKIPPED
+    (``(x)<(y) && (x)==(x)`` never selects a NaN), and a window whose
+    running min never left the +Inf sentinel — all-NaN or all-+Inf —
+    yields NaN (the ``min_res == R_PosInf ? NA`` line)."""
+    return _sliding_extreme(a, w, np.minimum, np.inf)
 
 
 def movmax(a: np.ndarray, w: int) -> np.ndarray:
-    """O(n) amortized sliding maximum (tsmp windowfunc.cpp:59-97)."""
-    return _sliding_extreme(a, w, np.maximum)
+    """Sliding maximum, NaN-skipping, all-NaN/-Inf window → NaN
+    (windowfunc.cpp:59-97, the mirrored sentinel)."""
+    return _sliding_extreme(a, w, np.maximum, -np.inf)
 
 
-def _sliding_extreme(a: np.ndarray, w: int, op) -> np.ndarray:
+def _sliding_extreme(a: np.ndarray, w: int, op, sentinel: float) -> np.ndarray:
     a = np.asarray(a, dtype=np.float64)
     n = a.shape[0]
     if w > n:
         raise ValueError(f"window {w} larger than series {n}")
-    view = np.lib.stride_tricks.sliding_window_view(a, w)
-    return op.reduce(view, axis=1)
+    filled = np.where(np.isnan(a), sentinel, a)
+    view = np.lib.stride_tricks.sliding_window_view(filled, w)
+    out = op.reduce(view, axis=1)
+    out[out == sentinel] = np.nan
+    return out
 
 
 def znorm(a: np.ndarray) -> np.ndarray:
