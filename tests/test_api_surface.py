@@ -113,3 +113,57 @@ def test_print_format_parity_with_reference_goldens():
     assert got == expected
     if golden.exists():  # byte-level check vs the reference's own golden
         assert got == golden.read_text()
+
+
+def test_plotting_layer_gated():
+    """tsmp_spark.plotting imports cleanly without matplotlib and raises
+    a clear, actionable error only when a figure is actually requested."""
+    import numpy as np
+    import pytest
+
+    from tsmp_spark import plotting
+    from tsmp_spark.mpcore import stomp
+
+    prof = stomp(np.sin(np.arange(200) / 7.0), 16)
+    try:
+        import matplotlib  # noqa: F401
+        has_mpl = True
+    except ImportError:
+        has_mpl = False
+
+    if not has_mpl:
+        with pytest.raises(ImportError, match="matplotlib is required"):
+            plotting.plot_matrix_profile(prof)
+        # visualize degrades to plot data, never crashes headless
+        from tsmp_spark.api import visualize
+
+        out = visualize(prof)
+        assert set(out) == {"mp", "pi", "w"}
+        return
+
+    # smoke every builder headlessly when matplotlib IS present
+    from tsmp_spark.mpcore import (
+        find_discords,
+        find_motifs,
+        find_snippets,
+        fluss_cac,
+        fluss_extract,
+        valmod,
+    )
+
+    d = np.sin(np.arange(400) / 9.0) + 0.01 * np.cos(np.arange(400))
+    prof = stomp(d, 16)
+    prof.data = d
+    fluss_cac(prof)
+    segs = fluss_extract(prof, 2)
+    figs = [
+        plotting.plot_arcs([[5, 10], [1, 10]]),
+        plotting.plot_matrix_profile(prof),
+        plotting.plot_arc_count(prof),
+        plotting.plot_fluss(prof, segs),
+        plotting.plot_motif(prof, find_motifs(prof)),
+        plotting.plot_discord(prof, find_discords(prof)),
+        plotting.plot_valmod(valmod(d, 12, 20)),
+        plotting.plot_snippet(find_snippets(d, 40), data=d),
+    ]
+    assert all(f.axes for f in figs)

