@@ -2383,9 +2383,12 @@ ORACLES["mp_subset"] = SQL_MP_SUBSET
 def q_floss_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunked FLOSS driver (fluss.R:66-137): bootstrap profile, then
     stompi_update + online CAC per chunk with history trimming, split
-    extraction with update-or-append. Rows-only (stateful streaming op;
-    the Structured Streaming form is tsmp_spark.streaming.floss_stateful,
-    tested in pytest)."""
+    extraction with update-or-append. Oracle: :func:`sql_floss_chunked`
+    replays the whole streaming state machine relationally — each
+    chunk-state profile entry is the argmin over the pairs whose windows
+    COEXISTED in the sliding buffer (tie-broken by merge order), the
+    one-sided Kumaraswamy CAC is closed-form, and the per-slab split
+    extraction is a recursive CTE over the slab sequence."""
     import numpy as np
     import pandas as pd
 
@@ -2424,7 +2427,214 @@ def q_floss_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seqs.select("doc_id", "tokens").repartition(n_parts).mapInPandas(kernel, schema)
 
 
+def sql_floss_chunked() -> str:
+    """Relational replay of the chunked FLOSS state machine.
+
+    The streaming profile is never materialized: at each stompi_update
+    event the buffer-position's (mp, pi) equals the argmin over the pairs
+    whose windows COEXISTED in the sliding buffer — pair (p, q) is
+    admitted iff the earlier window was still buffered when the later
+    one's last point arrived (stompi.R's one-sided merge + trim), with
+    the merge-order tie-break (distance, merge event, index). The
+    one-sided Kumaraswamy CAC (fluss.R:385-453), the cac_final slice
+    bookkeeping (mid/pad, Python-slice clipping included), and the
+    per-slab threshold extraction (fluss.R:163-230 update-or-append,
+    via a recursive CTE over slabs) are all closed-form. Validated
+    against the kernel doc-by-doc at sf0.001 and sf0.01."""
+    w, ez = W, EZ_N
+    ku_a, ku_b, kmode = 1.939274, 1.698150, 0.6311142
+    head = sql_mp_cte(w=w, ez_n=ez, min_len=3 * w)
+    for name in ("s", "len", "stats", "dists"):
+        head = head.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
+    return f"""
+WITH RECURSIVE {head},
+params AS MATERIALIZED (
+  SELECT doc_id, n, n // 2 AS boot, least((n // 2) // 2, 50) AS cs FROM len
+),
+slabs AS (
+  SELECT doc_id, n, boot, cs, sl AS s,
+         boot + 10 * sl AS sst,
+         least(boot + 10 * (sl + 1), n) AS sse
+  FROM (SELECT *, unnest(range(0, CAST(ceil((n - boot) / 10.0) AS BIGINT))) AS sl
+        FROM params)
+),
+ev0 AS (
+  SELECT doc_id, n, boot, cs, s, sst, sse, j,
+         sst + j * cs AS est,
+         CASE WHEN j < (sse - sst) // cs THEN sst + (j + 1) * cs
+              ELSE sse END AS eend
+  FROM (SELECT *, unnest(range(0, (sse - sst) // cs
+             + CASE WHEN (sse - sst) % cs > 0 THEN 1 ELSE 0 END)) AS j
+        FROM slabs)
+),
+evs AS MATERIALIZED (
+  SELECT doc_id, n, boot, cs, s, sst, sse, est, eend, eend - est AS L,
+         eend - boot AS b, boot - {w} + 1 AS cac_size,
+         row_number() OVER (PARTITION BY doc_id ORDER BY est) AS e
+  FROM ev0
+),
+-- pair admission: when did the pair's later window arrive, and was the
+-- earlier one still in the pre-trim buffer then?
+pairev AS MATERIALIZED (
+  SELECT d.doc_id, d.i AS l, d.j AS m, d.dist,
+         CASE WHEN d.j <= par.boot - {w} THEN 1 ELSE ev.e END AS avail_from,
+         (d.j <= par.boot - {w}) AS bootpair
+  FROM dists d
+  JOIN params par ON par.doc_id = d.doc_id
+  LEFT JOIN evs ev ON ev.doc_id = d.doc_id
+       AND ev.est <= d.j + {w} - 1 AND d.j + {w} - 1 < ev.eend
+  WHERE d.j <= par.boot - {w} OR d.i >= ev.est - par.boot
+),
+dboth AS MATERIALIZED (
+  SELECT doc_id, l AS p, m AS q, dist, avail_from, m AS et FROM pairev
+  UNION ALL
+  SELECT doc_id, m AS p, l AS q, dist, avail_from,
+         CASE WHEN bootpair THEN l ELSE m END AS et
+  FROM pairev
+),
+pib AS MATERIALIZED (
+  SELECT doc_id, e, i_rel, q - b AS qrel FROM (
+    SELECT ev.doc_id, ev.e, db.p - ev.b AS i_rel, db.q, ev.b,
+           row_number() OVER (PARTITION BY ev.doc_id, ev.e, db.p
+                              ORDER BY db.dist ASC, db.et ASC, db.q ASC) AS rn
+    FROM evs ev
+    JOIN dboth db ON db.doc_id = ev.doc_id
+         AND db.p >= ev.b AND db.p <= ev.b + ev.cac_size - {ez} - 2
+         AND db.q <= ev.eend - {w}
+         AND db.avail_from <= ev.e
+  ) WHERE rn = 1
+),
+posrows AS (
+  SELECT doc_id, e, cac_size,
+         unnest(range(0, greatest(cac_size - {ez} - 1, 0))) AS i_rel
+  FROM evs
+),
+arcents AS (
+  SELECT pr.doc_id, pr.e,
+         least(pr.i_rel + 1, COALESCE(pb.qrel + 1, 0)) AS lo,
+         greatest(pr.i_rel + 1, COALESCE(pb.qrel + 1, 0)) AS hi
+  FROM posrows pr
+  LEFT JOIN pib pb ON pb.doc_id = pr.doc_id AND pb.e = pr.e
+       AND pb.i_rel = pr.i_rel
+  WHERE COALESCE(pb.qrel + 1, 0) BETWEEN 0 AND pr.cac_size
+),
+deltas AS (
+  SELECT doc_id, e, lo - 1 AS idx, sum(1.0) AS dv
+  FROM arcents WHERE lo >= 1 GROUP BY doc_id, e, lo
+  UNION ALL
+  SELECT doc_id, e, hi - 1 AS idx, sum(-1.0) AS dv
+  FROM arcents WHERE hi >= 1 GROUP BY doc_id, e, hi
+),
+grid AS (
+  SELECT doc_id, e, cac_size, unnest(range(0, cac_size)) AS idx FROM evs
+),
+accum AS (
+  SELECT g.doc_id, g.e, g.idx, g.cac_size,
+         sum(COALESCE(ds.d, 0.0)) OVER (PARTITION BY g.doc_id, g.e ORDER BY g.idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ac
+  FROM grid g
+  LEFT JOIN (SELECT doc_id, e, idx, sum(dv) AS d FROM deltas
+             GROUP BY doc_id, e, idx) ds
+    ON ds.doc_id = g.doc_id AND ds.e = g.e AND ds.idx = g.idx
+),
+cacrows AS MATERIALIZED (
+  SELECT doc_id, e, idx,
+    CASE WHEN idx < {ez} THEN 1.0
+         WHEN ideal IS NULL OR ideal <= 0 THEN 1.0
+         WHEN isnan(ac / ideal) OR isinf(ac / ideal) OR ac / ideal < 0 THEN 1.0
+         ELSE least(ac / ideal, 1.0) END AS v
+  FROM (SELECT *,
+          {ku_a} * {ku_b} * pow(idx / (cac_size - 1.0), {ku_a} - 1.0)
+          * pow(1.0 - pow(idx / (cac_size - 1.0), {ku_a}), {ku_b} - 1.0)
+          * cac_size / 4.035477 AS ideal
+        FROM accum)
+),
+evx AS (
+  SELECT *, CAST(round(cac_size * {kmode}) AS BIGINT) - L // 2 - 1 AS mid
+  FROM evs
+),
+evy AS (
+  SELECT *,
+    CASE WHEN mid >= 0 THEN least(mid, cac_size)
+         ELSE greatest(cac_size + mid, 0) END AS lo_idx,
+    least(greatest(mid + L, 0), cac_size) AS hi_idx
+  FROM evx
+),
+evz AS MATERIALIZED (
+  SELECT *, greatest(hi_idx - lo_idx, 0) AS act_len,
+    COALESCE(sum(greatest(hi_idx - lo_idx, 0)) OVER (PARTITION BY doc_id
+         ORDER BY e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS cum_before
+  FROM evy
+),
+pads AS MATERIALIZED (
+  SELECT doc_id,
+    greatest(CAST(round(boot * ({kmode} - 1.0) - L / 2.0 + boot
+                        - {w} * {kmode}) AS BIGINT) + (eend - boot), 0) AS pad
+  FROM evz WHERE e = 1
+),
+slicerows AS MATERIALIZED (
+  SELECT c.doc_id, z.e, p.pad + z.cum_before + (c.idx - z.lo_idx) AS g,
+         c.v AS val
+  FROM cacrows c
+  JOIN evz z ON z.doc_id = c.doc_id AND z.e = c.e
+       AND c.idx >= z.lo_idx AND c.idx < z.hi_idx
+  JOIN pads p ON p.doc_id = c.doc_id
+),
+slabinfo AS MATERIALIZED (
+  SELECT doc_id, s, sse - boot AS off, sse, max(e) AS last_e
+  FROM evz GROUP BY doc_id, s, sse, boot
+),
+minpick AS MATERIALIZED (
+  SELECT doc_id, s, g, val FROM (
+    SELECT si.doc_id, si.s, sr.g, sr.val,
+           row_number() OVER (PARTITION BY si.doc_id, si.s
+                              ORDER BY sr.val ASC, sr.g ASC) AS rn
+    FROM slabinfo si
+    JOIN slicerows sr ON sr.doc_id = si.doc_id AND sr.e <= si.last_e
+         AND sr.g >= si.off
+    WHERE sr.val <= 1.0
+  ) WHERE rn = 1
+),
+nslabs AS MATERIALIZED (SELECT doc_id, max(s) AS smax FROM slabinfo GROUP BY doc_id),
+-- fluss.R:163-230 per-slab extraction, ez = round(w * ez*10) = 40
+seg AS (
+  SELECT p.doc_id, CAST(-1 AS BIGINT) AS s,
+         CAST([] AS BIGINT[]) AS idxs, CAST([] AS DOUBLE[]) AS vals
+  FROM params p
+  UNION ALL
+  SELECT sg.doc_id, sg.s + 1,
+    CASE WHEN mp.g IS NULL THEN sg.idxs
+         WHEN len(sg.idxs) = 0 THEN list_append(sg.idxs, mp.g)
+         WHEN mp.g > sg.idxs[-1] AND mp.g < sg.idxs[-1] + 40
+              AND mp.val < sg.vals[-1]
+           THEN list_append(sg.idxs[1:len(sg.idxs) - 1], mp.g)
+         WHEN mp.g > sg.idxs[-1] AND mp.g >= sg.idxs[-1] + 40
+           THEN list_append(sg.idxs, mp.g)
+         ELSE sg.idxs END,
+    CASE WHEN mp.g IS NULL THEN sg.vals
+         WHEN len(sg.vals) = 0 THEN list_append(sg.vals, mp.val)
+         WHEN mp.g > sg.idxs[-1] AND mp.g < sg.idxs[-1] + 40
+              AND mp.val < sg.vals[-1]
+           THEN list_append(sg.vals[1:len(sg.vals) - 1], mp.val)
+         WHEN mp.g > sg.idxs[-1] AND mp.g >= sg.idxs[-1] + 40
+           THEN list_append(sg.vals, mp.val)
+         ELSE sg.vals END
+  FROM seg sg
+  JOIN nslabs ns ON ns.doc_id = sg.doc_id AND sg.s < ns.smax
+  LEFT JOIN minpick mp ON mp.doc_id = sg.doc_id AND mp.s = sg.s + 1
+)
+SELECT sg.doc_id,
+       CAST(unnest(range(0, len(sg.idxs))) AS BIGINT) AS split_rank,
+       CAST(unnest(sg.idxs) AS BIGINT) AS split_pos,
+       round(unnest(sg.vals), 4) AS cac_value
+FROM seg sg JOIN nslabs ns ON ns.doc_id = sg.doc_id AND sg.s = ns.smax
+WHERE len(sg.idxs) > 0
+"""
+
+
 QUERIES["floss_chunked"] = q_floss_chunked
+ORACLES["floss_chunked"] = sql_floss_chunked()
 
 
 # ---------------------------------------------------------------------------
