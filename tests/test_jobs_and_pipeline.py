@@ -202,3 +202,45 @@ def test_text_quality_and_lang(spark, docs):
     assert ((q.quality >= 0) & (q.quality <= 1)).all()
     l = lang_scores(docs).toPandas()
     assert set(l.lang_pred).issubset({"de", "en", "es", "fr"})
+
+
+def test_connected_components_chain(spark):
+    """A chain is the adversarial case for naive min-propagation
+    (O(diameter) rounds); alternating star collapses it in O(log n)."""
+    from tsmp_spark.operators import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)] + [(200, 201), (203, 201), (205, 203)],
+        "doc_a long, doc_b long",
+    )
+    cc = connected_components(edges).toPandas()
+    by_node = dict(zip(cc.node, cc.component))
+    assert all(by_node[i] == 0 for i in range(61))
+    assert all(by_node[i] == 200 for i in (200, 201, 203, 205))
+
+
+def test_dedup_groups_transitive(spark):
+    """A~B and B~C must land in ONE group even if A~C was never a
+    candidate pair — the reason groups need components, not pairs."""
+    import pandas as pd
+
+    from tsmp_spark.operators import dedup_groups
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 50],
+                "text": [
+                    base + " alpha beta gamma delta",
+                    base + " alpha beta gamma epsilon",   # ~doc1
+                    base + " alpha beta zeta epsilon",    # ~doc2, farther from doc1
+                    "completely different content about spark shuffles and joins",
+                ],
+            }
+        )
+    )
+    g = dedup_groups(docs, num_hashes=16, bands=8, threshold=0.3).toPandas()
+    by = dict(zip(g.doc_id, g.keep_id))
+    assert by[1] == 1 and by[2] == 1 and by[3] == 1  # one transitive group
+    assert by[50] == 50 and not g[g.doc_id == 50].is_dup.iloc[0]

@@ -222,3 +222,27 @@ def test_caches_released_after_action(spark):
     ivf_topk(emb, k=2).count()
     assert release_caches() == 4
     assert persistent_ids() <= before
+
+
+def test_decontaminate_broadcasts_benchmark(spark, docs):
+    """Decontamination must broadcast the (small) benchmark shingles and
+    never shuffle the training corpus — hash-join at scan speed."""
+    from tsmp_spark.operators import decontaminate
+
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    plan = _plan(decontaminate(docs, bench, n=6))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_repetition_stats_pure_jvm(spark, docs):
+    """Repetition signals are per-row expressions: no Python, and no
+    exchange at all when parallelism is left unset."""
+    from tsmp_spark.operators import repetition_stats
+
+    plan = _plan(repetition_stats(docs))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan

@@ -1,4 +1,6 @@
 from .dedup import (
+    connected_components,
+    dedup_groups,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -18,14 +20,20 @@ from .rollup import (
 from .series import events_to_long, long_to_nested, nested_to_long, salted_repartition
 from .similarity import cosine_topk, lsh_bucket_topk
 from .text import (
+    decontaminate,
     doc_fingerprint,
     lang_scores,
     quality_features,
     quality_score,
+    repetition_stats,
     token_count,
 )
 
 __all__ = [
+    "connected_components",
+    "decontaminate",
+    "dedup_groups",
+    "repetition_stats",
     "arc_count_cac",
     "cosine_topk",
     "doc_fingerprint",

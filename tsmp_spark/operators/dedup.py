@@ -204,6 +204,121 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    the standard O(log n)-round formulation; a plain min-label
+    propagation needs O(diameter) rounds and dies on chain-shaped
+    near-dup clusters).
+
+    Each round is two shuffles (a groupBy-min and a join per star op);
+    lineage is cut with ``localCheckpoint`` every round so the plan stays
+    O(1) deep — without it an iterative DataFrame loop compiles a plan
+    that grows per iteration and falls over around iteration ~20.
+
+    Returns (node, component) with component = the minimum node id
+    reachable — deterministic, engine-portable (oracle: recursive-CTE
+    transitive closure)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def undirected(df: DataFrame) -> DataFrame:
+        return df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def large_star(df: DataFrame) -> DataFrame:
+        nbrs = undirected(df)
+        m = nbrs.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least(F.col("mv"), F.col("u")).alias("m")
+        )
+        return (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(df: DataFrame) -> DataFrame:
+        # orient every edge toward the smaller endpoint
+        directed = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = directed.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least(F.col("mv"), F.col("u")).alias("m")
+        )
+        joined = directed.join(m, "u")
+        out = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+            joined.select(F.col("u"), F.col("m").alias("v"))
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    cur = e.localCheckpoint()
+    for _ in range(max_iter):
+        nxt = small_star(large_star(cur)).localCheckpoint()
+        # converged when the edge set is stable (star graphs are fixpoints)
+        changed = (
+            nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
+        )
+        old = cur
+        cur = nxt
+        old.unpersist()
+        if changed == 0:
+            break
+    # fixpoint edges are (node, root) stars; roots map to themselves
+    nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    comp = cur.groupBy("u").agg(F.min("v").alias("component"))
+    out = nodes.join(comp, "u", "left").select(
+        F.col("u").alias("node"),
+        F.coalesce("component", "u").alias("component"),
+    )
+    result = out.localCheckpoint()
+    cur.unpersist()
+    return result
+
+
+def dedup_groups(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Near-duplicate GROUPS: MinHash-LSH candidate pairs unioned into
+    connected components, each doc keeping the group minimum as its
+    canonical id — the standard fuzzy-dedup shape for training corpora
+    (pairs alone under-merge: A~B, B~C must collapse to one keep).
+
+    Output: (doc_id, keep_id, is_dup) for every document; singletons keep
+    themselves."""
+    pairs = minhash_lsh_pairs(
+        documents, text_col, id_col, n, num_hashes, bands, threshold,
+        parallelism=parallelism,
+    )
+    comps = connected_components(pairs)
+    return (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(comps, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("keep_id"),
+            (F.coalesce("component", F.col("doc_id")) != F.col("doc_id")).alias(
+                "is_dup"
+            ),
+        )
+    )
+
+
 def simhash64(
     documents: DataFrame,
     text_col: str = "text",

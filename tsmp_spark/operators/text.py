@@ -102,6 +102,120 @@ def lang_scores(
     )
 
 
+def _word_ngrams(words: Column, k: int) -> Column:
+    """Word k-grams as array<string> (duplicates KEPT — repetition is the
+    signal here, unlike dedup's distinct shingles)."""
+    n = F.size(words) - (k - 1)
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    re-derived): fraction of duplicate words / 2-grams / 3-grams, and the
+    share of the document taken by its single most frequent word and
+    2-gram. Everything is per-row higher-order expressions — zero
+    shuffles, zero Python — so the operator composes with a parquet scan
+    at any scale (the top-gram scan is O(k²) per row in the distinct-gram
+    count, CPU-local).
+
+    Output: (doc_id, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+    top_word_frac, top_2gram_frac). ``parallelism`` spreads the per-row
+    expression CPU when the input has too few natural splits (the local
+    single-row-group parquet case; keep None at warehouse scale)."""
+    from .dedup import _spread
+
+    documents = _spread(documents, parallelism)
+    words = _words(F.col(text_col))
+    g2 = _word_ngrams(words, 2)
+    g3 = _word_ngrams(words, 3)
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0, (n - F.size(F.array_distinct(arr))) / n
+        ).otherwise(F.lit(0.0))
+
+    def top_frac(arr: Column) -> Column:
+        # max multiplicity = longest run in the SORTED array — one linear
+        # aggregate. (The naive transform(distinct, g -> count(filter))
+        # nests lambdas, and Spark re-evaluates the full array expression
+        # per element: measured 30 s for 500 docs vs 0.3 s for this.)
+        n = F.size(arr)
+        srt = F.array_sort(arr)
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        )
+
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        top = F.aggregate(srt, init, step, lambda acc: acc["best"])
+        return F.when(n > 0, top / n).otherwise(F.lit(0.0))
+
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        dup_frac(words).alias("dup_word_frac"),
+        dup_frac(g2).alias("dup_2gram_frac"),
+        dup_frac(g3).alias("dup_3gram_frac"),
+        top_frac(words).alias("top_word_frac"),
+        top_frac(g2).alias("top_2gram_frac"),
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap (the GPT-3 13-gram
+    rule, re-derived): a training doc is contaminated by a benchmark doc
+    when they share >= ``min_hits`` word n-grams.
+
+    Scale shape: the benchmark side is SMALL by construction (eval sets),
+    so its distinct shingles broadcast; the training side streams through
+    a broadcast-hash semi-join at scan speed — no all-pairs, no shuffle
+    of the corpus. Output: (doc_id, bench_id, n_hits) for contaminated
+    pairs only."""
+    from .dedup import word_shingles
+
+    doc_sh = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    bench_sh = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
 def doc_fingerprint(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
 ) -> DataFrame:

@@ -955,10 +955,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_MINHASH_LSH = f"""
-WITH {_sql_minhash(8)},
+def _sql_minhash_pairs(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    """minhash → banded LSH candidates → agree counts (shared by the
+    pair query and the dedup-groups closure)."""
+    return f"""
+{_sql_minhash(num_hashes)},
 banded AS (
-  SELECT doc_id, CAST(floor(hash_idx / 2) AS INT) AS band,
+  SELECT doc_id, CAST(floor(hash_idx / {rows_per_band}) AS INT) AS band,
          string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hash_idx) AS key
   FROM minhash GROUP BY 1, 2
 ),
@@ -974,7 +977,11 @@ agree AS (
   JOIN minhash mb ON mb.doc_id = c.doc_b AND mb.hash_idx = ma.hash_idx
                  AND mb.minhash = ma.minhash
   GROUP BY 1, 2
-)
+)"""
+
+
+SQL_MINHASH_LSH = f"""
+WITH {_sql_minhash_pairs(8, 2)}
 SELECT doc_a, doc_b, round(n_agree / 8.0, 4) AS est_jaccard
 FROM agree WHERE n_agree / 8.0 >= 0.25
 """
@@ -3127,3 +3134,131 @@ SELECT doc_id, pos, round(mp, 4) AS mp_r FROM mp
 
 QUERIES["mp_chunked"] = q_mp_chunked
 ORACLES["mp_chunked"] = SQL_MP_CHUNKED
+
+# ---------------------------------------------------------------------------
+# queries — training-data pipeline round 2: repetition quality,
+# decontamination, near-dup groups (connected components)
+# ---------------------------------------------------------------------------
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate/top word and n-gram
+    fractions) — per-row higher-order expressions, zero shuffle."""
+    from .operators import repetition_stats
+
+    r = repetition_stats(
+        _documents(spark, sf_dir),
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return r.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _r4("dup_word_frac").alias("dup_word_frac"),
+        _r4("dup_2gram_frac").alias("dup_2gram_frac"),
+        _r4("dup_3gram_frac").alias("dup_3gram_frac"),
+        _r4("top_word_frac").alias("top_word_frac"),
+        _r4("top_2gram_frac").alias("top_2gram_frac"),
+    )
+
+
+SQL_REPETITION = r"""
+WITH wl AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, w,
+         list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) AS g2,
+         list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) AS g3
+  FROM wl
+)
+SELECT doc_id,
+  round(CASE WHEN len(w) > 0 THEN (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE) ELSE 0.0 END, 4) AS dup_word_frac,
+  round(CASE WHEN len(g2) > 0 THEN (len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE) ELSE 0.0 END, 4) AS dup_2gram_frac,
+  round(CASE WHEN len(g3) > 0 THEN (len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE) ELSE 0.0 END, 4) AS dup_3gram_frac,
+  round(CASE WHEN len(w) > 0 THEN list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) / CAST(len(w) AS DOUBLE) ELSE 0.0 END, 4) AS top_word_frac,
+  round(CASE WHEN len(g2) > 0 THEN list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) / CAST(len(g2) AS DOUBLE) ELSE 0.0 END, 4) AS top_2gram_frac
+FROM grams
+"""
+
+QUERIES["repetition"] = q_repetition
+ORACLES["repetition"] = SQL_REPETITION
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style n-gram overlap): every 17th
+    document plays the eval set; n=6 word-gram hits per (doc, bench)."""
+    from .operators import decontaminate
+
+    docs = _documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    d = decontaminate(docs, bench, n=6, min_hits=1)
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("bench_id").cast("bigint").alias("bench_id"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+    )
+
+
+SQL_DECONTAMINATION = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+wl AS (SELECT doc_id, string_split(t, ' ') AS words FROM norm),
+dsh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+5], ' ') AS shingle
+  FROM wl, unnest(generate_series(1, greatest(len(words) - 5, 1))) AS g(i)
+  WHERE len(array_to_string(words[i:i+5], ' ')) > 0
+),
+bsh AS (SELECT doc_id AS bench_id, shingle FROM dsh WHERE doc_id % 17 = 0)
+SELECT d.doc_id, b.bench_id, count(*) AS n_hits
+FROM dsh d JOIN bsh b ON b.shingle = d.shingle
+GROUP BY 1, 2
+"""
+
+QUERIES["decontamination"] = q_decontamination
+ORACLES["decontamination"] = SQL_DECONTAMINATION
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: MinHash-LSH pairs closed into connected components
+    (alternating large-star/small-star), each doc keeping the component
+    minimum. Oracle closes the same pair set with a recursive-CTE
+    transitive closure."""
+    from .operators import dedup_groups
+
+    g = dedup_groups(
+        _documents(spark, sf_dir), num_hashes=8, bands=4, threshold=0.25
+    )
+    return g.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("keep_id").cast("bigint").alias("keep_id"),
+        F.col("is_dup").alias("is_dup"),
+    )
+
+
+SQL_DEDUP_GROUPS = f"""
+WITH RECURSIVE {_sql_minhash_pairs(8, 2)},
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM agree WHERE n_agree / 8.0 >= 0.25
+),
+edges2 AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach AS (
+  SELECT u AS n, u AS r FROM edges2
+  UNION
+  SELECT e.v AS n, reach.r FROM reach JOIN edges2 e ON e.u = reach.n
+),
+comp AS (SELECT n, min(r) AS component FROM reach GROUP BY n)
+SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS keep_id,
+       COALESCE(c.component, d.doc_id) <> d.doc_id AS is_dup
+FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+"""
+
+QUERIES["dedup_groups"] = q_dedup_groups
+ORACLES["dedup_groups"] = SQL_DEDUP_GROUPS
