@@ -1,0 +1,249 @@
+"""Training-set assembly operators (operators/tokens.py + pii_scrub):
+semantic invariants + physical-plan shape (the scale contract).
+
+The load-bearing invariant is the north rule's token-array equality:
+packing must preserve every source's concatenated token stream exactly,
+for any shard count.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tsmp_spark.operators import (
+    pack_sequences,
+    pii_scrub,
+    source_mixture,
+    token_entropy,
+    token_vocab_stats,
+    tokenize_documents,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(40)]
+    for i in range(60):
+        n = int(rng.integers(0, 30))
+        text = " ".join(rng.choice(words, size=n)) if n else ""
+        rows.append((i, text, f"src{i % 3}"))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+@pytest.fixture(scope="module")
+def tok(spark, docs):
+    return tokenize_documents(docs)
+
+
+def test_tokenize_shape_and_determinism(tok, docs):
+    rows = {r.doc_id: r for r in tok.collect()}
+    assert len(rows) == 60
+    for r in rows.values():
+        assert r.n_tok == len(r.tokens)
+        assert all(0 <= t < 32768 for t in r.tokens)
+    # empty text -> empty array, not ['']-token
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for d, t in texts.items():
+        if t == "":
+            assert rows[d].tokens == []
+    # identical word -> identical id across docs
+    again = {r.doc_id: r.tokens for r in tokenize_documents(docs).collect()}
+    assert all(again[d] == rows[d].tokens for d in again)
+
+
+@pytest.mark.parametrize("shards", [1, 4])
+@pytest.mark.parametrize("seq_len", [16, 64])
+def test_pack_preserves_token_streams(tok, seq_len, shards):
+    """Concatenating packed sequences per (source, shard) in seq_idx
+    order reproduces the doc_id-ordered concatenation of the stream's
+    docs exactly — token-array equality, the north-rule invariant."""
+    packed = pack_sequences(tok, seq_len=seq_len, shards=shards).collect()
+    toks = tok.collect()
+
+    import hashlib
+
+    def shard_of(doc_id):
+        if shards == 1:
+            return 0
+        # reproduce xxhash64 via Spark itself would be circular; group by
+        # observing the packed output keys instead
+        return None
+
+    # expected streams: for shards>1 derive each doc's shard from Spark
+    if shards > 1:
+        from pyspark.sql import functions as F
+
+        m = (
+            tok.select(
+                "doc_id",
+                F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(shards))
+                .cast("int")
+                .alias("shard"),
+            )
+            .collect()
+        )
+        shard_map = {r.doc_id: r.shard for r in m}
+    else:
+        shard_map = {r.doc_id: 0 for r in toks}
+
+    exp: dict[tuple, list] = {}
+    for r in sorted(toks, key=lambda r: r.doc_id):
+        if r.n_tok > 0:
+            exp.setdefault((r.source, shard_map[r.doc_id]), []).extend(r.tokens)
+
+    got: dict[tuple, list] = {}
+    for r in sorted(packed, key=lambda r: (r.source, r.shard, r.seq_idx)):
+        got.setdefault((r.source, r.shard), []).extend(r.tokens)
+
+    assert got == exp
+
+    # fixed-length contract: every sequence except each stream's last is full
+    by_stream: dict[tuple, list] = {}
+    for r in packed:
+        by_stream.setdefault((r.source, r.shard), []).append(r)
+    for rows in by_stream.values():
+        rows.sort(key=lambda r: r.seq_idx)
+        assert [r.seq_idx for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert r.n_tok == seq_len
+        assert 1 <= rows[-1].n_tok <= seq_len
+
+
+def test_source_mixture_rates(docs):
+    out = source_mixture(docs, {"src0": 3.0, "src1": 0.0}, default_rate=1.0).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    srcs = {r.doc_id: r.source for r in docs.collect()}
+    n0 = n2 = 0
+    for d, src in srcs.items():
+        copies = by_doc.get(d, [])
+        if src == "src0":
+            assert len(copies) == 3  # integer rate -> exact copy count
+            assert sorted(r.epoch for r in copies) == [0, 1, 2]
+            n0 += 1
+        elif src == "src1":
+            assert copies == []  # rate 0 drops everything
+        else:
+            assert len(copies) == 1
+            n2 += 1
+    assert n0 > 0 and n2 > 0
+    # deterministic: second run identical
+    again = source_mixture(docs, {"src0": 3.0, "src1": 0.0}, default_rate=1.0).collect()
+    assert sorted((r.doc_id, r.epoch) for r in again) == sorted(
+        (r.doc_id, r.epoch) for r in out
+    )
+
+
+def test_source_mixture_fractional_rate_is_bernoulli(docs):
+    out = source_mixture(docs, {}, default_rate=0.5).collect()
+    kept = {r.doc_id for r in out}
+    assert 0 < len(kept) < 60  # some kept, some dropped
+    assert all(r.epoch == 0 for r in out)
+
+
+def test_token_entropy_matches_numpy(tok):
+    got = {r.doc_id: r for r in token_entropy(tok).collect()}
+    for r in tok.collect():
+        if r.n_tok == 0:
+            assert r.doc_id not in got
+            continue
+        vals, counts = np.unique(np.array(r.tokens), return_counts=True)
+        n = counts.sum()
+        ent = math.log(n) - float((counts * np.log(counts)).sum()) / n
+        g = got[r.doc_id]
+        assert g.n_tok == n
+        assert g.n_distinct == len(vals)
+        assert abs(g.entropy - ent) < 1e-9
+        assert abs(g.top_token_frac - counts.max() / n) < 1e-12
+
+
+def test_token_vocab_stats(tok):
+    stats = {r.token: r for r in token_vocab_stats(tok).collect()}
+    flat: dict[int, int] = {}
+    dfreq: dict[int, set] = {}
+    for r in tok.collect():
+        for t in r.tokens:
+            flat[t] = flat.get(t, 0) + 1
+            dfreq.setdefault(t, set()).add(r.doc_id)
+    assert set(stats) == set(flat)
+    for t, c in flat.items():
+        assert stats[t].tf == c
+        assert stats[t].df == len(dfreq[t])
+    top = token_vocab_stats(tok, top_k=5).collect()
+    assert len(top) == 5
+    assert sorted(r.rank for r in top) == [1, 2, 3, 4, 5]
+    best = max(flat.items(), key=lambda kv: (kv[1], -kv[0]))
+    assert [r.token for r in top if r.rank == 1] == [best[0]]
+
+
+def test_pii_scrub_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d-e@f.co plus 555-123-4567 at 10.0.0.1"),
+            (2, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert out[1].n_email == 2
+    assert out[1].n_phone == 1
+    assert out[1].n_ipv4 == 1
+    assert out[2].n_email == out[2].n_phone == out[2].n_ipv4 == 0
+    assert out[2].clean_len == len("clean text with no pii at all")
+
+
+# --- plan-shape (scale contract) -------------------------------------------
+
+
+def test_tokenize_entropy_pii_pure_jvm(docs):
+    """The per-row stages are expression-only: no Python, no Exchange."""
+    for df in (
+        tokenize_documents(docs),
+        token_entropy(tokenize_documents(docs)),
+        pii_scrub(docs),
+    ):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
+        assert "Exchange" not in plan
+
+
+def test_pack_single_exchange(tok):
+    """Packing shuffles exactly ONCE: the reassembly groupBy reuses the
+    window cumsum's hashpartitioning(source, shard) (a subset of the
+    grouping keys satisfies ClusteredDistribution) — token bytes cross
+    the wire a single time, and never as a row-per-token explode."""
+    plan = _plan(pack_sequences(tok, seq_len=64))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    import re
+
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(keys) == 1
+    assert "source" in keys[0]  # shard literal 0 is constant-folded away
+
+    # sharded variant: the skew key joins the partitioning
+    plan4 = _plan(pack_sequences(tok, seq_len=64, shards=4))
+    keys4 = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan4)
+    assert len(keys4) == 1
+    assert "source" in keys4[0] and "shard" in keys4[0]
+
+
+def test_vocab_partial_aggregation(tok):
+    """Vocab stats partial-aggregate before the exchange (map-side
+    combine) so the shuffle is vocab-bounded."""
+    plan = _plan(token_vocab_stats(tok))
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan

@@ -216,6 +216,53 @@ def decontaminate(
     )
 
 
+#: PII patterns — deliberately simple, engine-portable regexes (Java
+#: regex and RE2 agree on these constructs: classes, quantifiers, \d/\b).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{3}[- .]\d{3}[- .]\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scrub(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """PII detection + redaction signals: per-doc counts of email /
+    phone / IPv4 matches and the length of the text after replacing
+    each match class with a ``<TYPE>`` placeholder. Counts-and-length
+    output keeps the oracle exact while the redacted text itself stays
+    available via :func:`pii_redact`.
+
+    Pure per-row regex expressions (codegen'd, zero shuffle) — the scan
+    is the plan. Patterns are the portable subset both Java regex and
+    RE2 (DuckDB) interpret identically."""
+    from .dedup import _spread
+
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    return _spread(documents, parallelism).select(
+        F.col(id_col).alias("doc_id"),
+        *counts,
+        F.length(pii_redact(t)).cast("long").alias("clean_len"),
+    )
+
+
+def pii_redact(text_col: Column) -> Column:
+    """Replace each PII match with ``<TYPE>`` (email → ``<EMAIL>`` …),
+    applied in deterministic pattern order."""
+    out = text_col
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
 def doc_fingerprint(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
 ) -> DataFrame:

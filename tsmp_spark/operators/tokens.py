@@ -1,0 +1,324 @@
+"""Training-set assembly operators over pre-tokenized sequence tables —
+the input_hint shape ``(doc_id, tokens:array<int>, n_tok, source)``.
+
+This family covers the steps between "cleaned corpus" and "training
+batches" in an LLM data pipeline:
+
+- :func:`tokenize_documents` — deterministic hash tokenizer (documents →
+  the input_hint table). All token ids are md5-derived so the DuckDB
+  oracles reproduce them bit-for-bit (same convention as
+  ``dedup._h64``).
+- :func:`pack_sequences` — pack variable-length docs into fixed-length
+  training context windows (the canonical pretraining op: concatenate
+  token streams per source and cut every ``seq_len`` tokens).
+- :func:`source_mixture` — deterministic hash-based mixture sampling:
+  per-source up/downsampling rates materialized as epoch copies.
+- :func:`token_vocab_stats` — corpus-level token frequency / document
+  frequency (one explode + one map-side-combinable groupBy).
+- :func:`token_entropy` — per-doc unigram entropy / distinct share /
+  top-token share as ZERO-SHUFFLE sorted-run aggregates (no explode,
+  no Python; the same single-lambda trick as ``text.repetition_stats``).
+
+Scale notes (100 TB / 10^12-sequence design):
+- ``pack_sequences`` is the only operator here that needs a global
+  order, and it needs it only WITHIN a packing stream. Streams are
+  ``(source, shard)`` where ``shard = xxhash64(doc_id) % shards`` —
+  a hot source (Zipf skew) is split into ``shards`` independent,
+  deterministic streams, so no single reducer sees more than
+  ~|source|/shards tokens. Shuffle budget: one window cumsum + one
+  groupBy, both keyed on the same (source, shard) prefix; bytes
+  shuffled ≈ corpus size (each token crosses the wire once as an
+  array slice, never as a row-per-token explode).
+- ``token_vocab_stats`` shuffles one row per DISTINCT (partition,
+  token) after partial aggregation — vocab-bounded, not corpus-bounded.
+- ``tokenize_documents`` / ``token_entropy`` are pure per-row
+  expression pipelines: they compose with a parquet scan at any scale
+  and inherit whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .dedup import _spread, normalize_text
+
+#: default hash-tokenizer vocabulary (2^15 ids)
+VOCAB_SIZE = 32768
+
+
+def hash_token(word: Column, vocab_size: int = VOCAB_SIZE) -> Column:
+    """Deterministic token id for one word: first 7 hex chars (28 bits)
+    of ``md5('tok:' || word)``, mod vocab. Engine-portable: DuckDB
+    computes the identical id as
+    ``CAST('0x' || substr(md5('tok:' || w), 1, 7) AS BIGINT) % vocab``."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit("tok:"), word)), 1, 7), 16, 10)
+        .cast("long")
+        % vocab_size
+    ).cast("int")
+
+
+def tokenize_documents(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    vocab_size: int = VOCAB_SIZE,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """documents → the input_hint table ``(doc_id, tokens:array<int>,
+    n_tok:int, source)`` via a deterministic word-hash tokenizer.
+
+    Not BPE — the point is a reproducible, engine-portable id stream
+    with a realistic marginal distribution, so every downstream
+    operator (packing, mixing, vocab stats, entropy, matrix-profile
+    kernels) can be oracle-checked end-to-end. A real tokenizer drops
+    in by replacing this one stage."""
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda w: w != ""
+    )
+    toks = F.transform(words, lambda w: hash_token(w, vocab_size))
+    return _spread(documents, parallelism).select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(toks).alias("n_tok"),
+        F.col(source_col).alias("source"),
+    )
+
+
+def pack_sequences(
+    sequences: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    source_col: str = "source",
+    shards: int = 1,
+) -> DataFrame:
+    """Pack variable-length token documents into fixed-length training
+    sequences: within each ``(source, shard)`` stream, documents are
+    concatenated in ``doc_id`` order and the stream is cut every
+    ``seq_len`` tokens. Output rows are the training sequences
+    ``(source, shard, seq_idx, tokens, n_docs, n_tok)`` — every row has
+    exactly ``seq_len`` tokens except each stream's last.
+
+    Physical plan: window cumsum per stream (start offsets) → each doc
+    explodes to the ≤ ``n_tok/seq_len + 1`` sequences it spans with a
+    JVM-side ``slice`` per span (never a row per token) → one groupBy
+    on the SAME key prefix reassembles slices with a sorted-struct
+    flatten. Two exchanges total, both hashed on (source, shard);
+    shuffle bytes ≈ corpus token bytes.
+
+    ``shards > 1`` is the skew escape hatch: a Zipf-hot source becomes
+    ``shards`` deterministic independent streams (salted_repartition's
+    cousin, but semantic — the output is reproducible for a fixed
+    shard count, unlike physical-only salting)."""
+    shard = (
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(shards))
+        if shards > 1
+        else F.lit(0)
+    ).cast("int")
+    docs = (
+        sequences.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            shard.alias("shard"),
+            F.col(tokens_col).alias("tokens"),
+            F.size(F.col(tokens_col)).alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    docs = docs.withColumn(
+        "start", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    )
+    first_seq = F.floor(F.col("start") / seq_len)
+    last_seq = F.floor((F.col("start") + F.col("n_tok") - 1) / seq_len)
+    lo = F.greatest(F.col("seq_idx") * seq_len - F.col("start"), F.lit(0))
+    hi = (
+        F.least(
+            (F.col("seq_idx") + 1) * seq_len,
+            F.col("start") + F.col("n_tok"),
+        )
+        - F.col("start")
+    )
+    pieces = docs.select(
+        "source",
+        "shard",
+        "start",
+        "tokens",
+        "n_tok",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_idx"),
+    ).select(
+        "source",
+        "shard",
+        F.col("seq_idx").cast("long").alias("seq_idx"),
+        "start",
+        F.slice(F.col("tokens"), (lo + 1).cast("int"), (hi - lo).cast("int")).alias(
+            "piece"
+        ),
+    )
+    return (
+        pieces.groupBy("source", "shard", "seq_idx")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("start"), F.col("piece")))
+                    ),
+                    lambda s: s["piece"],
+                )
+            ).alias("tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .withColumn("n_tok", F.size("tokens"))
+    )
+
+
+def source_mixture(
+    sequences: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic mixture sampling: each doc is kept ``n_copies``
+    times where ``n_copies = floor(rate) + (u < frac(rate))`` and ``u``
+    is the doc's md5-derived uniform in [0,1). rate < 1 downsamples,
+    rate > 1 upsamples with epoch copies (``epoch`` = 0-based copy
+    index) — the standard way to realize training-mix weights without
+    an RNG (reproducible across engines, executors, and retries).
+
+    Output: ``(doc_id, source, rate, epoch)``. Map-side only — no
+    shuffle, no Python."""
+    rate = F.lit(float(default_rate))
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == src, float(r)).otherwise(rate)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    n_copies = (F.floor(rate) + F.when(u < rate - F.floor(rate), 1).otherwise(0)).cast(
+        "int"
+    )
+    return (
+        sequences.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            rate.alias("rate"),
+            n_copies.alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "rate",
+            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("epoch"),
+        )
+    )
+
+
+def token_vocab_stats(
+    sequences: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus-level token statistics: term frequency and document
+    frequency per token id, optionally truncated to the ``top_k`` most
+    frequent (ties broken by token id — deterministic).
+
+    One explode + one groupBy(token); the aggregation is map-side
+    combinable so the shuffle is vocab-bounded (one row per distinct
+    (partition, token)), not corpus-bounded."""
+    flat = sequences.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.col(tokens_col)).alias("token")
+    )
+    stats = flat.groupBy("token").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    if top_k is not None:
+        rn = F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("token")))
+        stats = stats.withColumn("rank", rn).filter(F.col("rank") <= top_k)
+    return stats
+
+
+def token_entropy(
+    sequences: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Per-document unigram statistics WITHOUT exploding: unigram
+    entropy (nats), distinct-token count, and top-token share, each
+    from one linear pass over the SORTED token array (run-length
+    aggregation in a single ``aggregate`` lambda — nested-lambda
+    re-evaluation, the 30-s trap documented in SCALE.md, never occurs).
+
+    entropy = ln(n) − Σ_runs run·ln(run) / n; top_token_frac =
+    longest_run / n; n_distinct = number of runs. Zero shuffles, zero
+    Python — scales as a map-only pass over the corpus."""
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    srt = F.array_sort(toks)
+    init = F.struct(
+        F.lit(None).cast("int").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("sumn"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("k"),
+    )
+
+    def step(acc, x):
+        is_new = acc["prev"].isNull() | (x != acc["prev"])
+        closed = F.when(
+            is_new & (acc["run"] > 0),
+            F.struct(
+                (acc["sumn"] + acc["run"] * F.log(acc["run"].cast("double"))).alias(
+                    "sumn"
+                ),
+                F.greatest(acc["best"], acc["run"]).alias("best"),
+                (acc["k"] + 1).alias("k"),
+            ),
+        ).otherwise(
+            F.struct(
+                acc["sumn"].alias("sumn"),
+                acc["best"].alias("best"),
+                acc["k"].alias("k"),
+            )
+        )
+        return F.struct(
+            x.alias("prev"),
+            F.when(is_new, F.lit(1).cast("long")).otherwise(acc["run"] + 1).alias("run"),
+            closed["sumn"].alias("sumn"),
+            closed["best"].alias("best"),
+            closed["k"].alias("k"),
+        )
+
+    def finish(acc):
+        sumn = F.when(
+            acc["run"] > 0, acc["sumn"] + acc["run"] * F.log(acc["run"].cast("double"))
+        ).otherwise(acc["sumn"])
+        best = F.greatest(acc["best"], acc["run"])
+        k = acc["k"] + F.when(acc["run"] > 0, 1).otherwise(0)
+        return F.struct(sumn.alias("sumn"), best.alias("best"), k.alias("k"))
+
+    agg = F.aggregate(srt, init, step, finish)
+    return _spread(sequences, parallelism).select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tok"),
+        agg["k"].alias("n_distinct"),
+        (F.log(n.cast("double")) - agg["sumn"] / n).alias("entropy"),
+        (agg["best"] / n).alias("top_token_frac"),
+    ).filter(F.col("n_tok") > 0)

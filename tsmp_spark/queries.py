@@ -3262,3 +3262,237 @@ FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
 
 QUERIES["dedup_groups"] = q_dedup_groups
 ORACLES["dedup_groups"] = SQL_DEDUP_GROUPS
+
+
+# ---------------------------------------------------------------------------
+# queries — training-set assembly: tokenize, pack, mix, vocab, entropy, PII
+# (operators/tokens.py + text.pii_scrub; the input_hint table derived
+# deterministically from documents via the md5 hash tokenizer)
+# ---------------------------------------------------------------------------
+
+#: shared tokenizer CTE — MUST mirror operators.tokens.hash_token /
+#: tokenize_documents exactly (normalize → split → drop empties → md5 id)
+SQL_TOKC = r"""
+tokc AS (
+  SELECT doc_id, source,
+         list_transform(
+           list_filter(
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+             w -> w <> ''),
+           w -> CAST(CAST(('0x' || substr(md5('tok:' || w), 1, 7)) AS BIGINT) % 32768 AS INT)
+         ) AS tokens
+  FROM documents
+)"""
+
+
+def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import tokenize_documents
+
+    return tokenize_documents(
+        _documents(spark, sf_dir),
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash tokenizer: documents → input_hint token table,
+    exploded per token position so the oracle checks the full id stream
+    (the north-rule token-array equality invariant, element by element)."""
+    return _tokenized(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode("tokens").alias("pos", "token"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("token").cast("bigint").alias("token"),
+    )
+
+
+SQL_TOKENIZE = f"""
+WITH {SQL_TOKC}
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, CAST(tokens[i] AS BIGINT) AS token
+FROM tokc, unnest(generate_series(1, len(tokens))) AS g(i)
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training-sequence packing (seq_len=64) over the
+    tokenized table: per-source doc_id-ordered concatenation cut every
+    64 tokens; exploded per token so packed-array equality is the gate."""
+    from .operators import pack_sequences
+
+    packed = pack_sequences(_tokenized(spark, sf_dir), seq_len=64)
+    return packed.select(
+        "source",
+        F.col("seq_idx").cast("bigint").alias("seq_idx"),
+        F.posexplode("tokens").alias("pos", "token"),
+    ).select(
+        "source",
+        "seq_idx",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("token").cast("bigint").alias("token"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH {SQL_TOKC},
+docs AS (SELECT doc_id, source, tokens, len(tokens) AS n_tok FROM tokc WHERE len(tokens) > 0),
+st AS (
+  SELECT *, CAST(COALESCE(sum(n_tok) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+  FROM docs
+)
+SELECT source,
+       CAST((strt + i - 1) // 64 AS BIGINT) AS seq_idx,
+       CAST((strt + i - 1) % 64 AS BIGINT) AS pos,
+       CAST(tokens[i] AS BIGINT) AS token
+FROM st, unnest(generate_series(1, n_tok)) AS g(i)
+"""
+
+#: mixture rates for the driver query (down/zero/up/fractional-up cases)
+MIX_RATES = {"src0": 2.5, "src1": 0.25, "src2": 0.0, "src3": 1.75}
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix sampling: per-source rates realized as
+    md5-uniform keep/epoch-copy decisions (no RNG, reproducible across
+    engines and retries)."""
+    from .operators import source_mixture
+
+    m = source_mixture(_documents(spark, sf_dir), MIX_RATES)
+    return m.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        _r4("rate").alias("rate"),
+        F.col("epoch").cast("bigint").alias("epoch"),
+    )
+
+
+SQL_SOURCE_MIX = """
+WITH scored AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+                     WHEN 'src2' THEN 0.0 WHEN 'src3' THEN 1.75
+                     ELSE 1.0 END AS rate,
+         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM documents
+),
+copies AS (
+  SELECT doc_id, source, rate,
+         CAST(floor(rate) + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+  FROM scored
+)
+SELECT doc_id, source, round(rate, 4) AS rate, CAST(e.epoch AS BIGINT) AS epoch
+FROM copies, unnest(generate_series(0, n_copies - 1)) AS e(epoch)
+WHERE n_copies > 0
+"""
+
+
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics: term + document frequency, top-200 by
+    (tf desc, token) — the vocab-health check of a training pipeline."""
+    from .operators import token_vocab_stats
+
+    v = token_vocab_stats(_tokenized(spark, sf_dir), top_k=200)
+    return v.select(
+        F.col("token").cast("bigint").alias("token"),
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df").cast("bigint").alias("df"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+SQL_TOKEN_VOCAB = f"""
+WITH {SQL_TOKC},
+flat AS (
+  SELECT doc_id, tokens[i] AS token
+  FROM tokc, unnest(generate_series(1, len(tokens))) AS g(i)
+),
+stats AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM flat GROUP BY 1),
+ranked AS (
+  SELECT CAST(token AS BIGINT) AS token, tf, df,
+         CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank
+  FROM stats
+)
+SELECT token, tf, df, rank FROM ranked WHERE rank <= 200
+"""
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram entropy / distinct share / top-token share —
+    computed WITHOUT exploding (single sorted-run array aggregate)."""
+    from .operators import token_entropy
+
+    e = token_entropy(
+        _tokenized(spark, sf_dir),
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return e.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        _r4("entropy").alias("entropy"),
+        _r4("top_token_frac").alias("top_token_frac"),
+    )
+
+
+SQL_TOKEN_ENTROPY = f"""
+WITH {SQL_TOKC},
+flat AS (
+  SELECT doc_id, tokens[i] AS token
+  FROM tokc, unnest(generate_series(1, len(tokens))) AS g(i)
+),
+cnt AS (SELECT doc_id, token, count(*) AS c FROM flat GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS k, max(c) AS best,
+         sum(c * ln(c)) AS sumn
+  FROM cnt GROUP BY 1
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tok, CAST(k AS BIGINT) AS n_distinct,
+       round(ln(n) - sumn / n, 4) AS entropy,
+       round(CAST(best AS DOUBLE) / n, 4) AS top_token_frac
+FROM agg
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection/redaction signals: match counts per class + length
+    of the placeholder-redacted text (portable regex subset)."""
+    from .operators import pii_scrub
+
+    p = pii_scrub(
+        _documents(spark, sf_dir),
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return p
+
+
+SQL_PII_SCRUB = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\+?\d{3}[- .]\d{3}[- .]\d{4}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(length(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\+?\d{3}[- .]\d{3}[- .]\d{4}', '<PHONE>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g')
+  ) AS BIGINT) AS clean_len
+FROM documents
+"""
+
+QUERIES["tokenize"] = q_tokenize
+QUERIES["pack_sequences"] = q_pack_sequences
+QUERIES["source_mix"] = q_source_mix
+QUERIES["token_vocab"] = q_token_vocab
+QUERIES["token_entropy"] = q_token_entropy
+QUERIES["pii_scrub"] = q_pii_scrub
+ORACLES["tokenize"] = SQL_TOKENIZE
+ORACLES["pack_sequences"] = SQL_PACK_SEQUENCES
+ORACLES["source_mix"] = SQL_SOURCE_MIX
+ORACLES["token_vocab"] = SQL_TOKEN_VOCAB
+ORACLES["token_entropy"] = SQL_TOKEN_ENTROPY
+ORACLES["pii_scrub"] = SQL_PII_SCRUB
