@@ -96,6 +96,21 @@ def main() -> None:
     extras["mp_windows_per_sec"] = round(n_windows / timings["mp_kernel_synth"], 1)
     extras["synth_tokens"] = int(total_tokens)
 
+    # 1b) training-sequence packing over the same input_hint table —
+    # tokens-payload headline: one exchange moves every token once;
+    # shards split the Zipf-hot sources into independent streams
+    if want("pack_tokens"):
+        from tsmp_spark.operators import pack_sequences
+
+        packed_n = timed(
+            "pack_tokens",
+            lambda: pack_sequences(seqs, seq_len=2048, shards=8)
+            .agg(F.sum("n_tok"))
+            .collect()[0][0],
+        )
+        assert packed_n == total_tokens  # stream-conservation invariant
+        extras["packed_tokens_per_sec"] = round(packed_n / timings["pack_tokens"], 1)
+
     # 2) flagship pipeline on the SF events table
     def pipeline():
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")

@@ -119,6 +119,40 @@ def test_pack_preserves_token_streams(tok, seq_len, shards):
         assert 1 <= rows[-1].n_tok <= seq_len
 
 
+def test_tokenize_append_eos(docs):
+    tok = tokenize_documents(docs, append_eos=32768).collect()
+    for r in tok:
+        assert r.tokens[-1] == 32768
+        assert r.tokens.count(32768) == 1  # word ids are % 32768 < eos
+        assert r.n_tok == len(r.tokens) >= 1  # empty docs carry their EOS
+
+
+def test_pack_spans_cover_sequences_exactly(docs):
+    """doc_spans tile each packed sequence: contiguous, non-overlapping,
+    in doc order, lengths summing to n_tok; re-slicing the packed tokens
+    by spans reproduces each doc's piece stream."""
+    tok = tokenize_documents(docs, append_eos=32768)
+    packed = pack_sequences(tok, seq_len=32, with_spans=True).collect()
+    toks = {r.doc_id: r.tokens for r in tok.collect()}
+    got_doc_tokens: dict[int, list] = {}
+    for r in packed:
+        cursor = 0
+        for sp in r.doc_spans:
+            assert sp.pos == cursor
+            assert sp.len >= 1
+            cursor += sp.len
+            got_doc_tokens.setdefault(sp.doc_id, []).append(
+                (r.seq_idx, r.tokens[sp.pos : sp.pos + sp.len])
+            )
+        assert cursor == r.n_tok
+        assert len(r.doc_spans) == r.n_docs
+    for d, pieces in got_doc_tokens.items():
+        pieces.sort(key=lambda p: p[0])
+        flat = [t for _, piece in pieces for t in piece]
+        assert flat == toks[d]
+    assert set(got_doc_tokens) == {d for d, t in toks.items() if t}
+
+
 def test_source_mixture_rates(docs):
     out = source_mixture(docs, {"src0": 3.0, "src1": 0.0}, default_rate=1.0).collect()
     by_doc: dict[int, list] = {}

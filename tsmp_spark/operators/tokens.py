@@ -65,6 +65,7 @@ def tokenize_documents(
     id_col: str = "doc_id",
     source_col: str = "source",
     vocab_size: int = VOCAB_SIZE,
+    append_eos: int | None = None,
     parallelism: int | None = None,
 ) -> DataFrame:
     """documents → the input_hint table ``(doc_id, tokens:array<int>,
@@ -74,11 +75,19 @@ def tokenize_documents(
     with a realistic marginal distribution, so every downstream
     operator (packing, mixing, vocab stats, entropy, matrix-profile
     kernels) can be oracle-checked end-to-end. A real tokenizer drops
-    in by replacing this one stage."""
+    in by replacing this one stage.
+
+    ``append_eos`` appends a document-separator id (conventionally
+    ``vocab_size``, one past the word-id range) to every doc — the
+    standard pre-packing step so packed sequences carry document
+    boundaries in-band. With EOS, empty docs still contribute their
+    separator (n_tok >= 1)."""
     words = F.filter(
         F.split(normalize_text(F.col(text_col)), " "), lambda w: w != ""
     )
     toks = F.transform(words, lambda w: hash_token(w, vocab_size))
+    if append_eos is not None:
+        toks = F.concat(toks, F.array(F.lit(int(append_eos)).cast("int")))
     return _spread(documents, parallelism).select(
         F.col(id_col).alias("doc_id"),
         toks.alias("tokens"),
@@ -94,6 +103,7 @@ def pack_sequences(
     tokens_col: str = "tokens",
     source_col: str = "source",
     shards: int = 1,
+    with_spans: bool = False,
 ) -> DataFrame:
     """Pack variable-length token documents into fixed-length training
     sequences: within each ``(source, shard)`` stream, documents are
@@ -112,7 +122,13 @@ def pack_sequences(
     ``shards > 1`` is the skew escape hatch: a Zipf-hot source becomes
     ``shards`` deterministic independent streams (salted_repartition's
     cousin, but semantic — the output is reproducible for a fixed
-    shard count, unlike physical-only salting)."""
+    shard count, unlike physical-only salting).
+
+    ``with_spans`` adds ``doc_spans: array<struct<doc_id, pos, len>>``
+    — which document occupies which slice of each packed sequence, in
+    order. This is the attention-mask-reset metadata a trainer needs to
+    stop cross-document attention; it is derived in the SAME sorted
+    collect pass as the tokens (no extra shuffle or scan)."""
     shard = (
         F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(shards))
         if shards > 1
@@ -147,6 +163,7 @@ def pack_sequences(
         - F.col("start")
     )
     pieces = docs.select(
+        "doc_id",
         "source",
         "shard",
         "start",
@@ -154,27 +171,39 @@ def pack_sequences(
         "n_tok",
         F.explode(F.sequence(first_seq, last_seq)).alias("seq_idx"),
     ).select(
+        "doc_id",
         "source",
         "shard",
         F.col("seq_idx").cast("long").alias("seq_idx"),
         "start",
+        F.greatest(F.col("start") - F.col("seq_idx") * seq_len, F.lit(0))
+        .cast("int")
+        .alias("pos"),
         F.slice(F.col("tokens"), (lo + 1).cast("int"), (hi - lo).cast("int")).alias(
             "piece"
         ),
     )
+    sorted_pieces = F.array_sort(
+        F.collect_list(F.struct(F.col("start"), F.col("doc_id"), F.col("pos"), F.col("piece")))
+    )
+    aggs = [
+        F.flatten(F.transform(sorted_pieces, lambda s: s["piece"])).alias("tokens"),
+        F.count("*").alias("n_docs"),
+    ]
+    if with_spans:
+        aggs.append(
+            F.transform(
+                sorted_pieces,
+                lambda s: F.struct(
+                    s["doc_id"].alias("doc_id"),
+                    s["pos"].alias("pos"),
+                    F.size(s["piece"]).alias("len"),
+                ),
+            ).alias("doc_spans")
+        )
     return (
         pieces.groupBy("source", "shard", "seq_idx")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("start"), F.col("piece")))
-                    ),
-                    lambda s: s["piece"],
-                )
-            ).alias("tokens"),
-            F.count("*").alias("n_docs"),
-        )
+        .agg(*aggs)
         .withColumn("n_tok", F.size("tokens"))
     )
 

@@ -3496,3 +3496,58 @@ ORACLES["source_mix"] = SQL_SOURCE_MIX
 ORACLES["token_vocab"] = SQL_TOKEN_VOCAB
 ORACLES["token_entropy"] = SQL_TOKEN_ENTROPY
 ORACLES["pii_scrub"] = SQL_PII_SCRUB
+
+
+def q_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EOS-terminated packing with document-span metadata: tokenizer
+    appends the separator id (32768) per doc, packing emits the
+    (doc_id, pos, len) occupancy of every packed sequence — the
+    attention-mask-reset map a trainer consumes."""
+    from .operators import pack_sequences, tokenize_documents
+
+    tok = tokenize_documents(
+        _documents(spark, sf_dir),
+        append_eos=32768,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    packed = pack_sequences(tok, seq_len=64, with_spans=True)
+    return packed.select(
+        "source",
+        F.col("seq_idx").cast("bigint").alias("seq_idx"),
+        F.posexplode("doc_spans").alias("span_idx", "sp"),
+    ).select(
+        "source",
+        "seq_idx",
+        F.col("span_idx").cast("bigint").alias("span_idx"),
+        F.col("sp.doc_id").cast("bigint").alias("doc_id"),
+        F.col("sp.pos").cast("bigint").alias("pos"),
+        F.col("sp.len").cast("bigint").alias("len"),
+    )
+
+
+SQL_PACK_SPANS = f"""
+WITH {SQL_TOKC},
+eos AS (SELECT doc_id, source, list_append(tokens, 32768) AS tokens FROM tokc),
+docs AS (SELECT doc_id, source, len(tokens) AS n_tok FROM eos),
+st AS (
+  SELECT *, CAST(COALESCE(sum(n_tok) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+  FROM docs
+),
+spans AS (
+  SELECT source, s AS seq_idx, doc_id,
+         greatest(strt - s * 64, 0) AS pos,
+         least((s + 1) * 64, strt + n_tok) - greatest(s * 64, strt) AS len
+  FROM st, unnest(generate_series(strt // 64, (strt + n_tok - 1) // 64)) AS g(s)
+)
+SELECT source, CAST(seq_idx AS BIGINT) AS seq_idx,
+       CAST(row_number() OVER (PARTITION BY source, seq_idx ORDER BY pos) - 1 AS BIGINT) AS span_idx,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(pos AS BIGINT) AS pos,
+       CAST(len AS BIGINT) AS len
+FROM spans
+"""
+
+QUERIES["pack_spans"] = q_pack_spans
+ORACLES["pack_spans"] = SQL_PACK_SPANS
