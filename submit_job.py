@@ -25,7 +25,28 @@ import time
 
 def build_args(argv):
     p = argparse.ArgumentParser()
+    p.add_argument(
+        "--job",
+        choices=["rollup", "assemble"],
+        default="rollup",
+        help="rollup: matrix-profile tier pipeline (default). assemble: "
+        "training-set assembly — documents parquet -> hash tokenizer "
+        "(+EOS) -> fixed-length sequence packing with doc spans, "
+        "checkpointed per SOURCE group (packing streams are independent "
+        "per source, so source-grouped parts resume without changing any "
+        "sequence boundary)",
+    )
     p.add_argument("--input", required=True, help="events parquet or sequences parquet")
+    p.add_argument("--seq-len", type=int, default=2048, help="assemble: packed length")
+    p.add_argument(
+        "--pack-shards", type=int, default=1,
+        help="assemble: split each source into N deterministic packing "
+        "streams (Zipf-hot source skew control)",
+    )
+    p.add_argument(
+        "--eos", type=int, default=32768,
+        help="assemble: document-separator token id appended per doc (-1 disables)",
+    )
     p.add_argument(
         "--input-kind",
         choices=["events", "sequences", "events-stream"],
@@ -133,6 +154,67 @@ def run_streaming(spark, args, t0) -> int:
     return 0
 
 
+def run_assemble(spark, args, t0) -> int:
+    """Training-set assembly as a resumable job: tokenize (+EOS) ->
+    pack into fixed-length sequences with doc-span metadata, committed
+    per source-hash part with lineage + metrics. Packing streams are
+    keyed (source, shard), so a part that contains WHOLE sources packs
+    identically whether it runs alone or in the full job — resume
+    cannot move a sequence boundary."""
+    from pyspark.sql import functions as F
+
+    from tsmp_spark.jobs import CheckpointedJob
+    from tsmp_spark.operators import pack_sequences, tokenize_documents
+
+    docs = spark.read.parquet(args.input)
+    job = CheckpointedJob(
+        spark=spark,
+        base_dir=f"{args.output}/packed",
+        n_parts=args.n_parts,
+        key_col="source",
+    )
+    lineage = {
+        "input": args.input,
+        "stage": "assemble_pack",
+        "seq_len": args.seq_len,
+        "pack_shards": args.pack_shards,
+        "eos": args.eos,
+    }
+
+    def transform(part):
+        tok = tokenize_documents(
+            part, append_eos=(args.eos if args.eos >= 0 else None)
+        )
+        return pack_sequences(
+            tok,
+            seq_len=args.seq_len,
+            shards=args.pack_shards,
+            with_spans=True,
+        )
+
+    packed = job.run(docs, transform, lineage=lineage)
+    agg = packed.agg(
+        F.count("*").alias("n_seqs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_docs").alias("n_doc_pieces"),
+    ).collect()[0]
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "mode": "assemble",
+                "sequences": agg.n_seqs,
+                "tokens_packed": agg.n_tokens,
+                "doc_pieces": agg.n_doc_pieces,
+                "seq_len": args.seq_len,
+                "total_wall_sec": round(wall, 2),
+                "tokens_per_sec": round(agg.n_tokens / wall, 1),
+            }
+        )
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_args(argv)
     from pyspark.sql import SparkSession, functions as F
@@ -154,6 +236,8 @@ def main(argv=None) -> int:
     from tsmp_spark.operators.series import events_to_nested
 
     t0 = time.time()
+    if args.job == "assemble":
+        return run_assemble(spark, args, t0)
     if args.input_kind == "events-stream":
         return run_streaming(spark, args, t0)
     if args.input_kind == "events":

@@ -69,6 +69,43 @@ def test_checkpoint_partial_interrupt(spark, tmp_path):
     assert len(job.completed_parts()) == 4
 
 
+def test_assemble_job_resume_equals_direct_pack(spark, docs, tmp_path):
+    """submit_job --job assemble: source-grouped checkpoint parts pack
+    identically to a single global pack_sequences run (resume cannot
+    move a sequence boundary), and an interrupted run resumes to the
+    same output."""
+    import submit_job
+    from tsmp_spark.operators import pack_sequences, tokenize_documents
+
+    out = str(tmp_path / "assemble")
+    rc = submit_job.main(
+        [
+            "--job", "assemble", "--input", f"{SF_SMOKE}/documents.parquet",
+            "--output", out, "--seq-len", "64", "--n-parts", "4",
+        ]
+    )
+    assert rc == 0
+    got = (
+        spark.read.parquet(f"{out}/packed/output")
+        .select("source", "seq_idx", "tokens")
+        .collect()
+    )
+    direct = (
+        pack_sequences(tokenize_documents(docs, append_eos=32768), seq_len=64)
+        .select("source", "seq_idx", "tokens")
+        .collect()
+    )
+    key = lambda r: (r.source, r.seq_idx)
+    assert sorted([(r.source, r.seq_idx, r.tokens) for r in got]) == sorted(
+        [(r.source, r.seq_idx, r.tokens) for r in direct]
+    )
+    # resume: second invocation does no new work (manifest already full)
+    job = CheckpointedJob(
+        spark=spark, base_dir=f"{out}/packed", n_parts=4, key_col="source"
+    )
+    assert len(job.completed_parts()) == 4
+
+
 def test_exact_dedup_finds_planted_dup(spark, docs):
     from tsmp_spark.operators import exact_dedup
 
