@@ -250,3 +250,35 @@ def test_ivf_recall_vs_exact(spark):
     # fixture embeddings are iid-uniform (no cluster structure — the
     # hardest regime for IVF); measured 0.75 at nprobe=4, floor at 0.6
     assert hit / max(len(exact), 1) >= 0.6
+
+
+def test_kmeans_codebook_and_recall(spark):
+    """Trained quantizer: codebook is unit-norm, rounded, deterministic;
+    k-means IVF recall at nprobe=4 holds the same floor as the sin grid."""
+    import math
+
+    from tsmp_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = kmeans_centroids(emb, n_clusters=8, n_iter=2)
+    assert [c for c, _ in cb] == sorted(c for c, _ in cb)
+    for _, vec in cb:
+        nrm = math.sqrt(sum(x * x for x in vec))
+        assert abs(nrm - 1.0) < 1e-3  # unit-norm up to the 1e-6 rounding
+        assert all(round(x, 6) == x for x in vec)  # rounded codebook
+    cb2 = kmeans_centroids(emb, n_clusters=8, n_iter=2)
+    assert cb == cb2  # bit-identical across runs
+
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, emb, k=1).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, k=5, n_clusters=8, nprobe=4, kmeans_iters=2).collect()
+    }
+    hit = sum(1 for pair in exact if pair in approx)
+    assert hit / max(len(exact), 1) >= 0.6

@@ -204,6 +204,110 @@ def ivf_assignments(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means codebook (Lloyd iterations) for the IVF coarse
+    quantizer — the "k-means pluggable" slot of :func:`ivf_topk`, filled.
+
+    Init is the deterministic sin grid (same as :func:`ivf_assignments`);
+    each iteration assigns every vector to its max-dot centroid
+    (broadcast cross join, map-only) and recomputes centroids as the
+    per-dimension mean, L2-normalized. The codebook is driver-sized by
+    construction (n_clusters × dim — every IVF deployment collects it),
+    so the per-iteration collect is the honest k-means shape, not a
+    driver-side loop over data.
+
+    Determinism across engines / partitionings: per-dim means are
+    rounded to 9 decimals and normalized centroids to 6 — unordered
+    float summation (Spark partial aggs vs any other engine's group
+    order) agrees to ~1e-14, so rounding makes the codebook
+    bit-identical everywhere; the DuckDB oracle replays the exact
+    iterations. Empty or zero-norm clusters drop out (both sides).
+
+    Scale: assignment is n·k dot products with a broadcast codebook
+    (no shuffle of the big side); the update shuffles one row per
+    (partition, cluster, dim) after map-side partial aggregation —
+    codebook-bounded, not corpus-bounded."""
+    import math
+
+    spark = embeddings.sparkSession
+    v = F.col(vec_col).cast("array<double>")
+    vecs = embeddings.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    dim = embeddings.select(F.size(v)).first()[0]
+    cents: list[tuple[int, list[float]]] = [
+        (p, [math.sin(p * 2654435761.0 + i * 40503.0) for i in range(dim)])
+        for p in range(n_clusters)
+    ]
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(cents, "cluster int, c array<double>")
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("score").desc(), F.col("cluster").asc()
+        )
+        assigned = (
+            vecs.crossJoin(F.broadcast(cdf))
+            .withColumn("score", _dot(F.col("v"), F.col("c")))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        stats = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("x"), 9).alias("m"))
+        )
+        arrs = (
+            stats.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("s"))
+            .select(
+                "cluster", F.transform(F.col("s"), lambda t: t["m"]).alias("m")
+            )
+        )
+        normed = (
+            arrs.withColumn("nrm", _norm(F.col("m")))
+            .filter(F.col("nrm") > 0)
+            .select(
+                "cluster",
+                F.transform(F.col("m"), lambda x: F.round(x / F.col("nrm"), 6)).alias(
+                    "c"
+                ),
+            )
+        )
+        cents = [(r.cluster, list(r.c)) for r in normed.collect()]
+        cents.sort(key=lambda t: t[0])
+    return cents
+
+
+def ivf_assignments_codebook(
+    embeddings: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment against an explicit codebook (e.g. from
+    :func:`kmeans_centroids`): each vector keys to its ``nprobe``
+    max-dot clusters. Broadcast cross join — the big side never
+    shuffles."""
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(codebook, "cluster int, c array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cluster").asc()
+    )
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+        .crossJoin(F.broadcast(cdf))
+        .withColumn("score", _dot(F.col("v"), F.col("c")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("vec_id", "v", "cluster")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -211,14 +315,27 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF all-pairs approximate top-k: candidates share ANY of each
     vector's ``nprobe`` probed clusters (the inverted-file join — shuffle
     is per-cluster, never all-pairs), exact cosine re-rank inside the
     candidate set. The complement of :func:`lsh_bucket_topk`: data-adaptive
     partition-by-region rather than hash-by-hyperplane. Recall ↑ with
-    nprobe; candidate cost ~ n²·nprobe²/n_clusters per cluster balance."""
-    keyed = pin(ivf_assignments(embeddings, n_clusters, nprobe, id_col, vec_col))
+    nprobe; candidate cost ~ n²·nprobe²/n_clusters per cluster balance.
+
+    ``kmeans_iters > 0`` trains the coarse quantizer with that many
+    spherical-Lloyd iterations (:func:`kmeans_centroids`) instead of
+    the fixed sin grid — data-adaptive cells, better balance/recall."""
+    if kmeans_iters > 0:
+        codebook = kmeans_centroids(
+            embeddings, n_clusters, kmeans_iters, id_col, vec_col
+        )
+        keyed = pin(
+            ivf_assignments_codebook(embeddings, codebook, nprobe, id_col, vec_col)
+        )
+    else:
+        keyed = pin(ivf_assignments(embeddings, n_clusters, nprobe, id_col, vec_col))
     a = keyed.select(F.col("vec_id").alias("query_id"), F.col("v").alias("v_q"), "cluster")
     b = keyed.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("v_e"), "cluster")
     cand = (

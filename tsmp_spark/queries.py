@@ -3551,3 +3551,120 @@ FROM spans
 
 QUERIES["pack_spans"] = q_pack_spans
 ORACLES["pack_spans"] = SQL_PACK_SPANS
+
+
+def q_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN with a TRAINED coarse quantizer: 2 spherical-Lloyd
+    k-means iterations (deterministic sin-grid init, rounded codebook)
+    then the inverted-file candidate join + exact cosine re-rank. The
+    oracle replays both Lloyd iterations in SQL."""
+    from .operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_topk(emb, k=5, n_clusters=8, nprobe=2, kmeans_iters=2)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        _r4("cosine").alias("cosine"),
+    )
+
+
+SQL_IVF_KMEANS_ANN = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(v) AS x,
+         unnest(generate_series(1, len(v))) AS i
+  FROM e
+),
+cl AS (SELECT unnest(generate_series(0, 7)) AS p),
+-- Lloyd iteration 1: assign to sin-grid init, recompute centroids
+s0 AS (
+  SELECT ex.vec_id, cl.p,
+         sum(ex.x * sin(cl.p * 2654435761.0 + (ex.i - 1) * 40503.0)) AS score
+  FROM ex CROSS JOIN cl
+  GROUP BY 1, 2
+),
+a0 AS (
+  SELECT vec_id, p AS cluster FROM (
+    SELECT vec_id, p, row_number() OVER (PARTITION BY vec_id
+           ORDER BY score DESC, p ASC) AS rn
+    FROM s0) WHERE rn = 1
+),
+m1 AS (
+  SELECT a0.cluster, ex.i AS dim, round(avg(ex.x), 9) AS m
+  FROM a0 JOIN ex ON ex.vec_id = a0.vec_id
+  GROUP BY 1, 2
+),
+n1 AS (SELECT cluster, sqrt(sum(m * m)) AS nrm FROM m1 GROUP BY 1),
+c1 AS (
+  SELECT m1.cluster, m1.dim, round(m1.m / n1.nrm, 6) AS c
+  FROM m1 JOIN n1 USING (cluster) WHERE n1.nrm > 0
+),
+-- Lloyd iteration 2
+s1 AS (
+  SELECT ex.vec_id, c1.cluster AS p, sum(ex.x * c1.c) AS score
+  FROM ex JOIN c1 ON c1.dim = ex.i
+  GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, p AS cluster FROM (
+    SELECT vec_id, p, row_number() OVER (PARTITION BY vec_id
+           ORDER BY score DESC, p ASC) AS rn
+    FROM s1) WHERE rn = 1
+),
+m2 AS (
+  SELECT a1.cluster, ex.i AS dim, round(avg(ex.x), 9) AS m
+  FROM a1 JOIN ex ON ex.vec_id = a1.vec_id
+  GROUP BY 1, 2
+),
+n2 AS (SELECT cluster, sqrt(sum(m * m)) AS nrm FROM m2 GROUP BY 1),
+c2 AS (
+  SELECT m2.cluster, m2.dim, round(m2.m / n2.nrm, 6) AS c
+  FROM m2 JOIN n2 USING (cluster) WHERE n2.nrm > 0
+),
+-- final nprobe=2 assignment with the trained codebook
+s2 AS (
+  SELECT ex.vec_id, c2.cluster AS p, sum(ex.x * c2.c) AS score
+  FROM ex JOIN c2 ON c2.dim = ex.i
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, p AS cluster FROM (
+    SELECT vec_id, p, row_number() OVER (PARTITION BY vec_id
+           ORDER BY score DESC, p ASC) AS rn
+    FROM s2) WHERE rn <= 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id != b.vec_id
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, sum(q.x * n.x) AS dot
+  FROM cand c
+  JOIN ex q ON q.vec_id = c.query_id
+  JOIN ex n ON n.vec_id = c.neighbor_id AND n.i = q.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id, d.dot / (nq.nrm * nn.nrm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nn ON nn.vec_id = d.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+QUERIES["ivf_kmeans_ann"] = q_ivf_kmeans_ann
+ORACLES["ivf_kmeans_ann"] = SQL_IVF_KMEANS_ANN
