@@ -281,3 +281,71 @@ def test_vocab_partial_aggregation(tok):
     plan = _plan(token_vocab_stats(tok))
     assert "partial" in plan.lower()
     assert "BatchEvalPython" not in plan
+
+
+def test_shared_substring_spans_planted(spark):
+    """Planted shared runs are found maximal (not fragmented), disjoint
+    docs produce nothing, and the gram-frequency cap suppresses
+    boilerplate anchors."""
+    from tsmp_spark.operators.dedup import shared_substring_spans
+
+    shared = list(range(1000, 1030))  # 30-token verbatim run
+    rows = [
+        (1, list(range(10)) + shared + list(range(50, 60))),
+        (2, list(range(100, 105)) + shared + list(range(200, 220))),
+        (3, list(range(300, 340))),
+        (4, list(range(400, 430))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = shared_substring_spans(df, min_len=8).collect()
+    assert len(out) == 1
+    sp = out[0]
+    assert (sp.doc_a, sp.doc_b) == (1, 2)
+    assert (sp.pos_a, sp.pos_b, sp.length) == (10, 5, 30)
+
+    # boilerplate: the same run planted in EVERY doc exceeds a freq cap
+    # low enough, so no spans survive
+    rows_bp = [(i, shared + list(range(500 + 40 * i, 520 + 40 * i))) for i in range(6)]
+    df_bp = spark.createDataFrame(rows_bp, "doc_id long, tokens array<int>")
+    assert shared_substring_spans(df_bp, min_len=8, max_gram_freq=3).count() == 0
+    assert shared_substring_spans(df_bp, min_len=8, max_gram_freq=100).count() == 15
+
+    plan = _plan(shared_substring_spans(df, min_len=8))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_source_divergence_detects_drift(spark):
+    """A source matching the corpus blend has near-zero KL; a drifted
+    source (disjoint vocabulary) has large KL; values match numpy."""
+    from tsmp_spark.operators.tokens import source_token_divergence
+
+    rows = []
+    for i in range(20):  # two sources drawing the same ids -> KL ~ 0
+        rows.append((i, [j % 10 for j in range(i, i + 30)], "blend_a"))
+        rows.append((100 + i, [j % 10 for j in range(i, i + 30)], "blend_b"))
+    for i in range(5):  # drifted source: disjoint id range
+        rows.append((200 + i, [500 + (j % 7) for j in range(30)], "drift"))
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>, source string")
+    out = {r.source: r for r in source_token_divergence(df).collect()}
+
+    import collections
+
+    src_counts: dict[str, collections.Counter] = collections.defaultdict(
+        collections.Counter
+    )
+    corpus: collections.Counter = collections.Counter()
+    for _, toks, src in rows:
+        src_counts[src].update(toks)
+        corpus.update(toks)
+    n_all = sum(corpus.values())
+    for src, cnt in src_counts.items():
+        n_src = sum(cnt.values())
+        kl = sum(
+            (c / n_src) * math.log((c / n_src) / (corpus[t] / n_all))
+            for t, c in cnt.items()
+        )
+        assert abs(out[src].kl_vs_corpus - kl) < 1e-9
+        assert out[src].n_tok == n_src
+        assert out[src].n_distinct == len(cnt)
+    assert out["drift"].kl_vs_corpus > 1.0
+    assert out["blend_a"].kl_vs_corpus < 0.2

@@ -353,3 +353,77 @@ def simhash64(
     return hashed.groupBy("doc_id").agg(
         half("h_lo").alias("simhash_lo"), half("h_hi").alias("simhash_hi")
     )
+
+
+def shared_substring_spans(
+    sequences: DataFrame,
+    min_len: int = 20,
+    max_gram_freq: int = 1000,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Cross-document EXACT shared token substrings of length >=
+    ``min_len`` — the substring-level dedup primitive (the suffix-array
+    "exact substring" method of Lee et al. 2022, re-derived
+    relationally): every maximal token run shared verbatim by two
+    documents, with its position in each.
+
+    How: each position emits an md5 anchor of its ``min_len``-gram; an
+    equi-join on the anchor finds all (doc_a < doc_b, pos_a, pos_b)
+    gram matches; a shared substring of length L >= min_len appears as
+    L - min_len + 1 CONSECUTIVE matches along the constant diagonal
+    ``pos_a - pos_b``, so an islands-and-gaps pass per (pair, diagonal)
+    merges them into maximal spans: (doc_a, doc_b, pos_a, pos_b, length).
+
+    Scale shape: shuffle = |gram occurrences| (corpus size), never
+    |docs|²; ``max_gram_freq`` drops anchors shared by more than that
+    many positions (boilerplate carries no dedup signal and is the
+    quadratic-fan-out skew risk — same cap strategy as the shingle
+    join). The islands merge keys on (pair, diagonal) — bounded by
+    matched grams, and every stage is built-in expressions (no Python).
+
+    Output: one row per maximal shared span (pos_* 0-based)."""
+    k = int(min_len)
+    toks = F.col(tokens_col)
+    n_grams = F.size(toks) - (k - 1)
+    grams = (
+        _spread(sequences, parallelism)
+        .filter(F.size(toks) >= k)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_grams - 1),
+                    lambda i: F.md5(F.concat_ws(",", F.slice(toks, i + 1, k))),
+                )
+            ).alias("pos", "anchor"),
+        )
+    )
+    grams = pin(grams)
+    freq_ok = grams.groupBy("anchor").agg(F.count("*").alias("_f")).filter(
+        F.col("_f") <= max_gram_freq
+    )
+    g = grams.join(freq_ok.select("anchor"), "anchor")
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "anchor")
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "anchor")
+    hits = a.join(b, "anchor").filter(F.col("doc_a") < F.col("doc_b"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(
+        "doc_a", "doc_b", (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    ).orderBy("pos_a")
+    islands = hits.withColumn(
+        "island", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy(
+            "doc_a", "doc_b", (F.col("pos_a") - F.col("pos_b")).alias("diag"), "island"
+        )
+        .agg(
+            F.min("pos_a").alias("pos_a"),
+            F.min("pos_b").alias("pos_b"),
+            (F.max("pos_a") - F.min("pos_a") + k).alias("length"),
+        )
+        .select("doc_a", "doc_b", "pos_a", "pos_b", "length")
+    )

@@ -351,3 +351,53 @@ def token_entropy(
         (F.log(n.cast("double")) - agg["sumn"] / n).alias("entropy"),
         (agg["best"] / n).alias("top_token_frac"),
     ).filter(F.col("n_tok") > 0)
+
+
+def source_token_divergence(
+    sequences: DataFrame,
+    tokens_col: str = "tokens",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source token-distribution drift vs the whole corpus:
+    KL(p_source || p_corpus) in nats, plus source token totals and
+    distinct counts — the mix-health check that catches a source whose
+    token marginal departs from the blend (new scrape, encoding bug,
+    domain shift).
+
+    KL is finite by construction: every token in a source is in the
+    corpus, so p_corpus > 0 wherever p_source > 0.
+
+    One explode → one groupBy(source, token) (map-side combinable) →
+    corpus marginals re-aggregated FROM that intermediate (no second
+    scan) → one join keyed on token. Shuffle is vocab-bounded per
+    source, not corpus-bounded."""
+    st = (
+        sequences.select(
+            F.col(source_col).alias("source"), F.explode(F.col(tokens_col)).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    from .cache import pin
+
+    st = pin(st)
+    totals = st.groupBy("source").agg(F.sum("c").alias("n_src"))
+    corpus = st.groupBy("token").agg(F.sum("c").alias("c_all"))
+    grand = st.agg(F.sum("c").cast("double").alias("n_all"))
+    return (
+        st.join(totals, "source")
+        .join(corpus, "token")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("source")
+        .agg(
+            F.max("n_src").alias("n_tok"),
+            F.count("*").alias("n_distinct"),
+            F.sum(
+                (F.col("c") / F.col("n_src"))
+                * F.log(
+                    (F.col("c") / F.col("n_src"))
+                    / (F.col("c_all") / F.col("n_all"))
+                )
+            ).alias("kl_vs_corpus"),
+        )
+    )

@@ -3668,3 +3668,93 @@ FROM ranked WHERE rank <= 5
 
 QUERIES["ivf_kmeans_ann"] = q_ivf_kmeans_ann
 ORACLES["ivf_kmeans_ann"] = SQL_IVF_KMEANS_ANN
+
+
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact shared token substrings (>= 8 tokens):
+    k-gram anchor equi-join + diagonal islands merge — the
+    substring-level dedup primitive over the tokenized table."""
+    from .operators.dedup import shared_substring_spans
+
+    s = shared_substring_spans(
+        _tokenized(spark, sf_dir),
+        min_len=8,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return s.select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        F.col("pos_a").cast("bigint").alias("pos_a"),
+        F.col("pos_b").cast("bigint").alias("pos_b"),
+        F.col("length").cast("bigint").alias("length"),
+    )
+
+
+SQL_SUBSTRING_SPANS = f"""
+WITH {SQL_TOKC},
+grams AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(tokens[i:i+7], ',')) AS anchor
+  FROM tokc, unnest(generate_series(1, len(tokens) - 7)) AS g(i)
+  WHERE len(tokens) >= 8
+),
+freq AS (SELECT anchor FROM grams GROUP BY anchor HAVING count(*) <= 1000),
+g2 AS (SELECT grams.* FROM grams JOIN freq USING (anchor)),
+hits AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+  FROM g2 a JOIN g2 b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT *, pos_a - row_number() OVER (
+      PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS island
+  FROM hits
+)
+SELECT doc_a, doc_b,
+       CAST(min(pos_a) AS BIGINT) AS pos_a,
+       CAST(min(pos_b) AS BIGINT) AS pos_b,
+       CAST(max(pos_a) - min(pos_a) + 8 AS BIGINT) AS length
+FROM isl
+GROUP BY doc_a, doc_b, pos_a - pos_b, island
+"""
+
+QUERIES["substring_spans"] = q_substring_spans
+ORACLES["substring_spans"] = SQL_SUBSTRING_SPANS
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution KL divergence vs the corpus blend —
+    the training-mix drift detector."""
+    from .operators.tokens import source_token_divergence
+
+    d = source_token_divergence(_tokenized(spark, sf_dir))
+    return d.select(
+        "source",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        _r4("kl_vs_corpus").alias("kl_vs_corpus"),
+    )
+
+
+SQL_SOURCE_DIVERGENCE = f"""
+WITH {SQL_TOKC},
+flat AS (
+  SELECT source, tokens[i] AS token
+  FROM tokc, unnest(generate_series(1, len(tokens))) AS g(i)
+),
+st AS (SELECT source, token, count(*) AS c FROM flat GROUP BY 1, 2),
+totals AS (SELECT source, sum(c) AS n_src FROM st GROUP BY 1),
+corpus AS (SELECT token, sum(c) AS c_all FROM st GROUP BY 1),
+grand AS (SELECT CAST(sum(c) AS DOUBLE) AS n_all FROM st)
+SELECT st.source,
+       CAST(max(t.n_src) AS BIGINT) AS n_tok,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(sum((st.c / t.n_src) * ln((st.c / t.n_src) / (co.c_all / g.n_all))), 4)
+         AS kl_vs_corpus
+FROM st
+JOIN totals t USING (source)
+JOIN corpus co USING (token)
+CROSS JOIN grand g
+GROUP BY st.source
+"""
+
+QUERIES["source_divergence"] = q_source_divergence
+ORACLES["source_divergence"] = SQL_SOURCE_DIVERGENCE
