@@ -73,3 +73,32 @@ def test_pack_rollup_roundtrip():
     b, v = unpack_rollup(pack_rollup(buckets, values))
     np.testing.assert_array_equal(b, buckets)
     np.testing.assert_array_equal(v, values)
+
+
+def test_token_shard_bit_level():
+    """Shard layout: header fields, little-endian widths, seek-free
+    sequence index; decode is exact including empty shards."""
+    import struct
+
+    import numpy as np
+
+    from tsmp_spark.codecs import decode_shard, encode_shard
+
+    lengths = np.array([3, 0, 2], dtype=np.int64)
+    tokens = np.array([5, -1, 70000, 9, 10], dtype=np.int64)
+    blob = encode_shard(lengths, tokens, base_seq_idx=42)
+    assert blob[:4] == b"TSHD"
+    version, n_seqs, base = struct.unpack("<IIQ", blob[4:20])
+    assert (version, n_seqs, base) == (1, 3, 42)
+    assert len(blob) == 20 + 4 * 3 + 4 * 5  # header + index + int32 tokens
+    b, ls, ts = decode_shard(blob)
+    assert b == 42
+    assert ls.tolist() == [3, 0, 2]
+    assert ts.tolist() == tokens.tolist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_shard(np.array([2]), np.array([1]))  # inconsistent index
+    with _pytest.raises(ValueError):
+        decode_shard(b"XXXX" + blob[4:])

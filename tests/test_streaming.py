@@ -224,3 +224,67 @@ def test_rollup_stream_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pack_stream_equals_batch(spark, tmp_path):
+    """Streaming packer fed doc_id-ordered micro-batches emits exactly
+    the batch op's FULL sequences (the trailing partial stays in
+    state), with identical tokens and seq indexes."""
+    import os
+
+    import numpy as np
+
+    from tsmp_spark.operators import pack_sequences
+    from tsmp_spark.streaming.packing import pack_stream
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(1, 40))
+        rows.append(
+            (f"d{i:03d}", [int(x) for x in rng.integers(0, 1000, n)], f"s{i % 3}")
+        )
+    batch_df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, source string")
+
+    base = str(tmp_path / "docs")
+    os.makedirs(base)
+    # doc_id-ordered arrival: file k holds docs [10k, 10(k+1))
+    for k in range(4):
+        spark.createDataFrame(
+            rows[10 * k : 10 * (k + 1)],
+            "doc_id string, tokens array<int>, source string",
+        ).coalesce(1).write.parquet(f"{base}/f{k:02d}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id string, tokens array<int>, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/*")
+    )
+    out = pack_stream(stream, seq_len=32)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pack_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pack"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.source, r.seq_idx): (r.tokens, r.n_docs)
+        for r in spark.sql("SELECT * FROM pack_out").collect()
+    }
+    exp_rows = pack_sequences(batch_df, seq_len=32).collect()
+    by_stream = {}
+    for r in exp_rows:
+        by_stream.setdefault(r.source, []).append(r)
+    exp = {}
+    for rs in by_stream.values():
+        rs.sort(key=lambda r: r.seq_idx)
+        for r in rs[:-1] if rs[-1].n_tok < 32 else rs:
+            exp[(r.source, r.seq_idx)] = (r.tokens, r.n_docs)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0], k
+        assert got[k][1] == exp[k][1], k

@@ -38,6 +38,7 @@ Scale notes (100 TB / 10^12-sequence design):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -400,4 +401,75 @@ def source_token_divergence(
                 )
             ).alias("kl_vs_corpus"),
         )
+    )
+
+
+def shard_blobs(
+    packed: DataFrame,
+    source_col: str = "source",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Serialize packed training sequences into ONE binary shard blob
+    per (source, shard) stream (``codecs.tokenshard`` layout: int32-LE
+    token stream + sequence index — the memory-mappable format a
+    trainer's data loader consumes). Blob rows are what crosses the
+    wire and lands in the table; token rows never rematerialize.
+
+    Per-stream applyInPandas — the stream is the natural shard unit and
+    is already the packing key, so this adds no new shuffle key."""
+    import pandas as pd
+
+    from ..codecs.tokenshard import encode_shard
+
+    def enc(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq_idx")
+        lengths = pdf["tokens"].map(len).to_numpy()
+        toks = (
+            np.concatenate([np.asarray(t, dtype="<i4") for t in pdf["tokens"]])
+            if len(pdf)
+            else np.array([], dtype="<i4")
+        )
+        blob = encode_shard(lengths, toks, int(pdf["seq_idx"].min()))
+        return pd.DataFrame(
+            {
+                "source": [key[0]],
+                "shard": [int(key[1])],
+                "n_seqs": [len(pdf)],
+                "n_tokens": [int(lengths.sum())],
+                "blob": [blob],
+            }
+        )
+
+    return packed.groupBy(source_col, shard_col).applyInPandas(
+        enc, "source string, shard int, n_seqs long, n_tokens long, blob binary"
+    )
+
+
+def unshard_blobs(shards: DataFrame) -> DataFrame:
+    """Decode shard blobs back to (source, shard, seq_idx, tokens) rows
+    — the read path / lossless-roundtrip proof."""
+    import pandas as pd
+
+    from ..codecs.tokenshard import decode_shard
+
+    def dec(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                base, lengths, tokens = decode_shard(row["blob"])
+                off = 0
+                for j, ln in enumerate(lengths):
+                    out.append(
+                        {
+                            "source": row["source"],
+                            "shard": row["shard"],
+                            "seq_idx": base + j,
+                            "tokens": tokens[off : off + int(ln)].tolist(),
+                        }
+                    )
+                    off += int(ln)
+            yield pd.DataFrame(out, columns=["source", "shard", "seq_idx", "tokens"])
+
+    return shards.mapInPandas(
+        dec, "source string, shard int, seq_idx long, tokens array<int>"
     )

@@ -3758,3 +3758,27 @@ GROUP BY st.source
 
 QUERIES["source_divergence"] = q_source_divergence
 ORACLES["source_divergence"] = SQL_SOURCE_DIVERGENCE
+
+
+def q_token_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed sequences → binary training-shard blobs (int32-LE stream +
+    sequence index) → decode → token rows. Gated by the SAME oracle as
+    pack_sequences, so the codec is proven lossless end-to-end."""
+    from .operators.tokens import pack_sequences, shard_blobs, unshard_blobs
+
+    packed = pack_sequences(_tokenized(spark, sf_dir), seq_len=64)
+    rt = unshard_blobs(shard_blobs(packed))
+    return rt.select(
+        "source",
+        F.col("seq_idx").cast("bigint").alias("seq_idx"),
+        F.posexplode("tokens").alias("pos", "token"),
+    ).select(
+        "source",
+        "seq_idx",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("token").cast("bigint").alias("token"),
+    )
+
+
+QUERIES["token_shard_roundtrip"] = q_token_shard_roundtrip
+ORACLES["token_shard_roundtrip"] = SQL_PACK_SEQUENCES
