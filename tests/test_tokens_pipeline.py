@@ -349,3 +349,28 @@ def test_source_divergence_detects_drift(spark):
         assert out[src].n_distinct == len(cnt)
     assert out["drift"].kl_vs_corpus > 1.0
     assert out["blend_a"].kl_vs_corpus < 0.2
+
+
+def test_remove_substring_spans_rewrites_victim_only(spark):
+    """The duplicate run disappears from the HIGHER doc_id only; docs
+    without spans pass through untouched (including empty ones)."""
+    from tsmp_spark.operators.dedup import (
+        remove_substring_spans,
+        shared_substring_spans,
+    )
+
+    shared = list(range(1000, 1020))
+    rows = [
+        (1, list(range(10)) + shared),
+        (2, shared + list(range(200, 215))),
+        (3, list(range(300, 330))),
+        (4, []),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    spans = shared_substring_spans(df, min_len=8)
+    out = {r.doc_id: r for r in remove_substring_spans(df, spans).collect()}
+    assert out[1].tokens == rows[0][1] and out[1].n_removed == 0  # keeper intact
+    assert out[2].tokens == list(range(200, 215))  # run cut from victim
+    assert out[2].n_removed == 20
+    assert out[3].tokens == rows[2][1] and out[3].n_removed == 0
+    assert out[4].tokens == [] and out[4].n_removed == 0

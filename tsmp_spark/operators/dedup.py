@@ -427,3 +427,54 @@ def shared_substring_spans(
         )
         .select("doc_a", "doc_b", "pos_a", "pos_b", "length")
     )
+
+
+def remove_substring_spans(
+    sequences: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Apply substring-level dedup: for every shared span (doc_a <
+    doc_b), CUT the occurrence from the higher doc_id and keep the
+    lower — one surviving copy per duplicated substring (the rewrite
+    half of Lee et al.'s exact-substring dedup; pair
+    :func:`shared_substring_spans` for detection).
+
+    Overlapping spans on one doc union naturally: a token goes when ANY
+    span covers it (per-token `exists` over the doc's interval list —
+    intervals per doc are few, so the per-row cost is O(n_tok·k)).
+
+    Plan: spans aggregate to one interval-array row per victim doc
+    (groupBy doc_b), then ONE left join back to the corpus and a pure
+    expression rewrite — docs without spans stream through untouched
+    with zero per-row work. Output keeps every input column shape:
+    (doc_id, tokens, n_tok, n_removed)."""
+    ivs = (
+        spans.groupBy(F.col("doc_b").alias(id_col))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("pos_b").alias("s"),
+                    (F.col("pos_b") + F.col("length")).alias("e"),
+                )
+            ).alias("_ivs")
+        )
+    )
+    toks = F.col(tokens_col)
+    covered = lambda i: F.exists(
+        F.col("_ivs"), lambda iv: (i >= iv["s"]) & (i < iv["e"])
+    )
+    kept = F.when(F.col("_ivs").isNull(), toks).otherwise(
+        F.filter(toks, lambda x, i: ~covered(i))
+    )
+    return (
+        sequences.join(ivs, id_col, "left")
+        .withColumn("_new", kept)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col("_new").alias("tokens"),
+            F.size("_new").alias("n_tok"),
+            (F.size(toks) - F.size("_new")).alias("n_removed"),
+        )
+    )

@@ -3782,3 +3782,75 @@ def q_token_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["token_shard_roundtrip"] = q_token_shard_roundtrip
 ORACLES["token_shard_roundtrip"] = SQL_PACK_SEQUENCES
+
+
+def q_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup APPLIED: detect shared >=8-token runs, cut
+    each from the higher doc_id, keep the lower; the rewritten corpus is
+    gated token-by-token."""
+    from .operators.dedup import remove_substring_spans, shared_substring_spans
+
+    tok = _tokenized(spark, sf_dir)
+    spans = shared_substring_spans(tok, min_len=8)
+    rw = remove_substring_spans(tok, spans)
+    return rw.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+        F.posexplode_outer("tokens").alias("pos", "token"),
+    ).select(
+        "doc_id",
+        "n_removed",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("token").cast("bigint").alias("token"),
+    )
+
+
+SQL_DEDUP_REWRITE = f"""
+WITH {SQL_TOKC},
+grams AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(tokens[i:i+7], ',')) AS anchor
+  FROM tokc, unnest(generate_series(1, len(tokens) - 7)) AS g(i)
+  WHERE len(tokens) >= 8
+),
+freq AS (SELECT anchor FROM grams GROUP BY anchor HAVING count(*) <= 1000),
+g2 AS (SELECT grams.* FROM grams JOIN freq USING (anchor)),
+hits AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+  FROM g2 a JOIN g2 b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT *, pos_a - row_number() OVER (
+      PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS island
+  FROM hits
+),
+spans AS (
+  SELECT doc_b, min(pos_b) AS s, max(pos_a) - min(pos_a) + 8 + min(pos_b) AS e
+  FROM isl GROUP BY doc_a, doc_b, pos_a - pos_b, island
+),
+pos AS (
+  SELECT doc_id, i - 1 AS p, tokens[i] AS token
+  FROM tokc, unnest(generate_series(1, len(tokens))) AS g(i)
+),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.token
+  FROM pos
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans WHERE spans.doc_b = pos.doc_id
+                          AND pos.p >= spans.s AND pos.p < spans.e)
+),
+removed AS (
+  SELECT t.doc_id,
+         len(t.tokens) - COALESCE(k.n, 0) AS n_removed
+  FROM tokc t
+  LEFT JOIN (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1) k USING (doc_id)
+)
+SELECT r.doc_id, CAST(r.n_removed AS BIGINT) AS n_removed,
+       CASE WHEN k.p IS NULL THEN NULL
+            ELSE CAST(row_number() OVER (PARTITION BY r.doc_id ORDER BY k.p) - 1 AS BIGINT)
+       END AS pos,
+       CAST(k.token AS BIGINT) AS token
+FROM removed r LEFT JOIN kept k ON k.doc_id = r.doc_id
+"""
+
+QUERIES["dedup_rewrite"] = q_dedup_rewrite
+ORACLES["dedup_rewrite"] = SQL_DEDUP_REWRITE
