@@ -140,3 +140,37 @@ def test_binary_split_covers_all():
         assert sorted(order.tolist()) == list(range(n))
         if n > 1:
             assert order[0] == 0  # first element first (anytime anchor)
+
+
+@given(
+    lengths=st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    base=st.integers(0, 1_000_000),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=30, deadline=None)
+def test_token_shard_roundtrip_random(lengths, base, seed):
+    """Shard codec is lossless for any sequence-length multiset,
+    including empty sequences and int32 extremes."""
+    from tsmp_spark.codecs import decode_shard, encode_shard
+
+    rng = np.random.default_rng(seed)
+    total = sum(lengths)
+    tokens = rng.integers(-(2**31), 2**31, size=total, dtype=np.int64)
+    blob = encode_shard(np.array(lengths), tokens, base_seq_idx=base)
+    b, ls, ts = decode_shard(blob)
+    assert b == base
+    assert ls.tolist() == lengths
+    assert ts.tolist() == tokens.astype(np.int32).tolist()
+
+
+def test_python_pack_model():
+    """Reference model of the packing cut rule (concatenate in key
+    order, cut every seq_len) — the obviously-correct greedy the Spark
+    operator must agree with."""
+
+    def pack_model(docs, seq_len):
+        stream = [t for _, toks in sorted(docs) for t in toks]
+        return [stream[i : i + seq_len] for i in range(0, len(stream), seq_len)]
+
+    docs = [("a", [1, 2, 3]), ("b", [4]), ("c", [5, 6, 7, 8, 9])]
+    assert pack_model(docs, 4) == [[1, 2, 3, 4], [5, 6, 7, 8], [9]]

@@ -374,3 +374,19 @@ def test_remove_substring_spans_rewrites_victim_only(spark):
     assert out[2].n_removed == 20
     assert out[3].tokens == rows[2][1] and out[3].n_removed == 0
     assert out[4].tokens == [] and out[4].n_removed == 0
+
+
+def test_pack_partition_invariant(spark, tok):
+    """Identical packed output regardless of input partitioning —
+    retries and speculative tasks cannot change a sequence boundary
+    (determinism is semantic, not physical)."""
+    outs = []
+    for parts in (1, 3, 13):
+        rows = (
+            pack_sequences(tok.repartition(parts), seq_len=32, shards=4)
+            .collect()
+        )
+        outs.append(
+            sorted((r.source, r.shard, r.seq_idx, tuple(r.tokens)) for r in rows)
+        )
+    assert outs[0] == outs[1] == outs[2]
