@@ -3854,3 +3854,138 @@ FROM removed r LEFT JOIN kept k ON k.doc_id = r.doc_id
 
 QUERIES["dedup_rewrite"] = q_dedup_rewrite
 ORACLES["dedup_rewrite"] = SQL_DEDUP_REWRITE
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP data pipeline, end-to-end in one plan: exact dedup ->
+    quality gate -> benchmark decontamination -> mixture downsampling ->
+    hash tokenize + EOS -> fixed-length packing. The oracle replays the
+    whole chain; the gate is the final packed token stream element by
+    element — if any stage drops/keeps a different doc, every downstream
+    sequence shifts and the hash catches it."""
+    from .operators import (
+        decontaminate,
+        exact_dedup,
+        pack_sequences,
+        quality_score,
+        source_mixture,
+        tokenize_documents,
+    )
+
+    docs = _documents(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    d1 = docs.join(keep, "doc_id")
+    q = quality_score(d1).filter(F.col("quality") >= 0.95).select("doc_id")
+    d2 = d1.join(q, "doc_id")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    contaminated = (
+        decontaminate(d2, bench, n=6, min_hits=1)
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    d3 = d2.join(contaminated, "doc_id", "left_anti")
+    kept = source_mixture(d3, {"src0": 0.5, "src1": 0.25}, default_rate=1.0).select(
+        "doc_id"
+    )
+    d4 = d3.join(kept.distinct(), "doc_id")
+    packed = pack_sequences(
+        tokenize_documents(d4, append_eos=32768, parallelism=par), seq_len=64
+    )
+    return packed.select(
+        "source",
+        F.col("seq_idx").cast("bigint").alias("seq_idx"),
+        F.posexplode("tokens").alias("pos", "token"),
+    ).select(
+        "source",
+        "seq_idx",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("token").cast("bigint").alias("token"),
+    )
+
+
+SQL_PIPELINE_E2E = r"""
+WITH h AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+  FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM h GROUP BY ch),
+d1 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+qf AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g')) AS n_punct,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS n_stop
+  FROM d1
+),
+d2 AS (
+  SELECT d1.* FROM d1 JOIN qf USING (doc_id)
+  WHERE qf.n_tokens BETWEEN 5 AND 100000
+    AND CAST(qf.n_punct AS DOUBLE) / greatest(qf.n_chars, 1) <= 0.2
+    AND CAST(qf.n_stop AS DOUBLE) / greatest(qf.n_tokens, 1) >= 0.01
+),
+norm2 AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM d2
+),
+wl2 AS (SELECT doc_id, string_split(t, ' ') AS words FROM norm2),
+dsh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+5], ' ') AS shingle
+  FROM wl2, unnest(generate_series(1, greatest(len(words) - 5, 1))) AS g(i)
+  WHERE len(array_to_string(words[i:i+5], ' ')) > 0
+),
+normb AS (
+  SELECT doc_id AS bench_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id % 17 = 0
+),
+wlb AS (SELECT bench_id, string_split(t, ' ') AS words FROM normb),
+bsh AS (
+  SELECT DISTINCT bench_id, array_to_string(words[i:i+5], ' ') AS shingle
+  FROM wlb, unnest(generate_series(1, greatest(len(words) - 5, 1))) AS g(i)
+  WHERE len(array_to_string(words[i:i+5], ' ')) > 0
+),
+contaminated AS (
+  SELECT DISTINCT d.doc_id
+  FROM dsh d JOIN bsh b ON b.shingle = d.shingle AND d.doc_id <> b.bench_id
+),
+d3 AS (
+  SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+d4 AS (
+  SELECT * FROM d3
+  WHERE CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25 ELSE 1.0 END >= 1.0
+     OR CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0
+        < CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25 ELSE 1.0 END
+),
+tokc AS (
+  SELECT doc_id, source,
+         list_append(
+           list_transform(
+             list_filter(
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               w -> w <> ''),
+             w -> CAST(CAST(('0x' || substr(md5('tok:' || w), 1, 7)) AS BIGINT) % 32768 AS INT)
+           ), 32768) AS tokens
+  FROM d4
+),
+docs_t AS (SELECT doc_id, source, tokens, len(tokens) AS n_tok FROM tokc WHERE len(tokens) > 0),
+st AS (
+  SELECT *, CAST(COALESCE(sum(n_tok) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+  FROM docs_t
+)
+SELECT source,
+       CAST((strt + i - 1) // 64 AS BIGINT) AS seq_idx,
+       CAST((strt + i - 1) % 64 AS BIGINT) AS pos,
+       CAST(tokens[i] AS BIGINT) AS token
+FROM st, unnest(generate_series(1, n_tok)) AS g(i)
+"""
+
+QUERIES["pipeline_e2e"] = q_pipeline_e2e
+ORACLES["pipeline_e2e"] = SQL_PIPELINE_E2E
