@@ -390,3 +390,77 @@ def test_pack_partition_invariant(spark, tok):
             sorted((r.source, r.shard, r.seq_idx, tuple(r.tokens)) for r in rows)
         )
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_token_pmi_matches_python(spark):
+    """PMI of adjacent pairs matches a direct python computation; the
+    planted collocation ranks first."""
+    from tsmp_spark.operators.tokens import token_pmi_bigrams
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(30):
+        toks = [int(x) for x in rng.integers(0, 50, 40)]
+        for j in range(0, 40, 8):
+            toks[j : j + 2] = [777, 888]  # planted collocation
+        rows.append((i, toks))
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = token_pmi_bigrams(df, min_count=3).collect()
+
+    import collections
+
+    uni: collections.Counter = collections.Counter()
+    bg: collections.Counter = collections.Counter()
+    n2 = 0
+    for _, toks in rows:
+        uni.update(toks)
+        bg.update(zip(toks, toks[1:]))
+        n2 += len(toks) - 1
+    n1 = sum(uni.values())
+    got = {(r.a, r.b): r for r in out}
+    assert set(got) == {p for p, c in bg.items() if c >= 3}
+    for (a, b), r in got.items():
+        exp = math.log((bg[(a, b)] / n2) / ((uni[a] / n1) * (uni[b] / n1)))
+        assert abs(r.pmi - exp) < 1e-9
+        assert r.c_ab == bg[(a, b)]
+    # the planted collocation: maximal count and strongly positive PMI
+    # (PMI itself favors RARE chance pairs — rank-1 is not guaranteed)
+    planted = got[(777, 888)]
+    assert planted.c_ab == max(r.c_ab for r in out)
+    assert planted.pmi > 1.0
+    topk = token_pmi_bigrams(df, min_count=3, top_k=5).collect()
+    assert sorted(r.rank for r in topk) == [1, 2, 3, 4, 5]
+
+
+def test_curate_facade(spark):
+    """curate() composes the pipeline: dup dropped, junk dropped,
+    benchmark-contaminated dropped, survivors packed with spans."""
+    from tsmp_spark.operators.tokens import curate
+
+    good = "the cat and the dog walk to the park in the morning light."
+    rows = [
+        (1, good + " one fine day indeed", "a"),
+        (2, good + " one fine day indeed", "a"),  # exact dup of 1
+        (3, "zzz qqq xxx", "a"),  # junk: too short / no stopwords
+        (4, good + " totally unique phrasing here of it", "b"),
+        (5, "the bench set phrase is exactly this one of it and more padding words", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(100, "the bench set phrase is exactly this one")],
+        "bench_id long, text string",
+    )
+    packed = curate(
+        docs, benchmark=bench, decontam_n=6, seq_len=16, with_spans=True
+    ).collect()
+    seen_docs = {sp.doc_id for r in packed for sp in r.doc_spans}
+    assert seen_docs == {1, 4}  # 2 deduped, 3 junk, 5 contaminated
+    # one EOS separator per surviving doc, somewhere in the packed stream
+    assert sum(r.tokens.count(32768) for r in packed) == 2
+    # fixed-length contract per stream
+    by_stream: dict = {}
+    for r in packed:
+        by_stream.setdefault((r.source, r.shard), []).append(r)
+    for rs in by_stream.values():
+        rs.sort(key=lambda r: r.seq_idx)
+        assert all(r.n_tok == 16 for r in rs[:-1])

@@ -473,3 +473,122 @@ def unshard_blobs(shards: DataFrame) -> DataFrame:
     return shards.mapInPandas(
         dec, "source string, shard int, seq_idx long, tokens array<int>"
     )
+
+
+def token_pmi_bigrams(
+    sequences: DataFrame,
+    min_count: int = 5,
+    top_k: int | None = None,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Pointwise mutual information of ADJACENT token pairs across the
+    corpus — the collocation/merge-candidate statistic (what a BPE
+    trainer ranks, and a quick detector of templated boilerplate):
+    ``pmi = ln( (c_ab/N2) / ((c_a/N1)·(c_b/N1)) )`` with N1 = corpus
+    tokens, N2 = corpus bigram positions.
+
+    One pass builds bigram structs per row JVM-side (never a
+    row-per-token explode of the full corpus twice); unigram and bigram
+    counts are both map-side combinable, and the final join keys on the
+    token id — everything is vocab²-bounded after partial aggregation.
+    ``min_count`` keeps the tail from dominating the output."""
+    toks = F.col(tokens_col)
+    bigrams = sequences.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        toks[i].alias("a"), toks[i + 1].alias("b")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:int,b:int>>"))
+        ).alias("bg")
+    ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    from .cache import pin
+
+    uni = pin(
+        sequences.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    bg = bigrams.groupBy("a", "b").agg(F.count("*").alias("c_ab")).filter(
+        F.col("c_ab") >= min_count
+    )
+    n1 = uni.agg(F.sum("c").cast("double").alias("n1"))
+    n2 = sequences.agg(
+        F.sum(F.greatest(F.size(toks) - 1, F.lit(0))).cast("double").alias("n2")
+    )
+    out = (
+        bg.join(uni.select(F.col("t").alias("a"), F.col("c").alias("c_a")), "a")
+        .join(uni.select(F.col("t").alias("b"), F.col("c").alias("c_b")), "b")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.log(
+                (F.col("c_ab") / F.col("n2"))
+                / ((F.col("c_a") / F.col("n1")) * (F.col("c_b") / F.col("n1")))
+            ).alias("pmi"),
+        )
+    )
+    if top_k is not None:
+        rn = F.row_number().over(
+            Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        )
+        out = out.withColumn("rank", rn).filter(F.col("rank") <= top_k)
+    return out
+
+
+def curate(
+    documents: DataFrame,
+    quality_threshold: float = 0.95,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 13,
+    mix_rates: dict[str, float] | None = None,
+    seq_len: int = 2048,
+    shards: int = 1,
+    eos: int | None = VOCAB_SIZE,
+    with_spans: bool = True,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """The whole curation pipeline as one facade: exact dedup → quality
+    gate → (optional) benchmark decontamination → (optional) mixture
+    DOWNSAMPLING (rates capped at 1 — upsampling epochs belong to the
+    trainer loop, see :func:`source_mixture`) → hash tokenize (+EOS) →
+    fixed-length packing with doc spans. Returns the packed training
+    sequences; every stage is the oracle-gated operator, composed
+    (driver query ``pipeline_e2e`` hash-gates the same composition —
+    with an in-corpus benchmark convention, so it additionally excludes
+    self-matches; a real external eval set shares no doc ids)."""
+    from .dedup import exact_dedup
+    from .text import quality_score
+
+    keep = exact_dedup(documents).select(F.col("keep_id").alias("doc_id"))
+    d = documents.join(keep, "doc_id")
+    q = (
+        quality_score(d)
+        .filter(F.col("quality") >= quality_threshold)
+        .select("doc_id")
+    )
+    d = d.join(q, "doc_id")
+    if benchmark is not None:
+        from .text import decontaminate
+
+        contaminated = (
+            decontaminate(d, benchmark, n=decontam_n, min_hits=1)
+            .select("doc_id")
+            .distinct()
+        )
+        d = d.join(contaminated, "doc_id", "left_anti")
+    if mix_rates:
+        capped = {k: min(1.0, v) for k, v in mix_rates.items()}
+        kept = source_mixture(d, capped, default_rate=1.0).select("doc_id").distinct()
+        d = d.join(kept, "doc_id")
+    tok = tokenize_documents(d, append_eos=eos, parallelism=parallelism)
+    return pack_sequences(
+        tok, seq_len=seq_len, shards=shards, with_spans=with_spans
+    )

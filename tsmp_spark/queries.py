@@ -3989,3 +3989,55 @@ FROM st, unnest(generate_series(1, n_tok)) AS g(i)
 
 QUERIES["pipeline_e2e"] = q_pipeline_e2e
 ORACLES["pipeline_e2e"] = SQL_PIPELINE_E2E
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair PMI over the tokenized corpus (collocation / BPE
+    merge-candidate ranking), min_count=5, top-100."""
+    from .operators.tokens import token_pmi_bigrams
+
+    p = token_pmi_bigrams(_tokenized(spark, sf_dir), min_count=5, top_k=100)
+    return p.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("c_ab").cast("bigint").alias("c_ab"),
+        _r4("pmi").alias("pmi"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+SQL_TOKEN_PMI = f"""
+WITH {SQL_TOKC},
+flat AS (
+  SELECT doc_id, i AS p, tokens[i] AS token
+  FROM tokc, unnest(generate_series(1, len(tokens))) AS g(i)
+),
+uni AS (SELECT token AS t, count(*) AS c FROM flat GROUP BY 1),
+bg AS (
+  SELECT f1.token AS a, f2.token AS b, count(*) AS c_ab
+  FROM flat f1 JOIN flat f2 ON f2.doc_id = f1.doc_id AND f2.p = f1.p + 1
+  GROUP BY 1, 2 HAVING count(*) >= 5
+),
+n1 AS (SELECT CAST(sum(c) AS DOUBLE) AS n1 FROM uni),
+n2 AS (SELECT CAST(sum(greatest(len(tokens) - 1, 0)) AS DOUBLE) AS n2 FROM tokc),
+pmi AS (
+  SELECT bg.a, bg.b, bg.c_ab,
+         ln((bg.c_ab / n2.n2) / ((ua.c / n1.n1) * (ub.c / n1.n1))) AS pmi
+  FROM bg
+  JOIN uni ua ON ua.t = bg.a
+  JOIN uni ub ON ub.t = bg.b
+  CROSS JOIN n1 CROSS JOIN n2
+),
+ranked AS (
+  SELECT a, b, c_ab, pmi,
+         row_number() OVER (ORDER BY pmi DESC, a ASC, b ASC) AS rank
+  FROM pmi
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(c_ab AS BIGINT) AS c_ab, round(pmi, 4) AS pmi,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 100
+"""
+
+QUERIES["token_pmi"] = q_token_pmi
+ORACLES["token_pmi"] = SQL_TOKEN_PMI
