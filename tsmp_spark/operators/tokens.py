@@ -18,6 +18,14 @@ batches" in an LLM data pipeline:
 - :func:`token_entropy` — per-doc unigram entropy / distinct share /
   top-token share as ZERO-SHUFFLE sorted-run aggregates (no explode,
   no Python; the same single-lambda trick as ``text.repetition_stats``).
+- :func:`source_token_divergence` — per-source KL vs the corpus blend
+  (mix-drift detection).
+- :func:`token_pmi_bigrams` — adjacent-pair PMI (collocations / BPE
+  merge candidates).
+- :func:`shard_blobs` / :func:`unshard_blobs` — the binary ``.bin``-style
+  training-shard sink and its read path (``codecs.tokenshard``).
+- :func:`curate` — the whole pipeline as one facade (dedup → quality →
+  decontaminate → downsample → tokenize → pack).
 
 Scale notes (100 TB / 10^12-sequence design):
 - ``pack_sequences`` is the only operator here that needs a global
