@@ -44,13 +44,16 @@ s AS (
 )"""
 
 
-def sql_mp_cte(w: int = W, ez_n: int = EZ_N, min_len: int = MIN_LEN) -> str:
+def sql_mp_cte(
+    w: int = W, ez_n: int = EZ_N, min_len: int = MIN_LEN, series_cte: str | None = None
+) -> str:
     """Brute-force z-normalized self-join matrix profile in pure SQL:
     rolling stats + per-diagonal rolling dot products + min over both arc
     endpoints. Exact same semantics as the MPX kernel (validated
-    bit-for-bit at 4 decimals)."""
+    bit-for-bit at 4 decimals). ``series_cte`` overrides the events-derived
+    series source with any CTE named ``s(doc_id, pos, value)``."""
     return f"""
-{sql_series()},
+{series_cte if series_cte is not None else sql_series()},
 len AS (
   SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id HAVING count(*) >= {min_len}
 ),
@@ -4041,3 +4044,53 @@ FROM ranked WHERE rank <= 100
 
 QUERIES["token_pmi"] = q_token_pmi
 ORACLES["token_pmi"] = SQL_TOKEN_PMI
+
+
+def q_mp_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star composition, literally: z-normalized matrix
+    profile computed PER TOKENIZED TRAINING SEQUENCE (token ids as the
+    series), MPX kernel vs the brute-force SQL MP over the exact same
+    md5 token streams."""
+    from .operators import matrix_profile
+
+    tok = _tokenized(spark, sf_dir).filter(F.col("n_tok") >= MIN_LEN)
+    seqs = tok.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(F.col("tokens"), lambda t: t.cast("double")).alias("tokens"),
+    )
+    prof = matrix_profile(seqs, W, long_series_threshold=None)
+    # short token docs can have mid-profile positions with NO admissible
+    # neighbor (every |i-j| <= ez): the kernel emits NaN/-1 there
+    # (reference Inf semantics); the oracle's pair-based formulation has
+    # no row to emit, so the comparison is over positions WITH a neighbor
+    return prof.filter(F.col("mp").isNotNull() & ~F.isnan("mp")).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("pos").cast("bigint").alias("pos"),
+        _r4("mp").alias("mp_r"),
+        F.col("pi").cast("bigint").alias("pi"),
+    )
+
+
+_SQL_TOKEN_SERIES = f"""
+tokc AS (
+  SELECT doc_id, source,
+         list_transform(
+           list_filter(
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+             w -> w <> ''),
+           w -> CAST(CAST(('0x' || substr(md5('tok:' || w), 1, 7)) AS BIGINT) % 32768 AS INT)
+         ) AS tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, i - 1 AS pos, CAST(tokens[i] AS DOUBLE) AS value
+  FROM tokc, unnest(generate_series(1, len(tokens))) AS g(i)
+)"""
+
+SQL_MP_TOKENS = f"""
+WITH {sql_mp_cte(series_cte=_SQL_TOKEN_SERIES)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, pos, round(mp, 4) AS mp_r, pi FROM mp
+"""
+
+QUERIES["mp_tokens"] = q_mp_tokens
+ORACLES["mp_tokens"] = SQL_MP_TOKENS
