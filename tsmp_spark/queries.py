@@ -4094,3 +4094,81 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, pos, round(mp, 4) AS mp_r, pi FROM mp
 
 QUERIES["mp_tokens"] = q_mp_tokens
 ORACLES["mp_tokens"] = SQL_MP_TOKENS
+
+
+def q_mp_packed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE north-star chain in one oracle-gated plan:
+    tokenize -> pack into fixed-length training sequences -> z-normalized
+    matrix profile PER PACKED SEQUENCE -> tier-1 continuous aggregate
+    (min/argmin/avg/max per bucket). Profiles as continuous-aggregate
+    columns over the training corpus, downsampled through a retention
+    tier — replayed end-to-end in SQL."""
+    from .operators import matrix_profile, pack_sequences, rollup_tier
+
+    packed = pack_sequences(_tokenized(spark, sf_dir), seq_len=64)
+    seqs = packed.filter(F.col("n_tok") >= MIN_LEN).select(
+        F.concat_ws(":", "source", F.col("seq_idx").cast("string")).alias("doc_id"),
+        F.transform(F.col("tokens"), lambda t: t.cast("double")).alias("tokens"),
+    )
+    prof = matrix_profile(seqs, W, long_series_threshold=None).filter(
+        F.col("mp").isNotNull() & ~F.isnan("mp")
+    )
+    t1 = rollup_tier(prof, BUCKET)
+    return t1.select(
+        "doc_id",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        _r4("mp_min").alias("mp_min"),
+        F.col("pi_argmin").cast("bigint").alias("pi_argmin"),
+        _r4("mp_avg").alias("mp_avg"),
+        _r4("mp_max").alias("mp_max"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+_SQL_PACKED_SERIES = """
+tokc AS (
+  SELECT doc_id, source,
+         list_transform(
+           list_filter(
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+             w -> w <> ''),
+           w -> CAST(CAST(('0x' || substr(md5('tok:' || w), 1, 7)) AS BIGINT) % 32768 AS INT)
+         ) AS tokens
+  FROM documents
+),
+docs_t AS (SELECT doc_id, source, tokens, len(tokens) AS n_tok FROM tokc WHERE len(tokens) > 0),
+stq AS (
+  SELECT *, CAST(COALESCE(sum(n_tok) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+  FROM docs_t
+),
+s AS (
+  SELECT source || ':' || CAST((strt + i - 1) // 64 AS VARCHAR) AS doc_id,
+         (strt + i - 1) % 64 AS pos,
+         CAST(tokens[i] AS DOUBLE) AS value
+  FROM stq, unnest(generate_series(1, n_tok)) AS g(i)
+)"""
+
+SQL_MP_PACKED_ROLLUP = f"""
+WITH {sql_mp_cte(series_cte=_SQL_PACKED_SERIES)},
+t1 AS (
+  SELECT doc_id, CAST(floor(pos / {BUCKET}) AS BIGINT) AS bucket,
+         min(mp) AS mp_min, avg(mp) AS mp_avg, max(mp) AS mp_max, count(mp) AS n
+  FROM mp GROUP BY 1, 2
+),
+winner AS (
+  SELECT doc_id, bucket, pi AS pi_argmin FROM (
+    SELECT doc_id, CAST(floor(pos / {BUCKET}) AS BIGINT) AS bucket, pi,
+           row_number() OVER (PARTITION BY doc_id, floor(pos / {BUCKET})
+                              ORDER BY mp ASC, pos ASC) AS rn
+    FROM mp WHERE mp IS NOT NULL
+  ) WHERE rn = 1
+)
+SELECT t1.doc_id, t1.bucket, round(mp_min, 4) AS mp_min, winner.pi_argmin,
+       round(mp_avg, 4) AS mp_avg, round(mp_max, 4) AS mp_max, n
+FROM t1 JOIN winner ON t1.doc_id = winner.doc_id AND t1.bucket = winner.bucket
+"""
+
+QUERIES["mp_packed_rollup"] = q_mp_packed_rollup
+ORACLES["mp_packed_rollup"] = SQL_MP_PACKED_ROLLUP
