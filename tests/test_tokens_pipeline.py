@@ -464,3 +464,29 @@ def test_curate_facade(spark):
     for rs in by_stream.values():
         rs.sort(key=lambda r: r.seq_idx)
         assert all(r.n_tok == 16 for r in rs[:-1])
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """Docs sharing the target domain's vocabulary get higher importance
+    weights than off-domain docs; weights are deterministic."""
+    from tsmp_spark.operators.text import dsir_weights
+
+    med = [
+        (i, "patient dose trial clinical symptom therapy " * 5, "m")
+        for i in range(10)
+    ]
+    web = [
+        (100 + i, "click here buy now free shipping deal offer " * 5, "w")
+        for i in range(10)
+    ]
+    mixed = [(200, "patient therapy trial and some filler words", "x"),
+             (201, "buy now free deal and some filler words", "x")]
+    docs = spark.createDataFrame(
+        med + web + mixed, "doc_id long, text string, source string"
+    )
+    target = docs.filter(F.col("source") == "m")  # medical is the target
+    w = {r.doc_id: r.logw for r in dsir_weights(docs, target).collect()}
+    assert w[200] > w[201]  # target-like doc outranks off-domain doc
+    assert min(w[i] for i in range(10)) > max(w[100 + i] for i in range(10))
+    again = {r.doc_id: r.logw for r in dsir_weights(docs, target).collect()}
+    assert again == w

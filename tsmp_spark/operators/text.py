@@ -275,3 +275,86 @@ def doc_fingerprint(
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
     return sh.groupBy("doc_id").agg(F.min(_h64(F.col("shingle"), 0)).alias("fingerprint"))
+
+
+def hashed_ngram_buckets(
+    text_col: Column, n_buckets: int, ngram: int = 2
+) -> Column:
+    """Hashed bag-of-ngrams features: word unigrams + bigrams mapped to
+    ``md5 % n_buckets`` (duplicates kept — counts are the feature)."""
+    words = _words(text_col)
+    grams = F.concat(words, _word_ngrams(words, ngram))
+    return F.transform(
+        grams,
+        lambda g: (
+            F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), g)), 1, 7), 16, 10)
+            .cast("long")
+            % n_buckets
+        ).cast("int"),
+    )
+
+
+def dsir_weights(
+    documents: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    ngram: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_text_col: str | None = None,
+) -> DataFrame:
+    """Importance weights for domain-targeted data selection (the DSIR
+    recipe — hashed-n-gram bag features, add-one-smoothed target vs raw
+    unigram models, per-doc log importance ratio — re-derived
+    relationally): ``logw(d) = Σ_b c_d(b)·(ln p_t(b) − ln p_r(b))``
+    with ``p(b) = (c(b)+1)/(N+B)``. High-weight docs look like the
+    target domain; resample/top-k by weight to build a targeted mix.
+
+    Scale shape: featurization is per-row expressions; both LMs are one
+    map-side-combinable groupBy(bucket) — bucket-bounded (B rows), so
+    the model join BROADCASTS; the per-doc weight is one groupBy(doc)
+    over (doc, bucket) counts. The corpus is scanned once for features,
+    once for weights (the feature table is pinned).
+
+    Output: (doc_id, logw). Rank on ROUNDED logw when a deterministic
+    cross-engine order is needed (float sums differ at ~1e-12 by
+    summation order)."""
+    from .cache import pin
+
+    feats = pin(
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(hashed_ngram_buckets(F.col(text_col), n_buckets, ngram)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    tfeat = target.select(
+        F.explode(
+            hashed_ngram_buckets(F.col(target_text_col or text_col), n_buckets, ngram)
+        ).alias("bucket")
+    ).groupBy("bucket").agg(F.count("*").alias("ct"))
+    rfeat = feats.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    nt = target.select(
+        F.size(hashed_ngram_buckets(F.col(target_text_col or text_col), n_buckets, ngram)).alias("k")
+    ).agg(F.sum("k").cast("double").alias("nt"))
+    nr = feats.agg(F.sum("c").cast("double").alias("nr"))
+    buckets = (
+        rfeat.join(tfeat, "bucket", "full_outer")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("nt") + n_buckets))
+                - F.log((F.coalesce(F.col("cr"), F.lit(0)) + 1) / (F.col("nr") + n_buckets))
+            ).alias("llr"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(buckets), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("llr")).alias("logw"))
+    )

@@ -4172,3 +4172,66 @@ FROM t1 JOIN winner ON t1.doc_id = winner.doc_id AND t1.bucket = winner.bucket
 
 QUERIES["mp_packed_rollup"] = q_mp_packed_rollup
 ORACLES["mp_packed_rollup"] = SQL_MP_PACKED_ROLLUP
+
+
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: every 13th doc plays the target domain;
+    log importance ratio of hashed unigram+bigram bag features under
+    add-one-smoothed target vs raw models, ranked on the rounded weight."""
+    from .operators.text import dsir_weights
+
+    docs = _documents(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % 13 == 0)
+    w = dsir_weights(docs, target, n_buckets=4096, ngram=2)
+    ranked = w.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _r4("logw").alias("logw"),
+    ).withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc(_r4("logw")), F.asc("doc_id")))
+        .cast("bigint"),
+    )
+    return ranked
+
+
+SQL_DSIR = r"""
+WITH wl AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, words[i] AS g FROM wl, unnest(generate_series(1, len(words))) AS u(i)
+  UNION ALL
+  SELECT doc_id, array_to_string(words[i:i+1], ' ') AS g
+  FROM wl, unnest(generate_series(1, len(words) - 1)) AS u(i)
+  WHERE len(words) >= 2
+),
+feat AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5('dsir:' || g), 1, 7)) AS BIGINT) % 4096 AS INT) AS bucket
+  FROM grams
+),
+fc AS (SELECT doc_id, bucket, count(*) AS c FROM feat GROUP BY 1, 2),
+tb AS (SELECT bucket, count(*) AS ct FROM feat WHERE doc_id % 13 = 0 GROUP BY 1),
+rb AS (SELECT bucket, sum(c) AS cr FROM fc GROUP BY 1),
+nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM feat WHERE doc_id % 13 = 0),
+nr AS (SELECT CAST(count(*) AS DOUBLE) AS nr FROM feat),
+llr AS (
+  SELECT rb.bucket,
+         ln((COALESCE(tb.ct, 0) + 1) / (nt.nt + 4096))
+           - ln((COALESCE(rb.cr, 0) + 1) / (nr.nr + 4096)) AS llr
+  FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN nt CROSS JOIN nr
+),
+w AS (
+  SELECT fc.doc_id, sum(fc.c * llr.llr) AS logw
+  FROM fc JOIN llr USING (bucket)
+  GROUP BY 1
+)
+SELECT doc_id, round(logw, 4) AS logw,
+       CAST(row_number() OVER (ORDER BY round(logw, 4) DESC, doc_id ASC) AS BIGINT) AS rank
+FROM w
+"""
+
+QUERIES["dsir"] = q_dsir
+ORACLES["dsir"] = SQL_DSIR
