@@ -490,3 +490,24 @@ def test_dsir_weights_favor_target_like_docs(spark):
     assert min(w[i] for i in range(10)) > max(w[100 + i] for i in range(10))
     again = {r.doc_id: r.logw for r in dsir_weights(docs, target).collect()}
     assert again == w
+
+
+def test_lm_perplexity_flags_junk(spark):
+    """Docs of corpus-typical text score low perplexity; a doc of
+    never-repeated junk ids scores high; values are deterministic."""
+    from tsmp_spark.operators.tokens import lm_perplexity
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(30):  # fluent corpus: small vocab, common bigrams
+        rows.append((i, [int(x) for x in rng.integers(0, 20, 50)]))
+    rows.append((99, [int(x) for x in rng.integers(20000, 30000, 50)]))  # junk
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r.doc_id: r for r in lm_perplexity(df).collect()}
+    fluent_max = max(out[i].ppl for i in range(30))
+    assert out[99].ppl > 5 * fluent_max
+    for r in out.values():
+        assert r.n_scored == 50
+        assert abs(math.exp(r.nll) - r.ppl) < 1e-6 * r.ppl
+    again = {r.doc_id: r.ppl for r in lm_perplexity(df).collect()}
+    assert again == {d: r.ppl for d, r in out.items()}

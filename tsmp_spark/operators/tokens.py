@@ -600,3 +600,83 @@ def curate(
     return pack_sequences(
         tok, seq_len=seq_len, shards=shards, with_spans=with_spans
     )
+
+
+def lm_perplexity(
+    sequences: DataFrame,
+    lambda_bigram: float = 0.7,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    vocab_size: int = VOCAB_SIZE,
+) -> DataFrame:
+    """CCNet-style perplexity quality scoring, re-derived relationally:
+    an interpolated bigram language model is trained ON THE CORPUS
+    ITSELF (add-one-smoothed unigram ``p1`` and bigram ``p2``,
+    ``p = λ·p2 + (1−λ)·p1``), and each document is scored by its mean
+    negative log-likelihood — unusual-looking docs (junk, wrong
+    language, binary spew) score high, fluent in-distribution text
+    scores low. Output: (doc_id, n_scored, nll, ppl).
+
+    The first token of each doc is scored by the unigram model alone;
+    docs with no tokens are dropped.
+
+    Scale shape: model counts are the PMI machinery (map-side
+    combinable, vocab/vocab²-bounded); scoring re-joins each doc's
+    (prev, cur) pairs against the broadcast-size models — corpus
+    scanned twice (once for counts, once for scoring), no all-pairs
+    anything."""
+    toks = F.col(tokens_col)
+    from .cache import pin
+
+    # per-doc adjacency pairs, position 0 flagged (unigram-only score)
+    pairs = pin(
+        sequences.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("_t"),
+            F.posexplode(toks).alias("p", "cur"),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("p") > 0, F.col("_t")[F.col("p") - 1]).alias("prev"),
+            "cur",
+        )
+    )
+    uni = pin(pairs.groupBy("cur").agg(F.count("*").alias("c1")))
+    bi = (
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("c2"))
+    )
+    ctx = bi.groupBy("prev").agg(F.sum("c2").alias("cctx"))
+    n1 = uni.agg(F.sum("c1").cast("double").alias("n1"))
+    lam = float(lambda_bigram)
+    scored = (
+        pairs.join(F.broadcast(uni), "cur")
+        .join(F.broadcast(bi), ["prev", "cur"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("prev").isNull(),
+                -F.log((F.col("c1") + 1) / (F.col("n1") + vocab_size)),
+            )
+            .otherwise(
+                -F.log(
+                    lam
+                    * (
+                        (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                        / (F.coalesce(F.col("cctx"), F.lit(0)) + vocab_size)
+                    )
+                    + (1.0 - lam)
+                    * ((F.col("c1") + 1) / (F.col("n1") + vocab_size))
+                )
+            )
+            .alias("nll_tok"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_scored"),
+        F.avg("nll_tok").alias("nll"),
+        F.exp(F.avg("nll_tok")).alias("ppl"),
+    )

@@ -4235,3 +4235,53 @@ FROM w
 
 QUERIES["dsir"] = q_dsir
 ORACLES["dsir"] = SQL_DSIR
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality scoring: interpolated bigram LM trained on the
+    corpus, per-doc mean NLL + perplexity."""
+    from .operators.tokens import lm_perplexity
+
+    p = lm_perplexity(_tokenized(spark, sf_dir), lambda_bigram=0.7)
+    return p.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_scored").cast("bigint").alias("n_scored"),
+        _r4("nll").alias("nll"),
+        _r4("ppl").alias("ppl"),
+    )
+
+
+SQL_LM_PERPLEXITY = f"""
+WITH {SQL_TOKC},
+pairs AS (
+  SELECT doc_id,
+         CASE WHEN i > 1 THEN tokens[i - 1] END AS prev,
+         tokens[i] AS cur
+  FROM tokc, unnest(generate_series(1, len(tokens))) AS g(i)
+),
+uni AS (SELECT cur, count(*) AS c1 FROM pairs GROUP BY 1),
+bi AS (
+  SELECT prev, cur, count(*) AS c2 FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+ctx AS (SELECT prev, sum(c2) AS cctx FROM bi GROUP BY 1),
+n1 AS (SELECT CAST(sum(c1) AS DOUBLE) AS n1 FROM uni),
+scored AS (
+  SELECT p.doc_id,
+         CASE WHEN p.prev IS NULL
+              THEN -ln((u.c1 + 1) / (n1.n1 + 32768))
+              ELSE -ln(0.7 * ((COALESCE(b.c2, 0) + 1) / (COALESCE(cx.cctx, 0) + 32768))
+                       + (1.0 - 0.7) * ((u.c1 + 1) / (n1.n1 + 32768)))
+         END AS nll_tok
+  FROM pairs p
+  JOIN uni u ON u.cur = p.cur
+  LEFT JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
+  LEFT JOIN ctx cx ON cx.prev = p.prev
+  CROSS JOIN n1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+       round(avg(nll_tok), 4) AS nll, round(exp(avg(nll_tok)), 4) AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+QUERIES["lm_perplexity"] = q_lm_perplexity
+ORACLES["lm_perplexity"] = SQL_LM_PERPLEXITY
