@@ -511,3 +511,20 @@ def test_lm_perplexity_flags_junk(spark):
         assert abs(math.exp(r.nll) - r.ppl) < 1e-6 * r.ppl
     again = {r.doc_id: r.ppl for r in lm_perplexity(df).collect()}
     assert again == {d: r.ppl for d, r in out.items()}
+
+
+def test_training_order_per_epoch_shuffle(spark, tok):
+    """Each epoch gives a different deterministic global order; the same
+    epoch always gives the same order; keys are unique."""
+    from tsmp_spark.operators.tokens import training_order
+
+    packed = pack_sequences(tok, seq_len=32)
+    e0 = [(r.source, r.seq_idx, r.order_key) for r in training_order(packed, 0).collect()]
+    e0b = [(r.source, r.seq_idx, r.order_key) for r in training_order(packed, 0).collect()]
+    e1 = {(r.source, r.seq_idx): r.order_key for r in training_order(packed, 1).collect()}
+    assert sorted(e0) == sorted(e0b)
+    keys0 = [k for _, _, k in e0]
+    assert len(set(keys0)) == len(keys0)  # unique
+    order0 = [sq for sq in sorted(e0, key=lambda t: t[2])]
+    order1 = sorted(e1.items(), key=lambda kv: kv[1])
+    assert [t[:2] for t in order0] != [k for k, _ in order1]  # epochs differ

@@ -680,3 +680,41 @@ def lm_perplexity(
         F.avg("nll_tok").alias("nll"),
         F.exp(F.avg("nll_tok")).alias("ppl"),
     )
+
+
+def training_order(
+    packed: DataFrame,
+    epoch: int = 0,
+    source_col: str = "source",
+    shard_col: str = "shard",
+    seq_col: str = "seq_idx",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle of packed training
+    sequences: each sequence gets an md5 order key salted by the epoch,
+    so every epoch visits the corpus in a different but REPRODUCIBLE
+    order (retry/rerun-stable, engine-portable — no RNG, no
+    zipWithIndex). Output adds ``order_key`` (the sort key a loader
+    ORDER BYs or range-partitions on); ties are impossible (the key
+    hashes the unique stream/sequence identity).
+
+    At scale the loader never needs a global sort: range-partitioning
+    on ``order_key`` (uniform by construction) gives shuffled shards
+    directly."""
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(f"epoch{int(epoch)}"),
+                    F.col(source_col),
+                    F.col(shard_col).cast("string"),
+                    F.col(seq_col).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return packed.withColumn("order_key", key)

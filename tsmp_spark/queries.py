@@ -4285,3 +4285,42 @@ FROM scored GROUP BY doc_id
 
 QUERIES["lm_perplexity"] = q_lm_perplexity
 ORACLES["lm_perplexity"] = SQL_LM_PERPLEXITY
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-1 global shuffle of the packed sequences:
+    md5 order key per sequence, globally ranked."""
+    from .operators.tokens import pack_sequences, training_order
+
+    packed = pack_sequences(_tokenized(spark, sf_dir), seq_len=64)
+    o = training_order(packed, epoch=1)
+    return o.select(
+        "source",
+        F.col("seq_idx").cast("bigint").alias("seq_idx"),
+        F.col("order_key").cast("bigint").alias("order_key"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy("order_key")).cast("bigint"),
+    )
+
+
+SQL_TRAINING_ORDER = f"""
+WITH {SQL_TOKC},
+docs_t AS (SELECT source, len(tokens) AS n_tok FROM tokc WHERE len(tokens) > 0),
+tot AS (SELECT source, sum(n_tok) AS total FROM docs_t GROUP BY 1),
+seqs AS (
+  SELECT source, g.seq_idx
+  FROM tot, unnest(generate_series(0, CAST(ceil(total / 64.0) AS BIGINT) - 1)) AS g(seq_idx)
+),
+keyed AS (
+  SELECT source, seq_idx,
+         CAST(('0x' || substr(md5('epoch1:' || source || ':0:' || CAST(seq_idx AS VARCHAR)), 1, 15)) AS BIGINT) AS order_key
+  FROM seqs
+)
+SELECT source, CAST(seq_idx AS BIGINT) AS seq_idx, order_key,
+       CAST(row_number() OVER (ORDER BY order_key) AS BIGINT) AS rank
+FROM keyed
+"""
+
+QUERIES["training_order"] = q_training_order
+ORACLES["training_order"] = SQL_TRAINING_ORDER
