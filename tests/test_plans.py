@@ -246,3 +246,19 @@ def test_repetition_stats_pure_jvm(spark, docs):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_dsir_and_lm_models_broadcast(spark, docs):
+    """Model sides (bucket LLRs, unigram/bigram LMs) are broadcast —
+    the corpus side never shuffles for a model join; zero Python."""
+    from tsmp_spark.operators.text import dsir_weights
+    from tsmp_spark.operators.tokens import lm_perplexity, tokenize_documents
+
+    target = docs.filter(F.col("doc_id") % 13 == 0)
+    plan = _plan(dsir_weights(docs, target))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    plan2 = _plan(lm_perplexity(tokenize_documents(docs)))
+    assert "BroadcastHashJoin" in plan2
+    assert "BatchEvalPython" not in plan2 and "MapInPandas" not in plan2
