@@ -528,3 +528,22 @@ def test_training_order_per_epoch_shuffle(spark, tok):
     order0 = [sq for sq in sorted(e0, key=lambda t: t[2])]
     order1 = sorted(e1.items(), key=lambda kv: kv[1])
     assert [t[:2] for t in order0] != [k for k, _ in order1]  # epochs differ
+
+
+def test_shard_blobs_rejects_non_contiguous(spark, tok):
+    """The shard codec's (base, lengths) index can only represent
+    contiguous seq ranges — a filtered subset must fail loudly, not
+    silently relabel sequences after the gap."""
+    from tsmp_spark.operators import shard_blobs, unshard_blobs
+
+    packed = pack_sequences(tok, seq_len=16)
+    # drop a mid-stream sequence of some stream that has >= 3 sequences
+    counts = {}
+    for r in packed.collect():
+        counts[(r.source, r.shard)] = max(counts.get((r.source, r.shard), 0), r.seq_idx)
+    victim = next(k for k, m in counts.items() if m >= 2)
+    holed = packed.filter(
+        ~((F.col("source") == victim[0]) & (F.col("seq_idx") == 1))
+    )
+    with pytest.raises(Exception, match="not contiguous"):
+        unshard_blobs(shard_blobs(holed)).count()

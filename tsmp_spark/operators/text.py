@@ -337,9 +337,9 @@ def dsir_weights(
         ).alias("bucket")
     ).groupBy("bucket").agg(F.count("*").alias("ct"))
     rfeat = feats.groupBy("bucket").agg(F.sum("c").alias("cr"))
-    nt = target.select(
-        F.size(hashed_ngram_buckets(F.col(target_text_col or text_col), n_buckets, ngram)).alias("k")
-    ).agg(F.sum("k").cast("double").alias("nt"))
+    # totals reaggregate from the bucket counts — no second featurization
+    # scan of either corpus
+    nt = tfeat.agg(F.sum("ct").cast("double").alias("nt"))
     nr = feats.agg(F.sum("c").cast("double").alias("nr"))
     buckets = (
         rfeat.join(tfeat, "bucket", "full_outer")

@@ -105,6 +105,17 @@ def tokenize_documents(
     )
 
 
+def shard_key(id_col: str, shards: int) -> Column:
+    """THE stream-shard assignment shared by batch and streaming packing
+    (the stream==batch equivalence depends on both using this exact
+    expression): ``xxhash64(str(id)) % shards``, 0 when unsharded."""
+    return (
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(shards))
+        if shards > 1
+        else F.lit(0)
+    ).cast("int")
+
+
 def pack_sequences(
     sequences: DataFrame,
     seq_len: int = 2048,
@@ -138,16 +149,11 @@ def pack_sequences(
     order. This is the attention-mask-reset metadata a trainer needs to
     stop cross-document attention; it is derived in the SAME sorted
     collect pass as the tokens (no extra shuffle or scan)."""
-    shard = (
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(shards))
-        if shards > 1
-        else F.lit(0)
-    ).cast("int")
     docs = (
         sequences.select(
             F.col(id_col).alias("doc_id"),
             F.col(source_col).alias("source"),
-            shard.alias("shard"),
+            shard_key(id_col, shards).alias("shard"),
             F.col(tokens_col).alias("tokens"),
             F.size(F.col(tokens_col)).alias("n_tok"),
         )
@@ -431,13 +437,23 @@ def shard_blobs(
 
     def enc(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("seq_idx")
+        # the codec's index stores only (base, lengths): seq k decodes to
+        # base + k, so gaps would silently relabel every later sequence —
+        # refuse non-contiguous input (pack output IS contiguous; a
+        # filtered subset must be re-indexed before sharding)
+        idx = pdf["seq_idx"].to_numpy()
+        if len(idx) and (idx != idx[0] + np.arange(len(idx))).any():
+            raise ValueError(
+                f"shard stream {key}: seq_idx not contiguous "
+                f"({idx[0]}..{idx[-1]} over {len(idx)} sequences)"
+            )
         lengths = pdf["tokens"].map(len).to_numpy()
         toks = (
             np.concatenate([np.asarray(t, dtype="<i4") for t in pdf["tokens"]])
             if len(pdf)
             else np.array([], dtype="<i4")
         )
-        blob = encode_shard(lengths, toks, int(pdf["seq_idx"].min()))
+        blob = encode_shard(lengths, toks, int(idx[0]) if len(idx) else 0)
         return pd.DataFrame(
             {
                 "source": [key[0]],
@@ -650,9 +666,13 @@ def lm_perplexity(
     ctx = bi.groupBy("prev").agg(F.sum("c2").alias("cctx"))
     n1 = uni.agg(F.sum("c1").cast("double").alias("n1"))
     lam = float(lambda_bigram)
+    # uni/ctx/n1 are vocab-bounded -> broadcast hint; bi is DISTINCT-
+    # BIGRAM-bounded (up to vocab² rows on a big corpus) so it gets NO
+    # hint — Catalyst/AQE picks broadcast only when its stats fit, else
+    # a shuffle join keyed (prev, cur), which is the correct scale plan
     scored = (
         pairs.join(F.broadcast(uni), "cur")
-        .join(F.broadcast(bi), ["prev", "cur"], "left")
+        .join(bi, ["prev", "cur"], "left")
         .join(F.broadcast(ctx), "prev", "left")
         .crossJoin(F.broadcast(n1))
         .select(
@@ -694,8 +714,11 @@ def training_order(
     so every epoch visits the corpus in a different but REPRODUCIBLE
     order (retry/rerun-stable, engine-portable — no RNG, no
     zipWithIndex). Output adds ``order_key`` (the sort key a loader
-    ORDER BYs or range-partitions on); ties are impossible (the key
-    hashes the unique stream/sequence identity).
+    ORDER BYs or range-partitions on). The key is 60 bits, so at
+    10^12 sequences a handful of collisions are EXPECTED — a total
+    deterministic order is ``ORDER BY (order_key, source, shard,
+    seq_idx)``, i.e. always tie-break on the stream identity (the
+    driver query and oracle do).
 
     At scale the loader never needs a global sort: range-partitioning
     on ``order_key`` (uniform by construction) gives shuffled shards

@@ -3693,9 +3693,8 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SUBSTRING_SPANS = f"""
-WITH {SQL_TOKC},
-grams AS (
+#: shared substring-span pipeline (detection AND rewrite oracles use it)
+_SQL_SUBSTR_CTES = """grams AS (
   SELECT doc_id, i - 1 AS pos, md5(array_to_string(tokens[i:i+7], ',')) AS anchor
   FROM tokc, unnest(generate_series(1, len(tokens) - 7)) AS g(i)
   WHERE len(tokens) >= 8
@@ -3710,7 +3709,11 @@ isl AS (
   SELECT *, pos_a - row_number() OVER (
       PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS island
   FROM hits
-)
+)"""
+
+SQL_SUBSTRING_SPANS = f"""
+WITH {SQL_TOKC},
+{_SQL_SUBSTR_CTES}
 SELECT doc_a, doc_b,
        CAST(min(pos_a) AS BIGINT) AS pos_a,
        CAST(min(pos_b) AS BIGINT) AS pos_b,
@@ -3810,22 +3813,7 @@ def q_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_REWRITE = f"""
 WITH {SQL_TOKC},
-grams AS (
-  SELECT doc_id, i - 1 AS pos, md5(array_to_string(tokens[i:i+7], ',')) AS anchor
-  FROM tokc, unnest(generate_series(1, len(tokens) - 7)) AS g(i)
-  WHERE len(tokens) >= 8
-),
-freq AS (SELECT anchor FROM grams GROUP BY anchor HAVING count(*) <= 1000),
-g2 AS (SELECT grams.* FROM grams JOIN freq USING (anchor)),
-hits AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
-  FROM g2 a JOIN g2 b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
-),
-isl AS (
-  SELECT *, pos_a - row_number() OVER (
-      PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS island
-  FROM hits
-),
+{_SQL_SUBSTR_CTES},
 spans AS (
   SELECT doc_b, min(pos_b) AS s, max(pos_a) - min(pos_a) + 8 + min(pos_b) AS e
   FROM isl GROUP BY doc_a, doc_b, pos_a - pos_b, island
@@ -4071,17 +4059,8 @@ def q_mp_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_TOKEN_SERIES = f"""
-tokc AS (
-  SELECT doc_id, source,
-         list_transform(
-           list_filter(
-             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
-             w -> w <> ''),
-           w -> CAST(CAST(('0x' || substr(md5('tok:' || w), 1, 7)) AS BIGINT) % 32768 AS INT)
-         ) AS tokens
-  FROM documents
-),
+#: composed from SQL_TOKC so the tokenizer convention lives in ONE place
+_SQL_TOKEN_SERIES = f"""{SQL_TOKC},
 s AS (
   SELECT doc_id, i - 1 AS pos, CAST(tokens[i] AS DOUBLE) AS value
   FROM tokc, unnest(generate_series(1, len(tokens))) AS g(i)
@@ -4125,17 +4104,7 @@ def q_mp_packed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_PACKED_SERIES = """
-tokc AS (
-  SELECT doc_id, source,
-         list_transform(
-           list_filter(
-             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
-             w -> w <> ''),
-           w -> CAST(CAST(('0x' || substr(md5('tok:' || w), 1, 7)) AS BIGINT) % 32768 AS INT)
-         ) AS tokens
-  FROM documents
-),
+_SQL_PACKED_SERIES = f"""{SQL_TOKC},
 docs_t AS (SELECT doc_id, source, tokens, len(tokens) AS n_tok FROM tokc WHERE len(tokens) > 0),
 stq AS (
   SELECT *, CAST(COALESCE(sum(n_tok) OVER (
@@ -4300,7 +4269,9 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("order_key").cast("bigint").alias("order_key"),
     ).withColumn(
         "rank",
-        F.row_number().over(Window.orderBy("order_key")).cast("bigint"),
+        F.row_number()
+        .over(Window.orderBy("order_key", "source", "seq_idx"))
+        .cast("bigint"),
     )
 
 
@@ -4318,7 +4289,7 @@ keyed AS (
   FROM seqs
 )
 SELECT source, CAST(seq_idx AS BIGINT) AS seq_idx, order_key,
-       CAST(row_number() OVER (ORDER BY order_key) AS BIGINT) AS rank
+       CAST(row_number() OVER (ORDER BY order_key, source, seq_idx) AS BIGINT) AS rank
 FROM keyed
 """
 

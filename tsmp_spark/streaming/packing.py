@@ -85,15 +85,12 @@ def pack_stream(
     """Streaming counterpart of ``pack_sequences``: input is a streaming
     DataFrame of tokenized documents; output is a streaming DataFrame of
     COMPLETED fixed-length sequences (append mode)."""
-    shard = (
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(shards))
-        if shards > 1
-        else F.lit(0)
-    ).cast("int")
+    from ..operators.tokens import shard_key
+
     keyed = doc_stream.select(
         F.col(id_col).alias("doc_id"),
         F.col(source_col).alias("source"),
-        shard.alias("shard"),
+        shard_key(id_col, shards).alias("shard"),
         F.col(tokens_col).alias("tokens"),
     )
     return keyed.groupBy("source", "shard").applyInPandasWithState(
