@@ -281,3 +281,40 @@ def test_dedup_groups_transitive(spark):
     by = dict(zip(g.doc_id, g.keep_id))
     assert by[1] == 1 and by[2] == 1 and by[3] == 1  # one transitive group
     assert by[50] == 50 and not g[g.doc_id == 50].is_dup.iloc[0]
+
+
+def test_connected_components_frees_round_checkpoints(spark):
+    """Every per-round localCheckpoint block is freed before return —
+    only the result's own checkpoint survives (Dataset.unpersist does
+    NOT free localCheckpoint RDDs; the operator frees them via the
+    block manager)."""
+    from tsmp_spark.operators import connected_components
+
+    def persistent_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = persistent_ids()
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    out = connected_components(edges)
+    assert out.count() == 31
+    new = persistent_ids() - before
+    assert len(new) <= 1  # just the result's own checkpoint
+
+
+def test_decontaminate_ignores_blank_docs(spark):
+    """Blank/whitespace docs carry no shingles — they must not match
+    each other (the [''] padded-shingle artifact, oracle parity)."""
+    from tsmp_spark.operators import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real text with actual shingle words here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, ""), (101, "actual shingle words")], "bench_id long, text string"
+    )
+    out = decontaminate(docs, bench, n=3, min_hits=1).collect()
+    assert all(r.doc_id == 3 for r in out)  # only the real overlap

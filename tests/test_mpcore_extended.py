@@ -276,3 +276,27 @@ def test_valmod_heap_covers_all_candidates():
     assert np.array_equal(ex.w, pr.w) and np.array_equal(ex.pi, pr.pi)
     fin = np.isfinite(ex.mp)
     np.testing.assert_allclose(ex.mp[fin], pr.mp[fin], atol=1e-9)
+
+
+def test_valmod_pruned_equals_grid_on_flat_runs():
+    """Constant runs (sensor clipping / zero-fill) — the cancellation
+    regime: pruned and grid modes must agree exactly (scale-aware
+    low-variance mask + suspect-row recompute gating)."""
+    import numpy as np
+
+    from tsmp_spark.mpcore.valmod import valmod
+
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal(400).cumsum()
+    d[150:210] = d[150]  # large-offset constant run
+    a = valmod(d, 16, 32, lb=True)
+    b = valmod(d, 16, 32, lb=False)
+    fa, fb = np.isfinite(a.mp), np.isfinite(b.mp)
+    assert np.array_equal(fa, fb)
+    assert np.abs(a.mp[fa] - b.mp[fb]).max() < 1e-9
+    assert np.array_equal(a.pi, b.pi)
+    assert np.array_equal(a.w, b.w)
+    # positions whose windows lie entirely inside the run (p+32 <= 210)
+    # are masked for EVERY window (no meaningful z-norm), not noise
+    assert not np.isfinite(a.mp[160:178]).any()
+    assert a.pruned_rows > 0.5 * a.total_rows  # pruning still effective

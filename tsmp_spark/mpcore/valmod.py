@@ -22,9 +22,14 @@ Two execution modes:
   non-motif entries un-updated and flags them approximate — every row
   here is either proven or recomputed, so the result is always the
   EXACT per-window argmin (oracle-checked).
-- ``lb=False``: one exact kernel per window (the PMP grid shape; this is
-  also what the Spark fan-out path uses when windows are distributed as
-  independent tasks, SURVEY.md §2.5 'Spark-level alternative').
+- ``lb=False``: one exact pass per window WITHOUT heap bookkeeping (the
+  PMP grid shape; the Spark fan-out path distributes windows as
+  independent tasks, SURVEY.md §2.5 'Spark-level alternative'). Both
+  modes run THE SAME ``_full_pass`` code (same fast_avg_sd, same
+  absolute-eps low-variance guard), so they agree bit-for-bit on every
+  input — including near-constant runs where distances are
+  cancellation-limited (the reference's own fast_avg_sd behaves the
+  same way on such data).
 """
 
 from __future__ import annotations
@@ -32,11 +37,22 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-
-from .mpx import mpx
 from .stats import exclusion_zone_size, fast_avg_sd
 
 _EPS_SD = 1e-8
+#: scaled suspect threshold: a row/winner whose sd is below ~1e-4 of
+#: its level is near fast_avg_sd's cancellation regime — such rows are
+#: never "proven" from the incremental heap and always take the exact
+#: recompute path, so pruned == grid on any input
+_EPS_REL = 1e-4
+#: scale-aware low-variance MASK (a deliberate strengthening of the
+#: reference's absolute eps, stomp.R:182-184 / vars()$eps): a window
+#: with sd < 1e-7·level has NO meaningful z-normalization in fp64 —
+#: its distances are pure cancellation noise whose value depends on
+#: the dot-product evaluation order (the reference returns such noise
+#: for large-offset constant runs; we mask it to Inf like any other
+#: degenerate window, making results evaluation-order independent)
+_EPS_NORM = 1e-7
 
 
 @dataclass
@@ -82,10 +98,11 @@ def _row_profiles(qt: np.ndarray, i: int, w: int, mu: np.ndarray,
     lo, hi = max(0, i - ez_n), min(m, i + ez_n + 1)
     dist[lo:hi] = np.inf
     lbr[lo:hi] = np.inf
-    bad = sig < _EPS_SD
+    thresh = np.maximum(_EPS_SD, _EPS_NORM * (np.abs(mu) + 1.0))
+    bad = sig < thresh
     dist[bad] = np.inf
     lbr[bad] = np.inf
-    if sig[i] < _EPS_SD:
+    if sig[i] < thresh[i]:
         dist[:] = np.inf
         lbr[:] = np.inf
     return dist, lbr
@@ -109,11 +126,16 @@ def _store_heap(heap: _HeapState, i: int, lbr: np.ndarray, qt: np.ndarray,
     heap.sd_q_base[i] = sig_i
 
 
-def _full_pass(data: np.ndarray, w: int, ez_n: int, heap: _HeapState,
+def _full_pass(data: np.ndarray, w: int, ez_n: int, heap: _HeapState | None,
                rows: np.ndarray | None = None
                ) -> tuple[np.ndarray, np.ndarray]:
     """Exact STOMP-recurrence pass (valmod.R:190-300) that also stores the
-    LB heaps. ``rows=None`` processes every row; otherwise only the given
+    LB heaps (``heap=None`` skips the heap bookkeeping — the lb=False
+    grid mode, which therefore shares THIS code path bit-for-bit with the
+    pruned mode's exact passes: the two modes cannot diverge, including
+    on near-zero-variance windows where distances are cancellation-
+    limited exactly as in the reference's own fast_avg_sd trace).
+    ``rows=None`` processes every row; otherwise only the given
     rows (the partial-recompute fallback) using exact batched dots."""
     n = data.shape[0]
     m = n - w + 1
@@ -126,7 +148,8 @@ def _full_pass(data: np.ndarray, w: int, ez_n: int, heap: _HeapState,
         qt_batch = win @ win[rows].T  # (m, |rows|) exact dots
         for k, i in enumerate(rows):
             dist, lbr = _row_profiles(qt_batch[:, k], i, w, mu, sig, ez_n)
-            _store_heap(heap, i, lbr, qt_batch[:, k], sig[i])
+            if heap is not None:
+                _store_heap(heap, i, lbr, qt_batch[:, k], sig[i])
             j = int(np.argmin(dist))
             if np.isfinite(dist[j]):
                 mp_rows[k] = dist[j]
@@ -144,7 +167,8 @@ def _full_pass(data: np.ndarray, w: int, ez_n: int, heap: _HeapState,
                 + data[w:] * data[i + w - 1]
             qt[0] = qt0[i]
         dist, lbr = _row_profiles(qt, i, w, mu, sig, ez_n)
-        _store_heap(heap, i, lbr, qt, sig[i])
+        if heap is not None:
+            _store_heap(heap, i, lbr, qt, sig[i])
         j = int(np.argmin(dist))
         if np.isfinite(dist[j]):
             mp_w[i] = dist[j]
@@ -184,9 +208,8 @@ def valmod(
         m = n - w + 1
 
         if not lb:
-            r = mpx(data, w, minlag=ez_n + 1)
-            mp_sq, pi_w = None, r.pi
-            mp_sqrt = r.mp
+            mp_sq, pi_w = _full_pass(data, w, ez_n, None)
+            mp_sqrt = None
         elif w == window_min:
             mp_sq, pi_w = _full_pass(data, w, ez_n, heap)
             total_rows += m
@@ -223,6 +246,12 @@ def valmod(
             proven = alive.any(axis=1) & np.isfinite(cand_min) & (
                 cand_min < cutoff
             )
+            # near-flat rows/winners: cancellation regime — recompute
+            sus_row = sig[rows] < _EPS_REL * (np.abs(mu[rows]) + 1.0)
+            win_sig = sig_c[rows, cand_arg]
+            win_mu = mu_c[rows, cand_arg]
+            sus_cand = win_sig < _EPS_REL * (np.abs(win_mu) + 1.0)
+            proven &= ~sus_row & ~sus_cand
             unproven = np.flatnonzero(~proven)
             pruned_rows += int(proven.sum())
 

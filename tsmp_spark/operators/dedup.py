@@ -260,6 +260,13 @@ def connected_components(
         )
         return out.filter(F.col("u") != F.col("v")).distinct()
 
+    sc = edges.sparkSession.sparkContext
+
+    def _persistent_ids() -> set[int]:
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    before_ids = _persistent_ids()
+    converged = False
     cur = e.localCheckpoint()
     for _ in range(max_iter):
         nxt = small_star(large_star(cur)).localCheckpoint()
@@ -267,11 +274,19 @@ def connected_components(
         changed = (
             nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
         )
-        old = cur
         cur = nxt
-        old.unpersist()
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: edge set not at fixpoint after "
+            f"{max_iter} rounds — components may be split; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # fixpoint edges are (node, root) stars; roots map to themselves
     nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
     comp = cur.groupBy("u").agg(F.min("v").alias("component"))
@@ -280,7 +295,18 @@ def connected_components(
         F.coalesce("component", "u").alias("component"),
     )
     result = out.localCheckpoint()
-    cur.unpersist()
+    # free the per-round checkpoint blocks NOW (Dataset.unpersist does
+    # not touch localCheckpoint RDDs — they live in the block manager
+    # until GC + ContextCleaner). The newest persistent id belongs to
+    # ``result``'s own checkpoint and must survive; everything else this
+    # function created is an intermediate round snapshot.
+    new_ids = _persistent_ids() - before_ids
+    if new_ids:
+        keep = max(new_ids)
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in new_ids:
+            if rid != keep:
+                jmap.get(rid).unpersist()
     return result
 
 

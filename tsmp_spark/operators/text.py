@@ -200,13 +200,17 @@ def decontaminate(
     pairs only."""
     from .dedup import word_shingles
 
+    # empty/whitespace-only docs yield a [''] shingle from the padded
+    # transform — drop it (blank docs carry no contamination signal and
+    # the SQL oracle's len(shingle) > 0 filter excludes it)
+    nonempty = lambda col: F.filter(col, lambda s: F.length(s) > 0)
     doc_sh = documents.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        F.explode(nonempty(word_shingles(F.col(text_col), n))).alias("shingle"),
     )
     bench_sh = benchmark.select(
         F.col(bench_id_col).alias("bench_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        F.explode(nonempty(word_shingles(F.col(text_col), n))).alias("shingle"),
     )
     return (
         doc_sh.join(F.broadcast(bench_sh), "shingle")

@@ -30,6 +30,7 @@ def compute(
     query: DataFrame | None = None,
     sample_pct: float = 1.0,
     exclusion_zone: float = 0.5,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Unified entry point. Returns the exploded profile table; for
     multi-window requests the output carries a ``w`` column (PMP long
@@ -51,13 +52,19 @@ def compute(
     if isinstance(windows, int):
         if sample_pct >= 1.0:
             return matrix_profile(sequences, windows, exclusion_zone=exclusion_zone)
-        return _scrimp_sampled(sequences, windows, sample_pct, exclusion_zone)
+        return _scrimp_sampled(
+            sequences, windows, sample_pct, exclusion_zone, num_partitions
+        )
 
     return pan_matrix_profile(sequences, windows, exclusion_zone)
 
 
 def _scrimp_sampled(
-    sequences: DataFrame, window_size: int, sample_pct: float, exclusion_zone: float
+    sequences: DataFrame,
+    window_size: int,
+    sample_pct: float,
+    exclusion_zone: float,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     w = int(window_size)
 
@@ -187,5 +194,13 @@ def analyze(
             if rows:
                 yield pd.DataFrame(rows)
 
-    n_parts = sequences.sparkSession.sparkContext.defaultParallelism
-    return sequences.select("doc_id", "tokens").repartition(n_parts).mapInPandas(kernel, schema)
+    # same knob convention as matrix_profile: None = defaultParallelism
+    # (the local single-row-group rebalance), 0 = trust the input layout
+    # (NO shuffle — the warehouse-scale setting where the scan already
+    # has natural splits, CLAUDE.md parallelism rule)
+    base = sequences.select("doc_id", "tokens")
+    if num_partitions is None:
+        num_partitions = sequences.sparkSession.sparkContext.defaultParallelism
+    if num_partitions:
+        base = base.repartition(num_partitions)
+    return base.mapInPandas(kernel, schema)
