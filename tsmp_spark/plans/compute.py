@@ -102,10 +102,14 @@ def _scrimp_sampled(
 
     # same round-robin rebalance as matrix_profile_nested: sampled-SCRIMP
     # rows are tiny in bytes but quadratic in kernel CPU, and a single-
-    # row-group local parquet would otherwise run the stage on 1 task
-    base = sequences.select("doc_id", "tokens").repartition(
-        sequences.sparkSession.sparkContext.defaultParallelism
-    )
+    # row-group local parquet would otherwise run the stage on 1 task.
+    # Knob convention matches matrix_profile: None = defaultParallelism,
+    # 0 = trust the input layout (no shuffle at warehouse scale)
+    base = sequences.select("doc_id", "tokens")
+    if num_partitions is None:
+        num_partitions = sequences.sparkSession.sparkContext.defaultParallelism
+    if num_partitions:
+        base = base.repartition(num_partitions)
     return base.mapInPandas(kernel, PROFILE_SCHEMA)
 
 
@@ -156,6 +160,7 @@ def analyze(
     window_size: int,
     n_motifs: int = 3,
     n_discords: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """analyze.R:44-73 analogue: profile + top-k motifs and discords per
     series, one pass. Output: (doc_id, kind, rank, pos, pair_pos, value)."""
@@ -196,8 +201,7 @@ def analyze(
 
     # same knob convention as matrix_profile: None = defaultParallelism
     # (the local single-row-group rebalance), 0 = trust the input layout
-    # (NO shuffle — the warehouse-scale setting where the scan already
-    # has natural splits, CLAUDE.md parallelism rule)
+    # (NO shuffle — the warehouse-scale setting, CLAUDE.md parallelism rule)
     base = sequences.select("doc_id", "tokens")
     if num_partitions is None:
         num_partitions = sequences.sparkSession.sparkContext.defaultParallelism
