@@ -167,3 +167,15 @@ def test_plotting_layer_gated():
         plotting.plot_snippet(find_snippets(d, 40), data=d),
     ]
     assert all(f.axes for f in figs)
+
+
+def test_query_registry_consistency():
+    """Every oracle belongs to a registered query; every query is
+    callable; the two rows-only exceptions are exactly sdts/salient."""
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert set(qs) - set(os_) == {"sdts", "salient"}
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in os_.values())
