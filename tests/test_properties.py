@@ -174,3 +174,71 @@ def test_python_pack_model():
 
     docs = [("a", [1, 2, 3]), ("b", [4]), ("c", [5, 6, 7, 8, 9])]
     assert pack_model(docs, 4) == [[1, 2, 3, 4], [5, 6, 7, 8], [9]]
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("STRESS_TEST") != "true",
+    reason="env-gated stress sweep (test-stress-stamps.R analogue): STRESS_TEST=true",
+)
+def test_stress_cross_algorithm_sweep():
+    """Random series × windows × all kernels: stomp == mpx == scrimp(full)
+    == stamp profiles; valmod pruned == grid; movmin/movmax vs brute."""
+    from tsmp_spark.mpcore import stamp
+    from tsmp_spark.mpcore.scrimp import scrimp
+    from tsmp_spark.mpcore.valmod import valmod
+
+    rng = np.random.default_rng(2024)
+    for trial in range(15):
+        n = int(rng.integers(120, 1500))
+        w = int(rng.integers(6, max(8, n // 6)))
+        kind = trial % 3
+        d = rng.standard_normal(n).cumsum()
+        if kind == 1:
+            i0 = int(rng.integers(0, n - 30))
+            d[i0 : i0 + 30] = d[i0]  # planted flat run
+        if kind == 2:
+            d = np.round(d)  # quantized
+        r_stomp = stomp(d, w)
+        # align exclusion conventions: mpx's default minlag=floor(w/2) is
+        # the reference's own off-by-one vs stomp's round(w*ez+eps) mask
+        r_mpx = mpx(d, w, minlag=exclusion_zone_size(w, 0.5) + 1)
+        r_scrimp = scrimp(d, w, s_size=1.0)
+        # near-flat windows are cancellation-limited and the kernels use
+        # DIFFERENT low-variance guards (stomp.R eps-mask vs mpx.cpp sig
+        # poisoning — true of the reference too): the cross-algorithm
+        # invariant holds on well-conditioned positions, i.e. where the
+        # position AND both picked neighbors have sd >> noise floor
+        from tsmp_spark.mpcore import fast_avg_sd
+
+        _, sd = fast_avg_sd(d, w)
+        mu_abs = np.abs(fast_avg_sd(d, w)[0]) + 1.0
+        good = sd > 1e-4 * mu_abs
+
+        def ok(r1, r2):
+            m = (
+                np.isfinite(r1.mp) & np.isfinite(r2.mp) & good
+                & (r1.pi >= 0) & (r2.pi >= 0)
+            )
+            m &= good[np.clip(r1.pi, 0, len(good) - 1)]
+            m &= good[np.clip(r2.pi, 0, len(good) - 1)]
+            return np.allclose(r1.mp[m], r2.mp[m], atol=1e-4)  # r4-gate precision; sqrt amplifies ~1e-11 dist² rounding near exact-dup windows
+
+        assert ok(r_stomp, r_mpx), (trial, n, w)
+        assert ok(r_stomp, r_scrimp), (trial, n, w)
+        if n < 700:
+            r_stamp = stamp(d, w)
+            assert ok(r_stomp, r_stamp), (trial, n, w)
+        if n < 600 and w >= 8:
+            wmax = min(w + 8, n // 4)
+            if wmax > w:
+                va = valmod(d, w, wmax, lb=True)
+                vb = valmod(d, w, wmax, lb=False)
+                fa, fb = np.isfinite(va.mp), np.isfinite(vb.mp)
+                assert np.array_equal(fa, fb), (trial, n, w)
+                assert np.allclose(va.mp[fa], vb.mp[fb], atol=1e-9)
+                assert np.array_equal(va.pi, vb.pi)
+        k = int(rng.integers(2, 20))
+        assert np.allclose(
+            movmin(d, k),
+            np.array([d[i : i + k].min() for i in range(n - k + 1)]),
+        )
