@@ -547,3 +547,33 @@ def test_shard_blobs_rejects_non_contiguous(spark, tok):
     )
     with pytest.raises(Exception, match="not contiguous"):
         unshard_blobs(shard_blobs(holed)).count()
+
+
+def test_chunk_documents_coverage_and_overlap(spark, tok):
+    """Chunks tile each doc: with stride == chunk_len they partition the
+    token stream exactly; with stride < chunk_len consecutive chunks
+    overlap by chunk_len - stride; docs never mix."""
+    from tsmp_spark.operators.tokens import chunk_documents
+
+    toks = {r.doc_id: r.tokens for r in tok.collect() if r.n_tok > 0}
+    disjoint = chunk_documents(tok, chunk_len=8).collect()
+    by_doc: dict = {}
+    for r in disjoint:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        flat = [t for r in rows for t in r.tokens]
+        assert flat == toks[d]
+    assert set(by_doc) == set(toks)
+
+    over = chunk_documents(tok, chunk_len=8, stride=5).collect()
+    by_doc2: dict = {}
+    for r in over:
+        by_doc2.setdefault(r.doc_id, []).append(r)
+    for d, rows in by_doc2.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        for r in rows:
+            assert r.tokens == toks[d][r.chunk_start : r.chunk_start + 8]
+        # full coverage: last chunk reaches the end of the doc
+        last = rows[-1]
+        assert last.chunk_start + last.n_tok == len(toks[d])

@@ -741,3 +741,57 @@ def training_order(
         10,
     ).cast("long")
     return packed.withColumn("order_key", key)
+
+
+def chunk_documents(
+    sequences: DataFrame,
+    chunk_len: int = 512,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    source_col: str = "source",
+) -> DataFrame:
+    """Split each token document into fixed-length chunks with optional
+    overlap — the retrieval/finetuning counterpart of
+    :func:`pack_sequences` (packing concatenates ACROSS docs; chunking
+    splits WITHIN a doc and never mixes documents). Chunk starts are
+    ``0, stride, 2·stride, …`` (``stride = chunk_len`` → disjoint;
+    ``stride < chunk_len`` → overlapping windows); the final partial
+    chunk is kept iff it adds tokens beyond the previous chunk's end.
+
+    Pure per-row expressions — the chunk explode emits ≤
+    ``n_tok/stride + 1`` array slices per doc (never a row per token),
+    no shuffle, composes with the scan at any scale.
+
+    Output: (doc_id, source, chunk_idx, chunk_start, tokens, n_tok)."""
+    st = int(stride if stride is not None else chunk_len)
+    if st <= 0 or chunk_len <= 0:
+        raise ValueError("chunk_len and stride must be positive")
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    # number of chunks: ceil(max(n - chunk_len, 0) / stride) + 1 for n>0
+    n_chunks = F.when(
+        n > 0,
+        F.floor((F.greatest(n - chunk_len, F.lit(0)) + st - 1) / st) + 1,
+    ).otherwise(F.lit(0))
+    return (
+        sequences.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            toks.alias("_t"),
+            F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * st).cast("long").alias("chunk_start"),
+            F.slice(
+                F.col("_t"), (F.col("chunk_idx") * st + 1).cast("int"), chunk_len
+            ).alias("tokens"),
+        )
+        .withColumn("n_tok", F.size("tokens"))
+        .filter(F.col("n_tok") > 0)
+    )

@@ -4295,3 +4295,48 @@ FROM keyed
 
 QUERIES["training_order"] = q_training_order
 ORACLES["training_order"] = SQL_TRAINING_ORDER
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (chunk_len=32, stride=24) of
+    the tokenized docs — the retrieval/finetuning counterpart of
+    packing; gated per token."""
+    from .operators.tokens import chunk_documents
+
+    c = chunk_documents(_tokenized(spark, sf_dir), chunk_len=32, stride=24)
+    return c.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.posexplode("tokens").alias("pos", "token"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("token").cast("bigint").alias("token"),
+    )
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH {SQL_TOKC},
+docs AS (SELECT doc_id, tokens, len(tokens) AS n FROM tokc WHERE len(tokens) > 0),
+chunks AS (
+  SELECT doc_id, tokens, n, g.ci AS chunk_idx, g.ci * 24 AS chunk_start
+  FROM docs, unnest(generate_series(0,
+      CAST(floor((greatest(n - 32, 0) + 23) / 24) AS BIGINT))) AS g(ci)
+),
+sliced AS (
+  SELECT doc_id, chunk_idx, chunk_start,
+         tokens[chunk_start + 1 : least(chunk_start + 32, n)] AS chunk
+  FROM chunks
+  WHERE chunk_start < n
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       CAST(i - 1 AS BIGINT) AS pos, CAST(chunk[i] AS BIGINT) AS token
+FROM sliced, unnest(generate_series(1, len(chunk))) AS g(i)
+"""
+
+QUERIES["chunk_documents"] = q_chunk_documents
+ORACLES["chunk_documents"] = SQL_CHUNK_DOCUMENTS
