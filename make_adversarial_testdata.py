@@ -1,0 +1,146 @@
+"""Generate the ADVERSARIAL testdata set used to harden the oracle gate.
+
+Usage:
+    python make_adversarial_testdata.py /tmp/sf_adversarial [--link-from DIR]
+    python -c "import sys, verify_local; \
+        verify_local.SF_DIR = '/tmp/sf_adversarial'; sys.argv = ['x']; \
+        sys.exit(verify_local.main())"
+
+Edge cases covered (each found at least one real issue when first run —
+see SCALE.md round-2 lessons):
+- documents: empty / whitespace-only / single-word / all-stopword /
+  unicode (CJK + emoji) / huge (5000 words) / exact duplicates /
+  planted PII / regex metacharacters / shouting
+- events: constant-value series (zero variance everywhere), tiny series
+  (below MIN_LEN), +1e2 offset series (conditioning stress within every
+  oracle's fp64 headroom). Measured conditioning margins of the SQL
+  formulations, for the record: the snippet coverage histogram's
+  per-column argmin flips on ~1e-8 near-ties from offset ~1e3; the MP
+  rolling-dot CTE loses r4 agreement from offset ~1e6. The MPX kernel
+  itself is offset-robust (differentials) — pi picks stayed identical
+  at 1e6 with value drift <= 5e-3; these are oracle-formulation limits,
+  not engine limits.
+- embeddings: all-zero vector (no direction), exact duplicate vector,
+  underflow-tiny norms
+
+Pure numpy + pyarrow (single-file parquet like the driver's testdata);
+`--link-from` symlinks the TPC-H-ish tables the harness registers but
+these queries never read.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("out")
+    p.add_argument("--link-from", default="/root/testdata/sf0.001")
+    args = p.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.default_rng(99)
+
+    # --- documents ---------------------------------------------------
+    words = [f"w{i}" for i in range(30)]
+    docs = [
+        (0, "", "zh", "srcA", 0),
+        (1, "   \t  ", "en", "srcA", 6),
+        (2, "solo", "en", "srcA", 4),
+        (3, "rep rep rep rep rep rep rep rep", "en", "srcA", 31),
+        (4, "中文 文本 带有 空格 分词 测试 中文 文本", "zh", "srcB", 20),
+        (5, "emoji 🙂 test 🙂 emoji mix", "en", "srcB", 22),
+        (6, " ".join(rng.choice(words, 5000)), "en", "srcB", 30000),
+        (7, "exact duplicate body here with several words", "en", "srcC", 44),
+        (8, "exact duplicate body here with several words", "en", "srcC", 44),
+        (9, "mail me a@b.co or 555-123-4567 at 1.2.3.4 ok", "en", "srcC", 44),
+        (10, "the and of to is it in a an or", "en", "srcC", 30),
+        (11, "UPPER CASE SHOUTY TEXT!!! ???", "en", "srcD", 29),
+        (12, "tab\tand\nnewline  multiple   spaces", "en", "srcD", 34),
+        (13, "dollar $ percent % brackets [x] (y) {z} backslash", "en", "srcD", 49),
+    ]
+    for i in range(14, 40):
+        docs.append(
+            (i, " ".join(rng.choice(words, int(rng.integers(5, 60)))), "en",
+             f"src{i % 4}", 100)
+        )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+                "lang": pa.array([d[2] for d in docs], pa.string()),
+                "source": pa.array([d[3] for d in docs], pa.string()),
+                "n_chars": pa.array([d[4] for d in docs], pa.int64()),
+            }
+        ),
+        f"{args.out}/documents.parquet",
+    )
+
+    # --- events ------------------------------------------------------
+    rows = {k: [] for k in ("event_id", "ts", "user_id", "event_type", "value", "props")}
+    t0 = datetime.datetime(2024, 1, 1)
+    eid = 0
+    for uid, kind in [(1, "normal"), (2, "const"), (3, "tiny"), (4, "normal"), (5, "offset1e2")]:
+        n = {"normal": 60, "const": 40, "tiny": 5, "offset1e2": 60}[kind]
+        vals = rng.standard_normal(n).cumsum()
+        if kind == "const":
+            vals = np.full(n, 42.5)
+        if kind == "offset1e2":
+            vals = vals + 1e2
+        for k, v in enumerate(vals):
+            rows["event_id"].append(eid)
+            rows["ts"].append(t0 + datetime.timedelta(minutes=k))
+            rows["user_id"].append(uid)
+            rows["event_type"].append("e")
+            rows["value"].append(float(v))
+            rows["props"].append(None)
+            eid += 1
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(rows["event_id"], pa.int64()),
+                "ts": pa.array(rows["ts"], pa.timestamp("us")),
+                "user_id": pa.array(rows["user_id"], pa.int64()),
+                "event_type": pa.array(rows["event_type"], pa.string()),
+                "value": pa.array(rows["value"], pa.float64()),
+                "props": pa.array(rows["props"], pa.string()),
+            }
+        ),
+        f"{args.out}/events.parquet",
+    )
+
+    # --- embeddings --------------------------------------------------
+    emb = []
+    for i in range(40):
+        emb.append((i, [float(x) for x in rng.standard_normal(16)], int(i % 3)))
+    emb.append((100, [0.0] * 16, 0))
+    emb.append((101, list(emb[0][1]), 1))
+    emb.append((102, [1e-20] * 16, 2))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([e[0] for e in emb], pa.int64()),
+                "embedding": pa.array([e[1] for e in emb], pa.list_(pa.float32())),
+                "label": pa.array([e[2] for e in emb], pa.int32()),
+            }
+        ),
+        f"{args.out}/embeddings.parquet",
+    )
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        dst = f"{args.out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{args.link_from}/{t}.parquet", dst)
+    print(f"adversarial testdata written to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -33,6 +33,15 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _cosine(a: Column, b: Column) -> Column:
+    """Cosine with a zero-norm guard: a zero (or underflow-to-zero)
+    vector has no direction, so its cosine is NULL — downstream filters
+    and ranks drop it instead of hitting an ANSI division-by-zero crash
+    (the DuckDB oracles guard identically with NULLIF)."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -61,8 +70,7 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             (
-                _dot(F.col("v_q"), F.col("v_e"))
-                / (_norm(F.col("v_q")) * _norm(F.col("v_e")))
+                _cosine(F.col("v_q"), F.col("v_e"))
             ).alias("cosine"),
         )
     )
@@ -70,7 +78,8 @@ def cosine_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
@@ -152,7 +161,7 @@ def lsh_bucket_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("v_q"), F.col("v_e")) / (_norm(F.col("v_q")) * _norm(F.col("v_e")))).alias(
+        (_cosine(F.col("v_q"), F.col("v_e"))).alias(
             "cosine"
         ),
     )
@@ -160,7 +169,8 @@ def lsh_bucket_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
@@ -347,7 +357,7 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("v_q"), F.col("v_e")) / (_norm(F.col("v_q")) * _norm(F.col("v_e")))).alias(
+        (_cosine(F.col("v_q"), F.col("v_e"))).alias(
             "cosine"
         ),
     )
@@ -355,7 +365,8 @@ def ivf_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
@@ -395,7 +406,7 @@ def cosine_neardup_pairs(
         a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
         b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = _cosine(F.col("va"), F.col("vb"))
     return (
         cand.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)

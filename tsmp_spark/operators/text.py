@@ -276,7 +276,11 @@ def doc_fingerprint(
 
     sh = documents.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        F.explode(
+            # blank docs yield a [''] padded shingle — no signal, and the
+            # oracle's len(shingle) > 0 filter excludes it
+            F.filter(word_shingles(F.col(text_col), n), lambda s: F.length(s) > 0)
+        ).alias("shingle"),
     )
     return sh.groupBy("doc_id").agg(F.min(_h64(F.col("shingle"), 0)).alias("fingerprint"))
 

@@ -126,13 +126,32 @@ def _sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_to_nested(_events(spark, sf_dir))
 
 
+def _finite_profile(prof: DataFrame) -> DataFrame:
+    """Oracle-comparable profile rows: positions with a DEFINED z-norm
+    nearest neighbor. Degenerate positions (constant windows, no
+    admissible neighbor) carry the reference's Inf/NaN sentinels, which
+    the pair-based SQL formulation cannot emit — drop them in the
+    oracle-gated projections (no-op on the driver data, where every
+    series is non-degenerate; engine users still see the sentinel rows
+    from the operators themselves)."""
+    return prof.filter(
+        F.col("mp").isNotNull()
+        & ~F.isnan("mp")
+        & (F.col("mp") != float("inf"))
+        & (F.col("pi") >= 0)  # mpx emits a finite 2*sqrt(w) sentinel
+        # (corr -1, no neighbor found) with pi = -1 on degenerate series
+    )
+
+
 def _profile(spark: SparkSession, sf_dir: str, algorithm: str = "mpx") -> DataFrame:
     from .operators import matrix_profile
 
     # events-derived series are short; disabling the long-series branch
     # halves the input scan (single union-free plan)
-    return matrix_profile(
-        _sequences(spark, sf_dir), W, algorithm=algorithm, long_series_threshold=None
+    return _finite_profile(
+        matrix_profile(
+            _sequences(spark, sf_dir), W, algorithm=algorithm, long_series_threshold=None
+        )
     )
 
 
@@ -817,7 +836,7 @@ def q_pmp_multi_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     {6, 8} (pmp.R:52-227 re-expressed as embarrassingly parallel tasks)."""
     from .plans import compute
 
-    prof = compute(_sequences(spark, sf_dir), [6, 8])
+    prof = _finite_profile(compute(_sequences(spark, sf_dir), [6, 8]))
     # guard identical to the per-window kernel: series long enough per w
     return prof.select(
         "doc_id",
@@ -1194,7 +1213,7 @@ dots AS (
   GROUP BY 1, 2
 ),
 scored AS (
-  SELECT d.query_id, d.neighbor_id, d.dot / (nq.nrm * nn.nrm) AS cosine
+  SELECT d.query_id, d.neighbor_id, d.dot / NULLIF(nq.nrm * nn.nrm, 0) AS cosine
   FROM dots d
   JOIN norms nq ON nq.vec_id = d.query_id
   JOIN norms nn ON nn.vec_id = d.neighbor_id
@@ -1203,7 +1222,7 @@ ranked AS (
   SELECT query_id, neighbor_id, cosine,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM scored
+  FROM scored WHERE cosine IS NOT NULL
 )
 SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
 FROM ranked WHERE rank <= 5
@@ -1260,7 +1279,7 @@ dots AS (
   GROUP BY 1, 2
 ),
 scored AS (
-  SELECT d.query_id, d.neighbor_id, d.dot / (nq.nrm * nn.nrm) AS cosine
+  SELECT d.query_id, d.neighbor_id, d.dot / NULLIF(nq.nrm * nn.nrm, 0) AS cosine
   FROM dots d
   JOIN norms nq ON nq.vec_id = d.query_id
   JOIN norms nn ON nn.vec_id = d.neighbor_id
@@ -1269,7 +1288,7 @@ ranked AS (
   SELECT query_id, neighbor_id, cosine,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM scored
+  FROM scored WHERE cosine IS NOT NULL
 )
 SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
 FROM ranked WHERE rank <= 3
@@ -1352,7 +1371,7 @@ def q_stompi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "mp_r": np.round(mp, 4),
                             "pi": prof.pi.astype(np.int64),
                         }
-                    )
+                    )[np.isfinite(mp) & (prof.pi >= 0)]
                 )
             if out:
                 yield pd.concat(out, ignore_index=True)
@@ -1381,6 +1400,8 @@ def q_fluss_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if a.shape[0] < MIN_LEN:
                     continue
                 prof = stomp(a, W)
+                if not np.isfinite(prof.mp).any():
+                    continue  # degenerate series: CAC undefined, oracle empty
                 segs = fluss(prof, num_segments=2, exclusion_zone=0.5)
                 for rank, s in enumerate(segs):
                     rows.append(
@@ -1755,7 +1776,7 @@ def q_av_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "av": np.round(av, 4),
                             "mp_av": np.round(applied.mp, 4),
                         }
-                    )
+                    )[np.isfinite(applied.mp)]
                 )
             if out:
                 yield pd.concat(out, ignore_index=True)
@@ -2079,6 +2100,8 @@ def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
                 a = np.asarray(tokens, dtype=np.float64)
+                if a.shape[0] >= 1 and np.std(a) == 0.0:
+                    continue  # constant series: snippet distances undefined
                 if a.shape[0] < 40:
                     continue
                 a = a[: 20 * (a.shape[0] // 20)]
@@ -2107,8 +2130,11 @@ WITH sfull AS (
   FROM events
 ),
 nlen AS MATERIALIZED (
+  -- constant series excluded: z-normalized snippet distances are
+  -- undefined there (both engines skip, matching the Spark kernel)
   SELECT doc_id, 20 * CAST(floor(count(*) / 20.0) AS BIGINT) AS n20
-  FROM sfull GROUP BY doc_id HAVING count(*) >= 40
+  FROM sfull GROUP BY doc_id
+  HAVING count(*) >= 40 AND stddev_pop(value) > 0
 ),
 s AS MATERIALIZED (
   SELECT f.doc_id, f.pos, f.value
@@ -2279,7 +2305,7 @@ def q_mp_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "mp_r": np.round(mp, 4),
                             "pi": pi,
                         }
-                    )
+                    )[np.isfinite(mp)]
                 )
             if out:
                 yield pd.concat(out, ignore_index=True)
@@ -2412,8 +2438,8 @@ def q_floss_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
                 a = np.asarray(tokens, dtype=np.float64)
-                if a.shape[0] < 3 * W:
-                    continue
+                if a.shape[0] < 3 * W or np.std(a) == 0.0:
+                    continue  # constant series: CAC undefined (oracle skips too)
                 boot = a.shape[0] // 2
                 prof = stomp(a[:boot], W)
                 segments: list[int] = []
@@ -2454,6 +2480,12 @@ def sql_floss_chunked() -> str:
     w, ez = W, EZ_N
     ku_a, ku_b, kmode = 1.939274, 1.698150, 0.6311142
     head = sql_mp_cte(w=w, ez_n=ez, min_len=3 * w)
+    # constant series excluded on both sides (CAC undefined there)
+    head = head.replace(
+        f"HAVING count(*) >= {3 * w}",
+        f"HAVING count(*) >= {3 * w} AND stddev_pop(value) > 0",
+        1,
+    )
     for name in ("s", "len", "stats", "dists"):
         head = head.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
     return f"""
@@ -2862,7 +2894,11 @@ def q_mp_rollup_tier1_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = matrix_profile_nested(
         _sequences(spark, sf_dir), W, long_series_threshold=None
     )
-    t1 = rollup_tier_nested(nested, BUCKET)
+    t1 = rollup_tier_nested(nested, BUCKET).filter(
+        F.col("mp_min").isNotNull()
+        & ~F.isnan("mp_min")
+        & (F.col("mp_min") != float("inf"))
+    )
     return t1.select(
         "doc_id",
         F.col("bucket").cast("bigint").alias("bucket"),
@@ -3048,7 +3084,7 @@ dots AS (
   GROUP BY 1, 2
 ),
 scored AS (
-  SELECT d.query_id, d.neighbor_id, d.dot / (nq.nrm * nn.nrm) AS cosine
+  SELECT d.query_id, d.neighbor_id, d.dot / NULLIF(nq.nrm * nn.nrm, 0) AS cosine
   FROM dots d
   JOIN norms nq ON nq.vec_id = d.query_id
   JOIN norms nn ON nn.vec_id = d.neighbor_id
@@ -3057,7 +3093,7 @@ ranked AS (
   SELECT query_id, neighbor_id, cosine,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM scored
+  FROM scored WHERE cosine IS NOT NULL
 )
 SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
 FROM ranked WHERE rank <= 5
@@ -3099,11 +3135,11 @@ dots AS (
   FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
   GROUP BY 1, 2
 )
-SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 4) AS cosine
+SELECT d.id_a, d.id_b, round(d.dot / NULLIF(na.nrm * nb.nrm, 0), 4) AS cosine
 FROM dots d
 JOIN norms na ON na.vec_id = d.id_a
 JOIN norms nb ON nb.vec_id = d.id_b
-WHERE d.dot / (na.nrm * nb.nrm) >= 0.3
+WHERE d.dot / NULLIF(na.nrm * nb.nrm, 0) >= 0.3
 """
 
 QUERIES["embedding_neardup"] = q_embedding_neardup
@@ -3120,8 +3156,10 @@ def q_mp_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     degeneracy as the reference's parallel mpx (mpx.cpp:278-309)."""
     from .operators import matrix_profile
 
-    prof = matrix_profile(
-        _sequences(spark, sf_dir), W, long_series_threshold=16, n_chunks=4
+    prof = _finite_profile(
+        matrix_profile(
+            _sequences(spark, sf_dir), W, long_series_threshold=16, n_chunks=4
+        )
     )
     return prof.select(
         "doc_id",
@@ -3654,7 +3692,7 @@ dots AS (
   GROUP BY 1, 2
 ),
 scored AS (
-  SELECT d.query_id, d.neighbor_id, d.dot / (nq.nrm * nn.nrm) AS cosine
+  SELECT d.query_id, d.neighbor_id, d.dot / NULLIF(nq.nrm * nn.nrm, 0) AS cosine
   FROM dots d
   JOIN norms nq ON nq.vec_id = d.query_id
   JOIN norms nn ON nn.vec_id = d.neighbor_id
@@ -3663,7 +3701,7 @@ ranked AS (
   SELECT query_id, neighbor_id, cosine,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM scored
+  FROM scored WHERE cosine IS NOT NULL
 )
 SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
 FROM ranked WHERE rank <= 5
