@@ -198,19 +198,13 @@ def decontaminate(
     a broadcast-hash semi-join at scan speed — no all-pairs, no shuffle
     of the corpus. Output: (doc_id, bench_id, n_hits) for contaminated
     pairs only."""
-    from .dedup import word_shingles
+    from .dedup import shingle_table
 
-    # empty/whitespace-only docs yield a [''] shingle from the padded
-    # transform — drop it (blank docs carry no contamination signal and
-    # the SQL oracle's len(shingle) > 0 filter excludes it)
-    nonempty = lambda col: F.filter(col, lambda s: F.length(s) > 0)
-    doc_sh = documents.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(nonempty(word_shingles(F.col(text_col), n))).alias("shingle"),
-    )
-    bench_sh = benchmark.select(
-        F.col(bench_id_col).alias("bench_id"),
-        F.explode(nonempty(word_shingles(F.col(text_col), n))).alias("shingle"),
+    # shingle_table drops the [''] padded shingle of blank docs — ONE
+    # place owns that guard (the SQL oracles filter len(shingle) > 0)
+    doc_sh = shingle_table(documents, text_col, id_col, n)
+    bench_sh = shingle_table(benchmark, text_col, bench_id_col, n).withColumnRenamed(
+        "doc_id", "bench_id"
     )
     return (
         doc_sh.join(F.broadcast(bench_sh), "shingle")
@@ -272,16 +266,9 @@ def doc_fingerprint(
 ) -> DataFrame:
     """Winnowing-style fingerprint: minimum md5-derived hash over word
     n-gram shingles (a 1-hash MinHash — cheap near-dup blocking key)."""
-    from .dedup import _h64, word_shingles
+    from .dedup import _h64, shingle_table
 
-    sh = documents.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            # blank docs yield a [''] padded shingle — no signal, and the
-            # oracle's len(shingle) > 0 filter excludes it
-            F.filter(word_shingles(F.col(text_col), n), lambda s: F.length(s) > 0)
-        ).alias("shingle"),
-    )
+    sh = shingle_table(documents, text_col, id_col, n)
     return sh.groupBy("doc_id").agg(F.min(_h64(F.col("shingle"), 0)).alias("fingerprint"))
 
 
