@@ -288,3 +288,123 @@ def test_pack_stream_equals_batch(spark, tmp_path):
     for k in exp:
         assert got[k][0] == exp[k][0], k
         assert got[k][1] == exp[k][1], k
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the pack function directly."""
+
+    def __init__(self):
+        self.exists = False
+        self._tuple = None
+
+    @property
+    def get(self):
+        return self._tuple
+
+    def update(self, t):
+        self._tuple = t
+        self.exists = True
+
+
+def _run_pack_func(chunks, seq_len=32):
+    import pandas as pd
+
+    from tsmp_spark.streaming.packing import make_pack_func
+
+    fn = make_pack_func(seq_len)
+    state = _FakeState()
+    outs = list(fn(("s0", 0), iter(chunks), state))
+    return pd.concat(outs, ignore_index=True), state
+
+
+def test_pack_func_multichunk_doc_order():
+    """A (source, shard) group larger than one Arrow batch arrives as
+    MULTIPLE pandas chunks in arbitrary relative order; packing must sort
+    the WHOLE micro-batch by doc_id once, not per-chunk — the output must
+    be identical however the rows are split across chunks."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    docs = [
+        (f"d{i:03d}", [int(x) for x in rng.integers(0, 999, int(rng.integers(3, 30)))])
+        for i in range(30)
+    ]
+    whole = pd.DataFrame(
+        {"doc_id": [d for d, _ in docs], "tokens": [t for _, t in docs]}
+    )
+    ref, _ = _run_pack_func([whole])
+
+    # adversarial split: chunks arrive in REVERSE doc ranges, rows shuffled
+    perm = whole.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    chunks = [perm.iloc[20:30], perm.iloc[0:10], perm.iloc[10:20]]
+    got, _ = _run_pack_func(chunks)
+
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), ref.reset_index(drop=True)
+    )
+
+
+def test_stompi_late_chunk_appends_in_arrival_order(spark, tmp_path):
+    """Out-of-order arrival ACROSS micro-batches: stompi's contract is
+    watermark-0 ordered append — a chunk whose chunk_id precedes already
+    -processed data is appended in ARRIVAL order (no reordering, no
+    rejection, no crash). The drained profile equals the batch profile of
+    the arrival-order concatenation, NOT of the chunk_id-order series."""
+    import os
+
+    import numpy as np
+
+    from tsmp_spark.streaming import stompi_stateful
+
+    rng = np.random.default_rng(23)
+    vals = np.cumsum(rng.choice([-1.0, 1.0], size=240))
+    pieces = [vals[0:80], vals[80:160], vals[160:240]]
+    # write micro-batch files with chunk 2 arriving BEFORE chunk 1
+    arrival = [0, 2, 1]
+    base = str(tmp_path / "late")
+    os.makedirs(base)
+    for file_no, ci in enumerate(arrival):
+        rows = [("s1", ci, k, float(v)) for k, v in enumerate(pieces[ci])]
+        spark.createDataFrame(
+            rows, "doc_id string, chunk_id long, seq long, value double"
+        ).coalesce(1).write.parquet(f"{base}/f{file_no:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id string, chunk_id long, seq long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/*")
+    )
+    q = (
+        stompi_stateful(stream, W)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stompi_late")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql(
+        """
+        SELECT pos, mp FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id, pos
+                                       ORDER BY upd_seq DESC) AS rn
+          FROM stompi_late
+        ) WHERE rn = 1
+        """
+    ).toPandas().sort_values("pos")
+
+    arrival_series = np.concatenate([pieces[ci] for ci in arrival])
+    ref = stomp(arrival_series, W)
+    ref_mp = ref.mp.copy()
+    ref_mp[~np.isfinite(ref_mp)] = np.nan
+    assert len(got) == ref_mp.shape[0]
+    np.testing.assert_allclose(got["mp"].to_numpy(), ref_mp, atol=1e-6)
+    # and it must NOT equal the chunk_id-order profile (the contract is
+    # arrival order; if these coincide the test lost its teeth)
+    in_order = stomp(vals, W).mp
+    assert not np.allclose(
+        np.nan_to_num(got["mp"].to_numpy()), np.nan_to_num(in_order), atol=1e-6
+    )

@@ -262,14 +262,25 @@ def connected_components(
 
     sc = edges.sparkSession.sparkContext
 
-    def _persistent_ids() -> set[int]:
-        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    # track the EXACT RDD id each localCheckpoint creates (the analyzed
+    # plan of a checkpointed Dataset is a LogicalRDD holding the persisted
+    # RDD) — diffing the context-global persistent-id set instead would
+    # unpersist blocks a CONCURRENT caller persisted in the window, and
+    # since localCheckpoint truncates lineage that is unrecoverable
+    created: list[int] = []
 
-    before_ids = _persistent_ids()
+    def _ckpt(df: DataFrame) -> DataFrame:
+        out = df.localCheckpoint()
+        try:
+            created.append(int(out._jdf.queryExecution().analyzed().rdd().id()))
+        except Exception:
+            created.append(-1)  # unknown id: leak this round rather than guess
+        return out
+
     converged = False
-    cur = e.localCheckpoint()
+    cur = _ckpt(e)
     for _ in range(max_iter):
-        nxt = small_star(large_star(cur)).localCheckpoint()
+        nxt = _ckpt(small_star(large_star(cur)))
         # converged when the edge set is stable (star graphs are fixpoints)
         changed = (
             nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
@@ -294,19 +305,17 @@ def connected_components(
         F.col("u").alias("node"),
         F.coalesce("component", "u").alias("component"),
     )
-    result = out.localCheckpoint()
+    result = _ckpt(out)
     # free the per-round checkpoint blocks NOW (Dataset.unpersist does
     # not touch localCheckpoint RDDs — they live in the block manager
-    # until GC + ContextCleaner). The newest persistent id belongs to
-    # ``result``'s own checkpoint and must survive; everything else this
-    # function created is an intermediate round snapshot.
-    new_ids = _persistent_ids() - before_ids
-    if new_ids:
-        keep = max(new_ids)
-        jmap = sc._jsc.getPersistentRDDs()
-        for rid in new_ids:
-            if rid != keep:
-                jmap.get(rid).unpersist()
+    # until GC + ContextCleaner). Only the ids THIS call created are
+    # touched (never a concurrent caller's), and ``result``'s own
+    # checkpoint — the last id tracked — survives.
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in created[:-1]:
+        jrdd = jmap.get(rid) if rid >= 0 else None
+        if jrdd is not None:  # None: already cleaned by ContextCleaner
+            jrdd.unpersist()
     return result
 
 

@@ -248,7 +248,10 @@ def kmeans_centroids(
     spark = embeddings.sparkSession
     v = F.col(vec_col).cast("array<double>")
     vecs = embeddings.select(F.col(id_col).alias("vec_id"), v.alias("v"))
-    dim = embeddings.select(F.size(v)).first()[0]
+    row = embeddings.select(F.size(v)).first()
+    if row is None:  # empty input: empty codebook (ivf_topk then yields 0 rows)
+        return []
+    dim = row[0]
     cents: list[tuple[int, list[float]]] = [
         (p, [math.sin(p * 2654435761.0 + i * 40503.0) for i in range(dim)])
         for p in range(n_clusters)

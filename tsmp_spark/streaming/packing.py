@@ -43,9 +43,14 @@ def make_pack_func(seq_len: int):
         source, shard = key
         out = []
         n_docs = int(carry_docs)
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
-            for toks in pdf["tokens"]:
+        # a group larger than one Arrow batch arrives as MULTIPLE chunks in
+        # arbitrary relative order — concatenate first, sort ONCE, so the
+        # "within a micro-batch, doc_id order" contract holds at any batch
+        # size (per-chunk sorting silently broke it past ~10k rows)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+            for toks in whole["tokens"]:
                 if toks is None or len(toks) == 0:
                     continue
                 buf.extend(int(t) for t in toks)
