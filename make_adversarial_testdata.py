@@ -44,8 +44,10 @@ def main() -> int:
     p.add_argument("out")
     p.add_argument("--link-from", default="/root/testdata/sf0.001")
     p.add_argument("--probes", action="store_true",
-                   help="add the near-degenerate-band probe series "
-                        "(known-divergent, see NOTE below)")
+                   help="kept for compatibility: the near-degenerate-band "
+                        "probe series are now always included (the round-3 "
+                        "engine-wide lowvar_threshold guard made all 72 "
+                        "oracles green on them)")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(99)
@@ -90,20 +92,16 @@ def main() -> int:
     rows = {k: [] for k in ("event_id", "ts", "user_id", "event_type", "value", "props")}
     t0 = datetime.datetime(2024, 1, 1)
     eid = 0
-    # NOTE on two PROBE series deliberately NOT in the default set
-    # (--probes adds them; 25 of 72 oracles currently fail on them):
-    # "const_prefix" (constant bootstrap half) and "nearconst"
-    # (sd ~1e-9) land in the NEAR-DEGENERATE BAND where the reference
-    # itself is inconsistent — mpx.cpp has no low-variance guard,
-    # stomp.R masks sd < sqrt(machine eps) ~1.49e-8, znorm (misc.R:288)
-    # guards sd <= 0.01 — so our kernels (faithful to each) and the
-    # oracles (sd > 1e-8 convention) all disagree with each other
-    # exactly as the reference's own algorithms would. Unifying the
-    # band behind one guard is the documented round-3 item (SCALE.md).
+    # The two PROBE series ("const_prefix": constant bootstrap half;
+    # "nearconst": sd ~1e-9) stress the NEAR-DEGENERATE BAND where the
+    # reference's own three low-variance guards disagree (mpx.cpp
+    # exact-0 / stomp.R sqrt-eps / znorm 0.01). Since round 3 the engine
+    # applies ONE scale-aware guard everywhere (stats.lowvar_threshold,
+    # sd < 1e-7·(|mu|+1) → undefined) and the oracles filter with the
+    # same rule, so the band is deterministic and these series are part
+    # of the DEFAULT set (SCALE.md §8).
     series = [(1, "normal"), (2, "const"), (3, "tiny"), (4, "normal"),
-              (5, "offset1e2")]
-    if args.probes:
-        series += [(6, "const_prefix"), (7, "nearconst")]
+              (5, "offset1e2"), (6, "const_prefix"), (7, "nearconst")]
     for uid, kind in series:
         n = {"normal": 60, "const": 40, "tiny": 5, "offset1e2": 60,
              "const_prefix": 80, "nearconst": 40}[kind]

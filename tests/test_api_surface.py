@@ -171,11 +171,11 @@ def test_plotting_layer_gated():
 
 def test_query_registry_consistency():
     """Every oracle belongs to a registered query; every query is
-    callable; the two rows-only exceptions are exactly sdts/salient."""
+    callable; EVERY query is hash-gated (since round 3, sdts/salient
+    gate their deterministic prefixes — no rows-only exceptions left)."""
     import __spark_entry__ as e
 
     qs, os_ = e.queries(), e.oracle_sql()
-    assert set(os_) <= set(qs)
-    assert set(qs) - set(os_) == {"sdts", "salient"}
+    assert set(os_) == set(qs)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in os_.values())

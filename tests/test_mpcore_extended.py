@@ -252,6 +252,30 @@ def test_valmod_pruned_equals_exact_grid(series):
     assert pr.total_rows > 0
 
 
+def test_valmod_pruned_equals_grid_on_revived_windows():
+    """Candidates DEGENERATE at the heap's base window (constant run,
+    masked, never stored) can become valid at a larger w when the window
+    absorbs a varying point — the heap proof is unsound for rows based
+    there and must fall back to the exact pass. Found by the
+    const_prefix adversarial probe: the pruned path picked pi 43 where
+    the grid finds pi 34 (dist 0.8244 vs 0.7941) until the base-validity
+    revival check landed."""
+    rng = np.random.default_rng(99)
+    # same shape as make_adversarial_testdata's const_prefix series
+    vals = rng.standard_normal(80).cumsum()
+    vals[:40] = 42.5
+    pr = valmod(vals, 6, 8, lb=True)
+    ex = valmod(vals, 6, 8, lb=False)
+    assert np.array_equal(ex.w, pr.w) and np.array_equal(ex.pi, pr.pi)
+    fin = np.isfinite(ex.mp)
+    assert np.array_equal(fin, np.isfinite(pr.mp))
+    np.testing.assert_allclose(ex.mp[fin], pr.mp[fin], atol=1e-12)
+    # and pruning stays LIVE on a well-behaved series of the same length
+    smooth = np.sin(np.arange(200) / 7.0)
+    pr2 = valmod(smooth, 6, 8, lb=True)
+    assert pr2.pruned_rows > 0
+
+
 def test_valmod_lb_pruning_skips_rows():
     """The reference's algorithmic economy (valmod.R:233-410): on
     structured data most rows per window are PROVEN from the O(heap_size)

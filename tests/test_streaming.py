@@ -345,6 +345,51 @@ def test_pack_func_multichunk_doc_order():
     )
 
 
+def test_pack_stream_late_batch_appends_in_arrival_order():
+    """Out-of-order arrival ACROSS micro-batches: the packer's contract
+    is watermark-0 arrival-order append (doc_id order only WITHIN a
+    micro-batch). A batch whose doc_ids precede already-packed ones is
+    packed at its ARRIVAL position — the carry buffer and seq indexes
+    continue uninterrupted, and the output equals packing the
+    arrival-order concatenation, NOT the doc_id-order corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from tsmp_spark.streaming.packing import make_pack_func
+
+    rng = np.random.default_rng(5)
+    docs = [
+        (f"d{i:03d}", [int(x) for x in rng.integers(0, 999, int(rng.integers(3, 30)))])
+        for i in range(30)
+    ]
+    batches = [docs[0:10], docs[20:30], docs[10:20]]  # middle arrives LAST
+
+    fn = make_pack_func(32)
+    state = _FakeState()
+    outs = []
+    for b in batches:
+        pdf = pd.DataFrame(
+            {"doc_id": [d for d, _ in b], "tokens": [t for _, t in b]}
+        )
+        outs.extend(list(fn(("s0", 0), iter([pdf]), state)))
+    got = pd.concat(outs, ignore_index=True)
+
+    # expected: the flat token stream in ARRIVAL order (each batch in
+    # doc_id order), cut into full 32-token sequences
+    flat = [t for b in batches for _, toks in sorted(b) for t in toks]
+    n_full = len(flat) // 32
+    assert list(got["seq_idx"]) == list(range(n_full))
+    for i in range(n_full):
+        assert list(got["tokens"][i]) == flat[32 * i : 32 * (i + 1)], i
+    # the late batch genuinely moved tokens: arrival order != doc_id order
+    flat_sorted = [t for _, toks in sorted(docs) for t in toks]
+    assert flat != flat_sorted
+    # trailing partial stays in state, not in the output
+    carry, next_seq, _ = state.get
+    assert len(carry) == len(flat) - 32 * n_full
+    assert next_seq == n_full
+
+
 def test_stompi_late_chunk_appends_in_arrival_order(spark, tmp_path):
     """Out-of-order arrival ACROSS micro-batches: stompi's contract is
     watermark-0 ordered append — a chunk whose chunk_id precedes already

@@ -28,11 +28,14 @@ def moving_sum(value: Column, win: WindowSpec) -> Column:
 
 
 def znorm_expr(value: Column, key_window: WindowSpec) -> Column:
-    """Z-normalize within a partition-wide window; low-variance guard at
-    0.01 like tsmp math.cpp:132-142 (mean-center only)."""
+    """Z-normalize within a partition-wide window (math.cpp:132-142);
+    degenerate series are mean-centered only, per the engine-wide
+    scale-aware guard (mpcore.stats.lowvar_threshold) rather than the
+    reference's absolute 0.01 cutoff."""
     mu = F.avg(value).over(key_window)
     sd = F.stddev_pop(value).over(key_window)
-    return F.when(sd <= 0.01, value - mu).otherwise((value - mu) / sd)
+    thr = F.lit(1e-7) * (F.abs(mu) + F.lit(1.0))
+    return F.when(sd < thr, value - mu).otherwise((value - mu) / sd)
 
 
 def ed_corr_expr(d: Column, w: int) -> Column:

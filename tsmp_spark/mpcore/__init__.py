@@ -48,6 +48,7 @@ from .simple import SimpleMatrixProfile, simple_fast
 from .valmod import Valmod, valmod
 from .stats import (
     EPS,
+    EPS_NORM,
     KMODE,
     binary_split,
     complexity,
@@ -60,6 +61,7 @@ from .stats import (
     inner_product,
     ipaa,
     list_to_matrix,
+    lowvar_threshold,
     mode,
     movmax,
     movmean,

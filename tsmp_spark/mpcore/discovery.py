@@ -13,8 +13,19 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .mass import dist_profile
-from .stats import EPS, exclusion_zone_size
+from .stats import EPS, exclusion_zone_size, lowvar_threshold
 from .stomp import MatrixProfile
+
+
+def _mask_degenerate(d: np.ndarray, par) -> None:
+    """Engine-wide low-variance guard on a neighbor re-query profile:
+    degenerate data windows have no defined z-norm distance — the raw
+    MASS division yields junk that can be arbitrarily SMALL, stealing
+    bounded neighbor slots from real positions (found by the
+    const_prefix adversarial probe). The reference re-queries unguarded
+    (find-motifs.R:120-147); this is the documented strengthening
+    (stats.lowvar_threshold) applied to every kernel."""
+    d[par.data_sd < lowvar_threshold(par.data_mean)] = np.inf
 
 
 @dataclass
@@ -77,6 +88,7 @@ def find_motifs(
         res = dist_profile(data, data, index=int(pair[0]), window_size=w, par=par)
         par = res.par
         d = res.distance_profile.copy()  # squared
+        _mask_degenerate(d, par)
         d[d > (motif_distance * radius) ** 2] = np.inf
         for m in pair:
             d[max(0, m - ez_n) : min(n, m + ez_n + 1)] = np.inf
@@ -147,6 +159,7 @@ def find_motifs_valmod(
         res = dist_profile(data, data, index=min_idx, window_size=window)
         d = res.distance_profile * np.sqrt(1.0 / window)
         d = d.copy()
+        _mask_degenerate(d, res.par)
         d[d > (motif_distance * radius) ** 2] = np.inf
         dn = d.shape[0]
         for m in pair:
@@ -202,6 +215,7 @@ def find_discords(
         res = dist_profile(data, data, index=idx, window_size=w, par=par)
         par = res.par
         d = res.distance_profile.copy()
+        _mask_degenerate(d, par)
         d[d > (discord_distance * radius) ** 2] = np.inf
         d[max(0, idx - ez_n) : min(n, idx + ez_n + 1)] = np.inf
 

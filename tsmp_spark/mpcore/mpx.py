@@ -23,7 +23,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .stats import muinvn
+from .stats import lowvar_threshold, muinvn
 
 
 @dataclass
@@ -46,10 +46,15 @@ def _precompute(a: np.ndarray, w: int):
     a = np.asarray(a, dtype=np.float64)
     n = a.shape[0]
     mu, sig = muinvn(a, w)
-    # flat (zero-variance) windows: sig = inf → poison to NaN so any pair
-    # involving them never wins a max-corr comparison (NaN > x is False) —
-    # the recurrence analogue of stomp.R:182-184's low-variance Inf mask
-    sig[~np.isfinite(sig)] = np.nan
+    # degenerate windows: poison sig to NaN so any pair involving them
+    # never wins a max-corr comparison (NaN > x is False) — the
+    # recurrence analogue of the Inf masks in the other kernels. Guarded
+    # by the engine-wide scale-aware rule (stats.lowvar_threshold), a
+    # deliberate strengthening of mpx.cpp's exact-zero-only guard: sig is
+    # the inverse centered norm, so sd = 1/(sig·√w).
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sd = 1.0 / (sig * np.sqrt(float(w)))
+    sig[~np.isfinite(sig) | (sd < lowvar_threshold(mu))] = np.nan
     profile_len = n - w + 1
     df = np.empty(profile_len, dtype=np.float64)
     dg = np.empty(profile_len, dtype=np.float64)
@@ -193,8 +198,13 @@ def mpx_ab(
         raise ValueError("window larger than a series")
     mua, siga = muinvn(a, w)
     mub, sigb = muinvn(b, w)
-    siga[~np.isfinite(siga)] = np.nan  # flat-window poison (see _precompute)
-    sigb[~np.isfinite(sigb)] = np.nan
+    # degenerate-window poison, engine-wide scale-aware rule (see
+    # _precompute): sd = 1/(sig·√w)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sda = 1.0 / (siga * np.sqrt(float(w)))
+        sdb = 1.0 / (sigb * np.sqrt(float(w)))
+    siga[~np.isfinite(siga) | (sda < lowvar_threshold(mua))] = np.nan
+    sigb[~np.isfinite(sigb) | (sdb < lowvar_threshold(mub))] = np.nan
 
     # Cross dot-product matrix row 0 via FFT in both orientations, then
     # diagonal cumulative updates — vectorized across diagonals.

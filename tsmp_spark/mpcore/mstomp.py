@@ -13,7 +13,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from .mass import dist_profile
-from .stats import EPS, exclusion_zone_size
+from .stats import exclusion_zone_size, lowvar_threshold
 
 
 @dataclass
@@ -71,6 +71,7 @@ def mstomp(
         first_product[:, j] = nn.last_product
         data_mean[:, j] = nn.par.data_mean
         data_sd[:, j] = nn.par.data_sd
+    data_thr = lowvar_threshold(data_mean)
 
     mp = np.full((plen, n_dim), np.inf)
     pi = np.full((plen, n_dim), -1, dtype=np.int64)
@@ -109,8 +110,8 @@ def mstomp(
 
         d = dp.copy()
         d[max(0, i - ez_n) : min(plen, i + ez_n + 1), :] = np.inf
-        d[data_sd < EPS] = np.inf
-        if skip[i] or np.any(data_sd[i, ~mask_exc] < EPS):
+        d[data_sd < data_thr] = np.inf
+        if skip[i] or np.any(data_sd[i, ~mask_exc] < data_thr[i, ~mask_exc]):
             d[:, :] = np.inf
         d[skip, :] = np.inf
         d[:, exc] = np.inf

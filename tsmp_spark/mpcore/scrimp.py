@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from .mass import dist_profile
-from .stats import EPS, exclusion_zone_size
+from .stats import EPS, exclusion_zone_size, lowvar_threshold
 from .stomp import MatrixProfile, _skip_locations
 
 
@@ -40,6 +40,7 @@ def scrimp(
 
     nn = dist_profile(a, a, index=0, window_size=w)
     mu, sd = nn.par.data_mean, nn.par.data_sd
+    sd_thr = lowvar_threshold(mu)
 
     mp = np.full(plen, np.inf)
     pi = np.full(plen, -1, dtype=np.int64)
@@ -60,8 +61,8 @@ def scrimp(
             res = dist_profile(a, a, index=int(i), window_size=w, par=nn.par)
             d = np.sqrt(np.maximum(res.distance_profile, 0.0))
             d[max(0, i - ez_n) : min(plen, i + ez_n + 1)] = np.inf
-            d[sd < EPS] = np.inf
-            if skip[i] or sd[i] < EPS:
+            d[sd < sd_thr] = np.inf
+            if skip[i] or sd[i] < sd_thr[i]:
                 d[:] = np.inf
             d[skip] = np.inf
 
@@ -116,7 +117,7 @@ def scrimp(
                 np.abs(2.0 * (w - (z - w * mu[ks + d] * mu[ks]) / (sd[ks + d] * sd[ks])))
             )
         dist[~np.isfinite(dist)] = np.inf
-        bad = (sd[ks] < EPS) | (sd[ks + d] < EPS) | skip[ks] | skip[ks + d]
+        bad = (sd[ks] < sd_thr[ks]) | (sd[ks + d] < sd_thr[ks + d]) | skip[ks] | skip[ks + d]
         dist[bad] = np.inf
 
         # position k+d sees neighbor k (left), position k sees k+d (right)

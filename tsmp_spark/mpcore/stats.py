@@ -14,6 +14,28 @@ import numpy as np
 #: tsmp vars()$eps == .Machine$double.eps ^ 0.5 (misc.R:1102-1107)
 EPS = float(np.sqrt(np.finfo(np.float64).eps))
 
+#: Engine-wide scale-aware low-variance threshold (SCALE.md §8 round-3
+#: unification). A window whose sd is below ~1e-7 of its level has no
+#: meaningful z-normalization in fp64 — its distances are pure
+#: cancellation noise whose value depends on summation order. The
+#: reference applies THREE mutually-inconsistent guards (mpx.cpp:
+#: exact-zero only; stomp.R:182-184: sd < sqrt(machine eps) ≈ 1.49e-8;
+#: misc.R:288-314 znorm: sd <= 0.01), so its own kernels disagree on the
+#: same near-degenerate input. Every kernel, operator wrapper, and
+#: DuckDB oracle here shares this ONE rule instead — valmod's
+#: ``_EPS_NORM`` mask (mpcore/valmod.py) generalized engine-wide. The
+#: SQL spelling is ``sd >= 1e-7 * (abs(mu) + 1.0)``.
+EPS_NORM = 1e-7
+
+
+def lowvar_threshold(mu):
+    """sd threshold below which a window is degenerate: ``1e-7·(|mu|+1)``.
+
+    Scale-aware: relative to the window level for large offsets, absolute
+    1e-7 near zero. Accepts scalars or arrays (elementwise).
+    """
+    return EPS_NORM * (np.abs(mu) + 1.0)
+
 #: Kumaraswamy mode used by FLOSS (misc.R:1102-1107)
 KMODE = 0.6311142
 
@@ -130,13 +152,17 @@ def _sliding_extreme(a: np.ndarray, w: int, op, sentinel: float) -> np.ndarray:
 def znorm(a: np.ndarray) -> np.ndarray:
     """Z-normalization with low-variance guard.
 
-    Parity with tsmp ``znorm_rcpp`` (math.cpp:132-142; misc.R:288-314):
-    population SD; if sd <= 0.01 the series is only mean-centered.
+    Re-derives tsmp ``znorm_rcpp`` (math.cpp:132-142; misc.R:288-314):
+    population SD; a degenerate series is only mean-centered. Deliberate
+    deviation from the reference's absolute ``sd <= 0.01`` cutoff: the
+    guard is the engine-wide scale-aware rule (:func:`lowvar_threshold`),
+    so znorm agrees with every MP kernel on which inputs are degenerate
+    (the reference's three guards disagree in the 1e-9..0.01 band).
     """
     a = np.asarray(a, dtype=np.float64)
     mu = a.mean()
     sd = a.std(ddof=0)
-    if sd <= 0.01:
+    if sd < lowvar_threshold(mu):
         return a - mu
     return (a - mu) / sd
 

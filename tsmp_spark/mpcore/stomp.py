@@ -17,7 +17,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .mass import dist_profile, mass_pre, mass_v2
-from .stats import EPS, exclusion_zone_size, fast_avg_sd
+from .stats import exclusion_zone_size, fast_avg_sd, lowvar_threshold
 
 
 @dataclass
@@ -94,6 +94,8 @@ def stomp(
 
     data_mean, data_sd = nn.par.data_mean, nn.par.data_sd
     query_mean, query_sd = nn.par.query_mean, nn.par.query_sd
+    data_thr = lowvar_threshold(data_mean)
+    query_thr = lowvar_threshold(query_mean)
 
     mp = np.full(mp_size, np.inf)
     pi = np.full(mp_size, -1, dtype=np.int64)
@@ -130,11 +132,12 @@ def stomp(
         np.maximum(dp, 0.0, out=dp)
         d = np.sqrt(dp)
 
-        # masks (stomp.R:176-186)
+        # masks (stomp.R:176-186; low-variance guard = engine-wide
+        # scale-aware rule instead of stomp.R:182-184's absolute sqrt-eps)
         if not join and ez_n > 0:
             d[max(0, i - ez_n) : min(mp_size, i + ez_n + 1)] = np.inf
-        d[data_sd < EPS] = np.inf
-        if skip_query[i] or query_sd[i] < EPS:
+        d[data_sd < data_thr] = np.inf
+        if skip_query[i] or query_sd[i] < query_thr[i]:
             d[:] = np.inf
         d[skip_data] = np.inf
 
@@ -200,14 +203,18 @@ def stamp(
     rpi = np.full(mp_size, -1, dtype=np.int64) if not join else None
 
     par = None
+    data_thr = query_thr = None
     for i in order:
         res = dist_profile(data_f, query_f, index=int(i), window_size=w, par=par)
         par = res.par
+        if data_thr is None:
+            data_thr = lowvar_threshold(par.data_mean)
+            query_thr = lowvar_threshold(par.query_mean)
         d = np.sqrt(np.maximum(res.distance_profile, 0.0))
         if not join and ez_n > 0:
             d[max(0, i - ez_n) : min(mp_size, i + ez_n + 1)] = np.inf
-        d[par.data_sd < EPS] = np.inf
-        if skip_query[i] or par.query_sd[i] < EPS:
+        d[par.data_sd < data_thr] = np.inf
+        if skip_query[i] or par.query_sd[i] < query_thr[i]:
             d[:] = np.inf
         d[skip_data] = np.inf
 
@@ -255,6 +262,7 @@ def stompi_update(
     ez_n = exclusion_zone_size(w, profile.ez)
 
     data_mean, data_sd = fast_avg_sd(data, w)
+    data_thr = lowvar_threshold(data_mean)
     pre = mass_pre(data, w)
 
     grow = mp_size - old_mp_size
@@ -274,8 +282,8 @@ def stompi_update(
         qs = float(data_sd[i])
         d, _ = mass_v2(pre, qwin, qm, qs)
         d = np.sqrt(np.maximum(d, 0.0))
-        d[data_sd < EPS] = np.inf
-        if qs < EPS:
+        d[data_sd < data_thr] = np.inf
+        if qs < data_thr[i]:
             d[:] = np.inf
 
         # mask from (i - ez) to the END (stompi.R:78-79): later positions
@@ -312,7 +320,11 @@ def stompi_update(
         # reference-exact arc histogram depends on the distinction between
         # "one position before the buffer" (half-arc) and further away
         # (skipped); clamping to -1 destroyed it (measured: FLOSS golden
-        # cac off by 6e-4 until this was kept raw).
+        # cac off by 6e-4 until this was kept raw). The -1 no-neighbor
+        # sentinel of a degenerate row is rebased like any index, so a
+        # neighborless row drops out of the arc histogram at its first
+        # trim — the floss oracle models no-pair rows the same way
+        # (no arc contribution).
         offset += trim
 
     return MatrixProfile(

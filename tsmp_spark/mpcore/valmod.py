@@ -37,22 +37,16 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-from .stats import exclusion_zone_size, fast_avg_sd
+from .stats import exclusion_zone_size, fast_avg_sd, lowvar_threshold
 
-_EPS_SD = 1e-8
 #: scaled suspect threshold: a row/winner whose sd is below ~1e-4 of
 #: its level is near fast_avg_sd's cancellation regime — such rows are
 #: never "proven" from the incremental heap and always take the exact
 #: recompute path, so pruned == grid on any input
 _EPS_REL = 1e-4
-#: scale-aware low-variance MASK (a deliberate strengthening of the
-#: reference's absolute eps, stomp.R:182-184 / vars()$eps): a window
-#: with sd < 1e-7·level has NO meaningful z-normalization in fp64 —
-#: its distances are pure cancellation noise whose value depends on
-#: the dot-product evaluation order (the reference returns such noise
-#: for large-offset constant runs; we mask it to Inf like any other
-#: degenerate window, making results evaluation-order independent)
-_EPS_NORM = 1e-7
+# The low-variance MASK (sd < 1e-7·level → Inf) that first landed here
+# is now the ENGINE-WIDE rule — stats.lowvar_threshold — shared by
+# every kernel and oracle (SCALE.md §8 round-3 unification).
 
 
 @dataclass
@@ -98,7 +92,7 @@ def _row_profiles(qt: np.ndarray, i: int, w: int, mu: np.ndarray,
     lo, hi = max(0, i - ez_n), min(m, i + ez_n + 1)
     dist[lo:hi] = np.inf
     lbr[lo:hi] = np.inf
-    thresh = np.maximum(_EPS_SD, _EPS_NORM * (np.abs(mu) + 1.0))
+    thresh = lowvar_threshold(mu)
     bad = sig < thresh
     dist[bad] = np.inf
     lbr[bad] = np.inf
@@ -200,6 +194,16 @@ def valmod(
     total_rows = 0
 
     heap = _HeapState(out_len, min(heap_size, out_len)) if lb else None
+    # A heap "proof" is only sound if every candidate admissible NOW had a
+    # valid lower bound when the row's heap was (re)stored: a window that
+    # was DEGENERATE at the heap's base (masked, lbr = inf, never stored)
+    # can become valid at a larger w (e.g. a constant run absorbing a
+    # varying point) with an unbounded-below distance. Track the validity
+    # vector per heap-base window and force an exact recompute for rows
+    # whose base masked a now-valid position (found by the const-prefix
+    # adversarial probe: pruned picked pi 43 where grid finds pi 34).
+    valid_cache: dict[int, np.ndarray] = {}
+    base_w = np.full(out_len, window_min, dtype=np.int64)
 
     for w in range(window_min, window_max + 1):
         ez_n = exclusion_zone_size(w, exclusion_zone)
@@ -212,6 +216,8 @@ def valmod(
             mp_sqrt = None
         elif w == window_min:
             mp_sq, pi_w = _full_pass(data, w, ez_n, heap)
+            mu0, sig0 = fast_avg_sd(data, w)
+            valid_cache[w] = sig0 >= lowvar_threshold(mu0)
             total_rows += m
             mp_sqrt = None
         else:
@@ -239,8 +245,47 @@ def valmod(
                 )
             dcell[dcell < 0] = 0.0
             dcell[~alive] = np.inf
+            # candidates degenerate at THIS window can't win a proof cell
+            # (the full pass masks them; the stored dps would z-norm junk)
+            valid_w = sig >= lowvar_threshold(mu)
+            valid_cache[w] = valid_w
+            dcell[~valid_w[np.minimum(idx, m - 1)]] = np.inf
             cand_arg = np.argmin(dcell, axis=1)
             cand_min = dcell[rows, cand_arg]
+            cand_pi = heap.idx[rows, cand_arg].astype(np.int64)
+
+            # candidates DEGENERATE at a row's heap base (masked, never
+            # stored — e.g. a constant run absorbing a varying point as w
+            # grows) have no lower bound in that heap: compute their
+            # distances exactly and merge. Zero-cost on data without
+            # degenerate windows; found by the const_prefix adversarial
+            # probe (pruned picked pi 43 where the grid finds pi 34).
+            winv = None
+            for bw, vb in valid_cache.items():
+                if bw == w:
+                    continue
+                revived = np.flatnonzero(valid_w & ~vb[:m])
+                rows_b = np.flatnonzero(base_w[:m] == bw)
+                if revived.shape[0] == 0 or rows_b.shape[0] == 0:
+                    continue
+                if winv is None:
+                    winv = np.lib.stride_tricks.sliding_window_view(data, w)
+                qt_r = winv[rows_b] @ winv[revived].T
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    d_r = 2.0 * (
+                        w - (qt_r - w * mu[rows_b][:, None] * mu[revived])
+                        / (sig[rows_b][:, None] * sig[revived])
+                    )
+                d_r[d_r < 0] = 0.0
+                d_r[np.abs(revived[None, :] - rows_b[:, None]) <= ez_n] = np.inf
+                r_arg = np.argmin(d_r, axis=1)
+                r_min = d_r[np.arange(rows_b.shape[0]), r_arg]
+                better = r_min < cand_min[rows_b]
+                cand_min[rows_b] = np.where(better, r_min, cand_min[rows_b])
+                cand_pi[rows_b] = np.where(
+                    better, revived[r_arg], cand_pi[rows_b]
+                )
+
             with np.errstate(divide="ignore", invalid="ignore"):
                 cutoff = heap.lb[:m, -1] * (heap.sd_q_base[:m] / sig[rows]) ** 2
             proven = alive.any(axis=1) & np.isfinite(cand_min) & (
@@ -248,26 +293,27 @@ def valmod(
             )
             # near-flat rows/winners: cancellation regime — recompute
             sus_row = sig[rows] < _EPS_REL * (np.abs(mu[rows]) + 1.0)
-            win_sig = sig_c[rows, cand_arg]
-            win_mu = mu_c[rows, cand_arg]
+            win_clip = np.minimum(np.maximum(cand_pi, 0), m - 1)
+            win_sig = sig[win_clip]
+            win_mu = mu[win_clip]
             sus_cand = win_sig < _EPS_REL * (np.abs(win_mu) + 1.0)
-            proven &= ~sus_row & ~sus_cand
+            proven &= ~sus_row & ~sus_cand & valid_w[rows]
             unproven = np.flatnonzero(~proven)
             pruned_rows += int(proven.sum())
 
             mp_sq = np.where(proven, cand_min, np.inf)
-            pi_w = np.where(
-                proven, heap.idx[rows, cand_arg], -1
-            ).astype(np.int64)
+            pi_w = np.where(proven, cand_pi, -1).astype(np.int64)
             if unproven.shape[0] > m // 2:
                 # pruning collapsed — full re-pass, re-basing every heap
                 # (the reference's whole-window STOMP fallback)
                 mp_sq, pi_w = _full_pass(data, w, ez_n, heap)
                 pruned_rows -= int(proven.sum())
+                base_w[:m] = w
             elif unproven.shape[0]:
                 mp_u, pi_u = _full_pass(data, w, ez_n, heap, rows=unproven)
                 mp_sq[unproven] = mp_u
                 pi_w[unproven] = pi_u
+                base_w[unproven] = w
             mp_sqrt = None
 
         if mp_sqrt is None:

@@ -87,7 +87,8 @@ dists AS (
   FROM qt q
   JOIN stats si ON si.doc_id = q.doc_id AND si.pos = q.i
   JOIN stats sj ON sj.doc_id = q.doc_id AND sj.pos = q.i + q.d
-  WHERE q.m = {w} AND si.sd > 1e-8 AND sj.sd > 1e-8
+  WHERE q.m = {w} AND si.sd >= 1e-7 * (abs(si.mu) + 1.0)
+    AND sj.sd >= 1e-7 * (abs(sj.mu) + 1.0)
 ),
 sides AS (
   SELECT doc_id, i AS pos, j AS nn, dist FROM dists
@@ -453,8 +454,9 @@ FROM r WHERE cnt = {W}
 
 
 def q_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-series z-normalization with the 0.01 low-variance guard
-    (math.cpp:132-142)."""
+    """Per-series z-normalization (math.cpp:132-142) with the engine-wide
+    scale-aware low-variance guard (stats.lowvar_threshold) in place of
+    the reference's absolute 0.01 cutoff."""
     from .operators.series import events_to_long
 
     s = events_to_long(_events(spark, sf_dir))
@@ -463,9 +465,13 @@ def q_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu = F.avg("value").over(whole)
     sd = F.stddev_pop("value").over(whole)
-    z = F.when(sd <= 0.01, F.col("value") - mu).otherwise((F.col("value") - mu) / sd)
+    thr = F.lit(1e-7) * (F.abs(mu) + F.lit(1.0))
+    z = F.when(sd < thr, F.col("value") - mu).otherwise((F.col("value") - mu) / sd)
+    # + 0.0 normalizes IEEE -0.0 (a mean-centered near-constant series
+    # rounds to signed zeros; engines disagree on the sign bit's survival)
     return s.select(
-        "doc_id", F.col("pos").cast("bigint").alias("pos"), _r4(z).alias("znorm")
+        "doc_id", F.col("pos").cast("bigint").alias("pos"),
+        (_r4(z) + F.lit(0.0)).alias("znorm"),
     )
 
 
@@ -475,8 +481,8 @@ st AS (
   SELECT doc_id, avg(value) AS mu, stddev_pop(value) AS sd FROM s GROUP BY doc_id
 )
 SELECT s.doc_id, s.pos,
-       round(CASE WHEN st.sd <= 0.01 THEN s.value - st.mu
-                  ELSE (s.value - st.mu) / st.sd END, 4) AS znorm
+       round(CASE WHEN st.sd < 1e-7 * (abs(st.mu) + 1.0) THEN s.value - st.mu
+                  ELSE (s.value - st.mu) / st.sd END, 4) + 0.0 AS znorm
 FROM s JOIN st ON s.doc_id = st.doc_id
 """
 
@@ -670,7 +676,10 @@ def q_ab_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import matrix_profile_join
 
     prof = matrix_profile_join(_pairs(spark, sf_dir), W)
-    return prof.select(
+    # defined-NN convention (CLAUDE.md): a fully-degenerate partner series
+    # leaves positions at the finite 2·sqrt(w) no-neighbor sentinel with
+    # pi = -1 — the pair-based oracle cannot emit those, filter them
+    return prof.filter(F.col("pi") >= 0).select(
         "doc_id_a",
         "doc_id_b",
         "side",
@@ -717,7 +726,8 @@ dists AS (
   FROM qt q
   JOIN stats si ON si.doc_id = CAST(q.ida AS VARCHAR) AND si.pos = q.i
   JOIN stats sj ON sj.doc_id = CAST(q.idb AS VARCHAR) AND sj.pos = q.i + q.d
-  WHERE q.m = {W} AND si.sd > 1e-8 AND sj.sd > 1e-8
+  WHERE q.m = {W} AND si.sd >= 1e-7 * (abs(si.mu) + 1.0)
+    AND sj.sd >= 1e-7 * (abs(sj.mu) + 1.0)
 ),
 mpa AS (
   SELECT ida, idb, i AS pos, min(dist) AS mp FROM dists GROUP BY 1, 2, 3
@@ -740,9 +750,14 @@ def q_mpdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from .mpcore import mpdist as mpdist_kernel
+    from .mpcore.stats import fast_avg_sd, lowvar_threshold
 
     pairs = _pairs(spark, sf_dir)
     schema = "doc_id_a string, doc_id_b string, mpdist double"
+
+    def _has_valid_window(x):
+        mu, sd = fast_avg_sd(x, W)
+        return bool((sd >= lowvar_threshold(mu)).any())
 
     def kernel(batches):
         for pdf in batches:
@@ -753,6 +768,11 @@ def q_mpdist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 a = np.asarray(ta, dtype=np.float64)
                 b = np.asarray(tb, dtype=np.float64)
                 if a.shape[0] < W or b.shape[0] < W:
+                    continue
+                # defined-NN convention: a pair with a fully-degenerate
+                # member has no defined z-norm distance anywhere — its
+                # MPdist is the all-sentinel 2·sqrt(w), not a distance
+                if not (_has_valid_window(a) and _has_valid_window(b)):
                     continue
                 if b.shape[0] > a.shape[0]:
                     a, b = b, a
@@ -805,7 +825,8 @@ dists AS (
   FROM qt q
   JOIN stats si ON si.doc_id = CAST(q.ida AS VARCHAR) AND si.pos = q.i
   JOIN stats sj ON sj.doc_id = CAST(q.idb AS VARCHAR) AND sj.pos = q.i + q.d
-  WHERE q.m = {W} AND si.sd > 1e-8 AND sj.sd > 1e-8
+  WHERE q.m = {W} AND si.sd >= 1e-7 * (abs(si.mu) + 1.0)
+    AND sj.sd >= 1e-7 * (abs(sj.mu) + 1.0)
 ),
 hist AS (
   SELECT ida, idb, i AS pos, min(dist) AS v FROM dists GROUP BY 1, 2, 3
@@ -1382,12 +1403,12 @@ def q_stompi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fluss_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLUSS semantic segmentation per series (fluss.R): CAC + greedy
-    extraction. Iterative suppression is not SQL-expressible — rows-only
-    driver check; pytest covers the semantics on planted regime changes."""
+    extraction, the suppression loop unrolled in the oracle SQL."""
     import numpy as np
     import pandas as pd
 
-    from .mpcore import fluss, stomp
+    from .mpcore import stomp
+    from .mpcore.fluss import fluss_cac, fluss_extract
 
     seqs = _sequences(spark, sf_dir)
     schema = "doc_id string, rank long, segment_pos long, cac_min double"
@@ -1402,7 +1423,13 @@ def q_fluss_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 prof = stomp(a, W)
                 if not np.isfinite(prof.mp).any():
                     continue  # degenerate series: CAC undefined, oracle empty
-                segs = fluss(prof, num_segments=2, exclusion_zone=0.5)
+                cac = fluss_cac(prof, exclusion_zone=0.5)
+                # defined-NN convention: positions with no defined
+                # neighbor contribute no arcs — their zero arc count is
+                # an artifact, not a regime change; treat as CAC 1.0 so
+                # extraction never picks inside a degenerate run
+                cac[~np.isfinite(prof.mp) | (prof.pi < 0)] = 1.0
+                segs = fluss_extract(prof, num_segments=2, exclusion_zone=0.5)
                 for rank, s in enumerate(segs):
                     rows.append(
                         {
@@ -1474,7 +1501,8 @@ dh AS MATERIALIZED (
   FROM qtf q
   JOIN stats si ON si.doc_id = q.doc_id AND si.pos = q.i
   JOIN stats sj ON sj.doc_id = q.doc_id AND sj.pos = q.i + q.dlag
-  WHERE q.m = {w} AND si.sd > 1e-8 AND sj.sd > 1e-8
+  WHERE q.m = {w} AND si.sd >= 1e-7 * (abs(si.mu) + 1.0)
+    AND sj.sd >= 1e-7 * (abs(sj.mu) + 1.0)
 ),
 dfull AS MATERIALIZED (
   SELECT doc_id, i AS qi, j AS p, d2 FROM dh
@@ -1793,7 +1821,7 @@ zstats AS (
 ),
 z AS (
   SELECT s.doc_id, s.pos,
-         CASE WHEN zstats.sd <= 0.01 THEN s.value - zstats.mu
+         CASE WHEN zstats.sd < 1e-7 * (abs(zstats.mu) + 1.0) THEN s.value - zstats.mu
               ELSE (s.value - zstats.mu) / zstats.sd END AS zv
   FROM s JOIN zstats ON s.doc_id = zstats.doc_id
 ),
@@ -1811,8 +1839,12 @@ cx AS (
   FROM zd
 ),
 cxv AS (
-  SELECT mp.doc_id, mp.pos, cx.c
-  FROM mp JOIN cx ON mp.doc_id = cx.doc_id AND mp.pos = cx.pos
+  -- normalization domain = ALL full windows (annotations.R computes the
+  -- av before any profile-definedness filter; a degenerate window still
+  -- has a complexity), NOT just pair-CTE-defined positions — the
+  -- const_prefix probe shifts min(c) to 0 via its constant windows
+  SELECT cx.doc_id, cx.pos, cx.c
+  FROM cx JOIN len ON cx.doc_id = len.doc_id
   WHERE cx.m = {W - 1}
 ),
 norm AS (
@@ -1948,8 +1980,10 @@ dists AS (
   FROM qt q
   JOIN stats si ON si.doc_id = q.doc_id AND si.pos = q.i
   JOIN stats sj ON sj.doc_id = q.doc_id AND sj.pos = q.i + q.d
-  WHERE q.m = {W} AND si.sd1 > 1e-8 AND sj.sd1 > 1e-8
-    AND si.sd2 > 1e-8 AND sj.sd2 > 1e-8
+  WHERE q.m = {W} AND si.sd1 >= 1e-7 * (abs(si.mu1) + 1.0)
+    AND sj.sd1 >= 1e-7 * (abs(sj.mu1) + 1.0)
+    AND si.sd2 >= 1e-7 * (abs(si.mu2) + 1.0)
+    AND sj.sd2 >= 1e-7 * (abs(sj.mu2) + 1.0)
 ),
 sides AS (
   SELECT doc_id, i AS pos, dsq1, dsq2 FROM dists
@@ -2091,6 +2125,7 @@ def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from .mpcore import find_snippets
+    from .mpcore.stats import fast_avg_sd, lowvar_threshold
 
     seqs = _sequences(spark, sf_dir)
     schema = "doc_id string, rank long, snippet_pos long, frac double"
@@ -2105,6 +2140,11 @@ def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if a.shape[0] < 40:
                     continue
                 a = a[: 20 * (a.shape[0] // 20)]
+                # engine convention: snippet distances are undefined on a
+                # series with ANY degenerate window — skip (oracle okdoc)
+                mu8, sd8 = fast_avg_sd(a, 8)
+                if (sd8 < lowvar_threshold(mu8)).any():
+                    continue
                 s = find_snippets(a, s_size=20, n_snippets=2, window_size=8)
                 for rank, (pos, frac) in enumerate(zip(s.snippet_idx, s.snippet_frac)):
                     rows.append(
@@ -2169,7 +2209,14 @@ dots AS MATERIALIZED (
   UNION ALL SELECT doc_id, j AS qi, i AS p, qt FROM dhs
   UNION ALL SELECT doc_id, pos AS qi, pos AS p, vv AS qt FROM stats
 ),
-cand AS (SELECT doc_id, unnest(range(0, n20 - 20, 20)) AS c FROM nlen),
+okdoc AS MATERIALIZED (
+  -- engine convention: snippet distances are undefined on a series with
+  -- ANY degenerate window (lowvar_threshold) — both engines skip it
+  SELECT doc_id FROM stats GROUP BY doc_id
+  HAVING min(sd - 1e-7 * (abs(mu) + 1.0)) >= 0
+),
+cand AS (SELECT doc_id, unnest(range(0, n20 - 20, 20)) AS c
+         FROM nlen JOIN okdoc USING (doc_id)),
 -- mat[c][j][p]: mass_v2's exact squared-distance expression
 matv AS MATERIALIZED (
   SELECT c.doc_id, c.c, d.qi - c.c AS j, d.p,
@@ -2323,85 +2370,128 @@ FROM mp WHERE pos >= 10 AND pos < 40
 """
 
 
+#: SDTS prefix constants: window, positive label segments (data coords,
+#: inclusive), minimum series length to host both segments plus tail
+_SDTS_W = 6
+_SDTS_SEGS = ((10, 21), (34, 45))
+_SDTS_MIN_N = 52
+
+
 def q_sdts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SDTS weakly-labeled dictionary learning (sdts-train.R / misc.R
-    golden-section): per series, plant a deterministic pattern, train on
-    the first half, score prediction on the second half. Rows-only
-    (threshold search is iterative)."""
+    """SDTS train, DETERMINISTIC PREFIX (sdts-train.R:48-233 stages
+    1-2b + one pinned ``compute_f_meas`` evaluation, misc.R:719-814):
+    per series, weak labels mark two fixed positive segments; the
+    prefix emits (a) the stage-2a best candidate per segment — argmin
+    of the matrix profile of the Inf-separated positive concatenation
+    (sdts-train.R:150-176) — and (b) the stage-2b threshold-search
+    setup: the candidate's exclusion-masked distance profile bounds
+    [a, b] (misc.R:618-621) plus the full F-beta machinery
+    (annotation runs, min-separation dedup walk, precision/recall)
+    evaluated at the pinned midpoint threshold (a+b)/2. The
+    golden-section TAIL is iterative over a piecewise-constant
+    objective and not bit-replayable cross-engine (SCALE.md); the full
+    search stays pinned by the exact stage-2 goldens in pytest. This
+    projection flips the driver row from rows-only to hash-green
+    (VERDICT r2 item #3). Float hygiene: profile values rounded to 4,
+    distance profiles to 6, in-engine on both sides; the engine-wide
+    low-variance guard masks degenerate profile positions (the raw
+    reference dist_profile would 0/0 there)."""
     import numpy as np
     import pandas as pd
 
-    from .mpcore import sdts_predict, sdts_score, sdts_train
-
-    seqs = (
-        _sequences(spark, sf_dir)
-        .orderBy(F.col("doc_id").cast("bigint"))
-        .limit(40)
-    )
-    schema = "doc_id string, n_patterns long, train_score double, test_score double"
-
-    def kernel(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
-                base = np.asarray(tokens, dtype=np.float64)
-                if base.shape[0] < 30:
-                    continue
-                # deterministic labeled stream seeded by the series
-                rng = np.random.default_rng(int(abs(base[:8].sum())) + 7)
-                n, w = 1200, 20
-                data = rng.standard_normal(n) * 0.3
-                labels = np.zeros(n, dtype=bool)
-                pattern = np.sin(np.linspace(0, 4 * np.pi, w)) * 3
-                for start in (100, 400, 700, 1000):
-                    data[start : start + w] += pattern
-                    labels[start : start + w] = True
-                try:
-                    model = sdts_train(data[:600], labels[:600], w)
-                except ValueError:
-                    continue
-                pred = sdts_predict(model, data[600:], w)
-                score = sdts_score(pred, labels[600 : n - w + 1])
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "n_patterns": len(model.patterns),
-                        "train_score": round(float(model.score), 4),
-                        "test_score": round(float(score["f_score"]), 4),
-                    }
-                )
-            if rows:
-                yield pd.DataFrame(rows)
-
-    n_parts = spark.sparkContext.defaultParallelism
-    return seqs.select("doc_id", "tokens").repartition(n_parts).mapInPandas(kernel, schema)
-
-
-def q_salient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salient subsequences by MDL (salient.R:44-356): per series, the
-    picks that compress the series best. Rows-only (iterative MDL)."""
-    import numpy as np
-    import pandas as pd
-
-    from .mpcore import salient_subsequences, stomp
+    from .mpcore import stomp
+    from .mpcore.mass import dist_profile
+    from .mpcore.sdts import _anno_starts, _dedup_starts, compute_f_meas
+    from .mpcore.stats import fast_avg_sd, lowvar_threshold
 
     seqs = _sequences(spark, sf_dir)
-    schema = "doc_id string, rank long, pos long, bit_save double"
+    schema = (
+        "doc_id string, seg long, cand_pos long, cand_mp_r double, "
+        "a_u long, b_u long, f_r double, pre_r double, "
+        "rec_r double, n_anno long"
+    )
+    w = _SDTS_W
+    pos_st = np.array([s for s, _ in _SDTS_SEGS], dtype=np.int64)
+    pos_ed = np.array([e for _, e in _SDTS_SEGS], dtype=np.int64)
 
     def kernel(batches):
         for pdf in batches:
             rows = []
             for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
                 a = np.asarray(tokens, dtype=np.float64)
-                if a.shape[0] < MIN_LEN:
+                n = a.shape[0]
+                if n < _SDTS_MIN_N:
                     continue
-                prof = stomp(a, W)
-                s = salient_subsequences(prof, n_bits=6, max_picks=3)
-                for rank, (pos, save) in enumerate(zip(s.indexes, s.bit_save)):
+                label = np.zeros(n, dtype=bool)
+                for s_, e_ in zip(pos_st, pos_ed):
+                    label[s_ : e_ + 1] = True
+                # stage 1 (sdts-train.R:150-160): MP of the Inf-separated
+                # concatenation of the positive segments
+                parts = []
+                for s_, e_ in zip(pos_st, pos_ed):
+                    parts.append(np.array([np.inf]))
+                    parts.append(a[s_ : e_ + 1])
+                pos = np.concatenate(parts)
+                mats = stomp(pos, w).mp
+                seg_st = np.array([1, 14], dtype=np.int64)
+                seg_ed = np.array([12, 25], dtype=np.int64)
+                mu_all, sd_all = fast_avg_sd(a, w)
+                thr_all = lowvar_threshold(mu_all)
+                plen = n - w + 1
+                for j in range(2):
+                    lo = int(min(seg_st[j], pos.shape[0] - w))
+                    hi = int(max(lo, seg_ed[j] - w + 1))
+                    temp = np.round(mats[lo : hi + 1], 4)
+                    if not np.isfinite(temp).any():
+                        continue
+                    rlt = int(np.argmin(temp))  # ties: first (R which.min)
+                    cand_idx = int(pos_st[j] + rlt)
+                    cand_mp = float(temp[rlt])
+                    # stage 2b setup (sdts-train.R:211-222): candidate
+                    # distance profile, self-zone masked
+                    dp = np.sqrt(
+                        np.clip(
+                            dist_profile(
+                                a, a[cand_idx : cand_idx + w], window_size=w
+                            ).distance_profile,
+                            0.0,
+                            None,
+                        )
+                    )
+                    # integer micro-units: 1e-6-quantized distances make
+                    # every downstream comparison (midpoint threshold,
+                    # annotation bins) exact-integer on BOTH engines —
+                    # no decimal-rounding convention can flip them
+                    dp = np.rint(dp * 1e6)
+                    st_ = max(0, cand_idx - w)
+                    ed_ = min(plen - 1, cand_idx + w)
+                    dp[st_ : ed_ + 1] = np.inf
+                    dp[sd_all < thr_all] = np.inf  # engine-wide guard
+                    fin = dp[np.isfinite(dp)]
+                    if fin.shape[0] == 0:
+                        continue
+                    a_u, b_u = int(fin.min()), int(fin.max())
+                    th = (a_u + b_u) / 2.0  # half-integer, exact in fp64
+                    f, pre, rec = compute_f_meas(
+                        label, pos_st, pos_ed, dp, th, w, 1.0
+                    )
+                    kept = _dedup_starts(
+                        _anno_starts((dp - th < 0).astype(np.int64)), w
+                    )
                     rows.append(
                         {
-                            "doc_id": doc_id, "rank": rank,
-                            "pos": int(pos), "bit_save": round(float(save), 4),
+                            "doc_id": doc_id,
+                            "seg": j,
+                            "cand_pos": cand_idx,
+                            "cand_mp_r": cand_mp,
+                            "a_u": a_u,
+                            "b_u": b_u,
+                            "f_r": round(float(f), 6),
+                            "pre_r": round(float(pre), 6)
+                            if np.isfinite(pre)
+                            else -1.0,
+                            "rec_r": round(float(rec), 6),
+                            "n_anno": int(kept.shape[0]),
                         }
                     )
             if rows:
@@ -2411,10 +2501,367 @@ def q_salient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seqs.select("doc_id", "tokens").repartition(n_parts).mapInPandas(kernel, schema)
 
 
+def _sql_sdts() -> str:
+    """Relational twin of :func:`q_sdts`: all-pairs window distances via
+    per-diagonal rolling dot products serve BOTH the concatenation MP
+    (segment-window pairs, concat-coordinate exclusion zone) and the
+    candidate distance profiles; the annotation dedup walk is the
+    analyze-style greedy recursive CTE."""
+    w = _SDTS_W
+    (s0, e0), (s1, e1) = _SDTS_SEGS
+    b0_lo, b0_hi = s0, e0 - w + 1  # segment-window bases, data coords
+    b1_lo, b1_hi = s1, e1 - w + 1
+    bases = ",".join(
+        str(b)
+        for b in list(range(b0_lo, b0_hi + 1)) + list(range(b1_lo, b1_hi + 1))
+    )
+    ez_c = 3  # exclusion_zone_size(6, 0.5) in concat coords
+    return f"""
+WITH RECURSIVE {sql_series()},
+len6 AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id
+  HAVING count(*) >= {_SDTS_MIN_N}
+),
+st6 AS (
+  SELECT s.doc_id, s.pos, avg(value) OVER winst AS mu,
+         stddev_pop(value) OVER winst AS sd, count(*) OVER winst AS cnt
+  FROM s JOIN len6 USING (doc_id)
+  WINDOW winst AS (PARTITION BY s.doc_id ORDER BY s.pos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+),
+stats6 AS MATERIALIZED (SELECT doc_id, pos, mu, sd FROM st6 WHERE cnt = {w}),
+pr6 AS (
+  SELECT a.doc_id, a.pos AS i, b.pos - a.pos AS d, a.value * b.value AS p
+  FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.pos > a.pos
+  JOIN len6 ON len6.doc_id = a.doc_id
+),
+qt6 AS (
+  SELECT doc_id, i, d, sum(p) OVER win AS qt, count(p) OVER win AS m
+  FROM pr6
+  WINDOW win AS (PARTITION BY doc_id, d ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+),
+d6 AS MATERIALIZED (
+  SELECT q.doc_id, q.i, q.i + q.d AS j,
+         sqrt(greatest(2.0 * ({w}.0 - (q.qt - {w}.0 * si.mu * sj.mu)
+              / (si.sd * sj.sd)), 0.0)) AS dist
+  FROM qt6 q
+  JOIN stats6 si ON si.doc_id = q.doc_id AND si.pos = q.i
+  JOIN stats6 sj ON sj.doc_id = q.doc_id AND sj.pos = q.i + q.d
+  WHERE q.m = {w} AND si.sd >= 1e-7 * (abs(si.mu) + 1.0)
+    AND sj.sd >= 1e-7 * (abs(sj.mu) + 1.0)
+),
+dboth AS MATERIALIZED (
+  SELECT doc_id, i, j, dist FROM d6
+  UNION ALL SELECT doc_id, j AS i, i AS j, dist FROM d6
+),
+segw AS (
+  SELECT l.doc_id, g.b AS base,
+         CASE WHEN g.b <= {b0_hi} THEN 0 ELSE 1 END AS seg,
+         CASE WHEN g.b <= {b0_hi} THEN g.b - {s0 - 1}
+              ELSE g.b - {s1 - 14} END AS cpos
+  FROM len6 l, unnest([{bases}]) AS g(b)
+),
+cmp AS MATERIALIZED (
+  SELECT wa.doc_id, wa.base, wa.seg, round(min(dd.dist), 4) AS mpv
+  FROM segw wa
+  JOIN segw wb ON wb.doc_id = wa.doc_id AND abs(wb.cpos - wa.cpos) > {ez_c}
+  JOIN dboth dd ON dd.doc_id = wa.doc_id AND dd.i = wa.base AND dd.j = wb.base
+  GROUP BY wa.doc_id, wa.base, wa.seg
+),
+cand AS MATERIALIZED (
+  SELECT doc_id, seg, base AS cand_pos, mpv FROM (
+    SELECT doc_id, seg, base, mpv,
+           row_number() OVER (PARTITION BY doc_id, seg
+                              ORDER BY mpv ASC, base ASC) AS rn
+    FROM cmp
+  ) WHERE rn = 1
+),
+dps AS MATERIALIZED (
+  SELECT c.doc_id, c.seg, dd.j AS p,
+         CAST(round(dd.dist * 1000000.0, 0) AS BIGINT) AS dpu
+  FROM cand c
+  JOIN dboth dd ON dd.doc_id = c.doc_id AND dd.i = c.cand_pos
+  WHERE abs(dd.j - c.cand_pos) > {w}
+),
+bounds AS MATERIALIZED (
+  SELECT doc_id, seg, min(dpu) AS au, max(dpu) AS bu
+  FROM dps GROUP BY doc_id, seg
+),
+spine AS (
+  SELECT st.doc_id, b.seg, st.pos AS p,
+         COALESCE(2 * d.dpu < b.au + b.bu, false) AS bin
+  FROM stats6 st
+  JOIN bounds b ON b.doc_id = st.doc_id
+  LEFT JOIN dps d ON d.doc_id = st.doc_id AND d.seg = b.seg AND d.p = st.pos
+),
+astarts AS (
+  SELECT doc_id, seg, p FROM (
+    SELECT doc_id, seg, p, bin,
+           lag(bin, 1, false) OVER (PARTITION BY doc_id, seg ORDER BY p) AS pbin
+    FROM spine
+  ) WHERE bin AND NOT pbin
+),
+sarr AS MATERIALIZED (
+  SELECT doc_id, seg, list(p ORDER BY p) AS arr
+  FROM astarts GROUP BY doc_id, seg
+),
+swalk(doc_id, seg, i, picked) AS (
+  SELECT doc_id, seg, 0, CAST([] AS BIGINT[]) FROM sarr
+  UNION ALL
+  SELECT g.doc_id, g.seg, g.i + 1,
+    CASE WHEN len(list_filter(g.picked, x -> abs(x - c.arr[g.i + 1]) <= {w - 1})) > 0
+    THEN g.picked ELSE list_append(g.picked, c.arr[g.i + 1]) END
+  FROM swalk g JOIN sarr c ON c.doc_id = g.doc_id AND c.seg = g.seg
+  WHERE g.i < len(c.arr)
+),
+kept AS MATERIALIZED (
+  SELECT g.doc_id, g.seg, g.picked
+  FROM swalk g JOIN sarr c ON c.doc_id = g.doc_id AND c.seg = g.seg
+  WHERE g.i = len(c.arr)
+),
+keptr AS (
+  SELECT k.doc_id, k.seg, k.picked[g.i] AS s
+  FROM kept k, unnest(generate_series(1, len(k.picked))) AS g(i)
+  WHERE len(k.picked) > 0
+),
+nkept AS MATERIALIZED (
+  SELECT doc_id, seg, count(*) AS n_anno FROM keptr GROUP BY doc_id, seg
+),
+tppre AS (
+  SELECT doc_id, seg, count(*) AS n_starts,
+         sum(CASE WHEN
+               greatest(0, least(p + {w - 1}, {e0}) - greatest(p, {s0}) + 1)
+             + greatest(0, least(p + {w - 1}, {e1}) - greatest(p, {s1}) + 1)
+             > {0.8 * w!r} THEN 1 ELSE 0 END) AS tp_pre
+  FROM astarts GROUP BY doc_id, seg
+),
+annop AS (
+  SELECT DISTINCT a.doc_id, a.seg, sv.pos AS p
+  FROM astarts a
+  JOIN s sv ON sv.doc_id = a.doc_id
+           AND sv.pos BETWEEN a.p AND a.p + {w - 1}
+),
+tprec AS (
+  SELECT doc_id, seg,
+         (CASE WHEN sum(CASE WHEN p BETWEEN {s0} AND {e0} THEN 1 ELSE 0 END)
+                    > {0.8 * w!r} THEN 1 ELSE 0 END)
+       + (CASE WHEN sum(CASE WHEN p BETWEEN {s1} AND {e1} THEN 1 ELSE 0 END)
+                    > {0.8 * w!r} THEN 1 ELSE 0 END) AS tp_rec
+  FROM annop GROUP BY doc_id, seg
+)
+SELECT b.doc_id, CAST(b.seg AS BIGINT) AS seg,
+       CAST(c.cand_pos AS BIGINT) AS cand_pos, c.mpv AS cand_mp_r,
+       CAST(b.au AS BIGINT) AS a_u, CAST(b.bu AS BIGINT) AS b_u,
+       round_even(CASE WHEN COALESCE(t.n_starts, 0) > 0
+                   AND (CAST(COALESCE(t.tp_pre, 0) AS DOUBLE) / t.n_starts
+                        + COALESCE(r.tp_rec, 0) / 2.0) > 0
+             THEN 2.0 * (CAST(t.tp_pre AS DOUBLE) / t.n_starts)
+                  * (COALESCE(r.tp_rec, 0) / 2.0)
+                  / (CAST(t.tp_pre AS DOUBLE) / t.n_starts
+                     + COALESCE(r.tp_rec, 0) / 2.0)
+             ELSE 0.0 END, 6) AS f_r,
+       CASE WHEN COALESCE(t.n_starts, 0) > 0
+            THEN round_even(CAST(t.tp_pre AS DOUBLE) / t.n_starts, 6)
+            ELSE -1.0 END AS pre_r,
+       round_even(COALESCE(r.tp_rec, 0) / 2.0, 6) AS rec_r,
+       CAST(COALESCE(k.n_anno, 0) AS BIGINT) AS n_anno
+FROM bounds b
+JOIN cand c ON c.doc_id = b.doc_id AND c.seg = b.seg
+LEFT JOIN tppre t ON t.doc_id = b.doc_id AND t.seg = b.seg
+LEFT JOIN tprec r ON r.doc_id = b.doc_id AND r.seg = b.seg
+LEFT JOIN nkept k ON k.doc_id = b.doc_id AND k.seg = b.seg
+"""
+
+
+SQL_SDTS = _sql_sdts()
+
+
+def q_salient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salient subsequences, DETERMINISTIC PREFIX of the MDL search
+    (salient.R:44-356 first iteration): the exclusion-deduped candidate
+    list (misc.R:816-849 ``get_sorted_idx``) with each candidate's MDL
+    hypothesis bit-save (salient.R:165-230), and the first pick (argmax
+    save, candidate order on ties). Hash-gated against a relational
+    oracle; the FULL iterative search (golden-section-free but
+    float-path-dependent) stays pinned by the exact .rda goldens in
+    tests/test_reference_goldens.py — this projection makes the driver
+    gate stronger than rows-only (VERDICT r2 item #3). Cross-engine
+    float hygiene per the k-means convention (CLAUDE.md): mp rounded to
+    6 decimals before the candidate argsort, znorm extremes to 9,
+    scaled levels to 6 before the n-bit quantization."""
+    import numpy as np
+    import pandas as pd
+
+    from .mpcore import stomp
+    from .mpcore.salient import discrete_norm_pre
+    from .mpcore.stats import EPS as _EPS
+
+    seqs = _sequences(spark, sf_dir)
+    schema = (
+        "doc_id string, rank long, cand_pos long, mp_r double, "
+        "save_r double, picked long"
+    )
+    n_bits, n_cand = 6, 10
+    ub = float(n_bits * W)  # uncompressed_bit (salient.R:104)
+    mb = n_bits + float(np.log2(W))  # mismatch_bit (salient.R:105)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(tokens, dtype=np.float64)
+                if a.shape[0] < MIN_LEN:
+                    continue
+                prof = stomp(a, W)
+                mp4 = np.where(
+                    np.isfinite(prof.mp) & (prof.pi >= 0),
+                    np.round(prof.mp, 4),
+                    np.inf,
+                )
+                # get_sorted_idx walk (misc.R:816-849) on the rounded mp:
+                # visit in (mp, pos) order, keep if >= ez from every kept
+                order = np.argsort(mp4, kind="stable")
+                kept: list[int] = []
+                for c in order:
+                    if not np.isfinite(mp4[c]) or len(kept) >= n_cand:
+                        break
+                    if all(abs(int(c) - k) >= EZ_N for k in kept):
+                        kept.append(int(c))
+                if not kept:
+                    continue
+                mx, mn = discrete_norm_pre(a, W)
+                mx, mn = round(mx, 9), round(mn, 9)
+                if not mx > mn:
+                    continue
+
+                def levels(b: int) -> np.ndarray:
+                    win = a[b : b + W]
+                    mu = win.mean()
+                    sd = float(np.std(win))
+                    z = (win - mu) / sd if sd != 0 else win - mu
+                    scaled = np.round((z - mn) / (mx - mn), 6)
+                    return np.rint(scaled * (2.0**n_bits - 1.0) + _EPS) + 1.0
+
+                saves = []
+                for c in kept:
+                    pair = int(prof.pi[c])
+                    nd = int(np.count_nonzero(levels(pair) - levels(c)))
+                    saves.append(ub - mb * nd)
+                best = int(np.argmax(saves))  # strict >: first max wins
+                for r, (c, sv) in enumerate(zip(kept, saves)):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "rank": r,
+                            "cand_pos": c,
+                            "mp_r": float(mp4[c]),
+                            "save_r": round(float(sv), 4),
+                            "picked": 1 if r == best else 0,
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return seqs.select("doc_id", "tokens").repartition(n_parts).mapInPandas(kernel, schema)
+
+
+def _sql_salient() -> str:
+    """Relational twin of :func:`q_salient`: candidate walk as the
+    analyze-style greedy recursive CTE, discrete_norm levels via
+    round_even (R/numpy banker's rounding), MDL save per candidate."""
+    import numpy as np
+
+    n_bits, n_cand = 6, 10
+    ub = float(n_bits * W)
+    mb = n_bits + float(np.log2(W))
+    eps = float(np.sqrt(np.finfo(np.float64).eps))
+    zexpr = (
+        "CASE WHEN st.sd <> 0 THEN (s.value - st.mu) / st.sd "
+        "ELSE s.value - st.mu END"
+    )
+    head = sql_mp_cte()
+    for name in ("s", "len", "stats", "mp"):
+        head = head.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
+    return f"""
+WITH RECURSIVE {head},
+mp4 AS MATERIALIZED (SELECT doc_id, pos, round(mp, 4) AS mp4, pi FROM mp),
+ext AS MATERIALIZED (
+  SELECT st.doc_id,
+         round(max({zexpr}), 9) AS mx,
+         round(min({zexpr}), 9) AS mn
+  FROM stats st
+  JOIN s ON s.doc_id = st.doc_id AND s.pos BETWEEN st.pos AND st.pos + {W - 1}
+  GROUP BY st.doc_id
+),
+lvl AS MATERIALIZED (
+  SELECT st.doc_id, st.pos AS base, s.pos - st.pos AS k,
+         round_even(round((({zexpr}) - e.mn) / (e.mx - e.mn), 6)
+                    * {2.0 ** n_bits - 1.0} + {eps!r}, 0) + 1.0 AS lvl
+  FROM stats st
+  JOIN s ON s.doc_id = st.doc_id AND s.pos BETWEEN st.pos AND st.pos + {W - 1}
+  JOIN ext e ON e.doc_id = st.doc_id
+  WHERE e.mx > e.mn
+),
+corder AS MATERIALIZED (
+  SELECT doc_id, list(pos ORDER BY mp4 ASC, pos ASC) AS carr
+  FROM mp4 GROUP BY doc_id
+),
+cwalk(doc_id, i, picked) AS (
+  SELECT doc_id, 0, CAST([] AS BIGINT[]) FROM corder
+  UNION ALL
+  SELECT g.doc_id, g.i + 1,
+    CASE
+      WHEN len(g.picked) >= {n_cand}
+        OR len(list_filter(g.picked, x -> abs(x - c.carr[g.i + 1]) <= {EZ_N - 1})) > 0
+      THEN g.picked
+      ELSE list_append(g.picked, c.carr[g.i + 1])
+    END
+  FROM cwalk g JOIN corder c ON c.doc_id = g.doc_id
+  WHERE g.i < len(c.carr)
+),
+ckept AS MATERIALIZED (
+  SELECT g.doc_id, g.picked
+  FROM cwalk g JOIN corder c ON c.doc_id = g.doc_id
+  WHERE g.i = len(c.carr) AND len(g.picked) > 0
+),
+candr AS (
+  SELECT c.doc_id, g.i AS rnk, c.picked[g.i] AS cpos
+  FROM ckept c, unnest(generate_series(1, len(c.picked))) AS g(i)
+),
+sv AS MATERIALIZED (
+  SELECT cr.doc_id, cr.rnk, cr.cpos,
+         {ub!r} - {mb!r} * sum(CASE WHEN la.lvl <> lb.lvl THEN 1 ELSE 0 END) AS save,
+         any_value(m6.mp4) AS mp4
+  FROM candr cr
+  JOIN mp4 m6 ON m6.doc_id = cr.doc_id AND m6.pos = cr.cpos
+  JOIN lvl la ON la.doc_id = cr.doc_id AND la.base = cr.cpos
+  JOIN lvl lb ON lb.doc_id = cr.doc_id AND lb.base = m6.pi AND lb.k = la.k
+  GROUP BY cr.doc_id, cr.rnk, cr.cpos
+),
+pick AS (
+  SELECT doc_id, rnk,
+         row_number() OVER (PARTITION BY doc_id ORDER BY save DESC, rnk ASC) AS pr
+  FROM sv
+)
+SELECT sv.doc_id, CAST(sv.rnk - 1 AS BIGINT) AS rank,
+       CAST(sv.cpos AS BIGINT) AS cand_pos,
+       sv.mp4 AS mp_r, round(sv.save, 4) AS save_r,
+       CAST(CASE WHEN p.pr = 1 THEN 1 ELSE 0 END AS BIGINT) AS picked
+FROM sv JOIN pick p ON p.doc_id = sv.doc_id AND p.rnk = sv.rnk
+"""
+
+
+SQL_SALIENT = _sql_salient()
+
+
 QUERIES["mp_subset"] = q_mp_subset
 QUERIES["sdts"] = q_sdts
 QUERIES["salient"] = q_salient
 ORACLES["mp_subset"] = SQL_MP_SUBSET
+ORACLES["salient"] = SQL_SALIENT
+ORACLES["sdts"] = SQL_SDTS
 
 def q_floss_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunked FLOSS driver (fluss.R:66-137): bootstrap profile, then
@@ -2552,13 +2999,18 @@ posrows AS (
   FROM evs
 ),
 arcents AS (
+  -- a row with NO admissible pair contributes no arcs: the kernel's
+  -- trim rebases its -1 no-neighbor sentinel out of the [0, cac_size]
+  -- keep-range at the first history trim (stompi), so in the trimmed
+  -- steady state neighborless (degenerate) rows never reach the
+  -- histogram — INNER join, not a COALESCE-to-0 phantom half-arc
   SELECT pr.doc_id, pr.e,
-         least(pr.i_rel + 1, COALESCE(pb.qrel + 1, 0)) AS lo,
-         greatest(pr.i_rel + 1, COALESCE(pb.qrel + 1, 0)) AS hi
+         least(pr.i_rel + 1, pb.qrel + 1) AS lo,
+         greatest(pr.i_rel + 1, pb.qrel + 1) AS hi
   FROM posrows pr
-  LEFT JOIN pib pb ON pb.doc_id = pr.doc_id AND pb.e = pr.e
+  JOIN pib pb ON pb.doc_id = pr.doc_id AND pb.e = pr.e
        AND pb.i_rel = pr.i_rel
-  WHERE COALESCE(pb.qrel + 1, 0) BETWEEN 0 AND pr.cac_size
+  WHERE pb.qrel + 1 BETWEEN 0 AND pr.cac_size
 ),
 deltas AS (
   SELECT doc_id, e, lo - 1 AS idx, sum(1.0) AS dv
@@ -2996,7 +3448,7 @@ len AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id HAVING count(*) >= {
 st AS (SELECT doc_id, avg(value) AS mu, stddev_pop(value) AS sd FROM s GROUP BY doc_id),
 z AS (
   SELECT s.doc_id, s.pos,
-         CASE WHEN st.sd > 0.01 THEN (s.value - st.mu) / st.sd
+         CASE WHEN st.sd >= 1e-7 * (abs(st.mu) + 1.0) THEN (s.value - st.mu) / st.sd
               ELSE s.value - st.mu END AS z
   FROM s JOIN st ON s.doc_id = st.doc_id JOIN len ON s.doc_id = len.doc_id
 ),
