@@ -1,0 +1,121 @@
+"""Measured (not modeled) shuffle volume for the dedup family across a
+10× input scale-up — SCALE.md §4's "bounded candidate generation" claim
+as numbers.
+
+Runs minhash_lsh_pairs, substring span discovery, and the
+connected-components near-dup grouping on the `documents` table at
+sf0.01 (500 docs) and sf0.1 (5 000 docs), and records per run the total
+shuffle WRITE bytes and records from Spark's status store (REST API of
+the live UI — stage-level `shuffleWriteBytes`, summed over the stages
+each operator executed). If shuffle volume grows ~linearly with the
+input (ratio ≈ 10× for 10× docs, modulo per-doc length distribution),
+the candidate generation is bucket-bounded; an all-pairs formulation
+would grow ~100×.
+
+Run ALONE (concurrent Spark work pollutes the stage window):
+    python bench_dedup_scale.py
+writes BENCH_DEDUP_SCALE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+from tsmp_spark.operators.cache import release_caches
+from tsmp_spark.session import get_spark
+
+
+def _ui(spark) -> str:
+    return spark.sparkContext.uiWebUrl
+
+
+def _app_id(spark) -> str:
+    return spark.sparkContext.applicationId
+
+
+def _stages(spark) -> list[dict]:
+    url = f"{_ui(spark)}/api/v1/applications/{_app_id(spark)}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _shuffle_totals(spark, after_stage: int) -> dict:
+    write_b = write_r = read_b = 0
+    for st in _stages(spark):
+        if st["stageId"] > after_stage:
+            write_b += st.get("shuffleWriteBytes", 0)
+            write_r += st.get("shuffleWriteRecords", 0)
+            read_b += st.get("shuffleReadBytes", 0)
+    return {
+        "shuffle_write_bytes": write_b,
+        "shuffle_write_records": write_r,
+        "shuffle_read_bytes": read_b,
+    }
+
+
+def _max_stage(spark) -> int:
+    sts = _stages(spark)
+    return max((st["stageId"] for st in sts), default=-1)
+
+
+def run_op(spark, name: str, fn) -> dict:
+    before = _max_stage(spark)
+    t0 = time.time()
+    rows = fn()
+    wall = time.time() - t0
+    release_caches()
+    out = {"op": name, "rows_out": rows, "wall_sec": round(wall, 2)}
+    out.update(_shuffle_totals(spark, before))
+    return out
+
+
+def ops_for(spark, sf_dir: str):
+    # drive the exact driver-registered queries (same params the
+    # correctness gate runs) so the measured shuffle is the graded path
+    from tsmp_spark import queries as Q
+
+    def mk(name):
+        return lambda: Q.QUERIES[name](spark, sf_dir).count()
+
+    return [(n, mk(n)) for n in ("minhash_lsh", "substring_spans", "dedup_groups")]
+
+
+def main() -> None:
+    # the engine default disables the UI; this probe needs the status
+    # REST API for stage-level shuffle metrics
+    spark = get_spark(cpus=16, extra_conf={"spark.ui.enabled": "true"})
+    spark.sparkContext.setLogLevel("WARN")
+    results = []
+    for sf, sf_dir in (("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1")):
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        for name, fn in ops_for(spark, sf_dir):
+            row = run_op(spark, name, fn)
+            row.update({"sf": sf, "n_docs": n_docs})
+            results.append(row)
+            print(json.dumps(row))
+    # 10x-input growth factors per op (the SCALE.md §4 model check)
+    summary = {}
+    for name in ("minhash_lsh", "substring_spans", "dedup_groups"):
+        lo = next(r for r in results if r["op"] == name and r["sf"] == "0.01")
+        hi = next(r for r in results if r["op"] == name and r["sf"] == "0.1")
+        summary[name] = {
+            "docs_ratio": round(hi["n_docs"] / lo["n_docs"], 2),
+            "shuffle_write_bytes_ratio": round(
+                hi["shuffle_write_bytes"] / max(lo["shuffle_write_bytes"], 1), 2
+            ),
+            "shuffle_write_records_ratio": round(
+                hi["shuffle_write_records"] / max(lo["shuffle_write_records"], 1), 2
+            ),
+            "sf001_shuffle_write_mb": round(lo["shuffle_write_bytes"] / 1e6, 2),
+            "sf01_shuffle_write_mb": round(hi["shuffle_write_bytes"] / 1e6, 2),
+        }
+    out = {"runs": results, "growth_10x_input": summary}
+    print(json.dumps(out, indent=2))
+    with open("BENCH_DEDUP_SCALE.json", "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,7 +34,7 @@ if __name__ == "__main__":
     with Pool(procs) as p:
         p.map(work, range(procs))  # warm imports
         t0 = time.time()
-        n = procs * 6
+        n = procs * 16  # long enough that Pool launch/imbalance is noise
         p.map(work, range(n))
         print(n / (time.time() - t0))
 """
@@ -74,57 +74,77 @@ def run_at(cpus: int, only: str | None = None) -> dict:
 
 def main() -> None:
     # This box is a shared/noisy VM: single measurements of either leg swing
-    # by 30-40% with ambient load and turbo state. Each leg is therefore
-    # measured three times INTERLEAVED (8, 32, 8, 32, ...) so slow drift
-    # hits both legs equally, and the per-leg throughput is the BEST of the
-    # three (interference only ever subtracts throughput; max is the
-    # closest observable to the unloaded machine). Same for the hardware
-    # ceiling probes.
+    # by 30-40% with ambient load and turbo state. The protocol therefore
+    # measures TIGHTLY PAIRED quadruples — (probe@8, engine@8, probe@32,
+    # engine@32) back-to-back within each repetition — so ambient drift
+    # hits a leg and ITS OWN ceiling probe together, and the
+    # engine-vs-ceiling ratio is meaningful per repetition (round-2's
+    # probes-then-engines ordering let the ratio swing 0.66-1.05 purely
+    # from drift between the two phases).
+    #
+    # The probe (pure-numpy multiprocessing Pool running the SAME mpx
+    # kernel on the SAME 8192-point/w=64 workload, pinned to the same
+    # cores) is the box's own scaling ceiling: all-core turbo, shared L3
+    # and memory bandwidth, zero engine overhead. Probe docs/s × 8129
+    # windows/doc is directly comparable to the engine's windows/s.
     reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
-    # the ceiling probes are the noisiest inputs (they feed a ratio):
-    # interleave 4 reps of each and keep the max
-    hw_lo_runs, hw_hi_runs = [], []
-    for _ in range(4):
-        hw_lo_runs.append(hardware_ceiling(8))
-        hw_hi_runs.append(hardware_ceiling(32))
-    hw_lo = max(hw_lo_runs)
-    hw_hi = max(hw_hi_runs)
-    lo = run_at(8)       # one full-suite run per leg (pipeline numbers)
-    hi = run_at(32)
-    thr_lo_runs = [lo["mp_windows_per_sec"]]
-    thr_hi_runs = [hi["mp_windows_per_sec"]]
-    for _ in range(reps - 1):  # kernel-only reps, interleaved
-        thr_lo_runs.append(run_at(8, only="mp_kernel_synth")["mp_windows_per_sec"])
-        thr_hi_runs.append(run_at(32, only="mp_kernel_synth")["mp_windows_per_sec"])
-    thr_lo = max(thr_lo_runs)
-    thr_hi = max(thr_hi_runs)
-    raw_eff = (thr_hi / thr_lo) / 4.0
-    hw_speedup = hw_hi / hw_lo
-    # engine efficiency: how much of the HARDWARE's own 8→32 speedup the
-    # engine delivers. A single box shares turbo budget / L3 / memory bus
-    # across "clusters", so raw N→4N on one machine under-reports what 4×
-    # separate executor hosts would give; dividing by the measured pure-
-    # numpy multiprocessing speedup isolates the engine's contribution.
-    engine_eff = (thr_hi / thr_lo) / hw_speedup
+    synth_len = int(os.environ.get("BENCH_SYNTH_LEN", "8192"))
+    win_per_doc = synth_len - 64 + 1
+    pairs = []
+    full_lo = full_hi = None
+    for r in range(reps):
+        hw_lo = hardware_ceiling(8)
+        lo = run_at(8) if r == 0 else run_at(8, only="mp_kernel_synth")
+        hw_hi = hardware_ceiling(32)
+        hi = run_at(32) if r == 0 else run_at(32, only="mp_kernel_synth")
+        if r == 0:
+            full_lo, full_hi = lo, hi
+        eng_lo = lo["mp_windows_per_sec"]
+        eng_hi = hi["mp_windows_per_sec"]
+        probe_lo_w = hw_lo * win_per_doc
+        probe_hi_w = hw_hi * win_per_doc
+        pairs.append(
+            {
+                "rep": r,
+                "engine_windows_per_sec_8": round(eng_lo, 1),
+                "engine_windows_per_sec_32": round(eng_hi, 1),
+                "probe_windows_per_sec_8": round(probe_lo_w, 1),
+                "probe_windows_per_sec_32": round(probe_hi_w, 1),
+                "raw_scaling_efficiency": round((eng_hi / eng_lo) / 4.0, 3),
+                "probe_speedup_8_to_32": round(probe_hi_w / probe_lo_w, 3),
+                "engine_vs_probe_8": round(eng_lo / probe_lo_w, 3),
+                "engine_vs_probe_32": round(eng_hi / probe_hi_w, 3),
+                "ceiling_normalized_efficiency": round(
+                    (eng_hi / eng_lo) / (probe_hi_w / probe_lo_w), 3
+                ),
+            }
+        )
+    # best-of-reps raw numbers (interference only subtracts throughput)
+    thr_lo = max(p["engine_windows_per_sec_8"] for p in pairs)
+    thr_hi = max(p["engine_windows_per_sec_32"] for p in pairs)
+    raw_eff_best = (thr_hi / thr_lo) / 4.0
     result = {
         "workload": "mp_kernel_synth (self-join MPX over synthetic sequences, identical input)",
+        "protocol": "per-rep paired quadruples probe@8 -> engine@8 -> probe@32 -> engine@32; probe = pure-numpy Pool, same kernel/workload/core pinning",
         "cpus_lo": 8,
         "cpus_hi": 32,
+        "pairs": pairs,
         "windows_per_sec_lo": thr_lo,
         "windows_per_sec_hi": thr_hi,
-        "windows_per_sec_lo_runs": [round(x, 1) for x in thr_lo_runs],
-        "windows_per_sec_hi_runs": [round(x, 1) for x in thr_hi_runs],
-        "wall_sec_lo": lo["queries"]["mp_kernel_synth"],
-        "wall_sec_hi": hi["queries"]["mp_kernel_synth"],
-        "raw_scaling_efficiency": round(raw_eff, 3),
-        "hardware_ceiling_docs_per_sec_lo": round(hw_lo, 2),
-        "hardware_ceiling_docs_per_sec_hi": round(hw_hi, 2),
-        "hardware_speedup_8_to_32": round(hw_speedup, 3),
-        "engine_scaling_efficiency": round(engine_eff, 3),
-        "pipeline_rolled_points_per_sec_lo": lo["rolled_points_per_sec"],
-        "pipeline_rolled_points_per_sec_hi": hi["rolled_points_per_sec"],
-        "full_suite_sec_lo": lo["value"],
-        "full_suite_sec_hi": hi["value"],
+        "raw_scaling_efficiency": round(raw_eff_best, 3),
+        "raw_scaling_efficiency_per_rep": [p["raw_scaling_efficiency"] for p in pairs],
+        "ceiling_normalized_efficiency_per_rep": [
+            p["ceiling_normalized_efficiency"] for p in pairs
+        ],
+        "min_engine_vs_probe": min(
+            min(p["engine_vs_probe_8"], p["engine_vs_probe_32"]) for p in pairs
+        ),
+        "pipeline_rolled_points_per_sec_lo": full_lo["rolled_points_per_sec"],
+        "pipeline_rolled_points_per_sec_hi": full_hi["rolled_points_per_sec"],
+        "full_suite_sec_lo": full_lo["value"],
+        "full_suite_sec_hi": full_hi["value"],
+        "wall_sec_lo": full_lo["queries"]["mp_kernel_synth"],
+        "wall_sec_hi": full_hi["queries"]["mp_kernel_synth"],
     }
     print(json.dumps(result, indent=2))
     with open("BENCH_SCALING.json", "w") as f:

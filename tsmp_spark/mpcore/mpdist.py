@@ -28,7 +28,14 @@ def mpdist(
     data: np.ndarray, query: np.ndarray, window_size: int, thr: float = 0.05
 ) -> float:
     """Scalar MPdist (mpdist.R:125-131): k-th smallest of the concatenated
-    AB and BA profiles."""
+    AB and BA profiles.
+
+    Degenerate inputs: windows below the engine-wide low-variance
+    threshold (stats.lowvar_threshold) are masked inside mpx_ab, so a
+    pair where one series has NO valid window returns the no-neighbor
+    sentinel ``2·sqrt(w)`` rather than cancellation noise — callers that
+    need "undefined" semantics should pre-check window validity (the
+    mpdist driver query does)."""
     data = np.asarray(data, dtype=np.float64)
     query = np.asarray(query, dtype=np.float64)
     res = mpx_ab(data, query, window_size)
