@@ -57,6 +57,13 @@ def main() -> None:
     def want(name):
         return not only or name in only
 
+    # this box is shared: ambient tenant load can inflate a single timed
+    # run 2-25x (a 41 s minhash outlier was observed where the steady
+    # state is ~2 s). Each timed measurement is the MIN of
+    # BENCH_TIMED_REPS fresh runs — interference only ever ADDS time, so
+    # min is the closest observable to the unloaded steady state.
+    timed_reps = int(os.environ.get("BENCH_TIMED_REPS", "2"))
+
     def timed(name, fn, warm=True):
         from tsmp_spark.operators.cache import release_caches
 
@@ -69,10 +76,16 @@ def main() -> None:
             fn()
             warmups[name] = round(time.time() - t0, 3)
             release_caches()
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
-        release_caches()  # operator-pinned intermediates don't span queries
+        best = None
+        out = None
+        for _ in range(max(timed_reps, 1)):
+            t0 = time.time()
+            out = fn()
+            el = time.time() - t0
+            release_caches()  # pinned intermediates don't span queries/reps
+            if best is None or el < best:
+                best = el
+        timings[name] = round(best, 3)
         return out
 
     # 1) kernel throughput on the synthetic input_hint table (CPU-bound)

@@ -60,6 +60,10 @@ def run_at(cpus: int, only: str | None = None) -> dict:
     # fixed, CPU-heavy synthetic workload — identical input at both sizes
     env["BENCH_SYNTH_DOCS"] = os.environ.get("BENCH_SYNTH_DOCS", "1536")
     env["BENCH_SYNTH_LEN"] = os.environ.get("BENCH_SYNTH_LEN", "8192")
+    # single timed run per leg: the paired-quadruple protocol supplies
+    # its own repetitions, and a tight probe↔engine pairing matters more
+    # than bench.py's min-of-reps outlier shield here
+    env.setdefault("BENCH_TIMED_REPS", "1")
     # Pin the process tree to exactly `cpus` cores: an N-executor cluster
     # has N cores *total* — without the pin, the local[N] JVM's shuffle/
     # Arrow/GC threads spill onto the idle cores and inflate the small-
