@@ -82,36 +82,86 @@ def ops_for(spark, sf_dir: str):
     return [(n, mk(n)) for n in ("minhash_lsh", "substring_spans", "dedup_groups")]
 
 
+def make_sf1x(spark, src_dir: str, out_dir: str, replicas: int = 10) -> str:
+    """Deterministic sf1-class corpus: the sf0.1 documents replicated
+    ``replicas``× with (a) doc_id offset per replica and (b) a replica
+    salt suffix appended to every word — word/shingle/k-gram COUNTS per
+    doc are unchanged, but shingles / k-gram anchors / MinHash
+    signatures NEVER collide across replicas.
+    Per-doc statistics (length, vocabulary density, within-replica
+    near-dup structure) are preserved exactly, so true pairs — and the
+    bucket-bounded shuffle, if the §4 model holds — grow exactly
+    linearly with the input. No external data: derived from the driver
+    testdata only."""
+    import os.path
+
+    from pyspark.sql import functions as F
+
+    out = f"{out_dir}/documents.parquet"
+    if os.path.exists(out):
+        return out_dir
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    parts = [
+        docs.select(
+            (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"(\S+)", f"$1x{k}").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for k in range(replicas)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(16).write.mode("overwrite").parquet(out)
+    return out_dir
+
+
 def main() -> None:
     # the engine default disables the UI; this probe needs the status
     # REST API for stage-level shuffle metrics
     spark = get_spark(cpus=16, extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("WARN")
+    sf1x_dir = make_sf1x(spark, "/root/testdata/sf0.1", "/tmp/sf1x")
     results = []
-    for sf, sf_dir in (("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1")):
+    for sf, sf_dir in (
+        ("0.01", "/root/testdata/sf0.01"),
+        ("0.1", "/root/testdata/sf0.1"),
+        ("1x", sf1x_dir),
+    ):
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         for name, fn in ops_for(spark, sf_dir):
             row = run_op(spark, name, fn)
             row.update({"sf": sf, "n_docs": n_docs})
             results.append(row)
             print(json.dumps(row))
-    # 10x-input growth factors per op (the SCALE.md §4 model check)
-    summary = {}
-    for name in ("minhash_lsh", "substring_spans", "dedup_groups"):
-        lo = next(r for r in results if r["op"] == name and r["sf"] == "0.01")
-        hi = next(r for r in results if r["op"] == name and r["sf"] == "0.1")
-        summary[name] = {
-            "docs_ratio": round(hi["n_docs"] / lo["n_docs"], 2),
-            "shuffle_write_bytes_ratio": round(
-                hi["shuffle_write_bytes"] / max(lo["shuffle_write_bytes"], 1), 2
-            ),
-            "shuffle_write_records_ratio": round(
-                hi["shuffle_write_records"] / max(lo["shuffle_write_records"], 1), 2
-            ),
-            "sf001_shuffle_write_mb": round(lo["shuffle_write_bytes"] / 1e6, 2),
-            "sf01_shuffle_write_mb": round(hi["shuffle_write_bytes"] / 1e6, 2),
-        }
-    out = {"runs": results, "growth_10x_input": summary}
+    # 10x-input growth factors per op and step (the SCALE.md §4 model check)
+    def growth(lo_sf: str, hi_sf: str) -> dict:
+        step = {}
+        for name in ("minhash_lsh", "substring_spans", "dedup_groups"):
+            lo = next(r for r in results if r["op"] == name and r["sf"] == lo_sf)
+            hi = next(r for r in results if r["op"] == name and r["sf"] == hi_sf)
+            step[name] = {
+                "docs_ratio": round(hi["n_docs"] / lo["n_docs"], 2),
+                "shuffle_write_bytes_ratio": round(
+                    hi["shuffle_write_bytes"] / max(lo["shuffle_write_bytes"], 1), 2
+                ),
+                "shuffle_write_records_ratio": round(
+                    hi["shuffle_write_records"]
+                    / max(lo["shuffle_write_records"], 1),
+                    2,
+                ),
+                "lo_shuffle_write_mb": round(lo["shuffle_write_bytes"] / 1e6, 2),
+                "hi_shuffle_write_mb": round(hi["shuffle_write_bytes"] / 1e6, 2),
+                "wall_ratio": round(hi["wall_sec"] / max(lo["wall_sec"], 0.01), 2),
+            }
+        return step
+    out = {
+        "runs": results,
+        "growth_10x_input": growth("0.01", "0.1"),
+        "growth_10x_input_sf1x": growth("0.1", "1x"),
+    }
     print(json.dumps(out, indent=2))
     with open("BENCH_DEDUP_SCALE.json", "w") as f:
         json.dump(out, f, indent=2)
