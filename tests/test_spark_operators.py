@@ -233,6 +233,44 @@ def test_rollup_tier_nested_plan_shuffle_free(spark):
     assert t == base
 
 
+def test_cosine_carried_norms_bit_identical(spark):
+    """The carried-norm cosine (norms projected below the join, round-3
+    perf fix) must be BIT-identical to the inline dot/(|a|·|b|) form —
+    the DuckDB oracles hash r-rounded values, so even 1-ulp drift is a
+    regression. Includes a zero vector (guard path → dropped row)."""
+    from tsmp_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(40)]
+    rows.append((40, [0.0] * 8))  # zero-norm: no direction, never ranked
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, emb, k=3).collect()
+    }
+    vecs = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+
+    def inline_cos(a, b):
+        # the pre-fix expression order: aggregate-sum dot, sqrt-of-
+        # aggregate norms, dot/(na*nb) — replayed in float64 like codegen
+        dot = 0.0
+        for x, y in zip(vecs[a], vecs[b]):
+            dot += x * y
+
+        def norm(v):  # sequential fold, exactly like F.aggregate
+            s = 0.0
+            for x in v:
+                s += x * x
+            return np.sqrt(s)
+
+        return dot / (norm(vecs[a]) * norm(vecs[b]))
+
+    assert got, "no pairs returned"
+    assert all(q != 40 and n != 40 for q, n in got)  # zero vector dropped
+    for (q, n), c in got.items():
+        assert c == inline_cos(q, n)  # exact, not approx
+
+
 def test_ivf_recall_vs_exact(spark):
     """IVF multi-probe candidates recover most exact top-1 neighbors."""
     from tsmp_spark.operators.similarity import cosine_topk, ivf_topk
