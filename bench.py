@@ -96,18 +96,21 @@ def main() -> None:
     # worker spin-up is a fixed cost, not operator throughput
     matrix_profile(seqs.limit(cpus), 64, num_partitions=cpus).count()
 
-    # nested output + sum(size(mp)): measures the kernel, not a 12M-row
-    # explode (the rollup pipeline below pays the explode where it's used)
-    n_windows = timed(
-        "mp_kernel_synth",
-        # uniform-length synthetic docs: exact-fit partitioning measured
-        # faster than 2x overdecomposition (fewer Arrow batches)
-        lambda: matrix_profile_nested(seqs, 64, num_partitions=cpus)
-        .agg(F.sum(F.size("mp")))
-        .collect()[0][0],
-    )
-    extras["mp_windows_per_sec"] = round(n_windows / timings["mp_kernel_synth"], 1)
-    extras["synth_tokens"] = int(total_tokens)
+    if want("mp_kernel_synth"):
+        # nested output + sum(size(mp)): measures the kernel, not a 12M-row
+        # explode (the rollup pipeline below pays the explode where it's used)
+        n_windows = timed(
+            "mp_kernel_synth",
+            # uniform-length synthetic docs: exact-fit partitioning measured
+            # faster than 2x overdecomposition (fewer Arrow batches)
+            lambda: matrix_profile_nested(seqs, 64, num_partitions=cpus)
+            .agg(F.sum(F.size("mp")))
+            .collect()[0][0],
+        )
+        extras["mp_windows_per_sec"] = round(
+            n_windows / timings["mp_kernel_synth"], 1
+        )
+        extras["synth_tokens"] = int(total_tokens)
 
     # 1b) training-sequence packing over the same input_hint table —
     # tokens-payload headline: one exchange moves every token once;
@@ -124,9 +127,70 @@ def main() -> None:
         assert packed_n == total_tokens  # stream-conservation invariant
         extras["packed_tokens_per_sec"] = round(packed_n / timings["pack_tokens"], 1)
 
-    # 2) flagship pipeline on the SF events table
-    def pipeline():
+    # 1c) flagship rollup chain at the input_hint SERIES SHAPE (8192-token
+    # sequences): profile → tier-1 → tier-2 rolled points. This is the
+    # north-star metric (rolled-up points/sec) measured where the
+    # pipeline is CPU-dominated like the real workload — the sf events
+    # table's 167-point series make the same chain scheduling-bound, a
+    # small-scale artifact, not an engine property.
+    if want("mp_rollup_synth"):
+
+        def rollup_synth():
+            prof = matrix_profile_nested(seqs, 64, num_partitions=cpus)
+            t1 = rollup_tier_nested(prof, 64).persist()
+            t2 = rollup_rollup(t1, 4)
+            n = t1.count() + t2.count()
+            t1.unpersist()
+            return n
+
+        # one EXTRA warm pass beyond timed()'s: the tier-1 bucket
+        # aggregation is higher-order-function eval, which Catalyst runs
+        # interpreted (never codegen) — HotSpot C2 needs 2-3 full passes
+        # to compile those paths (measured 12 s pass0 → 1.7 s steady on
+        # the standalone stage; 29.7/20.6/14.7 s on the fused chain)
+        rollup_synth()
+        rolled_synth = timed("mp_rollup_synth", rollup_synth)
+        extras["synth_rolled_points_per_sec"] = round(
+            rolled_synth / timings["mp_rollup_synth"], 1
+        )
+
+    # 2) flagship pipeline on the SF events table.
+    # BENCH_EVENTS_MULT=k (default 1) replicates the events k× with a
+    # disjoint user_id space per replica (broadcast range crossJoin — one
+    # scan, no k-way union): per-series structure is preserved exactly,
+    # rolled points scale exactly k×. Used by bench_scaling's pipeline
+    # legs, where the sf0.1 stage is otherwise too short (~2.5 s) to
+    # scale past its fixed scan/plan costs.
+    ev_mult = int(os.environ.get("BENCH_EVENTS_MULT", "1"))
+
+    def read_events():
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if ev_mult > 1:
+            rep = spark.range(ev_mult).withColumnRenamed("id", "__rep")
+            ev = (
+                # the local sf file is ONE parquet row group (unsplittable):
+                # without this explicit-count repartition (AQE-coalescing-
+                # exempt) the scan, the ×k expansion, and the groupBy's
+                # map-side partial aggregation all run on a single core at
+                # every cluster size — a file artifact, not engine scaling.
+                # A warehouse-scale scan has natural splits; repartition
+                # BEFORE the crossJoin so the exchange carries the 1× rows
+                # and the expansion runs parallel.
+                ev.repartition(cpus)
+                .crossJoin(F.broadcast(rep))
+                .withColumn(
+                    "user_id", F.col("user_id") + F.col("__rep") * F.lit(10_000_000)
+                )
+                .withColumn(
+                    "event_id",
+                    F.col("event_id") + F.col("__rep") * F.lit(1_000_000_000_000),
+                )
+                .drop("__rep")
+            )
+        return ev
+
+    def pipeline():
+        ev = read_events()
         sequences = events_to_nested(ev)
         # events-derived series are short: long_series_threshold=None avoids
         # the union plan's second scan of the input. Tier-1 straight from
@@ -145,6 +209,8 @@ def main() -> None:
         extras["rolled_points_per_sec"] = round(
             rolled / timings["mp_pipeline_events"], 1
         )
+        if ev_mult > 1:
+            extras["events_mult"] = ev_mult
 
     # 3) segmentation (relational CAC over the kernel profile)
     def seg():
