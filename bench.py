@@ -158,9 +158,11 @@ def main() -> None:
     # BENCH_EVENTS_MULT=k (default 1) replicates the events k× with a
     # disjoint user_id space per replica (broadcast range crossJoin — one
     # scan, no k-way union): per-series structure is preserved exactly,
-    # rolled points scale exactly k×. Used by bench_scaling's pipeline
-    # legs, where the sf0.1 stage is otherwise too short (~2.5 s) to
-    # scale past its fixed scan/plan costs.
+    # rolled points scale exactly k×. Experiment knob (set it in the
+    # environment, or pass extra_env to bench_scaling.run_at): the
+    # 10×/50× events-shape saturation runs recorded in SCALE.md used it;
+    # the checked-in bench_scaling protocol itself runs 1× events and
+    # rides the synthetic 8192-token legs instead.
     ev_mult = int(os.environ.get("BENCH_EVENTS_MULT", "1"))
 
     def read_events():

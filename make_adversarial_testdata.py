@@ -100,11 +100,25 @@ def main() -> int:
     # sd < 1e-7·(|mu|+1) → undefined) and the oracles filter with the
     # same rule, so the band is deterministic and these series are part
     # of the DEFAULT set (SCALE.md §8).
+    # uid 8/9 form an mpdist pair (pairsel: even uid < 10 with uid+1)
+    # where the k-th smallest lands on the no-pair SENTINEL: uid 9 is
+    # 800 points of constant with one 14-point random-walk blip, so the
+    # pair has ~34 defined profile positions but k = ceil(0.05·820) =
+    # 41 — the kernel's sentinel-padded ranking must be mirrored by the
+    # oracle. (The blip is a WALK, not an isolated spike: single-spike
+    # windows z-normalize to the same shape regardless of spike value,
+    # creating EXACT argmin ties that fp noise breaks differently per
+    # engine — measured: pi(28) flipped 23↔33 with a 4-point spike.)
+    # uid 10 ("const_suffix") has its TRAILING windows degenerate, so
+    # any oracle that infers profile length as max(defined pos)+1
+    # instead of n-w+1 diverges from the kernel.
     series = [(1, "normal"), (2, "const"), (3, "tiny"), (4, "normal"),
-              (5, "offset1e2"), (6, "const_prefix"), (7, "nearconst")]
+              (5, "offset1e2"), (6, "const_prefix"), (7, "nearconst"),
+              (8, "normal20"), (9, "mostly_const"), (10, "const_suffix")]
     for uid, kind in series:
         n = {"normal": 60, "const": 40, "tiny": 5, "offset1e2": 60,
-             "const_prefix": 80, "nearconst": 40}[kind]
+             "const_prefix": 80, "nearconst": 40, "normal20": 20,
+             "mostly_const": 800, "const_suffix": 80}[kind]
         vals = rng.standard_normal(n).cumsum()
         if kind == "const":
             vals = np.full(n, 42.5)
@@ -114,6 +128,12 @@ def main() -> int:
             vals[: n // 2] = 42.5  # constant bootstrap half, varying tail
         if kind == "nearconst":
             vals = 42.5 + 1e-9 * rng.standard_normal(n)
+        if kind == "mostly_const":
+            blip = vals[30:44] - vals[30]
+            vals = np.full(n, 42.5)
+            vals[30:44] += blip  # 14-point walk blip in a constant sea
+        if kind == "const_suffix":
+            vals[n // 2 :] = 42.5  # varying half, constant TAIL
         for k, v in enumerate(vals):
             rows["event_id"].append(eid)
             rows["ts"].append(t0 + datetime.timedelta(minutes=k))

@@ -8,6 +8,15 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 from pyspark.sql.window import Window, WindowSpec
 
+from ..mpcore.stats import EPS_NORM
+
+
+def lowvar_threshold_expr(mu: Column) -> Column:
+    """Column twin of :func:`mpcore.stats.lowvar_threshold` — the ONE
+    engine-wide low-variance rule (sd below this → degenerate). Keep in
+    lockstep with the kernels via the shared ``EPS_NORM`` constant."""
+    return F.lit(EPS_NORM) * (F.abs(mu) + F.lit(1.0))
+
 
 def rolling_window(key: str, order: str, w: int) -> WindowSpec:
     """Forward-looking frame [pos, pos+w-1] — the subsequence window."""
@@ -34,8 +43,9 @@ def znorm_expr(value: Column, key_window: WindowSpec) -> Column:
     reference's absolute 0.01 cutoff."""
     mu = F.avg(value).over(key_window)
     sd = F.stddev_pop(value).over(key_window)
-    thr = F.lit(1e-7) * (F.abs(mu) + F.lit(1.0))
-    return F.when(sd < thr, value - mu).otherwise((value - mu) / sd)
+    return F.when(sd < lowvar_threshold_expr(mu), value - mu).otherwise(
+        (value - mu) / sd
+    )
 
 
 def ed_corr_expr(d: Column, w: int) -> Column:

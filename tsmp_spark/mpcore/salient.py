@@ -21,7 +21,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .stats import EPS, exclusion_zone_size
+from .stats import EPS, exclusion_zone_size, lowvar_threshold
 from .stomp import MatrixProfile
 
 
@@ -43,7 +43,12 @@ def discrete_norm_pre(
         win = data[i : i + window_size]
         mu = win.mean()
         sd = float(np.std(win))  # population SD (tsmp std, math.cpp:4-20)
-        win = (win - mu) / sd if sd != 0 else (win - mu)
+        # engine-wide lowvar rule (stats.lowvar_threshold): below the
+        # scale-aware threshold the quotient is cancellation noise —
+        # use the centered residual, as znorm does (misc.R:288-314's
+        # absolute 0.01 guard strengthened; real .rda data never enters
+        # the band, goldens unchanged)
+        win = (win - mu) / sd if sd >= lowvar_threshold(mu) else (win - mu)
         mx = max(mx, float(win.max()))
         mn = min(mn, float(win.min()))
     return mx, mn
@@ -56,7 +61,8 @@ def discrete_norm(
     x = np.asarray(data, dtype=np.float64)
     mu = x.mean()
     sd = float(np.std(x))
-    x = (x - mu) / sd if sd != 0 else (x - mu)
+    # engine-wide lowvar rule — see discrete_norm_pre
+    x = (x - mu) / sd if sd >= lowvar_threshold(mu) else (x - mu)
     x = (x - mn) / (mx - mn)
     return (np.rint(x * (2.0**n_bits - 1.0) + EPS) + 1.0).astype(np.int64)
 

@@ -33,22 +33,18 @@ def _norm(a: Column) -> Column:
     )
 
 
-def _cosine(a: Column, b: Column) -> Column:
-    """Cosine with a zero-norm guard: a zero (or underflow-to-zero)
-    vector has no direction, so its cosine is NULL — downstream filters
-    and ranks drop it instead of hitting an ANSI division-by-zero crash
-    (the DuckDB oracles guard identically with NULLIF)."""
-    denom = _norm(a) * _norm(b)
-    return F.when(denom > 0, _dot(a, b) / denom)
-
-
 def _cosine_carried(vq: Column, ve: Column, nq: Column, ne: Column) -> Column:
-    """:func:`_cosine` with the norms precomputed per ROW (projected
-    below the join) instead of re-derived per candidate PAIR. The value
-    is bit-identical — same ``dot/(|a|·|b|)`` expression order — but the
-    per-pair cost is one zip_with dot + a scalar divide; the inline form
-    re-evaluated both norms per pair, twice each through the WHEN guard
-    (measured 2× slower on the exact-topk bench query)."""
+    """Cosine with the norms precomputed per ROW (projected below the
+    join) instead of re-derived per candidate PAIR — every scorer in
+    this module routes through this single form. The zero-norm guard
+    returns NULL for directionless (zero / underflow-to-zero) vectors so
+    downstream filters and ranks drop them instead of hitting an ANSI
+    division-by-zero crash (the DuckDB oracles guard identically with
+    NULLIF). Expression order is ``dot/(|a|·|b|)`` — bit-identity with
+    an inline-norm spelling is pinned by
+    tests/test_spark_operators.py::test_cosine_carried_norms_bit_identical;
+    the inline form re-evaluated both norms per pair, twice each through
+    the WHEN guard (measured 2× slower on the exact-topk bench query)."""
     denom = nq * ne
     return F.when(denom > 0, _dot(vq, ve) / denom)
 

@@ -463,9 +463,11 @@ def q_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole = Window.partitionBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    from .functions import lowvar_threshold_expr
+
     mu = F.avg("value").over(whole)
     sd = F.stddev_pop("value").over(whole)
-    thr = F.lit(1e-7) * (F.abs(mu) + F.lit(1.0))
+    thr = lowvar_threshold_expr(mu)
     z = F.when(sd < thr, F.col("value") - mu).otherwise((F.col("value") - mu) / sd)
     # + 0.0 normalizes IEEE -0.0 (a mean-centered near-constant series
     # rounds to signed zeros; engines disagree on the sign bit's survival)
@@ -841,14 +843,26 @@ ranked AS (
 ),
 ksel AS (
   SELECT r.ida, r.idb, r.v, r.rn, r.cnt,
-         CAST(ceil(0.05 * (sa.n + sb.n)) AS BIGINT) AS k
+         CAST(ceil(0.05 * (sa.n + sb.n)) AS BIGINT) AS k,
+         (sa.n - {W - 1}) + (sb.n - {W - 1}) AS total
   FROM ranked r
   JOIN sizes sa ON sa.doc_id = CAST(r.ida AS VARCHAR)
   JOIN sizes sb ON sb.doc_id = CAST(r.idb AS VARCHAR)
+),
+-- the kernel ranks over the SENTINEL-PADDED concatenated profiles
+-- (mpx_ab fills no-pair positions with 2*sqrt(w)): when k exceeds the
+-- defined-pair count but sentinels exist, the k-th smallest IS the
+-- sentinel; only when every position is defined (total = cnt) does the
+-- k-overflow fall back to the largest defined distance (cal_mp_dist max)
+final AS (
+  SELECT ida, idb, k, cnt, total,
+         max(CASE WHEN rn = least(k, cnt) THEN v END) AS vk
+  FROM ksel GROUP BY 1, 2, 3, 4, 5
 )
 SELECT CAST(ida AS VARCHAR) AS doc_id_a, CAST(idb AS VARCHAR) AS doc_id_b,
-       round(v, 4) AS mpdist
-FROM ksel WHERE rn = least(k, cnt)
+       round(CASE WHEN k <= cnt OR total = cnt THEN vk
+                  ELSE 2.0 * sqrt({W}.0) END, 4) AS mpdist
+FROM final
 """
 
 
@@ -1213,7 +1227,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("bigint").alias("query_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
         F.col("rank").cast("bigint").alias("rank"),
-        _r4("cosine").alias("cosine"),
+        (_r4("cosine") + F.lit(0.0)).alias("cosine"),  # −0.0 → 0.0
     )
 
 
@@ -1245,7 +1259,7 @@ ranked AS (
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored WHERE cosine IS NOT NULL
 )
-SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+SELECT query_id, neighbor_id, rank, round(cosine, 4) + 0.0 AS cosine
 FROM ranked WHERE rank <= 5
 """
 
@@ -1260,7 +1274,7 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("bigint").alias("query_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
         F.col("rank").cast("bigint").alias("rank"),
-        _r4("cosine").alias("cosine"),
+        (_r4("cosine") + F.lit(0.0)).alias("cosine"),  # −0.0 → 0.0
     )
 
 
@@ -1311,7 +1325,7 @@ ranked AS (
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored WHERE cosine IS NOT NULL
 )
-SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+SELECT query_id, neighbor_id, rank, round(cosine, 4) + 0.0 AS cosine
 FROM ranked WHERE rank <= 3
 """
 
@@ -2377,6 +2391,19 @@ _SDTS_SEGS = ((10, 21), (34, 45))
 _SDTS_MIN_N = 52
 
 
+def _sdts_concat_bounds() -> list[tuple[int, int]]:
+    """Concat-coordinate (start, end) of each positive segment in the
+    Inf-separated concatenation [Inf, seg0, Inf, seg1, ...] — derived
+    from ``_SDTS_SEGS`` so the kernel slices and the oracle's cpos
+    mapping can never drift from the segment table."""
+    bounds, st = [], 1
+    for s_, e_ in _SDTS_SEGS:
+        ln = e_ - s_ + 1
+        bounds.append((st, st + ln - 1))
+        st += ln + 1  # +1 for the next Inf separator
+    return bounds
+
+
 def q_sdts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SDTS train, DETERMINISTIC PREFIX (sdts-train.R:48-233 stages
     1-2b + one pinned ``compute_f_meas`` evaluation, misc.R:719-814):
@@ -2433,8 +2460,9 @@ def q_sdts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     parts.append(a[s_ : e_ + 1])
                 pos = np.concatenate(parts)
                 mats = stomp(pos, w).mp
-                seg_st = np.array([1, 14], dtype=np.int64)
-                seg_ed = np.array([12, 25], dtype=np.int64)
+                cb = _sdts_concat_bounds()
+                seg_st = np.array([b[0] for b in cb], dtype=np.int64)
+                seg_ed = np.array([b[1] for b in cb], dtype=np.int64)
                 mu_all, sd_all = fast_avg_sd(a, w)
                 thr_all = lowvar_threshold(mu_all)
                 plen = n - w + 1
@@ -2509,6 +2537,7 @@ def _sql_sdts() -> str:
     analyze-style greedy recursive CTE."""
     w = _SDTS_W
     (s0, e0), (s1, e1) = _SDTS_SEGS
+    (st0, _), (st1, _) = _sdts_concat_bounds()  # concat coords, shared
     b0_lo, b0_hi = s0, e0 - w + 1  # segment-window bases, data coords
     b1_lo, b1_hi = s1, e1 - w + 1
     bases = ",".join(
@@ -2558,12 +2587,12 @@ dboth AS MATERIALIZED (
 segw AS (
   SELECT l.doc_id, g.b AS base,
          CASE WHEN g.b <= {b0_hi} THEN 0 ELSE 1 END AS seg,
-         CASE WHEN g.b <= {b0_hi} THEN g.b - {s0 - 1}
-              ELSE g.b - {s1 - 14} END AS cpos
+         CASE WHEN g.b <= {b0_hi} THEN g.b - {s0 - st0}
+              ELSE g.b - {s1 - st1} END AS cpos
   FROM len6 l, unnest([{bases}]) AS g(b)
 ),
 cmp AS MATERIALIZED (
-  SELECT wa.doc_id, wa.base, wa.seg, round(min(dd.dist), 4) AS mpv
+  SELECT wa.doc_id, wa.base, wa.seg, round_even(min(dd.dist), 4) AS mpv
   FROM segw wa
   JOIN segw wb ON wb.doc_id = wa.doc_id AND abs(wb.cpos - wa.cpos) > {ez_c}
   JOIN dboth dd ON dd.doc_id = wa.doc_id AND dd.i = wa.base AND dd.j = wb.base
@@ -2579,7 +2608,7 @@ cand AS MATERIALIZED (
 ),
 dps AS MATERIALIZED (
   SELECT c.doc_id, c.seg, dd.j AS p,
-         CAST(round(dd.dist * 1000000.0, 0) AS BIGINT) AS dpu
+         CAST(round_even(dd.dist * 1000000.0, 0) AS BIGINT) AS dpu
   FROM cand c
   JOIN dboth dd ON dd.doc_id = c.doc_id AND dd.i = c.cand_pos
   WHERE abs(dd.j - c.cand_pos) > {w}
@@ -2695,7 +2724,7 @@ def q_salient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .mpcore import stomp
     from .mpcore.salient import discrete_norm_pre
-    from .mpcore.stats import EPS as _EPS
+    from .mpcore.stats import EPS as _EPS, lowvar_threshold
 
     seqs = _sequences(spark, sf_dir)
     schema = (
@@ -2739,7 +2768,9 @@ def q_salient(spark: SparkSession, sf_dir: str) -> DataFrame:
                     win = a[b : b + W]
                     mu = win.mean()
                     sd = float(np.std(win))
-                    z = (win - mu) / sd if sd != 0 else win - mu
+                    # engine-wide lowvar rule: dividing by a cancellation-
+                    # noise sd would make the z extremes engine-dependent
+                    z = (win - mu) / sd if sd >= lowvar_threshold(mu) else win - mu
                     scaled = np.round((z - mn) / (mx - mn), 6)
                     return np.rint(scaled * (2.0**n_bits - 1.0) + _EPS) + 1.0
 
@@ -2778,26 +2809,27 @@ def _sql_salient() -> str:
     mb = n_bits + float(np.log2(W))
     eps = float(np.sqrt(np.finfo(np.float64).eps))
     zexpr = (
-        "CASE WHEN st.sd <> 0 THEN (s.value - st.mu) / st.sd "
-        "ELSE s.value - st.mu END"
+        "CASE WHEN st.sd >= 1e-7 * (abs(st.mu) + 1.0) "
+        "THEN (s.value - st.mu) / st.sd "
+        "ELSE s.value - st.mu END"  # engine-wide lowvar rule (CLAUDE.md)
     )
     head = sql_mp_cte()
     for name in ("s", "len", "stats", "mp"):
         head = head.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
     return f"""
 WITH RECURSIVE {head},
-mp4 AS MATERIALIZED (SELECT doc_id, pos, round(mp, 4) AS mp4, pi FROM mp),
+mp4 AS MATERIALIZED (SELECT doc_id, pos, round_even(mp, 4) AS mp4, pi FROM mp),
 ext AS MATERIALIZED (
   SELECT st.doc_id,
-         round(max({zexpr}), 9) AS mx,
-         round(min({zexpr}), 9) AS mn
+         round_even(max({zexpr}), 9) AS mx,
+         round_even(min({zexpr}), 9) AS mn
   FROM stats st
   JOIN s ON s.doc_id = st.doc_id AND s.pos BETWEEN st.pos AND st.pos + {W - 1}
   GROUP BY st.doc_id
 ),
 lvl AS MATERIALIZED (
   SELECT st.doc_id, st.pos AS base, s.pos - st.pos AS k,
-         round_even(round((({zexpr}) - e.mn) / (e.mx - e.mn), 6)
+         round_even(round_even((({zexpr}) - e.mn) / (e.mx - e.mn), 6)
                     * {2.0 ** n_bits - 1.0} + {eps!r}, 0) + 1.0 AS lvl
   FROM stats st
   JOIN s ON s.doc_id = st.doc_id AND s.pos BETWEEN st.pos AND st.pos + {W - 1}
@@ -2847,7 +2879,7 @@ pick AS (
 )
 SELECT sv.doc_id, CAST(sv.rnk - 1 AS BIGINT) AS rank,
        CAST(sv.cpos AS BIGINT) AS cand_pos,
-       sv.mp4 AS mp_r, round(sv.save, 4) AS save_r,
+       sv.mp4 AS mp_r, round_even(sv.save, 4) AS save_r,
        CAST(CASE WHEN p.pr = 1 THEN 1 ELSE 0 END AS BIGINT) AS picked
 FROM sv JOIN pick p ON p.doc_id = sv.doc_id AND p.rnk = sv.rnk
 """
@@ -3146,7 +3178,10 @@ def _sql_fluss_segments() -> str:
     ez = int(round(W * 0.5 + 1e-8))  # cac edge zone AND extraction zone
     return f"""
 WITH {sql_mp_cte()},
-nper AS (SELECT doc_id, max(pos) + 1 AS n FROM mp GROUP BY doc_id),
+-- profile length from the SERIES length (n - w + 1), NOT max(defined
+-- pos)+1: trailing degenerate (no-pair) windows are absent from mp but
+-- the kernel's beta ideal curve and edge zones use the full length
+nper AS (SELECT doc_id, n - {W - 1} AS n FROM len),
 marks AS (
   SELECT mp.doc_id, least(pos, pi) AS lo, greatest(pos, pi) AS hi
   FROM mp JOIN nper ON mp.doc_id = nper.doc_id
@@ -3496,7 +3531,7 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("bigint").alias("query_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
         F.col("rank").cast("bigint").alias("rank"),
-        _r4("cosine").alias("cosine"),
+        (_r4("cosine") + F.lit(0.0)).alias("cosine"),  # −0.0 → 0.0
     )
 
 
@@ -3547,7 +3582,7 @@ ranked AS (
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored WHERE cosine IS NOT NULL
 )
-SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+SELECT query_id, neighbor_id, rank, round(cosine, 4) + 0.0 AS cosine
 FROM ranked WHERE rank <= 5
 """
 
@@ -3567,7 +3602,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
-        _r4("cosine").alias("cosine"),
+        (_r4("cosine") + F.lit(0.0)).alias("cosine"),  # −0.0 → 0.0
     )
 
 
@@ -3587,7 +3622,7 @@ dots AS (
   FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
   GROUP BY 1, 2
 )
-SELECT d.id_a, d.id_b, round(d.dot / NULLIF(na.nrm * nb.nrm, 0), 4) AS cosine
+SELECT d.id_a, d.id_b, round(d.dot / NULLIF(na.nrm * nb.nrm, 0), 4) + 0.0 AS cosine
 FROM dots d
 JOIN norms na ON na.vec_id = d.id_a
 JOIN norms nb ON nb.vec_id = d.id_b
@@ -4059,7 +4094,7 @@ def q_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("bigint").alias("query_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
         F.col("rank").cast("bigint").alias("rank"),
-        _r4("cosine").alias("cosine"),
+        (_r4("cosine") + F.lit(0.0)).alias("cosine"),  # −0.0 → 0.0
     )
 
 
@@ -4155,7 +4190,7 @@ ranked AS (
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored WHERE cosine IS NOT NULL
 )
-SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+SELECT query_id, neighbor_id, rank, round(cosine, 4) + 0.0 AS cosine
 FROM ranked WHERE rank <= 5
 """
 
