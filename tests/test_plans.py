@@ -262,3 +262,21 @@ def test_dsir_and_lm_models_broadcast(spark, docs):
     plan2 = _plan(lm_perplexity(tokenize_documents(docs)))
     assert "BroadcastHashJoin" in plan2
     assert "BatchEvalPython" not in plan2 and "MapInPandas" not in plan2
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """SemDeDup's dedup join is an EQUI-join on cluster id (the only
+    corpus-side shuffle); the trained codebook is a broadcast; no
+    row-at-a-time Python anywhere. (The small BroadcastNestedLoopJoin in
+    the plan is the k-row codebook cross join — codebook-bounded by
+    construction, same shape as the IVF assignment.)"""
+    from tsmp_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(semantic_dedup(emb, n_clusters=4, kmeans_iters=1))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the x↔y pairing must be keyed on cluster, never an all-pairs loop:
+    # an equi-join operator with cluster in its keys appears in the plan
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )

@@ -320,3 +320,29 @@ def test_kmeans_codebook_and_recall(spark):
     }
     hit = sum(1 for pair in exact if pair in approx)
     assert hit / max(len(exact), 1) >= 0.6
+
+
+def test_semantic_dedup_invariants(spark):
+    """SemDeDup contract: exact duplicate vectors land in one cluster and
+    the higher id is marked dup_of the lower; zero-norm vectors are never
+    duplicates (NULL cosine guard); exemplars (lowest id per ε-ball) are
+    kept; every input row appears exactly once; empty input → empty out."""
+    import numpy as np
+
+    from tsmp_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(30)]
+    rows.append((100, list(rows[3][1])))  # exact copy of vec 3
+    rows.append((101, [0.0] * 8))  # zero-norm: no direction
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = semantic_dedup(emb, threshold=0.95, n_clusters=4, kmeans_iters=1)
+    got = {r.vec_id: r for r in out.collect()}
+    assert len(got) == len(rows)  # one verdict per input vector
+    assert got[100].is_dup and got[100].dup_of == 3  # copy collapses down
+    assert not got[3].is_dup  # the exemplar (lowest id) is kept
+    assert not got[101].is_dup and got[101].dup_of is None  # zero-norm
+
+    empty = emb.limit(0)
+    assert semantic_dedup(empty, n_clusters=4, kmeans_iters=1).count() == 0

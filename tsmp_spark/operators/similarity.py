@@ -467,3 +467,80 @@ def cosine_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    n_clusters: int = 8,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540) — semantic near-duplicate
+    pruning for training corpora: cluster the embedding space with the
+    TRAINED spherical k-means coarse quantizer (:func:`kmeans_centroids`),
+    then compare vectors only WITHIN a cluster and mark every vector that
+    has a lower-id cluster-mate above the cosine threshold as a duplicate.
+
+    Output: one row per input vector —
+    ``(vec_id, cluster, is_dup, dup_of)`` where ``dup_of`` is the smallest
+    qualifying lower-id cluster-mate (NULL when the vector is kept).
+
+    Deterministic, engine-portable convention: ``x`` is a duplicate iff
+    some same-cluster ``y`` with ``y.id < x.id`` has
+    ``round(cos(x, y), 6) >= threshold``. One pass, no chaining — a
+    removed duplicate still suppresses its own higher-id neighbors (the
+    paper keeps one exemplar per ε-ball; the lowest id is our exemplar).
+    Zero-norm vectors have NULL cosines and are never duplicates of
+    anything (nor exemplars for anyone) — same `_cosine_carried` guard
+    as every scorer here. The cosine is rounded to 6 decimals BEFORE the
+    threshold comparison on both engines so unordered float summation
+    cannot flip a keep/drop decision (CLAUDE.md rounding convention).
+
+    Scale: the codebook is trained and broadcast (the corpus never
+    shuffles for assignment — map-only cross join); the dedup itself is
+    ONE exchange on cluster id; the within-cluster pairing is SemDeDup's
+    intrinsic O(Σ cᵢ²) cost, bounded by cluster balance — pick
+    ``n_clusters ~ sqrt(n)`` so cells stay ~sqrt(n)-sized, exactly how
+    the paper runs at LAION scale. Norms are carried below the
+    self-join (one per row, never per pair)."""
+    codebook = kmeans_centroids(
+        embeddings, n_clusters, kmeans_iters, id_col, vec_col
+    )
+    assigned = pin(
+        ivf_assignments_codebook(embeddings, codebook, 1, id_col, vec_col)
+    )
+    x = assigned.select(
+        F.col("vec_id").alias("xid"),
+        "cluster",
+        F.col("v").alias("xv"),
+        _norm(F.col("v")).alias("xn"),
+    )
+    y = assigned.select(
+        F.col("vec_id").alias("yid"),
+        "cluster",
+        F.col("v").alias("yv"),
+        _norm(F.col("v")).alias("yn"),
+    )
+    cos6 = F.round(
+        _cosine_carried(F.col("xv"), F.col("yv"), F.col("xn"), F.col("yn")), 6
+    )
+    hits = (
+        x.join(y, "cluster")
+        .filter(F.col("yid") < F.col("xid"))
+        .withColumn("cos6", cos6)
+        .filter(F.col("cos6") >= F.lit(threshold))
+        .groupBy("xid")
+        .agg(F.min("yid").alias("dup_of"))
+    )
+    return (
+        x.select("xid", "cluster")
+        .join(hits, "xid", "left")
+        .select(
+            F.col("xid").alias(id_col),
+            "cluster",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )

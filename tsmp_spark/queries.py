@@ -4098,8 +4098,13 @@ def q_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_IVF_KMEANS_ANN = """
-WITH e AS (
+def _sql_kmeans_codebook() -> str:
+    """Shared Lloyd-replay CTE chain (2 spherical iterations, 8 clusters,
+    sin-grid init, means r9 / normalized centroids r6 — bit-identical to
+    :func:`operators.similarity.kmeans_centroids` by the in-engine
+    rounding convention): yields ``ex`` (per-dim rows), ``c2`` (trained
+    codebook) for the ivf_kmeans_ann and semantic_dedup oracles."""
+    return """e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
@@ -4153,7 +4158,11 @@ n2 AS (SELECT cluster, sqrt(sum(m * m)) AS nrm FROM m2 GROUP BY 1),
 c2 AS (
   SELECT m2.cluster, m2.dim, round(m2.m / n2.nrm, 6) AS c
   FROM m2 JOIN n2 USING (cluster) WHERE n2.nrm > 0
-),
+)"""
+
+
+SQL_IVF_KMEANS_ANN = f"""
+WITH {_sql_kmeans_codebook()},
 -- final nprobe=2 assignment with the trained codebook
 s2 AS (
   SELECT ex.vec_id, c2.cluster AS p, sum(ex.x * c2.c) AS score
@@ -4196,6 +4205,74 @@ FROM ranked WHERE rank <= 5
 
 QUERIES["ivf_kmeans_ann"] = q_ivf_kmeans_ann
 ORACLES["ivf_kmeans_ann"] = SQL_IVF_KMEANS_ANN
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): trained k-means
+    clusters + within-cluster cosine pruning, keep-lowest-id exemplar.
+    The oracle replays the Lloyd iterations, the nprobe=1 assignment,
+    and the r6 threshold decision in SQL."""
+    from .operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # 0.35 sits inside the stock embeddings' within-cluster cosine
+    # support (max ~0.49, p99 ~0.33) so BOTH keep and drop paths are
+    # exercised at every SF; the operator default (0.8) is the
+    # paper-calibrated setting for real embedding spaces
+    out = semantic_dedup(emb, threshold=0.35, n_clusters=8, kmeans_iters=2)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.col("is_dup").cast("bigint").alias("is_dup"),
+        F.col("dup_of").cast("bigint").alias("dup_of"),
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH {_sql_kmeans_codebook()},
+-- nprobe=1 assignment with the trained codebook
+s2 AS (
+  SELECT ex.vec_id, c2.cluster AS p, sum(ex.x * c2.c) AS score
+  FROM ex JOIN c2 ON c2.dim = ex.i
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, p AS cluster FROM (
+    SELECT vec_id, p, row_number() OVER (PARTITION BY vec_id
+           ORDER BY score DESC, p ASC) AS rn
+    FROM s2) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS xid, b.vec_id AS yid
+  FROM assign a JOIN assign b
+    ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT p.xid, p.yid, sum(xq.x * yq.x) AS dot
+  FROM pairs p
+  JOIN ex xq ON xq.vec_id = p.xid
+  JOIN ex yq ON yq.vec_id = p.yid AND yq.i = xq.i
+  GROUP BY 1, 2
+),
+-- round BEFORE the threshold compare (both engines) so unordered float
+-- summation cannot flip a keep/drop decision
+cos6 AS (
+  SELECT d.xid, d.yid,
+         round(d.dot / NULLIF(nx.nrm * ny.nrm, 0), 6) AS c6
+  FROM dots d
+  JOIN norms nx ON nx.vec_id = d.xid
+  JOIN norms ny ON ny.vec_id = d.yid
+),
+hits AS (SELECT xid, min(yid) AS dup_of FROM cos6 WHERE c6 >= 0.35 GROUP BY xid)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN h.dup_of IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+       CAST(h.dup_of AS BIGINT) AS dup_of
+FROM assign a LEFT JOIN hits h ON h.xid = a.vec_id
+"""
+
+QUERIES["semantic_dedup"] = q_semantic_dedup
+ORACLES["semantic_dedup"] = SQL_SEMANTIC_DEDUP
 
 
 def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
