@@ -38,9 +38,12 @@ def main() -> None:
         matrix_profile,
         minhash_lsh_pairs,
         rollup_rollup,
-        rollup_tier_nested,
+        rollup_tier,
     )
-    from tsmp_spark.operators.matrix_profile import matrix_profile_nested
+    from tsmp_spark.operators.matrix_profile import (
+        _explode_nested,
+        matrix_profile_nested,
+    )
     from tsmp_spark.operators.series import events_to_nested
     from tsmp_spark.queries import W, q_embedding_topk, q_events_rollup_gapfill
     from tsmp_spark.session import get_spark
@@ -136,19 +139,21 @@ def main() -> None:
     if want("mp_rollup_synth"):
 
         def rollup_synth():
+            # tier-1 via explode→groupBy, the codegen path: MEASURED ~2×
+            # faster steady than rollup_tier_nested's in-array HOF form
+            # (1.40 s vs 2.67 s from a cached profile at this shape) and
+            # ~10× cheaper cold (3.7-6.5 s vs 56-65 s first pass) —
+            # higher-order-function exprs are interpreted and need 2-3
+            # HotSpot C2 passes, while explode+partial-agg runs inside
+            # WholeStageCodegen from pass 1 and never materializes the
+            # full-resolution rows (map-side combine). SCALE.md §9.
             prof = matrix_profile_nested(seqs, 64, num_partitions=cpus)
-            t1 = rollup_tier_nested(prof, 64).persist()
+            t1 = rollup_tier(_explode_nested(prof), 64).persist()
             t2 = rollup_rollup(t1, 4)
             n = t1.count() + t2.count()
             t1.unpersist()
             return n
 
-        # one EXTRA warm pass beyond timed()'s: the tier-1 bucket
-        # aggregation is higher-order-function eval, which Catalyst runs
-        # interpreted (never codegen) — HotSpot C2 needs 2-3 full passes
-        # to compile those paths (measured 12 s pass0 → 1.7 s steady on
-        # the standalone stage; 29.7/20.6/14.7 s on the fused chain)
-        rollup_synth()
         rolled_synth = timed("mp_rollup_synth", rollup_synth)
         extras["synth_rolled_points_per_sec"] = round(
             rolled_synth / timings["mp_rollup_synth"], 1
@@ -195,12 +200,12 @@ def main() -> None:
         ev = read_events()
         sequences = events_to_nested(ev)
         # events-derived series are short: long_series_threshold=None avoids
-        # the union plan's second scan of the input. Tier-1 straight from
-        # the NESTED profile: bucket aggregation happens inside the arrays
-        # (JVM expressions, zero shuffle) — the full-resolution explode
-        # never materializes on this path.
+        # the union plan's second scan of the input. Tier-1 via the
+        # codegen explode→groupBy path (see rollup_synth's note —
+        # measured faster than the in-array HOF form at every shape
+        # tried, and pays no interpreter warm-up).
         prof = matrix_profile_nested(sequences, W, long_series_threshold=None)
-        t1 = rollup_tier_nested(prof, 8).persist()  # tier-1 feeds tier-2
+        t1 = rollup_tier(_explode_nested(prof), 8).persist()  # tier-1 feeds tier-2
         t2 = rollup_rollup(t1, 4)
         n = t1.count() + t2.count()
         t1.unpersist()

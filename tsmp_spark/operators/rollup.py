@@ -211,19 +211,28 @@ def rollup_tier_nested(
     key_col: str = "doc_id",
 ) -> DataFrame:
     """Tier-1 rollup computed INSIDE the nested profile arrays — the
-    shuffle-free form of :func:`rollup_tier`.
+    zero-Exchange form of :func:`rollup_tier`.
 
     ``matrix_profile_nested`` emits one row per series with array columns;
     bucketing positions is then a per-row JVM expression (slice +
     array_min over (value, pos, index) structs, struct ordering = the same
     deterministic argmin tie-break as ``rollup_tier``), followed by ONE
-    explode of bucket structs. Compared to explode→groupBy this moves
-    ``bucket×`` fewer rows into the plan and needs NO exchange at all —
-    at 10^12-token scale the full-resolution explode is the largest
-    intermediate, and this skips it entirely when only tiers are needed.
+    explode of bucket structs — no exchange at all.
 
-    Output schema/values are identical to
-    ``rollup_tier(_explode_nested(x), bucket)`` (equality-tested).
+    **Prefer ``rollup_tier(_explode_nested(x), bucket)`` for throughput**:
+    measured at the 8192-token input_hint shape (round 3), the
+    explode→groupBy path is ~2× faster steady (1.40 s vs 2.67 s from a
+    cached 1536-doc profile at local[32]) and ~10× cheaper on first
+    execution (3.7–6.5 s vs 56–65 s) — these slice/transform/aggregate
+    higher-order functions are INTERPRETED (never whole-stage-codegen)
+    and additionally need 2-3 HotSpot C2 passes, while explode feeds a
+    map-side partial aggregation inside WholeStageCodegen, so the
+    "full-resolution intermediate" it supposedly materializes never
+    exists as more than a row iterator and its shuffle is bucket-sized
+    either way. This form remains for the genuinely-exchange-free
+    property (a plan that must not add ANY exchange, e.g. composing
+    under an existing partitioning contract) and is equality-tested
+    against the explode path.
     """
     b = int(bucket)
     mp = F.col(value_col)
