@@ -577,3 +577,109 @@ def test_chunk_documents_coverage_and_overlap(spark, tok):
         # full coverage: last chunk reaches the end of the doc
         last = rows[-1]
         assert last.chunk_start + last.n_tok == len(toks[d])
+
+
+# --- C4 line filters + BM25 retrieval ---------------------------------------
+
+
+def test_c4_line_filters_rules(spark):
+    from tsmp_spark.operators import c4_line_filters
+
+    pages = spark.createDataFrame(
+        [
+            # 3 good lines -> kept doc
+            (1, "one two three four five.\nsix seven eight nine ten!\nalpha beta gamma delta eps?"),
+            # line 2 lacks terminal punct, line 3 too short -> 1 kept < 3
+            (2, "one two three four five.\nsix seven eight nine ten\ntoo short."),
+            # javascript line dropped; lorem ipsum in a surviving line kills the doc
+            (3, "good lorem ipsum line here stays.\nenable javascript to view this.\na b c d e.\nx y z w v."),
+            # code page: brace in a kept line
+            (4, "int main obviously code line {.\none two three four five.\nsix seven eight nine ten."),
+            # blocklist word (word-boundary: 'badwordish' must NOT trip it)
+            (5, "this line has badword in it.\none two three four five.\nsix seven eight nine ten."),
+            (6, "badwordish is fine actually here.\none two three four five.\nsix seven eight nine ten."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_line_filters(pages).collect()}
+    assert out[1].keep and out[1].n_kept == 3
+    assert not out[2].keep and out[2].n_kept == 1
+    assert not out[3].keep and out[3].n_kept == 3  # js line gone, lorem kills doc
+    assert not out[4].keep
+    assert not out[5].keep
+    assert out[6].keep and out[6].n_kept == 3
+    # the cleaned text drops exactly the failing lines
+    assert "javascript" not in out[3].clean_text
+    assert out[2].clean_text == "one two three four five."
+
+
+def test_c4_line_filters_pure_jvm_zero_exchange(docs):
+    from tsmp_spark.operators import c4_line_filters
+
+    plan = _plan(c4_line_filters(docs, min_kept_lines=1))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Exchange" not in plan
+
+
+def _bm25_python(corpus, queries, k1=1.2, b=0.75):
+    """Independent BM25 reference (Lucene idf form)."""
+    toks = {d: t.lower().strip().split() for d, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    scores = {}
+    for qid, qtext in queries:
+        terms = sorted(set(qtext.lower().split()))
+        for d, t in toks.items():
+            s = 0.0
+            for term in terms:
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                df = sum(1 for tt in toks.values() if term in tt)
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+            if s > 0:
+                scores[(qid, d)] = s
+    return scores
+
+
+def test_bm25_topk_matches_python_reference(spark):
+    from tsmp_spark.operators import bm25_topk
+
+    corpus = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "quick quick quick fox"),
+        (3, "a lazy dog sleeps all day long in the sun"),
+        (4, "nothing relevant whatsoever appears here"),
+        (5, "fox dog fox dog fox dog"),
+    ]
+    queries = [(0, "quick fox"), (1, "lazy dog")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    q = spark.createDataFrame(queries, "query_id long, query_text string")
+    got = bm25_topk(docs, q, k=3).collect()
+    ref = _bm25_python(corpus, queries)
+    for r in got:
+        assert abs(r.bm25 - ref[(r.query_id, r.doc_id)]) < 1e-3
+    # ranks agree with the reference ordering (rounded score desc, doc asc)
+    for qid in (0, 1):
+        exp = sorted(
+            ((d, s) for (q_, d), s in ref.items() if q_ == qid),
+            key=lambda ds: (-round(ds[1], 4), ds[0]),
+        )[:3]
+        assert [r.doc_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == qid] == [
+            d for d, _ in exp
+        ]
+
+
+def test_bm25_broadcasts_queries_no_python(spark, docs):
+    from tsmp_spark.operators import bm25_topk
+
+    q = spark.createDataFrame([(0, "w1 w2"), (1, "w3")], "query_id long, query_text string")
+    plan = _plan(bm25_topk(docs, q, k=5))
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    # the ONLY nested-loop is the 1-row corpus-stats scalar broadcast
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan

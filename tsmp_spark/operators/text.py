@@ -353,3 +353,140 @@ def dsir_weights(
         .groupBy("doc_id")
         .agg(F.sum(F.col("c") * F.col("llr")).alias("logw"))
     )
+
+
+#: neutral placeholder blocklist for the C4-style document gate — real
+#: deployments substitute their own list (the rule shape is what matters).
+C4_BAD_WORDS: tuple[str, ...] = ("badword", "blockedterm")
+
+
+def c4_line_filters(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    require_terminal_punct: bool = True,
+    bad_words: tuple[str, ...] = C4_BAD_WORDS,
+) -> DataFrame:
+    """C4-style heuristic line + document cleaning (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2 — the classic web-corpus curation recipe).
+
+    Line rules (a line survives iff ALL hold):
+      * at least ``min_words_per_line`` whitespace words,
+      * ends in a terminal punctuation mark (``. ! ? "``) when
+        ``require_terminal_punct``,
+      * does not mention ``javascript`` (case-insensitive).
+    Document rules (on the CLEANED text):
+      * at least ``min_kept_lines`` surviving lines,
+      * no ``lorem ipsum`` (case-insensitive), no ``{`` (code page),
+      * no word from ``bad_words`` (word-boundary match).
+
+    Zero-shuffle: one per-row projection — lines never leave their row
+    (array filter, not explode), so the operator adds no Exchange at any
+    scale. The lambda eval is interpreted (no codegen), but the per-line
+    work is regex matching, which dominates either way.
+
+    Returns ``id_col, n_lines, n_kept, keep, clean_text``.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def _line_ok(line: Column) -> Column:
+        ok = F.size(F.split(F.trim(line), r"\s+")) >= min_words_per_line
+        if require_terminal_punct:
+            ok = ok & F.trim(line).rlike(r'[.!?"]$')
+        return ok & ~F.lower(line).contains("javascript")
+
+    kept = F.filter(lines, _line_ok)
+    clean = F.array_join(kept, "\n")
+    keep = (
+        (F.size(kept) >= min_kept_lines)
+        & ~F.lower(clean).contains("lorem ipsum")
+        & ~clean.contains("{")
+    )
+    if bad_words:
+        keep = keep & ~F.lower(clean).rlike(r"\b(" + "|".join(bad_words) + r")\b")
+    return documents.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        keep.alias("keep"),
+        clean.alias("clean_text"),
+    )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """BM25 keyword retrieval: top-``k`` documents per query (Robertson &
+    Zaragoza 2009, the Lucene ``ln(1 + (N-df+0.5)/(df+0.5))`` idf form).
+
+    Scale shape: the query set is small by contract and is BROADCAST
+    (never shuffles the corpus on anything but its own term groupBy);
+    document length is carried through the term aggregation as a grouping
+    key (functionally dependent on the doc — no second corpus scan or
+    doc-keyed join); per-term document frequency comes from a window over
+    the already-restricted (doc × query-term) rows, so the df aggregation
+    is bounded by |docs containing a query term|, never the full vocab.
+
+    Ranks on the r4-ROUNDED score with doc-id tie-break so knife-edge fp
+    sums cannot flip picks across engines (dsir convention).
+
+    Returns ``query_id, doc_id, bm25, rank`` (rank 1..k per query).
+    """
+    words = _words(F.col(text_col))
+    toks = documents.select(
+        F.col(id_col),
+        F.size(words).alias("dl"),
+        F.explode(words).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+
+    qwords = _words(F.col(query_text_col))
+    qterms = (
+        queries.select(F.col(query_id_col).alias("query_id"), F.explode(qwords).alias("term"))
+        .filter(F.length("term") > 0)
+        .distinct()
+    )
+    stats = documents.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum(F.size(words)) / F.count("*")).alias("avgdl"),
+    )
+
+    from pyspark.sql import Window
+
+    g = tf.join(F.broadcast(qterms.select("term").distinct()), "term").withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    )
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * F.col("tf") * (k1 + 1.0) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        g.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(contrib).alias("score"))
+    )
+    ranked = scored.select(
+        "query_id",
+        id_col,
+        F.round("score", 4).alias("bm25"),
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc(F.round("score", 4)), F.asc(id_col)
+            )
+        )
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= k)

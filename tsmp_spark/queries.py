@@ -4942,3 +4942,164 @@ FROM sliced, unnest(generate_series(1, len(chunk))) AS g(i)
 
 QUERIES["chunk_documents"] = q_chunk_documents
 ORACLES["chunk_documents"] = SQL_CHUNK_DOCUMENTS
+
+
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line + document cleaning (Raffel et al. 2020 §2.2) over a
+    deterministically derived multi-line corpus: consecutive document
+    triples become 3-line pages, with terminal punctuation / javascript /
+    lorem-ipsum / code-brace / blocklist structure planted by doc_id
+    arithmetic (identical strings on both engines) so every rule class
+    is exercised by the hash gate."""
+    from .operators.text import c4_line_filters
+
+    d = _documents(spark, sf_dir)
+    member = F.col("doc_id") % 3
+    suffix = (
+        F.when(member == 0, F.lit(" alpha beta gamma delta."))
+        .when(member == 1, F.lit(" epsilon zeta"))
+        .otherwise(F.lit(" javascript tail."))
+    )
+    extra = (
+        F.when(F.col("doc_id") % 57 == 0, F.lit(" lorem ipsum."))
+        .when(F.col("doc_id") % 57 == 1, F.lit(" brace { token."))
+        .when(F.col("doc_id") % 57 == 3, F.lit(" badword here."))
+        .otherwise(F.lit(""))
+    )
+    lines = d.select(
+        F.floor(F.col("doc_id") / 3).alias("gid"),
+        F.col("doc_id").alias("doc_id"),
+        F.concat(F.col("text"), suffix, extra).alias("line"),
+    )
+    pages = lines.groupBy("gid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    out = c4_line_filters(pages, id_col="gid", min_kept_lines=1)
+    return out.select(
+        F.col("gid").cast("bigint").alias("doc_id"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("keep").cast("int").alias("keep"),
+        F.col("clean_text"),
+    )
+
+
+SQL_C4_FILTERS = r"""
+WITH lines AS (
+  SELECT doc_id // 3 AS gid, doc_id,
+         text ||
+         CASE doc_id % 3 WHEN 0 THEN ' alpha beta gamma delta.'
+                         WHEN 1 THEN ' epsilon zeta'
+                         ELSE ' javascript tail.' END ||
+         CASE doc_id % 57 WHEN 0 THEN ' lorem ipsum.'
+                          WHEN 1 THEN ' brace { token.'
+                          WHEN 3 THEN ' badword here.'
+                          ELSE '' END AS line
+  FROM documents
+),
+pages AS (
+  SELECT gid, string_agg(line, chr(10) ORDER BY doc_id) AS text
+  FROM lines GROUP BY gid
+),
+f AS (
+  SELECT gid,
+         string_split(text, chr(10)) AS ls,
+         list_filter(string_split(text, chr(10)),
+           l -> len(string_split_regex(trim(l), '\s+')) >= 5
+                AND regexp_matches(trim(l), '[.!?"]$')
+                AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM pages
+)
+SELECT CAST(gid AS BIGINT) AS doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(len(kept) >= 1
+        AND NOT contains(lower(array_to_string(kept, chr(10))), 'lorem ipsum')
+        AND NOT contains(array_to_string(kept, chr(10)), '{')
+        AND NOT regexp_matches(lower(array_to_string(kept, chr(10))),
+                               '\b(badword|blockedterm)\b') AS INT) AS keep,
+       array_to_string(kept, chr(10)) AS clean_text
+FROM f
+"""
+
+QUERIES["c4_filters"] = q_c4_filters
+ORACLES["c4_filters"] = SQL_C4_FILTERS
+
+
+#: fixed keyword queries for the BM25 driver gate — drawn from the synthetic
+#: corpus vocabulary so tf/df/dl all discriminate.
+_BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "spark table scan"),
+    (1, "customer query join fast"),
+    (2, "window agg group"),
+)
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval top-10 per query (Lucene idf form), ranked
+    on the r4-rounded score with doc-id tie-break."""
+    from .operators.text import bm25_topk
+
+    q = spark.createDataFrame(
+        list(_BM25_QUERIES), schema="query_id long, query_text string"
+    )
+    out = bm25_topk(_documents(spark, sf_dir), q, k=10)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("bm25"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+SQL_BM25 = r"""
+WITH q(query_id, query_text) AS (
+  VALUES (0, 'spark table scan'), (1, 'customer query join fast'), (2, 'window agg group')
+),
+wl AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents),
+toks AS (
+  SELECT doc_id, len(words) AS dl, words[i] AS term
+  FROM wl, unnest(generate_series(1, len(words))) AS u(i)
+  WHERE length(words[i]) > 0
+),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+qw AS (SELECT query_id, string_split_regex(lower(trim(query_text)), '\s+') AS words FROM q),
+qt AS (
+  SELECT DISTINCT query_id, words[i] AS term
+  FROM qw, unnest(generate_series(1, len(words))) AS u(i)
+  WHERE length(words[i]) > 0
+),
+qdist AS (SELECT DISTINCT term FROM qt),
+g AS (
+  SELECT tf.*, count(*) OVER (PARTITION BY tf.term) AS df
+  FROM tf JOIN qdist USING (term)
+),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE)
+           / count(*) AS avgdl
+  FROM documents
+),
+sc AS (
+  SELECT qt.query_id, g.doc_id,
+         sum(ln(1.0 + (st.n_docs - g.df + 0.5) / (g.df + 0.5))
+             * g.tf * 2.2 / (g.tf + 1.2 * (0.25 + 0.75 * g.dl / st.avgdl))) AS score
+  FROM g JOIN qt ON qt.term = g.term CROSS JOIN st
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, round(score, 4) AS bm25, rank FROM (
+  SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(score, 4) DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM sc
+) WHERE rank <= 10
+"""
+
+QUERIES["bm25"] = q_bm25
+ORACLES["bm25"] = SQL_BM25
