@@ -683,3 +683,69 @@ def test_bm25_broadcasts_queries_no_python(spark, docs):
     # the ONLY nested-loop is the 1-row corpus-stats scalar broadcast
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan
+
+
+# --- paragraph dedup + random projection ------------------------------------
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from tsmp_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one here.\nShared Boilerplate  text.\n\nkeep me too."),
+            # same boilerplate modulo case/whitespace -> cut from doc 2
+            (2, "shared boilerplate text.\nanother unique paragraph."),
+            # doc that is ENTIRELY duplicates of earlier paragraphs
+            (3, "unique one here.\nkeep me too."),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert out[1].n_paras == 3 and out[1].n_kept == 3  # blank line dropped outright
+    assert out[2].n_kept == 1 and out[2].clean_text == "another unique paragraph."
+    assert out[3].n_kept == 0 and out[3].clean_text == ""
+    assert out[4].n_paras == 0 and out[4].clean_text == ""
+    # original bytes survive for the first occurrence (not the normalized form)
+    assert "Shared Boilerplate  text." in out[1].clean_text
+
+
+def test_paragraph_dedup_no_python(spark, docs):
+    from tsmp_spark.operators.dedup import paragraph_dedup
+
+    plan = _plan(paragraph_dedup(docs))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_random_projection_linear_deterministic(spark):
+    from tsmp_spark.operators.similarity import random_projection
+
+    vecs = [
+        (0, [1.0, 2.0, -3.0, 0.5]),
+        (1, [1.0, 2.0, -3.0, 0.5]),  # identical vector -> identical projection
+        (2, [2.0, 4.0, -6.0, 1.0]),  # 2x vector -> 2x projection (mod rounding)
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.projection for r in random_projection(df, out_dim=8).collect()}
+    assert len(out[0]) == 8
+    assert out[0] == out[1]
+    for a, b in zip(out[0], out[2]):
+        assert abs(b - 2 * a) < 1e-5
+    assert all(x == 0.0 for x in out[3])
+    # -0.0 is normalized away (cross-engine hash convention)
+    import math as _m
+
+    assert all(not (x == 0.0 and _m.copysign(1.0, x) < 0) for r in out.values() for x in r)
+
+
+def test_random_projection_pure_jvm_zero_exchange(spark):
+    from tsmp_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame([(0, [1.0] * 16)], "vec_id long, embedding array<double>")
+    plan = _plan(random_projection(df, out_dim=4))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Exchange" not in plan

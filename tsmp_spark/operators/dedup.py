@@ -513,3 +513,59 @@ def remove_substring_spans(
             (F.size(toks) - F.size("_new")).alias("n_removed"),
         )
     )
+
+
+def paragraph_dedup(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-level exact dedup (the CCNet / FineWeb curation step:
+    Wenzek et al. 2019, arXiv:1911.00359 §3.1): within the whole corpus,
+    each normalized paragraph (lowercase, trim, collapsed whitespace)
+    survives only at its FIRST occurrence in (doc, position) order;
+    duplicate occurrences are cut from their documents. Blank paragraphs
+    are dropped outright.
+
+    Scale shape: one shuffle keyed by the paragraph hash (the dedup
+    window — key-bounded, never |docs|²) and one keyed by the doc id
+    (reassembly). The duplicate decision hashes the NORMALIZED text but
+    the surviving document keeps its original paragraph bytes.
+
+    Returns ``id_col, n_paras, n_kept, clean_text`` for every input doc
+    (all-duplicate docs come back with ``n_kept = 0, clean_text = ''``).
+    """
+    from pyspark.sql import Window
+
+    para = F.col("para")
+    norm = F.regexp_replace(F.lower(F.trim(para)), r"\s+", " ")
+    paras = (
+        documents.select(
+            F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para")
+        )
+        .filter(F.length(F.trim(para)) > 0)
+        .withColumn("k", F.md5(norm))
+    )
+    w = Window.partitionBy("k").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    kept = paras.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))), lambda s: s["para"]
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    tot = paras.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    return (
+        documents.select(id_col)
+        .join(tot, id_col, "left")
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

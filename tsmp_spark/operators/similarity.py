@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -544,3 +546,39 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: int = 10007,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` dimensions —
+    the dimensionality-reduction front end for LSH/IVF at warehouse scale
+    (project 768-d → 16-64-d once, then bucket on the short vectors).
+
+    The projection matrix is the same deterministic, engine-portable
+    pseudo-random family as :func:`hyperplane` (``sin(a·p + b·i)``),
+    salted away from the LSH plane indices so projected-then-hashed
+    pipelines never reuse a plane as a projection row. Output components
+    are ``round(v·r_j / sqrt(out_dim), 6) + 0.0`` (single rounding,
+    IEEE −0.0 normalized — the cross-engine hash conventions).
+
+    Zero-shuffle: a pure per-row projection (array lambdas, no explode).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+    scale = 1.0 / math.sqrt(float(out_dim))
+
+    def component(j: Column) -> Column:
+        pj = (j + F.lit(salt)).cast("double")
+        prods = F.zip_with(
+            v, idx, lambda x, i: x * F.sin(pj * 1013904223.0 + i.cast("double") * 1664525.0)
+        )
+        s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        return F.round(s * scale, 6) + 0.0
+
+    proj = F.transform(F.sequence(F.lit(0), F.lit(out_dim - 1)), component)
+    return embeddings.select(F.col(id_col), proj.alias("projection"))

@@ -5103,3 +5103,110 @@ SELECT query_id, doc_id, round(score, 4) AS bm25, rank FROM (
 
 QUERIES["bm25"] = q_bm25
 ORACLES["bm25"] = SQL_BM25
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (CCNet/FineWeb step) over
+    the derived multi-line pages, with a shared boilerplate paragraph
+    planted every 11th source doc so cross-document duplicate cutting is
+    exercised (first occurrence survives, later ones are cut)."""
+    from .operators.dedup import paragraph_dedup
+
+    d = _documents(spark, sf_dir)
+    line = F.when(
+        F.col("doc_id") % 11 == 0, F.lit("Shared boilerplate notice paragraph.")
+    ).otherwise(F.col("text"))
+    lines = d.select(
+        F.floor(F.col("doc_id") / 3).alias("gid"),
+        F.col("doc_id"),
+        line.alias("line"),
+    )
+    pages = lines.groupBy("gid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    out = paragraph_dedup(pages, id_col="gid")
+    return out.select(
+        F.col("gid").cast("bigint").alias("doc_id"),
+        F.col("n_paras").cast("bigint").alias("n_paras"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("clean_text"),
+    )
+
+
+SQL_PARAGRAPH_DEDUP = r"""
+WITH lines AS (
+  SELECT doc_id // 3 AS gid, doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN 'Shared boilerplate notice paragraph.'
+              ELSE text END AS line
+  FROM documents
+),
+pages AS (
+  SELECT gid, string_agg(line, chr(10) ORDER BY doc_id) AS text
+  FROM lines GROUP BY gid
+),
+paras AS (
+  SELECT gid, i - 1 AS pos, ps[i] AS para
+  FROM (SELECT gid, string_split(text, chr(10)) AS ps FROM pages),
+       unnest(generate_series(1, len(ps))) AS u(i)
+),
+nz AS (
+  SELECT *, md5(regexp_replace(lower(trim(para)), '\s+', ' ', 'g')) AS k
+  FROM paras WHERE length(trim(para)) > 0
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY k ORDER BY gid, pos) AS rn FROM nz
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT gid, count(*) AS n_kept,
+         string_agg(para, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY gid
+),
+tot AS (SELECT gid, count(*) AS n_paras FROM nz GROUP BY gid)
+SELECT CAST(p.gid AS BIGINT) AS doc_id,
+       CAST(COALESCE(t.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM pages p LEFT JOIN tot t ON t.gid = p.gid LEFT JOIN agg a ON a.gid = p.gid
+"""
+
+QUERIES["paragraph_dedup"] = q_paragraph_dedup
+ORACLES["paragraph_dedup"] = SQL_PARAGRAPH_DEDUP
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64-d -> 16-d (the ANN dimensionality-reduction
+    front end), emitted tall (vec_id, dim, value) for the value hash."""
+    from .operators.similarity import random_projection
+
+    emb = _embeddings(spark, sf_dir).filter(F.size("embedding") > 0)
+    p = random_projection(emb, out_dim=16)
+    return p.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.posexplode("projection").alias("dim", "value"),
+    ).select("vec_id", F.col("dim").cast("bigint").alias("dim"), "value")
+
+
+SQL_RANDOM_PROJECTION = r"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) > 0),
+proj AS (
+  SELECT vec_id, j AS dim,
+         round(sum(embedding[i + 1] * sin((j + 10007) * 1013904223.0 + i * 1664525.0))
+               * 0.25, 6) + 0.0 AS value
+  FROM e,
+       unnest(generate_series(0, 15)) AS gj(j),
+       unnest(generate_series(0, len(embedding) - 1)) AS gi(i)
+  GROUP BY 1, 2
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(dim AS BIGINT) AS dim, value FROM proj
+"""
+
+QUERIES["random_projection"] = q_random_projection
+ORACLES["random_projection"] = SQL_RANDOM_PROJECTION
