@@ -280,3 +280,39 @@ def test_semantic_dedup_plan_shape(spark):
     assert any(
         j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+# --- product quantization ----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_setup(spark):
+    from tsmp_spark.operators.similarity import pq_codebooks
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    return emb, pq_codebooks(emb, m=4, k=16, n_iter=1)
+
+
+def test_pq_encode_map_only_zero_exchange(spark, pq_setup):
+    from tsmp_spark.operators.similarity import pq_encode
+
+    emb, cb = pq_setup
+    plan = _plan(pq_encode(emb, cb))
+    assert "Exchange" not in plan  # literal codebook: the corpus never shuffles
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Join" not in plan
+
+
+def test_pq_adc_scan_single_exchange_partial_topk(spark, pq_setup):
+    from tsmp_spark.operators.similarity import pq_adc_topk
+
+    emb, _ = pq_setup
+    plan = _plan(pq_adc_topk(emb, F.col("vec_id") % 50 == 0, k_neighbors=5))
+    # the scan is map-only (literal distance tables); the ONLY exchange is
+    # the per-query top-k window, with partial top-k below it
+    assert plan.count("Exchange") == 1
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -346,3 +346,64 @@ def test_semantic_dedup_invariants(spark):
 
     empty = emb.limit(0)
     assert semantic_dedup(empty, n_clusters=4, kmeans_iters=1).count() == 0
+
+
+# --- product quantization ----------------------------------------------------
+
+
+def test_pq_encode_invariants(spark):
+    from tsmp_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(80)
+    cb = pq_codebooks(emb, m=4, k=8, n_iter=1)
+    assert cb and all(len(c) == 16 for _, _, c in cb)  # 64-d / 4 subspaces
+    enc = pq_encode(emb, cb).toPandas()
+    assert len(enc) == 80 * 4  # one code per (vector, subspace)
+    assert set(enc["sub"]) == {0, 1, 2, 3}
+    assert enc["code"].between(0, 7).all()
+    # identical vectors get identical codes
+    dup = emb.union(emb.limit(1))
+    enc2 = pq_encode(dup, cb)
+    first = enc2.groupBy("vec_id", "sub", "code").count().toPandas()
+    assert (first[first["count"] > 1]["count"] == 2).all()
+
+
+def test_pq_codebooks_deterministic_and_empty(spark):
+    from tsmp_spark.operators.similarity import pq_codebooks, pq_adc_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    a = pq_codebooks(emb, m=2, k=4, n_iter=1)
+    b = pq_codebooks(emb.repartition(7), m=2, k=4, n_iter=1)
+    assert a == b  # partitioning-independent (r9 rounding convention)
+    empty = emb.limit(0)
+    assert pq_codebooks(empty, m=2, k=4) == []
+    assert pq_adc_topk(empty, F.lit(True)).count() == 0
+
+
+def test_pq_adc_recall_vs_exact_l2(spark):
+    """ADC is an approximation of ||q-x||^2 — on the stock embeddings the
+    PQ top-5 should overlap the exact L2 top-5 well above chance."""
+    import numpy as np
+    from tsmp_spark.operators.similarity import pq_adc_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = pq_adc_topk(emb, F.col("vec_id") % 50 == 0, k_neighbors=5).toPandas()
+    rows = emb.select("vec_id", "embedding").collect()
+    V = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    hits = total = 0
+    for qid in sorted(got["query_id"].unique()):
+        d = {
+            nid: float(((V[qid] - x) ** 2).sum())
+            for nid, x in V.items()
+            if nid != qid
+        }
+        exact = {n for n, _ in sorted(d.items(), key=lambda t: (t[1], t[0]))[:5]}
+        approx = set(got[got["query_id"] == qid]["neighbor_id"])
+        hits += len(exact & approx)
+        total += 5
+    # iid gaussians are PQ's WORST case (no cluster structure to quantize:
+    # 16 bits/vector against 64 iid dims) — chance recall is 5/499 ~ 0.01,
+    # measured 0.08-0.18 across m/k configs. Assert well above chance.
+    assert hits / total >= 0.05

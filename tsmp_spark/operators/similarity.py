@@ -582,3 +582,272 @@ def random_projection(
 
     proj = F.transform(F.sequence(F.lit(0), F.lit(out_dim - 1)), component)
     return embeddings.select(F.col(id_col), proj.alias("projection"))
+
+
+# --- product quantization (Jegou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") -------------------------------------------------
+
+
+def _pq_codebook_literal(
+    codebooks: list[tuple[int, int, list[float]]], m: int
+) -> Column:
+    """The codebook as a literal nested-array expression (indexed by sub,
+    1-based for element_at): each subspace is an array of
+    struct(code, c, csq) in ascending code order. Driver-sized by the PQ
+    contract (m·k·subw floats), so embedding it in the plan keeps every
+    consumer map-only — no codebook join, no corpus shuffle. ``csq`` is
+    summed left-to-right in Python — the same order as :func:`_dot`'s
+    aggregate, so scores bit-match the join formulation."""
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for s, code, c in codebooks:
+        by_sub.setdefault(s, []).append((code, c))
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(code).alias("code"),
+                        F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+                        F.lit(float(sum(x * x for x in c))).alias("csq"),
+                    )
+                    for code, c in sorted(by_sub[s])
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+
+
+def _pq_encode_expr(v: Column, cb_lit: Column, m: int, with_xs: bool) -> Column:
+    """Per-row PQ assignment: for each of the ``m`` subspaces, the argmin
+    code by ``argmin ||x-c||^2 == argmax (x.c - |c|^2/2)`` (ties break on
+    the LOWER code via max over (score, -code) structs). Returns an
+    array of struct(sub, b{score, negcode}[, xs]) — the argmax struct is
+    built once per subspace so the score lambda (k dot products) is not
+    re-evaluated per consumer (the nested-HOF re-evaluation lesson)."""
+    subw = (F.size(v) / m).cast("int")
+
+    def per_sub(s: Column) -> Column:
+        xs = F.slice(v, s * subw + 1, subw)
+        scored = F.transform(
+            F.element_at(cb_lit, s + 1),
+            lambda e: F.struct(
+                (_dot(xs, e["c"]) - e["csq"] / 2.0).alias("score"),
+                (-e["code"]).alias("negcode"),
+            ),
+        )
+        fields = [s.alias("sub"), F.array_max(scored).alias("b")]
+        if with_xs:
+            fields.append(xs.alias("xs"))
+        return F.struct(*fields)
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), per_sub)
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, list[float]]]:
+    """Product-quantization codebooks: an independent L2 k-means
+    (``k`` codes) per contiguous subspace — the vector-compression
+    counterpart of :func:`kmeans_centroids` (PQ stores ``m·log2(k)``
+    bits/vector; IVF routes, PQ compresses). Returns
+    ``[(sub, code, centroid), ...]`` — driver-sized by construction,
+    like every PQ training deployment.
+
+    Determinism across engines/partitionings (the kmeans_centroids
+    conventions): sin-grid init rounded to 9 decimals, per-dim means
+    rounded to 9, assignment ties break on the lower code; empty codes
+    drop out. Scale shape per Lloyd iteration: assignment is MAP-ONLY
+    (literal codebook, per-row HOF argmax — the corpus never shuffles);
+    the only exchange is the centroid update, codebook-bounded
+    (m·k·subw rows after map-side partial agg). At warehouse scale train
+    on a sample — the codebook is a model, not a per-corpus artifact."""
+    import math
+
+    v = F.col(vec_col).cast("array<double>")
+    row = embeddings.select(F.size(v)).first()
+    if row is None or row[0] == 0:
+        return []
+    subw = row[0] // m
+    cents: list[tuple[int, int, list[float]]] = [
+        (
+            s,
+            c,
+            [
+                round(math.sin((s * k + c) * 1779033703.0 + j * 40503.0), 9)
+                for j in range(subw)
+            ],
+        )
+        for s in range(m)
+        for c in range(k)
+    ]
+    for _ in range(n_iter):
+        per = _pq_encode_expr(v, _pq_codebook_literal(cents, m), m, with_xs=True)
+        stats = (
+            embeddings.select(F.explode(per).alias("e"))
+            .select(
+                F.col("e.sub").alias("sub"),
+                (-F.col("e.b.negcode")).alias("code"),
+                F.posexplode("e.xs").alias("j", "x"),
+            )
+            .groupBy("sub", "code", "j")
+            .agg(F.round(F.avg("x"), 9).alias("mj"))
+        )
+        arrs = (
+            stats.groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "mj"))).alias("s"))
+            .select("sub", "code", F.transform(F.col("s"), lambda t: t["mj"]).alias("c"))
+        )
+        cents = sorted((r.sub, r.code, list(r.c)) for r in arrs.collect())
+    return cents
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its per-subspace nearest code (PQ codes —
+    the compressed representation an ADC scan reads instead of raw
+    floats). Output is tall: (vec_id, sub, code, score) with ``score``
+    the r4-rounded assignment objective ``x.c - |c|^2/2`` (straddles 0;
+    IEEE −0.0 normalized). MAP-ONLY: literal codebook + per-row HOF
+    argmax + JVM explode — zero Exchange, zero Python (plan-pinned)."""
+    v = F.col(vec_col).cast("array<double>")
+    if not codebooks:
+        return embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(0).alias("sub"),
+            F.lit(0).alias("code"),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    m = 1 + max(s for s, _, _ in codebooks)
+    per = _pq_encode_expr(v, _pq_codebook_literal(codebooks, m), m, with_xs=False)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), F.explode(per).alias("e")
+    ).select(
+        "vec_id",
+        F.col("e.sub").alias("sub"),
+        (-F.col("e.b.negcode")).alias("code"),
+        (F.round(F.col("e.b.score"), 4) + F.lit(0.0)).alias("score"),
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k_neighbors: int = 5,
+    m: int = 4,
+    k_codes: int = 16,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ nearest-neighbor scan: queries keep
+    raw vectors, the database is its PQ codes; each query precomputes an
+    m×k distance table so a candidate costs ``m`` lookup-adds —
+    ``adc = |q|^2 + sum_sub(|c_sub|^2 - 2·q_sub.c_sub)``, the PQ
+    estimate of ||q-x||^2.
+
+    Scale shape: the distance tables are driver-built (|Q|·m·k floats —
+    the query side is small by the same contract as
+    :func:`cosine_topk`) and embedded as a literal, so the scan is a
+    MAP-ONLY explode over the coded corpus; the only exchange is the
+    per-query top-k window, and the rank<=k filter gives Spark's
+    WindowGroupLimit partial top-k per partition — shuffle is
+    O(|Q|·k·partitions), never |Q|·|DB|. Compose with
+    :func:`ivf_assignments_codebook` to bound the scanned candidates."""
+    codebooks = pq_codebooks(embeddings, m, k_codes, n_iter, id_col, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    empty = embeddings.select(
+        F.col(id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.lit(0).cast("bigint").alias("rank"),
+        F.lit(0.0).alias("adc"),
+    ).limit(0)
+    if not codebooks:
+        return empty
+    cb: dict[tuple[int, int], list[float]] = {
+        (s, c): cent for s, c, cent in codebooks
+    }
+    csq = {key: float(sum(x * x for x in cent)) for key, cent in cb.items()}
+    qrows = embeddings.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), v.alias("v")
+    ).collect()
+    if not qrows:
+        return empty
+    subw = len(qrows[0].v) // m
+    luts = []
+    for q in sorted(qrows, key=lambda r: r.query_id):
+        qv = list(q.v)
+        parts = [
+            [
+                (
+                    csq[(s, code)]
+                    - 2.0
+                    * sum(
+                        qv[s * subw + j] * cb[(s, code)][j] for j in range(subw)
+                    )
+                    if (s, code) in cb
+                    else 0.0
+                )
+                for code in range(k_codes)
+            ]
+            for s in range(m)
+        ]
+        luts.append(
+            F.struct(
+                F.lit(q.query_id).alias("query_id"),
+                F.lit(float(sum(x * x for x in qv))).alias("qsq"),
+                F.array(
+                    *[F.array(*[F.lit(p) for p in row]) for row in parts]
+                ).alias("parts"),
+            )
+        )
+    lut_lit = F.array(*luts)
+    per = _pq_encode_expr(
+        v, _pq_codebook_literal(codebooks, m), m, with_xs=False
+    )
+    codes_arr = F.transform(per, lambda e: -e["b"]["negcode"])
+    scored = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), codes_arr.alias("codes")
+        )
+        .select("neighbor_id", "codes", F.explode(lut_lit).alias("q"))
+        .filter(F.col("neighbor_id") != F.col("q.query_id"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            "neighbor_id",
+            (
+                F.col("q.qsq")
+                + F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + F.element_at(
+                        F.element_at(F.col("q.parts"), s + 1),
+                        F.element_at(F.col("codes"), s + 1) + 1,
+                    ),
+                )
+            ).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            (F.round(F.col("adc"), 4) + F.lit(0.0)).alias("adc"),
+        )
+    )

@@ -5210,3 +5210,147 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(dim AS BIGINT) AS dim, value FROM 
 
 QUERIES["random_projection"] = q_random_projection
 ORACLES["random_projection"] = SQL_RANDOM_PROJECTION
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization train+encode (Jegou et al. 2011): one
+    deterministic L2-Lloyd iteration per contiguous subspace (m=4,
+    k=16, sin-grid r9 init, r9 means), then every vector encoded as its
+    per-subspace argmin code. The oracle replays the iteration and the
+    assignment objective (x.c - |c|^2/2) in SQL."""
+    from .operators.similarity import pq_codebooks, pq_encode
+
+    emb = _embeddings(spark, sf_dir).filter(F.size("embedding") > 0)
+    cb = pq_codebooks(emb, m=4, k=16, n_iter=1)
+    out = pq_encode(emb, cb)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("sub").cast("bigint").alias("sub"),
+        F.col("code").cast("bigint").alias("code"),
+        F.col("score"),
+    )
+
+
+_SQL_PQ_CODEBOOK = r"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE len(embedding) > 0
+),
+sx AS (
+  SELECT vec_id, CAST((i - 1) // (len(v) // 4) AS INT) AS sub,
+         CAST((i - 1) % (len(v) // 4) AS INT) AS j, x
+  FROM (SELECT vec_id, v, unnest(v) AS x,
+               unnest(generate_series(1, len(v))) AS i FROM e)
+  WHERE (i - 1) // (len(v) // 4) < 4
+),
+init AS (
+  SELECT s.sub, c.code, g.j,
+         round(sin((s.sub * 16 + c.code) * 1779033703.0 + g.j * 40503.0), 9) AS c
+  FROM (SELECT DISTINCT sub FROM sx) s
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS code) c
+  CROSS JOIN (SELECT DISTINCT j FROM sx) g
+),
+csq0 AS (SELECT sub, code, sum(c * c) AS csq FROM init GROUP BY 1, 2),
+s0 AS (
+  SELECT sx.vec_id, sx.sub, i.code, sum(sx.x * i.c) AS dot
+  FROM sx JOIN init i ON i.sub = sx.sub AND i.j = sx.j
+  GROUP BY 1, 2, 3
+),
+a0 AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s0.vec_id, s0.sub, s0.code,
+           row_number() OVER (PARTITION BY s0.vec_id, s0.sub
+                              ORDER BY s0.dot - c.csq / 2 DESC, s0.code ASC) AS rn
+    FROM s0 JOIN csq0 c ON c.sub = s0.sub AND c.code = s0.code
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT a0.sub, a0.code, sx.j, round(avg(sx.x), 9) AS c
+  FROM a0 JOIN sx ON sx.vec_id = a0.vec_id AND sx.sub = a0.sub
+  GROUP BY 1, 2, 3
+),
+csq1 AS (SELECT sub, code, sum(c * c) AS csq FROM m1 GROUP BY 1, 2),
+s1 AS (
+  SELECT sx.vec_id, sx.sub, m.code, sum(sx.x * m.c) AS dot
+  FROM sx JOIN m1 m ON m.sub = sx.sub AND m.j = sx.j
+  GROUP BY 1, 2, 3
+),
+enc AS (
+  SELECT vec_id, sub, code, score FROM (
+    SELECT s1.vec_id, s1.sub, s1.code, s1.dot - c.csq / 2 AS score,
+           row_number() OVER (PARTITION BY s1.vec_id, s1.sub
+                              ORDER BY s1.dot - c.csq / 2 DESC, s1.code ASC) AS rn
+    FROM s1 JOIN csq1 c ON c.sub = s1.sub AND c.code = s1.code
+  ) WHERE rn = 1
+)"""
+
+
+SQL_PQ_ENCODE = f"""
+WITH {_SQL_PQ_CODEBOOK}
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub,
+       CAST(code AS BIGINT) AS code, round(score, 4) + 0.0 AS score
+FROM enc
+"""
+
+QUERIES["pq_encode"] = q_pq_encode
+ORACLES["pq_encode"] = SQL_PQ_ENCODE
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5 ANN: raw query vectors against the
+    PQ-coded database via a broadcast (query x m.k) distance table; the
+    oracle rebuilds the codes and the ADC sum in SQL."""
+    from .operators.similarity import pq_adc_topk
+
+    emb = _embeddings(spark, sf_dir).filter(F.size("embedding") > 0)
+    out = pq_adc_topk(emb, F.col("vec_id") % 50 == 0, k_neighbors=5)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("rank"),
+        F.col("adc"),
+    )
+
+
+SQL_PQ_ADC_TOPK = f"""
+WITH {_SQL_PQ_CODEBOOK},
+qs AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id % 50 = 0),
+qsq AS (
+  SELECT query_id, sum(x * x) AS qsq
+  FROM (SELECT query_id, unnest(v) AS x FROM qs) GROUP BY 1
+),
+qsx AS (
+  SELECT query_id, CAST((i - 1) // (len(v) // 4) AS INT) AS sub,
+         CAST((i - 1) % (len(v) // 4) AS INT) AS j, x
+  FROM (SELECT query_id, v, unnest(v) AS x,
+               unnest(generate_series(1, len(v))) AS i FROM qs)
+  WHERE (i - 1) // (len(v) // 4) < 4
+),
+lut AS (
+  SELECT q.query_id, m.sub, m.code,
+         c.csq - 2 * sum(q.x * m.c) AS part
+  FROM qsx q JOIN m1 m ON m.sub = q.sub AND m.j = q.j
+  JOIN csq1 c ON c.sub = m.sub AND c.code = m.code
+  GROUP BY q.query_id, m.sub, m.code, c.csq
+),
+scored AS (
+  SELECT l.query_id, enc.vec_id AS neighbor_id,
+         any_value(q.qsq) + sum(l.part) AS adc
+  FROM enc JOIN lut l ON l.sub = enc.sub AND l.code = enc.code
+  JOIN qsq q ON q.query_id = l.query_id
+  WHERE enc.vec_id != l.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank, round(adc, 4) + 0.0 AS adc
+FROM ranked WHERE rank <= 5
+"""
+
+QUERIES["pq_adc_topk"] = q_pq_adc_topk
+ORACLES["pq_adc_topk"] = SQL_PQ_ADC_TOPK
