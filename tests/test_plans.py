@@ -316,3 +316,15 @@ def test_pq_adc_scan_single_exchange_partial_topk(spark, pq_setup):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_neardup_banded_join_no_python(spark):
+    from tsmp_spark.operators.dedup import simhash_neardup_pairs
+    from tsmp_spark.operators.cache import release_caches
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(simhash_neardup_pairs(docs, max_hamming=3))
+    release_caches()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # candidates come from the banded equi-join

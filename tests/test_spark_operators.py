@@ -407,3 +407,47 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     # 16 bits/vector against 64 iid dims) — chance recall is 5/499 ~ 0.01,
     # measured 0.08-0.18 across m/k configs. Assert well above chance.
     assert hits / total >= 0.05
+
+
+def test_simhash_neardup_matches_bruteforce(spark):
+    """Pigeonhole completeness: the banded join must find EVERY pair
+    within the Hamming ball (4 disjoint 16-bit bands prove d <= 3)."""
+    from tsmp_spark.operators.dedup import simhash64, simhash_neardup_pairs
+    from tsmp_spark.operators.cache import release_caches
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    sigs = simhash64(docs).collect()
+    release_caches()
+    exact = {}
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1 :]:
+            h = bin((a.simhash_lo ^ b.simhash_lo)).count("1") + bin(
+                (a.simhash_hi ^ b.simhash_hi)
+            ).count("1")
+            if h <= 3:
+                key = (min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id))
+                exact[key] = h
+    assert got == exact and len(exact) > 0
+
+
+def test_simhash_neardup_band_cap_is_subset(spark):
+    from tsmp_spark.operators.dedup import simhash_neardup_pairs
+    from tsmp_spark.operators.cache import release_caches
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = {(r.doc_a, r.doc_b) for r in simhash_neardup_pairs(docs).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_neardup_pairs(docs, max_band_freq=20).collect()
+    }
+    release_caches()
+    assert capped <= full
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(docs, max_hamming=4)

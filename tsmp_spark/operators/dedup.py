@@ -569,3 +569,73 @@ def paragraph_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def simhash_neardup_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """SimHash Hamming-ball near-duplicate pairs (Manku, Jain & Sarma
+    2007, "Detecting Near-Duplicates for Web Crawling"): two 64-bit
+    signatures within Hamming distance d <= 3 agree EXACTLY on at least
+    one of 4 disjoint 16-bit bands (pigeonhole), so candidates come from
+    a banded equi-join — shuffle is (doc, band-key)-bounded, never
+    |docs|² — and each candidate is verified with
+    ``bit_count(xor)`` over the signature halves.
+
+    ``max_band_freq`` is the hot-band analogue of ngram_jaccard's
+    ``max_shingle_freq``: band keys shared by more than this many docs
+    are dropped from candidate generation, capping the per-key fan-out
+    at freq² (a documented recall trade at warehouse scale — a pair
+    suppressed in one band usually survives in another; None = exact).
+
+    Output: (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("4x16-bit banding proves candidates only for max_hamming <= 3")
+    sig = pin(simhash64(documents, text_col, id_col, parallelism))
+    lo, hi = F.col("simhash_lo"), F.col("simhash_hi")
+    keys = F.array(
+        lo.bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(lo, 16).bitwiseAND(F.lit(0xFFFF)),
+        hi.bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(hi, 16).bitwiseAND(F.lit(0xFFFF)),
+    )
+    bands = sig.select(
+        F.col("doc_id"), lo, hi, F.posexplode(keys).alias("band", "key")
+    )
+    if max_band_freq is not None:
+        from pyspark.sql.window import Window
+
+        wf = Window.partitionBy("band", "key")
+        bands = bands.withColumn("_f", F.count("*").over(wf)).filter(
+            F.col("_f") <= max_band_freq
+        ).drop("_f")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        lo.alias("lo_a"),
+        hi.alias("hi_a"),
+        "band",
+        "key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        lo.alias("lo_b"),
+        hi.alias("hi_b"),
+        "band",
+        "key",
+    )
+    ham = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

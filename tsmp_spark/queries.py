@@ -5354,3 +5354,36 @@ FROM ranked WHERE rank <= 5
 
 QUERIES["pq_adc_topk"] = q_pq_adc_topk
 ORACLES["pq_adc_topk"] = SQL_PQ_ADC_TOPK
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup pairs (Manku et al. 2007): banded
+    4x16-bit candidate join + bit_count(xor) verification on the Spark
+    side; the oracle recomputes the signatures and brute-forces all
+    pairs (the oracle may be O(n^2) — the engine may not). The stock
+    corpus's small shared vocabulary correlates signatures, so the
+    d<=3 ball is naturally non-empty (18 pairs at sf0.01)."""
+    from .operators.dedup import simhash_neardup_pairs
+
+    out = simhash_neardup_pairs(_documents(spark, sf_dir), max_hamming=3)
+    return out.select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )
+
+
+SQL_SIMHASH_NEARDUP = f"""
+WITH sig AS MATERIALIZED (
+{SQL_SIMHASH}
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+       CAST(bit_count(xor(a.simhash_lo, b.simhash_lo))
+          + bit_count(xor(a.simhash_hi, b.simhash_hi)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash_lo, b.simhash_lo))
+    + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 3
+"""
+
+QUERIES["simhash_neardup"] = q_simhash_neardup
+ORACLES["simhash_neardup"] = SQL_SIMHASH_NEARDUP
