@@ -453,3 +453,56 @@ def test_stompi_late_chunk_appends_in_arrival_order(spark, tmp_path):
     assert not np.allclose(
         np.nan_to_num(got["mp"].to_numpy()), np.nan_to_num(in_order), atol=1e-6
     )
+
+
+def test_dedup_stream_equals_batch_and_cross_batch(spark, tmp_path):
+    """Streaming exact dedup fed doc_id-ordered micro-batches: survivor
+    set == batch exact_dedup keep_ids; a duplicate arriving in a LATER
+    micro-batch is flagged (state crosses batch boundaries)."""
+    import os
+
+    from tsmp_spark.operators.dedup import exact_dedup
+    from tsmp_spark.streaming.dedup import dedup_stream
+
+    rows = []
+    for i in range(30):
+        # doc 3k repeats doc 3k-30's text in the next decade of ids:
+        # cross-batch duplicates with the original arriving first
+        text = f"unique text number {i}" if (i < 10 or i % 3) else f"unique text number {i - 10}"
+        rows.append((i, text))
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = str(tmp_path / "docs")
+    os.makedirs(base)
+    for k in range(3):
+        spark.createDataFrame(
+            rows[10 * k : 10 * (k + 1)], "doc_id long, text string"
+        ).coalesce(1).write.parquet(f"{base}/f{k}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/*")
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql("SELECT * FROM dedup_out").collect()
+    assert len(got) == 30  # one row per arriving doc
+    survivors = {r.doc_id for r in got if r.is_first}
+    keep_ids = {r.keep_id for r in exact_dedup(batch_df).collect()}
+    assert survivors == keep_ids  # ordered arrival reproduces the batch op
+    # cross-batch: doc 12 duplicates doc 2 (earlier batch) -> flagged
+    by_id = {r.doc_id: r for r in got}
+    assert not by_id[12].is_first and by_id[12].dup_idx >= 1
+    assert by_id[2].is_first
+    # duplicate indexes count arrivals per hash
+    assert by_id[12].content_hash == by_id[2].content_hash
