@@ -79,7 +79,18 @@ def ops_for(spark, sf_dir: str):
     def mk(name):
         return lambda: Q.QUERIES[name](spark, sf_dir).count()
 
-    return [(n, mk(n)) for n in ("minhash_lsh", "substring_spans", "dedup_groups")]
+    import os
+
+    all_ops = (
+        "minhash_lsh",
+        "substring_spans",
+        "dedup_groups",
+        "simhash_neardup",
+        "paragraph_dedup",
+    )
+    only = os.environ.get("BENCH_DEDUP_OPS")
+    names = tuple(only.split(",")) if only else all_ops
+    return [(n, mk(n)) for n in names]
 
 
 def make_sf1x(spark, src_dir: str, out_dir: str, replicas: int = 10) -> str:
@@ -136,10 +147,22 @@ def main() -> None:
             row.update({"sf": sf, "n_docs": n_docs})
             results.append(row)
             print(json.dumps(row))
+    # a restricted run (BENCH_DEDUP_OPS) keeps the other ops' prior rows
+    import os
+
+    if os.environ.get("BENCH_DEDUP_OPS"):
+        try:
+            with open("BENCH_DEDUP_SCALE.json") as f:
+                prior = json.load(f)["runs"]
+            fresh = {r["op"] for r in results}
+            results = [r for r in prior if r["op"] not in fresh] + results
+        except Exception:
+            pass
+
     # 10x-input growth factors per op and step (the SCALE.md §4 model check)
     def growth(lo_sf: str, hi_sf: str) -> dict:
         step = {}
-        for name in ("minhash_lsh", "substring_spans", "dedup_groups"):
+        for name in sorted({r["op"] for r in results}):
             lo = next(r for r in results if r["op"] == name and r["sf"] == lo_sf)
             hi = next(r for r in results if r["op"] == name and r["sf"] == hi_sf)
             step[name] = {

@@ -851,3 +851,175 @@ def pq_adc_topk(
             (F.round(F.col("adc"), 4) + F.lit(0.0)).alias("adc"),
         )
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k_neighbors: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    kmeans_iters: int = 2,
+    pq_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC (Jegou et al. 2011 §IV): the canonical warehouse ANN
+    composition — a trained spherical-k-means coarse quantizer routes
+    each vector to its home cluster, ONE product quantizer trained on
+    the coarse RESIDUALS (x − c_home) compresses them, and a query
+    scans only its ``nprobe`` probed clusters with per-cluster
+    asymmetric distance tables over the residual codes:
+    ``d(q,x) ≈ ||(q − c) − pq(x − c)||² = qsq_res + Σ_sub part``.
+
+    Scale shape: the ENTIRE database path is map-only — literal coarse
+    codebook → per-row argmax cluster + residual (zip_with) → literal
+    PQ codebook → per-row code argmax — and the query distance tables
+    (|Q|·nprobe·m·k floats, driver-built like :func:`pq_adc_topk`) are
+    a literal, so candidate scoring is a filtered explode; the single
+    exchange is the per-query top-k window (WindowGroupLimit partial
+    top-k). Training shuffles are model-bounded (k-means update,
+    PQ-means update); at warehouse scale both train on a sample."""
+    cents = kmeans_centroids(
+        embeddings, n_clusters, kmeans_iters, id_col, vec_col
+    )
+    v = F.col(vec_col).cast("array<double>")
+    empty = embeddings.select(
+        F.col(id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.lit(0).cast("bigint").alias("rank"),
+        F.lit(0.0).alias("adc"),
+    ).limit(0)
+    if not cents:
+        return empty
+
+    # literal coarse codebook -> map-only home-cluster argmax + residual
+    coarse_lit = F.array(
+        *[
+            F.struct(
+                F.lit(cl).alias("cluster"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for cl, c in cents
+        ]
+    )
+    scored_coarse = F.transform(
+        coarse_lit,
+        lambda e: F.struct(
+            _dot(v, e["c"]).alias("score"), (-e["cluster"]).alias("negcl")
+        ),
+    )
+    best = F.array_max(scored_coarse)
+    home = -best["negcl"]  # max over (score, -cluster): lower cluster on ties
+    home_c = F.element_at(
+        F.map_from_arrays(
+            F.transform(coarse_lit, lambda e: e["cluster"]),
+            F.transform(coarse_lit, lambda e: e["c"]),
+        ),
+        home,
+    )
+    with_res = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        home.alias("cluster"),
+        F.zip_with(v, home_c, lambda x, c: x - c).alias("rv"),
+    )
+
+    # ONE product quantizer trained on the pooled residuals
+    cb = pq_codebooks(with_res, m, k_codes, pq_iters, "vec_id", "rv")
+    if not cb:
+        return empty
+    per = _pq_encode_expr(
+        F.col("rv"), _pq_codebook_literal(cb, m), m, with_xs=False
+    )
+    codes_arr = F.transform(per, lambda e: -e["b"]["negcode"])
+    db = with_res.select("vec_id", "cluster", codes_arr.alias("codes"))
+
+    # driver-built per-(query, probed cluster) residual distance tables
+    cbd = {(s, c): cent for s, c, cent in cb}
+    csq = {key: float(sum(x * x for x in cent)) for key, cent in cbd.items()}
+    cents_d = dict(cents)
+    qrows = embeddings.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), v.alias("v")
+    ).collect()
+    if not qrows:
+        return empty
+    dim = len(qrows[0].v)
+    subw = dim // m
+    luts = []
+    for q in sorted(qrows, key=lambda r: r.query_id):
+        qv = list(q.v)
+        probed = sorted(
+            cents_d,
+            key=lambda cl: (
+                -sum(qv[i] * cents_d[cl][i] for i in range(dim)),
+                cl,
+            ),
+        )[:nprobe]
+        for cl in probed:
+            qres = [qv[i] - cents_d[cl][i] for i in range(dim)]
+            parts = [
+                [
+                    (
+                        csq[(s, code)]
+                        - 2.0
+                        * sum(
+                            qres[s * subw + j] * cbd[(s, code)][j]
+                            for j in range(subw)
+                        )
+                        if (s, code) in cbd
+                        else 0.0
+                    )
+                    for code in range(k_codes)
+                ]
+                for s in range(m)
+            ]
+            luts.append(
+                F.struct(
+                    F.lit(q.query_id).alias("query_id"),
+                    F.lit(cl).alias("cluster"),
+                    F.lit(float(sum(x * x for x in qres))).alias("qsq"),
+                    F.array(
+                        *[F.array(*[F.lit(p) for p in row]) for row in parts]
+                    ).alias("parts"),
+                )
+            )
+    lut_lit = F.array(*luts)
+
+    scored = (
+        db.select("vec_id", "cluster", "codes", F.explode(lut_lit).alias("q"))
+        .filter(
+            (F.col("cluster") == F.col("q.cluster"))
+            & (F.col("vec_id") != F.col("q.query_id"))
+        )
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.col("q.qsq")
+                + F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + F.element_at(
+                        F.element_at(F.col("q.parts"), s + 1),
+                        F.element_at(F.col("codes"), s + 1) + 1,
+                    ),
+                )
+            ).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            (F.round(F.col("adc"), 4) + F.lit(0.0)).alias("adc"),
+        )
+    )
