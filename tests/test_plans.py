@@ -328,3 +328,17 @@ def test_simhash_neardup_banded_join_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan  # candidates come from the banded equi-join
+
+
+def test_ivf_pq_scan_single_exchange_partial_topk(spark):
+    from tsmp_spark.operators.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(ivf_pq_topk(emb, F.col("vec_id") % 50 == 0, k_neighbors=5))
+    # entire database path (coarse argmax -> residual -> PQ codes -> ADC)
+    # is map-only; the one exchange is the per-query top-k window
+    assert plan.count("Exchange") == 1
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -857,33 +857,41 @@ def ivf_pq_topk(
     embeddings: DataFrame,
     query_pred: Column,
     k_neighbors: int = 5,
-    n_clusters: int = 8,
+    n_clusters: int = 16,
     nprobe: int = 2,
     m: int = 4,
     k_codes: int = 16,
-    kmeans_iters: int = 2,
+    coarse_iters: int = 1,
     pq_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVFADC (Jegou et al. 2011 §IV): the canonical warehouse ANN
-    composition — a trained spherical-k-means coarse quantizer routes
-    each vector to its home cluster, ONE product quantizer trained on
-    the coarse RESIDUALS (x − c_home) compresses them, and a query
-    scans only its ``nprobe`` probed clusters with per-cluster
-    asymmetric distance tables over the residual codes:
+    composition — an L2 k-means coarse quantizer routes each vector to
+    its home cell, ONE product quantizer trained on the coarse
+    RESIDUALS (x − c_home) compresses them (residuals are small inside
+    a cell, so the 16-bit code carries real resolution — a spherical/
+    normalized coarse codebook would leave ||residual|| ≈ ||x|| and
+    drown the ADC estimate in quantization error), and a query scans
+    only its ``nprobe`` probed cells with per-cell asymmetric distance
+    tables over the residual codes:
     ``d(q,x) ≈ ||(q − c) − pq(x − c)||² = qsq_res + Σ_sub part``.
 
+    The coarse quantizer IS :func:`pq_codebooks` with ``m=1`` (one
+    subspace = plain L2 Lloyd, sin-grid r9 init, r9 means) so both
+    quantizers share one deterministic training convention and the
+    oracle replays both through the same SQL chain.
+
     Scale shape: the ENTIRE database path is map-only — literal coarse
-    codebook → per-row argmax cluster + residual (zip_with) → literal
-    PQ codebook → per-row code argmax — and the query distance tables
+    codebook → per-row argmin cell + residual (zip_with) → literal PQ
+    codebook → per-row code argmax — and the query distance tables
     (|Q|·nprobe·m·k floats, driver-built like :func:`pq_adc_topk`) are
     a literal, so candidate scoring is a filtered explode; the single
     exchange is the per-query top-k window (WindowGroupLimit partial
-    top-k). Training shuffles are model-bounded (k-means update,
-    PQ-means update); at warehouse scale both train on a sample."""
-    cents = kmeans_centroids(
-        embeddings, n_clusters, kmeans_iters, id_col, vec_col
+    top-k). Training shuffles are model-bounded; at warehouse scale
+    both quantizers train on a sample."""
+    coarse = pq_codebooks(
+        embeddings, 1, n_clusters, coarse_iters, id_col, vec_col
     )
     v = F.col(vec_col).cast("array<double>")
     empty = embeddings.select(
@@ -892,31 +900,18 @@ def ivf_pq_topk(
         F.lit(0).cast("bigint").alias("rank"),
         F.lit(0.0).alias("adc"),
     ).limit(0)
-    if not cents:
+    if not coarse:
         return empty
-
-    # literal coarse codebook -> map-only home-cluster argmax + residual
-    coarse_lit = F.array(
-        *[
-            F.struct(
-                F.lit(cl).alias("cluster"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
-            )
-            for cl, c in cents
-        ]
+    coarse_lit = _pq_codebook_literal(coarse, 1)
+    home_struct = F.element_at(
+        _pq_encode_expr(v, coarse_lit, 1, with_xs=False), 1
     )
-    scored_coarse = F.transform(
-        coarse_lit,
-        lambda e: F.struct(
-            _dot(v, e["c"]).alias("score"), (-e["cluster"]).alias("negcl")
-        ),
-    )
-    best = F.array_max(scored_coarse)
-    home = -best["negcl"]  # max over (score, -cluster): lower cluster on ties
+    home = -home_struct["b"]["negcode"]
+    cents_d = {cl: c for _, cl, c in coarse}
     home_c = F.element_at(
         F.map_from_arrays(
-            F.transform(coarse_lit, lambda e: e["cluster"]),
-            F.transform(coarse_lit, lambda e: e["c"]),
+            F.transform(F.element_at(coarse_lit, 1), lambda e: e["code"]),
+            F.transform(F.element_at(coarse_lit, 1), lambda e: e["c"]),
         ),
         home,
     )
@@ -936,10 +931,10 @@ def ivf_pq_topk(
     codes_arr = F.transform(per, lambda e: -e["b"]["negcode"])
     db = with_res.select("vec_id", "cluster", codes_arr.alias("codes"))
 
-    # driver-built per-(query, probed cluster) residual distance tables
+    # driver-built per-(query, probed cell) residual distance tables
     cbd = {(s, c): cent for s, c, cent in cb}
     csq = {key: float(sum(x * x for x in cent)) for key, cent in cbd.items()}
-    cents_d = dict(cents)
+    coarse_csq = {cl: float(sum(x * x for x in c)) for cl, c in cents_d.items()}
     qrows = embeddings.filter(query_pred).select(
         F.col(id_col).alias("query_id"), v.alias("v")
     ).collect()
@@ -950,10 +945,15 @@ def ivf_pq_topk(
     luts = []
     for q in sorted(qrows, key=lambda r: r.query_id):
         qv = list(q.v)
+        # argmin ||q-c||^2 == argmax (q.c - |c|^2/2), lower cell on ties —
+        # the SAME objective (and summation order) as the map-only argmax
         probed = sorted(
             cents_d,
             key=lambda cl: (
-                -sum(qv[i] * cents_d[cl][i] for i in range(dim)),
+                -(
+                    sum(qv[i] * cents_d[cl][i] for i in range(dim))
+                    - coarse_csq[cl] / 2.0
+                ),
                 cl,
             ),
         )[:nprobe]

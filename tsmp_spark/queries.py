@@ -5231,7 +5231,56 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_PQ_CODEBOOK = r"""e AS (
+def _sql_pq_chain(sx: str, pfx: str) -> str:
+    """The PQ Lloyd-replay CTE chain (k=16 codes, m=4 subspaces, sin-grid
+    r9 init, r9 means, argmax of ``x.c - |c|^2/2`` with lower-code ties)
+    parameterized by the tall subspace source CTE ``{sx}(vec_id, sub, j,
+    x)`` and a CTE-name prefix — shared by the pq_encode / pq_adc_topk
+    oracles (raw vectors) and the ivf_pq oracle (coarse residuals).
+    Yields ``{pfx}m1`` (trained centroids), ``{pfx}csq1``, ``{pfx}enc``."""
+    return f"""{pfx}init AS (
+  SELECT s.sub, c.code, g.j,
+         round(sin((s.sub * 16 + c.code) * 1779033703.0 + g.j * 40503.0), 9) AS c
+  FROM (SELECT DISTINCT sub FROM {sx}) s
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS code) c
+  CROSS JOIN (SELECT DISTINCT j FROM {sx}) g
+),
+{pfx}csq0 AS (SELECT sub, code, sum(c * c) AS csq FROM {pfx}init GROUP BY 1, 2),
+{pfx}s0 AS (
+  SELECT t.vec_id, t.sub, i.code, sum(t.x * i.c) AS dot
+  FROM {sx} t JOIN {pfx}init i ON i.sub = t.sub AND i.j = t.j
+  GROUP BY 1, 2, 3
+),
+{pfx}a0 AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s0.vec_id, s0.sub, s0.code,
+           row_number() OVER (PARTITION BY s0.vec_id, s0.sub
+                              ORDER BY s0.dot - c.csq / 2 DESC, s0.code ASC) AS rn
+    FROM {pfx}s0 s0 JOIN {pfx}csq0 c ON c.sub = s0.sub AND c.code = s0.code
+  ) WHERE rn = 1
+),
+{pfx}m1 AS (
+  SELECT a0.sub, a0.code, t.j, round(avg(t.x), 9) AS c
+  FROM {pfx}a0 a0 JOIN {sx} t ON t.vec_id = a0.vec_id AND t.sub = a0.sub
+  GROUP BY 1, 2, 3
+),
+{pfx}csq1 AS (SELECT sub, code, sum(c * c) AS csq FROM {pfx}m1 GROUP BY 1, 2),
+{pfx}s1 AS (
+  SELECT t.vec_id, t.sub, m.code, sum(t.x * m.c) AS dot
+  FROM {sx} t JOIN {pfx}m1 m ON m.sub = t.sub AND m.j = t.j
+  GROUP BY 1, 2, 3
+),
+{pfx}enc AS (
+  SELECT vec_id, sub, code, score FROM (
+    SELECT s1.vec_id, s1.sub, s1.code, s1.dot - c.csq / 2 AS score,
+           row_number() OVER (PARTITION BY s1.vec_id, s1.sub
+                              ORDER BY s1.dot - c.csq / 2 DESC, s1.code ASC) AS rn
+    FROM {pfx}s1 s1 JOIN {pfx}csq1 c ON c.sub = s1.sub AND c.code = s1.code
+  ) WHERE rn = 1
+)"""
+
+
+_SQL_PQ_CODEBOOK = """e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings WHERE len(embedding) > 0
 ),
@@ -5242,46 +5291,7 @@ sx AS (
                unnest(generate_series(1, len(v))) AS i FROM e)
   WHERE (i - 1) // (len(v) // 4) < 4
 ),
-init AS (
-  SELECT s.sub, c.code, g.j,
-         round(sin((s.sub * 16 + c.code) * 1779033703.0 + g.j * 40503.0), 9) AS c
-  FROM (SELECT DISTINCT sub FROM sx) s
-  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS code) c
-  CROSS JOIN (SELECT DISTINCT j FROM sx) g
-),
-csq0 AS (SELECT sub, code, sum(c * c) AS csq FROM init GROUP BY 1, 2),
-s0 AS (
-  SELECT sx.vec_id, sx.sub, i.code, sum(sx.x * i.c) AS dot
-  FROM sx JOIN init i ON i.sub = sx.sub AND i.j = sx.j
-  GROUP BY 1, 2, 3
-),
-a0 AS (
-  SELECT vec_id, sub, code FROM (
-    SELECT s0.vec_id, s0.sub, s0.code,
-           row_number() OVER (PARTITION BY s0.vec_id, s0.sub
-                              ORDER BY s0.dot - c.csq / 2 DESC, s0.code ASC) AS rn
-    FROM s0 JOIN csq0 c ON c.sub = s0.sub AND c.code = s0.code
-  ) WHERE rn = 1
-),
-m1 AS (
-  SELECT a0.sub, a0.code, sx.j, round(avg(sx.x), 9) AS c
-  FROM a0 JOIN sx ON sx.vec_id = a0.vec_id AND sx.sub = a0.sub
-  GROUP BY 1, 2, 3
-),
-csq1 AS (SELECT sub, code, sum(c * c) AS csq FROM m1 GROUP BY 1, 2),
-s1 AS (
-  SELECT sx.vec_id, sx.sub, m.code, sum(sx.x * m.c) AS dot
-  FROM sx JOIN m1 m ON m.sub = sx.sub AND m.j = sx.j
-  GROUP BY 1, 2, 3
-),
-enc AS (
-  SELECT vec_id, sub, code, score FROM (
-    SELECT s1.vec_id, s1.sub, s1.code, s1.dot - c.csq / 2 AS score,
-           row_number() OVER (PARTITION BY s1.vec_id, s1.sub
-                              ORDER BY s1.dot - c.csq / 2 DESC, s1.code ASC) AS rn
-    FROM s1 JOIN csq1 c ON c.sub = s1.sub AND c.code = s1.code
-  ) WHERE rn = 1
-)"""
+""" + _sql_pq_chain("sx", "")
 
 
 SQL_PQ_ENCODE = f"""
@@ -5387,3 +5397,107 @@ WHERE bit_count(xor(a.simhash_lo, b.simhash_lo))
 
 QUERIES["simhash_neardup"] = q_simhash_neardup
 ORACLES["simhash_neardup"] = SQL_SIMHASH_NEARDUP
+
+
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jegou et al. 2011 §IV) — the full warehouse ANN
+    composition: L2-k-means coarse quantizer (= the PQ Lloyd chain with
+    m=1: 16 cells), ONE product quantizer trained on the coarse
+    residuals, per-(query, probed-cell) asymmetric distance tables,
+    nprobe=2. The oracle replays the entire chain — coarse Lloyd,
+    residuals, residual-PQ Lloyd, and the ADC sum — through the same
+    parameterized SQL chain, twice."""
+    from .operators.similarity import ivf_pq_topk
+
+    emb = _embeddings(spark, sf_dir).filter(F.size("embedding") > 0)
+    out = ivf_pq_topk(emb, F.col("vec_id") % 50 == 0, k_neighbors=5)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("rank"),
+        F.col("adc"),
+    )
+
+
+SQL_IVF_PQ_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE len(embedding) > 0
+),
+ex AS MATERIALIZED (
+  SELECT vec_id, unnest(v) AS x,
+         unnest(generate_series(1, len(v))) AS i
+  FROM e
+),
+-- coarse L2 k-means = the PQ chain with ONE subspace (m=1, 16 cells)
+csx AS (SELECT vec_id, CAST(0 AS INT) AS sub, CAST(i - 1 AS INT) AS j, x FROM ex),
+{_sql_pq_chain("csx", "c")},
+home AS (SELECT vec_id, code AS cluster FROM cenc),
+-- coarse residuals (tall)
+rx AS MATERIALIZED (
+  SELECT ex.vec_id, h.cluster, ex.i, ex.x - m.c AS x
+  FROM ex JOIN home h USING (vec_id)
+  JOIN cm1 m ON m.sub = 0 AND m.code = h.cluster AND m.j = ex.i - 1
+),
+dims AS (SELECT vec_id, max(i) AS n FROM ex GROUP BY 1),
+psx AS MATERIALIZED (
+  SELECT rx.vec_id, CAST((rx.i - 1) // (d.n // 4) AS INT) AS sub,
+         CAST((rx.i - 1) % (d.n // 4) AS INT) AS j, rx.x
+  FROM rx JOIN dims d USING (vec_id)
+  WHERE (rx.i - 1) // (d.n // 4) < 4
+),
+{_sql_pq_chain("psx", "p")},
+-- queries: nprobe=2 probed cells by the trained-coarse objective
+qprob AS (
+  SELECT vec_id AS query_id, code AS cluster FROM (
+    SELECT s1.vec_id, s1.code,
+           row_number() OVER (PARTITION BY s1.vec_id
+                              ORDER BY s1.dot - c.csq / 2 DESC, s1.code ASC) AS rn
+    FROM cs1 s1 JOIN ccsq1 c ON c.sub = s1.sub AND c.code = s1.code
+    WHERE s1.vec_id % 50 = 0
+  ) WHERE rn <= 2
+),
+qres AS MATERIALIZED (
+  SELECT qp.query_id, qp.cluster, ex.i, ex.x - m.c AS x
+  FROM qprob qp JOIN ex ON ex.vec_id = qp.query_id
+  JOIN cm1 m ON m.sub = 0 AND m.code = qp.cluster AND m.j = ex.i - 1
+),
+qsq AS (SELECT query_id, cluster, sum(x * x) AS qsq FROM qres GROUP BY 1, 2),
+qsx AS (
+  SELECT qres.query_id, qres.cluster,
+         CAST((qres.i - 1) // (d.n // 4) AS INT) AS sub,
+         CAST((qres.i - 1) % (d.n // 4) AS INT) AS j, qres.x
+  FROM qres JOIN dims d ON d.vec_id = qres.query_id
+  WHERE (qres.i - 1) // (d.n // 4) < 4
+),
+lut AS (
+  SELECT q.query_id, q.cluster, m.sub, m.code,
+         c.csq - 2 * sum(q.x * m.c) AS part
+  FROM qsx q JOIN pm1 m ON m.sub = q.sub AND m.j = q.j
+  JOIN pcsq1 c ON c.sub = m.sub AND c.code = m.code
+  GROUP BY q.query_id, q.cluster, m.sub, m.code, c.csq
+),
+scored AS (
+  SELECT l.query_id, penc.vec_id AS neighbor_id,
+         any_value(s.qsq) + sum(l.part) AS adc
+  FROM penc
+  JOIN home h ON h.vec_id = penc.vec_id
+  JOIN lut l ON l.cluster = h.cluster AND l.sub = penc.sub AND l.code = penc.code
+  JOIN qsq s ON s.query_id = l.query_id AND s.cluster = l.cluster
+  WHERE penc.vec_id != l.query_id
+  GROUP BY 1, 2
+),
+final AS (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank, round(adc, 4) + 0.0 AS adc
+FROM final WHERE rank <= 5
+"""
+
+QUERIES["ivf_pq_topk"] = q_ivf_pq_topk
+ORACLES["ivf_pq_topk"] = SQL_IVF_PQ_TOPK
