@@ -342,3 +342,15 @@ def test_ivf_pq_scan_single_exchange_partial_topk(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_exchange_no_range_join(spark):
+    from tsmp_spark.operators.rollup import asof_join
+
+    left = spark.createDataFrame([(1, 5)], "user_id long, ts long")
+    right = spark.createDataFrame([(1, 4, 1.0)], "user_id long, ts long, value double")
+    plan = _plan(asof_join(left, right))
+    # union + ONE keyed window: never a range/interval join (BNLJ at scale)
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan

@@ -491,3 +491,43 @@ def test_ivf_pq_recall_on_structured_data_and_empty(spark):
         total += 5
     assert hits / total >= 0.5  # numpy prototype: 0.68
     assert ivf_pq_topk(emb.limit(0), F.lit(True)).count() == 0
+
+
+def test_asof_join_semantics(spark):
+    from tsmp_spark.operators.rollup import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 25), (2, 5), (2, 9)], "user_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 20, 200.0), (1, 25, 250.0), (2, 9, 300.0)],
+        "user_id long, ts long, value double",
+    )
+    back = {
+        (r.user_id, r.ts): (r.ts_right, r.value_right)
+        for r in asof_join(left, right).collect()
+    }
+    assert back[(1, 5)] == (None, None)  # nothing at-or-before
+    assert back[(1, 10)] == (8, 100.0)
+    assert back[(1, 25)] == (25, 250.0)  # equal ts matches
+    assert back[(2, 5)] == (None, None)
+    assert back[(2, 9)] == (9, 300.0)
+    fwd = {
+        (r.user_id, r.ts): (r.ts_right, r.value_right)
+        for r in asof_join(left, right, direction="forward").collect()
+    }
+    assert fwd[(1, 5)] == (8, 100.0)
+    assert fwd[(1, 25)] == (25, 250.0)
+    assert fwd[(2, 5)] == (9, 300.0)
+    tol = {
+        (r.user_id, r.ts): (r.ts_right, r.value_right)
+        for r in asof_join(left, right, tolerance=3).collect()
+    }
+    assert tol[(1, 10)] == (8, 100.0)  # gap 2 <= 3
+    assert tol[(1, 25)] == (25, 250.0)
+    assert (1, 5) in tol and tol[(1, 5)] == (None, None)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, direction="nearest")

@@ -293,3 +293,95 @@ def rollup_tier_nested(
         F.col("t.mp_max").alias("mp_max"),
         F.col("t.n").alias("n"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: tuple[str, ...] = ("user_id",),
+    right_cols: tuple[str, ...] = ("value",),
+    tolerance=None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join — for every left row, the latest right row with
+    ``right.on <= left.on`` within the same ``by`` key (``backward``;
+    ``forward`` mirrors with >=), the staple time-series operator Spark
+    has no native form of (TimescaleDB/kdb LAST/ASOF; the reference's
+    domain, not its API — cited for semantics: DuckDB ASOF JOIN, which
+    the oracle uses as an independent implementation).
+
+    Scale shape: NOT a range join (an interval-overlap join explodes at
+    warehouse scale and Catalyst falls back to BNLJ) — both sides are
+    UNIONED, tagged, and carried through ONE keyed window
+    (``last(ignorenulls)`` over (key) ordered by (ts, side)): a single
+    Exchange on the ``by`` key, linear work, no candidate blow-up. Skewed
+    keys hit the window sort; pre-split hot keys with
+    :func:`series.salted_repartition` and merge if needed.
+
+    Equal timestamps match (right sorts before left at the same ``on``).
+    CONTRACT: ``right`` must be unique per (by, on) — with duplicates the
+    carried pick is tie-ordered only by the window sort and engines may
+    disagree; aggregate first. ``tolerance`` (same units as ``on``)
+    voids matches older than ``left.on - tolerance``.
+
+    Output: all left columns + ``{on}_right`` + the requested right
+    columns (nulled where no match — left-join semantics).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    keys = list(by)
+    lstruct = F.struct(*[F.col(c) for c in left.columns]).alias("_l")
+    rtypes = dict(zip(right.schema.names, [f.dataType for f in right.schema.fields]))
+    l2 = left.select(
+        *[F.col(c) for c in keys],
+        F.col(on).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        lstruct,
+        F.lit(None).cast(rtypes[on]).alias("_r_ts"),
+        *[F.lit(None).cast(rtypes[c]).alias(f"_r_{c}") for c in right_cols],
+    )
+    r2 = right.select(
+        *[F.col(c) for c in keys],
+        F.col(on).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(l2.schema["_l"].dataType).alias("_l"),
+        F.col(on).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    asc = direction == "backward"
+    order = [
+        F.col("_ts").asc() if asc else F.col("_ts").desc(),
+        F.col("_is_left").asc(),
+    ]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l2.unionByName(r2).select(
+        "*",
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_m_ts"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("_is_left") == 1)
+    if tolerance is not None:
+        gap = (
+            (F.col("_ts") - F.col("_m_ts"))
+            if asc
+            else (F.col("_m_ts") - F.col("_ts"))
+        )
+        ok = F.col("_m_ts").isNotNull() & (gap <= tolerance)
+        out = out.select(
+            "_l",
+            F.when(ok, F.col("_m_ts")).alias("_m_ts"),
+            *[F.when(ok, F.col(f"_m_{c}")).alias(f"_m_{c}") for c in right_cols],
+        )
+    return out.select(
+        F.col("_l.*"),
+        F.col("_m_ts").alias(f"{on}_right"),
+        *[F.col(f"_m_{c}").alias(c + "_right") for c in right_cols],
+    )

@@ -5501,3 +5501,56 @@ FROM final WHERE rank <= 5
 
 QUERIES["ivf_pq_topk"] = q_ivf_pq_topk
 ORACLES["ivf_pq_topk"] = SQL_IVF_PQ_TOPK
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: a 6-hour per-user timestamp grid against the latest
+    event at-or-before each grid point. The Spark side is the
+    union+keyed-window formulation (ONE exchange, no range join); the
+    oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    implementation of the operator, not a replay of ours."""
+    from .operators.rollup import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        "value",
+    )
+    right = ev.groupBy("user_id", "sec").agg(F.max("value").alias("value"))
+    rng = ev.groupBy("user_id").agg(
+        (F.ceil(F.min("sec") / 21600.0).cast("bigint") * 21600).alias("lo"),
+        F.max("sec").alias("hi"),
+    )
+    left = rng.filter(F.col("lo") <= F.col("hi")).select(
+        "user_id", F.explode(F.sequence("lo", "hi", F.lit(21600))).alias("sec")
+    )
+    out = asof_join(left, right, on="sec", by=("user_id",), right_cols=("value",))
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("sec").cast("bigint").alias("sec"),
+        F.col("sec_right").cast("bigint").alias("sec_right"),
+        F.col("value_right"),
+    )
+
+
+SQL_ASOF_JOIN = r"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events
+),
+r AS (SELECT user_id, sec, max(value) AS value FROM ev GROUP BY 1, 2),
+rng AS (
+  SELECT user_id, CAST(ceil(min(sec) / 21600.0) AS BIGINT) * 21600 AS lo,
+         max(sec) AS hi
+  FROM ev GROUP BY 1
+),
+l AS (
+  SELECT user_id, unnest(generate_series(lo, hi, 21600)) AS sec
+  FROM rng WHERE lo <= hi
+)
+SELECT CAST(l.user_id AS BIGINT) AS user_id, CAST(l.sec AS BIGINT) AS sec,
+       CAST(r.sec AS BIGINT) AS sec_right, r.value AS value_right
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.sec >= r.sec
+"""
+
+QUERIES["asof_join"] = q_asof_join
+ORACLES["asof_join"] = SQL_ASOF_JOIN
