@@ -354,3 +354,14 @@ def test_asof_join_single_exchange_no_range_join(spark):
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_m4_and_percentiles_single_combinable_groupby(spark):
+    from tsmp_spark.operators.rollup import m4_downsample, rollup_percentiles
+
+    df = spark.createDataFrame([("s", 0, 1.0)], "doc_id string, pos long, value double")
+    for op in (lambda: m4_downsample(df, 8), lambda: rollup_percentiles(df, 8)):
+        plan = _plan(op())
+        assert plan.count("Exchange") == 1  # one combinable groupBy
+        assert "partial" in plan.lower()  # map-side partial aggregation
+        assert "BatchEvalPython" not in plan

@@ -531,3 +531,31 @@ def test_asof_join_semantics(spark):
 
     with pytest.raises(ValueError):
         asof_join(left, right, direction="nearest")
+
+
+def test_m4_downsample_shape_points(spark):
+    from tsmp_spark.operators.rollup import m4_downsample
+
+    rows = [("s", p, v) for p, v in [(0, 5.0), (1, 1.0), (2, 9.0), (3, 1.0), (9, 7.0), (10, 2.0)]]
+    df = spark.createDataFrame(rows, "doc_id string, pos long, value double")
+    out = {r.bucket: r for r in m4_downsample(df, 8).collect()}
+    b0 = out[0]
+    assert (b0.first_pos, b0.first_value) == (0, 5.0)
+    assert (b0.last_pos, b0.last_value) == (3, 1.0)
+    # equal extremes: the EARLIER position wins (deterministic tie)
+    assert (b0.min_pos, b0.min_value) == (1, 1.0)
+    assert (b0.max_pos, b0.max_value) == (2, 9.0)
+    assert b0.n == 4
+    b1 = out[1]  # pos 9 (7.0), pos 10 (2.0)
+    assert b1.n == 2 and b1.first_pos == b1.max_pos == 9 and b1.last_pos == 10
+
+
+def test_rollup_percentiles_exact(spark):
+    from tsmp_spark.operators.rollup import rollup_percentiles
+
+    df = spark.createDataFrame(
+        [("s", p, float(v)) for p, v in enumerate([1, 2, 4, 8, 9])],
+        "doc_id string, pos long, value double",
+    )
+    r = rollup_percentiles(df, 100).collect()[0]
+    assert r.p50 == 4.0 and abs(r.p95 - 8.8) < 1e-12 and r.n == 5

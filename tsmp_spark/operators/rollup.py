@@ -385,3 +385,81 @@ def asof_join(
         F.col("_m_ts").alias(f"{on}_right"),
         *[F.col(f"_m_{c}").alias(c + "_right") for c in right_cols],
     )
+
+
+def m4_downsample(
+    long_df: DataFrame,
+    bucket: int,
+    key_col: str = "doc_id",
+    pos_col: str = "pos",
+    value_col: str = "value",
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (series, bucket)
+    keep exactly the four shape-preserving points — first, last, min,
+    max, each with its position — the standard visualization/rollup
+    downsample (error-free line rendering at pixel resolution).
+
+    One combinable groupBy (map-side partial agg; the same single
+    shuffle as :func:`rollup_tier`). Ties are deterministic: extremes
+    order by (value, pos) — the EARLIER position wins an equal
+    extreme — and first/last by (pos, value).
+    """
+    k, p, v = F.col(key_col), F.col(pos_col), F.col(value_col)
+    rows = long_df.select(
+        k.alias("key"), F.floor(p / bucket).cast("long").alias("bucket"),
+        p.alias("pos"), v.alias("value"),
+    )
+    vp = F.struct("value", "pos")
+    pv = F.struct("pos", "value")
+    agg = rows.groupBy("key", "bucket").agg(
+        F.min(pv).alias("_first"),
+        F.max(pv).alias("_last"),
+        F.min(vp).alias("_min"),
+        F.max(vp).alias("_max"),
+        F.count("*").alias("n"),
+    )
+    return agg.select(
+        F.col("key").alias(key_col),
+        "bucket",
+        F.col("_first.pos").alias("first_pos"),
+        F.col("_first.value").alias("first_value"),
+        F.col("_last.pos").alias("last_pos"),
+        F.col("_last.value").alias("last_value"),
+        F.col("_min.pos").alias("min_pos"),
+        F.col("_min.value").alias("min_value"),
+        F.col("_max.pos").alias("max_pos"),
+        F.col("_max.value").alias("max_value"),
+        "n",
+    )
+
+
+def rollup_percentiles(
+    long_df: DataFrame,
+    bucket: int,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+    key_col: str = "doc_id",
+    pos_col: str = "pos",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact per-bucket percentiles (linear interpolation — the
+    SQL-standard ``percentile_cont`` both Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` implement) as continuous-aggregate
+    columns: ``p50, p95, ...`` per (series, bucket).
+
+    One shuffle (groupBy). Exact percentiles hold the bucket's values;
+    at warehouse scale keep ``bucket`` sized so a bucket's points fit a
+    task (they do by construction — buckets are the DOWNSAMPLE unit),
+    or swap in a mergeable sketch and give up oracle replay.
+    """
+    k, p, v = F.col(key_col), F.col(pos_col), F.col(value_col)
+    rows = long_df.select(
+        k.alias("key"), F.floor(p / bucket).cast("long").alias("bucket"),
+        v.alias("value"),
+    )
+    aggs = [
+        F.percentile("value", F.lit(q)).alias(f"p{int(q * 100)}")
+        for q in quantiles
+    ]
+    return rows.groupBy("key", "bucket").agg(
+        *aggs, F.count("*").alias("n")
+    ).withColumnRenamed("key", key_col)

@@ -5554,3 +5554,92 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.sec >= r.sec
 
 QUERIES["asof_join"] = q_asof_join
 ORACLES["asof_join"] = SQL_ASOF_JOIN
+
+
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014) of each user's event
+    series into 6-hour buckets: the four shape-preserving points
+    (first/last/min/max, with positions) per bucket — one combinable
+    groupBy, the rollup engine's visualization-grade downsample."""
+    from .operators.rollup import m4_downsample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id"), F.unix_timestamp("ts").alias("sec"), F.col("value")
+    )
+    out = m4_downsample(ev, 21600, key_col="user_id", pos_col="sec")
+    cols = [
+        "first_pos", "first_value", "last_pos", "last_value",
+        "min_pos", "min_value", "max_pos", "max_value",
+    ]
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        *[
+            F.col(c).cast("bigint").alias(c) if c.endswith("_pos") else F.col(c)
+            for c in cols
+        ],
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+SQL_M4_DOWNSAMPLE = r"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events
+),
+b AS (SELECT user_id, sec // 21600 AS bucket, sec, value FROM ev),
+agg AS (
+  SELECT user_id, bucket,
+         min(struct_pack(p := sec, v := value)) AS fst,
+         max(struct_pack(p := sec, v := value)) AS lst,
+         min(struct_pack(v := value, p := sec)) AS mn,
+         max(struct_pack(v := value, p := sec)) AS mx,
+         count(*) AS n
+  FROM b GROUP BY 1, 2
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(fst.p AS BIGINT) AS first_pos, fst.v AS first_value,
+       CAST(lst.p AS BIGINT) AS last_pos, lst.v AS last_value,
+       CAST(mn.p AS BIGINT) AS min_pos, mn.v AS min_value,
+       CAST(mx.p AS BIGINT) AS max_pos, mx.v AS max_value,
+       CAST(n AS BIGINT) AS n
+FROM agg
+"""
+
+QUERIES["m4_downsample"] = q_m4_downsample
+ORACLES["m4_downsample"] = SQL_M4_DOWNSAMPLE
+
+
+def q_rollup_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-bucket p50/p95 continuous-aggregate columns over each
+    user's event series (6-hour buckets), r6-rounded on both engines
+    (the interpolation arithmetic is the SQL-standard percentile_cont
+    on both; rounding absorbs summation-order ulp)."""
+    from .operators.rollup import rollup_percentiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id"), F.unix_timestamp("ts").alias("sec"), F.col("value")
+    )
+    out = rollup_percentiles(ev, 21600, key_col="user_id", pos_col="sec")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        (F.round("p50", 6) + F.lit(0.0)).alias("p50"),
+        (F.round("p95", 6) + F.lit(0.0)).alias("p95"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+SQL_ROLLUP_PERCENTILES = r"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events
+),
+b AS (SELECT user_id, sec // 21600 AS bucket, value FROM ev)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(bucket AS BIGINT) AS bucket,
+       round(quantile_cont(value, 0.5), 6) + 0.0 AS p50,
+       round(quantile_cont(value, 0.95), 6) + 0.0 AS p95,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY 1, 2
+"""
+
+QUERIES["rollup_percentiles"] = q_rollup_percentiles
+ORACLES["rollup_percentiles"] = SQL_ROLLUP_PERCENTILES
