@@ -365,3 +365,14 @@ def test_m4_and_percentiles_single_combinable_groupby(spark):
         assert plan.count("Exchange") == 1  # one combinable groupBy
         assert "partial" in plan.lower()  # map-side partial aggregation
         assert "BatchEvalPython" not in plan
+
+
+def test_sessionize_single_exchange_reuse(spark):
+    from tsmp_spark.operators.rollup import sessionize
+
+    df = spark.createDataFrame([(1, 0)], "user_id long, sec long")
+    plan = _plan(sessionize(df, 100, key_col="user_id", ts_col="sec"))
+    # window hash-partitions by key; the (key, session_idx) groupBy extends
+    # that prefix and reuses the exchange (ClusteredDistribution subset rule)
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan

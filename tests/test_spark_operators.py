@@ -559,3 +559,26 @@ def test_rollup_percentiles_exact(spark):
     )
     r = rollup_percentiles(df, 100).collect()[0]
     assert r.p50 == 4.0 and abs(r.p95 - 8.8) < 1e-12 and r.n == 5
+
+
+def test_sessionize_gap_semantics(spark):
+    from tsmp_spark.operators.rollup import sessionize
+
+    rows = [(1, t) for t in [0, 50, 120, 500, 510, 2000]] + [(2, 7)]
+    df = spark.createDataFrame(rows, "user_id long, sec long")
+    out = {
+        (r.user_id, r.session_idx): r
+        for r in sessionize(df, 100, key_col="user_id", ts_col="sec").collect()
+    }
+    # gap > 100 splits: [0,50,120] (gaps 50,70), [500,510], [2000]
+    assert out[(1, 0)].session_start == 0 and out[(1, 0)].session_end == 120
+    assert out[(1, 0)].n_events == 3 and out[(1, 0)].duration == 120
+    assert out[(1, 1)].session_start == 500 and out[(1, 1)].n_events == 2
+    assert out[(1, 2)].n_events == 1 and out[(1, 2)].duration == 0
+    assert out[(2, 0)].n_events == 1
+    # exact-gap boundary: gap == threshold does NOT split
+    two = sessionize(
+        spark.createDataFrame([(1, 0), (1, 100)], "user_id long, sec long"),
+        100, key_col="user_id", ts_col="sec",
+    ).collect()
+    assert len(two) == 1 and two[0].n_events == 2

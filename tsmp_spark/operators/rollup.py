@@ -463,3 +463,59 @@ def rollup_percentiles(
     return rows.groupBy("key", "bucket").agg(
         *aggs, F.count("*").alias("n")
     ).withColumnRenamed("key", key_col)
+
+
+def sessionize(
+    events: DataFrame,
+    gap: int,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Inactivity-gap sessionization: within each key, a new session
+    starts whenever the gap to the previous event EXCEEDS ``gap`` (ts
+    units). Returns one row per session: (key, session_idx 0-based in
+    time order, session_start, session_end, n_events, duration).
+
+    Scale shape: ONE exchange — the lag/cumsum window hash-partitions
+    by the key, and the per-session groupBy's keys EXTEND that
+    partitioning prefix, so it reuses the exchange
+    (ClusteredDistribution subset rule, plan-pinned — the same
+    single-shuffle pattern as pack_sequences' cumsum+reassembly).
+    Ordering ties on ``ts`` break by ``tie_col`` (pass the event id for
+    full determinism; the session SPLIT is tie-insensitive since equal
+    timestamps have gap 0).
+    """
+    k, t = F.col(key_col), F.col(ts_col)
+    order = [F.col("ts").asc()] + ([F.col("_tie").asc()] if tie_col else [])
+    w = Window.partitionBy("key").orderBy(*order)
+    sel = [k.alias("key"), t.alias("ts")]
+    if tie_col:
+        sel.append(F.col(tie_col).alias("_tie"))
+    flagged = events.select(*sel).withColumn(
+        "_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts") - F.lag("ts").over(w)) > gap),
+            1,
+        ).otherwise(0),
+    )
+    with_idx = flagged.withColumn(
+        "session_idx", F.sum("_new").over(w).cast("long") - 1
+    )
+    return (
+        with_idx.groupBy("key", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "session_idx",
+            "session_start",
+            "session_end",
+            "n_events",
+            (F.col("session_end") - F.col("session_start")).alias("duration"),
+        )
+    )

@@ -5643,3 +5643,53 @@ FROM b GROUP BY 1, 2
 
 QUERIES["rollup_percentiles"] = q_rollup_percentiles
 ORACLES["rollup_percentiles"] = SQL_ROLLUP_PERCENTILES
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization of the event stream (2-hour gap):
+    per (user, session) start/end/count/duration — lag+cumsum window
+    plus a groupBy whose keys extend the window's partitioning, so the
+    whole operator is ONE exchange (plan-pinned)."""
+    from .operators.rollup import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id"), F.unix_timestamp("ts").alias("sec")
+    )
+    out = sessionize(ev, 7200, key_col="user_id", ts_col="sec")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("session_idx").cast("bigint").alias("session_idx"),
+        F.col("session_start").cast("bigint").alias("session_start"),
+        F.col("session_end").cast("bigint").alias("session_end"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("duration").cast("bigint").alias("duration"),
+    )
+
+
+SQL_SESSIONIZE = r"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+),
+flagged AS (
+  SELECT user_id, sec,
+         CASE WHEN lag(sec) OVER w IS NULL
+                OR sec - lag(sec) OVER w > 7200 THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+),
+idx AS (
+  SELECT user_id, sec,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY sec
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(min(sec) AS BIGINT) AS session_start,
+       CAST(max(sec) AS BIGINT) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(sec) - min(sec) AS BIGINT) AS duration
+FROM idx GROUP BY 1, 2
+"""
+
+QUERIES["sessionize"] = q_sessionize
+ORACLES["sessionize"] = SQL_SESSIONIZE
