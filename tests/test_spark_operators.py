@@ -582,3 +582,20 @@ def test_sessionize_gap_semantics(spark):
         100, key_col="user_id", ts_col="sec",
     ).collect()
     assert len(two) == 1 and two[0].n_events == 2
+
+
+def test_cohort_retention_matrix(spark):
+    from tsmp_spark.operators.rollup import cohort_retention
+
+    # users 1,2 start in bucket 0; user 3 starts in bucket 1;
+    # user 2 returns in bucket 2, user 1 never returns
+    rows = [(1, 5), (2, 8), (2, 15), (3, 110), (2, 205), (3, 207)]
+    df = spark.createDataFrame(rows, "user_id long, sec long")
+    out = {
+        (r.cohort, r.age): r
+        for r in cohort_retention(df, 100, key_col="user_id", ts_col="sec").collect()
+    }
+    assert out[(0, 0)].active_users == 2 and out[(0, 0)].cohort_size == 2
+    assert out[(0, 2)].active_users == 1 and out[(0, 2)].retention == 0.5
+    assert (0, 1) not in out  # nobody from cohort 0 active in bucket 1
+    assert out[(1, 0)].cohort_size == 1 and out[(1, 1)].active_users == 1

@@ -519,3 +519,37 @@ def sessionize(
             (F.col("session_end") - F.col("session_start")).alias("duration"),
         )
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    bucket: int,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """Cohort retention matrix: users cohort by their FIRST-activity
+    bucket; cell (cohort, age) counts distinct users active ``age``
+    buckets after their cohort, plus the retention rate vs the cohort
+    size. The classic warehouse activity analysis, engine-shaped:
+    the first-activity groupBy and the (user, bucket) dedup both
+    partial-aggregate map-side; the user-keyed join shuffles once on
+    the key (broadcast the cohort side when users << events).
+    """
+    k, t = F.col(key_col), F.col(ts_col)
+    acts = events.select(
+        k.alias("key"), F.floor(t / bucket).cast("long").alias("b")
+    ).distinct()
+    first = acts.groupBy("key").agg(F.min("b").alias("cohort"))
+    cells = (
+        acts.join(first, "key")
+        .groupBy("cohort", (F.col("b") - F.col("cohort")).alias("age"))
+        .agg(F.countDistinct("key").alias("active_users"))
+    )
+    sizes = first.groupBy("cohort").agg(F.countDistinct("key").alias("cohort_size"))
+    return cells.join(sizes, "cohort").select(
+        "cohort",
+        "age",
+        "active_users",
+        "cohort_size",
+        F.round(F.col("active_users") / F.col("cohort_size"), 6).alias("retention"),
+    )

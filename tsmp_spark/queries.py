@@ -5693,3 +5693,45 @@ FROM idx GROUP BY 1, 2
 
 QUERIES["sessionize"] = q_sessionize
 ORACLES["sessionize"] = SQL_SESSIONIZE
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the event stream: daily cohorts by
+    first activity, distinct-user counts per (cohort, age-in-days),
+    retention rate r6 (an exact integer ratio — no summation order)."""
+    from .operators.rollup import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id"), F.unix_timestamp("ts").alias("sec")
+    )
+    out = cohort_retention(ev, 86400, key_col="user_id", ts_col="sec")
+    return out.select(
+        F.col("cohort").cast("bigint").alias("cohort"),
+        F.col("age").cast("bigint").alias("age"),
+        F.col("active_users").cast("bigint").alias("active_users"),
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        F.col("retention"),
+    )
+
+
+SQL_COHORT_RETENTION = r"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+),
+acts AS (SELECT DISTINCT user_id, sec // 86400 AS b FROM ev),
+first AS (SELECT user_id, min(b) AS cohort FROM acts GROUP BY 1),
+cells AS (
+  SELECT f.cohort, a.b - f.cohort AS age, count(DISTINCT a.user_id) AS active_users
+  FROM acts a JOIN first f USING (user_id)
+  GROUP BY 1, 2
+),
+sizes AS (SELECT cohort, count(DISTINCT user_id) AS cohort_size FROM first GROUP BY 1)
+SELECT CAST(c.cohort AS BIGINT) AS cohort, CAST(c.age AS BIGINT) AS age,
+       CAST(c.active_users AS BIGINT) AS active_users,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       round(c.active_users / s.cohort_size, 6) AS retention
+FROM cells c JOIN sizes s USING (cohort)
+"""
+
+QUERIES["cohort_retention"] = q_cohort_retention
+ORACLES["cohort_retention"] = SQL_COHORT_RETENTION
