@@ -599,3 +599,33 @@ def test_cohort_retention_matrix(spark):
     assert out[(0, 2)].active_users == 1 and out[(0, 2)].retention == 0.5
     assert (0, 1) not in out  # nobody from cohort 0 active in bucket 1
     assert out[(1, 0)].cohort_size == 1 and out[(1, 1)].active_users == 1
+
+
+def test_counter_rate_reset_semantics(spark):
+    from tsmp_spark.operators.rollup import counter_rate
+
+    # counter: 0 -> 10 -> 25 -> RESET to 3 -> 9 (increase 10+15+3+6 = 34)
+    rows = [(1, t, v) for t, v in [(0, 0.0), (10, 10.0), (20, 25.0), (30, 3.0), (40, 9.0)]]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double")
+    out = counter_rate(df, 100, key_col="user_id", ts_col="sec").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.increase == 34.0 and r.n_samples == 5
+    assert r.rate == 34.0 / 100
+
+
+def test_time_weighted_avg_locf_clipped(spark):
+    from tsmp_spark.operators.rollup import time_weighted_avg
+
+    # bucket 100: v=2 holds [0,60), v=10 holds [60,100) -> twa = (2*60+10*40)/100
+    rows = [(1, 0, 2.0), (1, 60, 10.0), (1, 130, 4.0)]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double")
+    out = {r.bucket: r for r in time_weighted_avg(df, 100, key_col="user_id", ts_col="sec").collect()}
+    assert out[0].twa == (2.0 * 60 + 10.0 * 40) / 100 and out[0].covered == 100.0
+    assert out[1].twa == 4.0 and out[1].covered == 70.0  # [130, 200)
+    # zero-duration-only bucket -> NULL twa
+    z = time_weighted_avg(
+        spark.createDataFrame([(1, 100, 5.0), (1, 100, 5.0)], "user_id long, sec long, value double"),
+        100, key_col="user_id", ts_col="sec",
+    ).collect()
+    assert all(r.twa is None or r.covered > 0 for r in z)

@@ -553,3 +553,95 @@ def cohort_retention(
         "cohort_size",
         F.round(F.col("active_users") / F.col("cohort_size"), 6).alias("retention"),
     )
+
+
+def counter_rate(
+    events: DataFrame,
+    bucket: int,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Monotonic-counter increase per (key, bucket) with RESET handling
+    (the PromQL/TimescaleDB ``rate``/``increase`` semantics): each
+    sample contributes ``max(v - lag(v), 0)`` — a drop means the counter
+    reset, and the post-reset value is the observed increase (PromQL's
+    convention) — attributed to the bucket where the increase is
+    OBSERVED. ``rate`` divides by the bucket length.
+
+    One exchange: the lag window partitions by key and the (key, bucket)
+    groupBy extends that prefix (exchange reuse). Ties on ``ts`` order
+    by value (deterministic; counters rarely tie). Sums round r6.
+    """
+    k, t, v = F.col(key_col), F.col(ts_col), F.col(value_col)
+    w = Window.partitionBy("key").orderBy(F.col("ts").asc(), F.col("v").asc())
+    prev = F.lag("v").over(w)
+    inc = (
+        F.when(prev.isNull(), 0.0)
+        .when(F.col("v") >= prev, F.col("v") - prev)
+        .otherwise(F.col("v"))  # reset: the restarted counter's value IS the increase
+    )
+    rows = (
+        events.select(k.alias("key"), t.alias("ts"), v.cast("double").alias("v"))
+        .withColumn("_inc", inc)
+        .groupBy("key", F.floor(F.col("ts") / bucket).cast("long").alias("bucket"))
+        .agg(
+            F.round(F.sum("_inc"), 6).alias("increase"),
+            F.count("*").alias("n_samples"),
+        )
+    )
+    return rows.select(
+        F.col("key").alias(key_col),
+        "bucket",
+        "increase",
+        # exact double division of the ALREADY-rounded increase — a second
+        # round() here lands on .5 decimal boundaries and flips per engine
+        # (the r6->re-round landmine, CLAUDE.md); same bits both engines
+        (F.col("increase") / bucket).alias("rate"),
+        "n_samples",
+    )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    bucket: int,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted average per (key, bucket) under last-observation-
+    carried-forward, clipped to each point's own bucket: point i holds
+    its value from ``ts_i`` until ``min(next_ts_i, bucket_end)``, and
+    ``twa = Σ v_i·dt_i / Σ dt_i``. (TimescaleDB's ``time_weight``
+    additionally carries values INTO later buckets; that needs
+    gap-fill — compose with :func:`gap_fill` — and is out of this
+    aggregate's contract, documented.) Zero-duration points (a sample
+    at the exact bucket end, or duplicate timestamps) carry no weight;
+    a bucket whose every point has zero duration returns NULL.
+
+    One exchange (lead window by key; the groupBy extends its prefix).
+    Products v·dt are per-row exact; the sum rounds r6.
+    """
+    k, t, v = F.col(key_col), F.col(ts_col), F.col(value_col)
+    w = Window.partitionBy("key").orderBy(F.col("ts").asc(), F.col("v").asc())
+    rows = events.select(
+        k.alias("key"), t.alias("ts"), v.cast("double").alias("v")
+    ).withColumn("_next", F.lead("ts").over(w))
+    b = F.floor(F.col("ts") / bucket).cast("long")
+    bucket_end = (b + 1) * bucket
+    dt = (
+        F.least(F.coalesce(F.col("_next"), bucket_end), bucket_end) - F.col("ts")
+    ).cast("double")
+    return (
+        rows.select("key", b.alias("bucket"), "v", dt.alias("_dt"))
+        .groupBy("key", "bucket")
+        .agg(
+            F.round(
+                F.sum(F.col("v") * F.col("_dt")) / F.nullif(F.sum("_dt"), F.lit(0.0)),
+                6,
+            ).alias("twa"),
+            F.round(F.sum("_dt"), 6).alias("covered"),
+            F.count("*").alias("n_samples"),
+        )
+        .withColumnRenamed("key", key_col)
+    )

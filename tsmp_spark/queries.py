@@ -5735,3 +5735,114 @@ FROM cells c JOIN sizes s USING (cohort)
 
 QUERIES["cohort_retention"] = q_cohort_retention
 ORACLES["cohort_retention"] = SQL_COHORT_RETENTION
+
+
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style counter increase/rate per (user, 6h bucket) with
+    reset handling, over a synthetic monotonic-with-resets counter
+    derived from the events (cumulative |value| per user, reset to the
+    sample value every 16th event by event_id)."""
+    from pyspark.sql.window import Window as W
+
+    from .operators.rollup import counter_rate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"),
+        F.abs("value").alias("av"), "event_id",
+    )
+    wseq = W.partitionBy("user_id").orderBy("sec", "event_id")
+    grp = F.sum((F.col("event_id") % 16 == 0).cast("int")).over(wseq)
+    counter = ev.withColumn("_g", grp).withColumn(
+        "value",
+        F.round(F.sum("av").over(
+            W.partitionBy("user_id", "_g").orderBy("sec", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ), 6),
+    )
+    out = counter_rate(counter, 21600, key_col="user_id", ts_col="sec")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        (F.col("increase") + F.lit(0.0)).alias("increase"),
+        (F.col("rate") + F.lit(0.0)).alias("rate"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+    )
+
+
+SQL_COUNTER_RATE = r"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         abs(value) AS av, event_id
+  FROM events
+),
+g AS (
+  SELECT *, sum(CASE WHEN event_id % 16 = 0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY sec, event_id) AS grp
+  FROM ev
+),
+counter AS (
+  SELECT user_id, sec,
+         round(sum(av) OVER (PARTITION BY user_id, grp ORDER BY sec, event_id
+                             ROWS UNBOUNDED PRECEDING), 6) AS v
+  FROM g
+),
+inc AS (
+  SELECT user_id, sec // 21600 AS bucket,
+         CASE WHEN lag(v) OVER w IS NULL THEN 0.0
+              WHEN v >= lag(v) OVER w THEN v - lag(v) OVER w
+              ELSE v END AS i
+  FROM counter WINDOW w AS (PARTITION BY user_id ORDER BY sec, v)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(bucket AS BIGINT) AS bucket,
+       round(sum(i), 6) + 0.0 AS increase,
+       round(sum(i), 6) / 21600 + 0.0 AS rate,
+       CAST(count(*) AS BIGINT) AS n_samples
+FROM inc GROUP BY 1, 2
+"""
+
+QUERIES["counter_rate"] = q_counter_rate
+ORACLES["counter_rate"] = SQL_COUNTER_RATE
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's event value per 6h bucket
+    (LOCF clipped to the point's own bucket — the documented contract)."""
+    from .operators.rollup import time_weighted_avg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    out = time_weighted_avg(ev, 21600, key_col="user_id", ts_col="sec")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        (F.col("twa") + F.lit(0.0)).alias("twa"),
+        (F.col("covered") + F.lit(0.0)).alias("covered"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+    )
+
+
+SQL_TIME_WEIGHTED_AVG = r"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events
+),
+led AS (
+  SELECT user_id, sec, value,
+         lead(sec) OVER (PARTITION BY user_id ORDER BY sec, value) AS nxt
+  FROM ev
+),
+dt AS (
+  SELECT user_id, sec // 21600 AS bucket, value,
+         CAST(least(coalesce(nxt, (sec // 21600 + 1) * 21600),
+                    (sec // 21600 + 1) * 21600) - sec AS DOUBLE) AS d
+  FROM led
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(bucket AS BIGINT) AS bucket,
+       round(sum(value * d) / nullif(sum(d), 0.0), 6) + 0.0 AS twa,
+       round(sum(d), 6) + 0.0 AS covered,
+       CAST(count(*) AS BIGINT) AS n_samples
+FROM dt GROUP BY 1, 2
+"""
+
+QUERIES["time_weighted_avg"] = q_time_weighted_avg
+ORACLES["time_weighted_avg"] = SQL_TIME_WEIGHTED_AVG
