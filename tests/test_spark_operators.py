@@ -629,3 +629,19 @@ def test_time_weighted_avg_locf_clipped(spark):
         100, key_col="user_id", ts_col="sec",
     ).collect()
     assert all(r.twa is None or r.covered > 0 for r in z)
+
+
+def test_acf_matches_numpy(spark):
+    import numpy as np
+    from tsmp_spark.operators.rollup import acf
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=60).cumsum()  # a walk: strong positive acf_1
+    rows = [(1, t, float(x)) for t, x in enumerate(v)]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double")
+    r = acf(df, lags=(1, 2), key_col="user_id", ts_col="sec").collect()[0]
+    for lag, got in [(1, r.acf_1), (2, r.acf_2)]:
+        a, b = v[:-lag], v[lag:]
+        exp = float(np.corrcoef(a, b)[0, 1])
+        assert abs(got - exp) < 1e-6
+    assert r.acf_1 > 0.8 and r.n == 60

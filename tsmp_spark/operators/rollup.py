@@ -645,3 +645,57 @@ def time_weighted_avg(
         )
         .withColumnRenamed("key", key_col)
     )
+
+
+def acf(
+    events: DataFrame,
+    lags: tuple[int, ...] = (1, 2, 3),
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sample autocorrelation per series at the requested lags (Pearson
+    correlation of the series against its lag-k shift in OBSERVATION
+    order): ``acf_k = corr(v_t, v_{t+k})``, plus the series length.
+    The classic stationarity/seasonality diagnostic, as a continuous
+    aggregate column set.
+
+    One exchange: the lead windows partition by the key and the final
+    groupBy IS that key (exchange reuse). Rows whose lead falls off the
+    series end drop out of that lag's pairs (both engines' corr skips
+    null pairs). Output rounds r6 (co-moment accumulation order differs
+    per engine at ~1e-15).
+    """
+    k, t, v = F.col(key_col), F.col(ts_col), F.col(value_col)
+    order = [F.col("ts").asc(), F.col("v").asc()]
+    w = Window.partitionBy("key").orderBy(*order)
+    rows = events.select(k.alias("key"), t.alias("ts"), v.cast("double").alias("v"))
+    for lag in lags:
+        rows = rows.withColumn(f"_lead_{lag}", F.lead("v", lag).over(w))
+
+    # explicit co-moment correlation with a NULLIF'd denominator: built-in
+    # corr() raises ANSI DIVIDE_BY_ZERO on zero-variance groups (constant
+    # series — planted in the adversarial set), and the explicit form is
+    # the SAME expression on both engines (only the sums differ by ulp,
+    # absorbed by r6)
+    def corr_at(lag: int):
+        y = F.col(f"_lead_{lag}")
+        has = y.isNotNull()
+        x = F.when(has, F.col("v"))
+        n = F.count(y).cast("double")
+        sx, sy = F.sum(x), F.sum(y)
+        sxx, syy = F.sum(x * x), F.sum(y * y)
+        sxy = F.sum(x * y)
+        # clamp: cancellation can push a zero variance to -1e-12 (sqrt error
+        # on DuckDB, NaN here); the clamped 0 falls into the NULLIF guard
+        denom = F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0))) * F.sqrt(
+            F.greatest(n * syy - sy * sy, F.lit(0.0))
+        )
+        return F.round((n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0)), 6)
+
+    aggs = [corr_at(lag).alias(f"acf_{lag}") for lag in lags]
+    return (
+        rows.groupBy("key")
+        .agg(*aggs, F.count("*").alias("n"))
+        .withColumnRenamed("key", key_col)
+    )

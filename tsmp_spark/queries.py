@@ -5846,3 +5846,53 @@ FROM dt GROUP BY 1, 2
 
 QUERIES["time_weighted_avg"] = q_time_weighted_avg
 ORACLES["time_weighted_avg"] = SQL_TIME_WEIGHTED_AVG
+
+
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user autocorrelation at lags 1-3 over the event values in
+    observation order (r6 both engines; -0.0 normalized)."""
+    from .operators.rollup import acf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    out = acf(ev, lags=(1, 2, 3), key_col="user_id", ts_col="sec")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        (F.col("acf_1") + F.lit(0.0)).alias("acf_1"),
+        (F.col("acf_2") + F.lit(0.0)).alias("acf_2"),
+        (F.col("acf_3") + F.lit(0.0)).alias("acf_3"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+SQL_ACF = r"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events
+),
+led AS (
+  SELECT user_id, value,
+         lead(value, 1) OVER w AS l1,
+         lead(value, 2) OVER w AS l2,
+         lead(value, 3) OVER w AS l3
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, value)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       round((count(l1) * sum(CASE WHEN l1 IS NOT NULL THEN value END * l1)
+              - sum(CASE WHEN l1 IS NOT NULL THEN value END) * sum(l1))
+             / nullif(sqrt(greatest(count(l1) * sum(CASE WHEN l1 IS NOT NULL THEN value END * CASE WHEN l1 IS NOT NULL THEN value END) - sum(CASE WHEN l1 IS NOT NULL THEN value END) ^ 2, 0.0))
+                    * sqrt(greatest(count(l1) * sum(l1 * l1) - sum(l1) ^ 2, 0.0)), 0.0), 6) + 0.0 AS acf_1,
+       round((count(l2) * sum(CASE WHEN l2 IS NOT NULL THEN value END * l2)
+              - sum(CASE WHEN l2 IS NOT NULL THEN value END) * sum(l2))
+             / nullif(sqrt(greatest(count(l2) * sum(CASE WHEN l2 IS NOT NULL THEN value END * CASE WHEN l2 IS NOT NULL THEN value END) - sum(CASE WHEN l2 IS NOT NULL THEN value END) ^ 2, 0.0))
+                    * sqrt(greatest(count(l2) * sum(l2 * l2) - sum(l2) ^ 2, 0.0)), 0.0), 6) + 0.0 AS acf_2,
+       round((count(l3) * sum(CASE WHEN l3 IS NOT NULL THEN value END * l3)
+              - sum(CASE WHEN l3 IS NOT NULL THEN value END) * sum(l3))
+             / nullif(sqrt(greatest(count(l3) * sum(CASE WHEN l3 IS NOT NULL THEN value END * CASE WHEN l3 IS NOT NULL THEN value END) - sum(CASE WHEN l3 IS NOT NULL THEN value END) ^ 2, 0.0))
+                    * sqrt(greatest(count(l3) * sum(l3 * l3) - sum(l3) ^ 2, 0.0)), 0.0), 6) + 0.0 AS acf_3,
+       CAST(count(*) AS BIGINT) AS n
+FROM led GROUP BY 1
+"""
+
+QUERIES["acf"] = q_acf
+ORACLES["acf"] = SQL_ACF
