@@ -506,3 +506,73 @@ def test_dedup_stream_equals_batch_and_cross_batch(spark, tmp_path):
     assert by_id[2].is_first
     # duplicate indexes count arrivals per hash
     assert by_id[12].content_hash == by_id[2].content_hash
+
+
+def test_sessionize_stream_equals_batch_splits(spark, tmp_path):
+    """Native session_window streaming sessions == batch sessionize
+    splits on fully-ingested ordered data (session_end = last event;
+    stream keys by start time, batch by index — join on start)."""
+    import os
+    from datetime import datetime, timedelta
+
+    from tsmp_spark.operators.rollup import sessionize
+    from tsmp_spark.streaming.sessions import sessionize_stream
+
+    base_ts = datetime(2024, 1, 1)
+    rows = []
+    for u, offs in [
+        (1, [0, 10, 30, 300, 310, 900]),  # gap 60s -> sessions {0,10,30},{300,310},{900}
+        (2, [5, 70, 130]),                # chain: each within 60s of previous
+    ]:
+        rows += [(u, base_ts + timedelta(seconds=o)) for o in offs]
+    batch_df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    base = str(tmp_path / "ev")
+    os.makedirs(base)
+    for k in range(2):
+        spark.createDataFrame(
+            rows[k::2], "user_id long, ts timestamp"
+        ).coalesce(1).write.parquet(f"{base}/f{k}.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/*")
+    )
+    q = (
+        sessionize_stream(stream, gap="60 seconds", watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.duration)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    ev = batch_df.select("user_id", F.unix_timestamp("ts").alias("sec"))
+    exp = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.duration)
+        for r in sessionize(ev, 60, key_col="user_id", ts_col="sec").collect()
+    }
+    got_secs = {
+        (u, int(s.timestamp())): (int(e.timestamp()), n, d)
+        for (u, s), (e, n, d) in got.items()
+    }
+    # append mode emits only watermark-finalized sessions; every emitted
+    # session must match the batch split exactly, and the final sessions
+    # (which the watermark can't close) are the only permissible gap
+    assert got_secs
+    for key, val in got_secs.items():
+        assert exp[key] == val
+    missing = set(exp) - set(got_secs)
+    last_starts = {
+        max(s for (u2, s) in exp if u2 == u) for u in {u for u, _ in exp}
+    }
+    assert all(s in last_starts for _, s in missing)

@@ -2,6 +2,7 @@ from .dedup import dedup_stream
 from .floss import floss_stateful
 from .packing import pack_stream
 from .rollup import rollup_batch_equivalent, rollup_stream
+from .sessions import sessionize_stream
 from .stompi import stompi_stateful, stompi_update_batch
 
 __all__ = [
@@ -10,6 +11,7 @@ __all__ = [
     "pack_stream",
     "rollup_batch_equivalent",
     "rollup_stream",
+    "sessionize_stream",
     "stompi_stateful",
     "stompi_update_batch",
 ]
