@@ -645,3 +645,22 @@ def test_acf_matches_numpy(spark):
         exp = float(np.corrcoef(a, b)[0, 1])
         assert abs(got - exp) < 1e-6
     assert r.acf_1 > 0.8 and r.n == 60
+
+
+def test_ewma_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+    from tsmp_spark.operators.rollup import ewma_smooth
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=50)
+    rows = [(1, t, float(x)) for t, x in enumerate(v)]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double")
+    got = (
+        ewma_smooth(df, alpha=0.3, key_col="user_id", ts_col="sec")
+        .orderBy("sec")
+        .toPandas()["ewma"]
+        .to_numpy()
+    )
+    exp = pd.Series(v).ewm(alpha=0.3, adjust=False).mean().to_numpy()
+    np.testing.assert_allclose(got, np.round(exp, 6), atol=1e-9)

@@ -699,3 +699,57 @@ def acf(
         .agg(*aggs, F.count("*").alias("n"))
         .withColumnRenamed("key", key_col)
     )
+
+
+EWMA_SCHEMA = "key long, sec long, ewma double"
+
+
+def ewma_smooth(
+    events: DataFrame,
+    alpha: float = 0.2,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponentially weighted moving average per series —
+    ``s_0 = v_0, s_i = α·v_i + (1−α)·s_{i−1}`` in (ts, value) order (the
+    pandas ``ewm(adjust=False)`` recurrence). The inherently sequential
+    recurrence runs as an Arrow-batched per-group numpy kernel
+    (``applyInPandas`` — the engine's kernel layer, like the matrix
+    profile); everything around it is JVM-side.
+
+    One exchange (the group hash). Output rounds r6 with −0.0
+    normalized; the oracle replays the closed form
+    ``s_i = (1−α)^i·v_0 + Σ α(1−α)^{i−j}·v_j`` — recurrence-vs-sum fp
+    drift is ~1e-14, absorbed by the rounding.
+
+    State/skew: a group is one series; per-series cost is linear. Hot
+    keys are a data-model question (a series lives on one task) — the
+    same contract as every per-series kernel here.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a = float(alpha)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sec", "v"])
+        x = pdf["v"].to_numpy(dtype=np.float64)
+        s = np.empty_like(x)
+        if len(x):
+            s[0] = x[0]
+            for i in range(1, len(x)):
+                s[i] = a * x[i] + (1.0 - a) * s[i - 1]
+        out = np.round(s, 6) + 0.0
+        return pd.DataFrame(
+            {"key": pdf["key"].to_numpy(), "sec": pdf["sec"].to_numpy(), "ewma": out}
+        )
+
+    rows = events.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(ts_col).cast("long").alias("sec"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return rows.groupBy("key").applyInPandas(kernel, EWMA_SCHEMA).select(
+        F.col("key").alias(key_col), F.col("sec").alias(ts_col), "ewma"
+    )

@@ -5896,3 +5896,44 @@ FROM led GROUP BY 1
 
 QUERIES["acf"] = q_acf
 ORACLES["acf"] = SQL_ACF
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha=0.2) of each user's event values; the oracle replays
+    the closed form — sum of alpha(1-alpha)^(i-j) weights — against the
+    kernel's recurrence (drift ~1e-14, r6-absorbed)."""
+    from .operators.rollup import ewma_smooth
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    out = ewma_smooth(ev, alpha=0.2, key_col="user_id", ts_col="sec")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("sec").cast("bigint").alias("sec"),
+        (F.col("ewma") + F.lit(0.0)).alias("ewma"),
+    )
+
+
+SQL_EWMA = r"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events
+),
+idx AS (
+  SELECT user_id, sec, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY sec, value) - 1 AS i
+  FROM ev
+),
+sm AS (
+  SELECT a.user_id, a.i, a.sec,
+         round(sum(CASE WHEN b.i = 0 THEN pow(0.8, a.i) * b.value
+                        ELSE 0.2 * pow(0.8, a.i - b.i) * b.value END), 6) + 0.0 AS ewma
+  FROM idx a JOIN idx b ON b.user_id = a.user_id AND b.i <= a.i
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sec AS BIGINT) AS sec, ewma
+FROM sm
+"""
+
+QUERIES["ewma"] = q_ewma
+ORACLES["ewma"] = SQL_EWMA
