@@ -664,3 +664,24 @@ def test_ewma_matches_pandas(spark):
     )
     exp = pd.Series(v).ewm(alpha=0.3, adjust=False).mean().to_numpy()
     np.testing.assert_allclose(got, np.round(exp, 6), atol=1e-9)
+
+
+def test_periodogram_finds_planted_period(spark):
+    import numpy as np
+    from tsmp_spark.operators.rollup import periodogram
+
+    n = 128
+    t = np.arange(n)
+    v = np.sin(2 * np.pi * 4 * t / n)  # pure harmonic k=4
+    rows = [(1, int(i), float(x)) for i, x in zip(t, v)]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double")
+    got = {r.k: r.power for r in periodogram(df, k_max=8, key_col="user_id", ts_col="sec").collect()}
+    assert max(got, key=got.get) == 4
+    assert got[4] == 0.25  # |n/2|^2 / n^2 for a unit sine
+    assert all(abs(p) < 1e-9 for k, p in got.items() if k != 4)
+    # short series: nothing below 2 points, k truncated at n//2
+    one = periodogram(
+        spark.createDataFrame([(1, 0, 1.0)], "user_id long, sec long, value double"),
+        key_col="user_id", ts_col="sec",
+    )
+    assert one.count() == 0

@@ -753,3 +753,59 @@ def ewma_smooth(
     return rows.groupBy("key").applyInPandas(kernel, EWMA_SCHEMA).select(
         F.col("key").alias(key_col), F.col("sec").alias(ts_col), "ewma"
     )
+
+
+PERIODOGRAM_SCHEMA = "key long, k integer, power double"
+
+
+def periodogram(
+    events: DataFrame,
+    k_max: int = 8,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Low-frequency periodogram per series: normalized DFT power
+    ``P_k = |Σ_i v_i·e^{-2πik·i/n}|² / n²`` at harmonics ``k = 1..k_max``
+    over the series in (ts, value) order — the seasonality/dominant-period
+    diagnostic, emitted as a spectrum (no argmax, so near-tied peaks
+    cannot flip a pick across engines; consumers argmax downstream at
+    their own tolerance).
+
+    Arrow per-group numpy kernel (rfft); one group-hash exchange. Powers
+    round r6 — rfft-vs-naive-trig-sum drift is ~1e-12 relative, absorbed.
+    Series shorter than 2 points emit nothing.
+    """
+    import numpy as np
+    import pandas as pd
+
+    km = int(k_max)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sec", "v"])
+        x = pdf["v"].to_numpy(dtype=np.float64)
+        n = len(x)
+        if n < 2:
+            return pd.DataFrame({"key": [], "k": [], "power": []}).astype(
+                {"key": "int64", "k": "int32", "power": "float64"}
+            )
+        spec = np.fft.rfft(x)
+        top = min(km, n // 2)
+        ks = np.arange(1, top + 1)
+        power = np.round((np.abs(spec[1 : top + 1]) ** 2) / float(n) ** 2, 6) + 0.0
+        return pd.DataFrame(
+            {
+                "key": np.repeat(pdf["key"].iloc[0], top),
+                "k": ks.astype(np.int32),
+                "power": power,
+            }
+        )
+
+    rows = events.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(ts_col).cast("long").alias("sec"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return rows.groupBy("key").applyInPandas(kernel, PERIODOGRAM_SCHEMA).select(
+        F.col("key").alias(key_col), "k", "power"
+    )

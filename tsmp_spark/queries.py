@@ -5937,3 +5937,47 @@ FROM sm
 
 QUERIES["ewma"] = q_ewma
 ORACLES["ewma"] = SQL_EWMA
+
+
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-frequency DFT power spectrum (k=1..8, n^2-normalized) of each
+    user's event series; the oracle computes the naive trig sums in SQL
+    against the kernel's rfft (drift ~1e-12 relative, r6-absorbed)."""
+    from .operators.rollup import periodogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    out = periodogram(ev, k_max=8, key_col="user_id", ts_col="sec")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("k").cast("bigint").alias("k"),
+        (F.col("power") + F.lit(0.0)).alias("power"),
+    )
+
+
+SQL_PERIODOGRAM = r"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events
+),
+idx AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY sec, value) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM ev
+),
+ks AS (SELECT unnest(generate_series(1, 8)) AS k),
+spec AS (
+  SELECT idx.user_id, ks.k, any_value(idx.n) AS n,
+         sum(idx.value * cos(2 * pi() * ks.k * idx.i / idx.n)) AS re,
+         sum(idx.value * sin(2 * pi() * ks.k * idx.i / idx.n)) AS im
+  FROM idx JOIN ks ON ks.k <= idx.n // 2
+  GROUP BY 1, 2
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(k AS BIGINT) AS k,
+       round((re * re + im * im) / (CAST(n AS DOUBLE) * n), 6) + 0.0 AS power
+FROM spec
+"""
+
+QUERIES["periodogram"] = q_periodogram
+ORACLES["periodogram"] = SQL_PERIODOGRAM
