@@ -685,3 +685,15 @@ def test_periodogram_finds_planted_period(spark):
         key_col="user_id", ts_col="sec",
     )
     assert one.count() == 0
+
+
+def test_rollup_trend_exact_line(spark):
+    from tsmp_spark.operators.rollup import rollup_trend
+
+    # y = 3 + 0.5 x within bucket 0 (x = pos), constant in bucket 1
+    rows = [(1, p, 3.0 + 0.5 * p) for p in range(6)] + [(1, 10, 7.0), (1, 12, 7.0), (2, 0, 1.0)]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double")
+    out = {(r.user_id, r.bucket): r for r in rollup_trend(df, 8, key_col="user_id", pos_col="sec").collect()}
+    assert out[(1, 0)].slope == 0.5 and out[(1, 0)].intercept == 3.0
+    assert out[(1, 1)].slope == 0.0 and out[(1, 1)].intercept == 7.0
+    assert out[(2, 0)].slope is None and out[(2, 0)].n == 1  # single point

@@ -809,3 +809,45 @@ def periodogram(
     return rows.groupBy("key").applyInPandas(kernel, PERIODOGRAM_SCHEMA).select(
         F.col("key").alias(key_col), "k", "power"
     )
+
+
+def rollup_trend(
+    long_df: DataFrame,
+    bucket: int,
+    key_col: str = "doc_id",
+    pos_col: str = "pos",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-bucket least-squares trend (slope per ts unit + intercept at
+    the bucket origin) — the drift/degradation continuous-aggregate
+    column. EXPLICIT normal-equation form with a NULLIF'd denominator
+    (built-in regr_slope ANSI-divides-by-zero on single-point or
+    constant-time buckets); x is recentered to the bucket origin so the
+    sums stay small (absolute epoch x would put nΣxx - (Σx)² in the
+    catastrophic-cancellation regime at ~1e9 magnitudes).
+
+    One combinable groupBy. Slope/intercept round r6 with −0.0
+    normalized; single-point buckets yield NULL slope.
+    """
+    k, p, v = F.col(key_col), F.col(pos_col), F.col(value_col)
+    b = F.floor(p / bucket).cast("long")
+    rows = long_df.select(
+        k.alias("key"),
+        b.alias("bucket"),
+        (p - b * bucket).cast("double").alias("x"),
+        v.cast("double").alias("y"),
+    )
+    n = F.count("*").cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    sxy = F.sum(F.col("x") * F.col("y"))
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    return (
+        rows.groupBy("key", "bucket")
+        .agg(
+            (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+            (F.round((sy - slope * sx) / n, 6) + F.lit(0.0)).alias("intercept"),
+            F.count("*").alias("n"),
+        )
+        .withColumnRenamed("key", key_col)
+    )

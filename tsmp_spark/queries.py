@@ -5981,3 +5981,48 @@ FROM spec
 
 QUERIES["periodogram"] = q_periodogram
 ORACLES["periodogram"] = SQL_PERIODOGRAM
+
+
+def q_rollup_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, 6h bucket) least-squares value trend, explicit normal
+    equations with x recentered to the bucket origin (cancellation-safe
+    at epoch magnitudes), NULLIF'd denominator, r6 both engines."""
+    from .operators.rollup import rollup_trend
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    out = rollup_trend(ev, 21600, key_col="user_id", pos_col="sec")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("slope"),
+        F.col("intercept"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+SQL_ROLLUP_TREND = r"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events
+),
+b AS (
+  SELECT user_id, sec // 21600 AS bucket,
+         CAST(sec - (sec // 21600) * 21600 AS DOUBLE) AS x,
+         CAST(value AS DOUBLE) AS y
+  FROM ev
+),
+agg AS (
+  SELECT user_id, bucket, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM b GROUP BY 1, 2
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(bucket AS BIGINT) AS bucket,
+       round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0), 6) + 0.0 AS slope,
+       round((sy - ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)) * sx) / n, 6) + 0.0 AS intercept,
+       CAST(n AS BIGINT) AS n
+FROM agg
+"""
+
+QUERIES["rollup_trend"] = q_rollup_trend
+ORACLES["rollup_trend"] = SQL_ROLLUP_TREND
