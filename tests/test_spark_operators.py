@@ -697,3 +697,22 @@ def test_rollup_trend_exact_line(spark):
     assert out[(1, 0)].slope == 0.5 and out[(1, 0)].intercept == 3.0
     assert out[(1, 1)].slope == 0.0 and out[(1, 1)].intercept == 7.0
     assert out[(2, 0)].slope is None and out[(2, 0)].n == 1  # single point
+
+
+def test_rollup_histogram_bins_and_merge(spark):
+    from tsmp_spark.operators.rollup import rollup_histogram
+    import pyspark.sql.functions as _F
+
+    rows = [(1, 0, -9.0), (1, 1, 0.0), (1, 2, 0.62), (1, 3, 9.0), (1, 10, 0.0)]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double")
+    out = {(r.bucket, r.bin): r.cnt for r in rollup_histogram(
+        df, 8, lo=-5.0, hi=5.0, n_bins=16, key_col="user_id", pos_col="sec").collect()}
+    assert out[(0, 0)] == 1          # -9 clamps into edge bin
+    assert out[(0, 8)] == 2          # 0.0 and 0.62 share bin 8 ([0, .625))
+    assert out[(0, 15)] == 1         # 9 clamps high
+    assert out[(1, 8)] == 1
+    # mergeable: tier-2 = sum of counts per bin
+    t2 = (rollup_histogram(df, 8, lo=-5.0, hi=5.0, n_bins=16, key_col="user_id", pos_col="sec")
+          .groupBy("user_id", (_F.floor(_F.col("bucket") / 4)).alias("b2"), "bin")
+          .agg(_F.sum("cnt").alias("cnt")))
+    assert {(r.b2, r.bin): r.cnt for r in t2.collect()}[(0, 8)] == 3

@@ -851,3 +851,37 @@ def rollup_trend(
         )
         .withColumnRenamed("key", key_col)
     )
+
+
+def rollup_histogram(
+    long_df: DataFrame,
+    bucket: int,
+    lo: float,
+    hi: float,
+    n_bins: int = 16,
+    key_col: str = "doc_id",
+    pos_col: str = "pos",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed-bin value histogram per (series, bucket) — the mergeable
+    distribution sketch of the continuous-aggregate layer (re-rollup =
+    sum counts per bin; exact percentiles within bin resolution at any
+    tier). Bin = ``floor((v - lo)/width)`` clamped to the edge bins, so
+    out-of-range values land in bins 0 / n_bins-1 (documented; pick
+    [lo, hi) from a profile pass). Output is integer-only — no float
+    conventions needed. One combinable groupBy.
+    """
+    k, p, v = F.col(key_col), F.col(pos_col), F.col(value_col)
+    width = (float(hi) - float(lo)) / int(n_bins)
+    raw = F.floor((v.cast("double") - float(lo)) / width)
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(int(n_bins) - 1)).cast("int")
+    return (
+        long_df.select(
+            k.alias("key"),
+            F.floor(p / bucket).cast("long").alias("bucket"),
+            bin_.alias("bin"),
+        )
+        .groupBy("key", "bucket", "bin")
+        .agg(F.count("*").alias("cnt"))
+        .withColumnRenamed("key", key_col)
+    )

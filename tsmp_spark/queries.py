@@ -6026,3 +6026,39 @@ FROM agg
 
 QUERIES["rollup_trend"] = q_rollup_trend
 ORACLES["rollup_trend"] = SQL_ROLLUP_TREND
+
+
+def q_rollup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bin value histogram per (user, 6h bucket) over [-5, 5) —
+    integer-only mergeable distribution columns."""
+    from .operators.rollup import rollup_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    out = rollup_histogram(ev, 21600, lo=-5.0, hi=5.0, n_bins=16,
+                           key_col="user_id", pos_col="sec")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+SQL_ROLLUP_HISTOGRAM = r"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events
+),
+b AS (
+  SELECT user_id, sec // 21600 AS bucket,
+         least(greatest(CAST(floor((CAST(value AS DOUBLE) - (-5.0)) / 0.625) AS BIGINT), 0), 15) AS bin
+  FROM ev
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY 1, 2, 3
+"""
+
+QUERIES["rollup_histogram"] = q_rollup_histogram
+ORACLES["rollup_histogram"] = SQL_ROLLUP_HISTOGRAM
