@@ -6062,3 +6062,43 @@ FROM b GROUP BY 1, 2, 3
 
 QUERIES["rollup_histogram"] = q_rollup_histogram
 ORACLES["rollup_histogram"] = SQL_ROLLUP_HISTOGRAM
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing (every_n=10 over the stub
+    splitter): the oracle replays the sampling SCHEDULE — frame count
+    and per-frame byte lengths, a pure function of the payload length —
+    since DuckDB cannot slice blobs; frame BYTES equality is pytest-
+    gated (test_multimodal)."""
+    from .operators.multimodal import frame_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    frames = frame_sample(media, every_n=10)
+    return frames.select(
+        "media_id",
+        F.col("frame_no").cast("bigint").alias("frame_no"),
+        F.length("frame_bytes").cast("bigint").alias("frame_len"),
+    )
+
+
+SQL_FRAME_SAMPLE = r"""
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         octet_length(encode(text)) AS len,
+         greatest(octet_length(encode(text)) // 32, 1) AS chunk
+  FROM documents
+),
+frames AS (
+  SELECT media_id, CAST(i AS BIGINT) AS frame_no,
+         least(chunk, len - i * chunk * 10) AS frame_len
+  FROM m, unnest(generate_series(0, CAST(ceil(len / (chunk * 10.0)) AS BIGINT) - 1)) AS u(i)
+)
+SELECT media_id, frame_no, CAST(frame_len AS BIGINT) AS frame_len FROM frames
+"""
+
+QUERIES["frame_sample"] = q_frame_sample
+ORACLES["frame_sample"] = SQL_FRAME_SAMPLE
