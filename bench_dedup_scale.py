@@ -89,7 +89,9 @@ def ops_for(spark, sf_dir: str):
         "paragraph_dedup",
     )
     only = os.environ.get("BENCH_DEDUP_OPS")
-    names = tuple(only.split(",")) if only else all_ops
+    # unknown names are dropped, so BENCH_DEDUP_OPS=none runs no dedup
+    # legs (used with BENCH_ANN_SCALE=1 for an ANN-only probe)
+    names = tuple(n for n in only.split(",") if n in all_ops) if only else all_ops
     return [(n, mk(n)) for n in names]
 
 
@@ -129,6 +131,61 @@ def make_sf1x(spark, src_dir: str, out_dir: str, replicas: int = 10) -> str:
     return out_dir
 
 
+def make_sf1x_embeddings(spark, src_dir: str, out_dir: str, replicas: int = 25) -> None:
+    """Deterministic 25x embeddings corpus (2 000 -> 50 000 vectors): each
+    replica offsets vec_id and rotates the vector by a per-replica cyclic
+    shift — norms/distributions identical, no exact cross-replica dups."""
+    import os.path
+
+    from pyspark.sql import functions as F
+
+    out = f"{out_dir}/embeddings.parquet"
+    if os.path.exists(out):
+        return
+    emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    parts = []
+    for k in range(replicas):
+        shifted = F.concat(
+            F.slice(F.col("embedding"), k % 64 + 1, 64 - k % 64),
+            F.slice(F.col("embedding"), 1, k % 64),
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+                shifted.alias("embedding"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(16).write.mode("overwrite").parquet(out)
+
+
+def ann_ops_for(spark, emb_path: str):
+    """The map-only ANN family measured on an explicit embeddings path:
+    pq_encode should show ZERO shuffle growth (no exchange at all) and
+    ivf_pq_topk near-constant shuffle (top-k window rows only) — the
+    design claim of SCALE.md 2c as numbers."""
+    from pyspark.sql import functions as F
+
+    from tsmp_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    def run_pq_encode():
+        emb = spark.read.parquet(emb_path)
+        cb = pq_codebooks(emb, m=4, k=16, n_iter=1)
+        return pq_encode(emb, cb).count()
+
+    def run_ivf_pq():
+        emb = spark.read.parquet(emb_path)
+        return ivf_pq_topk(emb, F.col("vec_id") % 500 == 0, k_neighbors=5).count()
+
+    return [("pq_encode", run_pq_encode), ("ivf_pq_topk", run_ivf_pq)]
+
+
 def main() -> None:
     # the engine default disables the UI; this probe needs the status
     # REST API for stage-level shuffle metrics
@@ -147,9 +204,23 @@ def main() -> None:
             row.update({"sf": sf, "n_docs": n_docs})
             results.append(row)
             print(json.dumps(row))
-    # a restricted run (BENCH_DEDUP_OPS) keeps the other ops' prior rows
     import os
 
+    if os.environ.get("BENCH_ANN_SCALE"):
+        make_sf1x_embeddings(spark, "/root/testdata/sf0.1", "/tmp/sf1x")
+        for sf, path in (
+            ("0.01", "/root/testdata/sf0.01/embeddings.parquet"),
+            ("0.1", "/root/testdata/sf0.1/embeddings.parquet"),
+            ("1x", "/tmp/sf1x/embeddings.parquet"),
+        ):
+            n_vecs = spark.read.parquet(path).count()
+            for name, fn in ann_ops_for(spark, path):
+                row = run_op(spark, name, fn)
+                row.update({"sf": sf, "n_docs": n_vecs})
+                results.append(row)
+                print(json.dumps(row))
+
+    # a restricted run (BENCH_DEDUP_OPS) keeps the other ops' prior rows
     if os.environ.get("BENCH_DEDUP_OPS"):
         try:
             with open("BENCH_DEDUP_SCALE.json") as f:
