@@ -588,60 +588,131 @@ def random_projection(
 # Nearest Neighbor Search") -------------------------------------------------
 
 
-def _pq_codebook_literal(
-    codebooks: list[tuple[int, int, list[float]]], m: int
-) -> Column:
-    """The codebook as a literal nested-array expression (indexed by sub,
-    1-based for element_at): each subspace is an array of
-    struct(code, c, csq) in ascending code order. Driver-sized by the PQ
-    contract (m·k·subw floats), so embedding it in the plan keeps every
-    consumer map-only — no codebook join, no corpus shuffle. ``csq`` is
-    summed left-to-right in Python — the same order as :func:`_dot`'s
-    aggregate, so scores bit-match the join formulation."""
+def _pq_assign_kernel(
+    codebooks: list[tuple[int, int, list[float]]],
+    m: int,
+    emit_residual: bool = False,
+    emit_v: bool = False,
+):
+    """Arrow kernel for the PQ assignment hot path: the k×subw dot
+    products per row run as one numpy matmul per (batch, subspace)
+    instead of interpreted HOF lambdas (measured 48 s for a single
+    50 k × 64-d encode pass in the HOF form — the §7 interpreted-HOF
+    cliff — vs BLAS milliseconds). Semantics are BIT-COMPATIBLE with
+    the retired HOF-expression form at the decision level: score =
+    ``x.c − csq/2`` with ``csq`` the same left-to-right Python sum the
+    literal form embeds, ties to the LOWER code (np.argmax keeps the
+    first maximum over ascending code order).
+
+    Returns a ``mapInPandas`` function emitting
+    ``(vec_id, codes array<int>, scores array<double>[, rv])`` — rv is
+    the coarse residual ``x − c_chosen`` (``emit_residual``, m=1 use).
+    Zero Exchange: a pure map over the scan, like every kernel here.
+    """
+    import numpy as np
+    import pandas as pd
+
     by_sub: dict[int, list[tuple[int, list[float]]]] = {}
     for s, code, c in codebooks:
         by_sub.setdefault(s, []).append((code, c))
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(code).alias("code"),
-                        F.array(*[F.lit(float(x)) for x in c]).alias("c"),
-                        F.lit(float(sum(x * x for x in c))).alias("csq"),
-                    )
-                    for code, c in sorted(by_sub[s])
-                ]
-            )
-            for s in range(m)
-        ]
-    )
-
-
-def _pq_encode_expr(v: Column, cb_lit: Column, m: int, with_xs: bool) -> Column:
-    """Per-row PQ assignment: for each of the ``m`` subspaces, the argmin
-    code by ``argmin ||x-c||^2 == argmax (x.c - |c|^2/2)`` (ties break on
-    the LOWER code via max over (score, -code) structs). Returns an
-    array of struct(sub, b{score, negcode}[, xs]) — the argmax struct is
-    built once per subspace so the score lambda (k dot products) is not
-    re-evaluated per consumer (the nested-HOF re-evaluation lesson)."""
-    subw = (F.size(v) / m).cast("int")
-
-    def per_sub(s: Column) -> Column:
-        xs = F.slice(v, s * subw + 1, subw)
-        scored = F.transform(
-            F.element_at(cb_lit, s + 1),
-            lambda e: F.struct(
-                (_dot(xs, e["c"]) - e["csq"] / 2.0).alias("score"),
-                (-e["code"]).alias("negcode"),
-            ),
+    cents = []
+    codes_of = []
+    csqs = []
+    for s in range(m):
+        entries = sorted(by_sub[s])
+        codes_of.append(np.array([code for code, _ in entries], dtype=np.int64))
+        C = np.array([c for _, c in entries], dtype=np.float64)
+        cents.append(C)
+        csqs.append(
+            np.array([float(sum(x * x for x in c)) for _, c in entries])
         )
-        fields = [s.alias("sub"), F.array_max(scored).alias("b")]
-        if with_xs:
-            fields.append(xs.alias("xs"))
-        return F.struct(*fields)
 
-    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), per_sub)
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            # group rows by length so each group is one dense matmul
+            # (dims are uniform per corpus by the PQ contract; the
+            # grouping just keeps mixed batches well-defined)
+            idx_by_dim: dict[int, list[int]] = {}
+            for i, a in enumerate(vecs):
+                idx_by_dim.setdefault(a.shape[0], []).append(i)
+            codes_all = [None] * len(vecs)
+            scores_all = [None] * len(vecs)
+            rv_all = [None] * len(vecs)
+            for dim, idxs in idx_by_dim.items():
+                X = np.stack([vecs[i] for i in idxs]) if dim else np.zeros((len(idxs), 0))
+                subw = dim // m
+                codes = np.zeros((len(idxs), m), dtype=np.int64)
+                scores = np.zeros((len(idxs), m), dtype=np.float64)
+                rv = X.copy() if emit_residual else None
+                for s in range(m):
+                    Xs = X[:, s * subw : (s + 1) * subw]
+                    C = cents[s]
+                    if Xs.shape[1] != C.shape[1]:
+                        # dim mismatch vs the trained codebook: dot := 0
+                        # (deterministic; mixed-dim corpora are out of the
+                        # PQ contract, this just keeps the row defined)
+                        sc = np.tile(-csqs[s] / 2.0, (len(idxs), 1))
+                    else:
+                        sc = Xs @ C.T - csqs[s] / 2.0
+                    pick = np.argmax(sc, axis=1)  # first max = lower code
+                    codes[:, s] = codes_of[s][pick]
+                    scores[:, s] = sc[np.arange(len(idxs)), pick]
+                    if emit_residual:
+                        rv[:, s * subw : (s + 1) * subw] = Xs - C[pick]
+                for row_pos, i in enumerate(idxs):
+                    codes_all[i] = codes[row_pos].tolist()
+                    scores_all[i] = scores[row_pos].tolist()
+                    if emit_residual:
+                        rv_all[i] = rv[row_pos].tolist()
+            data = {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "codes": codes_all,
+                "scores": scores_all,
+            }
+            if emit_residual:
+                data["rv"] = rv_all
+            if emit_v:
+                data["v"] = [a.tolist() for a in vecs]
+            if "tag" in pdf.columns:
+                data["tag"] = pdf["tag"].to_numpy()
+            yield pd.DataFrame(data)
+
+    return fn
+
+
+PQ_ASSIGN_SCHEMA = "vec_id long, codes array<int>, scores array<double>"
+PQ_ASSIGN_RV_SCHEMA = PQ_ASSIGN_SCHEMA + ", rv array<double>"
+
+
+def _pq_assign(
+    embeddings: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    m: int,
+    id_col: str,
+    vec_col: str,
+    emit_residual: bool = False,
+    tag_col: str | None = None,
+    emit_v: bool = False,
+) -> DataFrame:
+    """Run the PQ assignment kernel over a DataFrame: (vec_id, codes,
+    scores[, rv][, tag]) — ``tag_col`` is an optional long column echoed
+    through the kernel (the IVF home cluster). Map-only (no Exchange)."""
+    cols = [
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ]
+    schema = PQ_ASSIGN_RV_SCHEMA if emit_residual else PQ_ASSIGN_SCHEMA
+    if emit_v:
+        schema = schema + ", v array<double>"
+    if tag_col is not None:
+        cols.append(F.col(tag_col).cast("long").alias("tag"))
+        schema = schema + ", tag long"
+    return embeddings.select(*cols).mapInPandas(
+        _pq_assign_kernel(codebooks, m, emit_residual, emit_v), schema
+    )
 
 
 def pq_codebooks(
@@ -687,13 +758,19 @@ def pq_codebooks(
         for c in range(k)
     ]
     for _ in range(n_iter):
-        per = _pq_encode_expr(v, _pq_codebook_literal(cents, m), m, with_xs=True)
+        # kernel assignment (BLAS matmuls), then JVM-side stats: explode
+        # (sub, code) with the row's own subvector sliced from the echoed
+        # v — means average the ORIGINAL x values, bit-identical to the
+        # oracle's round(avg(x), 9)
+        assigned = _pq_assign(embeddings, cents, m, id_col, vec_col, emit_v=True)
         stats = (
-            embeddings.select(F.explode(per).alias("e"))
+            assigned.select(F.posexplode("codes").alias("sub", "code"), "v")
             .select(
-                F.col("e.sub").alias("sub"),
-                (-F.col("e.b.negcode")).alias("code"),
-                F.posexplode("e.xs").alias("j", "x"),
+                "sub",
+                "code",
+                F.posexplode(
+                    F.slice(F.col("v"), F.col("sub") * subw + 1, F.lit(subw))
+                ).alias("j", "x"),
             )
             .groupBy("sub", "code", "j")
             .agg(F.round(F.avg("x"), 9).alias("mj"))
@@ -728,14 +805,14 @@ def pq_encode(
             F.lit(0.0).alias("score"),
         ).limit(0)
     m = 1 + max(s for s, _, _ in codebooks)
-    per = _pq_encode_expr(v, _pq_codebook_literal(codebooks, m), m, with_xs=False)
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"), F.explode(per).alias("e")
+    assigned = _pq_assign(embeddings, codebooks, m, id_col, vec_col)
+    return assigned.select(
+        "vec_id", F.posexplode(F.arrays_zip("codes", "scores")).alias("sub", "e")
     ).select(
         "vec_id",
-        F.col("e.sub").alias("sub"),
-        (-F.col("e.b.negcode")).alias("code"),
-        (F.round(F.col("e.b.score"), 4) + F.lit(0.0)).alias("score"),
+        "sub",
+        F.col("e.codes").alias("code"),
+        (F.round(F.col("e.scores"), 4) + F.lit(0.0)).alias("score"),
     )
 
 
@@ -811,14 +888,9 @@ def pq_adc_topk(
             )
         )
     lut_lit = F.array(*luts)
-    per = _pq_encode_expr(
-        v, _pq_codebook_literal(codebooks, m), m, with_xs=False
-    )
-    codes_arr = F.transform(per, lambda e: -e["b"]["negcode"])
     scored = (
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"), codes_arr.alias("codes")
-        )
+        _pq_assign(embeddings, codebooks, m, id_col, vec_col)
+        .select(F.col("vec_id").alias("neighbor_id"), "codes")
         .select("neighbor_id", "codes", F.explode(lut_lit).alias("q"))
         .filter(F.col("neighbor_id") != F.col("q.query_id"))
         .select(
@@ -902,34 +974,30 @@ def ivf_pq_topk(
     ).limit(0)
     if not coarse:
         return empty
-    coarse_lit = _pq_codebook_literal(coarse, 1)
-    home_struct = F.element_at(
-        _pq_encode_expr(v, coarse_lit, 1, with_xs=False), 1
-    )
-    home = -home_struct["b"]["negcode"]
     cents_d = {cl: c for _, cl, c in coarse}
-    home_c = F.element_at(
-        F.map_from_arrays(
-            F.transform(F.element_at(coarse_lit, 1), lambda e: e["code"]),
-            F.transform(F.element_at(coarse_lit, 1), lambda e: e["c"]),
-        ),
-        home,
-    )
-    with_res = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        home.alias("cluster"),
-        F.zip_with(v, home_c, lambda x, c: x - c).alias("rv"),
+    # kernel coarse assignment: home cluster (argmin L2 == argmax
+    # dot - csq/2, ties to the lower cluster) + the residual in one BLAS
+    # pass. The residual table feeds THREE consumers (PQ training's dim
+    # probe, the training pass, the db encode) — pin it so the coarse
+    # kernel runs once, not once per lineage branch (the multi-branch
+    # Arrow-lineage lesson); harness/pipelines release via
+    # cache.release_caches.
+    with_res = pin(
+        _pq_assign(embeddings, coarse, 1, id_col, vec_col, emit_residual=True)
+        .select(
+            "vec_id",
+            F.element_at("codes", 1).alias("cluster"),
+            "rv",
+        )
     )
 
     # ONE product quantizer trained on the pooled residuals
     cb = pq_codebooks(with_res, m, k_codes, pq_iters, "vec_id", "rv")
     if not cb:
         return empty
-    per = _pq_encode_expr(
-        F.col("rv"), _pq_codebook_literal(cb, m), m, with_xs=False
+    db = _pq_assign(with_res, cb, m, "vec_id", "rv", tag_col="cluster").select(
+        "vec_id", F.col("tag").cast("int").alias("cluster"), "codes"
     )
-    codes_arr = F.transform(per, lambda e: -e["b"]["negcode"])
-    db = with_res.select("vec_id", "cluster", codes_arr.alias("codes"))
 
     # driver-built per-(query, probed cell) residual distance tables
     cbd = {(s, c): cent for s, c, cent in cb}
