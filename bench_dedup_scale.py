@@ -234,8 +234,10 @@ def main() -> None:
     def growth(lo_sf: str, hi_sf: str) -> dict:
         step = {}
         for name in sorted({r["op"] for r in results}):
-            lo = next(r for r in results if r["op"] == name and r["sf"] == lo_sf)
-            hi = next(r for r in results if r["op"] == name and r["sf"] == hi_sf)
+            lo = next((r for r in results if r["op"] == name and r["sf"] == lo_sf), None)
+            hi = next((r for r in results if r["op"] == name and r["sf"] == hi_sf), None)
+            if lo is None or hi is None:
+                continue  # partial prior file: don't lose the whole run
             step[name] = {
                 "docs_ratio": round(hi["n_docs"] / lo["n_docs"], 2),
                 "shuffle_write_bytes_ratio": round(

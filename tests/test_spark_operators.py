@@ -542,7 +542,7 @@ def test_m4_downsample_shape_points(spark):
     b0 = out[0]
     assert (b0.first_pos, b0.first_value) == (0, 5.0)
     assert (b0.last_pos, b0.last_value) == (3, 1.0)
-    # equal extremes: the EARLIER position wins (deterministic tie)
+    # equal minima: the EARLIER position wins (struct min ties)
     assert (b0.min_pos, b0.min_value) == (1, 1.0)
     assert (b0.max_pos, b0.max_value) == (2, 9.0)
     assert b0.n == 4

@@ -739,6 +739,9 @@ def test_random_projection_linear_deterministic(spark):
     import math as _m
 
     assert all(not (x == 0.0 and _m.copysign(1.0, x) < 0) for r in out.values() for x in r)
+    # empty vector -> NULL projection (sequence(0,-1) would null-pad)
+    e = spark.createDataFrame([(9, [])], "vec_id long, embedding array<double>")
+    assert random_projection(e, out_dim=4).collect()[0].projection is None
 
 
 def test_random_projection_pure_jvm_zero_exchange(spark):

@@ -539,7 +539,9 @@ def paragraph_dedup(
 
     para = F.col("para")
     norm = F.regexp_replace(F.lower(F.trim(para)), r"\s+", " ")
-    paras = (
+    # the dedup window and the per-doc total both consume this lineage —
+    # pin it so the explode+md5 scan runs once (cache.release_caches frees)
+    paras = pin(
         documents.select(
             F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para")
         )

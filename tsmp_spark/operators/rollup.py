@@ -400,9 +400,10 @@ def m4_downsample(
     downsample (error-free line rendering at pixel resolution).
 
     One combinable groupBy (map-side partial agg; the same single
-    shuffle as :func:`rollup_tier`). Ties are deterministic: extremes
-    order by (value, pos) — the EARLIER position wins an equal
-    extreme — and first/last by (pos, value).
+    shuffle as :func:`rollup_tier`). Ties are deterministic struct
+    orderings on (value, pos): an equal MINIMUM takes the earlier
+    position, an equal MAXIMUM the later one (max over (value, pos));
+    first/last order by (pos, value).
     """
     k, p, v = F.col(key_col), F.col(pos_col), F.col(value_col)
     rows = long_df.select(
@@ -456,9 +457,12 @@ def rollup_percentiles(
         k.alias("key"), F.floor(p / bucket).cast("long").alias("bucket"),
         v.alias("value"),
     )
+    names = [f"p{int(round(q * 100))}" for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"quantile labels collide at integer percent: {names}")
     aggs = [
-        F.percentile("value", F.lit(q)).alias(f"p{int(q * 100)}")
-        for q in quantiles
+        F.percentile("value", F.lit(q)).alias(n)
+        for q, n in zip(quantiles, names)
     ]
     return rows.groupBy("key", "bucket").agg(
         *aggs, F.count("*").alias("n")

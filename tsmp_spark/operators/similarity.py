@@ -581,6 +581,9 @@ def random_projection(
         return F.round(s * scale, 6) + 0.0
 
     proj = F.transform(F.sequence(F.lit(0), F.lit(out_dim - 1)), component)
+    # empty vector: sequence(0, size-1) = [0, -1] would null-pad every
+    # component — emit NULL instead (filter/coalesce downstream)
+    proj = F.when(F.size(v) > 0, proj)
     return embeddings.select(F.col(id_col), proj.alias("projection"))
 
 
@@ -602,7 +605,13 @@ def _pq_assign_kernel(
     the retired HOF-expression form at the decision level: score =
     ``x.c − csq/2`` with ``csq`` the same left-to-right Python sum the
     literal form embeds, ties to the LOWER code (np.argmax keeps the
-    first maximum over ascending code order).
+    first maximum over ascending code order). Cross-engine caveat (the
+    CLAUDE.md argmin rule, accepted here as for every ANN pick): the dot
+    is BLAS-blocked summation while the oracle sums in SQL order, so a
+    vector within ~1 ulp of equidistant between two r9 centroids could
+    pick differently per engine — generically absent on continuous data
+    (green on stock + adversarial incl. zero-norm/duplicate vectors) and
+    inherent to any vectorized kernel.
 
     Returns a ``mapInPandas`` function emitting
     ``(vec_id, codes array<int>, scores array<double>[, rv])`` — rv is
@@ -650,17 +659,19 @@ def _pq_assign_kernel(
                 for s in range(m):
                     Xs = X[:, s * subw : (s + 1) * subw]
                     C = cents[s]
-                    if Xs.shape[1] != C.shape[1]:
+                    mismatched = Xs.shape[1] != C.shape[1]
+                    if mismatched:
                         # dim mismatch vs the trained codebook: dot := 0
-                        # (deterministic; mixed-dim corpora are out of the
-                        # PQ contract, this just keeps the row defined)
+                        # and residual := x (centroid treated as 0) —
+                        # deterministic degrade; mixed-dim corpora are out
+                        # of the PQ contract, this just keeps rows defined
                         sc = np.tile(-csqs[s] / 2.0, (len(idxs), 1))
                     else:
                         sc = Xs @ C.T - csqs[s] / 2.0
                     pick = np.argmax(sc, axis=1)  # first max = lower code
                     codes[:, s] = codes_of[s][pick]
                     scores[:, s] = sc[np.arange(len(idxs)), pick]
-                    if emit_residual:
+                    if emit_residual and not mismatched:
                         rv[:, s * subw : (s + 1) * subw] = Xs - C[pick]
                 for row_pos, i in enumerate(idxs):
                     codes_all[i] = codes[row_pos].tolist()
@@ -734,7 +745,7 @@ def pq_codebooks(
     conventions): sin-grid init rounded to 9 decimals, per-dim means
     rounded to 9, assignment ties break on the lower code; empty codes
     drop out. Scale shape per Lloyd iteration: assignment is MAP-ONLY
-    (literal codebook, per-row HOF argmax — the corpus never shuffles);
+    (the Arrow matmul kernel — the corpus never shuffles);
     the only exchange is the centroid update, codebook-bounded
     (m·k·subw rows after map-side partial agg). At warehouse scale train
     on a sample — the codebook is a model, not a per-corpus artifact."""
@@ -794,8 +805,10 @@ def pq_encode(
     the compressed representation an ADC scan reads instead of raw
     floats). Output is tall: (vec_id, sub, code, score) with ``score``
     the r4-rounded assignment objective ``x.c - |c|^2/2`` (straddles 0;
-    IEEE −0.0 normalized). MAP-ONLY: literal codebook + per-row HOF
-    argmax + JVM explode — zero Exchange, zero Python (plan-pinned)."""
+    IEEE −0.0 normalized). MAP-ONLY: the Arrow matmul kernel
+    (:func:`_pq_assign`) + a JVM explode — zero Exchange, no per-ROW
+    Python (plan-pinned: MapInPandas present, BatchEvalPython absent;
+    the kernel replaced an interpreted-HOF form that cost 28× more)."""
     v = F.col(vec_col).cast("array<double>")
     if not codebooks:
         return embeddings.select(

@@ -5926,7 +5926,7 @@ idx AS (
 ),
 sm AS (
   SELECT a.user_id, a.i, a.sec,
-         round(sum(CASE WHEN b.i = 0 THEN pow(0.8, a.i) * b.value
+         round_even(sum(CASE WHEN b.i = 0 THEN pow(0.8, a.i) * b.value
                         ELSE 0.2 * pow(0.8, a.i - b.i) * b.value END), 6) + 0.0 AS ewma
   FROM idx a JOIN idx b ON b.user_id = a.user_id AND b.i <= a.i
   GROUP BY 1, 2, 3
@@ -5975,7 +5975,7 @@ spec AS (
   GROUP BY 1, 2
 )
 SELECT CAST(user_id AS BIGINT) AS user_id, CAST(k AS BIGINT) AS k,
-       round((re * re + im * im) / (CAST(n AS DOUBLE) * n), 6) + 0.0 AS power
+       round_even((re * re + im * im) / (CAST(n AS DOUBLE) * n), 6) + 0.0 AS power
 FROM spec
 """
 
