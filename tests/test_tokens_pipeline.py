@@ -752,3 +752,25 @@ def test_random_projection_pure_jvm_zero_exchange(spark):
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
     assert "Exchange" not in plan
+
+
+def test_duplication_rate_semantics(spark):
+    from tsmp_spark.operators.dedup import duplication_rate
+    from tsmp_spark.operators.cache import release_caches
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),       # shares nothing
+            (2, "the same exact sentence here"),
+            (3, "the same exact sentence here"), # full duplicate of 2
+            (4, "prefix words then the same exact sentence here"),
+            (5, ""),                              # blank: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplication_rate(docs, n=3).collect()}
+    release_caches()
+    assert out[1].dup_rate == 0.0 and out[1].n_shingles == 2
+    assert out[2].dup_rate == 1.0 and out[3].dup_rate == 1.0
+    assert 0.0 < out[4].dup_rate < 1.0  # tail shingles shared, prefix novel
+    assert out[5].n_shingles == 0 and out[5].dup_rate is None

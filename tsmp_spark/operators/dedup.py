@@ -641,3 +641,47 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def duplication_rate(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document duplication rate (the RefinedWeb/Gopher corpus-health
+    metric): the fraction of a document's DISTINCT word n-gram shingles
+    that occur in at least one OTHER document. 0 = fully novel text,
+    1 = everything it says is said elsewhere — the corpus-level signal
+    that drives dedup budgeting before any pairwise pass.
+
+    Scale shape: one shuffle keyed by the shingle (a groupBy counting
+    distinct docs per shingle — map-side combinable) and one keyed by
+    the doc for the fraction — never |docs|². The shingle lineage feeds
+    both, so it is pinned (release via cache.release_caches).
+
+    Output: (doc_id, n_shingles, n_duplicated, dup_rate r6). Docs with
+    no shingles (blank/too short) emit dup_rate NULL.
+    """
+    sh = pin(shingle_table(documents, text_col, id_col, n))
+    freq = sh.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("_docs")
+    )
+    per_doc = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("_docs") > 1).cast("long")).alias("n_duplicated"),
+        )
+    )
+    return (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_duplicated", F.lit(0)).alias("n_duplicated"),
+            F.round(F.col("n_duplicated") / F.col("n_shingles"), 6).alias("dup_rate"),
+        )
+    )

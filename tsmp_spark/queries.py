@@ -6102,3 +6102,60 @@ SELECT media_id, frame_no, CAST(frame_len AS BIGINT) AS frame_len FROM frames
 
 QUERIES["frame_sample"] = q_frame_sample
 ORACLES["frame_sample"] = SQL_FRAME_SAMPLE
+
+
+def q_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication rate (RefinedWeb corpus-health metric)
+    over word 3-gram shingles, with every 9th doc replaced by a shared
+    boilerplate text so the metric has planted mass at 1.0."""
+    from .operators.dedup import duplication_rate
+
+    d = _documents(spark, sf_dir)
+    docs = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 0, F.lit("repeated boilerplate text occurs in many documents"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = duplication_rate(docs, n=3)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_duplicated").cast("bigint").alias("n_duplicated"),
+        F.col("dup_rate"),
+    )
+
+
+SQL_DUPLICATION_RATE = r"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0
+              THEN 'repeated boilerplate text occurs in many documents'
+              ELSE text END AS text
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM src
+),
+sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i + 1], w[i + 2]) AS shingle
+  FROM norm, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS u(i)
+  WHERE length(concat_ws(' ', w[i], w[i + 1], w[i + 2])) > 0
+),
+freq AS (SELECT shingle, count(DISTINCT doc_id) AS docs FROM sh GROUP BY 1),
+per_doc AS (
+  SELECT sh.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN f.docs > 1 THEN 1 ELSE 0 END) AS n_duplicated
+  FROM sh JOIN freq f USING (shingle)
+  GROUP BY 1
+)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(p.n_duplicated, 0) AS BIGINT) AS n_duplicated,
+       round(COALESCE(p.n_duplicated, 0) / nullif(CAST(COALESCE(p.n_shingles, 0) AS DOUBLE), 0.0), 6) AS dup_rate
+FROM src s LEFT JOIN per_doc p ON p.doc_id = s.doc_id
+"""
+
+QUERIES["duplication_rate"] = q_duplication_rate
+ORACLES["duplication_rate"] = SQL_DUPLICATION_RATE
