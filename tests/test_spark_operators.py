@@ -716,3 +716,63 @@ def test_rollup_histogram_bins_and_merge(spark):
           .groupBy("user_id", (_F.floor(_F.col("bucket") / 4)).alias("b2"), "bin")
           .agg(_F.sum("cnt").alias("cnt")))
     assert {(r.b2, r.bin): r.cnt for r in t2.collect()}[(0, 8)] == 3
+
+
+def test_seasonal_decompose_recovers_planted_seasonality(spark):
+    import numpy as np
+    from tsmp_spark.operators.rollup import seasonal_decompose
+
+    # 10 full days of hourly points: trend 0.1/h + daily sine, no noise.
+    # The classical MA filter removes the linear trend exactly, so the
+    # per-phase seasonal index must recover the sine (up to edge loss).
+    hours = np.arange(240)
+    season = 5.0 * np.sin(2 * np.pi * (hours % 24) / 24)
+    v = 0.1 * hours + season
+    rows = [("a", int(h) * 3600, float(x)) for h, x in zip(hours, v)]
+    df = spark.createDataFrame(rows, "event_type string, sec long, value double")
+    out = seasonal_decompose(df, period=24, bucket_sec=3600,
+                             key_col="event_type", ts_col="sec")
+    got = {r.phase: (r.seasonal, r.nb, r.d48_sum) for r in out.collect()}
+    assert len(got) == 24
+    # center the emitted (uncentered) index, then compare to the sine
+    m = sum(s for s, _, _ in got.values()) / 24
+    for ph in range(24):
+        s, nb, d48 = got[ph]
+        assert nb == 9  # 240 buckets, 25-wide MA -> 216 detrended, 9/phase
+        assert abs((s - m) - 5.0 * np.sin(2 * np.pi * ph / 24)) < 1e-6
+        # the exact-integer contract: float index derives from the bigint
+        assert abs(s - d48 / nb / 48 / 1e9) < 1e-12
+    # series shorter than the filter: every phase has nb=0, NULL sums
+    short = seasonal_decompose(
+        spark.createDataFrame([("a", h * 3600, 1.0) for h in range(10)],
+                              "event_type string, sec long, value double"),
+        period=24, bucket_sec=3600, key_col="event_type", ts_col="sec",
+    ).collect()
+    assert short and all(r.nb == 0 and r.d48_sum is None for r in short)
+
+
+def test_ccf_planted_lag(spark):
+    import numpy as np
+    from tsmp_spark.operators.rollup import ccf
+
+    # b is a copy of a shifted 3 buckets later: ccf peaks at lag 3 with r=1
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=80).cumsum()
+    rows = [("click", int(t) * 3600, float(x)) for t, x in enumerate(a)]
+    rows += [("error", int(t + 3) * 3600, float(x)) for t, x in enumerate(a)]
+    df = spark.createDataFrame(rows, "event_type string, sec long, value double")
+    out = {r.lag: r for r in ccf(df, "click", "error",
+                                 lags=(0, 1, 2, 3, 4), ts_col="sec").collect()}
+    assert out[3].ccf == 1.0 and out[3].n_pairs == 80
+    assert all(out[k].ccf < 0.999 for k in (0, 1, 2, 4))
+    # constant series: zero variance -> NULL, not a crash (ANSI-safe form)
+    const = [("click", t * 3600, 1.0) for t in range(30)]
+    const += [("error", t * 3600, 2.0) for t in range(30)]
+    cdf = spark.createDataFrame(const, "event_type string, sec long, value double")
+    got = ccf(cdf, "click", "error", lags=(0, 1), ts_col="sec").collect()
+    assert all(r.ccf is None and r.n_pairs > 0 for r in got)
+    # missing type: every lag row exists with n_pairs=0
+    empty = ccf(cdf.where("event_type = 'click'"), "click", "error",
+                lags=(0, 1), ts_col="sec").collect()
+    assert sorted(r.lag for r in empty) == [0, 1]
+    assert all(r.ccf is None and r.n_pairs == 0 for r in empty)

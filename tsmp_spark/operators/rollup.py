@@ -889,3 +889,159 @@ def rollup_histogram(
         .agg(F.count("*").alias("cnt"))
         .withColumnRenamed("key", key_col)
     )
+
+
+def seasonal_decompose(
+    events: DataFrame,
+    period: int = 24,
+    bucket_sec: int = 3600,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Classical additive seasonal decomposition per series, emitting the
+    per-phase seasonal index (the moving-average method of classical
+    STL-lite, e.g. statsmodels ``seasonal_decompose``): bucket the series
+    (mean per ``bucket_sec``), take the centered weighted moving average
+    of ``period + 1`` observed buckets as trend (half weights at the
+    ends, the standard even-period filter), detrend, then average the
+    detrended values per phase ``bucket % period`` and normalize the
+    phase means to sum to zero.
+
+    Decomposition is over the OBSERVED bucket sequence (row-based
+    windows): with gaps the MA spans non-adjacent buckets — documented
+    contract, keeps the operator total-function on sparse series.
+
+    Cross-engine float conventions — the hashed columns are EXACT
+    INTEGERS (the rollup_histogram / sdts micro-unit pattern): the ONE
+    fp rounding is the r9 bucket mean, immediately fixed to bigint
+    nano-units. The trend filter ``(2·Σbu − bu_lo − bu_hi)/(2p)`` and
+    the detrended values are then carried UNSCALED as exact bigints
+    (``d48 = 2p·bu − trend_numerator``, denominator ``2p·1e9``), so
+    window/group sums are order-independent and no r6 lattice boundary
+    exists. A float ``seasonal`` convenience column (uncentered phase
+    mean of the detrended series) is emitted for humans; hash-gated
+    consumers use ``(nb, d48_sum)``.
+
+    Scale: one combinable groupBy to buckets (span-bounded rows per
+    key), one window exchange on the key, and the phase groupBy extends
+    the window's (key) partitioning prefix — the exchange is reused
+    (ClusteredDistribution subset rule, plan-pinned for pack's cumsum).
+    """
+    if period % 2 != 0:
+        raise ValueError("seasonal_decompose: period must be even (centered MA)")
+    half = period // 2
+    denom = 2 * period  # d48 carries this exact denominator (x 1e9)
+    k, t, v = F.col(key_col), F.col(ts_col), F.col(value_col)
+    buckets = (
+        events.select(
+            k.alias("key"),
+            F.floor(t.cast("long") / bucket_sec).cast("long").alias("bucket"),
+            v.cast("double").alias("v"),
+        )
+        .groupBy("key", "bucket")
+        .agg(
+            F.round(F.round(F.avg("v"), 9) * 1e9, 0).cast("long").alias("bu")
+        )
+    )
+    w = Window.partitionBy("key").orderBy("bucket")
+    frame = w.rowsBetween(-half, half)
+    s2 = 2 * F.sum("bu").over(frame)
+    cnt = F.count("bu").over(frame)
+    blo = F.lag("bu", half).over(w)
+    bhi = F.lead("bu", half).over(w)
+    tnum = F.when(cnt == period + 1, s2 - blo - bhi)  # trend = tnum/(2p·1e9)
+    detr = buckets.select(
+        "key",
+        (F.col("bucket") % period).alias("phase"),
+        (F.lit(denom) * F.col("bu") - tnum).alias("d48"),
+    )
+    ph = detr.groupBy("key", "phase").agg(
+        F.sum("d48").alias("d48_sum"), F.count("d48").alias("nb")
+    )
+    return ph.select(
+        F.col("key").alias(key_col),
+        F.col("phase").cast("bigint").alias("phase"),
+        F.col("nb").cast("bigint").alias("nb"),
+        F.col("d48_sum").cast("bigint").alias("d48_sum"),
+        (F.col("d48_sum") / F.col("nb") / float(denom) / 1e9).alias("seasonal"),
+    )
+
+
+def ccf(
+    events: DataFrame,
+    type_a: str,
+    type_b: str,
+    lags: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6),
+    bucket_sec: int = 3600,
+    type_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cross-correlation function between two event-type series — the
+    "do errors follow clicks?" observability diagnostic. Buckets both
+    types on the same grid (mean value per ``bucket_sec``, r9), aligns
+    them per bucket in ONE conditional-aggregate groupBy (no pivot
+    join), then computes ``ccf_k = corr(a_t, b_{t+k})`` over buckets
+    where both sides are present, with the same ANSI-safe explicit
+    co-moment form as :func:`acf` (zero-variance → NULL, not a crash).
+
+    Output: one row per lag — (lag, ccf r6, n_pairs).
+
+    Scale: the groupBy to buckets is combinable and span-bounded (10
+    years of hourly buckets is 87k rows regardless of input size); the
+    lag window then runs over that aggregate on a single task by
+    construction — the same one-series-one-task contract as every
+    per-series kernel here.
+    """
+    t, v = F.col(ts_col), F.col(value_col)
+    tc = F.col(type_col)
+    buckets = (
+        events.where(tc.isin([type_a, type_b]))
+        .select(
+            F.floor(t.cast("long") / bucket_sec).cast("long").alias("bucket"),
+            tc.alias("etype"),
+            v.cast("double").alias("v"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.round(F.avg(F.when(F.col("etype") == type_a, F.col("v"))), 9).alias("a"),
+            F.round(F.avg(F.when(F.col("etype") == type_b, F.col("v"))), 9).alias("b"),
+        )
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("bucket")
+    for lag in lags:
+        buckets = buckets.withColumn(f"_b_{lag}", F.lead("b", lag).over(w))
+
+    def corr_at(lag: int):
+        y = F.col(f"_b_{lag}")
+        has = F.col("a").isNotNull() & y.isNotNull()
+        x = F.when(has, F.col("a"))
+        yy = F.when(has, y)
+        n = F.count(yy).cast("double")
+        sx, sy = F.sum(x), F.sum(yy)
+        sxx, syy = F.sum(x * x), F.sum(yy * yy)
+        sxy = F.sum(x * yy)
+        denom = F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0))) * F.sqrt(
+            F.greatest(n * syy - sy * sy, F.lit(0.0))
+        )
+        return F.struct(
+            (F.round((n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0)), 6) + 0.0).alias(
+                "r"
+            ),
+            F.count(yy).cast("bigint").alias("n_pairs"),
+        )
+
+    aggs = [corr_at(lag).alias(f"_c_{lag}") for lag in lags]
+    one = buckets.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(lag)).cast("bigint").alias("lag"),
+                F.col(f"_c_{lag}.r").alias("ccf"),
+                F.col(f"_c_{lag}.n_pairs").alias("n_pairs"),
+            )
+            for lag in lags
+        ]
+    )
+    return one.select(F.explode(rows).alias("row")).select("row.*")

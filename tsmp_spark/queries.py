@@ -6159,3 +6159,122 @@ FROM src s LEFT JOIN per_doc p ON p.doc_id = s.doc_id
 
 QUERIES["duplication_rate"] = q_duplication_rate
 ORACLES["duplication_rate"] = SQL_DUPLICATION_RATE
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (statsmodels
+    seasonal_decompose's moving-average method) per event_type over
+    hourly buckets with a daily period: per-phase detrended sums in
+    EXACT integer 48-nano units (one r9 fp rounding at the bucket mean,
+    then bigint arithmetic end-to-end — no r6 lattice boundary for the
+    hash; seasonal index = d48_sum/(nb·48e9), centered)."""
+    from .operators.rollup import seasonal_decompose
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    out = seasonal_decompose(
+        ev, period=24, bucket_sec=3600, key_col="event_type", ts_col="sec"
+    )
+    return out.select(
+        "event_type",
+        F.col("phase").cast("bigint").alias("phase"),
+        F.col("nb").cast("bigint").alias("nb"),
+        F.col("d48_sum").cast("bigint").alias("d48_sum"),
+    )
+
+
+SQL_SEASONAL_DECOMPOSE = r"""
+WITH b AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+         CAST(round(round(avg(value), 9) * 1e9) AS BIGINT) AS bu
+  FROM events GROUP BY 1, 2
+),
+tr AS (
+  SELECT key, bucket, bu,
+         CASE WHEN count(bu) OVER w = 25
+              THEN 2 * sum(bu) OVER w
+                   - lag(bu, 12) OVER wo - lead(bu, 12) OVER wo END AS tnum
+  FROM b
+  WINDOW w AS (PARTITION BY key ORDER BY bucket
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+         wo AS (PARTITION BY key ORDER BY bucket)
+)
+SELECT key AS event_type, CAST(bucket % 24 AS BIGINT) AS phase,
+       CAST(count(48 * bu - tnum) AS BIGINT) AS nb,
+       CAST(sum(48 * bu - tnum) AS BIGINT) AS d48_sum
+FROM tr GROUP BY 1, 2
+"""
+
+QUERIES["seasonal_decompose"] = q_seasonal_decompose
+ORACLES["seasonal_decompose"] = SQL_SEASONAL_DECOMPOSE
+
+
+def q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the hourly click and error value series
+    at lags 0-6 ("do errors follow clicks?"): bucket means r9, explicit
+    ANSI-safe co-moment correlation over buckets where both sides are
+    present, r6. On inputs lacking either type the whole series is
+    empty and every lag row is (lag, NULL, 0) on both engines."""
+    from .operators.rollup import ccf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    out = ccf(ev, "click", "error", lags=(0, 1, 2, 3, 4, 5, 6), ts_col="sec")
+    return out.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        (F.col("ccf") + F.lit(0.0)).alias("ccf"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+    )
+
+
+def _ccf_oracle_sql(lags: tuple[int, ...]) -> str:
+    leads = ",\n         ".join(
+        f"lead(b, {k}) OVER (ORDER BY bucket) AS b{k}" for k in lags
+    )
+    pairs = ",\n         ".join(
+        f"CASE WHEN a IS NOT NULL AND b{k} IS NOT NULL THEN a END AS x{k},\n"
+        f"         CASE WHEN a IS NOT NULL AND b{k} IS NOT NULL THEN b{k} END AS y{k}"
+        for k in lags
+    )
+    aggs = ",\n       ".join(
+        f"round((count(y{k}) * sum(x{k} * y{k}) - sum(x{k}) * sum(y{k}))\n"
+        f"             / nullif(sqrt(greatest(count(y{k}) * sum(x{k} * x{k}) - sum(x{k}) ^ 2, 0.0))\n"
+        f"                    * sqrt(greatest(count(y{k}) * sum(y{k} * y{k}) - sum(y{k}) ^ 2, 0.0)), 0.0), 6) + 0.0 AS r{k},\n"
+        f"       CAST(count(y{k}) AS BIGINT) AS n{k}"
+        for k in lags
+    )
+    unpivot = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS lag, r{k} AS ccf, n{k} AS n_pairs FROM c"
+        for k in lags
+    )
+    return f"""
+WITH b AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+         round(avg(CASE WHEN event_type = 'click' THEN value END), 9) AS a,
+         round(avg(CASE WHEN event_type = 'error' THEN value END), 9) AS b
+  FROM events WHERE event_type IN ('click', 'error') GROUP BY 1
+),
+led AS (
+  SELECT a,
+         {leads}
+  FROM b
+),
+pairs AS (
+  SELECT {pairs}
+  FROM led
+),
+c AS (
+  SELECT {aggs}
+  FROM pairs
+)
+{unpivot}
+"""
+
+
+SQL_CCF = _ccf_oracle_sql((0, 1, 2, 3, 4, 5, 6))
+
+QUERIES["ccf"] = q_ccf
+ORACLES["ccf"] = SQL_CCF
