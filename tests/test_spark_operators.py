@@ -776,3 +776,35 @@ def test_ccf_planted_lag(spark):
                 lags=(0, 1), ts_col="sec").collect()
     assert sorted(r.lag for r in empty) == [0, 1]
     assert all(r.ccf is None and r.n_pairs == 0 for r in empty)
+
+
+def test_lttb_downsample_keeps_extremes(spark):
+    import numpy as np
+    from tsmp_spark.operators.rollup import lttb_downsample
+
+    # smooth walk with one huge planted spike: LTTB must keep the spike,
+    # the first point, and the last point
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=400).cumsum()
+    v[237] += 500.0
+    rows = [(1, t * 60, float(x)) for t, x in enumerate(v)]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double")
+    out = lttb_downsample(df, k=20, key_col="user_id", ts_col="sec").collect()
+    assert len(out) == 20
+    secs = sorted(r.sec for r in out)
+    assert secs[0] == 0 and secs[-1] == 399 * 60
+    assert 237 * 60 in secs  # the spike survives downsampling
+    assert [r.rank for r in sorted(out, key=lambda r: r.sec)] == list(range(20))
+    # n <= k passes through unchanged
+    small = lttb_downsample(
+        spark.createDataFrame(rows[:7], "user_id long, sec long, value double"),
+        k=20, key_col="user_id", ts_col="sec",
+    ).collect()
+    assert len(small) == 7 and sorted(r.rank for r in small) == list(range(7))
+    # constant series: all areas exactly 0 -> first point of each bucket
+    const = lttb_downsample(
+        spark.createDataFrame([(1, t, 5.0) for t in range(100)],
+                              "user_id long, sec long, value double"),
+        k=10, key_col="user_id", ts_col="sec",
+    ).collect()
+    assert len(const) == 10 and all(r.value == 5.0 for r in const)

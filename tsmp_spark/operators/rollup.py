@@ -1045,3 +1045,96 @@ def ccf(
         ]
     )
     return one.select(F.explode(rows).alias("row")).select("row.*")
+
+
+LTTB_SCHEMA = "key long, rank long, sec long, y double"
+
+
+def lttb_downsample(
+    events: DataFrame,
+    k: int = 20,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013,
+    the TimescaleDB ``lttb`` hyperfunction): per series, keep the first
+    and last points, split the interior into ``k-2`` equal index
+    buckets, and from each bucket pick the point forming the largest
+    triangle with the PREVIOUSLY selected point and the NEXT bucket's
+    average point (the final bucket anchors on the last point). Series
+    with ``n <= k`` pass through unchanged (rank = position).
+
+    The left-anchor recursion is inherently sequential, so it runs as
+    an Arrow-batched per-group numpy kernel (``applyInPandas``, the
+    EWMA/matrix-profile pattern); everything around it is JVM-side.
+
+    Cross-engine determinism: x is integer seconds (bucket x-means are
+    exact int sums / count), the y bucket mean is the ONE fp rounding
+    (r9, np.round half-even = DuckDB round_even), the area expression
+    ``|(px-ax)(y-py) - (px-x)(ay-py)|`` is written in the same operand
+    order on both engines (IEEE-identical on bit-identical inputs), and
+    argmax ties break on the first (lowest-index) candidate — on a
+    constant series every area is exactly 0 and each bucket yields its
+    first point on both engines. Validated numpy-vs-recursive-CTE on
+    walks / constants / near-constants / duplicate timestamps before
+    the oracle was written (the floss-oracle workflow).
+
+    Scale: one exchange (the group hash); per-series cost is linear and
+    a series lives on one task — the same contract as every per-series
+    kernel here.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 3:
+        raise ValueError("lttb_downsample: k must be >= 3")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sec", "v"])
+        sec = pdf["sec"].to_numpy(dtype=np.int64)
+        y = pdf["v"].to_numpy(dtype=np.float64)
+        key = pdf["key"].iloc[0]
+        n = len(sec)
+        if n <= k:
+            return pd.DataFrame(
+                {"key": key, "rank": np.arange(n), "sec": sec, "y": y}
+            )
+        nb = k - 2
+        i = np.arange(1, n - 1)
+        b = (i - 1) * nb // (n - 2)
+        ax = np.empty(nb)
+        ay = np.empty(nb)
+        for bb in range(nb):
+            m = b == bb
+            ax[bb] = sec[1:-1][m].sum() / m.sum()
+            ay[bb] = np.round(y[1:-1][m].mean(), 9)
+        anx = np.append(ax[1:], float(sec[n - 1]))
+        any_ = np.append(ay[1:], float(y[n - 1]))
+        px, py = float(sec[0]), float(y[0])
+        picks = [0]
+        for bb in range(nb):
+            m = b == bb
+            xs = sec[1:-1][m].astype(np.float64)
+            ys = y[1:-1][m]
+            areas = np.abs((px - anx[bb]) * (ys - py) - (px - xs) * (any_[bb] - py))
+            idx = int(i[m][int(np.argmax(areas))])
+            picks.append(idx)
+            px, py = float(sec[idx]), float(y[idx])
+        picks.append(n - 1)
+        picks = np.asarray(picks)
+        return pd.DataFrame(
+            {"key": key, "rank": np.arange(k), "sec": sec[picks], "y": y[picks]}
+        )
+
+    rows = events.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(ts_col).cast("long").alias("sec"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return rows.groupBy("key").applyInPandas(kernel, LTTB_SCHEMA).select(
+        F.col("key").alias(key_col),
+        "rank",
+        F.col("sec").alias(ts_col),
+        F.col("y").alias(value_col),
+    )

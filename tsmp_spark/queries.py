@@ -6278,3 +6278,89 @@ SQL_CCF = _ccf_oracle_sql((0, 1, 2, 3, 4, 5, 6))
 
 QUERIES["ccf"] = q_ccf
 ORACLES["ccf"] = SQL_CCF
+
+
+def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling (Steinarsson 2013 / TimescaleDB lttb) of each
+    user's event series to 20 points; series with n <= 20 pass through.
+    Integer-x triangle areas in identical operand order both engines,
+    y bucket means r9 (np.round half-even = DuckDB round_even), argmax
+    ties to the lowest index. Formulation validated numpy-vs-CTE before
+    the oracle was written."""
+    from .operators.rollup import lttb_downsample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    out = lttb_downsample(ev, k=20, key_col="user_id", ts_col="sec")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("sec").cast("bigint").alias("sec"),
+        (F.col("value") + F.lit(0.0)).alias("value"),
+    )
+
+
+def _lttb_oracle_sql(k: int) -> str:
+    area = (
+        "list_transform(c.cands, e -> abs((p.sx - c.anx) * (e.y - p.sy)"
+        " - (p.sx - e.x) * (c.ayn - p.sy)))"
+    )
+    sel = f"c.cands[list_position({area}, list_aggregate({area}, 'max'))]"
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value AS y
+  FROM events
+),
+idx AS (
+  SELECT key, sec, y,
+         row_number() OVER (PARTITION BY key ORDER BY sec, y) - 1 AS i,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM ev
+),
+small AS (SELECT key, CAST(i AS BIGINT) AS rank, sec, y FROM idx WHERE n <= {k}),
+big AS MATERIALIZED (SELECT * FROM idx WHERE n > {k}),
+inner_p AS MATERIALIZED (
+  SELECT key, sec, y, i, (i - 1) * {k - 2} // (n - 2) AS b
+  FROM big WHERE i >= 1 AND i <= n - 2
+),
+bavg AS (
+  SELECT key, b, CAST(sum(sec) AS DOUBLE) / count(*) AS ax,
+         round_even(avg(y), 9) AS ay
+  FROM inner_p GROUP BY 1, 2
+),
+lastp AS (SELECT key, sec AS lx, y AS ly FROM big WHERE i = n - 1),
+firstp AS (SELECT key, sec AS fx, y AS fy FROM big WHERE i = 0),
+bcand AS MATERIALIZED (
+  SELECT p.key, p.b,
+         list(struct_pack(i := p.i, x := p.sec, y := p.y) ORDER BY p.i) AS cands,
+         coalesce(nx.ax, l.lx) AS anx, coalesce(nx.ay, l.ly) AS ayn
+  FROM inner_p p
+  LEFT JOIN bavg nx ON nx.key = p.key AND nx.b = p.b + 1
+  JOIN lastp l ON l.key = p.key
+  GROUP BY p.key, p.b, nx.ax, nx.ay, l.lx, l.ly
+),
+pick(key, b, sx, sy) AS (
+  SELECT key, -1, CAST(fx AS DOUBLE), fy FROM firstp
+  UNION ALL
+  SELECT p.key, p.b + 1, CAST({sel}.x AS DOUBLE), {sel}.y
+  FROM pick p JOIN bcand c ON c.key = p.key AND c.b = p.b + 1
+),
+sel AS (
+  SELECT key, CAST(b + 1 AS BIGINT) AS rank, CAST(sx AS BIGINT) AS sec, sy AS y
+  FROM pick WHERE b >= 0
+  UNION ALL
+  SELECT key, CAST(0 AS BIGINT) AS rank, fx, fy FROM firstp
+  UNION ALL
+  SELECT key, CAST({k - 1} AS BIGINT) AS rank, lx, ly FROM lastp
+)
+SELECT CAST(key AS BIGINT) AS user_id, rank, sec, y + 0.0 AS value FROM sel
+UNION ALL
+SELECT CAST(key AS BIGINT) AS user_id, rank, sec, y + 0.0 AS value FROM small
+"""
+
+
+SQL_LTTB = _lttb_oracle_sql(20)
+
+QUERIES["lttb"] = q_lttb
+ORACLES["lttb"] = SQL_LTTB
