@@ -808,3 +808,46 @@ def test_lttb_downsample_keeps_extremes(spark):
         k=10, key_col="user_id", ts_col="sec",
     ).collect()
     assert len(const) == 10 and all(r.value == 5.0 for r in const)
+
+
+def test_sax_symbols_known_series(spark):
+    import numpy as np
+    from tsmp_spark.operators.series import sax_symbols
+
+    # a ramp: z-normalized PAA means rise monotonically through the
+    # breakpoints, so symbols must be a sorted 0..3 staircase
+    n, w = 64, 8
+    rows = [(1, t, float(t)) for t in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, pos long, value double")
+    out = sorted(sax_symbols(df, w=w, a=4, key_col="doc_id").collect(),
+                 key=lambda r: r.seg)
+    assert [r.seg for r in out] == list(range(w))
+    syms = [r.symbol for r in out]
+    assert syms == sorted(syms) and syms[0] == 0 and syms[-1] == 3
+    assert all(r.npts == n // w for r in out)
+    # constant + near-constant-at-offset series: the engine-wide lowvar
+    # rule -> NULL symbols (the recentered sd keeps the band exact)
+    rng = np.random.default_rng(2)
+    rows2 = [(2, t, 42.5) for t in range(32)]
+    rows2 += [(3, t, float(42.5 + 1e-9 * rng.standard_normal())) for t in range(32)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, pos long, value double")
+    got = sax_symbols(df2, w=4, a=4, key_col="doc_id").collect()
+    assert got and all(r.symbol is None for r in got)
+
+
+def test_gap_fill_interpolate_linear(spark):
+    from tsmp_spark.operators.rollup import gap_fill
+
+    # observed buckets 0 (v=1.0) and 4 (v=9.0); gaps 1-3 must lerp
+    rows = [("a", 0, 1.0, 1), ("a", 4, 9.0, 1), ("b", 2, 5.0, 1)]
+    t = spark.createDataFrame(rows, "doc_id string, bucket long, v double, n long")
+    out = {(r.doc_id, r.bucket): r for r in
+           gap_fill(t, fill_cols=("v",), interpolate=True).collect()}
+    assert out[("a", 1)].v == 3.0 and out[("a", 2)].v == 5.0 and out[("a", 3)].v == 7.0
+    assert all(out[("a", b)].gap_filled for b in (1, 2, 3))
+    assert not out[("a", 0)].gap_filled and out[("a", 0)].v == 1.0
+    assert out[("b", 2)].v == 5.0  # single bucket: nothing to fill
+    # locf+interpolate is a contract error
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        gap_fill(t, fill_cols=("v",), locf=True, interpolate=True)

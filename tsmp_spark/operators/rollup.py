@@ -78,11 +78,22 @@ def gap_fill(
     bucket_col: str = "bucket",
     fill_cols: tuple[str, ...] = ("mp_min", "mp_avg"),
     locf: bool = False,
+    interpolate: bool = False,
 ) -> DataFrame:
     """Materialize missing buckets per key over each key's [min, max] bucket
     range: ``sequence()`` + explode + left join. ``locf=True`` fills value
     columns with the last observation carried forward
-    (``last(..., ignorenulls)`` over an unbounded-preceding window)."""
+    (``last(..., ignorenulls)`` over an unbounded-preceding window);
+    ``interpolate=True`` fills them with the linear interpolation between
+    the surrounding observed buckets (the TimescaleDB ``interpolate``
+    gapfill function) — gaps before the first / after the last
+    observation stay NULL (there is nothing to interpolate toward;
+    within the [min, max] spine that only happens when a fill column is
+    NULL on its own observed rows). The fraction ``(b-pb)/(nb-pb)`` is
+    exact integer arithmetic and the expression order is fixed, so on
+    r9-rounded inputs the fill is cross-engine IEEE-identical."""
+    if locf and interpolate:
+        raise ValueError("gap_fill: locf and interpolate are exclusive")
     spine = (
         tier.groupBy(key_col)
         .agg(F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi"))
@@ -101,6 +112,31 @@ def gap_fill(
         )
         for c in fill_cols:
             joined = joined.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    if interpolate:
+        wp = (
+            Window.partitionBy(key_col)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wn = (
+            Window.partitionBy(key_col)
+            .orderBy(bucket_col)
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        b = F.col(bucket_col)
+        for c in fill_cols:
+            obs_b = F.when(F.col(c).isNotNull(), b)
+            pv = F.last(c, ignorenulls=True).over(wp)
+            pb = F.last(obs_b, ignorenulls=True).over(wp)
+            nv = F.first(c, ignorenulls=True).over(wn)
+            nb = F.first(obs_b, ignorenulls=True).over(wn)
+            lerp = pv + (nv - pv) * ((b - pb) / (nb - pb))
+            joined = joined.withColumn(
+                c,
+                F.when(F.col(c).isNotNull(), F.col(c)).when(
+                    pv.isNotNull() & nv.isNotNull(), lerp
+                ),
+            )
     return joined
 
 

@@ -110,3 +110,90 @@ def events_to_nested(events: DataFrame, source: str = "events") -> DataFrame:
         .withColumn("source", F.lit(source))
     )
     return out
+
+
+# Phi^-1(k/a) breakpoints for the SAX alphabet (Lin et al. 2003, table 3).
+# LITERALS shared with the SQL oracle — both engines parse the same double.
+SAX_BREAKPOINTS: dict[int, tuple[float, ...]] = {
+    3: (-0.4307272992954576, 0.4307272992954576),
+    4: (-0.6744897501960817, 0.0, 0.6744897501960817),
+    5: (-0.8416212335729143, -0.2533471031357997, 0.2533471031357997,
+        0.8416212335729143),
+    8: (-1.1503493803760079, -0.6744897501960817, -0.3186393639643751,
+        0.0, 0.3186393639643751, 0.6744897501960817, 1.1503493803760079),
+}
+
+
+def sax_symbols(
+    long_df: DataFrame,
+    w: int = 16,
+    a: int = 4,
+    key_col: str = "doc_id",
+    pos_col: str = "pos",
+    value_col: str = "value",
+) -> DataFrame:
+    """SAX symbolic discretization (Lin et al. 2003): z-normalize each
+    series, PAA it into ``w`` equal index segments (``seg = i·w // n``,
+    the LTTB bucket map), and map each segment mean to one of ``a``
+    symbols via the standard-normal breakpoint table — the classic
+    symbolic representation behind SAX indexing / HOT-SAX discords.
+
+    Symbol convention: ``symbol = #{breakpoints < z}`` with ties at a
+    breakpoint going to the LOWER symbol (z > bp, strict). Series in
+    the engine-wide low-variance band (``sd < 1e-7·(|mu|+1)``,
+    mpcore.stats.lowvar_threshold) emit NULL symbols — z-normalization
+    is undefined there, the same rule as every kernel.
+
+    Determinism: mu is the r9-rounded series mean; sd is the RECENTERED
+    two-pass form ``sqrt(Σ(v−mu)²/n)`` r9 (the one-pass co-moment form
+    loses the sd~1e-9-at-offset-42.5 adversarial band to catastrophic
+    cancellation and the fp noise differs per engine); PAA means r9.
+    z is then IEEE-identical on both engines and the breakpoint
+    comparisons are exact. Output is integer-only.
+
+    Scale: one exchange on the key — the index/mu windows, the
+    recentered-sd aggregation, and the (key, seg) PAA groupBy all
+    extend the same key partitioning (ClusteredDistribution reuse).
+    """
+    if a not in SAX_BREAKPOINTS:
+        raise ValueError(f"sax_symbols: alphabet size {a} not in breakpoint table")
+    bps = SAX_BREAKPOINTS[a]
+    k, p, v = F.col(key_col), F.col(pos_col), F.col(value_col)
+    wk = Window.partitionBy("key")
+    # tie-break equal positions by value (truncated-second timestamps
+    # collide; both engines index by (pos, v) so segments agree)
+    wo = wk.orderBy("pos", "v")
+    rows = (
+        long_df.select(k.alias("key"), p.alias("pos"), v.cast("double").alias("v"))
+        .withColumn("i", F.row_number().over(wo) - 1)
+        .withColumn("n", F.count("v").over(wk))
+        .withColumn("mu", F.round(F.avg("v").over(wk), 9))
+    )
+    stats = rows.groupBy("key").agg(
+        F.round(
+            F.sqrt(F.sum((F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu")))
+                   / F.count("v")),
+            9,
+        ).alias("sd"),
+        F.max("mu").alias("mu"),
+        F.max("n").alias("n"),
+    )
+    paa = (
+        rows.withColumn("seg", (F.col("i") * w / F.col("n")).cast("long"))
+        .groupBy("key", "seg")
+        .agg(F.round(F.avg("v"), 9).alias("pr"), F.count("v").alias("npts"))
+    )
+    z = (F.col("pr") - F.col("mu")) / F.col("sd")
+    sym = sum(
+        (z > F.lit(bp)).cast("int") for bp in bps
+    )
+    defined = F.col("sd") >= 1e-7 * (F.abs(F.col("mu")) + 1.0)
+    return (
+        paa.join(stats, "key")
+        .select(
+            F.col("key").alias(key_col),
+            F.col("seg").cast("bigint").alias("seg"),
+            F.when(defined, sym).cast("bigint").alias("symbol"),
+            F.col("npts").cast("bigint").alias("npts"),
+        )
+    )

@@ -6364,3 +6364,127 @@ SQL_LTTB = _lttb_oracle_sql(20)
 
 QUERIES["lttb"] = q_lttb
 ORACLES["lttb"] = SQL_LTTB
+
+
+def q_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic discretization (Lin et al. 2003) of each user's
+    event-value series: z-normalize (r9 mean, RECENTERED two-pass r9
+    sd), PAA into 16 index segments, map to a 4-symbol alphabet via the
+    standard-normal breakpoints. Low-variance series (engine-wide
+    lowvar rule) emit NULL symbols. Integer-only output."""
+    from .operators.series import sax_symbols
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    # pos must be unique per key for the index map: tie-break equal
+    # timestamps by value (both engines sort (sec, value))
+    out = sax_symbols(ev, w=16, a=4, key_col="user_id", pos_col="sec")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("seg").cast("bigint").alias("seg"),
+        F.col("symbol").cast("bigint").alias("symbol"),
+        F.col("npts").cast("bigint").alias("npts"),
+    )
+
+
+SQL_SAX = r"""
+WITH ev AS (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value AS v
+  FROM events
+),
+idx AS (
+  SELECT key, v,
+         row_number() OVER (PARTITION BY key ORDER BY sec, v) - 1 AS i,
+         count(*) OVER (PARTITION BY key) AS n,
+         round(avg(v) OVER (PARTITION BY key), 9) AS mu
+  FROM ev
+),
+stats AS (
+  SELECT key, round(sqrt(sum((v - mu) * (v - mu)) / count(v)), 9) AS sd,
+         max(mu) AS mu
+  FROM idx GROUP BY key
+),
+paa AS (
+  SELECT key, i * 16 // n AS seg, round(avg(v), 9) AS pr, count(v) AS npts
+  FROM idx GROUP BY 1, 2
+)
+SELECT CAST(p.key AS BIGINT) AS user_id, CAST(p.seg AS BIGINT) AS seg,
+       CASE WHEN s.sd >= 1e-7 * (abs(s.mu) + 1.0) THEN
+         CAST(((p.pr - s.mu) / s.sd > -0.6744897501960817)::INT
+            + ((p.pr - s.mu) / s.sd > 0.0)::INT
+            + ((p.pr - s.mu) / s.sd > 0.6744897501960817)::INT AS BIGINT)
+       END AS symbol,
+       CAST(p.npts AS BIGINT) AS npts
+FROM paa p JOIN stats s ON s.key = p.key
+"""
+
+QUERIES["sax"] = q_sax
+ORACLES["sax"] = SQL_SAX
+
+
+def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with LINEAR INTERPOLATION (the TimescaleDB interpolate
+    gapfill function) over each user's hourly bucket means: missing
+    buckets get the lerp between the surrounding observed buckets. On
+    r9 bucket means the fill is bit-identical cross-engine (exact
+    integer fraction, fixed operand order) — no output rounding."""
+    from .operators.rollup import gap_fill
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 3600).alias("bucket"),
+            "value",
+        )
+        .groupBy("user_id", "bucket")
+        .agg(F.round(F.avg("value"), 9).alias("v"), F.count("*").alias("n"))
+    )
+    filled = gap_fill(t, key_col="user_id", fill_cols=("v",), interpolate=True)
+    return filled.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        (F.col("v") + F.lit(0.0)).alias("v_interp"),
+        F.col("gap_filled").cast("int").cast("bigint").alias("gap_filled"),
+    )
+
+
+SQL_GAPFILL_INTERPOLATE = r"""
+WITH t AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+         round(avg(value), 9) AS v, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM t GROUP BY 1),
+spine AS (SELECT user_id, unnest(generate_series(lo, hi)) AS bucket FROM bounds),
+joined AS (
+  SELECT spine.user_id, spine.bucket, t.v, t.n IS NULL AS gap_filled
+  FROM spine LEFT JOIN t ON spine.user_id = t.user_id AND spine.bucket = t.bucket
+),
+ctx AS (
+  SELECT user_id, bucket, v, gap_filled,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+           OVER wp AS pb,
+         first_value(v IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+           OVER wn AS nb
+  FROM joined
+  WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, bucket,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE)
+                                   / CAST(nb - pb AS DOUBLE))
+       END + 0.0 AS v_interp,
+       CAST(gap_filled AS BIGINT) AS gap_filled
+FROM ctx
+"""
+
+QUERIES["gapfill_interpolate"] = q_gapfill_interpolate
+ORACLES["gapfill_interpolate"] = SQL_GAPFILL_INTERPOLATE
