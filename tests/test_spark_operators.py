@@ -851,3 +851,37 @@ def test_gap_fill_interpolate_linear(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         gap_fill(t, fill_cols=("v",), locf=True, interpolate=True)
+
+
+def test_hampel_outliers_planted_spikes(spark):
+    from tsmp_spark.operators.rollup import hampel_outliers
+
+    # 20 points near 10.0 with two gross spikes: MAD flags exactly those,
+    # where a mean/std z-score would be dragged by the spikes themselves
+    vals = [10.0 + 0.1 * (i % 5) for i in range(18)] + [500.0, -500.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double")
+    out = hampel_outliers(df, bucket_sec=100, key_col="user_id", ts_col="sec").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == 20 and r.n_outliers == 2
+    assert abs(r.med - 10.2) < 1e-9
+    # constant bucket: MAD = 0, nothing deviates, zero outliers
+    const = hampel_outliers(
+        spark.createDataFrame([(1, i, 5.0) for i in range(10)],
+                              "user_id long, sec long, value double"),
+        bucket_sec=100, key_col="user_id", ts_col="sec",
+    ).collect()[0]
+    assert const.mad == 0.0 and const.n_outliers == 0
+
+
+def test_heavy_hitters_ranks_and_ties(spark):
+    from tsmp_spark.operators.rollup import heavy_hitters
+
+    rows = [("a", 0)] * 5 + [("b", 0)] * 3 + [("c", 0)] * 3 + [("d", 0)] * 1
+    df = spark.createDataFrame([(t, s) for t, s in rows],
+                               "event_type string, sec long")
+    out = sorted(heavy_hitters(df, top=3, bucket_sec=100, ts_col="sec").collect(),
+                 key=lambda r: r.rank)
+    assert [(r.rank, r.event_type, r.cnt) for r in out] == [
+        (1, "a", 5), (2, "b", 3), (3, "c", 3)]  # tie b/c broken by name

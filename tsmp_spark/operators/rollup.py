@@ -1174,3 +1174,102 @@ def lttb_downsample(
         F.col("sec").alias(ts_col),
         F.col("y").alias(value_col),
     )
+
+
+def hampel_outliers(
+    events: DataFrame,
+    bucket_sec: int = 21600,
+    n_sigmas: float = 3.0,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hampel/MAD robust outlier counts per (series, bucket) — the
+    median-based anomaly detector that, unlike z-scores, a single spike
+    cannot mask: a point is an outlier when
+    ``|v - median| > n_sigmas * 1.4826 * MAD``.
+
+    Emits per (key, bucket): the r9 median, the r9 MAD, n, and the
+    outlier count. With MAD = 0 (over half the bucket identical) any
+    deviation from the median flags — the standard Hampel degeneracy,
+    deterministic on both engines (exact comparison against 0).
+
+    Determinism: median and MAD round r9 (the two engines interpolate
+    even-count medians with different expression orders, ~1 ulp), after
+    which the threshold comparison is IEEE-identical. Output floats are
+    the r9 values themselves — no further rounding.
+
+    Scale: ONE exchange — both percentile windows and the final groupBy
+    share the (key, bucket) hash (the window partition IS the group
+    key). Bucket cardinality is span-bounded per key.
+    """
+    k, t, v = F.col(key_col), F.col(ts_col), F.col(value_col)
+    rows = events.select(
+        k.alias("key"),
+        F.floor(t.cast("long") / bucket_sec).cast("long").alias("bucket"),
+        v.cast("double").alias("v"),
+    )
+    w = Window.partitionBy("key", "bucket")
+    med = rows.withColumn("med", F.round(F.percentile("v", F.lit(0.5)).over(w), 9))
+    mad = med.withColumn(
+        "mad",
+        F.round(F.percentile(F.abs(F.col("v") - F.col("med")), F.lit(0.5)).over(w), 9),
+    )
+    thr = F.lit(float(n_sigmas)) * F.lit(1.4826) * F.col("mad")
+    out = F.when(F.abs(F.col("v") - F.col("med")) > thr, 1).otherwise(0)
+    return (
+        mad.groupBy("key", "bucket")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count("v").alias("n"),
+            F.sum(out).alias("n_outliers"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "med",
+            "mad",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+def heavy_hitters(
+    events: DataFrame,
+    top: int = 3,
+    bucket_sec: int = 21600,
+    item_col: str = "event_type",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """Top-N heavy hitters per time bucket (exact counts): the
+    "which event types dominate each window" observability rollup.
+    Integer-only output with a deterministic tie-break (count DESC,
+    item ASC).
+
+    Scale: the (bucket, item) count is one combinable groupBy; the
+    per-bucket top-N is a WindowGroupLimit window over the aggregate
+    (cardinality = distinct items per bucket, never raw rows). At
+    hot-item skew the partial aggregation absorbs the hot key map-side.
+    """
+    t = F.col(ts_col)
+    counts = (
+        events.select(
+            F.floor(t.cast("long") / bucket_sec).cast("long").alias("bucket"),
+            F.col(item_col).alias("item"),
+        )
+        .groupBy("bucket", "item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("cnt").desc(), F.col("item").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("item").alias(item_col),
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+    )

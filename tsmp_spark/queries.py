@@ -6488,3 +6488,92 @@ FROM ctx
 
 QUERIES["gapfill_interpolate"] = q_gapfill_interpolate
 ORACLES["gapfill_interpolate"] = SQL_GAPFILL_INTERPOLATE
+
+
+def q_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel/MAD robust outlier counts per (user, 6h bucket):
+    |v - median| > 3*1.4826*MAD. Median/MAD r9 (both engines type-7
+    interpolation), after which the threshold comparison is
+    IEEE-identical — no further rounding."""
+    from .operators.rollup import hampel_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    out = hampel_outliers(ev, bucket_sec=21600, key_col="user_id", ts_col="sec")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        (F.col("med") + F.lit(0.0)).alias("med"),
+        (F.col("mad") + F.lit(0.0)).alias("mad"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_outliers").cast("bigint").alias("n_outliers"),
+    )
+
+
+SQL_HAMPEL_OUTLIERS = r"""
+WITH b AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket, value
+  FROM events
+),
+med AS (
+  SELECT user_id, bucket, round(quantile_cont(value, 0.5), 9) AS med
+  FROM b GROUP BY 1, 2
+),
+d AS (
+  SELECT b.user_id, b.bucket, b.value, m.med
+  FROM b JOIN med m ON m.user_id = b.user_id AND m.bucket = b.bucket
+),
+mad AS (
+  SELECT user_id, bucket, round(quantile_cont(abs(value - med), 0.5), 9) AS mad
+  FROM d GROUP BY 1, 2
+)
+SELECT CAST(d.user_id AS BIGINT) AS user_id, CAST(d.bucket AS BIGINT) AS bucket,
+       max(d.med) + 0.0 AS med, max(mad.mad) + 0.0 AS mad,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN abs(d.value - d.med) > 3.0 * 1.4826 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM d JOIN mad ON mad.user_id = d.user_id AND mad.bucket = d.bucket
+GROUP BY 1, 2
+"""
+
+QUERIES["hampel_outliers"] = q_hampel_outliers
+ORACLES["hampel_outliers"] = SQL_HAMPEL_OUTLIERS
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per 6h bucket by exact count (heavy hitters),
+    deterministic tie-break (count DESC, type ASC). Integer-only."""
+    from .operators.rollup import heavy_hitters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    out = heavy_hitters(ev, top=3, bucket_sec=21600, ts_col="sec")
+    return out.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("rank").cast("bigint").alias("rank"),
+        "event_type",
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+SQL_HEAVY_HITTERS = r"""
+WITH c AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket, event_type,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT bucket, event_type, cnt,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY cnt DESC, event_type ASC) AS rank
+  FROM c
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(rank AS BIGINT) AS rank,
+       event_type, CAST(cnt AS BIGINT) AS cnt
+FROM r WHERE rank <= 3
+"""
+
+QUERIES["heavy_hitters"] = q_heavy_hitters
+ORACLES["heavy_hitters"] = SQL_HEAVY_HITTERS
