@@ -379,3 +379,51 @@ def test_sessionize_single_exchange_reuse(spark):
     # that prefix and reuses the exchange (ClusteredDistribution subset rule)
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_hampel_single_exchange(events):
+    """Both percentile windows and the final groupBy share the
+    (key, bucket) hash — exactly one Exchange, no Python."""
+    from tsmp_spark.operators.rollup import hampel_outliers
+    import pyspark.sql.functions as F
+
+    ev = events.select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    plan = _plan(hampel_outliers(ev, bucket_sec=21600, key_col="user_id",
+                                 ts_col="sec"))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_seasonal_decompose_reuses_key_exchange(events):
+    """bucket groupBy shuffles on (key, bucket); the MA window re-shuffles
+    on key; the phase groupBy extends the window's key prefix and REUSES
+    that exchange — two total, integer-only output, no Python."""
+    from tsmp_spark.operators.rollup import seasonal_decompose
+    import pyspark.sql.functions as F
+
+    ev = events.select(
+        "event_type", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    plan = _plan(seasonal_decompose(ev, period=24, bucket_sec=3600,
+                                    key_col="event_type", ts_col="sec"))
+    assert plan.count("Exchange") == 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_sax_single_key_exchange(events):
+    """Index/mu windows, the recentered-sd agg, and the (key, seg) PAA
+    groupBy all extend the key partitioning — the whole operator runs on
+    exchanges of the key only (the stats join adds its own small side)."""
+    from tsmp_spark.operators.series import sax_symbols
+    import pyspark.sql.functions as F
+
+    ev = events.select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    plan = _plan(sax_symbols(ev, w=16, a=4, key_col="user_id", pos_col="sec"))
+    assert "BatchEvalPython" not in plan
+    # the raw-row side shuffles ONCE on the key; every later hash
+    # requirement (sd agg, PAA groupBy, join) reuses or derives from it
+    assert plan.count("hashpartitioning(key") <= 3
