@@ -885,3 +885,24 @@ def test_heavy_hitters_ranks_and_ties(spark):
                  key=lambda r: r.rank)
     assert [(r.rank, r.event_type, r.cnt) for r in out] == [
         (1, "a", 5), (2, "b", 3), (3, "c", 3)]  # tie b/c broken by name
+
+
+def test_theil_sen_robust_to_outliers(spark):
+    from tsmp_spark.operators.rollup import theil_sen_trend
+
+    # clean line v = 2x + 1 with one gross outlier: Theil-Sen recovers
+    # the slope exactly, where least squares would be dragged
+    rows = [(1, x, 2.0 * x + 1.0) for x in range(9)] + [(1, 9, 1000.0)]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double")
+    out = theil_sen_trend(df, bucket_sec=100, key_col="user_id", ts_col="sec").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == 10
+    assert abs(r.slope - 2.0) < 1e-12
+    assert abs(r.intercept - 1.0) < 1e-12
+    # single-point bucket: no pair -> NULL slope/intercept, count kept
+    one = theil_sen_trend(
+        spark.createDataFrame([(7, 5, 3.0)], "user_id long, sec long, value double"),
+        bucket_sec=100, key_col="user_id", ts_col="sec",
+    ).collect()[0]
+    assert one.n == 1 and one.slope is None and one.intercept is None

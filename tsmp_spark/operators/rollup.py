@@ -1273,3 +1273,85 @@ def heavy_hitters(
             F.col("cnt").cast("bigint").alias("cnt"),
         )
     )
+
+
+def theil_sen_trend(
+    events: DataFrame,
+    bucket_sec: int = 21600,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Theil–Sen robust trend per (series, bucket): slope = median of all
+    pairwise slopes ``(v_j - v_i)/(x_j - x_i)`` over distinct-x pairs,
+    intercept = median of ``v - slope·x`` — the estimator that tolerates
+    ~29% outliers where least squares (``rollup_trend``) breaks. x is
+    recentered to the bucket origin (``sec - bucket·bucket_sec``):
+    with absolute epoch x the intercept residual ``v - slope·x`` is
+    catastrophic cancellation at ~1e9 magnitudes, the rollup_trend
+    lesson. Buckets with no distinct-x pair (single point, all
+    simultaneous) emit NULL slope/intercept with their count.
+
+    Determinism: both medians are the LOWER median — the element at
+    sorted index ``(n-1)//2`` (DuckDB ``quantile_disc(0.5)``) — an
+    actual member of the multiset, so no interpolation expression
+    exists to differ per engine and NO rounding is needed anywhere
+    (the first interpolated-median formulation flipped an r9 boundary
+    at sf0.001: ``(a+b)/2`` vs ``a+(b-a)·g`` differ by 1 ulp). Pair
+    slopes and residuals are exact-operand IEEE on both engines.
+
+    Scale: the pair self-join is O(m²) per (key, bucket) — by contract
+    a per-bucket robust fit over BOUNDED buckets (the same contract as
+    exact per-bucket percentiles; use rollup_trend for unbounded
+    buckets). All joins/aggs hash on (key, bucket) — the exchange is
+    planned once per side and reused through both median passes.
+    """
+    k, t, v = F.col(key_col), F.col(ts_col), F.col(value_col)
+    rows = events.select(
+        k.alias("key"),
+        F.floor(t.cast("long") / bucket_sec).cast("long").alias("bucket"),
+        (t.cast("long") - F.floor(t.cast("long") / bucket_sec) * bucket_sec)
+        .cast("double")
+        .alias("x"),
+        v.cast("double").alias("v"),
+    )
+    a, b = rows.alias("a"), rows.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.key").alias("key"),
+        F.col("a.bucket").alias("bucket"),
+        ((F.col("b.v") - F.col("a.v")) / (F.col("b.x") - F.col("a.x"))).alias("s"),
+    )
+    def lower_median(col: str) -> Column:
+        # collect_list drops NULLs; a pairless bucket (slope NULL) yields an
+        # empty array and element_at(., 0) CRASHES under ANSI — guard to NULL.
+        arr = F.array_sort(F.collect_list(col))
+        idx = F.floor((F.size(arr) + 1) / 2).cast("int")
+        return F.when(F.size(arr) > 0, F.element_at(arr, idx))
+
+    sl = pairs.groupBy("key", "bucket").agg(lower_median("s").alias("slope"))
+    resid = rows.join(sl, ["key", "bucket"], "left").select(
+        "key", "bucket", (F.col("v") - F.col("slope") * F.col("x")).alias("r")
+    )
+    return (
+        rows.groupBy("key", "bucket")
+        .agg(F.count("v").alias("n"))
+        .join(
+            resid.groupBy("key", "bucket").agg(
+                lower_median("r").alias("intercept")
+            ),
+            ["key", "bucket"],
+        )
+        .join(sl, ["key", "bucket"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "slope",
+            "intercept",
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )

@@ -6577,3 +6577,59 @@ FROM r WHERE rank <= 3
 
 QUERIES["heavy_hitters"] = q_heavy_hitters
 ORACLES["heavy_hitters"] = SQL_HEAVY_HITTERS
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per (user, 6h bucket): median pairwise
+    slope + median residual intercept, x recentered to the bucket
+    origin. Both medians are the LOWER median (an actual multiset
+    member, DuckDB quantile_disc) so no rounding is needed; pair
+    slopes / residuals are exact-operand IEEE on both engines."""
+    from .operators.rollup import theil_sen_trend
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    out = theil_sen_trend(ev, bucket_sec=21600, key_col="user_id", ts_col="sec")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        (F.col("slope") + F.lit(0.0)).alias("slope"),
+        (F.col("intercept") + F.lit(0.0)).alias("intercept"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+SQL_THEIL_SEN = r"""
+WITH rows_ AS (
+  SELECT user_id AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+         CAST(CAST(floor(epoch(ts)) AS BIGINT)
+              - (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600
+              AS DOUBLE) AS x,
+         value AS v
+  FROM events
+),
+sl AS (
+  SELECT a.key, a.bucket,
+         quantile_disc((b.v - a.v) / (b.x - a.x), 0.5) AS slope
+  FROM rows_ a JOIN rows_ b
+    ON b.key = a.key AND b.bucket = a.bucket AND a.x < b.x
+  GROUP BY 1, 2
+),
+ic AS (
+  SELECT r.key, r.bucket,
+         quantile_disc(r.v - s.slope * r.x, 0.5) AS intercept
+  FROM rows_ r LEFT JOIN sl s ON s.key = r.key AND s.bucket = r.bucket
+  GROUP BY 1, 2
+)
+SELECT CAST(n.key AS BIGINT) AS user_id, CAST(n.bucket AS BIGINT) AS bucket,
+       s.slope + 0.0 AS slope, ic.intercept + 0.0 AS intercept,
+       CAST(n.n AS BIGINT) AS n
+FROM (SELECT key, bucket, count(*) AS n FROM rows_ GROUP BY 1, 2) n
+JOIN ic ON ic.key = n.key AND ic.bucket = n.bucket
+LEFT JOIN sl s ON s.key = n.key AND s.bucket = n.bucket
+"""
+
+QUERIES["theil_sen"] = q_theil_sen
+ORACLES["theil_sen"] = SQL_THEIL_SEN
