@@ -906,3 +906,66 @@ def test_theil_sen_robust_to_outliers(spark):
         bucket_sec=100, key_col="user_id", ts_col="sec",
     ).collect()[0]
     assert one.n == 1 and one.slope is None and one.intercept is None
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    from tsmp_spark.operators.rollup import cusum_drift
+
+    # prefix-sum identity must reproduce Page's sequential recurrence
+    # s+ = max(0, s+ + v - k+), s- = max(0, s- + k- - v) exactly
+    vals = [10.0, 12.5, 9.0, 30.0, 31.0, 29.5, 8.0, 2.0, 1.5, 10.0]
+    target, slack, thr = 10.0, 1.0, 15.0
+    sp = sn = 0.0
+    expect = []
+    for v in vals:
+        sp = max(0.0, sp + v - (target + slack))
+        sn = max(0.0, sn + (target - slack) - v)
+        expect.append((sp, sn, sp > thr or sn > thr))
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)],
+        "user_id long, sec long, value double",
+    )
+    out = sorted(
+        cusum_drift(df, target=target, slack=slack, threshold=thr,
+                    key_col="user_id", ts_col="sec").collect(),
+        key=lambda r: r.sec,
+    )
+    for r, (ep, en, alarm) in zip(out, expect):
+        assert abs(r.cusum_pos - ep) < 1e-9
+        assert abs(r.cusum_neg - en) < 1e-9
+        assert r.alarm == alarm
+
+
+def test_mann_kendall_brute_force_and_ties(spark):
+    from tsmp_spark.operators.rollup import mann_kendall
+
+    # values with ties: S, tie-corrected Var(S), z, tau vs brute force
+    vals = [3.0, 5.0, 5.0, 2.0, 8.0, 8.0, 8.0, 9.0]
+    n = len(vals)
+    s = sum(
+        (vals[j] > vals[i]) - (vals[j] < vals[i])
+        for i in range(n) for j in range(i + 1, n)
+    )
+    from collections import Counter
+    tie_sum = sum(t * (t - 1) * (2 * t + 5) for t in Counter(vals).values())
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_sum) / 18.0
+    z = (s - (s > 0) + (s < 0)) / var_s ** 0.5
+    tau = s / (n * (n - 1) / 2.0)
+    df = spark.createDataFrame(
+        [(i, 1, i, v) for i, v in enumerate(vals)],
+        "event_id long, user_id long, sec long, value double",
+    )
+    r = mann_kendall(df, bucket_sec=1000, key_col="user_id",
+                     ts_col="sec").collect()[0]
+    assert (r.n, r.s) == (n, s)
+    assert abs(r.var_s - var_s) < 1e-9
+    assert abs(r.z - z) < 1e-12
+    assert abs(r.tau - tau) < 1e-12
+    # all-tied bucket: Var(S)=0 -> z NULL; single point -> tau NULL too
+    flat = mann_kendall(
+        spark.createDataFrame([(i, 1, i, 4.0) for i in range(5)],
+                              "event_id long, user_id long, sec long, value double"),
+        bucket_sec=1000, key_col="user_id", ts_col="sec",
+    ).collect()[0]
+    assert flat.s == 0 and flat.var_s == 0.0 and flat.z is None
+    assert flat.tau == 0.0

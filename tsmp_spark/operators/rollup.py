@@ -1355,3 +1355,151 @@ def theil_sen_trend(
             F.col("n").cast("bigint").alias("n"),
         )
     )
+
+
+def cusum_drift(
+    events: DataFrame,
+    target: float,
+    slack: float = 0.0,
+    threshold: float = 5.0,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Two-sided CUSUM drift detection per series (Page 1954, the
+    classic SPC/observability change detector): with ``d⁺ = v − target
+    − slack`` and ``d⁻ = target − slack − v``, the recurrences
+    ``s⁺ = max(0, s⁺ + d⁺)`` / ``s⁻ = max(0, s⁻ + d⁻)`` accumulate
+    sustained drift above/below the target and an alarm fires when
+    either side exceeds ``threshold``. Instead of a sequential
+    recurrence, both sides use the exact prefix-sum identity
+    ``s_i = R_i − min(0, min_{j≤i} R_j)`` (R = running sum of d), so
+    the whole operator is two window aggregates over ONE
+    (key)-partitioned sort — no Python, no recursion.
+
+    Cross-engine exactness: values are converted to integer
+    MICRO-UNITS (``round(v·1e6)`` — Spark round and DuckDB round are
+    both half-away on doubles) so every running sum is exact integer
+    arithmetic; the emitted doubles divide the same integers by the
+    same constant on both engines. The sdts integer-micro-unit lesson.
+
+    Scale: one exchange on the series key, one sort by (sec, value) —
+    rows with identical (key, sec, value) are interchangeable so the
+    output multiset is deterministic. A series lives on one task (the
+    per-series kernel contract everywhere in this engine).
+    """
+    scale = 1_000_000
+    tu = int(round(target * scale))
+    su = int(round(slack * scale))
+    thr_u = int(round(threshold * scale))
+    rows = events.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(ts_col).cast("long").alias("sec"),
+        F.round(F.col(value_col).cast("double") * scale).cast("long").alias("vu"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("sec", "vu")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r_pos = F.sum(F.col("vu") - F.lit(tu + su)).over(w)
+    r_neg = F.sum(F.lit(tu - su) - F.col("vu")).over(w)
+    s_pos = r_pos - F.least(F.lit(0), F.min(r_pos).over(w))
+    s_neg = r_neg - F.least(F.lit(0), F.min(r_neg).over(w))
+    return rows.select(
+        F.col("key").alias(key_col),
+        F.col("sec").alias(ts_col),
+        (s_pos / scale).alias("cusum_pos"),
+        (s_neg / scale).alias("cusum_neg"),
+        ((s_pos > thr_u) | (s_neg > thr_u)).alias("alarm"),
+    )
+
+
+def mann_kendall(
+    events: DataFrame,
+    bucket_sec: int = 21600,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Mann–Kendall trend test per (series, bucket): ``S = Σ_{i<j}
+    sign(v_j − v_i)`` over all C(n,2) pairs in time order, the
+    tie-corrected variance ``Var(S) = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))
+    / 18`` (t = per-tied-value counts), the continuity-corrected
+    normal statistic ``z = (S ∓ 1)/√Var(S)``, and Kendall's
+    ``τ_a = S / (n(n−1)/2)`` — the non-parametric companion to
+    ``theil_sen_trend`` (is there a monotone trend at all, before
+    asking for its slope).
+
+    Exactness: values compare as integer micro-units so sign() is
+    exact; S, n, and both tie sums are integer aggregates; z and τ are
+    then single identical float expressions over identical integers on
+    both engines — no rounding anywhere. Pair order is the TOTAL order
+    (sec, vu, id) — equal-time pairs are ordered by value (sign ≥ 0 is
+    then exact 0 for true ties), never arbitrarily.
+
+    Scale: the pair join is O(m²) per (key, bucket) — the same
+    bounded-bucket contract as theil_sen_trend / exact percentiles.
+    Every join/agg hashes on (key, bucket). z is NULL when Var(S) = 0
+    (n < 2 or all values tied), τ NULL when n < 2.
+    """
+    scale = 1_000_000
+    rows = events.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.floor(F.col(ts_col).cast("long") / bucket_sec).cast("long").alias("bucket"),
+        F.col(ts_col).cast("long").alias("sec"),
+        F.round(F.col(value_col).cast("double") * scale).cast("long").alias("vu"),
+        F.col(id_col).cast("long").alias("rid"),
+    )
+    a, b = rows.alias("a"), rows.alias("b")
+    before = (F.col("a.sec") < F.col("b.sec")) | (
+        (F.col("a.sec") == F.col("b.sec"))
+        & (
+            (F.col("a.vu") < F.col("b.vu"))
+            | ((F.col("a.vu") == F.col("b.vu")) & (F.col("a.rid") < F.col("b.rid")))
+        )
+    )
+    s_agg = (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & before,
+        )
+        .groupBy(F.col("a.key").alias("key"), F.col("a.bucket").alias("bucket"))
+        .agg(
+            F.sum(F.signum((F.col("b.vu") - F.col("a.vu")).cast("double")))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    ties = (
+        rows.groupBy("key", "bucket", "vu")
+        .agg(F.count("*").alias("t"))
+        .groupBy("key", "bucket")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).alias("tie_sum")
+        )
+    )
+    n_agg = rows.groupBy("key", "bucket").agg(F.count("*").alias("n"))
+    n, s = F.col("n"), F.coalesce(F.col("s"), F.lit(0))
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("tie_sum")) / F.lit(18.0)
+    z = F.when(
+        var_s > 0,
+        (s - F.signum(s.cast("double")).cast("long")) / F.sqrt(var_s),
+    )
+    tau = F.when(n >= 2, s / (n * (n - 1) / F.lit(2.0)))
+    return (
+        n_agg.join(ties, ["key", "bucket"])
+        .join(s_agg, ["key", "bucket"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            n.cast("bigint").alias("n"),
+            s.cast("bigint").alias("s"),
+            var_s.alias("var_s"),
+            z.alias("z"),
+            tau.alias("tau"),
+        )
+    )

@@ -6633,3 +6633,126 @@ LEFT JOIN sl s ON s.key = n.key AND s.bucket = n.bucket
 
 QUERIES["theil_sen"] = q_theil_sen
 ORACLES["theil_sen"] = SQL_THEIL_SEN
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift per user series (target 50, slack 5,
+    threshold 500): exact integer micro-unit prefix sums, emitted as
+    per-point cusum levels + alarm flag. No rounding anywhere — every
+    float output divides identical integers by the same constant on
+    both engines."""
+    from .operators.rollup import cusum_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    out = cusum_drift(
+        ev, target=50.0, slack=5.0, threshold=500.0, key_col="user_id", ts_col="sec"
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("sec").cast("bigint").alias("sec"),
+        "cusum_pos",
+        "cusum_neg",
+        "alarm",
+    )
+
+
+SQL_CUSUM = r"""
+WITH rows_ AS (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(round(value * 1000000) AS BIGINT) AS vu
+  FROM events
+),
+rsum AS (
+  SELECT key, sec, vu,
+         sum(vu - 55000000) OVER w AS r_pos,
+         sum(45000000 - vu) OVER w AS r_neg
+  FROM rows_
+  WINDOW w AS (PARTITION BY key ORDER BY sec, vu
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+r AS (
+  SELECT key, sec, r_pos, r_neg,
+         min(r_pos) OVER w AS m_pos,
+         min(r_neg) OVER w AS m_neg
+  FROM rsum
+  WINDOW w AS (PARTITION BY key ORDER BY sec, vu
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT key AS user_id, sec,
+       (r_pos - least(0, m_pos)) / 1000000 AS cusum_pos,
+       (r_neg - least(0, m_neg)) / 1000000 AS cusum_neg,
+       (r_pos - least(0, m_pos) > 500000000
+        OR r_neg - least(0, m_neg) > 500000000) AS alarm
+FROM r
+"""
+
+QUERIES["cusum"] = q_cusum
+ORACLES["cusum"] = SQL_CUSUM
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per (user, 6h bucket): integer-exact S
+    over all C(n,2) time-ordered pairs, tie-corrected Var(S),
+    continuity-corrected z, tau-a. No rounding — z/tau are single
+    identical float expressions over identical integers."""
+    from .operators.rollup import mann_kendall
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    out = mann_kendall(ev, bucket_sec=21600, key_col="user_id", ts_col="sec")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n",
+        "s",
+        "var_s",
+        "z",
+        "tau",
+    )
+
+
+SQL_MANN_KENDALL = r"""
+WITH rows_ AS (
+  SELECT user_id AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(round(value * 1000000) AS BIGINT) AS vu,
+         event_id AS rid
+  FROM events
+),
+s_agg AS (
+  SELECT a.key, a.bucket,
+         CAST(sum(sign(CAST(b.vu - a.vu AS DOUBLE))) AS BIGINT) AS s
+  FROM rows_ a JOIN rows_ b
+    ON b.key = a.key AND b.bucket = a.bucket
+   AND (a.sec < b.sec OR (a.sec = b.sec AND (a.vu < b.vu
+        OR (a.vu = b.vu AND a.rid < b.rid))))
+  GROUP BY 1, 2
+),
+ties AS (
+  SELECT key, bucket, sum(t * (t - 1) * (2 * t + 5)) AS tie_sum
+  FROM (SELECT key, bucket, vu, count(*) AS t FROM rows_ GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+n_agg AS (
+  SELECT key, bucket, count(*) AS n FROM rows_ GROUP BY 1, 2
+)
+SELECT n_agg.key AS user_id, CAST(n_agg.bucket AS BIGINT) AS bucket,
+       CAST(n AS BIGINT) AS n,
+       CAST(coalesce(s, 0) AS BIGINT) AS s,
+       (n * (n - 1) * (2 * n + 5) - tie_sum) / 18.0 AS var_s,
+       CASE WHEN (n * (n - 1) * (2 * n + 5) - tie_sum) / 18.0 > 0 THEN
+         (coalesce(s, 0) - CAST(sign(CAST(coalesce(s, 0) AS DOUBLE)) AS BIGINT))
+         / sqrt((n * (n - 1) * (2 * n + 5) - tie_sum) / 18.0)
+       END AS z,
+       CASE WHEN n >= 2 THEN coalesce(s, 0) / (n * (n - 1) / 2.0) END AS tau
+FROM n_agg
+JOIN ties ON ties.key = n_agg.key AND ties.bucket = n_agg.bucket
+LEFT JOIN s_agg ON s_agg.key = n_agg.key AND s_agg.bucket = n_agg.bucket
+"""
+
+QUERIES["mann_kendall"] = q_mann_kendall
+ORACLES["mann_kendall"] = SQL_MANN_KENDALL
