@@ -427,3 +427,34 @@ def test_sax_single_key_exchange(events):
     # the raw-row side shuffles ONCE on the key; every later hash
     # requirement (sd agg, PAA groupBy, join) reuses or derives from it
     assert plan.count("hashpartitioning(key") <= 3
+
+
+def test_hll_combinable_no_python(events):
+    """HLL rollup is two combinable groupBys (partial_max per register,
+    then partial_sum per bucket) — map-side combine absorbs hot buckets;
+    no Python anywhere, no window, no join."""
+    from tsmp_spark.operators.sketch import hll_rollup
+    import pyspark.sql.functions as F
+
+    ev = events.select("user_id", F.unix_timestamp("ts").alias("sec"))
+    plan = _plan(hll_rollup(ev, bucket_sec=86400, item_col="user_id",
+                            ts_col="sec"))
+    assert "BatchEvalPython" not in plan
+    assert "partial_max" in plan and "partial_sum" in plan
+    assert "Join" not in plan
+
+
+def test_cms_bounded_join_no_python(events):
+    """CMS: counter build and probe are combinable groupBys; the probe
+    join is keyed on (bucket, r, c) — bounded by d*w cells per bucket,
+    never raw-row x raw-row; no Python, no cartesian/nested-loop."""
+    from tsmp_spark.operators.sketch import cms_counts
+    import pyspark.sql.functions as F
+
+    ev = events.select("event_type", F.unix_timestamp("ts").alias("sec"))
+    plan = _plan(cms_counts(ev, bucket_sec=21600, item_col="event_type",
+                            ts_col="sec"))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan

@@ -6756,3 +6756,107 @@ LEFT JOIN s_agg ON s_agg.key = n_agg.key AND s_agg.bucket = n_agg.bucket
 
 QUERIES["mann_kendall"] = q_mann_kendall
 ORACLES["mann_kendall"] = SQL_MANN_KENDALL
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog daily-distinct-users rollup: md5-derived registers
+    (integer), exact integer Z = sum 2^(24-reg), and the Flajolet
+    estimate with linear-counting small-range correction as ONE r6-
+    rounded float expression over identical integers on both engines."""
+    from .operators.sketch import hll_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    return hll_rollup(ev, bucket_sec=86400, item_col="user_id", ts_col="sec")
+
+
+SQL_HLL_DISTINCT = r"""
+WITH rows_ AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS bucket,
+         CAST(('0x' || substr(md5('s0:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM events
+),
+reg AS (
+  SELECT bucket, CAST(h % 512 AS INT) AS idx,
+         max(CAST(round(log2(((h // 512) | 8388608)
+                             & -((h // 512) | 8388608))) AS INT) + 1) AS reg
+  FROM rows_ GROUP BY 1, 2
+),
+agg AS (
+  SELECT bucket,
+         CAST(512 - count(*) AS BIGINT) AS zeros,
+         sum(CAST(1 AS BIGINT) << (24 - reg)) AS z_present
+  FROM reg GROUP BY 1
+),
+z AS (
+  SELECT bucket, zeros,
+         CAST(z_present + zeros * (CAST(1 AS BIGINT) << 24) AS BIGINT) AS z_int
+  FROM agg
+)
+SELECT bucket, zeros, z_int,
+       round(CASE WHEN 0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * 16777216.0
+                       / z_int <= 1280.0 AND zeros > 0
+                  THEN 512.0 * ln(512.0 / zeros)
+                  ELSE 0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * 16777216.0
+                       / z_int END, 6) AS est
+FROM z
+"""
+
+QUERIES["hll_distinct"] = q_hll_distinct
+ORACLES["hll_distinct"] = SQL_HLL_DISTINCT
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch event-type frequencies per 6h bucket: d=4 md5
+    hash rows x w=256 counters, estimate = min over rows, emitted next
+    to the exact count (est >= cnt always). Integer-only output."""
+    from .operators.sketch import cms_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    return cms_counts(ev, bucket_sec=21600, item_col="event_type", ts_col="sec")
+
+
+SQL_CMS_COUNTS = r"""
+WITH hashed AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+         CAST(event_type AS VARCHAR) AS item,
+         CAST(('0x' || substr(md5('s0:' || CAST(event_type AS VARCHAR)), 1, 8))
+              AS BIGINT) % 256 AS c0,
+         CAST(('0x' || substr(md5('s0:' || CAST(event_type AS VARCHAR)), 9, 8))
+              AS BIGINT) % 256 AS c1,
+         CAST(('0x' || substr(md5('s0:' || CAST(event_type AS VARCHAR)), 17, 8))
+              AS BIGINT) % 256 AS c2,
+         CAST(('0x' || substr(md5('s0:' || CAST(event_type AS VARCHAR)), 25, 8))
+              AS BIGINT) % 256 AS c3
+  FROM events
+),
+cells AS (
+  SELECT bucket, r, c, count(*) AS cell_cnt FROM (
+    SELECT bucket, 0 AS r, c0 AS c FROM hashed
+    UNION ALL SELECT bucket, 1, c1 FROM hashed
+    UNION ALL SELECT bucket, 2, c2 FROM hashed
+    UNION ALL SELECT bucket, 3, c3 FROM hashed
+  ) GROUP BY 1, 2, 3
+),
+probes AS (
+  SELECT bucket, item, c0, c1, c2, c3, count(*) AS cnt
+  FROM hashed GROUP BY 1, 2, 3, 4, 5, 6
+),
+probes_long AS (
+  SELECT bucket, item, cnt, 0 AS r, c0 AS c FROM probes
+  UNION ALL SELECT bucket, item, cnt, 1, c1 FROM probes
+  UNION ALL SELECT bucket, item, cnt, 2, c2 FROM probes
+  UNION ALL SELECT bucket, item, cnt, 3, c3 FROM probes
+)
+SELECT p.bucket, p.item, min(cells.cell_cnt) AS est, p.cnt
+FROM probes_long p
+JOIN cells ON cells.bucket = p.bucket AND cells.r = p.r AND cells.c = p.c
+GROUP BY p.bucket, p.item, p.cnt
+"""
+
+QUERIES["cms_counts"] = q_cms_counts
+ORACLES["cms_counts"] = SQL_CMS_COUNTS
