@@ -458,3 +458,17 @@ def test_cms_bounded_join_no_python(events):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_interval_coalesce_single_exchange(events):
+    """Window partitions on key; the island groupBy extends that hash
+    prefix and reuses the exchange — ONE shuffle, no Python."""
+    from tsmp_spark.operators.rollup import interval_coalesce
+    import pyspark.sql.functions as F
+
+    sec = F.unix_timestamp("ts").cast("long")
+    iv = events.select(F.col("user_id"), sec.alias("start"),
+                       (sec + F.lit(100)).alias("end"))
+    plan = _plan(interval_coalesce(iv, key_col="user_id"))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan

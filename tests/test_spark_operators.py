@@ -1032,3 +1032,56 @@ def test_cms_overestimates_and_merges(spark):
     b = cms_counts(df.where(~h), bucket_sec=1000, item_col="event_type", ts_col="sec")
     for r in a.collect() + b.collect():
         assert r.est <= whole[r.item]
+
+
+def test_histogram_quantile_lerp_semantics(spark):
+    from tsmp_spark.operators.rollup import histogram_quantile, rollup_histogram
+
+    # 100 values uniform over [0, 100): bin width 6.25 on 16 bins,
+    # q=0.5 -> rank 50 falls in bin 8 (cum 48 -> 54) at known lerp
+    rows = [(1, 0, float(v)) for v in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, pos long, value double")
+    hist = rollup_histogram(df, 1000, lo=0.0, hi=100.0, n_bins=16,
+                            key_col="doc_id", pos_col="pos")
+    counts = {r.bin: r.cnt for r in hist.collect()}
+    out = histogram_quantile(hist, q=0.5, lo=0.0, hi=100.0, n_bins=16,
+                             key_col="doc_id").collect()
+    assert len(out) == 1
+    r = out[0]
+    cum_prev = sum(c for b, c in counts.items() if b < r.qbin)
+    assert cum_prev < 50 <= cum_prev + counts[r.qbin]
+    expect = 0.0 + r.qbin * 6.25 + (50.0 - cum_prev) / counts[r.qbin] * 6.25
+    assert r.total == 100 and r.qvalue == expect
+    # q = 1.0 picks the highest non-empty bin and lands on its upper edge
+    top = histogram_quantile(hist, q=1.0, lo=0.0, hi=100.0, n_bins=16,
+                             key_col="doc_id").collect()[0]
+    assert top.qbin == max(counts)
+    assert abs(top.qvalue - (top.qbin * 6.25 + 6.25)) < 1e-9
+
+
+def test_interval_coalesce_merge_touch_disjoint(spark):
+    from tsmp_spark.operators.rollup import interval_coalesce
+
+    iv = spark.createDataFrame(
+        [
+            (1, 0, 10), (1, 5, 20),      # overlap -> [0, 20]
+            (1, 20, 30),                 # touches end 20 -> merges
+            (1, 100, 110),               # disjoint island
+            (2, 7, 8),                   # other key untouched
+        ],
+        "user_id long, start long, end long",
+    )
+    out = sorted(
+        interval_coalesce(iv, key_col="user_id").collect(),
+        key=lambda r: (r.user_id, r.start),
+    )
+    assert [(r.user_id, r.start, r.end, r.n_merged) for r in out] == [
+        (1, 0, 30, 3), (1, 100, 110, 1), (2, 7, 8, 1)]
+    # containment: an interval inside a longer prior one must not split
+    # the island even though its own end is small
+    nested = interval_coalesce(
+        spark.createDataFrame([(1, 0, 100), (1, 10, 20), (1, 50, 200)],
+                              "user_id long, start long, end long"),
+        key_col="user_id",
+    ).collect()
+    assert [(r.start, r.end, r.n_merged) for r in nested] == [(0, 200, 3)]

@@ -1503,3 +1503,110 @@ def mann_kendall(
             tau.alias("tau"),
         )
     )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    q: float,
+    lo: float,
+    hi: float,
+    n_bins: int = 16,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """PromQL ``histogram_quantile``(φ) over ``rollup_histogram``
+    output (key, bucket, bin, cnt): cumulative counts per (key, bucket)
+    in bin order, pick the first bin whose cumulative count reaches
+    ``rank = φ·total``, and linearly interpolate inside it —
+    ``lo + bin·width + (rank − cum_prev)/cnt · width``. This is the
+    quantile estimator that works at ANY retention tier, because the
+    histogram is the mergeable sketch (re-rolled bins sum) while exact
+    ``rollup_percentiles`` needs the raw rows.
+
+    Exactness: bins/counts/cum are integers; rank and the lerp are
+    single fixed-operand-order float expressions over exact integers on
+    both engines — NO rounding anywhere (width must be chosen exactly
+    representable, e.g. (100−0)/16 = 6.25). φ ∈ (0, 1].
+
+    Scale: one window + one filter over the (key, bucket)-hashed sort —
+    a single exchange over data already collapsed to ≤ n_bins rows per
+    bucket by the histogram.
+    """
+    width = (float(hi) - float(lo)) / int(n_bins)
+    w = Window.partitionBy(key_col, "bucket").orderBy("bin")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = F.sum("cnt").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = hist.select(
+        key_col,
+        "bucket",
+        "bin",
+        "cnt",
+        cum.alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    rank = F.lit(float(q)) * F.col("total")
+    prev = F.col("cum") - F.col("cnt")
+    est = (
+        F.lit(float(lo))
+        + F.col("bin") * F.lit(width)
+        + (rank - prev) / F.col("cnt") * F.lit(width)
+    )
+    return rows.where((F.col("cum") >= rank) & (prev < rank)).select(
+        key_col,
+        "bucket",
+        F.col("total").cast("bigint").alias("total"),
+        F.col("bin").alias("qbin"),
+        est.alias("qvalue"),
+    )
+
+
+def interval_coalesce(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key (the uptime /
+    coverage primitive): sort by (start, end), track the running max of
+    prior ends, start a new island whenever ``start > max(prior ends)``
+    (equal endpoints TOUCH and merge — [1,3]+[3,5] → [1,5]), and roll
+    each island up to (merged start, merged end, n_merged).
+
+    Integer-only (epoch seconds) — no float conventions. The island
+    groupBy extends the window's key hash-partitioning prefix, so the
+    whole operator is ONE exchange (the sessionize pattern,
+    plan-pinned).
+    """
+    w = Window.partitionBy("key").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    rows = intervals.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+    )
+    islands = rows.select(
+        "key",
+        "s",
+        "e",
+        F.sum(
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    return (
+        islands.groupBy("key", "island")
+        .agg(
+            F.min("s").alias("start"),
+            F.max("e").alias("end"),
+            F.count("*").cast("bigint").alias("n_merged"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            F.col("island").cast("bigint").alias("island"),
+            "start",
+            "end",
+            "n_merged",
+        )
+    )

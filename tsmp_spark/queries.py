@@ -6860,3 +6860,103 @@ GROUP BY p.bucket, p.item, p.cnt
 
 QUERIES["cms_counts"] = q_cms_counts
 ORACLES["cms_counts"] = SQL_CMS_COUNTS
+
+
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL histogram_quantile(0.95) over the 16-bin [-5,5) value
+    histogram per (user, 6h bucket): cumulative-bin lerp with exactly
+    representable width 0.625 — fixed-operand-order float over exact
+    integers, NO rounding."""
+    from .operators.rollup import histogram_quantile, rollup_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    hist = rollup_histogram(ev, 21600, lo=-5.0, hi=5.0, n_bins=16,
+                            key_col="user_id", pos_col="sec")
+    out = histogram_quantile(hist, q=0.95, lo=-5.0, hi=5.0, n_bins=16,
+                             key_col="user_id")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "total",
+        F.col("qbin").cast("bigint").alias("qbin"),
+        "qvalue",
+    )
+
+
+SQL_HISTOGRAM_QUANTILE = r"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events
+),
+b AS (
+  SELECT user_id, sec // 21600 AS bucket,
+         least(greatest(CAST(floor((CAST(value AS DOUBLE) - (-5.0)) / 0.625) AS BIGINT), 0), 15) AS bin
+  FROM ev
+),
+h AS (
+  SELECT user_id, bucket, bin, count(*) AS cnt FROM b GROUP BY 1, 2, 3
+),
+c AS (
+  SELECT user_id, bucket, bin, cnt,
+         sum(cnt) OVER (PARTITION BY user_id, bucket ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY user_id, bucket) AS total
+  FROM h
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(total AS BIGINT) AS total, CAST(bin AS BIGINT) AS qbin,
+       (-5.0) + bin * 0.625 + (0.95 * total - (cum - cnt)) / cnt * 0.625 AS qvalue
+FROM c
+WHERE cum >= 0.95 * total AND (cum - cnt) < 0.95 * total
+"""
+
+QUERIES["histogram_quantile"] = q_histogram_quantile
+ORACLES["histogram_quantile"] = SQL_HISTOGRAM_QUANTILE
+
+
+def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uptime-style interval merge per user: event intervals
+    [sec, sec + 3600 + floor(|value|*600)) coalesced whenever they
+    overlap or touch. Integer-only output."""
+    from .operators.rollup import interval_coalesce
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.unix_timestamp("ts").cast("long")
+    iv = ev.select(
+        F.col("user_id").alias("user_id"),
+        sec.alias("start"),
+        (sec + 3600 + F.floor(F.abs(F.col("value")) * 600).cast("long"))
+        .alias("end"),
+    )
+    return interval_coalesce(iv, key_col="user_id", start_col="start",
+                             end_col="end")
+
+
+SQL_INTERVAL_COALESCE = r"""
+WITH iv AS (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 3600
+           + CAST(floor(abs(value) * 600) AS BIGINT) AS e
+  FROM events
+),
+m AS (
+  SELECT key, s, e,
+         max(e) OVER (PARTITION BY key ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv
+),
+isl AS (
+  SELECT key, s, e,
+         sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY key ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+)
+SELECT key AS user_id, CAST(island AS BIGINT) AS island,
+       min(s) AS start, max(e) AS "end", CAST(count(*) AS BIGINT) AS n_merged
+FROM isl GROUP BY 1, 2
+"""
+
+QUERIES["interval_coalesce"] = q_interval_coalesce
+ORACLES["interval_coalesce"] = SQL_INTERVAL_COALESCE
