@@ -1085,3 +1085,21 @@ def test_interval_coalesce_merge_touch_disjoint(spark):
         key_col="user_id",
     ).collect()
     assert [(r.start, r.end, r.n_merged) for r in nested] == [(0, 200, 3)]
+
+
+def test_sliding_rollup_trailing_window(spark):
+    from tsmp_spark.operators.rollup import sliding_rollup
+
+    # hourly points at buckets 0,1,2,30 with values 1,2,3,10 and a
+    # 3-bucket trailing window: range framing must NOT stretch across
+    # the gap (bucket 30 sees only itself)
+    rows = [(1, 0, 1.0), (1, 3600, 2.0), (1, 7200, 3.0), (1, 108000, 10.0)]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double")
+    out = {r.bucket: r for r in sliding_rollup(
+        df, bucket_sec=3600, trail_buckets=3, key_col="user_id",
+        ts_col="sec").collect()}
+    assert out[0].trail_sum == 1.0 and out[0].trail_cnt == 1
+    assert out[1].trail_sum == 3.0 and out[1].trail_avg == 1.5
+    assert out[2].trail_sum == 6.0 and out[2].trail_avg == 2.0
+    assert out[2].trail_min == 1.0 and out[2].trail_max == 3.0
+    assert out[30].trail_cnt == 1 and out[30].trail_sum == 10.0

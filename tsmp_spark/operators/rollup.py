@@ -1610,3 +1610,69 @@ def interval_coalesce(
             "n_merged",
         )
     )
+
+
+def sliding_rollup(
+    events: DataFrame,
+    bucket_sec: int = 3600,
+    trail_buckets: int = 24,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing-window aggregates per (series, bucket) — the PromQL
+    ``avg_over_time(x[24h])`` / hopping-window shape: first collapse to
+    tier-1 buckets (one combinable groupBy), then a ``rangeBetween``
+    window over the LAST ``trail_buckets`` buckets gives the trailing
+    sum/avg/min/max/count per emitted bucket. Range (not rows) framing,
+    so missing buckets shorten the window instead of silently stretching
+    it over history.
+
+    Cross-engine exactness: bucket sums are converted to integer
+    micro-units BEFORE the sliding window — DuckDB evaluates sliding
+    window aggregates with a segment tree (association order differs
+    from Spark's running accumulation), so float window sums are not
+    reproducible but integer sums are order-independent (the
+    seasonal_decompose lesson). The trailing average divides the same
+    integers by the same integer count on both engines.
+
+    Scale: the tier-1 groupBy shuffles raw rows once on (key, bucket);
+    the window re-shuffles the ALREADY-COLLAPSED tier rows on key — the
+    second exchange moves one row per bucket, not raw data.
+    """
+    scale = 1_000_000
+    tier = (
+        events.select(
+            F.col(key_col).cast("long").alias("key"),
+            F.floor(F.col(ts_col).cast("long") / bucket_sec)
+            .cast("long")
+            .alias("bucket"),
+            F.round(F.col(value_col).cast("double") * scale)
+            .cast("long")
+            .alias("vu"),
+        )
+        .groupBy("key", "bucket")
+        .agg(
+            F.sum("vu").alias("sum_u"),
+            F.count("*").alias("cnt"),
+            F.min("vu").alias("min_u"),
+            F.max("vu").alias("max_u"),
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rangeBetween(-(trail_buckets - 1), 0)
+    )
+    return tier.select(
+        F.col("key").alias(key_col),
+        "bucket",
+        F.sum("cnt").over(w).cast("bigint").alias("trail_cnt"),
+        (F.sum("sum_u").over(w) / scale).alias("trail_sum"),
+        (
+            F.sum("sum_u").over(w).cast("double")
+            / (F.sum("cnt").over(w) * F.lit(scale)).cast("double")
+        ).alias("trail_avg"),
+        (F.min("min_u").over(w) / scale).alias("trail_min"),
+        (F.max("max_u").over(w) / scale).alias("trail_max"),
+    )

@@ -6960,3 +6960,44 @@ FROM isl GROUP BY 1, 2
 
 QUERIES["interval_coalesce"] = q_interval_coalesce
 ORACLES["interval_coalesce"] = SQL_INTERVAL_COALESCE
+
+
+def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24h-of-hourly-buckets aggregates per user (PromQL
+    avg_over_time shape): integer micro-unit bucket sums so sliding
+    window sums are order-independent on both engines (DuckDB's segment
+    tree vs Spark's running accumulation); avg/min/max divide the same
+    integers."""
+    from .operators.rollup import sliding_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    return sliding_rollup(ev, bucket_sec=3600, trail_buckets=24,
+                          key_col="user_id", ts_col="sec")
+
+
+SQL_SLIDING_ROLLUP = r"""
+WITH tier AS (
+  SELECT user_id AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket,
+         sum(CAST(round(value * 1000000) AS BIGINT)) AS sum_u,
+         count(*) AS cnt,
+         min(CAST(round(value * 1000000) AS BIGINT)) AS min_u,
+         max(CAST(round(value * 1000000) AS BIGINT)) AS max_u
+  FROM events GROUP BY 1, 2
+)
+SELECT key AS user_id, bucket,
+       CAST(sum(cnt) OVER w AS BIGINT) AS trail_cnt,
+       sum(sum_u) OVER w / 1000000 AS trail_sum,
+       CAST(sum(sum_u) OVER w AS DOUBLE)
+         / CAST(sum(cnt) OVER w * 1000000 AS DOUBLE) AS trail_avg,
+       min(min_u) OVER w / 1000000 AS trail_min,
+       max(max_u) OVER w / 1000000 AS trail_max
+FROM tier
+WINDOW w AS (PARTITION BY key ORDER BY bucket
+             RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["sliding_rollup"] = q_sliding_rollup
+ORACLES["sliding_rollup"] = SQL_SLIDING_ROLLUP
