@@ -576,3 +576,66 @@ def test_sessionize_stream_equals_batch_splits(spark, tmp_path):
         max(s for (u2, s) in exp if u2 == u) for u in {u for u, _ in exp}
     }
     assert all(s in last_starts for _, s in missing)
+
+
+def test_hll_stream_equals_batch_any_order(spark, tmp_path):
+    """Streaming HLL fed OUT-OF-ORDER micro-batches still converges to
+    the exact batch sketch — registers are commutative (max-merge), so
+    unlike the ordered-append streams this equality needs no arrival
+    contract at all."""
+    import os
+
+    from tsmp_spark.operators.sketch import hll_rollup
+    from tsmp_spark.streaming.sketch import hll_stream
+
+    rows = [(i * 37 % 500, (i % 3) * 4000) for i in range(600)]
+    batch_df = spark.createDataFrame(rows, "user_id long, sec long")
+
+    base = str(tmp_path / "ev")
+    os.makedirs(base)
+    # shuffled, reversed thirds: arrival order is scrambled twice over
+    scrambled = rows[400:600] + rows[0:200] + rows[200:400]
+    for k in range(3):
+        spark.createDataFrame(
+            scrambled[200 * k : 200 * (k + 1)], "user_id long, sec long"
+        ).coalesce(1).write.parquet(f"{base}/f{k}.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id long, sec long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/*")
+    )
+    q = (
+        hll_stream(stream, bucket_sec=3600, item_col="user_id", ts_col="sec")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hll_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql(
+        "SELECT bucket, n_seen, zeros, z_int, est FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY bucket ORDER BY n_seen DESC) AS rn "
+        "FROM hll_out) WHERE rn = 1"
+    ).collect()
+    want = {r.bucket: r for r in hll_rollup(
+        batch_df, bucket_sec=3600, item_col="user_id", ts_col="sec"
+    ).collect()}
+    assert {r.bucket for r in got} == set(want)
+    for r in got:
+        w = want[r.bucket]
+        assert (r.zeros, r.z_int) == (w.zeros, w.z_int)
+        assert r.est == w.est  # both round half-away at 1e-6
+    # snapshots are monotone: n_seen per bucket strictly increases and
+    # the final one saw every row of that bucket
+    per_bucket = {}
+    for r in spark.sql("SELECT * FROM hll_out").collect():
+        per_bucket.setdefault(r.bucket, []).append(r.n_seen)
+    from collections import Counter
+    true_counts = Counter(s // 3600 for _, s in rows)
+    for b, seen in per_bucket.items():
+        assert sorted(seen) == seen or len(set(seen)) == len(seen)
+        assert max(seen) == true_counts[b]

@@ -31,6 +31,35 @@ HLL_REST_BITS = 23
 HLL_ALPHA_EXPR = "0.7213 / (1.0 + 1.079 / 512.0)"
 
 
+def hll_register_rows(
+    events: DataFrame,
+    bucket_sec: int,
+    item_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """(bucket, idx, rho) register observations — the shared JVM-side
+    front end of batch ``hll_rollup`` and ``streaming.hll_stream`` (both
+    consume IDENTICAL expressions, so stream==batch is exact).
+
+    Integer split ONLY (``div``): DuckDB CAST(double AS BIGINT) rounds
+    where Spark truncates, so float division would diverge on the
+    oracle side — mirror with ``//`` there.
+    """
+    rows = events.select(
+        F.floor(F.col(ts_col).cast("long") / bucket_sec).cast("long").alias("bucket"),
+        _h64(F.col(item_col).cast("string"), 0).alias("h"),
+    )
+    return rows.select(
+        "bucket",
+        (F.col("h") % HLL_M).cast("int").alias("idx"),
+        F.expr(f"(h div {HLL_M}) | {1 << HLL_REST_BITS}").alias("w"),
+    ).select(
+        "bucket",
+        "idx",
+        (F.expr("cast(round(log2(w & -w)) as int)") + 1).alias("rho"),
+    )
+
+
 def hll_rollup(
     events: DataFrame,
     bucket_sec: int = 3600,
@@ -62,24 +91,8 @@ def hll_rollup(
 
     Output: (bucket, zeros, z_int, est) — integers plus the one float.
     """
-    rows = events.select(
-        F.floor(F.col(ts_col).cast("long") / bucket_sec).cast("long").alias("bucket"),
-        _h64(F.col(item_col).cast("string"), 0).alias("h"),
-    )
-    # integer split ONLY (`div`): DuckDB CAST(double AS BIGINT) rounds
-    # where Spark truncates, so float division would diverge on the
-    # oracle side — mirror with `//` there.
     regs = (
-        rows.select(
-            "bucket",
-            (F.col("h") % HLL_M).cast("int").alias("idx"),
-            F.expr(f"(h div {HLL_M}) | {1 << HLL_REST_BITS}").alias("w"),
-        )
-        .select(
-            "bucket",
-            "idx",
-            (F.expr("cast(round(log2(w & -w)) as int)") + 1).alias("rho"),
-        )
+        hll_register_rows(events, bucket_sec, item_col, ts_col)
         .groupBy("bucket", "idx")
         .agg(F.max("rho").alias("reg"))
     )

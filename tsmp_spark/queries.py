@@ -7001,3 +7001,48 @@ WINDOW w AS (PARTITION BY key ORDER BY bucket
 
 QUERIES["sliding_rollup"] = q_sliding_rollup
 ORACLES["sliding_rollup"] = SQL_SLIDING_ROLLUP
+
+
+def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL distinct-users maintained by an actual Structured
+    Streaming query (streaming.hll_stream): events replayed through a
+    file stream, final register snapshot per daily bucket. Registers are
+    commutative, so the final snapshot must equal the BATCH sketch —
+    gated by the same SQL register chain as hll_distinct."""
+    import uuid
+
+    from .streaming.sketch import hll_stream
+
+    name = "hll_sink_" + uuid.uuid4().hex[:8]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props map<string,string>"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", F.unix_timestamp("ts").alias("sec"))
+    )
+    out = hll_stream(stream, bucket_sec=86400, item_col="user_id", ts_col="sec")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""
+        SELECT bucket, zeros, z_int, est FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY bucket ORDER BY n_seen DESC) AS rn
+          FROM {name}) WHERE rn = 1
+        """
+    )
+
+
+QUERIES["hll_stream"] = q_hll_stream
+ORACLES["hll_stream"] = SQL_HLL_DISTINCT

@@ -1,0 +1,103 @@
+"""Streaming HyperLogLog distinct counts: events arrive as a stream;
+each micro-batch folds new register observations into a 512-byte state
+per time bucket and emits the updated estimate snapshot.
+
+Unlike the packing/profile streams (watermark-0 ORDERED-append
+contract), HLL registers are COMMUTATIVE — max-merge is
+order-insensitive — so stream==batch holds for ANY arrival order, not
+just doc-id-ordered batches (pytest feeds batches out of order and
+still matches ``operators.sketch.hll_rollup`` register-for-register).
+
+State is exactly m=512 bytes per open bucket (rho ≤ 24 fits uint8) —
+bounded regardless of item cardinality, the same reason the batch
+sketch exists. The hash/register derivation is JVM-side and shared
+with the batch operator (``hll_register_rows``); the Python state
+function only max-merges a numpy array.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.sketch import HLL_M, HLL_REST_BITS, hll_register_rows
+
+OUTPUT_SCHEMA = "bucket long, n_seen long, zeros long, z_int long, est double"
+STATE_SCHEMA = "regs binary, n_seen long"
+
+
+def _estimate(regs: np.ndarray) -> tuple[int, int, float]:
+    """(zeros, z_int, est) from a register array — the SAME arithmetic
+    as the batch operator's Spark expressions: exact integer
+    Z = Σ 2^(24−reg), alpha·m²·2^24/Z, linear-counting correction.
+    ``est`` is rounded half-away (matching Spark/DuckDB round on
+    doubles; Python's built-in round is half-even and would diverge on
+    exact .5e-6 boundaries)."""
+    zeros = int((regs == 0).sum())
+    z_int = int((np.int64(1) << (HLL_REST_BITS + 1 - regs.astype(np.int64))).sum())
+    alpha = 0.7213 / (1.0 + 1.079 / 512.0)
+    raw = alpha * float(HLL_M * HLL_M) * float(1 << (HLL_REST_BITS + 1)) / z_int
+    if raw <= 2.5 * HLL_M and zeros > 0:
+        est = float(HLL_M) * math.log(float(HLL_M) / zeros)
+    else:
+        est = raw
+    return zeros, z_int, math.floor(est * 1e6 + 0.5) / 1e6
+
+
+def _hll_func(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        regs_bytes, n_seen = state.get
+        regs = np.frombuffer(regs_bytes, dtype=np.uint8).copy()
+    else:
+        regs, n_seen = np.zeros(HLL_M, dtype=np.uint8), 0
+    (bucket,) = key
+    new = 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        idx = pdf["idx"].to_numpy(dtype=np.int64)
+        rho = pdf["rho"].to_numpy(dtype=np.uint8)
+        np.maximum.at(regs, idx, rho)
+        new += len(pdf)
+    n_seen += new
+    state.update((regs.tobytes(), n_seen))
+    zeros, z_int, est = _estimate(regs)
+    yield pd.DataFrame(
+        [
+            {
+                "bucket": int(bucket),
+                "n_seen": int(n_seen),
+                "zeros": zeros,
+                "z_int": z_int,
+                "est": est,
+            }
+        ]
+    )
+
+
+def hll_stream(
+    event_stream: DataFrame,
+    bucket_sec: int = 3600,
+    item_col: str = "user_id",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """Streaming counterpart of ``hll_rollup``: one snapshot row per
+    (bucket, micro-batch) carrying the running distinct-count sketch —
+    ``n_seen`` makes append-mode rows distinct and monotone, the LAST
+    snapshot per bucket equals the batch sketch exactly (any arrival
+    order; registers are commutative)."""
+    rows = hll_register_rows(event_stream, bucket_sec, item_col, ts_col)
+    return rows.groupBy("bucket").applyInPandasWithState(
+        _hll_func,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
