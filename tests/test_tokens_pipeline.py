@@ -774,3 +774,66 @@ def test_duplication_rate_semantics(spark):
     assert out[2].dup_rate == 1.0 and out[3].dup_rate == 1.0
     assert 0.0 < out[4].dup_rate < 1.0  # tail shingles shared, prefix novel
     assert out[5].n_shingles == 0 and out[5].dup_rate is None
+
+
+def test_bpe_learn_matches_reference_greedy(spark):
+    """bpe_learn == a pure-python Sennrich BPE on word frequencies,
+    including LEFT-GREEDY self-pair overlap ('aaaa' under (a,a) ->
+    aa+aa, the run-parity case)."""
+    import re
+    from collections import Counter
+
+    from tsmp_spark.operators.tokens import bpe_learn
+
+    texts = [
+        "the cat sat on the mat", "the hat of the cat", "that that mat",
+        "aaaa aaa baaab", "low lower lowest", "new newer newest",
+    ] * 3
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r.merge_round, r.left_sym, r.right_sym, r.pair_count)
+           for r in bpe_learn(df, n_merges=6, max_words=100).collect()]
+
+    wc = Counter()
+    for _, t in docs:
+        for w in re.sub(r"\s+", " ", t.strip().lower()).split(" "):
+            if re.fullmatch(r"[a-z]+", w):
+                wc[w] += 1
+    words = {w: list(w) + ["</w>"] for w in wc}
+    merges = []
+    for rnd in range(1, 7):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, a, b, cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    assert got == merges
+    # guaranteed self-pair first pick: 'aaaa' -> (a,a) wins round 1 and
+    # left-greedy must take positions 0 and 2 (parity), yielding aa+aa,
+    # so round 2's top count for (aa,aa) is 1 per word, not 2
+    solo = [(r.merge_round, r.left_sym, r.right_sym, r.pair_count)
+            for r in bpe_learn(
+                spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string"),
+                n_merges=2, max_words=10).collect()]
+    assert solo[0] == (1, "a", "a", 6)  # freq-2 word, 3 adjacent (a,a)
+    assert solo[1] == (2, "aa", "</w>", 2)  # '</w>' < 'aa' breaks the tie
+    # empty corpus -> empty merge table with the right schema
+    empty = bpe_learn(
+        spark.createDataFrame([(1, "12345 !!!")], "doc_id long, text string"),
+        n_merges=3,
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["merge_round", "left_sym", "right_sym", "pair_count"]

@@ -22,6 +22,8 @@ batches" in an LLM data pipeline:
   (mix-drift detection).
 - :func:`token_pmi_bigrams` — adjacent-pair PMI (collocations / BPE
   merge candidates).
+- :func:`bpe_learn` — BPE vocabulary induction on the word-frequency
+  table (Sennrich et al. 2016; merges never touch the raw corpus).
 - :func:`shard_blobs` / :func:`unshard_blobs` — the binary ``.bin``-style
   training-shard sink and its read path (``codecs.tokenshard``).
 - :func:`curate` — the whole pipeline as one facade (dedup → quality →
@@ -794,4 +796,133 @@ def chunk_documents(
         )
         .withColumn("n_tok", F.size("tokens"))
         .filter(F.col("n_tok") > 0)
+    )
+
+
+def bpe_learn(
+    documents: DataFrame,
+    n_merges: int = 8,
+    max_words: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn a BPE merge table from the corpus (Sennrich et al. 2016 —
+    the vocabulary-induction step upstream of every tokenizer in this
+    family; ``token_pmi_bigrams`` ranks candidates, this actually runs
+    the merge loop). The scale trick is the standard one (fastBPE / HF
+    trainers): merges operate on the WORD-FREQUENCY table, not the
+    corpus — one combinable groupBy collapses 100 TB of text to a
+    vocab-bounded (word, freq) table, and every round after that
+    touches ≤ ``max_words`` rows.
+
+    Per round: count adjacent symbol pairs weighted by word freq, pick
+    the single best pair (count DESC, then lexicographic — a TOTAL
+    order), and merge its non-overlapping occurrences LEFT-GREEDILY
+    into every word. Greedy overlap only matters for self-pairs
+    ((a,a) in "aaa" → "aa"+"a"): within a run of consecutive matches,
+    the kept ones are the alternating positions from the run head —
+    expressed RELATIONALLY with run-id + in-run parity windows, so the
+    DuckDB oracle replays the identical chain (no Python in either
+    engine). Words are restricted to ``^[a-z]+$`` after the engine's
+    normalize_text, dodging cross-engine unicode indexing semantics;
+    each word ends with the standard '</w>' marker.
+
+    Driver loop: ONE k-bounded collect per round (the single best
+    pair — same contract as similarity's k-centroid collect); each
+    round's symbol table is pinned so round r does not recompute
+    rounds 1..r-1. Returns the merge table
+    (merge_round, left, right, pair_count) — empty tail rounds are
+    dropped if the pair supply is exhausted.
+    """
+    from .cache import pin
+
+    spark = documents.sparkSession
+    norm = normalize_text(F.col(text_col))
+    words = (
+        documents.select(F.explode(F.split(norm, " ")).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w"))
+        .limit(int(max_words))
+    )
+    syms = pin(
+        words.select(
+            F.col("w"),
+            F.col("freq"),
+            F.posexplode(
+                F.concat(
+                    F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+                    F.array(F.lit("</w>")),
+                )
+            ).alias("pos", "sym"),
+        ).select("w", "freq", "pos", "sym")
+    )
+    w_ord = Window.partitionBy("w").orderBy("pos")
+    merges = []
+    for rnd in range(1, int(n_merges) + 1):
+        cand = (
+            syms.select(
+                "freq", "sym", F.lead("sym").over(w_ord).alias("nxt")
+            )
+            .where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("sym"), F.col("nxt"))
+            .limit(1)
+            .collect()
+        )
+        if not cand:
+            break
+        a, b, cnt = cand[0].sym, cand[0].nxt, int(cand[0].cnt)
+        merges.append((rnd, a, b, cnt))
+        m = (F.col("sym") == a) & (F.lead("sym").over(w_ord) == b)
+        step = syms.select(
+            "w",
+            "freq",
+            "pos",
+            "sym",
+            m.alias("m"),
+            F.sum(F.when(m, 0).otherwise(1))
+            .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("grp"),
+        )
+        runs = step.select(
+            "*",
+            F.when(
+                F.col("m"),
+                F.row_number().over(
+                    Window.partitionBy("w", "grp", "m").orderBy("pos")
+                ),
+            ).alias("rn"),
+        ).select(
+            "*", (F.col("m") & (F.col("rn") % 2 == 1)).alias("taken")
+        )
+        merged = (
+            runs.select(
+                "w",
+                "freq",
+                "pos",
+                F.when(
+                    F.col("taken"),
+                    F.concat(F.col("sym"), F.lead("sym").over(w_ord)),
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+                F.lag("taken").over(w_ord).alias("consumed"),
+            )
+            .where(~F.coalesce(F.col("consumed"), F.lit(False)))
+            .select(
+                "w",
+                "freq",
+                F.row_number().over(w_ord).alias("pos"),
+                "sym",
+            )
+        )
+        syms = pin(merged)
+    if not merges:
+        return spark.createDataFrame(
+            [], "merge_round int, left_sym string, right_sym string, pair_count bigint"
+        )
+    return spark.createDataFrame(
+        merges, "merge_round int, left_sym string, right_sym string, pair_count bigint"
     )

@@ -7046,3 +7046,85 @@ def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["hll_stream"] = q_hll_stream
 ORACLES["hll_stream"] = SQL_HLL_DISTINCT
+
+
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge table (8 rounds, top-200 words) learned from the
+    documents corpus — pair counts are integers, pair picks use a total
+    order (count DESC, lexicographic), and the greedy merge is the same
+    relational run-parity chain on both engines."""
+    from .operators.tokens import bpe_learn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_learn(docs, n_merges=8, max_words=200)
+
+
+def _bpe_oracle_sql(n_merges: int = 8, max_words: int = 200) -> str:
+    """Generated DuckDB replay of bpe_learn: k chained rounds, each CTE
+    MATERIALIZED (round-chained CTEs referencing the previous round
+    twice inline exponentially otherwise — the analyze/floss lesson)."""
+    parts = [
+        f"""WITH words AS MATERIALIZED (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+    FROM documents
+  ) WHERE regexp_matches(w, '^[a-z]+$')
+  GROUP BY w ORDER BY freq DESC, w LIMIT {max_words}
+),
+s0 AS MATERIALIZED (
+  SELECT w, freq, pos,
+         CASE WHEN pos <= length(w) THEN substr(w, pos, 1) ELSE '</w>' END AS sym
+  FROM (SELECT w, freq, unnest(generate_series(1, length(w) + 1)) AS pos FROM words)
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f""",
+bp{r} AS MATERIALIZED (
+  SELECT {r} AS merge_round, sym AS a, nxt AS b, cnt FROM (
+    SELECT sym, nxt, sum(freq) AS cnt,
+           row_number() OVER (ORDER BY sum(freq) DESC, sym, nxt) AS rn
+    FROM (SELECT freq, sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+          FROM {prev})
+    WHERE nxt IS NOT NULL GROUP BY sym, nxt
+  ) WHERE rn = 1
+),
+s{r} AS MATERIALIZED (
+  SELECT w, freq, row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, sym FROM (
+    SELECT w, freq, pos,
+           CASE WHEN taken THEN sym || nxt ELSE sym END AS sym,
+           lag(taken) OVER (PARTITION BY w ORDER BY pos) AS consumed
+    FROM (
+      SELECT w, freq, pos, sym, nxt, m, grp,
+             CASE WHEN m THEN (row_number() OVER (PARTITION BY w, grp, m ORDER BY pos) % 2 = 1)
+                  ELSE FALSE END AS taken
+      FROM (
+        SELECT t.w, t.freq, t.pos, t.sym, t.nxt,
+               (t.sym = bp.a AND t.nxt = bp.b) AS m,
+               sum(CASE WHEN t.sym = bp.a AND t.nxt = bp.b THEN 0 ELSE 1 END)
+                 OVER (PARTITION BY t.w ORDER BY t.pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM (SELECT w, freq, pos, sym,
+                     lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+              FROM {prev}) t
+        CROSS JOIN bp{r} bp
+      )
+    )
+  ) WHERE NOT coalesce(consumed, FALSE)
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT merge_round, a, b, cnt FROM bp{r}" for r in range(1, n_merges + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(merge_round AS INT) AS merge_round, a AS left_sym, b AS right_sym,
+       CAST(cnt AS BIGINT) AS pair_count
+FROM ({union})"""
+    )
+    return "".join(parts)
+
+
+QUERIES["bpe_learn"] = q_bpe_learn
+ORACLES["bpe_learn"] = _bpe_oracle_sql()
