@@ -472,3 +472,22 @@ def test_interval_coalesce_single_exchange(events):
     plan = _plan(interval_coalesce(iv, key_col="user_id"))
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_interval_join_is_equi_join(events):
+    """The containment join must plan as a keyed equi-join on
+    (key, bucket) — never BNLJ/cartesian (the range-join explosion)."""
+    from tsmp_spark.operators.rollup import interval_coalesce, interval_join
+    import pyspark.sql.functions as F
+
+    sec = F.unix_timestamp("ts").cast("long")
+    iv = interval_coalesce(
+        events.select("user_id", sec.alias("start"),
+                      (sec + F.lit(7200)).alias("end")),
+        key_col="user_id")
+    ev = events.select("user_id", sec.alias("sec"))
+    plan = _plan(interval_join(ev, iv, grain_sec=3600, key_col="user_id",
+                               ts_col="sec"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -1103,3 +1103,32 @@ def test_sliding_rollup_trailing_window(spark):
     assert out[2].trail_sum == 6.0 and out[2].trail_avg == 2.0
     assert out[2].trail_min == 1.0 and out[2].trail_max == 3.0
     assert out[30].trail_cnt == 1 and out[30].trail_sum == 10.0
+
+
+def test_interval_join_bucketization_lossless(spark):
+    from tsmp_spark.operators.rollup import interval_join
+
+    # interval [95, 205) at grain 100 spans buckets 0,1,2 — an event in
+    # each bucket region must match; boundary semantics: t=95 in, t=205
+    # out (half-open), t=94 out
+    iv = spark.createDataFrame([(1, 95, 205, 0), (1, 300, 310, 1)],
+                               "user_id long, start long, end long, island long")
+    ev = spark.createDataFrame(
+        [(1, t) for t in [94, 95, 150, 204, 205, 299, 300, 309, 310]],
+        "user_id long, sec long",
+    )
+    got = sorted((r.sec, r.island) for r in interval_join(
+        ev, iv, grain_sec=100, key_col="user_id", ts_col="sec").collect())
+    assert got == [(95, 0), (150, 0), (204, 0), (300, 1), (309, 1)]
+    # inclusive-end mode admits t == end
+    inc = sorted((r.sec, r.island) for r in interval_join(
+        ev, iv, grain_sec=100, key_col="user_id", ts_col="sec",
+        half_open=False).collect())
+    assert (205, 0) in inc and (310, 1) in inc
+    # overlapping intervals: an event inside both matches twice
+    iv2 = spark.createDataFrame([(1, 0, 100, 0), (1, 50, 150, 1)],
+                                "user_id long, start long, end long, island long")
+    both = interval_join(
+        spark.createDataFrame([(1, 75)], "user_id long, sec long"),
+        iv2, grain_sec=100, key_col="user_id", ts_col="sec").collect()
+    assert sorted(r.island for r in both) == [0, 1]

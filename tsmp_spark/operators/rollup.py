@@ -1676,3 +1676,75 @@ def sliding_rollup(
         (F.min("min_u").over(w) / scale).alias("trail_min"),
         (F.max("max_u").over(w) / scale).alias("trail_max"),
     )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    grain_sec: int = 3600,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    start_col: str = "start",
+    end_col: str = "end",
+    iv_id_col: str = "island",
+    half_open: bool = True,
+) -> DataFrame:
+    """Containment join: assign each event to every interval of its key
+    that covers its timestamp (``start ≤ t < end``; set
+    ``half_open=False`` for inclusive ends). This is the range join
+    that naively BNLJ-explodes at scale; the scale path here is the
+    standard BUCKETIZED formulation: explode each interval into the
+    coarse ``grain_sec`` buckets it touches, map each event to its one
+    bucket, equi-join on (key, bucket), then apply the exact range
+    predicate as a post-filter. Shuffle = |events| + Σ interval
+    lengths / grain — never |events|·|intervals|.
+
+    ``grain_sec`` trades explode fan-out (long intervals × fine grain)
+    against join selectivity (coarse grain → more false candidates
+    filtered after the join); pick it near the typical interval length.
+    The DuckDB oracle is deliberately the NAIVE range join — an
+    independent formulation, so the gate checks the bucketization is
+    lossless (an interval spanning a bucket boundary must appear in
+    every touched bucket: ``floor(s/g) .. floor((e−1)/g)`` half-open,
+    ``floor(e/g)`` inclusive).
+
+    Output: one row per (event, covering interval) — integer-only.
+    """
+    g = int(grain_sec)
+    ev = events.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(ts_col).cast("long").alias("t"),
+        F.floor(F.col(ts_col).cast("long") / g).cast("long").alias("b"),
+    )
+    last = (
+        F.floor(((F.col("e") - 1) / g)) if half_open else F.floor(F.col("e") / g)
+    ).cast("long")
+    iv = (
+        intervals.select(
+            F.col(key_col).cast("long").alias("key"),
+            F.col(start_col).cast("long").alias("s"),
+            F.col(end_col).cast("long").alias("e"),
+            F.col(iv_id_col).cast("long").alias("iv_id"),
+        )
+        .select(
+            "key",
+            "s",
+            "e",
+            "iv_id",
+            F.explode(
+                F.sequence(F.floor(F.col("s") / g).cast("long"), last)
+            ).alias("b"),
+        )
+    )
+    cover = F.col("t") < F.col("e") if half_open else F.col("t") <= F.col("e")
+    return (
+        ev.join(iv, ["key", "b"])
+        .where((F.col("t") >= F.col("s")) & cover)
+        .select(
+            F.col("key").alias(key_col),
+            F.col("t").alias(ts_col),
+            F.col("iv_id").alias(iv_id_col),
+            "s",
+            "e",
+        )
+    )

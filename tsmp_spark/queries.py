@@ -7128,3 +7128,59 @@ FROM ({union})"""
 
 QUERIES["bpe_learn"] = q_bpe_learn
 ORACLES["bpe_learn"] = _bpe_oracle_sql()
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign click events to coalesced 2h purchase windows per user:
+    the bucketized containment join (grain 1h). The oracle's join is
+    DuckDB's NAIVE range join — an independent formulation that gates
+    the bucketization as lossless. Integer-only."""
+    from .operators.rollup import interval_coalesce, interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.unix_timestamp("ts").cast("long")
+    piv = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", sec.alias("start"), (sec + 7200).alias("end")
+    )
+    merged = interval_coalesce(piv, key_col="user_id")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", sec.alias("sec")
+    )
+    return interval_join(clicks, merged, grain_sec=3600, key_col="user_id",
+                         ts_col="sec")
+
+
+SQL_INTERVAL_JOIN = r"""
+WITH piv AS (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS e
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT key, s, e,
+         max(e) OVER (PARTITION BY key ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM piv
+),
+isl AS (
+  SELECT key, s, e,
+         sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY key ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+),
+merged AS (
+  SELECT key, CAST(island AS BIGINT) AS island, min(s) AS s, max(e) AS e
+  FROM isl GROUP BY 1, 2
+),
+clicks AS (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.key AS user_id, c.t AS sec, m.island, m.s, m.e
+FROM clicks c
+JOIN merged m ON m.key = c.key AND c.t >= m.s AND c.t < m.e
+"""
+
+QUERIES["interval_join"] = q_interval_join
+ORACLES["interval_join"] = SQL_INTERVAL_JOIN
