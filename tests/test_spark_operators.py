@@ -1132,3 +1132,39 @@ def test_interval_join_bucketization_lossless(spark):
         spark.createDataFrame([(1, 75)], "user_id long, sec long"),
         iv2, grain_sec=100, key_col="user_id", ts_col="sec").collect()
     assert sorted(r.island for r in both) == [0, 1]
+
+
+def test_holt_matches_statsmodels_style_recurrence(spark):
+    from tsmp_spark.operators.rollup import holt_smooth
+
+    vals = [10.0, 12.0, 13.0, 15.0, 14.0, 18.0, 21.0, 20.0]
+    a, b = 0.5, 0.25
+    lev, tr = vals[0], vals[1] - vals[0]
+    exp = [(lev, tr)]
+    for v in vals[1:]:
+        nl = a * v + (1 - a) * (lev + tr)
+        tr = b * (nl - lev) + (1 - b) * tr
+        lev = nl
+        exp.append((lev, tr))
+    df = spark.createDataFrame([(1, i, v) for i, v in enumerate(vals)],
+                               "user_id long, sec long, value double")
+    out = sorted(holt_smooth(df, key_col="user_id", ts_col="sec").collect(),
+                 key=lambda r: r.sec)
+    assert len(out) == len(vals)
+    for r, (el, et) in zip(out, exp):
+        assert r.level == el and r.trend == et  # bit-exact, dyadic params
+        assert r.forecast == el + et
+    # a linear ramp is tracked exactly: level == value, trend == slope
+    ramp = holt_smooth(
+        spark.createDataFrame([(1, i, 3.0 * i + 2) for i in range(10)],
+                              "user_id long, sec long, value double"),
+        key_col="user_id", ts_col="sec",
+    ).collect()
+    for r in ramp:
+        assert abs(r.level - (3.0 * r.sec + 2)) < 1e-9
+        assert abs(r.trend - 3.0) < 1e-9
+    # single-point series emits nothing (no trend to initialize)
+    assert holt_smooth(
+        spark.createDataFrame([(1, 0, 5.0)], "user_id long, sec long, value double"),
+        key_col="user_id", ts_col="sec",
+    ).count() == 0

@@ -1748,3 +1748,72 @@ def interval_join(
             "e",
         )
     )
+
+
+HOLT_SCHEMA = "key long, sec long, level double, trend double, forecast double"
+
+
+def holt_smooth(
+    events: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Holt double exponential smoothing per series (level + trend —
+    the forecasting step up from ``ewma_smooth``): ``l_0 = v_0,
+    b_0 = v_1 − v_0``, then ``l_i = α·v_i + (1−α)(l_{i−1} + b_{i−1})``,
+    ``b_i = β(l_i − l_{i−1}) + (1−β)·b_{i−1}``, emitting the one-step
+    forecast ``l_i + b_i`` per point. Series shorter than 2 points emit
+    nothing (no trend to initialize).
+
+    Sequential recurrence → Arrow per-group numpy kernel (the ewma
+    pattern); one group-hash exchange. Cross-engine: the DEFAULT α=0.5,
+    β=0.25 are exactly representable, so every recurrence step is the
+    same correctly-rounded IEEE chain on both engines when the oracle's
+    recursive CTE writes the operands in the same order — the output is
+    deliberately UNROUNDED (bit-exact gate; measured: an r6 rounding
+    BREAKS parity instead of helping, because dyadic recurrences land
+    values ~1 ulp off .5e-6 decimal boundaries where np.round and
+    DuckDB round_even disagree). Callers passing non-dyadic α/β lose
+    the cross-engine bit guarantee; only -0.0 is normalized.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a, bt = float(alpha), float(beta)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sec", "v"])
+        x = pdf["v"].to_numpy(dtype=np.float64)
+        n = len(x)
+        if n < 2:
+            return pd.DataFrame(
+                {"key": [], "sec": [], "level": [], "trend": [], "forecast": []}
+            ).astype({"key": "int64", "sec": "int64"})
+        lev = np.empty(n)
+        tr = np.empty(n)
+        lev[0], tr[0] = x[0], x[1] - x[0]
+        for i in range(1, n):
+            lev[i] = a * x[i] + (1.0 - a) * (lev[i - 1] + tr[i - 1])
+            tr[i] = bt * (lev[i] - lev[i - 1]) + (1.0 - bt) * tr[i - 1]
+        return pd.DataFrame(
+            {
+                "key": pdf["key"].to_numpy(),
+                "sec": pdf["sec"].to_numpy(),
+                "level": lev + 0.0,
+                "trend": tr + 0.0,
+                "forecast": (lev + tr) + 0.0,
+            }
+        )
+
+    rows = events.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(ts_col).cast("long").alias("sec"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return rows.groupBy("key").applyInPandas(kernel, HOLT_SCHEMA).select(
+        F.col("key").alias(key_col), F.col("sec").alias(ts_col),
+        "level", "trend", "forecast",
+    )

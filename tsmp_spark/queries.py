@@ -7184,3 +7184,44 @@ JOIN merged m ON m.key = c.key AND c.t >= m.s AND c.t < m.e
 
 QUERIES["interval_join"] = q_interval_join
 ORACLES["interval_join"] = SQL_INTERVAL_JOIN
+
+
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing per user series (alpha 0.5, beta 0.25
+    — exactly representable, so the recursive-CTE oracle replays the
+    identical IEEE chain step for step)."""
+    from .operators.rollup import holt_smooth
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    return holt_smooth(ev, alpha=0.5, beta=0.25, key_col="user_id",
+                       ts_col="sec")
+
+
+SQL_HOLT = r"""
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT), value) AS i
+  FROM events
+),
+rec AS (
+  SELECT b1.key, b1.i, b1.sec, b1.v, b1.v AS l, b2.v - b1.v AS b
+  FROM base b1 JOIN base b2 ON b2.key = b1.key AND b2.i = 2
+  WHERE b1.i = 1
+  UNION ALL
+  SELECT nb.key, nb.i, nb.sec, nb.v,
+         0.5 * nb.v + 0.5 * (r.l + r.b) AS l,
+         0.25 * ((0.5 * nb.v + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b AS b
+  FROM rec r JOIN base nb ON nb.key = r.key AND nb.i = r.i + 1
+)
+SELECT key AS user_id, sec,
+       l + 0.0 AS level, b + 0.0 AS trend,
+       (l + b) + 0.0 AS forecast
+FROM rec
+"""
+
+QUERIES["holt"] = q_holt
+ORACLES["holt"] = SQL_HOLT
