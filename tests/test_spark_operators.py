@@ -1168,3 +1168,23 @@ def test_holt_matches_statsmodels_style_recurrence(spark):
         spark.createDataFrame([(1, 0, 5.0)], "user_id long, sec long, value double"),
         key_col="user_id", ts_col="sec",
     ).count() == 0
+
+
+def test_seasonality_profile_calendar_cells(spark):
+    from tsmp_spark.operators.rollup import seasonality_profile
+
+    # epoch 0 is Thursday 00:00 UTC -> dow 3; +4 days is Monday -> dow 0
+    rows = [
+        ("a", 0, 2.0), ("a", 3600, 4.0),            # thu 00h, thu 01h
+        ("a", 4 * 86400 + 2 * 3600, 6.0),           # mon 02h
+        ("a", 4 * 86400 + 2 * 3600 + 59, 8.0),      # same mon 02h cell
+        ("b", 0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, sec long, value double")
+    got = {(r.event_type, r.dow, r.hour): r
+           for r in seasonality_profile(df, ts_col="sec").collect()}
+    assert set(got) == {("a", 3, 0), ("a", 3, 1), ("a", 0, 2), ("b", 3, 0)}
+    cell = got[("a", 0, 2)]
+    assert cell.cnt == 2 and cell.mean_value == 7.0 and cell.share == 0.5
+    assert got[("a", 3, 0)].share == 0.25
+    assert got[("b", 3, 0)].share == 1.0

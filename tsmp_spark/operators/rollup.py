@@ -1817,3 +1817,53 @@ def holt_smooth(
         F.col("key").alias(key_col), F.col("sec").alias(ts_col),
         "level", "trend", "forecast",
     )
+
+
+def seasonality_profile(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """The "typical week" heatmap: per (series, day-of-week 0=Monday,
+    hour-of-day) — event count, mean value, and the share of the
+    series' total events landing in that cell. The grouping companion
+    of ``seasonal_decompose`` (phase means over calendar cells instead
+    of period phases); feeds dashboards and the seasonal-baseline
+    anomaly checks.
+
+    Exactness: dow/hour derive from integer epoch arithmetic (epoch 0 =
+    Thursday, so ``dow = (sec/86400 + 3) % 7`` — no timezone/locale
+    functions, which differ per engine); the mean divides an integer
+    micro-unit sum by the integer count, and the share divides two
+    integer counts — single identical float expressions, no rounding.
+
+    Scale: cells are bounded at series × 168; ONE combinable groupBy
+    absorbs everything map-side, plus a key-bounded share join.
+    """
+    scale = 1_000_000
+    rows = events.select(
+        F.col(key_col).alias("key"),
+        ((F.floor(F.col(ts_col).cast("long") / 86400) + 3) % 7)
+        .cast("int")
+        .alias("dow"),
+        F.floor((F.col(ts_col).cast("long") % 86400) / 3600)
+        .cast("int")
+        .alias("hour"),
+        F.round(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .alias("vu"),
+    )
+    cells = rows.groupBy("key", "dow", "hour").agg(
+        F.count("*").alias("cnt"), F.sum("vu").alias("sum_u")
+    )
+    totals = cells.groupBy("key").agg(F.sum("cnt").alias("total"))
+    return cells.join(totals, "key").select(
+        F.col("key").alias(key_col),
+        "dow",
+        "hour",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        (F.col("sum_u").cast("double") / (F.col("cnt") * F.lit(scale)).cast("double"))
+        .alias("mean_value"),
+        (F.col("cnt").cast("double") / F.col("total").cast("double")).alias("share"),
+    )

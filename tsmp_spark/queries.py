@@ -7225,3 +7225,41 @@ FROM rec
 
 QUERIES["holt"] = q_holt
 ORACLES["holt"] = SQL_HOLT
+
+
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typical-week heatmap per event type: (dow, hour) cell counts,
+    micro-unit-exact mean value, share of the series' events. Integer
+    epoch arithmetic only — no timezone/locale functions."""
+    from .operators.rollup import seasonality_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    return seasonality_profile(ev, key_col="event_type", ts_col="sec")
+
+
+SQL_SEASONALITY_PROFILE = r"""
+WITH rows_ AS (
+  SELECT event_type AS key,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) % 7 AS INT) AS dow,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS INT) AS hour,
+         CAST(round(value * 1000000) AS BIGINT) AS vu
+  FROM events
+),
+cells AS (
+  SELECT key, dow, hour, count(*) AS cnt, sum(vu) AS sum_u
+  FROM rows_ GROUP BY 1, 2, 3
+),
+totals AS (
+  SELECT key, sum(cnt) AS total FROM cells GROUP BY 1
+)
+SELECT c.key AS event_type, c.dow, c.hour,
+       CAST(c.cnt AS BIGINT) AS cnt,
+       CAST(c.sum_u AS DOUBLE) / CAST(c.cnt * 1000000 AS DOUBLE) AS mean_value,
+       CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+FROM cells c JOIN totals t ON t.key = c.key
+"""
+
+QUERIES["seasonality_profile"] = q_seasonality_profile
+ORACLES["seasonality_profile"] = SQL_SEASONALITY_PROFILE
