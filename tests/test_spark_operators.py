@@ -1188,3 +1188,32 @@ def test_seasonality_profile_calendar_cells(spark):
     assert cell.cnt == 2 and cell.mean_value == 7.0 and cell.share == 0.5
     assert got[("a", 3, 0)].share == 0.25
     assert got[("b", 3, 0)].share == 1.0
+
+
+def test_seasonal_anomaly_loo_baseline(spark):
+    from tsmp_spark.operators.rollup import seasonal_anomaly
+
+    # same Monday-02h cell across 3 weeks: values 10, 10, 50 — only the
+    # 50 deviates from ITS leave-one-out mean (10) by > 3; the 10s
+    # deviate from (10+50)/2 = 30 by 20 -> also flagged. A fourth point
+    # in a different hour has no baseline -> NULL mean, not flagged.
+    base = 4 * 86400 + 2 * 3600  # Monday 02:00
+    rows = [("a", base, 10.0), ("a", base + 7 * 86400, 10.0),
+            ("a", base + 14 * 86400, 50.0), ("a", base + 3600, 7.0)]
+    df = spark.createDataFrame(rows, "event_type string, sec long, value double")
+    got = {r.sec: r for r in seasonal_anomaly(df, threshold=3.0,
+                                              ts_col="sec").collect()}
+    assert got[base].loo_mean == 30.0 and got[base].anomaly
+    assert got[base + 14 * 86400].loo_mean == 10.0
+    assert got[base + 14 * 86400].deviation == 40.0
+    assert got[base + 14 * 86400].anomaly
+    lone = got[base + 3600]
+    assert lone.loo_mean is None and lone.anomaly is False
+    # tight cluster: nothing flagged at the same threshold
+    calm = seasonal_anomaly(
+        spark.createDataFrame(
+            [("a", base + 7 * 86400 * k, 10.0 + 0.1 * k) for k in range(4)],
+            "event_type string, sec long, value double"),
+        threshold=3.0, ts_col="sec",
+    ).collect()
+    assert not any(r.anomaly for r in calm)

@@ -1867,3 +1867,67 @@ def seasonality_profile(
         .alias("mean_value"),
         (F.col("cnt").cast("double") / F.col("total").cast("double")).alias("share"),
     )
+
+
+def seasonal_anomaly(
+    events: DataFrame,
+    threshold: float = 3.0,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Calendar-seasonal anomaly check ("is this point unusual FOR a
+    Monday 02:00?"): each event compares against the LEAVE-ONE-OUT mean
+    of its series' other events in the same (day-of-week, hour-of-day)
+    cell, flagging ``|v − loo_mean| > threshold``. The seasonal
+    companion of ``hampel_outliers`` (which deviates from the local
+    time bucket, not the calendar cell).
+
+    Exactness: the flag is decided ENTIRELY in integers — with
+    micro-units, ``|vu·(cnt−1) − (sum_u − vu)| > thr_u·(cnt−1)`` is the
+    cross-multiplied form of the float rule (the sdts integer-units
+    lesson), so no float comparison can flip per engine. The emitted
+    ``loo_mean``/``deviation`` doubles divide the same integers. Cells
+    with one observation have no baseline → NULL mean, flag false.
+
+    Scale: one combinable groupBy to (series × 168) bounded cells, then
+    a cell-keyed join back to the rows — the small side is
+    vocab-bounded and broadcastable.
+    """
+    scale = 1_000_000
+    thr_u = int(round(threshold * scale))
+    rows = events.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).cast("long").alias("sec"),
+        ((F.floor(F.col(ts_col).cast("long") / 86400) + 3) % 7)
+        .cast("int")
+        .alias("dow"),
+        F.floor((F.col(ts_col).cast("long") % 86400) / 3600)
+        .cast("int")
+        .alias("hour"),
+        F.round(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .alias("vu"),
+    )
+    cells = rows.groupBy("key", "dow", "hour").agg(
+        F.count("*").alias("cnt"), F.sum("vu").alias("sum_u")
+    )
+    j = rows.join(cells, ["key", "dow", "hour"])
+    rest = F.col("sum_u") - F.col("vu")
+    n1 = F.col("cnt") - 1
+    loo = F.when(n1 > 0, rest.cast("double") / (n1 * F.lit(scale)).cast("double"))
+    dev = F.when(n1 > 0, F.col("vu") / F.lit(float(scale)) - loo)
+    flag = F.when(
+        n1 > 0,
+        F.abs(F.col("vu") * n1 - rest) > F.lit(thr_u) * n1,
+    ).otherwise(F.lit(False))
+    return j.select(
+        F.col("key").alias(key_col),
+        "sec",
+        "dow",
+        "hour",
+        F.col("cnt").cast("bigint").alias("cell_cnt"),
+        loo.alias("loo_mean"),
+        dev.alias("deviation"),
+        flag.alias("anomaly"),
+    )

@@ -7263,3 +7263,48 @@ FROM cells c JOIN totals t ON t.key = c.key
 
 QUERIES["seasonality_profile"] = q_seasonality_profile
 ORACLES["seasonality_profile"] = SQL_SEASONALITY_PROFILE
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-seasonal anomalies per event type (threshold 2.5):
+    leave-one-out cell baseline, integer cross-multiplied flag —
+    no float comparison can flip per engine."""
+    from .operators.rollup import seasonal_anomaly
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    return seasonal_anomaly(ev, threshold=2.5, key_col="event_type",
+                            ts_col="sec")
+
+
+SQL_SEASONAL_ANOMALY = r"""
+WITH rows_ AS (
+  SELECT event_type AS key, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) % 7 AS INT) AS dow,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS INT) AS hour,
+         CAST(round(value * 1000000) AS BIGINT) AS vu
+  FROM events
+),
+cells AS (
+  SELECT key, dow, hour, count(*) AS cnt, sum(vu) AS sum_u
+  FROM rows_ GROUP BY 1, 2, 3
+)
+SELECT r.key AS event_type, r.sec, r.dow, r.hour,
+       CAST(c.cnt AS BIGINT) AS cell_cnt,
+       CASE WHEN c.cnt - 1 > 0 THEN
+         CAST(c.sum_u - r.vu AS DOUBLE) / CAST((c.cnt - 1) * 1000000 AS DOUBLE)
+       END AS loo_mean,
+       CASE WHEN c.cnt - 1 > 0 THEN
+         r.vu / 1000000.0
+           - CAST(c.sum_u - r.vu AS DOUBLE) / CAST((c.cnt - 1) * 1000000 AS DOUBLE)
+       END AS deviation,
+       CASE WHEN c.cnt - 1 > 0 THEN
+         abs(r.vu * (c.cnt - 1) - (c.sum_u - r.vu)) > 2500000 * (c.cnt - 1)
+       ELSE FALSE END AS anomaly
+FROM rows_ r
+JOIN cells c ON c.key = r.key AND c.dow = r.dow AND c.hour = r.hour
+"""
+
+QUERIES["seasonal_anomaly"] = q_seasonal_anomaly
+ORACLES["seasonal_anomaly"] = SQL_SEASONAL_ANOMALY
