@@ -270,6 +270,16 @@ def main() -> None:
 
         timed("asof_join", lambda: q_asof_join(spark, sf_dir).count())
         extra_q["asof_join"] = timings.pop("asof_join")
+    if want("hll_distinct"):
+        from tsmp_spark.queries import q_hll_distinct
+
+        timed("hll_distinct", lambda: q_hll_distinct(spark, sf_dir).count())
+        extra_q["hll_distinct"] = timings.pop("hll_distinct")
+    if want("sliding_rollup"):
+        from tsmp_spark.queries import q_sliding_rollup
+
+        timed("sliding_rollup", lambda: q_sliding_rollup(spark, sf_dir).count())
+        extra_q["sliding_rollup"] = timings.pop("sliding_rollup")
     print(
         json.dumps(
             {
