@@ -1217,3 +1217,29 @@ def test_seasonal_anomaly_loo_baseline(spark):
         threshold=3.0, ts_col="sec",
     ).collect()
     assert not any(r.anomaly for r in calm)
+
+
+def test_funnel_greedy_chain_and_window(spark):
+    from tsmp_spark.operators.rollup import funnel_steps
+
+    rows = [
+        # user 1 completes A->B->C; B before A must NOT count
+        (1, 5, "B"), (1, 10, "A"), (1, 20, "B"), (1, 30, "C"),
+        # user 2 stalls at B (C happens before B, so the chain breaks)
+        (2, 0, "A"), (2, 5, "C"), (2, 8, "B"),
+        # user 3 never enters (no A)
+        (3, 0, "B"), (3, 1, "C"),
+        # user 4: B outside the window
+        (4, 0, "A"), (4, 500, "B"), (4, 600, "C"),
+        # user 5: same-second chain (>= semantics)
+        (5, 7, "A"), (5, 7, "B"), (5, 7, "C"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, sec long, event_type string")
+    got = {r.user_id: r for r in funnel_steps(
+        df, ["A", "B", "C"], window_sec=100, key_col="user_id",
+        ts_col="sec").collect()}
+    assert set(got) == {1, 2, 4, 5}
+    assert (got[1].t1, got[1].t2, got[1].t3, got[1].steps_reached) == (10, 20, 30, 3)
+    assert (got[2].t2, got[2].t3, got[2].steps_reached) == (8, None, 2)
+    assert (got[4].t2, got[4].steps_reached) == (None, 1)
+    assert (got[5].t1, got[5].t2, got[5].t3) == (7, 7, 7)

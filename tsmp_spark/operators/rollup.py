@@ -1931,3 +1931,63 @@ def seasonal_anomaly(
         dev.alias("deviation"),
         flag.alias("anomaly"),
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    window_sec: int | None = None,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel analysis per user: the classic ordered-sequence
+    conversion — step 1 is the user's FIRST event of ``steps[0]``; step
+    k+1 is the first ``steps[k]`` event AT OR AFTER the step-k time
+    (and, with ``window_sec``, within that window of step 1). Emits one
+    row per user who entered the funnel: every step timestamp
+    (NULL once the chain breaks) and ``steps_reached``.
+
+    Greedy-first-occurrence is the standard semantics (Amplitude/
+    Mixpanel "first touch"); ties at the same second count — an event
+    at exactly the previous step's timestamp qualifies (>=), so a
+    single multi-type second can complete several steps.
+
+    Exactness: pure integer min-aggregates — nothing to round.
+
+    Scale: step k is a conditional min over the user's rows joined back
+    on the user key; all k aggregates and joins hash on the same key,
+    so the chain reuses one partitioning (k is the funnel length, a
+    small constant). Skewed users cost one task — the per-series
+    contract.
+    """
+    rows = events.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(ts_col).cast("long").alias("sec"),
+        F.col(type_col).alias("etype"),
+    )
+    cur = (
+        rows.where(F.col("etype") == steps[0])
+        .groupBy("key")
+        .agg(F.min("sec").alias("t1"))
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        cond = (F.col("etype") == step) & (F.col("sec") >= F.col(f"t{k - 1}"))
+        if window_sec is not None:
+            cond = cond & (F.col("sec") <= F.col("t1") + int(window_sec))
+        nxt = (
+            rows.join(cur, "key")
+            .where(cond)
+            .groupBy("key")
+            .agg(F.min("sec").alias(f"t{k}"))
+        )
+        cur = cur.join(nxt, "key", "left")
+    reached = sum(
+        (F.col(f"t{k}").isNotNull().cast("int") for k in range(2, len(steps) + 1)),
+        F.lit(1),
+    )
+    return cur.select(
+        F.col("key").alias(key_col),
+        *[F.col(f"t{k}").cast("bigint").alias(f"t{k}") for k in range(1, len(steps) + 1)],
+        reached.cast("int").alias("steps_reached"),
+    )

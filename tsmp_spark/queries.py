@@ -7308,3 +7308,47 @@ JOIN cells c ON c.key = r.key AND c.dow = r.dow AND c.hour = r.hour
 
 QUERIES["seasonal_anomaly"] = q_seasonal_anomaly
 ORACLES["seasonal_anomaly"] = SQL_SEASONAL_ANOMALY
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → click → purchase funnel within 7 days of the first
+    signup: greedy first-occurrence chain, integer min-aggregates only."""
+    from .operators.rollup import funnel_steps
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "event_type"
+    )
+    return funnel_steps(ev, ["signup", "click", "purchase"],
+                        window_sec=604800, key_col="user_id", ts_col="sec")
+
+
+SQL_FUNNEL = r"""
+WITH rows_ AS (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type AS etype
+  FROM events
+),
+s1 AS (
+  SELECT key, min(sec) AS t1 FROM rows_ WHERE etype = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT r.key, min(r.sec) AS t2
+  FROM rows_ r JOIN s1 ON s1.key = r.key
+  WHERE r.etype = 'click' AND r.sec >= s1.t1 AND r.sec <= s1.t1 + 604800
+  GROUP BY 1
+),
+s3 AS (
+  SELECT r.key, min(r.sec) AS t3
+  FROM rows_ r JOIN s1 ON s1.key = r.key JOIN s2 ON s2.key = r.key
+  WHERE r.etype = 'purchase' AND r.sec >= s2.t2 AND r.sec <= s1.t1 + 604800
+  GROUP BY 1
+)
+SELECT s1.key AS user_id, s1.t1, s2.t2, s3.t3,
+       CAST(1 + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS steps_reached
+FROM s1
+LEFT JOIN s2 ON s2.key = s1.key
+LEFT JOIN s3 ON s3.key = s1.key
+"""
+
+QUERIES["funnel"] = q_funnel
+ORACLES["funnel"] = SQL_FUNNEL
