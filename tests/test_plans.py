@@ -491,3 +491,25 @@ def test_interval_join_is_equi_join(events):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bloom_probe_single_probe_exchange(events, spark):
+    """Bloom probe: the big (probe) side shuffles ONCE on the item key
+    — the position explode preserves that partitioning and the match
+    groupBy extends its hash prefix; the m-bounded bit set and the
+    build keys both arrive by broadcast. No Python, no nested loop."""
+    from tsmp_spark.operators.sketch import bloom_probe_stats
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_partkey")
+    pt = spark.read.parquet(f"{SF}/part.parquet").where("p_size < 8") \
+        .select("p_partkey")
+    plan = _plan(bloom_probe_stats(li, pt, "l_partkey", "p_partkey"))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the probe groupBy keys on cast(l_partkey as string) — printed as
+    # _groupingexpression — and the match-count groupBy extends that
+    # hash prefix, so there is NO second probe-side exchange
+    assert plan.count("Exchange hashpartitioning(_groupingexpression") == 1
+    assert plan.count("Exchange hashpartitioning(item") == 0

@@ -1243,3 +1243,37 @@ def test_funnel_greedy_chain_and_window(spark):
     assert (got[2].t2, got[2].t3, got[2].steps_reached) == (8, None, 2)
     assert (got[4].t2, got[4].steps_reached) == (None, 1)
     assert (got[5].t1, got[5].t2, got[5].t3) == (7, 7, 7)
+
+
+def test_bloom_probe_semantics(spark):
+    from tsmp_spark.operators.sketch import bloom_probe_stats
+
+    # build side: 3000 keys -> ~12000 of 4096 bit positions set (dense
+    # filter), disjoint probe side -> false positives MUST appear;
+    # false negatives are impossible by construction
+    build = spark.createDataFrame([(f"b{i}",) for i in range(3000)], "k string")
+    probe = spark.createDataFrame(
+        [(f"b{i % 100}",) for i in range(200)]
+        + [(f"p{i}",) for i in range(500)],
+        "k string",
+    )
+    out = bloom_probe_stats(probe, build, "k", "k").collect()
+    got = {r.item: r for r in out}
+    assert len(got) == 600
+    # every true member hits (no false negatives), with probe counts
+    for i in range(100):
+        r = got[f"b{i}"]
+        assert (r.hit, r.actual, r.probes) == (1, 1, 2)
+    # dense filter: false positives observed, and flagged as such
+    fps = [r for r in out if r.hit == 1 and r.actual == 0]
+    assert fps, "expected false positives on a saturated filter"
+    assert all(r.actual == 0 and r.probes == 1 for r in fps)
+    # monotone under build union (bitmap OR = position-set union):
+    # anything that hit against half the build still hits with all of it
+    half = spark.createDataFrame([(f"b{i}",) for i in range(1500)], "k string")
+    half_hits = {
+        r.item for r in bloom_probe_stats(probe, half, "k", "k").collect()
+        if r.hit == 1
+    }
+    whole_hits = {r.item for r in out if r.hit == 1}
+    assert half_hits <= whole_hits

@@ -1,12 +1,17 @@
 """Mergeable sketches for the continuous-aggregate layer: HyperLogLog
-distinct-count registers and count–min frequency counters.
+distinct-count registers, count–min frequency counters, and a Bloom
+membership filter for semi-join reduction.
 
-These are the two sketches a rollup engine needs once per-bucket state
+These are the sketches a rollup engine needs once per-bucket state
 must stay bounded at warehouse scale (TimescaleDB ships both as
 hyperfunctions; Druid/Pinot likewise): ``rollup_histogram`` already
 covers distributions, HLL covers COUNT(DISTINCT) and CMS covers
 frequencies, and both RE-ROLL — tier k+1 merges tier-k sketches
 (register-wise max / counter-wise sum) without touching raw rows.
+The Bloom filter is the JOIN-side sketch: the m-bit membership bitmap
+a 100 TB engine broadcasts to prune a fact scan before any shuffle
+(Spark's own runtime-filter rewrite does exactly this JVM-side — here
+it is a first-class, portable, oracle-checkable operator).
 
 Determinism contract (the engine-wide rule): every hashed quantity
 derives from the portable md5 family (``dedup._h64`` — reproducible
@@ -187,4 +192,97 @@ def cms_counts(
         .groupBy("bucket", "item", "cnt")
         .agg(F.min("cell_cnt").alias("est"))
         .select("bucket", "item", "est", "cnt")
+    )
+
+
+#: Bloom geometry: m=4096 bits, k=4 portable md5 hashes (seeds 0..3 —
+#: ONE digest per item, sliced four ways by ``_h64``).
+BLOOM_M = 4096
+BLOOM_K = 4
+
+
+def bloom_probe_stats(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_col: str,
+    build_col: str,
+) -> DataFrame:
+    """Bloom-filter semi-join probe (Bloom 1970): hash every build-side
+    key into ``k=4`` of ``m=4096`` bit positions, then test each probe
+    key — a key is a *maybe-member* iff all k of its positions are set.
+    Emitted next to the EXACT membership flag, so ``hit=1, actual=0``
+    rows ARE the measured false positives (the k/m trade made visible;
+    false negatives are impossible and pytest-pinned).
+
+    Why a first-class operator: at 100 TB the bitmap (m bits, here ≤
+    4096 distinct set positions) is the thing you BROADCAST to prune a
+    fact-table scan before the shuffle — the portable re-derivation of
+    Spark's own InjectRuntimeFilter bloom rewrite, but engine-checkable
+    (the same md5 chain replays in ANSI SQL) and mergeable (bitmap OR =
+    set-union of positions, pytest-pinned merge-equals-whole).
+
+    Plan: build side collapses to ≤ m distinct positions (two combinable
+    groupBys, broadcast both here and in the exact-membership join —
+    the build side is the SMALL relation by contract, it is the side
+    you would bloom at scale). Probe side: ONE groupBy on the probe key
+    (bounded by distinct keys); the k-position explode preserves that
+    hash partitioning, so the per-key match count groupBy REUSES the
+    exchange — one shuffle total on the big side, plan-pinned.
+
+    Output (item, probes, hit, actual) — integer-only, hash-stable.
+    """
+    from pyspark.sql.functions import broadcast
+
+    build_keys = build.select(
+        F.col(build_col).cast("string").alias("bitem")
+    ).distinct()
+    build_pos = (
+        build_keys.select(
+            F.explode(
+                F.array(
+                    *[(_h64(F.col("bitem"), r) % BLOOM_M).cast("int")
+                      for r in range(BLOOM_K)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probe_items = probe.groupBy(
+        F.col(probe_col).cast("string").alias("item")
+    ).agg(F.count("*").cast("bigint").alias("probes"))
+    probe_long = probe_items.select(
+        "item",
+        "probes",
+        F.explode(
+            F.array(
+                *[(_h64(F.col("item"), r) % BLOOM_M).cast("int")
+                  for r in range(BLOOM_K)]
+            )
+        ).alias("pos"),
+    )
+    marked = probe_long.join(
+        broadcast(build_pos.withColumn("set_", F.lit(1))), "pos", "left"
+    )
+    hit = (
+        marked.groupBy("item", "probes")
+        .agg(F.sum(F.coalesce(F.col("set_"), F.lit(0))).alias("set_cnt"))
+        .select(
+            "item",
+            "probes",
+            F.when(F.col("set_cnt") == BLOOM_K, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("hit"),
+        )
+    )
+    return hit.join(
+        broadcast(build_keys.withColumnRenamed("bitem", "item")
+                  .withColumn("actual", F.lit(1))),
+        "item",
+        "left",
+    ).select(
+        "item",
+        "probes",
+        "hit",
+        F.coalesce(F.col("actual"), F.lit(0)).cast("int").alias("actual"),
     )

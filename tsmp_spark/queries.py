@@ -7352,3 +7352,58 @@ LEFT JOIN s3 ON s3.key = s1.key
 
 QUERIES["funnel"] = q_funnel
 ORACLES["funnel"] = SQL_FUNNEL
+
+
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join probe: which lineitem part keys MAYBE
+    belong to the small-parts build side (p_size < 8)? m=4096 bits, k=4
+    md5 hashes; the exact membership flag rides along so hit=1/actual=0
+    rows are the measured false positives. Integer-only output."""
+    from .operators.sketch import bloom_probe_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_partkey")
+    pt = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .where(F.col("p_size") < 8)
+        .select("p_partkey")
+    )
+    return bloom_probe_stats(li, pt, "l_partkey", "p_partkey")
+
+
+SQL_BLOOM_PROBE = r"""
+WITH build_keys AS (
+  SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS bitem
+  FROM part WHERE p_size < 8
+),
+build_pos AS (
+  SELECT DISTINCT pos FROM (
+    SELECT CAST(('0x' || substr(md5('s0:' || bitem), 1, 8)) AS BIGINT) % 4096 AS pos FROM build_keys
+    UNION ALL SELECT CAST(('0x' || substr(md5('s0:' || bitem), 9, 8)) AS BIGINT) % 4096 FROM build_keys
+    UNION ALL SELECT CAST(('0x' || substr(md5('s0:' || bitem), 17, 8)) AS BIGINT) % 4096 FROM build_keys
+    UNION ALL SELECT CAST(('0x' || substr(md5('s0:' || bitem), 25, 8)) AS BIGINT) % 4096 FROM build_keys
+  )
+),
+probe_items AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS item, count(*) AS probes
+  FROM lineitem GROUP BY 1
+),
+probe_long AS (
+  SELECT item, probes, CAST(('0x' || substr(md5('s0:' || item), 1, 8)) AS BIGINT) % 4096 AS pos FROM probe_items
+  UNION ALL SELECT item, probes, CAST(('0x' || substr(md5('s0:' || item), 9, 8)) AS BIGINT) % 4096 FROM probe_items
+  UNION ALL SELECT item, probes, CAST(('0x' || substr(md5('s0:' || item), 17, 8)) AS BIGINT) % 4096 FROM probe_items
+  UNION ALL SELECT item, probes, CAST(('0x' || substr(md5('s0:' || item), 25, 8)) AS BIGINT) % 4096 FROM probe_items
+),
+hits AS (
+  SELECT p.item, p.probes,
+         CASE WHEN sum(CASE WHEN bp.pos IS NULL THEN 0 ELSE 1 END) = 4
+              THEN 1 ELSE 0 END AS hit
+  FROM probe_long p LEFT JOIN build_pos bp ON bp.pos = p.pos
+  GROUP BY 1, 2
+)
+SELECT h.item, CAST(h.probes AS BIGINT) AS probes, CAST(h.hit AS INT) AS hit,
+       CAST(CASE WHEN b.bitem IS NULL THEN 0 ELSE 1 END AS INT) AS actual
+FROM hits h LEFT JOIN build_keys b ON b.bitem = h.item
+"""
+
+QUERIES["bloom_probe"] = q_bloom_probe
+ORACLES["bloom_probe"] = SQL_BLOOM_PROBE
