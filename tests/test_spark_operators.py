@@ -1277,3 +1277,57 @@ def test_bloom_probe_semantics(spark):
     }
     whole_hits = {r.item for r in out if r.hit == 1}
     assert half_hits <= whole_hits
+
+
+def test_holt_winters_recurrence_and_seasonal_recovery(spark):
+    from tsmp_spark.operators.rollup import holt_winters
+
+    # bit-exact replay of the documented recurrence (dyadic params),
+    # phases cycling 0,1,2,0,1,2 via sec = i*3600 with period=3... the
+    # operator hard-wires hourly phases, so pick secs that land phases
+    # 0,1,0,1 within period=24: i alternates hour 0 and hour 1
+    secs = [0, 3600, 86400, 90000, 172800, 176400]   # ph 0,1,0,1,0,1
+    vals = [10.0, 2.0, 11.0, 3.0, 12.0, 4.0]
+    a, b, g = 0.5, 0.25, 0.5
+    lev, tr = vals[0], vals[1] - vals[0]
+    s = [0.0] * 24
+    exp = [(lev, tr, 0.0)]
+    phases = [(t // 3600) % 24 for t in secs]
+    s[phases[0]] = g * (vals[0] - lev) + (1 - g) * s[phases[0]]
+    for v, ph in zip(vals[1:], phases[1:]):
+        sp = s[ph]
+        nl = a * (v - sp) + (1 - a) * (lev + tr)
+        tr = b * (nl - lev) + (1 - b) * tr
+        lev = nl
+        s[ph] = g * (v - lev) + (1 - g) * sp
+        exp.append((lev, tr, s[ph]))
+    df = spark.createDataFrame(
+        [(1, t, v) for t, v in zip(secs, vals)],
+        "user_id long, sec long, value double",
+    )
+    out = sorted(holt_winters(df, key_col="user_id", ts_col="sec").collect(),
+                 key=lambda r: r.sec)
+    for r, (el, et, es) in zip(out, exp):
+        assert (r.level, r.trend, r.seasonal) == (el, et, es)
+    # seasonal recovery: flat base 100 with a planted +50 spike every
+    # day at hour 5 — after burn-in the hour-5 seasonal state
+    # approaches +50*(their share under gamma smoothing) and is far
+    # above every other phase's
+    rows = []
+    for d in range(30):
+        for h in range(24):
+            rows.append((1, d * 86400 + h * 3600,
+                         100.0 + (50.0 if h == 5 else 0.0)))
+    big = holt_winters(
+        spark.createDataFrame(rows, "user_id long, sec long, value double"),
+        key_col="user_id", ts_col="sec",
+    ).collect()
+    last_day = [r for r in big if r.sec >= 29 * 86400]
+    s5 = [r.seasonal for r in last_day if (r.sec // 3600) % 24 == 5]
+    rest = [abs(r.seasonal) for r in last_day if (r.sec // 3600) % 24 != 5]
+    assert s5 and s5[0] > 25.0 and max(rest) < s5[0] / 2
+    # single-point series emits nothing (holt convention)
+    assert holt_winters(
+        spark.createDataFrame([(1, 0, 5.0)], "user_id long, sec long, value double"),
+        key_col="user_id", ts_col="sec",
+    ).count() == 0

@@ -1819,6 +1819,97 @@ def holt_smooth(
     )
 
 
+HW_SCHEMA = "key long, sec long, level double, trend double, seasonal double"
+
+
+def holt_winters(
+    events: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.5,
+    period: int = 24,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Holt–Winters ADDITIVE seasonal smoothing per series — the third
+    rung of the exponential family (``ewma_smooth`` → ``holt_smooth`` →
+    here), adding a per-phase seasonal state vector. Phase is the
+    calendar hour ``(sec // 3600) % period`` (period=24 → daily cycle),
+    so irregular arrival just means a phase repeats or is skipped — the
+    recurrence is over CONSECUTIVE observations, not a regular grid.
+
+    Deterministic init convention (documented, not estimated): ``l_0 =
+    v_0``, ``b_0 = v_1 − v_0``, seasonal vector all-zero — the cold
+    state an online smoother actually starts from; one ``period``'s
+    worth of points burns it in. Step i ≥ 1, with ``sp = s[phase_i]``:
+
+        l_i = α(v_i − sp) + (1−α)(l_{i−1} + b_{i−1})
+        b_i = β(l_i − l_{i−1}) + (1−β)·b_{i−1}
+        s[phase_i] = γ(v_i − l_i) + (1−γ)·sp        (emitted)
+
+    Series shorter than 2 points emit nothing (holt convention).
+
+    Cross-engine: defaults α=0.5, β=0.25, γ=0.5 are dyadic, so every
+    step is the identical correctly-rounded IEEE chain; the oracle's
+    recursive CTE carries the seasonal state as a DOUBLE list (explicit
+    casts — DuckDB's bare 0.0 literals are DECIMAL, which would break
+    parity) updated by 1-based slice splicing, and the output is
+    deliberately UNROUNDED (the holt lesson: r6 rounding lands dyadic
+    values 1 ulp off .5e-6 boundaries and BREAKS an otherwise bit-exact
+    chain). Only −0.0 is normalized.
+
+    Scale: one group-hash exchange into the Arrow kernel; state is
+    O(period) per series. Same contract as holt/ewma.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a, bt, g, p = float(alpha), float(beta), float(gamma), int(period)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sec", "v"])
+        x = pdf["v"].to_numpy(dtype=np.float64)
+        ph = pdf["ph"].to_numpy(dtype=np.int64)
+        n = len(x)
+        if n < 2:
+            return pd.DataFrame(
+                {"key": [], "sec": [], "level": [], "trend": [], "seasonal": []}
+            ).astype({"key": "int64", "sec": "int64"})
+        lev = np.empty(n)
+        tr = np.empty(n)
+        se = np.empty(n)
+        s = np.zeros(p)
+        lev[0], tr[0] = x[0], x[1] - x[0]
+        se[0] = g * (x[0] - lev[0]) + (1.0 - g) * s[ph[0]]
+        s[ph[0]] = se[0]
+        for i in range(1, n):
+            sp = s[ph[i]]
+            lev[i] = a * (x[i] - sp) + (1.0 - a) * (lev[i - 1] + tr[i - 1])
+            tr[i] = bt * (lev[i] - lev[i - 1]) + (1.0 - bt) * tr[i - 1]
+            se[i] = g * (x[i] - lev[i]) + (1.0 - g) * sp
+            s[ph[i]] = se[i]
+        return pd.DataFrame(
+            {
+                "key": pdf["key"].to_numpy(),
+                "sec": pdf["sec"].to_numpy(),
+                "level": lev + 0.0,
+                "trend": tr + 0.0,
+                "seasonal": se + 0.0,
+            }
+        )
+
+    rows = events.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(ts_col).cast("long").alias("sec"),
+        F.col(value_col).cast("double").alias("v"),
+    ).withColumn("ph", F.expr("(sec div 3600) % " + str(p)).cast("int"))
+    return rows.groupBy("key").applyInPandas(kernel, HW_SCHEMA).select(
+        F.col("key").alias(key_col), F.col("sec").alias(ts_col),
+        "level", "trend", "seasonal",
+    )
+
+
 def seasonality_profile(
     events: DataFrame,
     key_col: str = "event_type",

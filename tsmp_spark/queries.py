@@ -7407,3 +7407,59 @@ FROM hits h LEFT JOIN build_keys b ON b.bitem = h.item
 
 QUERIES["bloom_probe"] = q_bloom_probe
 ORACLES["bloom_probe"] = SQL_BLOOM_PROBE
+
+
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive seasonal smoothing per user series (alpha
+    0.5 / beta 0.25 / gamma 0.5 — all dyadic, so the recursive-CTE
+    oracle carrying the 24-phase seasonal state as a DOUBLE list
+    replays the identical IEEE chain step for step; output unrounded)."""
+    from .operators.rollup import holt_winters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    return holt_winters(ev, alpha=0.5, beta=0.25, gamma=0.5, period=24,
+                        key_col="user_id", ts_col="sec")
+
+
+def _hw_sql() -> str:
+    # the level expression is re-inlined wherever the kernel reads it —
+    # identical operand order is the whole bit-exactness contract
+    sp = "r.s[nb.ph + 1]"
+    L = f"0.5 * (nb.v - {sp}) + 0.5 * (r.l + r.b)"
+    B = f"0.25 * (({L}) - r.l) + 0.75 * r.b"
+    S = f"0.5 * (nb.v - ({L})) + 0.5 * {sp}"
+    return f"""
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(value AS DOUBLE) AS v,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS INT) AS ph,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT), value) AS i
+  FROM events
+),
+rec AS (
+  SELECT b1.key, b1.i, b1.sec, b1.v AS v,
+         b1.v AS l, b2.v - b1.v AS b, CAST(0.0 AS DOUBLE) AS se,
+         list_transform(range(24), x -> CAST(0.0 AS DOUBLE)) AS s
+  FROM base b1 JOIN base b2 ON b2.key = b1.key AND b2.i = 2
+  WHERE b1.i = 1
+  UNION ALL
+  SELECT nb.key, nb.i, nb.sec, nb.v,
+         {L} AS l,
+         {B} AS b,
+         {S} AS se,
+         r.s[1:nb.ph] || [CAST({S} AS DOUBLE)] || r.s[nb.ph + 2:] AS s
+  FROM rec r JOIN base nb ON nb.key = r.key AND nb.i = r.i + 1
+)
+SELECT key AS user_id, sec,
+       l + 0.0 AS level, b + 0.0 AS trend, se + 0.0 AS seasonal
+FROM rec
+"""
+
+
+SQL_HOLT_WINTERS = _hw_sql()
+
+QUERIES["holt_winters"] = q_holt_winters
+ORACLES["holt_winters"] = SQL_HOLT_WINTERS
