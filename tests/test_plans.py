@@ -513,3 +513,26 @@ def test_bloom_probe_single_probe_exchange(events, spark):
     # hash prefix, so there is NO second probe-side exchange
     assert plan.count("Exchange hashpartitioning(_groupingexpression") == 1
     assert plan.count("Exchange hashpartitioning(item") == 0
+
+
+def test_phash_neardup_banded_no_nested_loop(spark):
+    """Perceptual near-dup: the hash is a map-only Arrow kernel (the
+    multimodal decode seam — Python IS the kernel layer there) but the
+    pair generation must stay a banded equi-join: no cartesian, no
+    broadcast nested loop, shuffle keyed on (band, key)."""
+    from tsmp_spark.operators.multimodal import phash_neardup_pairs
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    plan = _plan(phash_neardup_pairs(media))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate join is an EQUI-join on [band, key] — at this toy SF
+    # the planner broadcasts the small side, at scale the same keys
+    # become the shuffle keys; either way the keys must be in the join
+    assert "Join [band" in plan or "hashpartitioning(band" in plan

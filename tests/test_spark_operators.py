@@ -1331,3 +1331,49 @@ def test_holt_winters_recurrence_and_seasonal_recovery(spark):
         spark.createDataFrame([(1, 0, 5.0)], "user_id long, sec long, value double"),
         key_col="user_id", ts_col="sec",
     ).count() == 0
+
+
+def test_phash_neardup_semantics(spark):
+    import itertools
+    from tsmp_spark.operators.multimodal import (
+        perceptual_hash, phash_neardup_pairs,
+    )
+    import pyspark.sql.functions as F_
+
+    texts = {
+        "m1": "the quick brown fox jumps over the lazy dog " * 20,
+        "m2": "the quick brown fox jumps over the lazy dog " * 20,  # exact dup
+        "m3": "completely different payload content here!!! " * 25,
+        "m4": "ZZZZ" * 300,
+        "m5": "",
+        "m6": "",  # blank pair: all-zero hash
+    }
+    media = spark.createDataFrame(
+        [(k, "image", v) for k, v in texts.items()], "media_id string, kind string, txt string"
+    ).select("media_id", "kind", F_.encode("txt", "UTF-8").alias("payload"))
+    sig = {r.media_id: (r.b0, r.b1, r.b2, r.b3)
+           for r in perceptual_hash(media).collect()}
+    assert len(sig) == 6
+    assert sig["m1"] == sig["m2"]
+    assert sig["m5"] == sig["m6"] == (0, 0, 0, 0)
+    assert sig["m1"] != sig["m3"]
+    # bands are 16-bit non-negative
+    for b in itertools.chain.from_iterable(sig.values()):
+        assert 0 <= b < (1 << 16)
+    # banded join == brute force over the signatures (pigeonhole is
+    # lossless for d <= 3)
+    def ham(x, y):
+        return sum(bin(a ^ b).count("1") for a, b in zip(x, y))
+    brute = {
+        tuple(sorted((i, j))): ham(sig[i], sig[j])
+        for i, j in itertools.combinations(sig, 2)
+        if ham(sig[i], sig[j]) <= 3
+    }
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in phash_neardup_pairs(media).collect()}
+    assert got == brute
+    assert got[("m1", "m2")] == 0 and got[("m5", "m6")] == 0
+    # pigeonhole contract is loud
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        phash_neardup_pairs(media, max_hamming=4)

@@ -133,3 +133,111 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return media.mapInPandas(fn, out_schema)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("b0", T.IntegerType(), False),
+        T.StructField("b1", T.IntegerType(), False),
+        T.StructField("b2", T.IntegerType(), False),
+        T.StructField("b3", T.IntegerType(), False),
+    ]
+)
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) per media payload — the perceptual
+    fingerprint image pipelines dedup on (pHash/aHash family): decode
+    through the ``_decode_image`` seam, partition the pixel grid into
+    8×8 cells (cell of pixel (r, c) in an h×w grid is ``(r*8//h,
+    c*8//w)``), and set a cell's bit iff its mean EXCEEDS the grand
+    pixel mean. Emitted as four 16-bit band integers (b0..b3, cell
+    index 16k..16k+15 → bit ``cell−16k`` of bk) — sign-safe in a
+    BIGINT world and exactly the pigeonhole keys the Hamming join
+    needs.
+
+    INTEGER-decided bits: pixels are integral (0..255 in both decode
+    paths), so ``bit = cell_sum · (h·w) > total_sum · cell_count`` is
+    an exact integer comparison — no float mean can flip per engine.
+    Cells that receive no pixels (grids smaller than 8×8) contribute
+    bit 0. The SQL oracle replays the identical chain from the payload
+    bytes via one hex() + substr walk (synthetic payloads only — real
+    Pillow-decoded images diverge from the byte-grid oracle exactly as
+    documented for ``extract_features``).
+
+    Scale: map-only Arrow kernel — no shuffle at all; the output is one
+    20-byte row per media item.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                grid = _decode_image(bytes(payload)).astype(np.int64)
+                h, w = grid.shape
+                r = np.arange(h)[:, None] * 8 // h
+                c = np.arange(w)[None, :] * 8 // w
+                cell = (r * 8 + c).ravel()
+                flat = grid.ravel()
+                sums = np.bincount(cell, weights=flat, minlength=64).astype(
+                    np.int64
+                )
+                cnts = np.bincount(cell, minlength=64).astype(np.int64)
+                total = int(flat.sum())
+                bits = (sums * (h * w)) > (total * cnts)
+                bands = [0, 0, 0, 0]
+                for idx in np.nonzero(bits)[0]:
+                    bands[idx // 16] |= 1 << int(idx % 16)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "b0": np.int32(bands[0]),
+                        "b1": np.int32(bands[1]),
+                        "b2": np.int32(bands[2]),
+                        "b3": np.int32(bands[3]),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-duplicate pairs: aHash signatures within Hamming
+    distance ≤ 3 agree exactly on one of the 4 disjoint 16-bit bands
+    (the simhash pigeonhole, Manku et al. 2007 — same machinery, image
+    payloads instead of token streams), so candidates come from a
+    banded equi-join — shuffle is (media, band-key)-bounded, never
+    |media|² — and each candidate is verified with bit_count over the
+    four band XORs. Output (id_a, id_b, hamming), id_a < id_b.
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("4x16-bit banding proves candidates only for max_hamming <= 3")
+    sig = perceptual_hash(media)
+    keys = F.array(*[F.col(f"b{k}") for k in range(4)])
+    bands = sig.select(
+        "media_id", "b0", "b1", "b2", "b3",
+        F.posexplode(keys).alias("band", "key"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("id_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+        "band", "key",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
+        "band", "key",
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}"))) for k in range(4)
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

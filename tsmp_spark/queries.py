@@ -7463,3 +7463,93 @@ SQL_HOLT_WINTERS = _hw_sql()
 
 QUERIES["holt_winters"] = q_holt_winters
 ORACLES["holt_winters"] = SQL_HOLT_WINTERS
+
+
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    )
+
+
+def q_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash per media payload (aHash, 8x8 cells over
+    the decoded grid) as four 16-bit bands — bits decided by the exact
+    integer comparison cell_sum*(h*w) > total*cell_count, replayed by
+    the oracle from the payload bytes via one hex()+substr walk."""
+    from .operators.multimodal import perceptual_hash
+
+    return perceptual_hash(_media_from_documents(spark, sf_dir))
+
+
+_SQL_PHASH_CHAIN = r"""
+WITH g AS MATERIALIZED (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n,
+         greatest(CAST(floor(sqrt(octet_length(encode(text)))) AS BIGINT), 1) AS s
+  FROM documents
+),
+px AS (
+  SELECT media_id, s, n, hx, unnest(range(s*s)) AS pos FROM g
+),
+pb AS (
+  SELECT media_id,
+         CASE WHEN n = 0 THEN 0
+              ELSE CAST(('0x' || substr(hx, CAST(2*pos+1 AS INT), 2)) AS INT) END AS b,
+         ((pos // s) * 8) // s AS cr, ((pos % s) * 8) // s AS ccol
+  FROM px
+),
+cells AS (
+  SELECT media_id, cr * 8 + ccol AS cell, sum(b) AS cs, count(*) AS cnt
+  FROM pb GROUP BY 1, 2
+),
+tot AS (
+  SELECT media_id, sum(b) AS ts, count(*) AS np FROM pb GROUP BY 1
+),
+bits AS (
+  SELECT c.media_id, c.cell,
+         CASE WHEN c.cs * t.np > t.ts * c.cnt THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot t ON t.media_id = c.media_id
+),
+ph AS MATERIALIZED (
+  SELECT media_id,
+         CAST(sum(CASE WHEN cell < 16 THEN bit << cell ELSE 0 END) AS INT) AS b0,
+         CAST(sum(CASE WHEN cell >= 16 AND cell < 32 THEN bit << (cell - 16) ELSE 0 END) AS INT) AS b1,
+         CAST(sum(CASE WHEN cell >= 32 AND cell < 48 THEN bit << (cell - 32) ELSE 0 END) AS INT) AS b2,
+         CAST(sum(CASE WHEN cell >= 48 THEN bit << (cell - 48) ELSE 0 END) AS INT) AS b3
+  FROM bits GROUP BY 1
+)
+"""
+
+SQL_PHASH = _SQL_PHASH_CHAIN + "SELECT media_id, b0, b1, b2, b3 FROM ph"
+
+QUERIES["phash"] = q_phash
+ORACLES["phash"] = SQL_PHASH
+
+
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate media pairs (Hamming <= 3 over the
+    64-bit aHash): banded pigeonhole equi-join on the engine side vs the
+    oracle's independent brute-force O(n^2) pair scan — the banding is
+    gated as LOSSLESS, the same contract as simhash_neardup."""
+    from .operators.multimodal import phash_neardup_pairs
+
+    return phash_neardup_pairs(_media_from_documents(spark, sf_dir),
+                               max_hamming=3)
+
+
+SQL_PHASH_NEARDUP = _SQL_PHASH_CHAIN + r"""
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT)
+         AS hamming
+FROM ph a JOIN ph b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+"""
+
+QUERIES["phash_neardup"] = q_phash_neardup
+ORACLES["phash_neardup"] = SQL_PHASH_NEARDUP
