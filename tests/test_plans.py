@@ -536,3 +536,15 @@ def test_phash_neardup_banded_no_nested_loop(spark):
     # the planner broadcasts the small side, at scale the same keys
     # become the shuffle keys; either way the keys must be in the join
     assert "Join [band" in plan or "hashpartitioning(band" in plan
+
+
+def test_tfidf_windowgrouplimit_no_python(docs):
+    """TF-IDF top-k: per-doc rank window gets WindowGroupLimit partial
+    pushdown (final shuffle moves O(docs*k)); zero Python; the doc-count
+    scalar is a broadcast, not a shuffle."""
+    from tsmp_spark.operators.text import tfidf_topk_terms
+
+    plan = _plan(tfidf_topk_terms(docs, k=5))
+    assert "BatchEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

@@ -1377,3 +1377,43 @@ def test_phash_neardup_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         phash_neardup_pairs(media, max_hamming=4)
+
+
+def test_tfidf_topk_vs_python(spark):
+    import math
+    from collections import Counter
+    from tsmp_spark.operators.text import tfidf_topk_terms
+
+    corpus = {
+        1: "apple banana apple cherry",
+        2: "banana cherry cherry date",
+        3: "apple unique banana",
+        4: "date date date egg",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = tfidf_topk_terms(df, k=3).collect()
+    # independent python model
+    docs = {d: t.lower().strip().split() for d, t in corpus.items()}
+    n = len(docs)
+    dfreq = Counter()
+    for words in docs.values():
+        dfreq.update(set(words))
+    exp = {}
+    for d, words in docs.items():
+        tf = Counter(words)
+        scores = {
+            t: round(c * (math.log((n + 1) / (dfreq[t] + 1)) + 1.0), 6)
+            for t, c in tf.items()
+        }
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        exp[d] = [(t, s) for t, s in top]
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [(r.term, r.score) for r in rows] == exp[d]
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    # 'unique' (df=1) is doc 3's top keyword; stopword-ish 'banana'
+    # (df=3) ranks below it
+    assert by_doc[3][0].term == "unique"

@@ -490,3 +490,67 @@ def bm25_topk(
         .alias("rank"),
     )
     return ranked.filter(F.col("rank") <= k)
+
+
+def tfidf_topk_terms(
+    documents: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document (the smoothed sklearn
+    form: ``idf = ln((N+1)/(df+1)) + 1``, score = tf·idf) — the classic
+    per-doc keyword extraction that sits between raw ``token_counts``
+    and query-side ``bm25_topk``.
+
+    Ranking determinism: rank on the r6-ROUNDED score with term
+    tie-break (the dsir/bm25 convention) — ln() may differ 1 ulp across
+    engines, so the raw product is not a stable sort key.
+
+    Scale shape: tf is one (doc, term) combinable groupBy; df is one
+    vocab-bounded distinct-doc groupBy; the doc count is a broadcast
+    scalar; the tf⇄df join is term-keyed (AQE decides broadcast vs
+    shuffle, the lm_perplexity convention); the per-doc top-k is a rank
+    window with WindowGroupLimit partial pushdown, so the final shuffle
+    moves O(docs·k), not every (doc, term) row.
+
+    Output (doc_id, term, tf, df, score, rank), rank 1..k per doc.
+    """
+    from pyspark.sql.window import Window
+
+    words = _words(F.col(text_col))
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(words).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    df = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    n_docs = documents.agg(F.count("*").cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1)).cast("double")
+                        / (F.col("df") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score",
+                F.col("rank").cast("bigint").alias("rank"))
+    )

@@ -7553,3 +7553,52 @@ WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
 
 QUERIES["phash_neardup"] = q_phash_neardup
 ORACLES["phash_neardup"] = SQL_PHASH_NEARDUP
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document (smoothed sklearn idf),
+    ranked on the r6-rounded score with term tie-break."""
+    from .operators.text import tfidf_topk_terms
+
+    out = tfidf_topk_terms(_documents(spark, sf_dir), k=5)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "term", "tf", "df", "score", "rank",
+    )
+
+
+SQL_TFIDF = r"""
+WITH wl AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, words[i] AS term
+  FROM wl, unnest(generate_series(1, len(words))) AS u(i)
+  WHERE length(words[i]) > 0
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+),
+df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE)
+                           / CAST(df.df + 1 AS DOUBLE)) + 1.0), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tf, df, score, rank
+FROM ranked WHERE rank <= 5
+"""
+
+QUERIES["tfidf"] = q_tfidf
+ORACLES["tfidf"] = SQL_TFIDF
