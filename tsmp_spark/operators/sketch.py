@@ -101,6 +101,13 @@ def hll_rollup(
         .groupBy("bucket", "idx")
         .agg(F.max("rho").alias("reg"))
     )
+    return _hll_estimate(regs)
+
+
+def _hll_estimate(regs: DataFrame) -> DataFrame:
+    """Finish a (bucket, idx, reg) register table into (bucket, zeros,
+    z_int, est) — shared by the raw rollup and the tier-merge path so
+    merge==recompute is an identity over identical integers."""
     agg = regs.groupBy("bucket").agg(
         (F.lit(HLL_M) - F.count("*")).cast("bigint").alias("zeros"),
         F.sum(
@@ -125,6 +132,50 @@ def hll_rollup(
         agg.select("bucket", "zeros", z_int)
         .select("bucket", "zeros", "z_int", F.round(est, 6).alias("est"))
     )
+
+
+def hll_rerollup(
+    events: DataFrame,
+    fine_sec: int = 3600,
+    coarse_sec: int = 86400,
+    item_col: str = "user_id",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """The RETENTION-TIER path for the HLL column: build tier-1
+    registers at ``fine_sec``, then merge them into ``coarse_sec``
+    buckets by register-wise max — WITHOUT touching raw rows again —
+    and finish the estimate with the shared expression.
+
+    This is the operation that makes HLL a continuous-aggregate column
+    (the north-rule tier story on a sketch): because max is associative,
+    ``max over tier-1 registers == max over raw rows`` is an exact
+    integer identity, and the driver oracle exploits it — the SQL side
+    recomputes straight from raw events at ``coarse_sec`` (the
+    hll_distinct chain) and must match the merged path hash-for-hash.
+
+    ``coarse_sec`` must be a multiple of ``fine_sec`` (tier grids nest);
+    coarse bucket = fine_bucket div (coarse/fine) for the non-negative
+    epoch range (integer div, same on both engines).
+
+    Scale: tier-k+1 reads tier-k only — the merge shuffle is bounded by
+    (coarse buckets × m=512 registers), independent of raw row count.
+    """
+    if coarse_sec % fine_sec != 0:
+        raise ValueError("coarse_sec must be a multiple of fine_sec")
+    factor = coarse_sec // fine_sec
+    fine = (
+        hll_register_rows(events, fine_sec, item_col, ts_col)
+        .groupBy("bucket", "idx")
+        .agg(F.max("rho").alias("reg"))
+    )
+    coarse = (
+        fine.select(
+            F.expr(f"bucket div {factor}").alias("bucket"), "idx", "reg"
+        )
+        .groupBy("bucket", "idx")
+        .agg(F.max("reg").alias("reg"))
+    )
+    return _hll_estimate(coarse)
 
 
 #: CMS geometry: d=4 independent md5 hash rows × w=256 counter columns.

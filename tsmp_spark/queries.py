@@ -7602,3 +7602,23 @@ FROM ranked WHERE rank <= 5
 
 QUERIES["tfidf"] = q_tfidf
 ORACLES["tfidf"] = SQL_TFIDF
+
+
+def q_hll_rerollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL retention-tier merge: hourly tier-1 registers merged
+    register-wise-max into daily buckets WITHOUT re-reading raw rows.
+    The oracle recomputes daily registers straight from the raw events
+    (the hll_distinct chain at 86400) — max-associativity makes
+    merge==recompute an exact integer identity, so the two paths must
+    hash-match."""
+    from .operators.sketch import hll_rerollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    return hll_rerollup(ev, fine_sec=3600, coarse_sec=86400,
+                        item_col="user_id", ts_col="sec")
+
+
+QUERIES["hll_rerollup"] = q_hll_rerollup
+ORACLES["hll_rerollup"] = SQL_HLL_DISTINCT
