@@ -1417,3 +1417,37 @@ def test_tfidf_topk_vs_python(spark):
     # 'unique' (df=1) is doc 3's top keyword; stopword-ish 'banana'
     # (df=3) ranks below it
     assert by_doc[3][0].term == "unique"
+
+
+def test_tier_merge_identities(spark):
+    """merge==recompute for the three mergeable rollup columns, pinned
+    on a grid that actually crosses tier boundaries."""
+    from tsmp_spark.operators.rollup import histogram_rerollup, rollup_histogram
+    from tsmp_spark.operators.sketch import cms_rerollup, cms_counts, hll_rerollup, hll_rollup
+
+    rows = [(i % 7, i * 613, float((i * 37) % 11 - 5), f"e{i % 5}")
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double, event_type string")
+    # histogram: fine 1000 -> coarse 4000 == direct 4000
+    a = sorted(map(tuple, histogram_rerollup(df, 1000, 4000, lo=-5.0, hi=5.0,
+                                             n_bins=8, key_col="user_id",
+                                             pos_col="sec").collect()))
+    b = sorted(map(tuple, rollup_histogram(df, 4000, lo=-5.0, hi=5.0, n_bins=8,
+                                           key_col="user_id",
+                                           pos_col="sec").collect()))
+    assert a == b
+    # cms: fine 1000 -> coarse 4000 == direct 4000
+    a = sorted(map(tuple, cms_rerollup(df, 1000, 4000).collect()))
+    b = sorted(map(tuple, cms_counts(df, 4000).collect()))
+    assert a == b
+    # hll: fine 1000 -> coarse 4000 == direct 4000
+    a = sorted(map(tuple, hll_rerollup(df, 1000, 4000).collect()))
+    b = sorted(map(tuple, hll_rollup(df, 4000).collect()))
+    assert a == b
+    # non-nesting grids are loud
+    import pytest as _pt
+    for fn in (lambda: hll_rerollup(df, 1000, 4500),
+               lambda: cms_rerollup(df, 1000, 4500),
+               lambda: histogram_rerollup(df, 1000, 4500, lo=0, hi=1)):
+        with _pt.raises(ValueError):
+            fn()

@@ -927,6 +927,47 @@ def rollup_histogram(
     )
 
 
+def histogram_rerollup(
+    long_df: DataFrame,
+    fine_bucket: int,
+    coarse_bucket: int,
+    lo: float,
+    hi: float,
+    n_bins: int = 16,
+    key_col: str = "doc_id",
+    pos_col: str = "pos",
+    value_col: str = "value",
+) -> DataFrame:
+    """The RETENTION-TIER path for the histogram column: build tier-1
+    bin counts at ``fine_bucket``, then merge to ``coarse_bucket`` by
+    summing per bin — tier k+1 reads tier k only, never raw rows.
+    Because bin assignment depends only on the value (not the bucket)
+    and counts sum associatively, merge==recompute is an exact integer
+    identity — the driver oracle recomputes straight from raw at the
+    coarse grain and must hash-match. ``coarse_bucket`` must be a
+    multiple of ``fine_bucket`` (tier grids nest; non-negative grid).
+
+    Merge shuffle is bounded by coarse-buckets × n_bins per key.
+    """
+    if coarse_bucket % fine_bucket != 0:
+        raise ValueError("coarse_bucket must be a multiple of fine_bucket")
+    factor = coarse_bucket // fine_bucket
+    fine = rollup_histogram(
+        long_df, fine_bucket, lo, hi, n_bins,
+        key_col=key_col, pos_col=pos_col, value_col=value_col,
+    )
+    return (
+        fine.select(
+            F.col(key_col),
+            F.expr(f"bucket div {factor}").alias("bucket"),
+            "bin",
+            "cnt",
+        )
+        .groupBy(key_col, "bucket", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def seasonal_decompose(
     events: DataFrame,
     period: int = 24,

@@ -252,6 +252,83 @@ BLOOM_M = 4096
 BLOOM_K = 4
 
 
+def cms_rerollup(
+    events: DataFrame,
+    fine_sec: int = 3600,
+    coarse_sec: int = 21600,
+    item_col: str = "event_type",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """The RETENTION-TIER path for the CMS column: build tier-1 counter
+    cells at ``fine_sec``, merge them cell-wise-sum into ``coarse_sec``
+    buckets — the sketch STATE tiers without re-reading raw rows — then
+    answer the per-item frequency query against the merged counters.
+    (The probe side recomputes the exact counts from raw at the coarse
+    grain; that is the QUERY, not the tiered state.)
+
+    Sum-associativity makes merged counters == counters built at the
+    coarse grain an exact integer identity, so the driver oracle is the
+    plain coarse-grain cms_counts chain — merge==recompute, hash-gated.
+
+    Merge shuffle bounded by coarse-buckets × d·w = 1024 cells.
+    """
+    if coarse_sec % fine_sec != 0:
+        raise ValueError("coarse_sec must be a multiple of fine_sec")
+    factor = coarse_sec // fine_sec
+
+    def rows_at(bucket_sec: int) -> DataFrame:
+        sel = [
+            F.floor(F.col(ts_col).cast("long") / bucket_sec)
+            .cast("long")
+            .alias("bucket"),
+            F.col(item_col).cast("string").alias("item"),
+        ] + [
+            (_h64(F.col(item_col).cast("string"), r) % CMS_W)
+            .cast("int")
+            .alias(f"c{r}")
+            for r in range(CMS_D)
+        ]
+        return events.select(*sel)
+
+    fine_cells = (
+        rows_at(fine_sec)
+        .select(
+            "bucket",
+            F.posexplode(
+                F.array(*[F.col(f"c{r}") for r in range(CMS_D)])
+            ).alias("r", "c"),
+        )
+        .groupBy("bucket", "r", "c")
+        .agg(F.count("*").cast("bigint").alias("cell_cnt"))
+    )
+    coarse_counters = (
+        fine_cells.select(
+            F.expr(f"bucket div {factor}").alias("bucket"), "r", "c", "cell_cnt"
+        )
+        .groupBy("bucket", "r", "c")
+        .agg(F.sum("cell_cnt").alias("cell_cnt"))
+    )
+    probes = (
+        rows_at(coarse_sec)
+        .groupBy("bucket", "item", *[f"c{r}" for r in range(CMS_D)])
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            "bucket",
+            "item",
+            "cnt",
+            F.posexplode(
+                F.array(*[F.col(f"c{r}") for r in range(CMS_D)])
+            ).alias("r", "c"),
+        )
+    )
+    return (
+        probes.join(coarse_counters, ["bucket", "r", "c"])
+        .groupBy("bucket", "item", "cnt")
+        .agg(F.min("cell_cnt").alias("est"))
+        .select("bucket", "item", "est", "cnt")
+    )
+
+
 def bloom_probe_stats(
     probe: DataFrame,
     build: DataFrame,

@@ -7622,3 +7622,44 @@ def q_hll_rerollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["hll_rerollup"] = q_hll_rerollup
 ORACLES["hll_rerollup"] = SQL_HLL_DISTINCT
+
+
+def q_cms_rerollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS retention-tier merge: hourly counter cells summed into 6h
+    buckets (tier k+1 reads tier k only), then the frequency query runs
+    against the merged counters. Oracle = the plain 6h cms_counts chain:
+    sum-associativity makes merge==recompute exact."""
+    from .operators.sketch import cms_rerollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    return cms_rerollup(ev, fine_sec=3600, coarse_sec=21600,
+                        item_col="event_type", ts_col="sec")
+
+
+QUERIES["cms_rerollup"] = q_cms_rerollup
+ORACLES["cms_rerollup"] = SQL_CMS_COUNTS
+
+
+def q_histogram_rerollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram retention-tier merge: hourly 16-bin counts summed into
+    6h buckets without re-reading raw rows; oracle recomputes at 6h
+    directly (exact integer identity)."""
+    from .operators.rollup import histogram_rerollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    out = histogram_rerollup(ev, 3600, 21600, lo=-5.0, hi=5.0, n_bins=16,
+                             key_col="user_id", pos_col="sec")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+QUERIES["histogram_rerollup"] = q_histogram_rerollup
+ORACLES["histogram_rerollup"] = SQL_ROLLUP_HISTOGRAM
