@@ -1451,3 +1451,27 @@ def test_tier_merge_identities(spark):
                lambda: histogram_rerollup(df, 1000, 4500, lo=0, hi=1)):
         with _pt.raises(ValueError):
             fn()
+
+
+def test_hashed_bow_vectorizer(spark):
+    """Linearity + determinism of the hashing-trick vectorizer: v(doc
+    twice-repeated) == 2*v(doc); identical docs get identical vectors;
+    a doc with no words emits nothing; values are signed integers."""
+    from tsmp_spark.operators.text import hashed_bow_vectors
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "alpha beta gamma delta alpha beta gamma delta"),
+         (4, "   "), (5, "zeta")],
+        "doc_id long, text string",
+    )
+    rows = hashed_bow_vectors(df, dim=16).collect()
+    v = {}
+    for r in rows:
+        v.setdefault(r.doc_id, {})[r.dim] = r.value
+    assert v[1] == v[2]
+    assert v[3] == {d: 2 * x for d, x in v[1].items() if 2 * x != 0}
+    assert 4 not in v
+    assert all(isinstance(x, int) for comp in v.values() for x in comp.values())
+    # sign balance: a single word contributes exactly +-1 in one bucket
+    assert len(v[5]) == 1 and abs(next(iter(v[5].values()))) == 1

@@ -554,3 +554,46 @@ def tfidf_topk_terms(
         .select("doc_id", "term", "tf", "df", "score",
                 F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def hashed_bow_vectors(
+    documents: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing ("hashing trick", Weinberger et al. 2009)
+    bag-of-words vectors: each word hashes to a bucket ``h % dim`` with
+    sign ``±1`` from the next hash bit, and the doc's component is the
+    SIGNED count sum — the collision-unbiased sparse vectorizer that
+    needs no vocabulary table at all (the property that matters at
+    100 TB: zero model state, zero extra shuffle beyond one combinable
+    (doc, dim) groupBy).
+
+    Output is LONG form ``(doc_id, dim, value)`` with INTEGER values —
+    exact on both engines — ready to feed ``random_projection`` / LSH /
+    IVF as the dense-ification front end (docs with no words emit no
+    rows; downstream treats absent components as 0).
+
+    One md5 digest per word: bucket = ``h % dim``, sign from the next
+    bit ``(h div dim) % 2`` (0 → +1, 1 → −1).
+    """
+    from .dedup import _h64
+
+    words = _words(F.col(text_col))
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(words).alias("term")
+    ).filter(F.length("term") > 0)
+    hashed = toks.select("doc_id", _h64(F.col("term"), 8).alias("h"))
+    signed = hashed.select(
+        "doc_id",
+        (F.col("h") % dim).cast("int").alias("dim"),
+        (F.lit(1) - F.lit(2) * (F.expr(f"(h div {dim}) % 2").cast("int")))
+        .cast("bigint")
+        .alias("sign"),
+    )
+    return (
+        signed.groupBy("doc_id", "dim")
+        .agg(F.sum("sign").alias("value"))
+        .select("doc_id", "dim", F.col("value").cast("bigint").alias("value"))
+    )

@@ -7663,3 +7663,40 @@ def q_histogram_rerollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["histogram_rerollup"] = q_histogram_rerollup
 ORACLES["histogram_rerollup"] = SQL_ROLLUP_HISTOGRAM
+
+
+def q_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing bag-of-words vectors (dim=64, signed counts) —
+    integer-exact long form, the vocabulary-free vectorizer front end
+    for the ANN family."""
+    from .operators.text import hashed_bow_vectors
+
+    out = hashed_bow_vectors(_documents(spark, sf_dir), dim=64)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "dim", "value"
+    )
+
+
+SQL_HASHED_BOW = r"""
+WITH wl AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, words[i] AS term
+  FROM wl, unnest(generate_series(1, len(words))) AS u(i)
+  WHERE length(words[i]) > 0
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('s2:' || term), 1, 8)) AS BIGINT) AS h
+  FROM toks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(h % 64 AS INT) AS dim,
+       CAST(sum(1 - 2 * ((h // 64) % 2)) AS BIGINT) AS value
+FROM hashed GROUP BY 1, 2
+"""
+
+QUERIES["hashed_bow"] = q_hashed_bow
+ORACLES["hashed_bow"] = SQL_HASHED_BOW
