@@ -1475,3 +1475,27 @@ def test_hashed_bow_vectorizer(spark):
     assert all(isinstance(x, int) for comp in v.values() for x in comp.values())
     # sign balance: a single word contributes exactly +-1 in one bucket
     assert len(v[5]) == 1 and abs(next(iter(v[5].values()))) == 1
+
+
+def test_spectral_residual_detects_planted_spike(spark):
+    from tsmp_spark.operators.rollup import spectral_residual
+
+    # one observation per 100-sec bucket: smooth sine base + one spike
+    rows = []
+    import math
+    for i in range(48):
+        v = 10.0 + math.sin(i / 3.0) + (25.0 if i == 30 else 0.0)
+        rows.append((1, i * 100, v))
+    # a constant series and a 3-point series emit nothing
+    rows += [(2, i * 100, 7.0) for i in range(20)]
+    rows += [(3, i * 100, float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double")
+    out = spectral_residual(df, bucket_sec=100, key_col="user_id",
+                            ts_col="sec").collect()
+    assert {r.user_id for r in out} == {1}
+    sal = {r.bucket: r.salience for r in out if r.user_id == 1}
+    assert len(sal) == 48
+    top = max(sal, key=sal.get)
+    assert top == 30                      # the spike is the most salient
+    others = sorted(sal.values())[:-1]
+    assert sal[30] > 5 * others[len(others) // 2]  # and by a wide margin

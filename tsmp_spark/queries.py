@@ -7700,3 +7700,90 @@ FROM hashed GROUP BY 1, 2
 
 QUERIES["hashed_bow"] = q_hashed_bow
 ORACLES["hashed_bow"] = SQL_HASHED_BOW
+
+
+def q_spectral_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-Residual saliency map per user series over 6h bucket
+    means (Ren et al. 2019) — emitted as a spectrum-style map, r4
+    round_even (sum-order drift absorbed, numpy-modeled first)."""
+    from .operators.rollup import spectral_residual
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    return spectral_residual(ev, bucket_sec=21600, key_col="user_id",
+                             ts_col="sec")
+
+
+SQL_SPECTRAL_RESIDUAL = r"""
+WITH rows_ AS (
+  SELECT user_id AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+         CAST(round(value * 1000000) AS BIGINT) AS vu
+  FROM events
+),
+cells AS MATERIALIZED (
+  SELECT key, bucket, sum(vu) AS su, count(*) AS c FROM rows_ GROUP BY 1, 2
+),
+series AS MATERIALIZED (
+  SELECT key, bucket,
+         CAST(su AS DOUBLE) / CAST(c * 1000000 AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY key ORDER BY bucket) - 1 AS j,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM cells
+),
+ok AS MATERIALIZED (
+  SELECT key FROM series GROUP BY key
+  HAVING count(*) >= 4 AND min(v) < max(v)
+),
+s2 AS MATERIALIZED (
+  SELECT s.* FROM series s JOIN ok USING (key)
+),
+dft AS MATERIALIZED (
+  SELECT a.key, a.j AS k, any_value(a.n) AS n,
+         sum(b.v * cos(2 * pi() * ((a.j * b.j) % a.n) / a.n)) AS re,
+         -sum(b.v * sin(2 * pi() * ((a.j * b.j) % a.n) / a.n)) AS im
+  FROM s2 a JOIN s2 b ON b.key = a.key
+  GROUP BY 1, 2
+),
+ampt AS MATERIALIZED (
+  SELECT key, k, n, re, im, sqrt(re * re + im * im) AS amp FROM dft
+),
+okk AS MATERIALIZED (
+  SELECT key FROM ampt GROUP BY key HAVING min(amp) > 0
+),
+la AS MATERIALIZED (
+  SELECT a.key, a.k, a.n, a.re, a.im, a.amp, ln(a.amp) AS l
+  FROM ampt a JOIN okk USING (key)
+),
+ma AS MATERIALIZED (
+  SELECT key, k, n, re, im, amp, l,
+         lag(l) OVER w AS lm, lead(l) OVER w AS lp
+  FROM la WINDOW w AS (PARTITION BY key ORDER BY k)
+),
+f2 AS MATERIALIZED (
+  SELECT key, k, n,
+         re * (exp(l - CASE WHEN lm IS NULL THEN (l + lp) / 2
+                            WHEN lp IS NULL THEN (lm + l) / 2
+                            ELSE (lm + l + lp) / 3 END) / amp) AS re2,
+         im * (exp(l - CASE WHEN lm IS NULL THEN (l + lp) / 2
+                            WHEN lp IS NULL THEN (lm + l) / 2
+                            ELSE (lm + l + lp) / 3 END) / amp) AS im2
+  FROM ma
+),
+ifft AS (
+  SELECT f.key, s.bucket, any_value(f.n) AS n,
+         sum(f.re2 * cos(2 * pi() * ((f.k * s.j) % f.n) / f.n)
+             - f.im2 * sin(2 * pi() * ((f.k * s.j) % f.n) / f.n)) AS sr,
+         sum(f.re2 * sin(2 * pi() * ((f.k * s.j) % f.n) / f.n)
+             + f.im2 * cos(2 * pi() * ((f.k * s.j) % f.n) / f.n)) AS si
+  FROM f2 f JOIN s2 s ON s.key = f.key
+  GROUP BY 1, 2
+)
+SELECT key AS user_id, bucket,
+       round_even(sqrt(sr * sr + si * si) / n, 4) + 0.0 AS salience
+FROM ifft
+"""
+
+QUERIES["spectral_residual"] = q_spectral_residual
+ORACLES["spectral_residual"] = SQL_SPECTRAL_RESIDUAL
