@@ -639,3 +639,61 @@ def test_hll_stream_equals_batch_any_order(spark, tmp_path):
     for b, seen in per_bucket.items():
         assert sorted(seen) == seen or len(set(seen)) == len(seen)
         assert max(seen) == true_counts[b]
+
+
+def test_cms_stream_equals_batch_any_order(spark, tmp_path):
+    """Streaming CMS fed OUT-OF-ORDER micro-batches converges to the
+    exact batch counter table — counters are commutative sums, the
+    hll_stream contract."""
+    import os
+
+    from tsmp_spark.operators.sketch import cms_hash_rows
+    from tsmp_spark.streaming.sketch import cms_stream
+
+    rows = [(f"e{i * 13 % 17}", (i % 2) * 5000) for i in range(500)]
+    batch_df = spark.createDataFrame(rows, "event_type string, sec long")
+
+    base = str(tmp_path / "ev")
+    os.makedirs(base)
+    scrambled = rows[300:500] + rows[0:300]
+    for k, chunk in enumerate((scrambled[:250], scrambled[250:])):
+        spark.createDataFrame(
+            chunk, "event_type string, sec long"
+        ).coalesce(1).write.parquet(f"{base}/f{k}.parquet")
+
+    stream = (
+        spark.readStream.schema("event_type string, sec long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/*")
+    )
+    q = (
+        cms_stream(stream, bucket_sec=5000, item_col="event_type", ts_col="sec")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cms_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.bucket, r.r, r.c): r.cell_cnt
+        for r in spark.sql(
+            "SELECT bucket, r, c, cell_cnt FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY bucket, r, c ORDER BY n_seen DESC) AS rn "
+            "FROM cms_out) WHERE rn = 1"
+        ).collect()
+    }
+    # batch counter table from the SAME shared hash rows
+    from pyspark.sql import functions as F
+
+    cells = (
+        cms_hash_rows(batch_df, 5000, "event_type", "sec")
+        .select("bucket", F.posexplode(F.array("c0", "c1", "c2", "c3"))
+                .alias("r", "c"))
+        .groupBy("bucket", "r", "c")
+        .agg(F.count("*").alias("cell_cnt"))
+    )
+    want = {(r.bucket, r.r, r.c): r.cell_cnt for r in cells.collect()}
+    assert got == want

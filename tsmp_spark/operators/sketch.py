@@ -183,6 +183,27 @@ CMS_D = 4
 CMS_W = 256
 
 
+def cms_hash_rows(
+    events: DataFrame, bucket_sec: int, item_col: str, ts_col: str
+) -> DataFrame:
+    """(bucket, item, c0..c3) hashed rows — the shared JVM-side front
+    end of batch ``cms_counts``/``cms_rerollup`` and
+    ``streaming.cms_stream`` (identical expressions ⇒ stream==batch is
+    exact, the hll_register_rows convention)."""
+    sel = [
+        F.floor(F.col(ts_col).cast("long") / bucket_sec)
+        .cast("long")
+        .alias("bucket"),
+        F.col(item_col).cast("string").alias("item"),
+    ] + [
+        (_h64(F.col(item_col).cast("string"), r) % CMS_W)
+        .cast("int")
+        .alias(f"c{r}")
+        for r in range(CMS_D)
+    ]
+    return events.select(*sel)
+
+
 def cms_counts(
     events: DataFrame,
     bucket_sec: int = 21600,
@@ -207,16 +228,7 @@ def cms_counts(
     rows × raw rows. Counters MERGE by cell-wise sum (re-rollup /
     shard-union; pytest pins merge-equals-whole).
     """
-    sel = [
-        F.floor(F.col(ts_col).cast("long") / bucket_sec).cast("long").alias("bucket"),
-        F.col(item_col).cast("string").alias("item"),
-    ] + [
-        (_h64(F.col(item_col).cast("string"), r) % CMS_W)
-        .cast("int")
-        .alias(f"c{r}")
-        for r in range(CMS_D)
-    ]
-    rows = events.select(*sel)
+    rows = cms_hash_rows(events, bucket_sec, item_col, ts_col)
     cells = rows.select(
         "bucket",
         F.posexplode(F.array(*[F.col(f"c{r}") for r in range(CMS_D)])).alias(
@@ -277,18 +289,7 @@ def cms_rerollup(
     factor = coarse_sec // fine_sec
 
     def rows_at(bucket_sec: int) -> DataFrame:
-        sel = [
-            F.floor(F.col(ts_col).cast("long") / bucket_sec)
-            .cast("long")
-            .alias("bucket"),
-            F.col(item_col).cast("string").alias("item"),
-        ] + [
-            (_h64(F.col(item_col).cast("string"), r) % CMS_W)
-            .cast("int")
-            .alias(f"c{r}")
-            for r in range(CMS_D)
-        ]
-        return events.select(*sel)
+        return cms_hash_rows(events, bucket_sec, item_col, ts_col)
 
     fine_cells = (
         rows_at(fine_sec)

@@ -7787,3 +7787,72 @@ FROM ifft
 
 QUERIES["spectral_residual"] = q_spectral_residual
 ORACLES["spectral_residual"] = SQL_SPECTRAL_RESIDUAL
+
+
+def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CMS counter build maintained by a real Structured
+    Streaming query: events replayed through a file stream, final
+    nonzero counter cells per daily bucket. Counters are commutative
+    sums, so the final snapshot must equal the BATCH cells chain for
+    any arrival order."""
+    import uuid
+
+    from .streaming.sketch import cms_stream
+
+    name = "cms_sink_" + uuid.uuid4().hex[:8]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props map<string,string>"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_type", F.unix_timestamp("ts").alias("sec"))
+    )
+    out = cms_stream(stream, bucket_sec=86400, item_col="event_type",
+                     ts_col="sec")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""
+        SELECT bucket, r, c, cell_cnt FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY bucket, r, c ORDER BY n_seen DESC) AS rn
+          FROM {name}) WHERE rn = 1
+        """
+    )
+
+
+SQL_CMS_STREAM = r"""
+WITH hashed AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS bucket,
+         CAST(('0x' || substr(md5('s0:' || CAST(event_type AS VARCHAR)), 1, 8))
+              AS BIGINT) % 256 AS c0,
+         CAST(('0x' || substr(md5('s0:' || CAST(event_type AS VARCHAR)), 9, 8))
+              AS BIGINT) % 256 AS c1,
+         CAST(('0x' || substr(md5('s0:' || CAST(event_type AS VARCHAR)), 17, 8))
+              AS BIGINT) % 256 AS c2,
+         CAST(('0x' || substr(md5('s0:' || CAST(event_type AS VARCHAR)), 25, 8))
+              AS BIGINT) % 256 AS c3
+  FROM events
+)
+SELECT bucket, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+       CAST(count(*) AS BIGINT) AS cell_cnt
+FROM (
+  SELECT bucket, 0 AS r, c0 AS c FROM hashed
+  UNION ALL SELECT bucket, 1, c1 FROM hashed
+  UNION ALL SELECT bucket, 2, c2 FROM hashed
+  UNION ALL SELECT bucket, 3, c3 FROM hashed
+) GROUP BY 1, 2, 3
+"""
+
+QUERIES["cms_stream"] = q_cms_stream
+ORACLES["cms_stream"] = SQL_CMS_STREAM

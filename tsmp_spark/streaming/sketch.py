@@ -101,3 +101,70 @@ def hll_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CMS_OUTPUT_SCHEMA = "bucket long, n_seen long, r int, c int, cell_cnt long"
+CMS_STATE_SCHEMA = "counters binary, n_seen long"
+
+
+def _cms_func(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    from ..operators.sketch import CMS_D, CMS_W
+
+    if state.exists:
+        counters_bytes, n_seen = state.get
+        counters = np.frombuffer(counters_bytes, dtype=np.int64).copy()
+    else:
+        counters, n_seen = np.zeros(CMS_D * CMS_W, dtype=np.int64), 0
+    (bucket,) = key
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        for r in range(CMS_D):
+            cols = pdf[f"c{r}"].to_numpy(dtype=np.int64)
+            np.add.at(counters, r * CMS_W + cols, 1)
+        n_seen += len(pdf)
+    state.update((counters.tobytes(), n_seen))
+    nz = np.nonzero(counters)[0]
+    yield pd.DataFrame(
+        {
+            "bucket": np.repeat(np.int64(bucket), len(nz)),
+            "n_seen": np.repeat(np.int64(n_seen), len(nz)),
+            "r": (nz // CMS_W).astype(np.int32),
+            "c": (nz % CMS_W).astype(np.int32),
+            "cell_cnt": counters[nz],
+        }
+    )
+
+
+def cms_stream(
+    event_stream: DataFrame,
+    bucket_sec: int = 86400,
+    item_col: str = "event_type",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """Streaming counterpart of the ``cms_counts`` counter BUILD: each
+    micro-batch folds item arrivals into the d×w=1024-cell counter
+    state per time bucket (8 KB per open bucket — bounded regardless of
+    item cardinality) and emits the nonzero cells as an append-mode
+    snapshot tagged with ``n_seen`` (monotone — the LAST snapshot per
+    bucket is the final counter table).
+
+    Counters are COMMUTATIVE (cell-wise sums), so stream==batch holds
+    for ANY arrival order — same contract as ``hll_stream``, gated by
+    the same SQL cells chain as the batch oracle. The hash derivation
+    is JVM-side and SHARED with the batch operator
+    (``operators.sketch.cms_hash_rows``); the Python state function
+    only increments a numpy array.
+    """
+    from ..operators.sketch import cms_hash_rows
+
+    rows = cms_hash_rows(event_stream, bucket_sec, item_col, ts_col).drop("item")
+    return rows.groupBy("bucket").applyInPandasWithState(
+        _cms_func,
+        outputStructType=CMS_OUTPUT_SCHEMA,
+        stateStructType=CMS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
