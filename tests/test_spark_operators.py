@@ -1499,3 +1499,40 @@ def test_spectral_residual_detects_planted_spike(spark):
     assert top == 30                      # the spike is the most salient
     others = sorted(sal.values())[:-1]
     assert sal[30] > 5 * others[len(others) // 2]  # and by a wide margin
+
+
+def test_haar_transform_invertible_and_exact(spark):
+    from tsmp_spark.operators.rollup import haar_transform
+
+    # 8 buckets, one observation each -> micro-unit sums are the values
+    vals = [1.0, 5.0, 3.0, 3.0, 8.0, 2.0, 0.0, 4.0]
+    rows = [(1, i * 100, v) for i, v in enumerate(vals)]
+    # a 5-bucket series truncates to 4; a 1-bucket series emits nothing
+    rows += [(2, i * 100, float(i + 1)) for i in range(5)]
+    rows += [(3, 0, 9.0)]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double")
+    out = haar_transform(df, bucket_sec=100, key_col="user_id",
+                         ts_col="sec").collect()
+    assert {r.user_id for r in out} == {1, 2}
+    got = {(r.user_id, r.level, r.idx, r.is_approx): r.coef for r in out}
+    u = [int(v * 1_000_000) for v in vals]
+    # level 1: pairwise diffs/then-sums of [1,5,3,3,8,2,0,4] micro
+    assert [got[(1, 1, i, 0)] for i in range(4)] == [
+        u[0] - u[1], u[2] - u[3], u[4] - u[5], u[6] - u[7]]
+    l1 = [u[0] + u[1], u[2] + u[3], u[4] + u[5], u[6] + u[7]]
+    assert [got[(1, 2, i, 0)] for i in range(2)] == [l1[0] - l1[1], l1[2] - l1[3]]
+    l2 = [l1[0] + l1[1], l1[2] + l1[3]]
+    assert got[(1, 3, 0, 0)] == l2[0] - l2[1]
+    assert got[(1, 3, 0, 1)] == l2[0] + l2[1] == sum(u)  # total sum
+    # truncation: user 2 (5 buckets) keeps the first 4 -> levels 1..2,
+    # approx = sum of first 4 values only
+    assert got[(2, 2, 0, 1)] == sum(int(v * 1_000_000) for v in [1, 2, 3, 4])
+    # lossless inversion at every level: reconstruct level-0 from coefs
+    a = [got[(1, 3, 0, 1)]]
+    for lev in (3, 2, 1):
+        d = [got[(1, lev, i, 0)] for i in range(len(a))]
+        nxt = []
+        for s, dd in zip(a, d):
+            nxt += [(s + dd) // 2, (s - dd) // 2]
+        a = nxt
+    assert a == u

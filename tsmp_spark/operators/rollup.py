@@ -851,6 +851,94 @@ def periodogram(
     )
 
 
+HAAR_SCHEMA = "key long, level int, idx long, coef long, is_approx int"
+
+
+def haar_transform(
+    events: DataFrame,
+    bucket_sec: int = 3600,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition per series — the
+    multi-resolution view of a rolled-up series (each level IS a
+    coarser retention tier: level-ℓ approximations are the 2^ℓ-bucket
+    sums, the details are what downsampling to that tier throws away,
+    and the transform is losslessly invertible, so a tiered store can
+    keep coarse sums + details instead of every tier).
+
+    INTEGER-exact end to end: input is the micro-unit bucket SUM (not
+    the mean — sums stay integral), and the unnormalized Haar filters
+    are pure pairwise sum/difference — no division, no floats, nothing
+    to round. Series are truncated to the largest 2^k bucket prefix
+    (documented contract; n ≥ 2 or the series emits nothing).
+
+    Output: one row per detail coefficient ``(key, level ℓ∈1..k, idx,
+    coef, is_approx=0)`` plus the final approximation ``(key, k, 0,
+    total-sum, is_approx=1)``.
+
+    Scale: ONE combinable bucket groupBy then the per-series O(n)
+    Arrow kernel behind one group-hash exchange. The oracle replays
+    the halving recursion with a list-carrying recursive CTE.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket")
+        x = pdf["su"].to_numpy(dtype=np.int64)
+        n = len(x)
+        if n < 2:
+            return pd.DataFrame(
+                {"key": [], "level": [], "idx": [], "coef": [], "is_approx": []}
+            ).astype(
+                {"key": "int64", "level": "int32", "idx": "int64",
+                 "coef": "int64", "is_approx": "int32"}
+            )
+        n2 = 1 << (int(n).bit_length() - 1)
+        a = x[:n2]
+        key = pdf["key"].iloc[0]
+        lv, ix, cf, ap = [], [], [], []
+        level = 0
+        while len(a) > 1:
+            level += 1
+            d = a[0::2] - a[1::2]
+            a = a[0::2] + a[1::2]
+            lv.extend([level] * len(d))
+            ix.extend(range(len(d)))
+            cf.extend(d.tolist())
+            ap.extend([0] * len(d))
+        lv.append(level)
+        ix.append(0)
+        cf.append(int(a[0]))
+        ap.append(1)
+        return pd.DataFrame(
+            {
+                "key": np.repeat(key, len(lv)),
+                "level": np.asarray(lv, dtype=np.int32),
+                "idx": np.asarray(ix, dtype=np.int64),
+                "coef": np.asarray(cf, dtype=np.int64),
+                "is_approx": np.asarray(ap, dtype=np.int32),
+            }
+        )
+
+    cells = (
+        events.select(
+            F.col(key_col).cast("long").alias("key"),
+            F.floor(F.col(ts_col).cast("long") / bucket_sec)
+            .cast("long")
+            .alias("bucket"),
+            F.round(F.col(value_col) * 1_000_000).cast("bigint").alias("vu"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.sum("vu").alias("su"))
+    )
+    return cells.groupBy("key").applyInPandas(kernel, HAAR_SCHEMA).select(
+        F.col("key").alias(key_col), "level", "idx", "coef", "is_approx"
+    )
+
+
 SR_SCHEMA = "key long, bucket long, salience double"
 
 

@@ -7856,3 +7856,66 @@ FROM (
 
 QUERIES["cms_stream"] = q_cms_stream
 ORACLES["cms_stream"] = SQL_CMS_STREAM
+
+
+def q_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition per user series over
+    hourly micro-unit bucket sums — integer-exact multi-resolution
+    coefficients (each level is a coarser retention tier)."""
+    from .operators.rollup import haar_transform
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    return haar_transform(ev, bucket_sec=3600, key_col="user_id",
+                          ts_col="sec")
+
+
+SQL_HAAR = r"""
+WITH RECURSIVE cells AS (
+  SELECT user_id AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket,
+         sum(CAST(round(value * 1000000) AS BIGINT)) AS su
+  FROM events GROUP BY 1, 2
+),
+base AS MATERIALIZED (
+  SELECT key, list(su ORDER BY bucket) AS all_vals, count(*) AS n
+  FROM cells GROUP BY key HAVING count(*) >= 2
+),
+tr AS MATERIALIZED (
+  SELECT key, all_vals[1:CAST(pow(2, floor(log2(n))) AS BIGINT)] AS vals
+  FROM base
+),
+rec AS (
+  SELECT key, 0 AS level, vals FROM tr
+  UNION ALL
+  SELECT key, level + 1,
+         list_transform(range(CAST(len(vals) / 2 AS BIGINT)),
+                        i -> vals[2*i+1] + vals[2*i+2])
+  FROM rec WHERE len(vals) > 1
+),
+details AS (
+  SELECT key, CAST(level + 1 AS INT) AS level,
+         unnest(range(CAST(len(vals) / 2 AS BIGINT))) AS idx,
+         unnest(list_transform(range(CAST(len(vals) / 2 AS BIGINT)),
+                               i -> vals[2*i+1] - vals[2*i+2])) AS coef,
+         0 AS is_approx
+  FROM rec WHERE len(vals) > 1
+),
+approx AS (
+  SELECT r.key, CAST(b.lvl AS INT) AS level, CAST(0 AS BIGINT) AS idx,
+         r.vals[1] AS coef, 1 AS is_approx
+  FROM rec r
+  JOIN (SELECT key, max(level) AS lvl FROM rec GROUP BY key) b
+    ON b.key = r.key AND b.lvl = r.level
+)
+SELECT key AS user_id, level, CAST(idx AS BIGINT) AS idx,
+       CAST(coef AS BIGINT) AS coef, CAST(is_approx AS INT) AS is_approx
+FROM details
+UNION ALL
+SELECT key AS user_id, level, idx, CAST(coef AS BIGINT), CAST(is_approx AS INT)
+FROM approx
+"""
+
+QUERIES["haar"] = q_haar
+ORACLES["haar"] = SQL_HAAR
