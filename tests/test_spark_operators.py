@@ -1536,3 +1536,56 @@ def test_haar_transform_invertible_and_exact(spark):
             nxt += [(s + dd) // 2, (s - dd) // 2]
         a = nxt
     assert a == u
+
+
+def test_fuzzy_vocab_pairs_symspell(spark):
+    import itertools
+    from tsmp_spark.operators.text import fuzzy_vocab_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "receive recieve beleive believe night nigth might"),
+         (2, "receive receive data date daate x9 ab"),
+         (3, "zebra Zebra ZEBRA")],
+        "doc_id long, text string",
+    )
+    got = {(r.word_a, r.word_b): (r.cnt_a, r.cnt_b, r.dist)
+           for r in fuzzy_vocab_pairs(docs).collect()}
+    # brute-force python reference over the same filtered vocab
+    import re as _re
+    words = []
+    for _, t in docs.collect() if False else [(1, "receive recieve beleive believe night nigth might"), (2, "receive receive data date daate x9 ab"), (3, "zebra Zebra ZEBRA")]:
+        words += [w for w in t.lower().strip().split()
+                  if _re.fullmatch("[a-z0-9]+", w) and 3 <= len(w) <= 24]
+    from collections import Counter
+    cnt = Counter(words)
+
+    def ed1(a, b):
+        if a == b:
+            return 0
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return 99
+        if la == lb:
+            return 1 if sum(x != y for x, y in zip(a, b)) == 1 else 99
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        for i in range(lb):
+            if b[:i] + b[i + 1:] == a:
+                return 1
+        return 99
+    want = {}
+    for a, b in itertools.combinations(sorted(cnt), 2):
+        d = ed1(a, b)
+        if d <= 1:
+            want[(a, b)] = (cnt[a], cnt[b], d)
+    assert got == want
+    # substitution, deletion, and insertion neighbours all found; note
+    # transpositions (recieve/receive, nigth/night) are ed-2 in PLAIN
+    # Levenshtein — correctly absent (Damerau would need 2-del variants)
+    assert ("might", "night") in got       # substitution
+    assert ("data", "date") in got         # substitution
+    assert ("daate", "date") in got        # deletion/insertion
+    assert ("night", "nigth") not in got
+    # counts ride along; 'ab' (len 2) was filtered, case folded
+    assert got[("data", "date")] == (1, 1, 1)
+    assert all("ab" not in k for k in got)

@@ -597,3 +597,84 @@ def hashed_bow_vectors(
         .agg(F.sum("sign").alias("value"))
         .select("doc_id", "dim", F.col("value").cast("bigint").alias("value"))
     )
+
+
+def fuzzy_vocab_pairs(
+    documents: DataFrame,
+    max_word_len: int = 24,
+    max_variant_freq: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Edit-distance-1 vocabulary pairs via the SymSpell symmetric-
+    delete trick (Garbe): every word emits itself plus its |word|
+    single-deletion variants; two words with Levenshtein distance ≤ 1
+    MUST share a variant key (substitution → common deletion at the
+    differing position; insertion/deletion → one side's deletion equals
+    the other word), so candidates come from a variant EQUI-join —
+    vocab-bounded, never |vocab|² — and each candidate is verified with
+    the built-in ``levenshtein``. The typo-clustering primitive of a
+    corpus-curation layer (fold "recieve" into "receive" by count).
+
+    Contract: ASCII ``[a-z0-9]+`` words of length 3..``max_word_len``
+    only — identical per-char semantics on both engines (Spark's
+    levenshtein counts UTF-16 units, DuckDB's counts codepoints; they
+    agree on ASCII), and short/huge tokens are typo-join noise anyway.
+    ``max_variant_freq`` is the hot-key cap knob (the simhash
+    ``max_band_freq`` convention): variant keys shared by more docs
+    than the cap are dropped from candidate generation (recall trade,
+    documented; None = exact).
+
+    Output (word_a, word_b, cnt_a, cnt_b, dist) with word_a < word_b.
+
+    Scale: vocab = one combinable groupBy; the variant explode is
+    ≤ len+1 rows per vocab entry; the candidate join shuffles
+    (vocab × avg_len) keyed rows. Corpus size only enters through the
+    vocab counts.
+    """
+    words = _words(F.col(text_col))
+    vocab = (
+        documents.select(F.explode(words).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .filter(
+            (F.length("word") >= 3) & (F.length("word") <= max_word_len)
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    variants = vocab.select(
+        "word",
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(word)), i -> "
+                "CASE WHEN i = 0 THEN word "
+                "ELSE concat(substring(word, 1, i - 1), substring(word, i + 1)) "
+                "END)"
+            )
+        ).alias("variant"),
+    )
+    if max_variant_freq is not None:
+        from pyspark.sql.window import Window
+
+        wf = Window.partitionBy("variant")
+        variants = (
+            variants.withColumn("_f", F.count("*").over(wf))
+            .filter(F.col("_f") <= max_variant_freq)
+            .drop("_f")
+        )
+    a = variants.select(
+        F.col("word").alias("word_a"), F.col("cnt").alias("cnt_a"), "variant"
+    )
+    b = variants.select(
+        F.col("word").alias("word_b"), F.col("cnt").alias("cnt_b"), "variant"
+    )
+    return (
+        a.join(b, "variant")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .select(
+            "word_a", "word_b", "cnt_a", "cnt_b",
+            F.levenshtein("word_a", "word_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+        .distinct()
+    )

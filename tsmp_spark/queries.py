@@ -7919,3 +7919,47 @@ FROM approx
 
 QUERIES["haar"] = q_haar
 ORACLES["haar"] = SQL_HAAR
+
+
+def q_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 vocabulary pairs (SymSpell symmetric-delete
+    candidates, levenshtein-verified) — typo clustering over the
+    part-name vocabulary (the documents vocabulary is a fixed 30-word
+    list with no ed-1 pairs; part names carry real near-words like
+    red/rod, cold/old, so the gate exercises actual hits)."""
+    from .operators.text import fuzzy_vocab_pairs
+
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_name").alias("text")
+    )
+    return fuzzy_vocab_pairs(parts)
+
+
+SQL_FUZZY_VOCAB = r"""
+WITH wl AS (
+  SELECT string_split_regex(lower(trim(p_name)), '\s+') AS words FROM part
+),
+toks AS (
+  SELECT words[i] AS word
+  FROM wl, unnest(generate_series(1, len(words))) AS u(i)
+  WHERE regexp_full_match(words[i], '[a-z0-9]+')
+    AND length(words[i]) BETWEEN 3 AND 24
+),
+vocab AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
+),
+variants AS MATERIALIZED (
+  SELECT word, cnt,
+         CASE WHEN i = 0 THEN word
+              ELSE substr(word, 1, i - 1) || substr(word, i + 1) END AS variant
+  FROM vocab, unnest(generate_series(0, length(word))) AS u(i)
+)
+SELECT DISTINCT a.word AS word_a, b.word AS word_b,
+       a.cnt AS cnt_a, b.cnt AS cnt_b,
+       CAST(levenshtein(a.word, b.word) AS INT) AS dist
+FROM variants a JOIN variants b ON b.variant = a.variant
+WHERE a.word < b.word AND levenshtein(a.word, b.word) <= 1
+"""
+
+QUERIES["fuzzy_vocab"] = q_fuzzy_vocab
+ORACLES["fuzzy_vocab"] = SQL_FUZZY_VOCAB
