@@ -1589,3 +1589,45 @@ def test_fuzzy_vocab_pairs_symspell(spark):
     # counts ride along; 'ab' (len 2) was filtered, case folded
     assert got[("data", "date")] == (1, 1, 1)
     assert all("ab" not in k for k in got)
+
+
+def test_zorder_key_interleave_and_locality(spark):
+    from tsmp_spark.operators.rollup import zorder_key
+
+    # known interleaves: z(x, y) interleaves x into even bits, y into odd
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 2), (3, 5), (65535, 65535),
+         (65536, 0)],
+        "x long, y long",
+    )
+    got = {(r.x, r.y): r.zkey for r in zorder_key(df, "x", "y").collect()}
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+    for (x, y), z in got.items():
+        assert z == ref(x & 0xFFFF, y & 0xFFFF)
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1 and got[(0, 1)] == 2
+    assert got[(65535, 65535)] == (1 << 32) - 1
+    assert got[(65536, 0)] == 0  # masked to 16 bits, documented
+    # locality: on an 8x8 grid, sorting by zkey keeps 2-D neighbors
+    # closer (average |rank(a)-rank(b)| over unit-distance pairs) than
+    # row-major order keeps COLUMN neighbors — the pruning win
+    import itertools
+    pts = list(itertools.product(range(8), repeat=2))
+    grid = spark.createDataFrame(pts, "x long, y long")
+    zr = {(r.x, r.y): r.zkey for r in zorder_key(grid, "x", "y").collect()}
+    zrank = {p: i for i, p in enumerate(sorted(pts, key=lambda p: zr[p]))}
+    rrank = {p: i for i, p in enumerate(sorted(pts))}  # row-major (x, y)
+    # the pruning metric: write the 64 rows as 8 "files" of 8 rows in
+    # sort order; a 2-D query box should touch FEWER files under z-order
+    def files_touched(rank, box):
+        return len({rank[p] // 8 for p in box})
+    boxes = [[(x0 + dx, y0 + dy) for dx in range(4) for dy in range(4)]
+             for x0 in (0, 4) for y0 in (0, 4)]
+    z_files = sum(files_touched(zrank, b) for b in boxes)
+    r_files = sum(files_touched(rrank, b) for b in boxes)
+    assert z_files < r_files  # 2 files/box under z-order vs 4 row-major
+    assert z_files == 8 and r_files == 16

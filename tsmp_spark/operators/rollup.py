@@ -2313,3 +2313,42 @@ def funnel_steps(
         *[F.col(f"t{k}").cast("bigint").alias(f"t{k}") for k in range(1, len(steps) + 1)],
         reached.cast("int").alias("steps_reached"),
     )
+
+
+def zorder_expr(x: str, y: str, bits: int = 16) -> str:
+    """SQL text for the Morton bit-interleave of two ``bits``-wide
+    non-negative ints — IDENTICAL on Spark and DuckDB (plain >>, &, *,
+    + over disjoint powers of two, so the sum has no carries and no
+    engine-specific semantics). Shared by the operator and its oracle.
+    """
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x}) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((({y}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_key(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+) -> DataFrame:
+    """Morton / Z-order curve key over two integer dimensions — the
+    multi-dimensional data-layout primitive (Iceberg's ``zorder``
+    rewrite, Delta's OPTIMIZE ZORDER BY): sorting/range-partitioning by
+    the interleaved key co-locates rows that are close in BOTH
+    dimensions, so min/max file statistics prune 2-D predicates
+    (series × time-range scans) that a lexicographic sort can only
+    prune in its leading column.
+
+    Inputs are masked to the low ``bits`` (caller pre-buckets/ranks to
+    the key space — documented contract); the key is an exact integer
+    expression shared verbatim with the SQL oracle. Zero shuffles: this
+    is a map-only projection; the LAYOUT effect comes from writing
+    sorted-by-zkey (pytest pins the locality win vs row-major order).
+    """
+    mask = (1 << bits) - 1
+    xm = f"(cast({x_col} as bigint) & {mask})"
+    ym = f"(cast({y_col} as bigint) & {mask})"
+    return df.withColumn("zkey", F.expr(zorder_expr(xm, ym, bits)).cast("long"))

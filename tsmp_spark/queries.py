@@ -7963,3 +7963,41 @@ WHERE a.word < b.word AND levenshtein(a.word, b.word) <= 1
 
 QUERIES["fuzzy_vocab"] = q_fuzzy_vocab
 ORACLES["fuzzy_vocab"] = SQL_FUZZY_VOCAB
+
+
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order layout keys over (user_id, hourly bucket) —
+    the 2-D file-clustering key, exact integer bit-interleave shared
+    verbatim with the oracle."""
+    from .operators.rollup import zorder_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_timestamp("ts").cast("long") / 3600)
+        .cast("long")
+        .alias("bucket"),
+    )
+    out = zorder_key(ev, "user_id", "bucket", bits=16)
+    return out.select("event_id", "user_id", "bucket", "zkey")
+
+
+def _zorder_sql() -> str:
+    from .operators.rollup import zorder_expr
+
+    expr = zorder_expr("(CAST(user_id AS BIGINT) & 65535)",
+                       "(bucket & 65535)", 16)
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket
+  FROM events
+)
+SELECT event_id, user_id, bucket, CAST({expr} AS BIGINT) AS zkey FROM ev
+"""
+
+
+SQL_ZORDER = _zorder_sql()
+
+QUERIES["zorder"] = q_zorder
+ORACLES["zorder"] = SQL_ZORDER
