@@ -1631,3 +1631,28 @@ def test_zorder_key_interleave_and_locality(spark):
     r_files = sum(files_touched(rrank, b) for b in boxes)
     assert z_files < r_files  # 2 files/box under z-order vs 4 row-major
     assert z_files == 8 and r_files == 16
+
+
+def test_rate_limit_replay_token_bucket(spark):
+    import pytest as _pt
+    from tsmp_spark.operators.rollup import rate_limit_replay
+
+    # burst of 8 at t=0 against capacity 5: first 5 admitted; one token
+    # refills by t=1 (1/s); long gap refills to cap but never beyond
+    rows = ([(1, 0, i) for i in range(8)]
+            + [(1, 1, 8), (1, 100, 9), (1, 100, 10), (1, 100, 11),
+               (1, 100, 12), (1, 100, 13), (1, 100, 14)])
+    df = spark.createDataFrame(rows, "user_id long, sec long, event_id long")
+    out = sorted(rate_limit_replay(df, capacity=5, refill_per_sec=1,
+                                   key_col="user_id", ts_col="sec").collect(),
+                 key=lambda r: (r.sec, r.event_id))
+    flags = [r.allowed for r in out]
+    assert flags[:8] == [1, 1, 1, 1, 1, 0, 0, 0]   # burst: 5 pass
+    assert flags[8] == 1                            # t=1: one refilled
+    # t=100: bucket refilled to CAP (5), not 99 — 5 pass, 6th denied
+    assert flags[9:15] == [1, 1, 1, 1, 1, 0]
+    toks = [r.tokens_after for r in out]
+    assert toks[:5] == [4, 3, 2, 1, 0] and toks[8] == 0
+    assert toks[9] == 4 and toks[14] == 0
+    with _pt.raises(ValueError):
+        rate_limit_replay(df, capacity=0)

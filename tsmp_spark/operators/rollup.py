@@ -2352,3 +2352,78 @@ def zorder_key(
     xm = f"(cast({x_col} as bigint) & {mask})"
     ym = f"(cast({y_col} as bigint) & {mask})"
     return df.withColumn("zkey", F.expr(zorder_expr(xm, ym, bits)).cast("long"))
+
+
+RATELIMIT_SCHEMA = (
+    "key long, sec long, event_id long, allowed int, tokens_after long"
+)
+
+
+def rate_limit_replay(
+    events: DataFrame,
+    capacity: int = 5,
+    refill_per_sec: int = 1,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Token-bucket rate-limiter replay per key: which events WOULD a
+    limiter with integer ``capacity`` and integer ``refill_per_sec``
+    have admitted? The audit/abuse-analysis counterpart of the
+    sessionize/funnel family — run the production limiter's policy over
+    history and measure throttling before deploying it.
+
+    State per key is two integers: ``tokens`` (starts at capacity,
+    refills ``(Δt)·refill`` capped at capacity, −1 per admitted event)
+    and the previous timestamp. Events are replayed in ``(ts, id)``
+    order (the id breaks same-second ties deterministically). The
+    ENTIRE recurrence is integer arithmetic — nothing to round, the
+    recursive-CTE oracle replays it exactly.
+
+    Scale: the ewma/holt kernel pattern — one group-hash exchange into
+    an O(n) Arrow kernel, O(1) state.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cap, refill = int(capacity), int(refill_per_sec)
+    if cap < 1 or refill < 0:
+        raise ValueError("capacity >= 1 and refill_per_sec >= 0 required")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sec", "eid"])
+        sec = pdf["sec"].to_numpy(dtype=np.int64)
+        n = len(sec)
+        allowed = np.empty(n, dtype=np.int32)
+        tokens_after = np.empty(n, dtype=np.int64)
+        tokens = cap
+        prev = None
+        for i in range(n):
+            if prev is not None:
+                tokens = min(cap, tokens + (int(sec[i]) - prev) * refill)
+            prev = int(sec[i])
+            if tokens >= 1:
+                tokens -= 1
+                allowed[i] = 1
+            else:
+                allowed[i] = 0
+            tokens_after[i] = tokens
+        return pd.DataFrame(
+            {
+                "key": pdf["key"].to_numpy(),
+                "sec": sec,
+                "event_id": pdf["eid"].to_numpy(),
+                "allowed": allowed,
+                "tokens_after": tokens_after,
+            }
+        )
+
+    rows = events.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(ts_col).cast("long").alias("sec"),
+        F.col(id_col).cast("long").alias("eid"),
+    )
+    return rows.groupBy("key").applyInPandas(kernel, RATELIMIT_SCHEMA).select(
+        F.col("key").alias(key_col), F.col("sec").alias(ts_col),
+        "event_id", "allowed", "tokens_after",
+    )

@@ -8001,3 +8001,45 @@ SQL_ZORDER = _zorder_sql()
 
 QUERIES["zorder"] = q_zorder
 ORACLES["zorder"] = SQL_ZORDER
+
+
+def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limiter replay (capacity 5, refill 1/s) per
+    user — integer-only sequential state, recursive-CTE-replayed
+    exactly."""
+    from .operators.rollup import rate_limit_replay
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "event_id"
+    )
+    return rate_limit_replay(ev, capacity=5, refill_per_sec=1,
+                             key_col="user_id", ts_col="sec")
+
+
+SQL_RATE_LIMIT = r"""
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+           AS i
+  FROM events
+),
+rec AS (
+  SELECT key, i, sec, event_id,
+         CAST(1 AS INT) AS allowed, CAST(4 AS BIGINT) AS tokens
+  FROM base WHERE i = 1
+  UNION ALL
+  SELECT nb.key, nb.i, nb.sec, nb.event_id,
+         CASE WHEN least(5, r.tokens + (nb.sec - r.sec) * 1) >= 1
+              THEN CAST(1 AS INT) ELSE CAST(0 AS INT) END,
+         CASE WHEN least(5, r.tokens + (nb.sec - r.sec) * 1) >= 1
+              THEN least(5, r.tokens + (nb.sec - r.sec) * 1) - 1
+              ELSE least(5, r.tokens + (nb.sec - r.sec) * 1) END
+  FROM rec r JOIN base nb ON nb.key = r.key AND nb.i = r.i + 1
+)
+SELECT key AS user_id, sec, event_id, allowed, tokens AS tokens_after
+FROM rec
+"""
+
+QUERIES["rate_limit"] = q_rate_limit
+ORACLES["rate_limit"] = SQL_RATE_LIMIT
