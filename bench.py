@@ -280,6 +280,17 @@ def main() -> None:
 
         timed("sliding_rollup", lambda: q_sliding_rollup(spark, sf_dir).count())
         extra_q["sliding_rollup"] = timings.pop("sliding_rollup")
+    if want("spectral_residual"):
+        from tsmp_spark.queries import q_spectral_residual
+
+        timed("spectral_residual",
+              lambda: q_spectral_residual(spark, sf_dir).count())
+        extra_q["spectral_residual"] = timings.pop("spectral_residual")
+    if want("bloom_probe"):
+        from tsmp_spark.queries import q_bloom_probe
+
+        timed("bloom_probe", lambda: q_bloom_probe(spark, sf_dir).count())
+        extra_q["bloom_probe"] = timings.pop("bloom_probe")
     print(
         json.dumps(
             {
