@@ -697,3 +697,52 @@ def test_cms_stream_equals_batch_any_order(spark, tmp_path):
     )
     want = {(r.bucket, r.r, r.c): r.cell_cnt for r in cells.collect()}
     assert got == want
+
+
+def test_attribution_stream_window_edges(spark, tmp_path):
+    """Stream-stream join semantics: inclusive [click, click+W] window,
+    per-user scoping, multi-pair emission — each exactly once."""
+    import os
+    from pyspark.sql import functions as F
+    from tsmp_spark.streaming.joins import attribute_stream
+
+    rows = [
+        # (event_id, sec, user, type): purchases at lag 0, W, W+1
+        (1, 1000, 1, "click"), (2, 1000, 1, "purchase"),
+        (3, 1100, 1, "purchase"),            # in window for click 1
+        (4, 1000 + 600, 1, "purchase"),      # exactly W -> included
+        (5, 1000 + 601, 1, "purchase"),      # W+1 -> excluded
+        (6, 1050, 2, "purchase"),            # other user -> excluded
+        (7, 1090, 1, "click"),               # second click catches 3,4
+    ]
+    base = str(tmp_path / "ev")
+    os.makedirs(base)
+    spark.createDataFrame(
+        [(i, s, u, t) for i, s, u, t in rows],
+        "event_id long, sec long, user_id long, event_type string",
+    ).withColumn("ts", F.col("sec").cast("timestamp")).coalesce(1) \
+        .write.parquet(f"{base}/f0.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, sec long, user_id long, event_type string, ts timestamp"
+        ).parquet(f"{base}/*")
+    )
+    out = attribute_stream(
+        stream.where("event_type = 'click'"),
+        stream.where("event_type = 'purchase'"),
+        window_sec=600,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("attr_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.click_id, r.purchase_id): r.lag_sec
+           for r in spark.sql("SELECT * FROM attr_t").collect()}
+    assert got == {
+        (1, 2): 0, (1, 3): 100, (1, 4): 600,
+        (7, 3): 10, (7, 4): 510, (7, 5): 511,
+    }

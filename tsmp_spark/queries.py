@@ -8043,3 +8043,61 @@ FROM rec
 
 QUERIES["rate_limit"] = q_rate_limit
 ORACLES["rate_limit"] = SQL_RATE_LIMIT
+
+
+def q_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution pairs (purchase within 1h of the
+    click, per user) computed by a REAL watermarked stream-stream inner
+    join — pure JVM, append mode — and gated by the plain relational
+    pair join in SQL."""
+    import uuid
+
+    from .streaming.joins import attribute_stream
+
+    name = "attr_sink_" + uuid.uuid4().hex[:8]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def read_events() -> DataFrame:
+        return (
+            spark.readStream.schema(
+                "event_id long, ts timestamp_ntz, user_id long, "
+                "event_type string, value double, props map<string,string>"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    clicks = read_events().where(F.col("event_type") == "click")
+    purchases = read_events().where(F.col("event_type") == "purchase")
+    out = attribute_stream(clicks, purchases, window_sec=3600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT user_id, click_id, purchase_id, lag_sec FROM {name}"
+    )
+
+
+SQL_ATTRIBUTION = r"""
+WITH c AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       CAST(p.sec - c.sec AS BIGINT) AS lag_sec
+FROM c JOIN p ON p.user_id = c.user_id
+WHERE p.sec >= c.sec AND p.sec <= c.sec + 3600
+"""
+
+QUERIES["attribution_stream"] = q_attribution_stream
+ORACLES["attribution_stream"] = SQL_ATTRIBUTION
