@@ -1656,3 +1656,25 @@ def test_rate_limit_replay_token_bucket(spark):
     assert toks[9] == 4 and toks[14] == 0
     with _pt.raises(ValueError):
         rate_limit_replay(df, capacity=0)
+
+
+def test_hll_sliding_equals_window_recompute(spark):
+    from tsmp_spark.operators.sketch import hll_rollup, hll_sliding_rollup
+
+    # users churn daily; day d sees users [100d, 100d+150) -> overlap
+    rows = [(100 * d + u, d * 1000) for d in range(10) for u in range(150)]
+    # drop day 4 entirely: the window must bridge the gap, and no row
+    # may be emitted FOR day 4 (unobserved buckets emit nothing)
+    rows = [r for r in rows if r[1] // 1000 != 4]
+    df = spark.createDataFrame(rows, "user_id long, sec long")
+    got = {r.bucket: r for r in hll_sliding_rollup(
+        df, bucket_sec=1000, window_buckets=3).collect()}
+    assert 4 not in got
+    assert set(got) == {0, 1, 2, 3, 5, 6, 7, 8, 9}
+    # each window estimate equals the plain rollup over the window's
+    # raw rows (merge == recompute, per target bucket)
+    for b, r in got.items():
+        sub = df.where((df.sec >= (b - 2) * 1000) & (df.sec < (b + 1) * 1000))
+        whole = hll_rollup(sub.selectExpr("user_id", f"{b * 1000} as sec"),
+                           bucket_sec=1000).collect()[0]
+        assert (r.zeros, r.z_int, r.est) == (whole.zeros, whole.z_int, whole.est)

@@ -178,6 +178,60 @@ def hll_rerollup(
     return _hll_estimate(coarse)
 
 
+def hll_sliding_rollup(
+    events: DataFrame,
+    bucket_sec: int = 86400,
+    window_buckets: int = 7,
+    item_col: str = "user_id",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """Trailing-window distinct counts from the HLL column: for every
+    observed bucket, the estimate over the last ``window_buckets``
+    buckets (the "7-day active users per day" query) — computed by
+    MERGING per-bucket registers, never re-reading raw rows twice.
+
+    The sliding merge is NOT a range join (BNLJ at scale) and not a
+    per-register window (a register absent from the current bucket but
+    present earlier in the window would silently drop out of a
+    row-based frame): each tier-1 register row EXPLODES to the ≤ W
+    target buckets it contributes to (integer sequence, bounded fan-out
+    W), then one combinable max-groupBy per (target, idx) and a
+    broadcast semi-join against the observed-bucket set keeps only real
+    buckets. Shuffle ≤ buckets × m × W rows of three ints —
+    raw-row-count independent, the sliding_rollup lesson applied to a
+    sketch column.
+
+    Output: (bucket, zeros, z_int, est) — the shared estimate finisher,
+    so the oracle (registers recomputed from the raw window per target
+    bucket) must match exactly.
+    """
+    from pyspark.sql.functions import broadcast
+
+    w = int(window_buckets)
+    if w < 1:
+        raise ValueError("window_buckets >= 1")
+    regs = (
+        hll_register_rows(events, bucket_sec, item_col, ts_col)
+        .groupBy("bucket", "idx")
+        .agg(F.max("rho").alias("reg"))
+    )
+    observed = regs.select("bucket").distinct()
+    contrib = regs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("off"),
+        "bucket",
+        "idx",
+        "reg",
+    ).select(
+        (F.col("bucket") + F.col("off")).alias("bucket"), "idx", "reg"
+    )
+    merged = (
+        contrib.join(broadcast(observed), "bucket", "left_semi")
+        .groupBy("bucket", "idx")
+        .agg(F.max("reg").alias("reg"))
+    )
+    return _hll_estimate(merged)
+
+
 #: CMS geometry: d=4 independent md5 hash rows × w=256 counter columns.
 CMS_D = 4
 CMS_W = 256

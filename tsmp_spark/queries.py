@@ -8101,3 +8101,56 @@ WHERE p.sec >= c.sec AND p.sec <= c.sec + 3600
 
 QUERIES["attribution_stream"] = q_attribution_stream
 ORACLES["attribution_stream"] = SQL_ATTRIBUTION
+
+
+def q_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from merged HLL registers
+    (register explode to target buckets — no range join, no re-read of
+    raw rows); oracle recomputes each window from raw events."""
+    from .operators.sketch import hll_sliding_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    return hll_sliding_rollup(ev, bucket_sec=86400, window_buckets=7,
+                              item_col="user_id", ts_col="sec")
+
+
+SQL_HLL_SLIDING = r"""
+WITH rows_ AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS bucket,
+         CAST(('0x' || substr(md5('s0:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM events
+),
+buckets AS (SELECT DISTINCT bucket FROM rows_),
+reg AS (
+  SELECT b.bucket AS bucket, CAST(r.h % 512 AS INT) AS idx,
+         max(CAST(round(log2(((r.h // 512) | 8388608)
+                             & -((r.h // 512) | 8388608))) AS INT) + 1) AS reg
+  FROM rows_ r JOIN buckets b
+    ON r.bucket BETWEEN b.bucket - 6 AND b.bucket
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT bucket,
+         CAST(512 - count(*) AS BIGINT) AS zeros,
+         sum(CAST(1 AS BIGINT) << (24 - reg)) AS z_present
+  FROM reg GROUP BY 1
+),
+z AS (
+  SELECT bucket, zeros,
+         CAST(z_present + zeros * (CAST(1 AS BIGINT) << 24) AS BIGINT) AS z_int
+  FROM agg
+)
+SELECT bucket, zeros, z_int,
+       round(CASE WHEN 0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * 16777216.0
+                       / z_int <= 1280.0 AND zeros > 0
+                  THEN 512.0 * ln(512.0 / zeros)
+                  ELSE 0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * 16777216.0
+                       / z_int END, 6) AS est
+FROM z
+"""
+
+QUERIES["hll_sliding"] = q_hll_sliding
+ORACLES["hll_sliding"] = SQL_HLL_SLIDING
