@@ -837,3 +837,29 @@ def test_bpe_learn_matches_reference_greedy(spark):
     )
     assert empty.count() == 0
     assert empty.columns == ["merge_round", "left_sym", "right_sym", "pair_count"]
+
+
+def test_temperature_sample_rebalances_sources(spark):
+    from tsmp_spark.operators.tokens import temperature_sample
+
+    # head source 1600 docs, tail source 100: at T=2 the tail keeps
+    # (nearly) everything while the head is cut toward sqrt parity
+    rows = [(i, "head") for i in range(1600)] + \
+           [(10000 + i, "tail") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample(df, sample_frac=0.5).collect()
+    assert len(out) == 1700  # audit view: every doc, flagged
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # derived rates: W = 40+10, M = 850; head quota 850*40/50 = 680
+    # -> r_head = 680/1600 = 0.425; tail quota 170 > 100 -> r_tail = 1
+    assert by_src["tail"][0].r_int == 1_000_000
+    assert by_src["head"][0].r_int == 425_000
+    assert all(r.kept == 1 for r in by_src["tail"])
+    kept_head = sum(r.kept for r in by_src["head"])
+    assert 0.35 * 1600 < kept_head < 0.50 * 1600  # md5-uniform ≈ rate
+    # deterministic: same input -> identical flags
+    again = {r.doc_id: r.kept for r in
+             temperature_sample(df, sample_frac=0.5).collect()}
+    assert all(again[r.doc_id] == r.kept for r in out)

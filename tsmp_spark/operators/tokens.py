@@ -926,3 +926,73 @@ def bpe_learn(
     return spark.createDataFrame(
         merges, "merge_round int, left_sym string, right_sym string, pair_count bigint"
     )
+
+
+def temperature_sample(
+    documents: DataFrame,
+    sample_frac: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-balanced source sampling at T=2 (the multilingual /
+    UniMax-style rebalance): per-source quotas ∝ √n_s instead of n_s,
+    so head sources shrink and tail sources keep (almost) everything —
+    the standard fix for a corpus dominated by one crawl. Unlike
+    ``source_mixture`` (caller-supplied rates), the rates here are
+    DERIVED from the corpus itself: ``r_s = min(1, M·√n_s / (W·n_s))``
+    with ``M = sample_frac·N`` and ``W = Σ√n_s``.
+
+    T is fixed at 2 deliberately: ``n^(1/T) = sqrt(n)`` is IEEE
+    CORRECTLY-ROUNDED on both engines (pow with a fractional exponent
+    is not), so the only cross-engine surface is the 4-term ΣW sum
+    order, absorbed by carrying the keep rate as the r6 INTEGER
+    ``r_int`` — the keep decision ``h % 1e6 < r_int`` is then pure
+    integer arithmetic on the doc's md5 uniform (retry-safe, RNG-free,
+    the source_mixture convention).
+
+    Output: every doc with ``(doc_id, source, n_source, r_int, kept)``
+    — the audit view; filter ``kept = 1`` for the sample itself.
+
+    Scale: one tiny source-count groupBy + broadcast scalar + broadcast
+    rate join; the corpus never shuffles.
+    """
+    from .dedup import _h64
+
+    counts = documents.groupBy(source_col).agg(
+        F.count("*").cast("bigint").alias("n_source")
+    )
+    tot = counts.agg(
+        F.sum("n_source").cast("double").alias("n_total"),
+        F.sum(F.sqrt(F.col("n_source").cast("double"))).alias("w_total"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n_source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(sample_frac))
+                * F.col("n_total")
+                * F.sqrt(F.col("n_source").cast("double"))
+                / (F.col("w_total") * F.col("n_source").cast("double")),
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("r_int"),
+    )
+    return documents.select(id_col, source_col).join(
+        F.broadcast(rates), source_col
+    ).select(
+        id_col,
+        source_col,
+        "n_source",
+        "r_int",
+        F.when(
+            (_h64(F.col(id_col).cast("string"), 12) % 1_000_000) < F.col("r_int"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("kept"),
+    )

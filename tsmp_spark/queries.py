@@ -8154,3 +8154,43 @@ FROM z
 
 QUERIES["hll_sliding"] = q_hll_sliding
 ORACLES["hll_sliding"] = SQL_HLL_SLIDING
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced source sampling (T=2, sample_frac=0.5):
+    corpus-derived √n quotas, integer keep decision on the doc's md5
+    uniform. Audit view — every doc with its kept flag."""
+    from .operators.tokens import temperature_sample
+
+    out = temperature_sample(_documents(spark, sf_dir), sample_frac=0.5)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source", "n_source", "r_int", "kept",
+    )
+
+
+SQL_TEMPERATURE_MIX = r"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_source FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_source) AS DOUBLE) AS n_total,
+         sum(sqrt(CAST(n_source AS DOUBLE))) AS w_total
+  FROM counts
+),
+rates AS (
+  SELECT source, n_source,
+         CAST(round(least(1.0, 0.5 * t.n_total * sqrt(CAST(n_source AS DOUBLE))
+                          / (t.w_total * CAST(n_source AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS r_int
+  FROM counts, tot t
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, r.n_source, r.r_int,
+       CAST(CASE WHEN CAST(('0x' || substr(md5('s3:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 1000000 < r.r_int
+                 THEN 1 ELSE 0 END AS INT) AS kept
+FROM documents d JOIN rates r USING (source)
+"""
+
+QUERIES["temperature_mix"] = q_temperature_mix
+ORACLES["temperature_mix"] = SQL_TEMPERATURE_MIX
