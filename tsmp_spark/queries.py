@@ -8194,3 +8194,34 @@ FROM documents d JOIN rates r USING (source)
 
 QUERIES["temperature_mix"] = q_temperature_mix
 ORACLES["temperature_mix"] = SQL_TEMPERATURE_MIX
+
+
+def q_tier2_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles served ENTIRELY from merged tiers: hourly 16-bin
+    histograms merged into daily buckets (histogram_rerollup), then
+    histogram_quantile(0.95) over the merged bins — the query path a
+    tiered store actually uses for old data. Oracle recomputes the
+    daily histogram from raw and lerps: bin merge is an exact integer
+    identity, so the tiered path must match the raw path bit for bit."""
+    from .operators.rollup import histogram_quantile, histogram_rerollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    hist2 = histogram_rerollup(ev, 3600, 86400, lo=-5.0, hi=5.0, n_bins=16,
+                               key_col="user_id", pos_col="sec")
+    out = histogram_quantile(hist2, q=0.95, lo=-5.0, hi=5.0, n_bins=16,
+                             key_col="user_id")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "total",
+        F.col("qbin").cast("bigint").alias("qbin"),
+        "qvalue",
+    )
+
+
+SQL_TIER2_QUANTILE = SQL_HISTOGRAM_QUANTILE.replace("21600", "86400")
+
+QUERIES["tier2_quantile"] = q_tier2_quantile
+ORACLES["tier2_quantile"] = SQL_TIER2_QUANTILE
