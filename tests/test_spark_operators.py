@@ -1678,3 +1678,15 @@ def test_hll_sliding_equals_window_recompute(spark):
         whole = hll_rollup(sub.selectExpr("user_id", f"{b * 1000} as sec"),
                            bucket_sec=1000).collect()[0]
         assert (r.zeros, r.z_int, r.est) == (whole.zeros, whole.z_int, whole.est)
+
+
+def test_bloom_probe_empty_build_side(spark):
+    """Empty build relation: every probe is a clean miss (no crash —
+    the kmeans empty-input lesson applied to the bloom sketch)."""
+    from tsmp_spark.operators.sketch import bloom_probe_stats
+
+    probe = spark.createDataFrame([("p1",), ("p2",)], "k string")
+    build = spark.createDataFrame([], "k string")
+    out = bloom_probe_stats(probe, build, "k", "k").collect()
+    assert {(r.item, r.hit, r.actual) for r in out} == {
+        ("p1", 0, 0), ("p2", 0, 0)}
