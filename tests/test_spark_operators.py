@@ -1690,3 +1690,26 @@ def test_bloom_probe_empty_build_side(spark):
     out = bloom_probe_stats(probe, build, "k", "k").collect()
     assert {(r.item, r.hit, r.actual) for r in out} == {
         ("p1", 0, 0), ("p2", 0, 0)}
+
+
+def test_change_point_finds_planted_level_shift(spark):
+    from tsmp_spark.operators.rollup import change_point
+
+    # user 1: level 10 for 20 buckets then 50 for 20 -> split at k=20
+    rows = [(1, i * 100, 10.0 if i < 20 else 50.0) for i in range(40)]
+    # user 2: constant -> equal objectives, tie-break picks k=min_seg
+    rows += [(2, i * 100, 7.0) for i in range(10)]
+    # user 3: too short for any admissible split
+    rows += [(3, i * 100, float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double")
+    out = {r.user_id: r for r in change_point(
+        df, bucket_sec=100, min_seg=2, key_col="user_id",
+        ts_col="sec").collect()}
+    assert set(out) == {1, 2}
+    assert out[1].k == 20 and out[1].split_bucket == 20 and out[1].gain > 0
+    assert out[2].k == 2 and out[2].gain == 0.0
+    # plan: fully relational, no Python
+    plan = change_point(df, bucket_sec=100, key_col="user_id",
+                        ts_col="sec")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

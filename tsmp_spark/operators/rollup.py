@@ -2427,3 +2427,93 @@ def rate_limit_replay(
         F.col("key").alias(key_col), F.col("sec").alias(ts_col),
         "event_id", "allowed", "tokens_after",
     )
+
+
+def change_point(
+    events: DataFrame,
+    bucket_sec: int = 21600,
+    min_seg: int = 2,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Offline single change-point per series (the binary-segmentation
+    step CUSUM's online recursion descends from): split the bucketed
+    series at the k that MINIMIZES total within-segment SSE —
+    equivalently maximizes ``L²/k + R²/(n−k)`` over the micro-unit
+    prefix sums (Σx² is split-invariant and cancels).
+
+    Cross-engine determinism with ZERO rounding: prefix sums are exact
+    int64 micro-units in a deterministic (window ORDER BY bucket)
+    order; each candidate's objective is the IDENTICAL float expression
+    over identical integers — L² overflows exact-double range but IEEE
+    multiplication of identical operands rounds identically on both
+    engines — and the argmax tie-breaks on the smaller k, so equal
+    objectives (constant series) still pick the same split. The emitted
+    ``gain`` (variance-explained numerator, objective − T²/n) is the
+    same class of deterministic double (the holt unrounded-gate
+    convention).
+
+    Fully relational — no Python anywhere: one combinable bucket
+    groupBy, one key-window prefix pass (exchange reused by the rank
+    window on the same key), candidates filtered to
+    ``min_seg ≤ k ≤ n − min_seg``; series with no admissible split
+    emit nothing.
+
+    Output: (key, k, n, split_bucket, gain) — split_bucket is the FIRST
+    bucket of the right segment.
+    """
+    from pyspark.sql.window import Window
+
+    if min_seg < 1:
+        raise ValueError("min_seg >= 1")
+    cells = (
+        events.select(
+            F.col(key_col).cast("long").alias("key"),
+            F.floor(F.col(ts_col).cast("long") / bucket_sec)
+            .cast("long")
+            .alias("bucket"),
+            F.round(F.col(value_col) * 1_000_000).cast("bigint").alias("vu"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.sum("vu").alias("su"))
+    )
+    wseq = Window.partitionBy("key").orderBy("bucket")
+    wkey = Window.partitionBy("key")
+    pre = cells.select(
+        "key",
+        "bucket",
+        F.row_number().over(wseq).alias("j"),
+        F.sum("su").over(
+            wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("s"),
+        F.count("*").over(wkey).alias("n"),
+        F.sum("su").over(wkey).alias("t"),
+    )
+    cand = pre.filter(
+        (F.col("j") >= min_seg) & (F.col("j") <= F.col("n") - min_seg)
+    )
+    ld = F.col("s").cast("double")
+    rd = (F.col("t") - F.col("s")).cast("double")
+    obj = ld * ld / F.col("j").cast("double") + rd * rd / (
+        F.col("n") - F.col("j")
+    ).cast("double")
+    td = F.col("t").cast("double")
+    gain = (obj - td * td / F.col("n").cast("double")).alias("gain")
+    scored = cand.select(
+        "key", "bucket", F.col("j").alias("k"), "n", obj.alias("obj"), gain
+    )
+    wrank = Window.partitionBy("key").orderBy(
+        F.col("obj").desc(), F.col("k").asc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(wrank)).filter(
+        F.col("rn") == 1
+    )
+    # split_bucket = first bucket of the RIGHT segment: the bucket at
+    # sequence position k+1 — join back on (key, j = k+1)
+    nxt = pre.select(
+        "key", F.col("j").alias("k1"), F.col("bucket").alias("split_bucket")
+    )
+    return best.join(
+        nxt, (best.key == nxt.key) & (nxt.k1 == best.k + 1)
+    ).select(best.key.alias(key_col), "k", "n", "split_bucket", "gain")

@@ -8225,3 +8225,57 @@ SQL_TIER2_QUANTILE = SQL_HISTOGRAM_QUANTILE.replace("21600", "86400")
 
 QUERIES["tier2_quantile"] = q_tier2_quantile
 ORACLES["tier2_quantile"] = SQL_TIER2_QUANTILE
+
+
+def q_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline change-point per user series (binary-segmentation SSE
+    split over 6h micro-unit bucket sums) — zero-rounding deterministic
+    objective, smaller-k tie-break."""
+    from .operators.rollup import change_point
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    return change_point(ev, bucket_sec=21600, min_seg=2,
+                        key_col="user_id", ts_col="sec")
+
+
+SQL_CHANGE_POINT = r"""
+WITH cells AS (
+  SELECT user_id AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+         sum(CAST(round(value * 1000000) AS BIGINT)) AS su
+  FROM events GROUP BY 1, 2
+),
+pre AS (
+  SELECT key, bucket,
+         row_number() OVER w AS j,
+         sum(su) OVER (PARTITION BY key ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+         count(*) OVER (PARTITION BY key) AS n,
+         sum(su) OVER (PARTITION BY key) AS t
+  FROM cells WINDOW w AS (PARTITION BY key ORDER BY bucket)
+),
+cand AS (
+  SELECT key, bucket, j AS k, n,
+         CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(j AS DOUBLE)
+           + CAST(t - s AS DOUBLE) * CAST(t - s AS DOUBLE)
+             / CAST(n - j AS DOUBLE) AS obj,
+         CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(j AS DOUBLE)
+           + CAST(t - s AS DOUBLE) * CAST(t - s AS DOUBLE)
+             / CAST(n - j AS DOUBLE)
+           - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(n AS DOUBLE) AS gain
+  FROM pre WHERE j >= 2 AND j <= n - 2
+),
+best AS (
+  SELECT key, k, n, gain,
+         row_number() OVER (PARTITION BY key ORDER BY obj DESC, k ASC) AS rn
+  FROM cand
+)
+SELECT b.key AS user_id, b.k, b.n, p.bucket AS split_bucket, b.gain
+FROM best b JOIN pre p ON p.key = b.key AND p.j = b.k + 1
+WHERE b.rn = 1
+"""
+
+QUERIES["change_point"] = q_change_point
+ORACLES["change_point"] = SQL_CHANGE_POINT
