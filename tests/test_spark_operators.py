@@ -1713,3 +1713,31 @@ def test_change_point_finds_planted_level_shift(spark):
                         ts_col="sec")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_session_funnel_scopes_conversion_to_sessions(spark):
+    from tsmp_spark.operators.rollup import session_funnel
+
+    rows = [
+        # session 0: signup+click, NO purchase in session
+        (1, 100, "signup", 1), (1, 200, "click", 2),
+        # gap > 1000 -> session 1: purchase alone (no signup -> no funnel row)
+        (1, 5000, "purchase", 3),
+        # session 2: full conversion inside one visit
+        (1, 10000, "signup", 4), (1, 10200, "click", 5),
+        (1, 10400, "purchase", 6),
+        # user 2: click BEFORE signup within a session -> chain stalls at 1
+        (2, 100, "click", 7), (2, 200, "signup", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, sec long, event_type string, event_id long")
+    out = {(r.user_id, r.session_idx): r for r in session_funnel(
+        df, ["signup", "click", "purchase"], gap=1000,
+        key_col="user_id", ts_col="sec", tie_col="event_id").collect()}
+    # user 1 session 0: reached 2 (purchase was in ANOTHER session —
+    # the whole point vs user-scoped funnel_steps, which would count it)
+    assert out[(1, 0)].steps_reached == 2 and out[(1, 0)].t3 is None
+    assert (1, 1) not in out           # session without the entry step
+    r = out[(1, 2)]
+    assert (r.t1, r.t2, r.t3, r.steps_reached) == (10000, 10200, 10400, 3)
+    assert out[(2, 0)].steps_reached == 1  # click precedes signup

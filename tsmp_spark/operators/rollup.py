@@ -505,6 +505,40 @@ def rollup_percentiles(
     ).withColumnRenamed("key", key_col)
 
 
+def session_assign(
+    events: DataFrame,
+    gap: int,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    tie_col: str | None = None,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-EVENT session assignment — the shared lag+cumsum stage of
+    ``sessionize`` and ``session_funnel``: returns the input rows as
+    (key, ts, [extras...], session_idx) with the 0-based session index
+    per key. One key-hash exchange; downstream groupBys whose keys
+    extend (key) or (key, session_idx) reuse it."""
+    k, t = F.col(key_col), F.col(ts_col)
+    order = [F.col("ts").asc()] + ([F.col("_tie").asc()] if tie_col else [])
+    w = Window.partitionBy("key").orderBy(*order)
+    sel = [k.alias("key"), t.alias("ts")]
+    if tie_col:
+        sel.append(F.col(tie_col).alias("_tie"))
+    for c in extra_cols or []:
+        sel.append(F.col(c))
+    flagged = events.select(*sel).withColumn(
+        "_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts") - F.lag("ts").over(w)) > gap),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.withColumn(
+        "session_idx", F.sum("_new").over(w).cast("long") - 1
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap: int,
@@ -526,23 +560,7 @@ def sessionize(
     full determinism; the session SPLIT is tie-insensitive since equal
     timestamps have gap 0).
     """
-    k, t = F.col(key_col), F.col(ts_col)
-    order = [F.col("ts").asc()] + ([F.col("_tie").asc()] if tie_col else [])
-    w = Window.partitionBy("key").orderBy(*order)
-    sel = [k.alias("key"), t.alias("ts")]
-    if tie_col:
-        sel.append(F.col(tie_col).alias("_tie"))
-    flagged = events.select(*sel).withColumn(
-        "_new",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | ((F.col("ts") - F.lag("ts").over(w)) > gap),
-            1,
-        ).otherwise(0),
-    )
-    with_idx = flagged.withColumn(
-        "session_idx", F.sum("_new").over(w).cast("long") - 1
-    )
+    with_idx = session_assign(events, gap, key_col, ts_col, tie_col)
     return (
         with_idx.groupBy("key", "session_idx")
         .agg(
@@ -2517,3 +2535,74 @@ def change_point(
     return best.join(
         nxt, (best.key == nxt.key) & (nxt.k1 == best.k + 1)
     ).select(best.key.alias(key_col), "k", "n", "split_bucket", "gain")
+
+
+def session_funnel(
+    events: DataFrame,
+    steps: list[str],
+    gap: int,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    type_col: str = "event_type",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Funnel conversion scoped to SESSIONS instead of whole users:
+    events first get inactivity-gap session ids (the shared
+    ``session_assign`` stage), then the greedy ordered chain of
+    ``funnel_steps`` runs per (user, session) — "did the user click
+    then purchase WITHIN one visit", the form product analytics
+    actually asks. The session boundary replaces ``window_sec`` as the
+    conversion scope.
+
+    Exactness: pure integer min-aggregates over integer session ids —
+    nothing to round (the funnel convention).
+
+    Scale: ONE key-hash exchange for the session window; every step's
+    conditional min groupBy and join keys on (key, session_idx), which
+    extends that partitioning prefix — the whole chain reuses one
+    shuffle, k a small constant.
+
+    Output: one row per (user, session) that entered the funnel:
+    session_idx, each step's timestamp (NULL after the chain breaks),
+    steps_reached.
+    """
+    sel = [
+        F.col(key_col).cast("long").alias(key_col),
+        F.col(ts_col).cast("long").alias(ts_col),
+        F.col(type_col).alias("etype"),
+    ]
+    if tie_col:
+        sel.append(F.col(tie_col))
+    rows = session_assign(
+        events.select(*sel),
+        gap,
+        key_col,
+        ts_col,
+        tie_col=tie_col,
+        extra_cols=["etype"],
+    ).select("key", F.col("ts").alias("sec"), "etype", "session_idx")
+    cur = (
+        rows.where(F.col("etype") == steps[0])
+        .groupBy("key", "session_idx")
+        .agg(F.min("sec").alias("t1"))
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = (
+            rows.join(cur, ["key", "session_idx"])
+            .where(
+                (F.col("etype") == step) & (F.col("sec") >= F.col(f"t{k - 1}"))
+            )
+            .groupBy("key", "session_idx")
+            .agg(F.min("sec").alias(f"t{k}"))
+        )
+        cur = cur.join(nxt, ["key", "session_idx"], "left")
+    reached = sum(
+        F.when(F.col(f"t{k}").isNotNull(), 1).otherwise(0)
+        for k in range(2, len(steps) + 1)
+    ) + F.lit(1)
+    return cur.select(
+        F.col("key").alias(key_col),
+        "session_idx",
+        *[F.col(f"t{k}") for k in range(1, len(steps) + 1)],
+        reached.cast("int").alias("steps_reached"),
+    )

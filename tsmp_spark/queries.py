@@ -8279,3 +8279,108 @@ WHERE b.rn = 1
 
 QUERIES["change_point"] = q_change_point
 ORACLES["change_point"] = SQL_CHANGE_POINT
+
+
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical grouping-sets aggregation via Spark's NATIVE
+    rollup(): (event_type, day) counts + micro-unit value sums with
+    subtotal and grand-total rows — the OLAP totals surface, gated
+    against DuckDB's GROUP BY ROLLUP. GROUPING() flags disambiguate
+    real NULL keys from subtotal NULLs (integer-only output)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts").cast("long") / 86400)
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("vu"),
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("vu").alias("sum_u"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+        )
+        .select("event_type", "day", "cnt", "sum_u", "g_type", "g_day")
+    )
+
+
+SQL_ROLLUP_CUBE = r"""
+SELECT event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_u,
+       CAST(CASE WHEN GROUPING(event_type) THEN 1 ELSE 0 END AS INT) AS g_type,
+       CAST(CASE WHEN GROUPING(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+                 THEN 1 ELSE 0 END AS INT) AS g_day
+FROM events
+GROUP BY ROLLUP (event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+"""
+
+QUERIES["rollup_cube"] = q_rollup_cube
+ORACLES["rollup_cube"] = SQL_ROLLUP_CUBE
+
+
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion per (user, 2h-gap session): signup → click →
+    purchase within one visit — integer min-aggregates over the shared
+    session-assignment stage."""
+    from .operators.rollup import session_funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "event_type",
+        "event_id",
+    )
+    return session_funnel(ev, ["signup", "click", "purchase"], gap=7200,
+                          key_col="user_id", ts_col="sec",
+                          tie_col="event_id")
+
+
+SQL_SESSION_FUNNEL = r"""
+WITH rows_ AS (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         event_type AS etype, event_id AS eid
+  FROM events
+),
+assigned AS (
+  SELECT key, sec, etype,
+         CAST(sum(CASE WHEN prev IS NULL OR sec - prev > 7200
+                       THEN 1 ELSE 0 END)
+                OVER (PARTITION BY key ORDER BY sec, eid
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+              AS BIGINT) AS session_idx
+  FROM (
+    SELECT key, sec, etype, eid,
+           lag(sec) OVER (PARTITION BY key ORDER BY sec, eid) AS prev
+    FROM rows_
+  )
+),
+s1 AS (
+  SELECT key, session_idx, min(sec) AS t1
+  FROM assigned WHERE etype = 'signup' GROUP BY 1, 2
+),
+s2 AS (
+  SELECT a.key, a.session_idx, min(a.sec) AS t2
+  FROM assigned a JOIN s1 ON s1.key = a.key AND s1.session_idx = a.session_idx
+  WHERE a.etype = 'click' AND a.sec >= s1.t1
+  GROUP BY 1, 2
+),
+s3 AS (
+  SELECT a.key, a.session_idx, min(a.sec) AS t3
+  FROM assigned a
+  JOIN s2 ON s2.key = a.key AND s2.session_idx = a.session_idx
+  WHERE a.etype = 'purchase' AND a.sec >= s2.t2
+  GROUP BY 1, 2
+)
+SELECT s1.key AS user_id, s1.session_idx, s1.t1, s2.t2, s3.t3,
+       CAST(1 + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS steps_reached
+FROM s1
+LEFT JOIN s2 ON s2.key = s1.key AND s2.session_idx = s1.session_idx
+LEFT JOIN s3 ON s3.key = s1.key AND s3.session_idx = s1.session_idx
+"""
+
+QUERIES["session_funnel"] = q_session_funnel
+ORACLES["session_funnel"] = SQL_SESSION_FUNNEL
