@@ -1741,3 +1741,46 @@ def test_session_funnel_scopes_conversion_to_sessions(spark):
     r = out[(1, 2)]
     assert (r.t1, r.t2, r.t3, r.steps_reached) == (10000, 10200, 10400, 3)
     assert out[(2, 0)].steps_reached == 1  # click precedes signup
+
+
+def test_consensus_motif_planted_shared_pattern(spark):
+    """Three series share one exact motif at known offsets; the
+    consensus radius there is ~0 and every doc's best position is its
+    planted offset. Model of q_consensus_motif's core (radius = max
+    over others of min cross-distance, argmin per doc)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from tsmp_spark.operators import matrix_profile_join
+    from tsmp_spark.queries import W, _r4
+
+    rng = np.random.default_rng(7)
+    motif = np.cumsum(rng.normal(0, 1, W)) + np.linspace(0, 5, W)
+    offs = {1: 10, 2: 25, 3: 3}
+    docs = {}
+    for d, off in offs.items():
+        x = np.cumsum(rng.normal(0, 1, 60))
+        x[off:off + W] = motif
+        docs[d] = x.tolist()
+    rows = [(str(a), docs[a], str(b), docs[b])
+            for a in docs for b in docs if a != b]
+    pairs = spark.createDataFrame(
+        rows,
+        "doc_id_a string, tokens_a array<double>, "
+        "doc_id_b string, tokens_b array<double>",
+    )
+    prof = matrix_profile_join(pairs, W)
+    radius = (
+        prof.filter((F.col("side") == "a") & (F.col("pi") >= 0))
+        .select(F.col("doc_id_a").cast("long").alias("doc_id"), "pos",
+                _r4("mp").alias("md"))
+        .groupBy("doc_id", "pos")
+        .agg(F.max("md").alias("radius"), F.count("*").alias("nb"))
+        .filter(F.col("nb") == 2)
+    )
+    w = Window.partitionBy("doc_id").orderBy("radius", "pos")
+    best = {r.doc_id: r for r in radius.withColumn(
+        "rn", F.row_number().over(w)).filter("rn = 1").collect()}
+    for d, off in offs.items():
+        assert best[d].pos == off, (d, best[d])
+        assert best[d].radius < 0.01

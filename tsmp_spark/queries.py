@@ -8384,3 +8384,146 @@ LEFT JOIN s3 ON s3.key = s1.key AND s3.session_idx = s1.session_idx
 
 QUERIES["session_funnel"] = q_session_funnel
 ORACLES["session_funnel"] = SQL_SESSION_FUNNEL
+
+
+#: consensus-motif doc-length floor (tokens) — long enough to make the
+#: cross-series radius meaningful, small enough that the O(n_a·n_b) SQL
+#: replay stays cheap at sf0.01
+CONSENSUS_MIN = 50
+
+
+def q_consensus_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consensus motif across tokenized docs (Ostinato-lite, after
+    stumpy's ostinato): over the 4 smallest qualifying docs, each
+    position's RADIUS is the max over the other docs of its min
+    z-normalized cross-distance; the per-doc consensus is the argmin
+    radius. Pair profiles come from the AB-join kernel; each pair min
+    rounds r4 BEFORE the max (both engines then max identical values)
+    and ranks tie-break on (radius, pos / doc) — no float argmin."""
+    from .operators import matrix_profile_join
+    from pyspark.sql.window import Window
+
+    tok = _tokenized(spark, sf_dir).filter(F.col("n_tok") >= CONSENSUS_MIN)
+    k4 = (
+        tok.select(F.col("doc_id").cast("bigint").alias("doc_id"), "tokens")
+        .orderBy("doc_id")
+        .limit(4)
+        .select(
+            F.col("doc_id"),
+            F.transform(F.col("tokens"), lambda t: t.cast("double")).alias(
+                "tokens"
+            ),
+        )
+    )
+    ids = [r.doc_id for r in k4.select("doc_id").collect()]  # k-bounded
+    if len(ids) < 2:
+        return spark.createDataFrame(
+            [], "doc_id bigint, pos bigint, radius double, rank int"
+        )
+    a = k4.select(
+        F.col("doc_id").cast("string").alias("doc_id_a"),
+        F.col("tokens").alias("tokens_a"),
+    )
+    b = k4.select(
+        F.col("doc_id").cast("string").alias("doc_id_b"),
+        F.col("tokens").alias("tokens_b"),
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(
+        F.col("doc_id_a") != F.col("doc_id_b")
+    )
+    prof = matrix_profile_join(pairs, W)
+    radius = (
+        prof.filter((F.col("side") == "a") & (F.col("pi") >= 0))
+        .select(
+            F.col("doc_id_a").cast("bigint").alias("doc_id"),
+            F.col("pos").cast("bigint").alias("pos"),
+            _r4("mp").alias("md"),
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.max("md").alias("radius"), F.count("*").alias("nb"))
+        .filter(F.col("nb") == len(ids) - 1)
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy(
+        F.col("radius").asc(), F.col("pos").asc()
+    )
+    best = radius.withColumn("rn", F.row_number().over(wdoc)).filter(
+        F.col("rn") == 1
+    )
+    wall = Window.orderBy(F.col("radius").asc(), F.col("doc_id").asc())
+    return best.select(
+        "doc_id", "pos", "radius",
+        F.row_number().over(wall).cast("int").alias("rank"),
+    )
+
+
+SQL_CONSENSUS_MOTIF = f"""
+WITH {_SQL_TOKEN_SERIES},
+lens AS (
+  SELECT doc_id, count(*) AS n FROM s GROUP BY 1
+  HAVING count(*) >= {CONSENSUS_MIN}
+),
+k4 AS (
+  SELECT doc_id FROM lens ORDER BY CAST(doc_id AS BIGINT) LIMIT 4
+),
+kn AS (SELECT count(*) AS k FROM k4),
+el AS (SELECT s.* FROM s JOIN k4 USING (doc_id)),
+st AS (
+  SELECT el.doc_id, el.pos,
+         avg(value) OVER w AS mu,
+         stddev_pop(value) OVER w AS sd,
+         count(*) OVER w AS cnt
+  FROM el
+  WINDOW w AS (PARTITION BY el.doc_id ORDER BY el.pos
+               ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)
+),
+stats AS (
+  SELECT doc_id, pos, mu, sd FROM st
+  WHERE cnt = {W} AND sd >= 1e-7 * (abs(mu) + 1.0)
+),
+pr AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, a.pos AS t,
+         b.pos - a.pos AS d, a.value * b.value AS p
+  FROM el a JOIN el b ON a.doc_id <> b.doc_id
+),
+qt AS (
+  SELECT ida, idb, t AS i, d,
+         sum(p) OVER win AS qt,
+         count(p) OVER win AS m
+  FROM pr
+  WINDOW win AS (PARTITION BY ida, idb, d ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)
+),
+dists AS (
+  SELECT q.ida, q.idb, q.i,
+         sqrt(greatest(2.0 * {W} * (1.0 - (q.qt - {W} * si.mu * sj.mu)
+              / ({W} * si.sd * sj.sd)), 0.0)) AS dist
+  FROM qt q
+  JOIN stats si ON si.doc_id = q.ida AND si.pos = q.i
+  JOIN stats sj ON sj.doc_id = q.idb AND sj.pos = q.i + q.d
+  WHERE q.m = {W}
+),
+mind AS (
+  SELECT ida, idb, i, round(min(dist), 4) AS md
+  FROM dists GROUP BY 1, 2, 3
+),
+radius AS (
+  SELECT ida AS doc_id, i AS pos, max(md) AS radius, count(*) AS nb
+  FROM mind GROUP BY 1, 2
+),
+rad AS (
+  SELECT r.* FROM radius r, kn WHERE r.nb = kn.k - 1
+),
+best AS (
+  SELECT doc_id, pos, radius,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY radius, pos) AS rn
+  FROM rad
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS BIGINT) AS pos, radius,
+       CAST(row_number() OVER (ORDER BY radius, CAST(doc_id AS BIGINT))
+            AS INT) AS rank
+FROM best WHERE rn = 1
+"""
+
+QUERIES["consensus_motif"] = q_consensus_motif
+ORACLES["consensus_motif"] = SQL_CONSENSUS_MOTIF
