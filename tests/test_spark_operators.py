@@ -1784,3 +1784,19 @@ def test_consensus_motif_planted_shared_pattern(spark):
     for d, off in offs.items():
         assert best[d].pos == off, (d, best[d])
         assert best[d].radius < 0.01
+
+
+def test_source_contamination_matrix(spark):
+    from tsmp_spark.operators.dedup import source_contamination
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    docs = [
+        (1, base, "A"), (2, base + "tail", "B"),          # A-B near-dup
+        (3, base + "x y", "B"), (4, "totally different words here " * 6, "A"),
+        (5, base, "A"),                                   # A-A near-dup
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {(r.source_a, r.source_b): r.dup_pairs
+           for r in source_contamination(df, threshold=0.3).collect()}
+    # pairs: (1,2)AB (1,3)AB (2,3)BB (1,5)AA (2,5)AB (3,5)AB -> AB=4, AA=1, BB=1
+    assert got == {("A", "B"): 4, ("A", "A"): 1, ("B", "B"): 1}

@@ -685,3 +685,44 @@ def duplication_rate(
             F.round(F.col("n_duplicated") / F.col("n_shingles"), 6).alias("dup_rate"),
         )
     )
+
+
+def source_contamination(
+    documents: DataFrame,
+    threshold: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source NEAR-duplicate contamination matrix: for every
+    source pair (a ≤ b), how many near-dup document pairs (n-gram
+    Jaccard ≥ ``threshold``, the ``ngram_jaccard_pairs`` candidates)
+    have one member in each — "how much of crawl B re-crawls A", the
+    corpus-health rollup of the dedup layer. Diagonal = within-source
+    pairs. Integer-only output.
+
+    Scale: rides entirely on the shingle-bounded pair generator (its
+    ``max_shingle_freq`` cap applies); the source lookup joins the
+    pairs (small) to the doc→source map on the doc key — bounded by
+    |pairs|, never |docs|².
+    """
+    pairs = ngram_jaccard_pairs(
+        documents, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    src_map = documents.select(
+        F.col(id_col).alias("doc"), F.col(source_col).alias("src")
+    )
+    joined = (
+        pairs.join(src_map.withColumnRenamed("doc", "doc_a")
+                   .withColumnRenamed("src", "src_a"), "doc_a")
+        .join(src_map.withColumnRenamed("doc", "doc_b")
+              .withColumnRenamed("src", "src_b"), "doc_b")
+    )
+    return (
+        joined.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("dup_pairs"))
+    )

@@ -8527,3 +8527,42 @@ FROM best WHERE rn = 1
 
 QUERIES["consensus_motif"] = q_consensus_motif
 ORACLES["consensus_motif"] = SQL_CONSENSUS_MOTIF
+
+
+def q_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate contamination matrix over the
+    n-gram-Jaccard pairs (threshold 0.1) — duplicate-pair counts per
+    unordered source pair."""
+    from .operators.dedup import source_contamination
+
+    return source_contamination(_documents(spark, sf_dir), threshold=0.1)
+
+
+SQL_SOURCE_CONTAMINATION = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= 0.1
+),
+tagged AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS dup_pairs
+FROM tagged GROUP BY 1, 2
+"""
+
+QUERIES["source_contamination"] = q_source_contamination
+ORACLES["source_contamination"] = SQL_SOURCE_CONTAMINATION
