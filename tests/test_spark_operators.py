@@ -1800,3 +1800,34 @@ def test_source_contamination_matrix(spark):
            for r in source_contamination(df, threshold=0.3).collect()}
     # pairs: (1,2)AB (1,3)AB (2,3)BB (1,5)AA (2,5)AB (3,5)AB -> AB=4, AA=1, BB=1
     assert got == {("A", "B"): 4, ("A", "A"): 1, ("B", "B"): 1}
+
+
+def test_subsequence_search_finds_planted_match(spark, monkeypatch, tmp_path):
+    """The search's kernel math on a controlled corpus: the planted
+    copy of the query window ranks at distance 0 right behind the
+    query's own position."""
+    import numpy as np
+    import pandas as pd
+    from tsmp_spark.queries import q_subsequence_search, W, CONSENSUS_MIN
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    rng = np.random.default_rng(3)
+    qdoc = rng.integers(0, 1000, CONSENSUS_MIN + 10).astype(np.int64)
+    other = rng.integers(0, 1000, CONSENSUS_MIN + 30).astype(np.int64)
+    other[12:12 + W] = qdoc[:W]  # exact planted copy of the query
+    # write a documents.parquet whose tokenize output we bypass by
+    # monkeypatching _tokenized
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in qdoc], len(qdoc), "a"),
+         (2, [float(x) for x in other], len(other), "b")],
+        "doc_id long, tokens array<double>, n_tok long, source string",
+    )
+    import tsmp_spark.queries as Q
+    monkeypatch.setattr(Q, "_tokenized", lambda sp, sf: df)
+    out = sorted(q_subsequence_search(spark, "unused").collect(),
+                 key=lambda r: r.rank)
+    assert (out[0].doc_id, out[0].pos, out[0].dist_r) == (1, 0, 0.0)
+    assert (out[1].doc_id, out[1].pos, out[1].dist_r) == (2, 12, 0.0)
+    assert all(out[i].dist_r <= out[i + 1].dist_r for i in range(len(out) - 1))

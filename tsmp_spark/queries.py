@@ -8566,3 +8566,138 @@ FROM tagged GROUP BY 1, 2
 
 QUERIES["source_contamination"] = q_source_contamination
 ORACLES["source_contamination"] = SQL_SOURCE_CONTAMINATION
+
+
+def q_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-example subsequence search across the WHOLE tokenized
+    corpus (the MASS-as-a-service flagship): the query is the first W
+    tokens of the smallest qualifying doc (derived identically on both
+    engines — no literals shipped), z-normalized distance to every
+    admissible window of every doc, global top-20 ranked on the
+    r4-rounded distance with (doc, pos) tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    from .mpcore.stats import lowvar_threshold
+    from pyspark.sql.window import Window
+
+    tok = _tokenized(spark, sf_dir).filter(F.col("n_tok") >= CONSENSUS_MIN)
+    seqs = tok.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.transform(F.col("tokens"), lambda t: t.cast("double")).alias("tokens"),
+    )
+    qrow = seqs.orderBy("doc_id").limit(1).collect()
+    if not qrow:
+        return spark.createDataFrame(
+            [], "doc_id bigint, pos bigint, dist_r double, rank int"
+        )
+    q = np.asarray(qrow[0].tokens[:W], dtype=np.float64)
+    qmu = float(q.mean())
+    qsd = float(q.std())
+    if qsd < lowvar_threshold(qmu):
+        return spark.createDataFrame(
+            [], "doc_id bigint, pos bigint, dist_r double, rank int"
+        )
+    schema = "doc_id long, pos long, dist double"
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                v = np.asarray(tokens, dtype=np.float64)
+                if v.shape[0] < W:
+                    continue
+                win = np.lib.stride_tricks.sliding_window_view(v, W)
+                mu = win.mean(axis=1)
+                sd = win.std(axis=1)
+                dot = win @ q
+                ok = sd >= lowvar_threshold(mu)
+                dp = np.where(
+                    ok,
+                    2.0 * W * (1.0 - (dot - W * mu * qmu) / (W * sd * qsd)),
+                    np.nan,
+                )
+                dist = np.sqrt(np.maximum(dp, 0.0))
+                pos = np.nonzero(ok)[0]
+                if pos.size:
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "doc_id": np.repeat(doc_id, pos.size),
+                                "pos": pos.astype(np.int64),
+                                "dist": dist[pos],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    prof = seqs.repartition(n_parts).mapInPandas(kernel, schema)
+    ranked = prof.select(
+        "doc_id", "pos", _r4("dist").alias("dist_r")
+    ).withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("dist_r").asc(), F.col("doc_id").asc(),
+                             F.col("pos").asc()))
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rank") <= 20).select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), "dist_r", "rank"
+    )
+
+
+SQL_SUBSEQUENCE_SEARCH = f"""
+WITH {_SQL_TOKEN_SERIES},
+lens AS (
+  SELECT doc_id, count(*) AS n FROM s GROUP BY 1
+  HAVING count(*) >= {CONSENSUS_MIN}
+),
+qdoc AS (SELECT doc_id FROM lens ORDER BY CAST(doc_id AS BIGINT) LIMIT 1),
+q AS (
+  SELECT s.pos AS i, s.value AS qv FROM s JOIN qdoc USING (doc_id)
+  WHERE s.pos < {W}
+),
+qstats AS (SELECT avg(qv) AS mu, stddev_pop(qv) AS sd FROM q),
+el AS (SELECT s.* FROM s JOIN lens USING (doc_id)),
+st AS (
+  SELECT el.doc_id, el.pos,
+         avg(value) OVER w AS mu,
+         stddev_pop(value) OVER w AS sd,
+         count(*) OVER w AS cnt
+  FROM el
+  WINDOW w AS (PARTITION BY el.doc_id ORDER BY el.pos
+               ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)
+),
+stats AS (
+  SELECT doc_id, pos, mu, sd FROM st
+  WHERE cnt = {W} AND sd >= 1e-7 * (abs(mu) + 1.0)
+),
+dots AS (
+  SELECT el.doc_id, el.pos - q.i AS j, sum(el.value * q.qv) AS dot,
+         count(*) AS m
+  FROM el JOIN q ON el.pos - q.i >= 0
+  GROUP BY 1, 2
+),
+dists AS (
+  SELECT d.doc_id, d.j,
+         sqrt(greatest(2.0 * {W} * (1.0 - (d.dot - {W} * t.mu * qs.mu)
+              / ({W} * t.sd * qs.sd)), 0.0)) AS dist
+  FROM dots d
+  JOIN stats t ON t.doc_id = d.doc_id AND t.pos = d.j
+  CROSS JOIN qstats qs
+  WHERE d.m = {W} AND qs.sd >= 1e-7 * (abs(qs.mu) + 1.0)
+),
+ranked AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(j AS BIGINT) AS pos,
+         round(dist, 4) AS dist_r,
+         CAST(row_number() OVER (ORDER BY round(dist, 4),
+                                 CAST(doc_id AS BIGINT), j) AS INT) AS rank
+  FROM dists
+)
+SELECT doc_id, pos, dist_r, rank FROM ranked WHERE rank <= 20
+"""
+
+QUERIES["subsequence_search"] = q_subsequence_search
+ORACLES["subsequence_search"] = SQL_SUBSEQUENCE_SEARCH
