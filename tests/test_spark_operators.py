@@ -1831,3 +1831,24 @@ def test_subsequence_search_finds_planted_match(spark, monkeypatch, tmp_path):
     assert (out[0].doc_id, out[0].pos, out[0].dist_r) == (1, 0, 0.0)
     assert (out[1].doc_id, out[1].pos, out[1].dist_r) == (2, 12, 0.0)
     assert all(out[i].dist_r <= out[i + 1].dist_r for i in range(len(out) - 1))
+
+
+def test_behavior_ngrams_census(spark):
+    from tsmp_spark.operators.rollup import behavior_ngrams
+
+    rows = [
+        # user 1: a b c a b c  -> abc x2, bca, cab
+        (1, 0, "a", 1), (1, 1, "b", 2), (1, 2, "c", 3),
+        (1, 3, "a", 4), (1, 4, "b", 5), (1, 5, "c", 6),
+        # user 2: a b c -> abc (never crosses users)
+        (2, 0, "a", 7), (2, 1, "b", 8), (2, 2, "c", 9),
+        # user 3: too short for a trigram
+        (3, 0, "z", 10), (3, 1, "z", 11),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, sec long, event_type string, event_id long")
+    got = {r.gram: (r.cnt, r.rank) for r in behavior_ngrams(
+        df, n=3, top_k=10, key_col="user_id", ts_col="sec").collect()}
+    assert got["a>b>c"] == (3, 1)
+    assert got["b>c>a"] == (1, 2) and got["c>a>b"] == (1, 3)  # ties by gram
+    assert "z" not in "".join(got)  # short streams contribute nothing

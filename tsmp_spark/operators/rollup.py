@@ -2606,3 +2606,53 @@ def session_funnel(
         *[F.col(f"t{k}") for k in range(1, len(steps) + 1)],
         reached.cast("int").alias("steps_reached"),
     )
+
+
+def behavior_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    top_k: int = 25,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Frequent consecutive event-type sequences across all users (the
+    behavioral n-gram census: "view>click>purchase happened 1 312
+    times") — the corpus-collocation idea (token_pmi_bigrams) applied
+    to user event streams. Each user's events are ordered by (ts, id)
+    — a TOTAL order, the sessionize lesson — and every run of ``n``
+    consecutive events contributes one n-gram.
+
+    Output: top ``top_k`` n-grams by (count DESC, gram ASC) with a
+    dense rank — integer-only, fully deterministic.
+
+    Scale: one key-hash exchange for the lead window; the n-gram count
+    groupBy is (event-type)ⁿ-bounded with map-side combine; the top-k
+    is a single bounded sort.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("key").orderBy("sec", "tie")
+    rows = events.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).cast("long").alias("sec"),
+        F.col(tie_col).cast("long").alias("tie"),
+        F.col(type_col).alias("e0"),
+    )
+    for i in range(1, n):
+        rows = rows.withColumn(f"e{i}", F.lead("e0", i).over(w))
+    gram = F.concat_ws(">", *[F.col(f"e{i}") for i in range(n)])
+    counted = (
+        rows.filter(F.col(f"e{n - 1}").isNotNull())
+        .select(gram.alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    ranked = counted.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("gram").asc()))
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rank") <= top_k).select("gram", "cnt", "rank")

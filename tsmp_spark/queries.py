@@ -8701,3 +8701,46 @@ SELECT doc_id, pos, dist_r, rank FROM ranked WHERE rank <= 20
 
 QUERIES["subsequence_search"] = q_subsequence_search
 ORACLES["subsequence_search"] = SQL_SUBSEQUENCE_SEARCH
+
+
+def q_behavior_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 consecutive event-type trigrams across all user streams
+    (behavioral n-gram census) — total (ts, event_id) order, integer
+    counts, deterministic (cnt DESC, gram ASC) rank."""
+    from .operators.rollup import behavior_ngrams
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "event_type",
+        "event_id",
+    )
+    return behavior_ngrams(ev, n=3, top_k=25, key_col="user_id",
+                           ts_col="sec")
+
+
+SQL_BEHAVIOR_NGRAMS = r"""
+WITH rows_ AS (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         event_id AS tie, event_type AS e0
+  FROM events
+),
+leads AS (
+  SELECT e0,
+         lead(e0, 1) OVER w AS e1,
+         lead(e0, 2) OVER w AS e2
+  FROM rows_ WINDOW w AS (PARTITION BY key ORDER BY sec, tie)
+),
+counted AS (
+  SELECT e0 || '>' || e1 || '>' || e2 AS gram,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM leads WHERE e2 IS NOT NULL GROUP BY 1
+),
+ranked AS (
+  SELECT gram, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, gram ASC) AS INT) AS rank
+  FROM counted
+)
+SELECT gram, cnt, rank FROM ranked WHERE rank <= 25
+"""
+
+QUERIES["behavior_ngrams"] = q_behavior_ngrams
+ORACLES["behavior_ngrams"] = SQL_BEHAVIOR_NGRAMS
