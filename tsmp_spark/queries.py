@@ -8744,3 +8744,126 @@ SELECT gram, cnt, rank FROM ranked WHERE rank <= 25
 
 QUERIES["behavior_ngrams"] = q_behavior_ngrams
 ORACLES["behavior_ngrams"] = SQL_BEHAVIOR_NGRAMS
+
+
+def q_weighted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted z-normalized distance profiles corpus-wide — the
+    mass_weighted kernel (FFT convolution form, mass-pre-w.R:37-91 /
+    mass_weighted.R:45-72) gated by the exact three-sum relational
+    expansion (A−2μB+sumw·μ²)/σ² − 2(C−sumwy·μ)/σ + sumwy2. Weights
+    ramp 1..W (exact integers); query = first W tokens of the smallest
+    qualifying doc. Measured FFT-vs-exact drift ≤ 2.4e-12 absolute on
+    token magnitudes — the r4 gate has 7 orders of margin."""
+    import numpy as np
+    import pandas as pd
+
+    from .mpcore.mass import mass_pre_weighted, mass_weighted
+    from .mpcore.stats import lowvar_threshold
+
+    tok = _tokenized(spark, sf_dir).filter(F.col("n_tok") >= CONSENSUS_MIN)
+    seqs = tok.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.transform(F.col("tokens"), lambda t: t.cast("double")).alias("tokens"),
+    )
+    qrow = seqs.orderBy("doc_id").limit(1).collect()
+    empty_schema = "doc_id bigint, pos bigint, wdp_r double"
+    if not qrow:
+        return spark.createDataFrame([], empty_schema)
+    q = np.asarray(qrow[0].tokens[:W], dtype=np.float64)
+    qmu, qsd = float(q.mean()), float(q.std())
+    if qsd < lowvar_threshold(qmu):
+        return spark.createDataFrame([], empty_schema)
+    wt = np.arange(1, W + 1, dtype=np.float64)
+    schema = "doc_id long, pos long, wdp double"
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                v = np.asarray(tokens, dtype=np.float64)
+                if v.shape[0] < W:
+                    continue
+                pre = mass_pre_weighted(v, W, wt)
+                dp, _ = mass_weighted(pre, q, qmu, qsd)
+                ok = (
+                    np.isfinite(dp)
+                    & (pre.data_sd >= lowvar_threshold(pre.data_mean))
+                )
+                pos = np.nonzero(ok)[0]
+                if pos.size:
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "doc_id": np.repeat(doc_id, pos.size),
+                                "pos": pos.astype(np.int64),
+                                "wdp": dp[pos],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    prof = seqs.repartition(n_parts).mapInPandas(kernel, schema)
+    return prof.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        (_r4("wdp") + F.lit(0.0)).alias("wdp_r"),
+    )
+
+
+SQL_WEIGHTED_SEARCH = f"""
+WITH {_SQL_TOKEN_SERIES},
+lens AS (
+  SELECT doc_id, count(*) AS n FROM s GROUP BY 1
+  HAVING count(*) >= {CONSENSUS_MIN}
+),
+qdoc AS (SELECT doc_id FROM lens ORDER BY CAST(doc_id AS BIGINT) LIMIT 1),
+q AS (
+  SELECT s.pos AS i, s.value AS qv, s.pos + 1.0 AS wt
+  FROM s JOIN qdoc USING (doc_id) WHERE s.pos < {W}
+),
+qstats AS (SELECT avg(qv) AS mu, stddev_pop(qv) AS sd FROM q),
+qz AS (
+  SELECT q.i, q.wt, (q.qv - qs.mu) / qs.sd AS z
+  FROM q CROSS JOIN qstats qs
+  WHERE qs.sd >= 1e-7 * (abs(qs.mu) + 1.0)
+),
+qagg AS (
+  SELECT sum(wt) AS sumw, sum(wt * z) AS sumwy, sum(wt * z * z) AS sumwy2
+  FROM qz
+),
+el AS (SELECT s.* FROM s JOIN lens USING (doc_id)),
+st AS (
+  SELECT el.doc_id, el.pos,
+         avg(value) OVER w AS mu,
+         stddev_pop(value) OVER w AS sd,
+         count(*) OVER w AS cnt
+  FROM el
+  WINDOW w AS (PARTITION BY el.doc_id ORDER BY el.pos
+               ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)
+),
+stats AS (
+  SELECT doc_id, pos, mu, sd FROM st
+  WHERE cnt = {W} AND sd >= 1e-7 * (abs(mu) + 1.0)
+),
+sums AS (
+  SELECT el.doc_id, el.pos - z.i AS j,
+         sum(z.wt * el.value * el.value) AS a,
+         sum(z.wt * el.value) AS b,
+         sum(z.wt * z.z * el.value) AS c,
+         count(*) AS m
+  FROM el JOIN qz z ON el.pos - z.i >= 0
+  GROUP BY 1, 2
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, CAST(u.j AS BIGINT) AS pos,
+       round((u.a - 2.0 * t.mu * u.b + g.sumw * t.mu * t.mu) / (t.sd * t.sd)
+             - 2.0 * (u.c - g.sumwy * t.mu) / t.sd + g.sumwy2, 4) + 0.0 AS wdp_r
+FROM sums u
+JOIN stats t ON t.doc_id = u.doc_id AND t.pos = u.j
+CROSS JOIN qagg g
+WHERE u.m = {W}
+"""
+
+QUERIES["weighted_search"] = q_weighted_search
+ORACLES["weighted_search"] = SQL_WEIGHTED_SEARCH
