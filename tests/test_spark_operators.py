@@ -1852,3 +1852,19 @@ def test_behavior_ngrams_census(spark):
     assert got["a>b>c"] == (3, 1)
     assert got["b>c>a"] == (1, 2) and got["c>a>b"] == (1, 3)  # ties by gram
     assert "z" not in "".join(got)  # short streams contribute nothing
+
+
+def test_interval_gaps_complement(spark):
+    from tsmp_spark.operators.rollup import interval_gaps
+
+    iv = spark.createDataFrame(
+        [(1, 0, 10), (1, 5, 12), (1, 20, 25), (1, 40, 41),
+         (2, 0, 5), (2, 5, 9),   # touching -> one island, no gap
+         (3, 7, 9)],             # single island, no gap
+        "user_id long, start long, end long",
+    )
+    got = sorted(
+        (r.user_id, r.gap_start, r.gap_end, r.duration)
+        for r in interval_gaps(iv, key_col="user_id").collect()
+    )
+    assert got == [(1, 12, 20, 8), (1, 25, 40, 15)]

@@ -2656,3 +2656,35 @@ def behavior_ngrams(
         .cast("int"),
     )
     return ranked.filter(F.col("rank") <= top_k).select("gram", "cnt", "rank")
+
+
+def interval_gaps(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """The COMPLEMENT of ``interval_coalesce``: per key, the downtime
+    gaps between merged coverage islands — "when was this source NOT
+    reporting". Each consecutive island pair (islands are disjoint and
+    non-touching by construction) yields one gap
+    ``[island_end, next_island_start)``; keys with a single island emit
+    nothing. Integer-only.
+
+    Scale: rides the single-exchange coalesce; the lead window extends
+    the same key partitioning (exchange reused).
+    """
+    from pyspark.sql.window import Window
+
+    merged = interval_coalesce(
+        intervals, key_col=key_col, start_col=start_col, end_col=end_col
+    )
+    w = Window.partitionBy(key_col).orderBy("island")
+    nxt = merged.withColumn("next_start", F.lead("start").over(w))
+    return nxt.filter(F.col("next_start").isNotNull()).select(
+        F.col(key_col),
+        F.col("island").alias("gap_after_island"),
+        F.col("end").alias("gap_start"),
+        F.col("next_start").alias("gap_end"),
+        (F.col("next_start") - F.col("end")).alias("duration"),
+    )

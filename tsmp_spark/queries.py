@@ -8867,3 +8867,59 @@ WHERE u.m = {W}
 
 QUERIES["weighted_search"] = q_weighted_search
 ORACLES["weighted_search"] = SQL_WEIGHTED_SEARCH
+
+
+def q_interval_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downtime gaps per user: the complement of the coalesced coverage
+    islands — integer-only lead over the single-exchange coalesce."""
+    from .operators.rollup import interval_gaps
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.unix_timestamp("ts").cast("long")
+    iv = ev.select(
+        "user_id",
+        sec.alias("start"),
+        (sec + 3600 + F.floor(F.abs(F.col("value")) * 600).cast("long"))
+        .alias("end"),
+    )
+    return interval_gaps(iv, key_col="user_id")
+
+
+SQL_INTERVAL_GAPS = r"""
+WITH iv AS (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 3600
+           + CAST(floor(abs(value) * 600) AS BIGINT) AS e
+  FROM events
+),
+m AS (
+  SELECT key, s, e,
+         max(e) OVER (PARTITION BY key ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv
+),
+isl AS (
+  SELECT key, s, e,
+         sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY key ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+),
+islands AS (
+  SELECT key, CAST(island AS BIGINT) AS island,
+         min(s) AS start, max(e) AS end_
+  FROM isl GROUP BY 1, 2
+),
+gaps AS (
+  SELECT key, island, end_,
+         lead(start) OVER (PARTITION BY key ORDER BY island) AS next_start
+  FROM islands
+)
+SELECT key AS user_id, island AS gap_after_island,
+       end_ AS gap_start, next_start AS gap_end,
+       next_start - end_ AS duration
+FROM gaps WHERE next_start IS NOT NULL
+"""
+
+QUERIES["interval_gaps"] = q_interval_gaps
+ORACLES["interval_gaps"] = SQL_INTERVAL_GAPS
