@@ -1868,3 +1868,27 @@ def test_interval_gaps_complement(spark):
         for r in interval_gaps(iv, key_col="user_id").collect()
     )
     assert got == [(1, 12, 20, 8), (1, 25, 40, 15)]
+
+
+def test_minhash_cross_pairs_fuzzy_decontamination(spark):
+    from tsmp_spark.operators.dedup import minhash_cross_pairs
+
+    bench_text = ("the quick brown fox jumps over the lazy dog and then "
+                  "runs far away into the deep green forest tonight") * 2
+    edited = bench_text.replace("lazy", "sleepy")  # light edit
+    train = spark.createDataFrame(
+        [(1, edited), (2, "completely unrelated content about databases "
+                          "and query planners " * 3)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = minhash_cross_pairs(train, bench, num_hashes=8, bands=4,
+                              threshold=0.25).collect()
+    assert [(r.doc_id, r.bench_id) for r in got] == [(1, 100)]
+    assert 0.25 <= got[0].est_jaccard <= 1.0
+    assert got[0].n_agree == round(got[0].est_jaccard * 8)
+    # plan: benchmark side broadcast, corpus side no shuffle for candidates
+    plan = minhash_cross_pairs(train, bench, num_hashes=8, bands=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -148,6 +148,28 @@ def minhash_signatures(
     )
 
 
+def _band_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Explode a signature table into (doc_id, sig, band, key) LSH band
+    rows — the band-key derivation shared by the self-join and the
+    cross-corpus pair generators (identical expressions on both)."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     text_col: str = "text",
@@ -163,7 +185,6 @@ def minhash_lsh_pairs(
     become candidates; verify candidates with the estimated Jaccard
     (= fraction of agreeing minhashes). Emits (doc_a, doc_b, est_jaccard).
     """
-    rows_per_band = num_hashes // bands
     # signatures are tiny (one row per doc) but expensive to derive
     # (shingle explode + num_hashes md5 scans) — pin before the
     # self-join uses them on both sides (release via cache.release_caches)
@@ -172,21 +193,7 @@ def minhash_lsh_pairs(
             documents, text_col, id_col, n, num_hashes, parallelism=parallelism
         )
     )
-    banded = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat_ws(
-                        ",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))
-                    ).alias("key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _band_keys(sig, num_hashes, bands)
 
     a = banded.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "key")
     b = banded.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "key")
@@ -725,4 +732,61 @@ def source_contamination(
         )
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("bigint").alias("dup_pairs"))
+    )
+
+
+def minhash_cross_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """FUZZY decontamination: MinHash-LSH near-duplicate pairs BETWEEN
+    two corpora (train side × benchmark side) — the approximate
+    companion of the exact 13-gram ``decontaminate``: catches benchmark
+    documents that were lightly edited before landing in the training
+    set, where exact n-gram overlap misses. Same signatures, same band
+    keys (`_band_keys`, shared with the self-join generator), but the
+    candidate join is corpus-bands ⋈ BROADCAST(benchmark-bands) — the
+    benchmark side is small by contract, so the corpus never shuffles
+    for candidate generation.
+
+    Output (doc_id, bench_id, n_agree, est_jaccard) for pairs at or
+    above ``threshold``; ``n_agree`` is the integer signature-agreement
+    count (the estimate's exact numerator).
+    """
+    sig_c = minhash_signatures(
+        corpus, text_col, id_col, n, num_hashes, parallelism=parallelism
+    )
+    sig_b = minhash_signatures(benchmark, text_col, id_col, n, num_hashes)
+    banded_c = _band_keys(sig_c, num_hashes, bands)
+    banded_b = _band_keys(sig_b, num_hashes, bands).select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "key",
+    )
+    cand = (
+        banded_c.join(F.broadcast(banded_b), ["band", "key"])
+        .select(
+            F.col("doc_id"), F.col("bench_id"),
+            F.col("sig").alias("sig_a"), "sig_b",
+        )
+        .dropDuplicates(["doc_id", "bench_id"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        cand.withColumn("n_agree", agree.cast("bigint"))
+        .withColumn(
+            "est_jaccard", F.col("n_agree") / F.lit(float(num_hashes))
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_id", "bench_id", "n_agree", "est_jaccard")
     )

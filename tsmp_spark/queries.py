@@ -8923,3 +8923,53 @@ FROM gaps WHERE next_start IS NOT NULL
 
 QUERIES["interval_gaps"] = q_interval_gaps
 ORACLES["interval_gaps"] = SQL_INTERVAL_GAPS
+
+
+def q_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash-LSH) decontamination: near-dup pairs between the
+    train split (doc_id % 17 != 0) and the benchmark split (doc_id % 17
+    == 0) at est_jaccard >= 0.25 — the approximate companion of the
+    exact 13-gram decontamination gate."""
+    from .operators.dedup import minhash_cross_pairs
+
+    docs = _documents(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    out = minhash_cross_pairs(train, bench, num_hashes=8, bands=4,
+                              threshold=0.25)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("bench_id").cast("bigint").alias("bench_id"),
+        "n_agree",
+        _r4("est_jaccard").alias("est_jaccard"),
+    )
+
+
+SQL_FUZZY_DECONTAMINATION = f"""
+WITH {_sql_minhash(8)},
+banded AS (
+  SELECT doc_id, CAST(floor(hash_idx / 2) AS INT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hash_idx) AS key
+  FROM minhash GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE CAST(a.doc_id AS BIGINT) % 17 <> 0
+    AND CAST(b.doc_id AS BIGINT) % 17 = 0
+),
+agree AS (
+  SELECT c.doc_id, c.bench_id, CAST(count(*) AS BIGINT) AS n_agree
+  FROM cand c
+  JOIN minhash ma ON ma.doc_id = c.doc_id
+  JOIN minhash mb ON mb.doc_id = c.bench_id AND mb.hash_idx = ma.hash_idx
+                 AND mb.minhash = ma.minhash
+  GROUP BY 1, 2
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(bench_id AS BIGINT) AS bench_id,
+       n_agree, round(n_agree / 8.0, 4) AS est_jaccard
+FROM agree WHERE n_agree / 8.0 >= 0.25
+"""
+
+QUERIES["fuzzy_decontamination"] = q_fuzzy_decontamination
+ORACLES["fuzzy_decontamination"] = SQL_FUZZY_DECONTAMINATION
