@@ -1892,3 +1892,37 @@ def test_minhash_cross_pairs_fuzzy_decontamination(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ab_ztest_vs_scipy_free_reference(spark):
+    import math
+    from tsmp_spark.operators.rollup import ab_conversion_ztest
+
+    # arm 0 (even ids): 100 users, 40 convert; arm 1: 100 users, 20
+    rows = []
+    for u in range(200):
+        rows.append((u, 0, "view"))
+        arm = u % 2
+        idx = u // 2
+        if (arm == 0 and idx < 40) or (arm == 1 and idx < 20):
+            rows.append((u, 10, "purchase"))
+    df = spark.createDataFrame(rows, "user_id long, sec long, event_type string")
+    r = ab_conversion_ztest(df, bucket_sec=1000).collect()[0]
+    assert (r.n0, r.c0, r.n1, r.c1) == (100, 40, 100, 20)
+    p = 60 / 200
+    z_ref = (0.4 - 0.2) / math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    assert abs(r.z - z_ref) < 1e-9
+    assert r.significant == 1          # z ~ 3.09, z^2 ~ 9.5 > 3.84
+    # balanced arms: not significant, z ~ 0
+    df2 = spark.createDataFrame(
+        [(u, 0, "view") for u in range(100)]
+        + [(u, 10, "purchase") for u in range(100) if u // 2 < 15],
+        "user_id long, sec long, event_type string",
+    )
+    r2 = ab_conversion_ztest(df2, bucket_sec=1000).collect()[0]
+    assert r2.significant == 0
+    # degenerate: nobody converts -> NULL z, flag 0
+    df3 = spark.createDataFrame([(u, 0, "view") for u in range(10)],
+                                "user_id long, sec long, event_type string")
+    r3 = ab_conversion_ztest(df3, bucket_sec=1000).collect()[0]
+    assert r3.z is None and r3.significant == 0

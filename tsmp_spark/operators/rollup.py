@@ -2688,3 +2688,76 @@ def interval_gaps(
         F.col("next_start").alias("gap_end"),
         (F.col("next_start") - F.col("end")).alias("duration"),
     )
+
+
+def ab_conversion_ztest(
+    events: DataFrame,
+    bucket_sec: int = 86400,
+    convert_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    type_col: str = "event_type",
+    z2_crit: float = 3.8416,
+) -> DataFrame:
+    """Daily A/B conversion monitoring: users split into two arms by
+    the deterministic ``user_id % 2``; per bucket, each arm's active
+    users and converted users (≥ 1 ``convert_type`` event), the
+    two-proportion z statistic, and an integer-count-decided
+    significance flag at ``z² > z2_crit`` (3.8416 = 1.96², the 95%
+    two-sided test).
+
+    Cross-engine determinism: the inputs to z² are pure integer counts;
+    ``z² = (c1·n2 − c2·n1)²·(n1+n2) / (n1·n2·(c1+c2)·(n1+n2−c1−c2))``
+    is the identical float expression over identical integers on both
+    engines (products exceed 2^53 but IEEE rounds identical operands
+    identically — the change_point convention), so the flag comparison
+    cannot flip. z itself is emitted r6. Degenerate buckets (an empty
+    arm, all-or-none conversion pooled) yield NULL z and flag 0.
+
+    Scale: two combinable groupBys (user-bucket activity, then bucket
+    aggregation) — map-side combine absorbs hot buckets.
+    """
+    rows = events.select(
+        F.floor(F.col(ts_col).cast("long") / bucket_sec)
+        .cast("long")
+        .alias("bucket"),
+        (F.col(key_col).cast("long") % 2).cast("int").alias("arm"),
+        F.col(key_col).cast("long").alias("key"),
+        (F.col(type_col) == convert_type).cast("int").alias("conv"),
+    )
+    per_user = rows.groupBy("bucket", "arm", "key").agg(
+        F.max("conv").alias("converted")
+    )
+    per_bucket = per_user.groupBy("bucket").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    num = (
+        F.col("c0").cast("double") * F.col("n1").cast("double")
+        - F.col("c1").cast("double") * F.col("n0").cast("double")
+    )
+    tot = (F.col("n0") + F.col("n1")).cast("double")
+    conv = (F.col("c0") + F.col("c1")).cast("double")
+    miss = (F.col("n0") + F.col("n1") - F.col("c0") - F.col("c1")).cast("double")
+    den = (
+        F.col("n0").cast("double") * F.col("n1").cast("double") * conv * miss
+    )
+    z2 = num * num * tot / den
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0) & (conv > 0) & (miss > 0)
+    z = F.when(
+        ok,
+        F.round(
+            F.signum(num) * F.sqrt(z2),
+            6,
+        ),
+    )
+    sig = F.when(ok & (z2 > F.lit(float(z2_crit))), 1).otherwise(0).cast("int")
+    return per_bucket.select(
+        "bucket", "n0", "c0", "n1", "c1", z.alias("z"), sig.alias("significant")
+    )

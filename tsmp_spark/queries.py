@@ -8973,3 +8973,61 @@ FROM agree WHERE n_agree / 8.0 >= 0.25
 
 QUERIES["fuzzy_decontamination"] = q_fuzzy_decontamination
 ORACLES["fuzzy_decontamination"] = SQL_FUZZY_DECONTAMINATION
+
+
+def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily A/B purchase-conversion z-test (arms = user_id % 2):
+    integer counts, identical-float z², integer-decided significance."""
+    from .operators.rollup import ab_conversion_ztest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "event_type"
+    )
+    return ab_conversion_ztest(ev, bucket_sec=86400,
+                               convert_type="purchase",
+                               key_col="user_id", ts_col="sec")
+
+
+SQL_AB_ZTEST = r"""
+WITH rows_ AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS bucket,
+         CAST(user_id % 2 AS INT) AS arm, user_id AS key,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events
+),
+per_user AS (
+  SELECT bucket, arm, key, max(conv) AS converted
+  FROM rows_ GROUP BY 1, 2, 3
+),
+per_bucket AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1
+  FROM per_user GROUP BY 1
+),
+calc AS (
+  SELECT bucket, n0, c0, n1, c1,
+         CAST(c0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+           - CAST(c1 AS DOUBLE) * CAST(n0 AS DOUBLE) AS num,
+         CAST(n0 + n1 AS DOUBLE) AS tot,
+         CAST(c0 + c1 AS DOUBLE) AS conv,
+         CAST(n0 + n1 - c0 - c1 AS DOUBLE) AS miss,
+         CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+           * CAST(c0 + c1 AS DOUBLE)
+           * CAST(n0 + n1 - c0 - c1 AS DOUBLE) AS den
+  FROM per_bucket
+)
+SELECT bucket, n0, c0, n1, c1,
+       CASE WHEN n0 > 0 AND n1 > 0 AND conv > 0 AND miss > 0
+            THEN round(sign(num) * sqrt(num * num * tot / den), 6)
+            END AS z,
+       CAST(CASE WHEN n0 > 0 AND n1 > 0 AND conv > 0 AND miss > 0
+                      AND num * num * tot / den > 3.8416
+                 THEN 1 ELSE 0 END AS INT) AS significant
+FROM calc
+"""
+
+QUERIES["ab_ztest"] = q_ab_ztest
+ORACLES["ab_ztest"] = SQL_AB_ZTEST
