@@ -1926,3 +1926,32 @@ def test_ab_ztest_vs_scipy_free_reference(spark):
                                 "user_id long, sec long, event_type string")
     r3 = ab_conversion_ztest(df3, bucket_sec=1000).collect()[0]
     assert r3.z is None and r3.significant == 0
+
+
+def test_retention_markov_burstiness_semantics(spark):
+    from tsmp_spark.operators.rollup import (
+        burstiness, markov_transitions, retention_curve,
+    )
+
+    # retention: 3 users with lifetimes 0, 2, 5 buckets
+    ev = [(1, 0), (2, 0), (2, 2000), (3, 0), (3, 5000)]
+    df = spark.createDataFrame(ev, "user_id long, sec long")
+    got = {r.age: (r.surviving, r.n_users) for r in retention_curve(
+        df, bucket_sec=1000, max_age=10, key_col="user_id",
+        ts_col="sec").collect()}
+    assert got[0] == (3, 3) and got[1] == (2, 3) and got[2] == (2, 3)
+    assert got[3] == (1, 3) and got[5] == (1, 3) and 6 not in got
+    # markov: a->b 2x, b->a 1x within one user; deterministic probs
+    ev2 = [(1, 0, "a", 1), (1, 1, "b", 2), (1, 2, "a", 3), (1, 3, "b", 4)]
+    df2 = spark.createDataFrame(
+        ev2, "user_id long, sec long, event_type string, event_id long")
+    mk = {(r.src, r.dst): (r.cnt, r.prob) for r in markov_transitions(
+        df2, key_col="user_id", ts_col="sec").collect()}
+    assert mk[("a", "b")] == (2, 1.0) and mk[("b", "a")] == (1, 1.0)
+    # burstiness: perfectly periodic gaps -> B = -1; needs >= 3 events
+    ev3 = [(1, i * 100, i) for i in range(10)] + [(2, 0, 90), (2, 5, 91)]
+    df3 = spark.createDataFrame(ev3, "user_id long, sec long, event_id long")
+    bs = {r.user_id: r for r in burstiness(
+        df3, key_col="user_id", ts_col="sec").collect()}
+    assert bs[1].burstiness == -1.0 and bs[1].n == 9
+    assert 2 not in bs

@@ -2761,3 +2761,137 @@ def ab_conversion_ztest(
     return per_bucket.select(
         "bucket", "n0", "c0", "n1", "c1", z.alias("z"), sig.alias("significant")
     )
+
+
+def retention_curve(
+    events: DataFrame,
+    bucket_sec: int = 86400,
+    max_age: int = 30,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """Survival curve over user lifetimes (Kaplan-Meier-lite with no
+    censoring model): lifetime = last-seen bucket − first-seen bucket;
+    ``surviving(k)`` = users with lifetime ≥ k for k = 0..max_age, as a
+    count and an exact-integer-ratio fraction. The cohort_retention
+    companion that answers "how long do users stay" in one curve.
+
+    Scale: one per-user min/max groupBy (combinable), then a bounded
+    explode to ≤ max_age+1 rows per user and one combinable count
+    groupBy — shuffle bounded by users + max_age.
+    """
+    lives = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.col(ts_col).cast("long") / bucket_sec)
+            .cast("long")
+            .alias("b"),
+        )
+        .groupBy("key")
+        .agg((F.max("b") - F.min("b")).alias("lifetime"))
+    )
+    total = lives.agg(F.count("*").cast("bigint").alias("n_users"))
+    ages = lives.select(
+        F.explode(
+            F.sequence(
+                F.lit(0), F.least(F.col("lifetime"), F.lit(int(max_age)))
+            )
+        ).alias("age")
+    )
+    curve = ages.groupBy("age").agg(
+        F.count("*").cast("bigint").alias("surviving")
+    )
+    return curve.crossJoin(F.broadcast(total)).select(
+        F.col("age").cast("bigint").alias("age"),
+        "surviving",
+        "n_users",
+        (F.col("surviving").cast("double") / F.col("n_users").cast("double"))
+        .alias("fraction"),
+    )
+
+
+def markov_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix between event types across
+    all user streams: count of consecutive (from → to) pairs and the
+    row-normalized probability — the 2-gram slice of
+    ``behavior_ngrams`` with probabilities attached. Total (ts, id)
+    order; probability = exact integer ratio (identical float on both
+    engines, no rounding).
+
+    Scale: one key-hash lead window + an (event-types²)-bounded count
+    groupBy with map-side combine.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("key").orderBy("sec", "tie")
+    rows = events.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).cast("long").alias("sec"),
+        F.col(tie_col).cast("long").alias("tie"),
+        F.col(type_col).alias("src"),
+    ).withColumn("dst", F.lead("src").over(w))
+    counts = (
+        rows.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    wrow = Window.partitionBy("src")
+    return counts.withColumn(
+        "row_total", F.sum("cnt").over(wrow).cast("bigint")
+    ).select(
+        "src", "dst", "cnt", "row_total",
+        (F.col("cnt").cast("double") / F.col("row_total").cast("double"))
+        .alias("prob"),
+    )
+
+
+def burstiness(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Inter-event burstiness per series (Goh & Barabási 2008):
+    ``B = (σ − μ)/(σ + μ)`` over the inter-arrival gaps — −1 periodic,
+    0 Poisson, → 1 bursty. Gaps are INTEGER seconds, so the co-moment
+    variance ``(n·Σg² − (Σg)²)/n²`` is exact integer arithmetic until
+    the final identical float expression — nothing to round. Series
+    need ≥ 2 gaps (≥ 3 events); σ+μ = 0 (all gaps zero) yields NULL.
+
+    Scale: one key-hash lag window whose per-key groupBy reuses the
+    exchange (integer sums, map-side combinable).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("key").orderBy("sec", "tie")
+    gaps = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).cast("long").alias("sec"),
+            F.col(tie_col).cast("long").alias("tie"),
+        )
+        .withColumn("gap", F.col("sec") - F.lag("sec").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    agg = gaps.groupBy("key").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("gap").cast("bigint").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("s2"),
+    ).filter(F.col("n") >= 2)
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    var = (
+        nd * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (nd * nd)
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    b = F.when(sd + mu > 0, (sd - mu) / (sd + mu))
+    return agg.select(
+        F.col("key").alias(key_col), "n", "s1", "s2", b.alias("burstiness")
+    )

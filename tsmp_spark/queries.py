@@ -9031,3 +9031,123 @@ FROM calc
 
 QUERIES["ab_ztest"] = q_ab_ztest
 ORACLES["ab_ztest"] = SQL_AB_ZTEST
+
+
+def q_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve over user lifetimes (days active span), ages
+    0..30 — exact integer counts + identical-float fraction."""
+    from .operators.rollup import retention_curve
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    return retention_curve(ev, bucket_sec=86400, max_age=30,
+                           key_col="user_id", ts_col="sec")
+
+
+SQL_RETENTION_CURVE = r"""
+WITH lives AS (
+  SELECT user_id AS key,
+         max(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+           - min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS lifetime
+  FROM events GROUP BY 1
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM lives),
+ages AS (
+  SELECT unnest(range(least(lifetime, 30) + 1)) AS age FROM lives
+),
+curve AS (
+  SELECT age, CAST(count(*) AS BIGINT) AS surviving FROM ages GROUP BY 1
+)
+SELECT CAST(c.age AS BIGINT) AS age, c.surviving, t.n_users,
+       CAST(c.surviving AS DOUBLE) / CAST(t.n_users AS DOUBLE) AS fraction
+FROM curve c CROSS JOIN total t
+"""
+
+QUERIES["retention_curve"] = q_retention_curve
+ORACLES["retention_curve"] = SQL_RETENTION_CURVE
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type Markov transition matrix (counts + exact-ratio
+    probabilities) over totally-ordered user streams."""
+    from .operators.rollup import markov_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "event_type",
+        "event_id",
+    )
+    return markov_transitions(ev, key_col="user_id", ts_col="sec")
+
+
+SQL_MARKOV_TRANSITIONS = r"""
+WITH rows_ AS (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         event_id AS tie, event_type AS src
+  FROM events
+),
+leads AS (
+  SELECT src, lead(src) OVER (PARTITION BY key ORDER BY sec, tie) AS dst
+  FROM rows_
+),
+counts AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+  FROM leads WHERE dst IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, cnt,
+       CAST(sum(cnt) OVER (PARTITION BY src) AS BIGINT) AS row_total,
+       CAST(cnt AS DOUBLE)
+         / CAST(sum(cnt) OVER (PARTITION BY src) AS DOUBLE) AS prob
+FROM counts
+"""
+
+QUERIES["markov_transitions"] = q_markov_transitions
+ORACLES["markov_transitions"] = SQL_MARKOV_TRANSITIONS
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event burstiness per user (Goh–Barabási B) from exact
+    integer gap moments."""
+    from .operators.rollup import burstiness
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "event_id"
+    )
+    return burstiness(ev, key_col="user_id", ts_col="sec")
+
+
+SQL_BURSTINESS = r"""
+WITH rows_ AS (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         event_id AS tie
+  FROM events
+),
+gaps AS (
+  SELECT key, sec - lag(sec) OVER (PARTITION BY key ORDER BY sec, tie) AS gap
+  FROM rows_
+),
+agg AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(gap) AS BIGINT) AS s1,
+         CAST(sum(gap * gap) AS BIGINT) AS s2
+  FROM gaps WHERE gap IS NOT NULL GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT key AS user_id, n, s1, s2,
+       CASE WHEN sqrt(greatest((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0))
+                 + CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) > 0
+            THEN (sqrt(greatest((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0))
+                  - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (sqrt(greatest((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0))
+                  + CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+            END AS burstiness
+FROM agg
+"""
+
+QUERIES["burstiness"] = q_burstiness
+ORACLES["burstiness"] = SQL_BURSTINESS
