@@ -1955,3 +1955,25 @@ def test_retention_markov_burstiness_semantics(spark):
         df3, key_col="user_id", ts_col="sec").collect()}
     assert bs[1].burstiness == -1.0 and bs[1].n == 9
     assert 2 not in bs
+
+
+def test_decayed_topk_exact_integer_decay(spark):
+    import pytest as _pt
+    from tsmp_spark.operators.rollup import decayed_topk
+
+    # item A: burst of 8 at bucket 0; item B: steady 1 per bucket.
+    # decayed(A, t) = 8 * 2^(15-t); decayed(B, t) = sum 2^(15-k), k<=t
+    rows = [(0, "A")] * 8 + [(i * 100, "B") for i in range(6)]
+    df = spark.createDataFrame(rows, "sec long, event_type string")
+    got = {(r.bucket, r.item): (r.decayed_scaled, r.rank)
+           for r in decayed_topk(df, bucket_sec=100, horizon=16,
+                                 top_k=5).collect()}
+    for t in range(6):
+        a = 8 * (1 << (15 - t))
+        b = sum(1 << (15 - k) for k in range(t + 1))
+        assert got[(t, "A")][0] == a
+        assert got[(t, "B")][0] == b
+        # burst dominates until its decay crosses the steady stream
+        assert (got[(t, "A")][1] == 1) == (a > b)
+    with _pt.raises(NotImplementedError):
+        decayed_topk(df, bucket_sec=100, half_life_buckets=2)

@@ -2895,3 +2895,73 @@ def burstiness(
     return agg.select(
         F.col("key").alias(key_col), "n", "s1", "s2", b.alias("burstiness")
     )
+
+
+def decayed_topk(
+    events: DataFrame,
+    bucket_sec: int = 3600,
+    half_life_buckets: int = 1,
+    horizon: int = 16,
+    top_k: int = 5,
+    item_col: str = "event_type",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """Exponentially-decayed item leaderboard per bucket (the
+    "trending now" primitive): each arrival's weight halves every
+    ``half_life_buckets`` buckets, truncated at ``horizon`` buckets
+    (2^−16 ≈ 1.5e-5 of a count — the documented cutoff). The decayed
+    score is carried as the EXACT integer
+    ``Σ arrivals(t−k) · 2^(horizon−1−k)`` — dyadic decay means no
+    floats anywhere, and the (score DESC, item ASC) rank can never flip
+    per engine.
+
+    Scale: one combinable (item, bucket) count groupBy; each count row
+    explodes to its ≤ horizon target buckets (the hll_sliding
+    explode-merge pattern — never a range join); one combinable sum
+    groupBy + broadcast observed-bucket semi-join; per-bucket top-k via
+    a rank window with WindowGroupLimit pushdown.
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    h = int(horizon)
+    if half_life_buckets != 1:
+        raise NotImplementedError(
+            "dyadic exactness is proven for half_life_buckets=1; generalize "
+            "by scaling the exponent if needed"
+        )
+    counts = (
+        events.select(
+            F.floor(F.col(ts_col).cast("long") / bucket_sec)
+            .cast("long")
+            .alias("bucket"),
+            F.col(item_col).alias("item"),
+        )
+        .groupBy("item", "bucket")
+        .agg(F.count("*").cast("bigint").alias("a"))
+    )
+    observed = counts.select("bucket").distinct()
+    contrib = counts.select(
+        "item",
+        "a",
+        F.explode(F.sequence(F.lit(0), F.lit(h - 1))).alias("off"),
+        "bucket",
+    ).select(
+        "item",
+        (F.col("bucket") + F.col("off")).alias("bucket"),
+        F.expr(f"a * (cast(1 as bigint) << cast({h - 1} - off as int))")
+        .alias("w"),
+    )
+    decayed = (
+        contrib.join(broadcast(observed), "bucket", "left_semi")
+        .groupBy("bucket", "item")
+        .agg(F.sum("w").cast("bigint").alias("decayed_scaled"))
+    )
+    wrank = Window.partitionBy("bucket").orderBy(
+        F.col("decayed_scaled").desc(), F.col("item").asc()
+    )
+    return (
+        decayed.withColumn("rank", F.row_number().over(wrank).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("bucket", "item", "decayed_scaled", "rank")
+    )

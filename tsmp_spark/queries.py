@@ -9151,3 +9151,48 @@ FROM agg
 
 QUERIES["burstiness"] = q_burstiness
 ORACLES["burstiness"] = SQL_BURSTINESS
+
+
+def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types per hour: exponentially-decayed counts as
+    EXACT scaled integers (dyadic half-life, 16-bucket horizon), top-5
+    per bucket with deterministic ties."""
+    from .operators.rollup import decayed_topk
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    return decayed_topk(ev, bucket_sec=3600, horizon=16, top_k=5,
+                        item_col="event_type", ts_col="sec")
+
+
+SQL_DECAYED_TOPK = r"""
+WITH counts AS (
+  SELECT event_type AS item,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket,
+         CAST(count(*) AS BIGINT) AS a
+  FROM events GROUP BY 1, 2
+),
+observed AS (SELECT DISTINCT bucket FROM counts),
+contrib AS (
+  SELECT item, bucket + off AS bucket,
+         a * (CAST(1 AS BIGINT) << CAST(15 - off AS INT)) AS w
+  FROM counts, unnest(range(16)) AS u(off)
+),
+decayed AS (
+  SELECT c.bucket, c.item, CAST(sum(c.w) AS BIGINT) AS decayed_scaled
+  FROM contrib c JOIN observed o ON o.bucket = c.bucket
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT bucket, item, decayed_scaled,
+         CAST(row_number() OVER (PARTITION BY bucket
+                                 ORDER BY decayed_scaled DESC, item ASC)
+              AS INT) AS rank
+  FROM decayed
+)
+SELECT bucket, item, decayed_scaled, rank FROM ranked WHERE rank <= 5
+"""
+
+QUERIES["decayed_topk"] = q_decayed_topk
+ORACLES["decayed_topk"] = SQL_DECAYED_TOPK
