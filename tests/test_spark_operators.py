@@ -1977,3 +1977,22 @@ def test_decayed_topk_exact_integer_decay(spark):
         assert (got[(t, "A")][1] == 1) == (a > b)
     with _pt.raises(NotImplementedError):
         decayed_topk(df, bucket_sec=100, half_life_buckets=2)
+
+
+def test_active_users_rolling_distincts(spark):
+    from tsmp_spark.operators.rollup import active_users
+
+    # user 1 active days 0 and 10; user 2 active days 0..2; user 3 day 10
+    rows = [(1, 0), (1, 10 * 100), (2, 0), (2, 100), (2, 200),
+            (3, 10 * 100)]
+    df = spark.createDataFrame(rows, "user_id long, sec long")
+    got = {r.day: r for r in active_users(
+        df, bucket_sec=100, key_col="user_id", ts_col="sec").collect()}
+    assert set(got) == {0, 1, 2, 10}
+    assert (got[0].dau, got[0].wau, got[0].mau) == (2, 2, 2)
+    assert (got[1].dau, got[1].wau, got[1].mau) == (1, 2, 2)
+    assert (got[2].dau, got[2].wau, got[2].mau) == (1, 2, 2)
+    # day 10: users 1 and 3 active today; day 0-2 activity is outside
+    # the 7-day window but inside the 30-day window
+    assert (got[10].dau, got[10].wau, got[10].mau) == (2, 2, 3)
+    assert got[10].stickiness == 2 / 3

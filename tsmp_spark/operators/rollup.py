@@ -2965,3 +2965,59 @@ def decayed_topk(
         .filter(F.col("rank") <= top_k)
         .select("bucket", "item", "decayed_scaled", "rank")
     )
+
+
+def active_users(
+    events: DataFrame,
+    bucket_sec: int = 86400,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """DAU / WAU / MAU + stickiness per day — the product-metrics
+    staple, EXACT (the HLL family covers the approximate path; this is
+    the small-key-domain exact one): for every observed day, distinct
+    users active that day, in the trailing 7 days, and in the trailing
+    30 days, plus stickiness = DAU/MAU as the identical float ratio of
+    exact integers.
+
+    Scale: one (user, day) distinct groupBy (combinable), then each
+    user-day explodes to its ≤ 30 target days (the hll_sliding
+    explode-merge — never a range join) tagged with the offset; one
+    conditional distinct-count groupBy per target + broadcast
+    observed-day semi-join. Shuffle ≤ user-days × 30.
+    """
+    from pyspark.sql.functions import broadcast
+
+    ud = (
+        events.select(
+            F.col(key_col).alias("u"),
+            F.floor(F.col(ts_col).cast("long") / bucket_sec)
+            .cast("long")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    observed = ud.select("day").distinct()
+    contrib = ud.select(
+        "u",
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("off"),
+        "day",
+    ).select("u", "off", (F.col("day") + F.col("off")).alias("day"))
+    agg = (
+        contrib.join(broadcast(observed), "day", "left_semi")
+        .groupBy("day")
+        .agg(
+            F.countDistinct(F.when(F.col("off") == 0, F.col("u")))
+            .cast("bigint")
+            .alias("dau"),
+            F.countDistinct(F.when(F.col("off") < 7, F.col("u")))
+            .cast("bigint")
+            .alias("wau"),
+            F.countDistinct("u").cast("bigint").alias("mau"),
+        )
+    )
+    return agg.select(
+        "day", "dau", "wau", "mau",
+        (F.col("dau").cast("double") / F.col("mau").cast("double"))
+        .alias("stickiness"),
+    )

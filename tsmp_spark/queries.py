@@ -9196,3 +9196,42 @@ SELECT bucket, item, decayed_scaled, rank FROM ranked WHERE rank <= 5
 
 QUERIES["decayed_topk"] = q_decayed_topk
 ORACLES["decayed_topk"] = SQL_DECAYED_TOPK
+
+
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU + stickiness per day — exact trailing distincts via
+    the explode-merge pattern (no range join)."""
+    from .operators.rollup import active_users
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    return active_users(ev, bucket_sec=86400, key_col="user_id",
+                        ts_col="sec")
+
+
+SQL_ACTIVE_USERS = r"""
+WITH ud AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+observed AS (SELECT DISTINCT day FROM ud),
+contrib AS (
+  SELECT u, off, day + off AS day FROM ud, unnest(range(30)) AS t(off)
+),
+agg AS (
+  SELECT c.day,
+         CAST(count(DISTINCT CASE WHEN c.off = 0 THEN c.u END) AS BIGINT) AS dau,
+         CAST(count(DISTINCT CASE WHEN c.off < 7 THEN c.u END) AS BIGINT) AS wau,
+         CAST(count(DISTINCT c.u) AS BIGINT) AS mau
+  FROM contrib c JOIN observed o ON o.day = c.day
+  GROUP BY 1
+)
+SELECT day, dau, wau, mau,
+       CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness
+FROM agg
+"""
+
+QUERIES["active_users"] = q_active_users
+ORACLES["active_users"] = SQL_ACTIVE_USERS
