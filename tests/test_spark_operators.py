@@ -1996,3 +1996,31 @@ def test_active_users_rolling_distincts(spark):
     # the 7-day window but inside the 30-day window
     assert (got[10].dau, got[10].wau, got[10].mau) == (2, 2, 3)
     assert got[10].stickiness == 2 / 3
+
+
+def test_entropy_and_gini(spark):
+    import math
+    from tsmp_spark.operators.rollup import activity_gini, behavior_entropy
+
+    # deterministic chain a->b always (H=0); b -> {a, c} 50/50 (H=1)
+    rows = [(1, 0, "a", 1), (1, 1, "b", 2), (1, 2, "a", 3), (1, 3, "b", 4),
+            (1, 4, "c", 5)]
+    df = spark.createDataFrame(
+        rows, "user_id long, sec long, event_type string, event_id long")
+    ent = {r.src: r.entropy_bits for r in behavior_entropy(
+        df, key_col="user_id", ts_col="sec").collect()}
+    assert ent["a"] == 0.0 and ent["b"] == 1.0
+    # gini: perfectly equal counts -> 0; extreme concentration -> ~1
+    eq = spark.createDataFrame([(u,) for u in range(10) for _ in range(5)],
+                               "user_id long")
+    g0 = activity_gini(eq).collect()[0]
+    assert g0.gini == 0.0 and g0.n_users == 10 and g0.total_events == 50
+    skew = spark.createDataFrame(
+        [(0,)] * 991 + [(u,) for u in range(1, 10)], "user_id long")
+    g1 = activity_gini(skew).collect()[0]
+    assert g1.gini > 0.85
+    # independent python model
+    xs = sorted([991] + [1] * 9)
+    n, s = len(xs), sum(xs)
+    ref = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs)) / (n * s)
+    assert abs(g1.gini - ref) < 1e-12

@@ -3021,3 +3021,84 @@ def active_users(
         (F.col("dau").cast("double") / F.col("mau").cast("double"))
         .alias("stickiness"),
     )
+
+
+def behavior_entropy(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Per-state entropy of the event-type Markov chain: for each
+    ``src`` type, ``H(src) = −Σ_dst p·log2(p)`` over the transition
+    probabilities — how predictable the next action is from here (0 =
+    deterministic flow, log2(k) = uniform). Probabilities are exact
+    integer ratios; the entropy sums ≤ |types| log terms and rounds r6
+    (JVM log vs libm differ 1 ulp — the hll-estimate convention).
+
+    Scale: rides ``markov_transitions`` (one lead window + bounded
+    counts); the entropy groupBy touches ≤ types² rows.
+    """
+    t = markov_transitions(events, key_col=key_col, ts_col=ts_col,
+                           type_col=type_col, tie_col=tie_col)
+    term = -(F.col("prob") * F.log2("prob"))
+    return (
+        t.groupBy("src")
+        .agg(
+            F.round(F.sum(term), 6).alias("entropy_bits"),
+            F.sum("cnt").cast("bigint").alias("n_transitions"),
+        )
+    )
+
+
+def activity_gini(
+    events: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gini coefficient of per-user event-count inequality — the skew
+    diagnosis number ("0.9 means a handful of users dominate the
+    shuffle keys"). Computed from the sorted-counts identity
+    ``G = Σ(2i − n − 1)·x_(i) / (n·Σx)`` with rank ties broken on the
+    user id: numerator and denominator are EXACT integers, the output
+    is one identical float division. Emits one row:
+    (n_users, total_events, gini).
+
+    Scale: one combinable count groupBy + a rank window (single
+    ordered pass, n_users rows) + one scalar aggregation; the scalar
+    totals broadcast back (the house crossJoin-broadcast pattern).
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    counts = events.groupBy(F.col(key_col).alias("u")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    w = Window.orderBy(F.col("x").asc(), F.col("u").asc())
+    ranked = counts.withColumn("i", F.row_number().over(w).cast("bigint"))
+    tot = ranked.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("total_events"),
+    )
+    num = (
+        ranked.crossJoin(broadcast(tot))
+        .agg(
+            F.max("n_users").alias("n_users"),
+            F.max("total_events").alias("total_events"),
+            F.sum(
+                (F.lit(2) * F.col("i") - F.col("n_users") - F.lit(1))
+                * F.col("x")
+            )
+            .cast("bigint")
+            .alias("gnum"),
+        )
+    )
+    return num.select(
+        "n_users",
+        "total_events",
+        (
+            F.col("gnum").cast("double")
+            / (F.col("n_users").cast("double")
+               * F.col("total_events").cast("double"))
+        ).alias("gini"),
+    )

@@ -9235,3 +9235,80 @@ FROM agg
 
 QUERIES["active_users"] = q_active_users
 ORACLES["active_users"] = SQL_ACTIVE_USERS
+
+
+def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state entropy of the event-type Markov chain (bits, r6) —
+    how predictable the next action is from each state."""
+    from .operators.rollup import behavior_entropy
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "event_type",
+        "event_id",
+    )
+    return behavior_entropy(ev, key_col="user_id", ts_col="sec")
+
+
+SQL_BEHAVIOR_ENTROPY = r"""
+WITH rows_ AS (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         event_id AS tie, event_type AS src
+  FROM events
+),
+leads AS (
+  SELECT src, lead(src) OVER (PARTITION BY key ORDER BY sec, tie) AS dst
+  FROM rows_
+),
+counts AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+  FROM leads WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+probs AS (
+  SELECT src, cnt,
+         CAST(cnt AS DOUBLE)
+           / CAST(sum(cnt) OVER (PARTITION BY src) AS DOUBLE) AS p
+  FROM counts
+)
+SELECT src, round(sum(-(p * log2(p))), 6) AS entropy_bits,
+       CAST(sum(cnt) AS BIGINT) AS n_transitions
+FROM probs GROUP BY 1
+"""
+
+QUERIES["behavior_entropy"] = q_behavior_entropy
+ORACLES["behavior_entropy"] = SQL_BEHAVIOR_ENTROPY
+
+
+def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event-count inequality — exact
+    integer numerator/denominator, one float division."""
+    from .operators.rollup import activity_gini
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    return activity_gini(ev, key_col="user_id")
+
+
+SQL_ACTIVITY_GINI = r"""
+WITH counts AS (
+  SELECT user_id AS u, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT u, x,
+         CAST(row_number() OVER (ORDER BY x ASC, u ASC) AS BIGINT) AS i
+  FROM counts
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(x) AS BIGINT) AS total_events
+  FROM ranked
+)
+SELECT t.n_users, t.total_events,
+       CAST(sum((2 * r.i - t.n_users - 1) * r.x) AS DOUBLE)
+         / (CAST(t.n_users AS DOUBLE) * CAST(t.total_events AS DOUBLE))
+         AS gini
+FROM ranked r CROSS JOIN tot t
+GROUP BY t.n_users, t.total_events
+"""
+
+QUERIES["activity_gini"] = q_activity_gini
+ORACLES["activity_gini"] = SQL_ACTIVITY_GINI
