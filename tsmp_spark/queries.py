@@ -9312,3 +9312,52 @@ GROUP BY t.n_users, t.total_events
 
 QUERIES["activity_gini"] = q_activity_gini
 ORACLES["activity_gini"] = SQL_ACTIVITY_GINI
+
+
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion-latency distribution: full-funnel
+    users' t3−t1 bucketed into 6h bins over the 7-day window — the
+    funnel chain composed with the histogram rollup, integer-only."""
+    from .operators.rollup import funnel_steps
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "event_type"
+    )
+    fun = funnel_steps(ev, ["signup", "click", "purchase"],
+                       window_sec=604800, key_col="user_id", ts_col="sec")
+    lat = fun.filter(F.col("t3").isNotNull()).select(
+        ((F.col("t3") - F.col("t1")) / 21600).cast("bigint").alias("bin")
+    )
+    return (
+        lat.groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+SQL_FUNNEL_LATENCY = r"""
+WITH rows_ AS (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type AS etype
+  FROM events
+),
+s1 AS (
+  SELECT key, min(sec) AS t1 FROM rows_ WHERE etype = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT r.key, min(r.sec) AS t2
+  FROM rows_ r JOIN s1 ON s1.key = r.key
+  WHERE r.etype = 'click' AND r.sec >= s1.t1 AND r.sec <= s1.t1 + 604800
+  GROUP BY 1
+),
+s3 AS (
+  SELECT r.key, min(r.sec) AS t3
+  FROM rows_ r JOIN s1 ON s1.key = r.key JOIN s2 ON s2.key = r.key
+  WHERE r.etype = 'purchase' AND r.sec >= s2.t2 AND r.sec <= s1.t1 + 604800
+  GROUP BY 1
+)
+SELECT (s3.t3 - s1.t1) // 21600 AS bin, CAST(count(*) AS BIGINT) AS n_users
+FROM s1 JOIN s3 ON s3.key = s1.key
+GROUP BY 1
+"""
+
+QUERIES["funnel_latency"] = q_funnel_latency
+ORACLES["funnel_latency"] = SQL_FUNNEL_LATENCY
