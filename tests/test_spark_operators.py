@@ -2024,3 +2024,29 @@ def test_entropy_and_gini(spark):
     n, s = len(xs), sum(xs)
     ref = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs)) / (n * s)
     assert abs(g1.gini - ref) < 1e-12
+
+
+def test_mpdist_cluster_separates_planted_families(spark, monkeypatch):
+    """Two shape families of token series: the 2-medoid assignment
+    recovers them (each doc lands with its family's medoid)."""
+    import numpy as np
+    import tsmp_spark.queries as Q
+
+    rng = np.random.default_rng(11)
+    n = Q.CONSENSUS_MIN + 14
+    t = np.arange(n, dtype=np.float64)
+    fam_a = lambda: 100 + 30 * np.sin(t / 3.0) + rng.normal(0, 0.5, n)
+    fam_b = lambda: 100 + 20 * ((-1.0) ** t) + rng.normal(0, 0.5, n)
+    docs = {1: fam_a(), 2: fam_a(), 3: fam_a(),
+            4: fam_b(), 5: fam_b(), 6: fam_b()}
+    df = spark.createDataFrame(
+        [(d, [float(x) for x in v], n, "s") for d, v in docs.items()],
+        "doc_id long, tokens array<double>, n_tok long, source string",
+    )
+    monkeypatch.setattr(Q, "_tokenized", lambda sp, sf: df)
+    out = {r.doc_id: r for r in Q.q_mpdist_cluster(spark, "unused").collect()}
+    assert len(out) == 6
+    med_a = {out[d].medoid for d in (1, 2, 3)}
+    med_b = {out[d].medoid for d in (4, 5, 6)}
+    assert len(med_a) == 1 and len(med_b) == 1 and med_a != med_b
+    assert out[next(iter(med_a))].mpdist_r == 0.0  # medoid assigns itself

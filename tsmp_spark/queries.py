@@ -9361,3 +9361,221 @@ GROUP BY 1
 
 QUERIES["funnel_latency"] = q_funnel_latency
 ORACLES["funnel_latency"] = SQL_FUNNEL_LATENCY
+
+
+def q_mpdist_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPdist 2-medoid clustering of tokenized docs (the MPdist paper's
+    headline use case): full pairwise MPdist matrix over the 8 smallest
+    qualifying docs, medoid1 = min total distance (integer r4-unit
+    sums — float sum order cannot flip the pick), medoid2 = farthest
+    from medoid1, every doc assigned to its nearer medoid (ties →
+    medoid1; all comparisons on identical r4 doubles)."""
+    import numpy as np
+    import pandas as pd
+
+    from .mpcore import mpdist as mpdist_kernel
+    from .mpcore.stats import fast_avg_sd, lowvar_threshold
+    from pyspark.sql.window import Window
+
+    tok = _tokenized(spark, sf_dir).filter(F.col("n_tok") >= CONSENSUS_MIN)
+    k8 = (
+        tok.select(F.col("doc_id").cast("bigint").alias("doc_id"), "tokens")
+        .orderBy("doc_id")
+        .limit(8)
+        .select(
+            "doc_id",
+            F.transform(F.col("tokens"), lambda t: t.cast("double")).alias(
+                "tokens"
+            ),
+        )
+    )
+    a = k8.select(F.col("doc_id").alias("ida"), F.col("tokens").alias("ta"))
+    b = k8.select(F.col("doc_id").alias("idb"), F.col("tokens").alias("tb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("ida") < F.col("idb"))
+    schema = "ida long, idb long, mpdist double"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for ida, ta, idb, tb in zip(
+                pdf["ida"], pdf["ta"], pdf["idb"], pdf["tb"]
+            ):
+                x = np.asarray(ta, dtype=np.float64)
+                y = np.asarray(tb, dtype=np.float64)
+                if x.shape[0] < W or y.shape[0] < W:
+                    continue
+
+                def ok(v):
+                    mu, sd = fast_avg_sd(v, W)
+                    return bool((sd >= lowvar_threshold(mu)).any())
+
+                if not (ok(x) and ok(y)):
+                    continue
+                if y.shape[0] > x.shape[0]:
+                    x, y = y, x
+                rows.append(
+                    {"ida": ida, "idb": idb,
+                     "mpdist": mpdist_kernel(x, y, W)}
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    mpd = pairs.mapInPandas(kernel, schema).select(
+        "ida", "idb", _r4("mpdist").alias("d")
+    )
+    sym = mpd.select("ida", "idb", "d").union(
+        mpd.select(F.col("idb").alias("ida"), F.col("ida").alias("idb"), "d")
+    )
+    # integer r4-unit totals: float sum order cannot flip the medoid
+    sums = sym.groupBy("ida").agg(
+        F.sum(F.round(F.col("d") * 10000).cast("bigint")).alias("tot")
+    )
+    m1 = sums.orderBy(F.col("tot").asc(), F.col("ida").asc()).limit(1).select(
+        F.col("ida").alias("medoid1")
+    )
+    m2 = (
+        sym.join(F.broadcast(m1), sym.idb == F.col("medoid1"))
+        .orderBy(F.col("d").desc(), F.col("ida").asc())
+        .limit(1)
+        .select(F.col("ida").alias("medoid2"))
+    )
+    docs8 = k8.select(F.col("doc_id").alias("doc"))
+    d1 = sym.select(F.col("ida").alias("doc"), F.col("idb").alias("m"),
+                    F.col("d").alias("dist"))
+    base = docs8.crossJoin(F.broadcast(m1)).crossJoin(F.broadcast(m2))
+    out = (
+        base.join(
+            d1.withColumnRenamed("dist", "d1"),
+            (base.doc == d1.doc) & (F.col("m") == F.col("medoid1")),
+            "left",
+        )
+        .drop(d1.doc)
+        .drop("m")
+    )
+    d2s = sym.select(F.col("ida").alias("doc2"), F.col("idb").alias("m2j"),
+                     F.col("d").alias("d2"))
+    out = out.join(
+        d2s,
+        (out.doc == F.col("doc2")) & (F.col("m2j") == F.col("medoid2")),
+        "left",
+    ).drop("doc2", "m2j")
+    dd1 = F.coalesce(F.col("d1"), F.lit(0.0))
+    dd2 = F.coalesce(F.col("d2"), F.lit(0.0))
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        F.when(dd1 <= dd2, F.col("medoid1")).otherwise(F.col("medoid2"))
+        .alias("medoid"),
+        F.when(dd1 <= dd2, dd1).otherwise(dd2).alias("mpdist_r"),
+    )
+
+
+SQL_MPDIST_CLUSTER = f"""
+WITH {_SQL_TOKEN_SERIES},
+lens AS (
+  SELECT doc_id, count(*) AS n FROM s GROUP BY 1
+  HAVING count(*) >= {CONSENSUS_MIN}
+),
+k8 AS (
+  SELECT doc_id FROM lens ORDER BY CAST(doc_id AS BIGINT) LIMIT 8
+),
+pairsel AS (
+  SELECT CAST(a.doc_id AS BIGINT) AS ida, CAST(b.doc_id AS BIGINT) AS idb
+  FROM k8 a JOIN k8 b
+    ON CAST(a.doc_id AS BIGINT) < CAST(b.doc_id AS BIGINT)
+),
+el AS (SELECT s.doc_id, s.pos, s.value FROM s JOIN k8 USING (doc_id)),
+sizes AS (SELECT doc_id, count(*) AS n FROM el GROUP BY doc_id),
+pr AS (
+  SELECT p.ida, p.idb, ea.pos AS t, eb.pos - ea.pos AS d,
+         ea.value * eb.value AS prod
+  FROM pairsel p
+  JOIN el ea ON CAST(ea.doc_id AS BIGINT) = p.ida
+  JOIN el eb ON CAST(eb.doc_id AS BIGINT) = p.idb
+),
+qt AS (
+  SELECT ida, idb, t AS i, d,
+         sum(prod) OVER win AS qt, count(prod) OVER win AS m
+  FROM pr
+  WINDOW win AS (PARTITION BY ida, idb, d ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)
+),
+sta AS (
+  SELECT doc_id, pos,
+         avg(value) OVER w AS mu, stddev_pop(value) OVER w AS sd,
+         count(*) OVER w AS cnt
+  FROM el
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)
+),
+stats AS (SELECT doc_id, pos, mu, sd FROM sta WHERE cnt = {W}),
+dists AS (
+  SELECT q.ida, q.idb, q.i, q.i + q.d AS j,
+         sqrt(greatest(2.0 * {W} * (1.0 - (q.qt - {W} * si.mu * sj.mu)
+              / ({W} * si.sd * sj.sd)), 0.0)) AS dist
+  FROM qt q
+  JOIN stats si ON CAST(si.doc_id AS BIGINT) = q.ida AND si.pos = q.i
+  JOIN stats sj ON CAST(sj.doc_id AS BIGINT) = q.idb AND sj.pos = q.i + q.d
+  WHERE q.m = {W} AND si.sd >= 1e-7 * (abs(si.mu) + 1.0)
+    AND sj.sd >= 1e-7 * (abs(sj.mu) + 1.0)
+),
+hist AS (
+  SELECT ida, idb, i AS pos, min(dist) AS v FROM dists GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT ida, idb, j AS pos, min(dist) AS v FROM dists GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT ida, idb, v,
+         row_number() OVER (PARTITION BY ida, idb ORDER BY v ASC) AS rn,
+         count(*) OVER (PARTITION BY ida, idb) AS cnt
+  FROM hist
+),
+ksel AS (
+  SELECT r.ida, r.idb, r.v, r.rn, r.cnt,
+         CAST(ceil(0.05 * (sa.n + sb.n)) AS BIGINT) AS k,
+         (sa.n - {W - 1}) + (sb.n - {W - 1}) AS total
+  FROM ranked r
+  JOIN sizes sa ON CAST(sa.doc_id AS BIGINT) = r.ida
+  JOIN sizes sb ON CAST(sb.doc_id AS BIGINT) = r.idb
+),
+final AS (
+  SELECT ida, idb, k, cnt, total,
+         max(CASE WHEN rn = least(k, cnt) THEN v END) AS vk
+  FROM ksel GROUP BY 1, 2, 3, 4, 5
+),
+mpd AS MATERIALIZED (
+  SELECT ida, idb,
+         round(CASE WHEN k <= cnt OR total = cnt THEN vk
+                    ELSE 2.0 * sqrt({W}.0) END, 4) AS d
+  FROM final
+),
+sym AS MATERIALIZED (
+  SELECT ida, idb, d FROM mpd
+  UNION ALL SELECT idb, ida, d FROM mpd
+),
+sums AS (
+  SELECT ida, sum(CAST(round(d * 10000) AS BIGINT)) AS tot
+  FROM sym GROUP BY 1
+),
+m1 AS (SELECT ida AS medoid1 FROM sums ORDER BY tot ASC, ida ASC LIMIT 1),
+m2 AS (
+  SELECT s2.ida AS medoid2
+  FROM sym s2 JOIN m1 ON s2.idb = m1.medoid1
+  ORDER BY s2.d DESC, s2.ida ASC LIMIT 1
+),
+docs8 AS (SELECT CAST(doc_id AS BIGINT) AS doc FROM k8),
+dm AS (
+  SELECT d8.doc, m1.medoid1, m2.medoid2,
+         coalesce((SELECT d FROM sym
+                   WHERE sym.ida = d8.doc AND sym.idb = m1.medoid1), 0.0) AS d1,
+         coalesce((SELECT d FROM sym
+                   WHERE sym.ida = d8.doc AND sym.idb = m2.medoid2), 0.0) AS d2
+  FROM docs8 d8 CROSS JOIN m1 CROSS JOIN m2
+)
+SELECT doc AS doc_id,
+       CASE WHEN d1 <= d2 THEN medoid1 ELSE medoid2 END AS medoid,
+       CASE WHEN d1 <= d2 THEN d1 ELSE d2 END AS mpdist_r
+FROM dm
+"""
+
+QUERIES["mpdist_cluster"] = q_mpdist_cluster
+ORACLES["mpdist_cluster"] = SQL_MPDIST_CLUSTER
