@@ -548,3 +548,25 @@ def test_tfidf_windowgrouplimit_no_python(docs):
     assert "BatchEvalPython" not in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_explode_merge_family_no_range_join(events):
+    """hll_sliding / decayed_topk / active_users: the trailing-window
+    merge is an explode + equi-groupBy — never a BNLJ range join — and
+    the count/max groupBys keep map-side partial aggregation."""
+    import pyspark.sql.functions as F
+    from tsmp_spark.operators.rollup import active_users, decayed_topk
+    from tsmp_spark.operators.sketch import hll_sliding_rollup
+
+    ev = events.select("user_id", "event_type",
+                       F.unix_timestamp("ts").alias("sec"))
+    for df in (
+        hll_sliding_rollup(ev, bucket_sec=86400, window_buckets=7),
+        decayed_topk(ev, bucket_sec=3600),
+        active_users(ev, bucket_sec=86400),
+    ):
+        plan = _plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "partial_" in plan  # map-side combine somewhere in the chain
