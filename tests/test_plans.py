@@ -570,3 +570,14 @@ def test_explode_merge_family_no_range_join(events):
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
         assert "partial_" in plan  # map-side combine somewhere in the chain
+
+
+def test_pricing_summary_predicate_pushdown(spark):
+    """The Q1-shape scan pushes the ship-date predicate and prunes to
+    the business columns (PushedFilters + narrow ReadSchema)."""
+    from tsmp_spark.queries import q_pricing_summary
+
+    plan = _plan(q_pricing_summary(spark, SF))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    assert "l_comment" not in plan.split("ReadSchema")[-1][:400]
+    assert "partial_sum" in plan  # map-side combine on the groupBy

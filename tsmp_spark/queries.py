@@ -9579,3 +9579,74 @@ FROM dm
 
 QUERIES["mpdist_cluster"] = q_mpdist_cluster
 ORACLES["mpdist_cluster"] = SQL_MPDIST_CLUSTER
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape pricing summary over lineitem's business columns
+    (the classic OLAP gate): per (returnflag, linestatus) sums/avgs
+    with the ship-date predicate pushed to the scan. Money carried as
+    EXACT cents/1e-4/1e-6 integer units (the micro-unit convention —
+    double sums are order-dependent, integer sums are not); averages
+    are identical float ratios of exact integers."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
+    tax_c = F.round(F.col("l_tax") * 100).cast("bigint")
+    disc_price_u = price_c * (F.lit(100) - disc_c)          # 1e-4 units
+    charge_u = disc_price_u * (F.lit(100) + tax_c)          # 1e-6 units
+    agg = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("bigint").alias("sum_qty"),
+            F.sum(price_c).cast("bigint").alias("sum_base_price_c"),
+            F.sum(disc_price_u).cast("bigint").alias("sum_disc_price_u"),
+            F.sum(charge_u).cast("bigint").alias("sum_charge_u"),
+            F.sum(disc_c).cast("bigint").alias("sum_disc_c"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+    n = F.col("count_order").cast("double")
+    return agg.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price_c",
+        "sum_disc_price_u", "sum_charge_u", "count_order",
+        (F.col("sum_qty").cast("double") / n).alias("avg_qty"),
+        (F.col("sum_base_price_c").cast("double") / n).alias("avg_price_c"),
+        (F.col("sum_disc_c").cast("double") / n).alias("avg_disc_c"),
+    )
+
+
+SQL_PRICING_SUMMARY = r"""
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+),
+agg AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum(qty) AS BIGINT) AS sum_qty,
+         CAST(sum(price_c) AS BIGINT) AS sum_base_price_c,
+         CAST(sum(price_c * (100 - disc_c)) AS BIGINT) AS sum_disc_price_u,
+         CAST(sum(price_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT)
+           AS sum_charge_u,
+         CAST(sum(disc_c) AS BIGINT) AS sum_disc_c,
+         CAST(count(*) AS BIGINT) AS count_order
+  FROM li GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price_c,
+       sum_disc_price_u, sum_charge_u, count_order,
+       CAST(sum_qty AS DOUBLE) / CAST(count_order AS DOUBLE) AS avg_qty,
+       CAST(sum_base_price_c AS DOUBLE) / CAST(count_order AS DOUBLE)
+         AS avg_price_c,
+       CAST(sum_disc_c AS DOUBLE) / CAST(count_order AS DOUBLE) AS avg_disc_c
+FROM agg
+"""
+
+QUERIES["pricing_summary"] = q_pricing_summary
+ORACLES["pricing_summary"] = SQL_PRICING_SUMMARY
