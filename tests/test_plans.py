@@ -581,3 +581,14 @@ def test_pricing_summary_predicate_pushdown(spark):
     assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
     assert "l_comment" not in plan.split("ReadSchema")[-1][:400]
     assert "partial_sum" in plan  # map-side combine on the groupBy
+
+
+def test_shipping_priority_broadcasts_dims(spark):
+    """Q3-shape: both filtered dimension sides arrive by broadcast —
+    the fact table never shuffles for the joins."""
+    from tsmp_spark.queries import q_shipping_priority
+
+    plan = _plan(q_shipping_priority(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

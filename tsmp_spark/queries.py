@@ -9650,3 +9650,86 @@ FROM agg
 
 QUERIES["pricing_summary"] = q_pricing_summary
 ORACLES["pricing_summary"] = SQL_PRICING_SUMMARY
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shape shipping priority: customer(BUILDING) ⋈ orders
+    (before 1995-03-15) ⋈ lineitem (shipped after) — top-10 orders by
+    integer-exact revenue (1e-4 units), ties on (orderdate, orderkey).
+    The filtered dimension sides broadcast; lineitem never shuffles
+    for the joins (only for its own groupBy)."""
+    from pyspark.sql.window import Window
+
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select(
+            "l_orderkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("rev_u"),
+        )
+    )
+    joined = li.join(
+        F.broadcast(orders.join(F.broadcast(cust),
+                                orders.o_custkey == cust.c_custkey)),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum("rev_u").cast("bigint").alias("revenue_u")
+    )
+    w = Window.orderBy(
+        F.col("revenue_u").desc(), F.col("o_orderdate").asc(),
+        F.col("l_orderkey").asc(),
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.unix_timestamp("o_orderdate").cast("bigint").alias("orderdate_sec"),
+            "revenue_u",
+            "rank",
+        )
+    )
+
+
+SQL_SHIPPING_PRIORITY = r"""
+WITH agg AS (
+  SELECT l.l_orderkey, o.o_orderdate,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS revenue_u
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_sec,
+         revenue_u,
+         CAST(row_number() OVER (ORDER BY revenue_u DESC, o_orderdate ASC,
+                                 l_orderkey ASC) AS INT) AS rank
+  FROM agg
+)
+SELECT o_orderkey, orderdate_sec, revenue_u, rank FROM ranked WHERE rank <= 10
+"""
+
+QUERIES["shipping_priority"] = q_shipping_priority
+ORACLES["shipping_priority"] = SQL_SHIPPING_PRIORITY
