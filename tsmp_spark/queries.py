@@ -9733,3 +9733,97 @@ SELECT o_orderkey, orderdate_sec, revenue_u, rank FROM ranked WHERE rank <= 10
 
 QUERIES["shipping_priority"] = q_shipping_priority
 ORACLES["shipping_priority"] = SQL_SHIPPING_PRIORITY
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shape large-volume orders: orders whose total lineitem
+    quantity exceeds a threshold (aggregate → HAVING semi-join back to
+    the fact rows), top-20 by (qty DESC, orderkey ASC). Integer-exact
+    quantities."""
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", F.round(F.col("l_quantity")).cast("bigint").alias("qty")
+    )
+    totals = li.groupBy("l_orderkey").agg(
+        F.sum("qty").cast("bigint").alias("total_qty"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    ).filter(F.col("total_qty") > 150)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey",
+        F.unix_timestamp("o_orderdate").cast("bigint").alias("orderdate_sec"),
+    )
+    joined = totals.join(orders, totals.l_orderkey == orders.o_orderkey)
+    w = Window.orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("o_orderkey", "o_custkey", "orderdate_sec", "total_qty",
+                "n_lines", "rank")
+    )
+
+
+SQL_LARGE_ORDERS = r"""
+WITH totals AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1 HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 150
+),
+ranked AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_sec,
+         t.total_qty, t.n_lines,
+         CAST(row_number() OVER (ORDER BY t.total_qty DESC, o.o_orderkey ASC)
+              AS INT) AS rank
+  FROM totals t JOIN orders o ON o.o_orderkey = t.l_orderkey
+)
+SELECT o_orderkey, o_custkey, orderdate_sec, total_qty, n_lines, rank
+FROM ranked WHERE rank <= 20
+"""
+
+QUERIES["large_orders"] = q_large_orders
+ORACLES["large_orders"] = SQL_LARGE_ORDERS
+
+
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins compaction (the upsert/SCD-1 primitive of the
+    table layer): one row per (user, event_type) stream key carrying
+    the latest value by (ts, event_id) — the MERGE-on-read collapse a
+    tiered store runs at compaction time. Integer tie-total order."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("sec"),
+        "event_id", F.round(F.col("value") * 1_000_000).cast("bigint")
+        .alias("vu"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("sec").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type",
+                F.col("sec").alias("latest_sec"),
+                F.col("event_id").alias("latest_event_id"),
+                F.col("vu").alias("latest_vu"))
+    )
+
+
+SQL_LATEST_SNAPSHOT = r"""
+SELECT user_id, event_type,
+       sec AS latest_sec, event_id AS latest_event_id, vu AS latest_vu
+FROM (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         event_id, CAST(round(value * 1000000) AS BIGINT) AS vu,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+                                     event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+QUERIES["latest_snapshot"] = q_latest_snapshot
+ORACLES["latest_snapshot"] = SQL_LATEST_SNAPSHOT
