@@ -746,3 +746,45 @@ def test_attribution_stream_window_edges(spark, tmp_path):
         (1, 2): 0, (1, 3): 100, (1, 4): 600,
         (7, 3): 10, (7, 4): 510, (7, 5): 511,
     }
+
+
+def test_upsert_stream_any_order(spark, tmp_path):
+    """Latest-wins upsert stream fed out-of-order batches converges to
+    the batch snapshot (max over a total order is commutative)."""
+    import os
+    from tsmp_spark.streaming.dedup import upsert_stream
+
+    rows = [(i, i * 7 % 50, f"e{i % 3}", (i * 13) % 40, i * 10)
+            for i in range(200)]  # (event_id, user, type, sec, vu)
+    base = str(tmp_path / "ev")
+    os.makedirs(base)
+    scrambled = rows[120:] + rows[:120]
+    for k, chunk in enumerate((scrambled[:100], scrambled[100:])):
+        spark.createDataFrame(
+            chunk, "event_id long, user_id long, event_type string, sec long, vu long"
+        ).coalesce(1).write.parquet(f"{base}/f{k}.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, sec long, vu long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/*")
+    )
+    q = (
+        upsert_stream(stream)
+        .writeStream.format("memory").queryName("ups_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.user_id, r.event_type): (r.latest_sec, r.latest_event_id, r.latest_vu)
+           for r in spark.sql(
+               "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY "
+               "user_id, event_type ORDER BY n_seen DESC) rn FROM ups_t) "
+               "WHERE rn = 1").collect()}
+    want = {}
+    for eid, u, t, sec, vu in rows:
+        k = (u, t)
+        if k not in want or (sec, eid) > (want[k][0], want[k][1]):
+            want[k] = (sec, eid, vu)
+    assert got == want

@@ -9827,3 +9827,51 @@ WHERE rn = 1
 
 QUERIES["latest_snapshot"] = q_latest_snapshot
 ORACLES["latest_snapshot"] = SQL_LATEST_SNAPSHOT
+
+
+def q_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latest-wins compaction maintained by a real stateful
+    stream; final snapshot per key gated by the batch latest_snapshot
+    SQL — max over a total (ts, id) order is commutative, so
+    stream==batch holds for any arrival order."""
+    import uuid
+
+    from .streaming.dedup import upsert_stream
+
+    name = "ups_sink_" + uuid.uuid4().hex[:8]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props map<string,string>"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            "user_id", "event_type",
+            F.unix_timestamp("ts").alias("sec"), "event_id",
+            F.round(F.col("value") * 1_000_000).cast("bigint").alias("vu"),
+        )
+    )
+    q = (
+        upsert_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""
+        SELECT user_id, event_type, latest_sec, latest_event_id, latest_vu
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY n_seen DESC) AS rn
+              FROM {name}) WHERE rn = 1
+        """
+    )
+
+
+QUERIES["upsert_stream"] = q_upsert_stream
+ORACLES["upsert_stream"] = SQL_LATEST_SNAPSHOT

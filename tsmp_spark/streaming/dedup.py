@@ -82,3 +82,60 @@ def dedup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+UPSERT_OUTPUT_SCHEMA = (
+    "user_id long, event_type string, n_seen long, "
+    "latest_sec long, latest_event_id long, latest_vu long"
+)
+UPSERT_STATE_SCHEMA = "sec long, eid long, vu long, n_seen long"
+
+
+def _upsert_func(key, pdfs, state):
+    """Latest-wins upsert state: keep the max (sec, event_id) row per
+    key — max over a total order is COMMUTATIVE, so stream==batch holds
+    for ANY arrival order (the hll_stream contract)."""
+    import pandas as pd
+
+    if state.exists:
+        sec, eid, vu, n_seen = state.get
+    else:
+        sec, eid, vu, n_seen = -1, -1, 0, 0
+    user_id, event_type = key
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n_seen += len(pdf)
+        for s, e, v in zip(pdf["sec"], pdf["event_id"], pdf["vu"]):
+            if (int(s), int(e)) > (sec, eid):
+                sec, eid, vu = int(s), int(e), int(v)
+    state.update((sec, eid, vu, n_seen))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": int(user_id),
+                "event_type": event_type,
+                "n_seen": int(n_seen),
+                "latest_sec": sec,
+                "latest_event_id": eid,
+                "latest_vu": vu,
+            }
+        ]
+    )
+
+
+def upsert_stream(event_stream):
+    """Streaming CDC latest-wins compaction: one snapshot row per
+    stream key per micro-batch carrying the running latest (sec,
+    event_id, value) — the MERGE-on-read collapse maintained online.
+    State is O(1) per key; the LAST snapshot (max n_seen) equals the
+    batch ``latest_snapshot`` exactly, for any arrival order."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return event_stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        _upsert_func,
+        outputStructType=UPSERT_OUTPUT_SCHEMA,
+        stateStructType=UPSERT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
