@@ -2050,3 +2050,34 @@ def test_mpdist_cluster_separates_planted_families(spark, monkeypatch):
     med_b = {out[d].medoid for d in (4, 5, 6)}
     assert len(med_a) == 1 and len(med_b) == 1 and med_a != med_b
     assert out[next(iter(med_a))].mpdist_r == 0.0  # medoid assigns itself
+
+
+def test_hll_overlap_estimate_and_raw_branch_parity(spark):
+    """Inclusion–exclusion overlap estimates, plus the regression pin
+    for the decimal-literal alpha bug: the RAW-branch batch estimate
+    must equal the streaming op's Python-float arithmetic exactly."""
+    import numpy as np
+    from tsmp_spark.operators.sketch import hll_overlap_estimate, hll_rollup
+    from tsmp_spark.streaming.sketch import _estimate
+
+    a = spark.createDataFrame([(i,) for i in range(4000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(2000, 6000)], "k long")
+    r = hll_overlap_estimate(a, b, "k", "k").collect()[0]
+    # 3-sigma HLL accuracy on each piece (se ~ 4.6%)
+    assert abs(r.est_left / 4000 - 1) < 0.15
+    assert abs(r.est_right / 4000 - 1) < 0.15
+    assert abs(r.est_union / 6000 - 1) < 0.15
+    assert abs(r.est_intersection / 2000 - 1) < 0.35  # differences amplify
+    # raw-branch parity with the streaming estimate (same registers)
+    big = spark.createDataFrame([(i, 0) for i in range(4000)],
+                                "user_id long, sec long")
+    batch = hll_rollup(big, bucket_sec=1000).collect()[0]
+    from tsmp_spark.operators.sketch import HLL_M, HLL_REST_BITS, hll_register_rows
+    import pyspark.sql.functions as FF
+    regs_rows = (hll_register_rows(big, 1000, "user_id", "sec")
+                 .groupBy("idx").agg(FF.max("rho").alias("reg")).collect())
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    for row in regs_rows:
+        regs[row.idx] = row.reg
+    zeros, z_int, est = _estimate(regs)
+    assert (batch.zeros, batch.z_int, batch.est) == (zeros, z_int, est)

@@ -30,10 +30,14 @@ from .dedup import _h64
 #: hash bits get a sentinel bit 2^23 so rho = trailing-zeros+1 ∈ [1,24].
 HLL_M = 512
 HLL_REST_BITS = 23
-#: Flajolet et al. 2007 bias constant for m ≥ 128 — the LITERAL
-#: expression is repeated verbatim in the SQL oracles so both engines
-#: evaluate the identical double.
-HLL_ALPHA_EXPR = "0.7213 / (1.0 + 1.079 / 512.0)"
+#: Flajolet et al. 2007 bias constant for m ≥ 128. Evaluated in PYTHON
+#: (IEEE doubles, matching DuckDB's evaluation of the same literal
+#: expression in the oracles, verified equal) and injected with F.lit —
+#: inside F.expr, Spark parses ``0.7213`` as DECIMAL and the raw-branch
+#: estimate drifts 3e-6 (found by the join_cardinality gate; the
+#: streaming op always used the Python float, so this also removes a
+#: latent batch-vs-stream raw-branch disagreement).
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 512.0)
 
 
 def hll_register_rows(
@@ -118,7 +122,7 @@ def _hll_estimate(regs: DataFrame) -> DataFrame:
         F.col("z_present")
         + F.col("zeros") * F.lit(1 << (HLL_REST_BITS + 1)).cast("bigint")
     ).alias("z_int")
-    raw = F.expr(HLL_ALPHA_EXPR) * F.lit(float(HLL_M * HLL_M)) * F.lit(
+    raw = F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) * F.lit(
         float(1 << (HLL_REST_BITS + 1))
     ) / F.col("z_int")
     est = F.when(
@@ -468,4 +472,64 @@ def bloom_probe_stats(
         "probes",
         "hit",
         F.coalesce(F.col("actual"), F.lit(0)).cast("int").alias("actual"),
+    )
+
+
+def hll_overlap_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+) -> DataFrame:
+    """Join-cardinality estimation from HLL sketches (the planner's
+    question answered without touching either table twice): distinct
+    estimates for each key column, their UNION via register-wise max,
+    and the inclusion–exclusion intersection estimate ``|A| + |B| −
+    |A∪B|`` — what a CBO uses to size a join before running it.
+
+    All three estimates come from the SAME register chain as
+    ``hll_rollup`` (exact integer z_int per sketch, ONE r6 float each);
+    the intersection is their r6 difference (floored at 0). Output is a
+    single row: (est_left, est_right, est_union, est_intersection).
+
+    Scale: each side collapses to ≤ m=512 register rows map-side; the
+    merge is a 512-row max. Nothing else moves.
+    """
+    def regs(df: DataFrame, col: str, tag: int) -> DataFrame:
+        rows = df.select(
+            F.lit(tag).cast("long").alias("bucket"),
+            _h64(F.col(col).cast("string"), 0).alias("h"),
+        )
+        return (
+            rows.select(
+                "bucket",
+                (F.col("h") % HLL_M).cast("int").alias("idx"),
+                F.expr(f"(h div {HLL_M}) | {1 << HLL_REST_BITS}").alias("w"),
+            )
+            .select(
+                "bucket",
+                "idx",
+                (F.expr("cast(round(log2(w & -w)) as int)") + 1).alias("rho"),
+            )
+            .groupBy("bucket", "idx")
+            .agg(F.max("rho").alias("reg"))
+        )
+
+    ra = regs(left, left_col, 0)
+    rb = regs(right, right_col, 1)
+    union = (
+        ra.select(F.lit(2).cast("long").alias("bucket"), "idx", "reg")
+        .union(rb.select(F.lit(2).cast("long").alias("bucket"), "idx", "reg"))
+        .groupBy("bucket", "idx")
+        .agg(F.max("reg").alias("reg"))
+    )
+    ests = _hll_estimate(ra.union(rb).union(union)).select("bucket", "est")
+    pivot = ests.groupBy().pivot("bucket", [0, 1, 2]).agg(F.first("est"))
+    return pivot.select(
+        F.col("0").alias("est_left"),
+        F.col("1").alias("est_right"),
+        F.col("2").alias("est_union"),
+        F.greatest(
+            F.round(F.col("0") + F.col("1") - F.col("2"), 6), F.lit(0.0)
+        ).alias("est_intersection"),
     )

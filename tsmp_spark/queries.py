@@ -9875,3 +9875,70 @@ def q_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["upsert_stream"] = q_upsert_stream
 ORACLES["upsert_stream"] = SQL_LATEST_SNAPSHOT
+
+
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL join-cardinality estimate for orders.o_custkey ⋈
+    customer.c_custkey: per-side distincts, register-max union, and the
+    inclusion-exclusion intersection — the CBO sizing question answered
+    from two 512-register sketches."""
+    from .operators.sketch import hll_overlap_estimate
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return hll_overlap_estimate(orders, cust, "o_custkey", "c_custkey")
+
+
+SQL_JOIN_CARDINALITY = r"""
+WITH keys AS (
+  SELECT 0 AS bucket, CAST(o_custkey AS VARCHAR) AS kv FROM orders
+  UNION ALL SELECT 1, CAST(c_custkey AS VARCHAR) FROM customer
+),
+rows_ AS (
+  SELECT bucket,
+         CAST(('0x' || substr(md5('s0:' || kv), 1, 8)) AS BIGINT) AS h
+  FROM keys
+),
+reg AS (
+  SELECT bucket, CAST(h % 512 AS INT) AS idx,
+         max(CAST(round(log2(((h // 512) | 8388608)
+                             & -((h // 512) | 8388608))) AS INT) + 1) AS reg
+  FROM rows_ GROUP BY 1, 2
+),
+reg3 AS (
+  SELECT bucket, idx, reg FROM reg
+  UNION ALL
+  SELECT 2 AS bucket, idx, max(reg) FROM reg GROUP BY 2, idx
+),
+agg AS (
+  SELECT bucket,
+         CAST(512 - count(*) AS BIGINT) AS zeros,
+         sum(CAST(1 AS BIGINT) << (24 - reg)) AS z_present
+  FROM reg3 GROUP BY 1
+),
+z AS (
+  SELECT bucket, zeros,
+         CAST(z_present + zeros * (CAST(1 AS BIGINT) << 24) AS BIGINT) AS z_int
+  FROM agg
+),
+ests AS (
+  SELECT bucket,
+         round(CASE WHEN 0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * 16777216.0
+                         / z_int <= 1280.0 AND zeros > 0
+                    THEN 512.0 * ln(512.0 / zeros)
+                    ELSE 0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * 16777216.0
+                         / z_int END, 6) AS est
+  FROM z
+)
+SELECT max(CASE WHEN bucket = 0 THEN est END) AS est_left,
+       max(CASE WHEN bucket = 1 THEN est END) AS est_right,
+       max(CASE WHEN bucket = 2 THEN est END) AS est_union,
+       greatest(round(max(CASE WHEN bucket = 0 THEN est END)
+                      + max(CASE WHEN bucket = 1 THEN est END)
+                      - max(CASE WHEN bucket = 2 THEN est END), 6), 0.0)
+         AS est_intersection
+FROM ests
+"""
+
+QUERIES["join_cardinality"] = q_join_cardinality
+ORACLES["join_cardinality"] = SQL_JOIN_CARDINALITY
