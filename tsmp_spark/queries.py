@@ -9942,3 +9942,33 @@ FROM ests
 
 QUERIES["join_cardinality"] = q_join_cardinality
 ORACLES["join_cardinality"] = SQL_JOIN_CARDINALITY
+
+
+def q_tier_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental tier refresh: history (first 20 days) tier merged
+    with a late delta batch (the rest) — the oracle recomputes the tier
+    from ALL rows, gating merge==recompute exactly."""
+    from .operators.rollup import tier_incremental_refresh
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    split = F.floor(F.col("sec") / 86400) < 19740  # epoch-day split point
+    return tier_incremental_refresh(
+        ev.where(split), ev.where(~split), bucket_sec=21600,
+        key_col="user_id", ts_col="sec",
+    )
+
+
+SQL_TIER_REFRESH = r"""
+SELECT user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_u,
+       CAST(min(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS min_u,
+       CAST(max(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS max_u
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["tier_refresh"] = q_tier_refresh
+ORACLES["tier_refresh"] = SQL_TIER_REFRESH
