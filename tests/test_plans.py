@@ -592,3 +592,38 @@ def test_shipping_priority_broadcasts_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+#: queries whose q() function starts a real stream (planning would run it)
+_STREAMING_QUERIES = {
+    "hll_stream", "cms_stream", "upsert_stream", "attribution_stream",
+    "stompi_stream", "floss_chunked", "rollup_stream", "pack_stream",
+    "dedup_stream", "sessionize_stream",
+}
+
+
+def test_registry_wide_plan_audit(spark):
+    """EVERY registered batch query planned at sf0.001 and audited for
+    the two global anti-patterns: row-at-a-time Python (BatchEvalPython
+    / ArrowEvalPython — the kernel layer is MapInPandas/
+    FlatMapGroupsInPandas, which are allowed) and CartesianProduct
+    (every cross join must broadcast). One test, the whole surface."""
+    from tsmp_spark.queries import QUERIES
+
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        if name in _STREAMING_QUERIES:
+            continue
+        try:
+            df = fn(spark, SF)
+            plan = _plan(df)
+        except Exception as e:  # pragma: no cover - audit robustness
+            offenders[name] = f"plan build failed: {e}"
+            continue
+        if "BatchEvalPython" in plan:
+            offenders[name] = "BatchEvalPython"
+        elif "ArrowEvalPython" in plan:
+            offenders[name] = "ArrowEvalPython"
+        elif "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+    assert not offenders, offenders
