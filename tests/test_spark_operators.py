@@ -1542,18 +1542,16 @@ def test_fuzzy_vocab_pairs_symspell(spark):
     import itertools
     from tsmp_spark.operators.text import fuzzy_vocab_pairs
 
-    docs = spark.createDataFrame(
-        [(1, "receive recieve beleive believe night nigth might"),
-         (2, "receive receive data date daate x9 ab"),
-         (3, "zebra Zebra ZEBRA")],
-        "doc_id long, text string",
-    )
+    corpus = [(1, "receive recieve beleive believe night nigth might"),
+              (2, "receive receive data date daate x9 ab"),
+              (3, "zebra Zebra ZEBRA")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
     got = {(r.word_a, r.word_b): (r.cnt_a, r.cnt_b, r.dist)
            for r in fuzzy_vocab_pairs(docs).collect()}
     # brute-force python reference over the same filtered vocab
     import re as _re
     words = []
-    for _, t in docs.collect() if False else [(1, "receive recieve beleive believe night nigth might"), (2, "receive receive data date daate x9 ab"), (3, "zebra Zebra ZEBRA")]:
+    for _, t in corpus:
         words += [w for w in t.lower().strip().split()
                   if _re.fullmatch("[a-z0-9]+", w) and 3 <= len(w) <= 24]
     from collections import Counter
@@ -2081,3 +2079,17 @@ def test_hll_overlap_estimate_and_raw_branch_parity(spark):
         regs[row.idx] = row.reg
     zeros, z_int, est = _estimate(regs)
     assert (batch.zeros, batch.z_int, batch.est) == (zeros, z_int, est)
+
+
+def test_behavior_ngrams_null_event_type(spark):
+    """Regression (review finding): a NULL event type mid-sequence must
+    NOT produce a malformed shorter gram (concat_ws skips NULLs)."""
+    from tsmp_spark.operators.rollup import behavior_ngrams
+
+    rows = [(1, 0, "a", 1), (1, 1, None, 2), (1, 2, "c", 3),
+            (1, 3, "d", 4), (1, 4, "e", 5)]
+    df = spark.createDataFrame(
+        rows, "user_id long, sec long, event_type string, event_id long")
+    got = {r.gram for r in behavior_ngrams(
+        df, n=3, top_k=10, key_col="user_id", ts_col="sec").collect()}
+    assert got == {"c>d>e"}          # no "a>c" phantom trigram

@@ -2507,6 +2507,10 @@ def change_point(
         ).alias("s"),
         F.count("*").over(wkey).alias("n"),
         F.sum("su").over(wkey).alias("t"),
+        # first bucket of the RIGHT segment if we split after this row —
+        # carried here so no second window pass / self-join is needed
+        # (always defined for admissible k: k <= n - min_seg, min_seg >= 1)
+        F.lead("bucket").over(wseq).alias("split_bucket"),
     )
     cand = pre.filter(
         (F.col("j") >= min_seg) & (F.col("j") <= F.col("n") - min_seg)
@@ -2519,7 +2523,8 @@ def change_point(
     td = F.col("t").cast("double")
     gain = (obj - td * td / F.col("n").cast("double")).alias("gain")
     scored = cand.select(
-        "key", "bucket", F.col("j").alias("k"), "n", obj.alias("obj"), gain
+        "key", "split_bucket", F.col("j").alias("k"), "n",
+        obj.alias("obj"), gain,
     )
     wrank = Window.partitionBy("key").orderBy(
         F.col("obj").desc(), F.col("k").asc()
@@ -2527,14 +2532,8 @@ def change_point(
     best = scored.withColumn("rn", F.row_number().over(wrank)).filter(
         F.col("rn") == 1
     )
-    # split_bucket = first bucket of the RIGHT segment: the bucket at
-    # sequence position k+1 — join back on (key, j = k+1)
-    nxt = pre.select(
-        "key", F.col("j").alias("k1"), F.col("bucket").alias("split_bucket")
-    )
-    return best.join(
-        nxt, (best.key == nxt.key) & (nxt.k1 == best.k + 1)
-    ).select(best.key.alias(key_col), "k", "n", "split_bucket", "gain")
+    return best.select(F.col("key").alias(key_col), "k", "n",
+                       "split_bucket", "gain")
 
 
 def session_funnel(
@@ -2643,8 +2642,14 @@ def behavior_ngrams(
     for i in range(1, n):
         rows = rows.withColumn(f"e{i}", F.lead("e0", i).over(w))
     gram = F.concat_ws(">", *[F.col(f"e{i}") for i in range(n)])
+    # filter EVERY position: concat_ws silently skips NULLs, so a NULL
+    # mid-sequence would otherwise count a malformed shorter gram
+    # (review finding; the oracle's || chain null-propagates instead)
+    notnull = F.lit(True)
+    for i in range(n):
+        notnull = notnull & F.col(f"e{i}").isNotNull()
     counted = (
-        rows.filter(F.col(f"e{n - 1}").isNotNull())
+        rows.filter(notnull)
         .select(gram.alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").cast("bigint").alias("cnt"))

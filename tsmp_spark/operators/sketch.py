@@ -496,21 +496,16 @@ def hll_overlap_estimate(
     merge is a 512-row max. Nothing else moves.
     """
     def regs(df: DataFrame, col: str, tag: int) -> DataFrame:
-        rows = df.select(
-            F.lit(tag).cast("long").alias("bucket"),
-            _h64(F.col(col).cast("string"), 0).alias("h"),
+        # reuse the SHARED register derivation (hll_register_rows) with a
+        # constant pseudo-timestamp so the bucket collapses to the tag —
+        # one chain for batch, stream, and overlap (review finding: a
+        # verbatim copy here would drift exactly like the alpha bug)
+        tagged = df.select(
+            F.lit(tag).cast("long").alias("_ts"),
+            F.col(col).cast("string").alias("_item"),
         )
         return (
-            rows.select(
-                "bucket",
-                (F.col("h") % HLL_M).cast("int").alias("idx"),
-                F.expr(f"(h div {HLL_M}) | {1 << HLL_REST_BITS}").alias("w"),
-            )
-            .select(
-                "bucket",
-                "idx",
-                (F.expr("cast(round(log2(w & -w)) as int)") + 1).alias("rho"),
-            )
+            hll_register_rows(tagged, 1, "_item", "_ts")
             .groupBy("bucket", "idx")
             .agg(F.max("rho").alias("reg"))
         )

@@ -620,9 +620,10 @@ def fuzzy_vocab_pairs(
     levenshtein counts UTF-16 units, DuckDB's counts codepoints; they
     agree on ASCII), and short/huge tokens are typo-join noise anyway.
     ``max_variant_freq`` is the hot-key cap knob (the simhash
-    ``max_band_freq`` convention): variant keys shared by more docs
-    than the cap are dropped from candidate generation (recall trade,
-    documented; None = exact).
+    ``max_band_freq`` convention): variant keys shared by more VOCAB
+    ENTRIES (distinct words — not documents; the vocab table has one
+    row per word) than the cap are dropped from candidate generation
+    (recall trade, documented; None = exact).
 
     Output (word_a, word_b, cnt_a, cnt_b, dist) with word_a < word_b.
 

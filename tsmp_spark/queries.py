@@ -8428,17 +8428,23 @@ def q_consensus_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id_b"),
         F.col("tokens").alias("tokens_b"),
     )
+    # UNORDERED pairs: the AB kernel emits BOTH sides ('a' = profile of
+    # doc_a vs doc_b, 'b' = the reverse), so a < b halves the kernel
+    # work vs ordered pairs (review finding)
     pairs = a.crossJoin(F.broadcast(b)).filter(
-        F.col("doc_id_a") != F.col("doc_id_b")
+        F.col("doc_id_a") < F.col("doc_id_b")
     )
     prof = matrix_profile_join(pairs, W)
+    both_sides = prof.filter(F.col("pi") >= 0).select(
+        F.when(F.col("side") == "a", F.col("doc_id_a"))
+        .otherwise(F.col("doc_id_b"))
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("pos").cast("bigint").alias("pos"),
+        _r4("mp").alias("md"),
+    )
     radius = (
-        prof.filter((F.col("side") == "a") & (F.col("pi") >= 0))
-        .select(
-            F.col("doc_id_a").cast("bigint").alias("doc_id"),
-            F.col("pos").cast("bigint").alias("pos"),
-            _r4("mp").alias("md"),
-        )
+        both_sides
         .groupBy("doc_id", "pos")
         .agg(F.max("md").alias("radius"), F.count("*").alias("nb"))
         .filter(F.col("nb") == len(ids) - 1)
@@ -8732,7 +8738,9 @@ leads AS (
 counted AS (
   SELECT e0 || '>' || e1 || '>' || e2 AS gram,
          CAST(count(*) AS BIGINT) AS cnt
-  FROM leads WHERE e2 IS NOT NULL GROUP BY 1
+  FROM leads
+  WHERE e0 IS NOT NULL AND e1 IS NOT NULL AND e2 IS NOT NULL
+  GROUP BY 1
 ),
 ranked AS (
   SELECT gram, cnt,
@@ -9420,8 +9428,15 @@ def q_mpdist_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             if rows:
                 yield pd.DataFrame(rows)
 
-    mpd = pairs.mapInPandas(kernel, schema).select(
-        "ida", "idb", _r4("mpdist").alias("d")
+    from .operators.cache import pin
+
+    # the 28-pair kernel lineage branches ~10x below (sym/sums/m1/m2/
+    # joins) — pin it once or every branch re-runs the mpdist kernel
+    # (the CLAUDE.md Arrow-UDF branching rule; review finding)
+    mpd = pin(
+        pairs.mapInPandas(kernel, schema).select(
+            "ida", "idb", _r4("mpdist").alias("d")
+        )
     )
     sym = mpd.select("ida", "idb", "d").union(
         mpd.select(F.col("idb").alias("ida"), F.col("ida").alias("idb"), "d")
