@@ -863,3 +863,23 @@ def test_temperature_sample_rebalances_sources(spark):
     again = {r.doc_id: r.kept for r in
              temperature_sample(df, sample_frac=0.5).collect()}
     assert all(again[r.doc_id] == r.kept for r in out)
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from tsmp_spark.operators.tokens import weighted_sample_topk
+
+    # 500 light docs (w=1) vs 500 heavy docs (w=100): the heavy half
+    # should dominate a k=100 sample overwhelmingly
+    rows = [(i, 1) for i in range(500)] + [(1000 + i, 100) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = weighted_sample_topk(df, k=100, weight_expr="n_tok").collect()
+    assert len(out) == 100
+    heavy = sum(1 for r in out if r.doc_id >= 1000)
+    assert heavy > 85
+    # deterministic: identical rerun
+    again = weighted_sample_topk(df, k=100, weight_expr="n_tok").collect()
+    assert {(r.doc_id, r.rank) for r in again} == {(r.doc_id, r.rank) for r in out}
+    # zero/negative weights excluded
+    z = spark.createDataFrame([(1, 0), (2, 5)], "doc_id long, n_tok long")
+    zz = weighted_sample_topk(z, k=10, weight_expr="n_tok").collect()
+    assert [r.doc_id for r in zz] == [2]

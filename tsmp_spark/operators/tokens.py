@@ -996,3 +996,47 @@ def temperature_sample(
         .cast("int")
         .alias("kept"),
     )
+
+
+def weighted_sample_topk(
+    documents: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    weight_expr: str = "n_tok",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–
+    Spirakis A-ES key (2006): each row gets the key ``ln(u)/w`` with
+    ``u`` an md5-derived uniform and ``w`` its integer weight, and the
+    k LARGEST keys are the sample — the distributed one-pass algorithm
+    for "sample k docs proportionally to length/quality" (a heap scan
+    per partition + one k-row merge at scale; here a rank window with
+    WindowGroupLimit).
+
+    Determinism: ``u = (h_24 + 1)/2^24`` from the doc's md5 (RNG-free,
+    retry-safe, the source_mixture convention); the key is ROUNDED r6
+    and ranked with an id tie-break — ln() differs 1 ulp between JVM
+    and libm, so the raw key is not a stable cross-engine sort key (the
+    dsir/bm25 lesson applied to sampling).
+
+    Output: (doc_id, weight, skey, rank) for the k sampled rows.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import _h64
+
+    rows = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(weight_expr).cast("bigint").alias("weight"),
+    ).filter(F.col("weight") > 0)
+    u = (_h64(F.col("doc_id").cast("string"), 16) % F.lit(1 << 24) + 1).cast(
+        "double"
+    ) / F.lit(float(1 << 24))
+    keyed = rows.withColumn(
+        "skey", F.round(F.log(u) / F.col("weight").cast("double"), 6)
+    )
+    w = Window.orderBy(F.col("skey").desc(), F.col("doc_id").asc())
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "weight", "skey", "rank")
+    )

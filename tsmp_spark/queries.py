@@ -9987,3 +9987,43 @@ FROM events GROUP BY 1, 2
 
 QUERIES["tier_refresh"] = q_tier_refresh
 ORACLES["tier_refresh"] = SQL_TIER_REFRESH
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample (k=50, weight = token
+    count): longer docs proportionally more likely, RNG-free md5
+    uniforms, r6 sort key with id tie-break."""
+    from .operators.tokens import weighted_sample_topk
+
+    tok = _tokenized(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "n_tok"
+    )
+    return weighted_sample_topk(tok, k=50, id_col="doc_id",
+                                weight_expr="n_tok")
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH {SQL_TOKC},
+rows_ AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(tokens) AS BIGINT) AS weight
+  FROM tokc WHERE len(tokens) > 0
+),
+keyed AS (
+  SELECT doc_id, weight,
+         round(ln((CAST(('0x' || substr(md5('s4:' || CAST(doc_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 16777216 + 1)
+                  / 16777216.0) / CAST(weight AS DOUBLE), 6) AS skey
+  FROM rows_
+),
+ranked AS (
+  SELECT doc_id, weight, skey,
+         CAST(row_number() OVER (ORDER BY skey DESC, doc_id ASC) AS INT)
+           AS rank
+  FROM keyed
+)
+SELECT doc_id, weight, skey, rank FROM ranked WHERE rank <= 50
+"""
+
+QUERIES["weighted_sample"] = q_weighted_sample
+ORACLES["weighted_sample"] = SQL_WEIGHTED_SAMPLE
