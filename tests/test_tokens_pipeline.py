@@ -883,3 +883,25 @@ def test_weighted_sample_bias_and_determinism(spark):
     z = spark.createDataFrame([(1, 0), (2, 5)], "doc_id long, n_tok long")
     zz = weighted_sample_topk(z, k=10, weight_expr="n_tok").collect()
     assert [r.doc_id for r in zz] == [2]
+
+
+def test_dataset_split_stable_under_growth(spark):
+    import pytest as _pt
+    from tsmp_spark.operators.tokens import dataset_split
+
+    small = spark.createDataFrame([(i, "s") for i in range(500)],
+                                  "doc_id long, source string")
+    big = spark.createDataFrame([(i, "s") for i in range(2000)],
+                                "doc_id long, source string")
+    s_small = {r.doc_id: r.split for r in dataset_split(small).collect()}
+    s_big = {r.doc_id: r.split for r in dataset_split(big).collect()}
+    # growth stability: every original doc keeps its split
+    assert all(s_big[d] == s for d, s in s_small.items())
+    # proportions roughly 80/10/10 on the bigger corpus
+    from collections import Counter
+    c = Counter(s_big.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    assert abs(c["val"] / 2000 - 0.1) < 0.04
+    assert abs(c["test"] / 2000 - 0.1) < 0.04
+    with _pt.raises(ValueError):
+        dataset_split(small, train_permille=950, val_permille=100)

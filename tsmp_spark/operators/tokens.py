@@ -1040,3 +1040,28 @@ def weighted_sample_topk(
         .filter(F.col("rank") <= k)
         .select("doc_id", "weight", "skey", "rank")
     )
+
+
+def dataset_split(
+    documents: DataFrame,
+    train_permille: int = 800,
+    val_permille: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test split (800/100/100 ‰ by default):
+    the doc's md5 uniform modulo 1000 against integer per-mille
+    thresholds — pure integer decision, RNG-free, retry-safe, and
+    STABLE under corpus growth (a doc's split never changes when other
+    docs arrive — the property random splits lose). Map-only.
+    """
+    from .dedup import _h64
+
+    if not 0 < train_permille + val_permille < 1000:
+        raise ValueError("train + val must leave room for test")
+    b = _h64(F.col(id_col).cast("string"), 20) % 1000
+    return documents.withColumn(
+        "split",
+        F.when(b < train_permille, "train")
+        .when(b < train_permille + val_permille, "val")
+        .otherwise("test"),
+    )

@@ -10027,3 +10027,29 @@ SELECT doc_id, weight, skey, rank FROM ranked WHERE rank <= 50
 
 QUERIES["weighted_sample"] = q_weighted_sample
 ORACLES["weighted_sample"] = SQL_WEIGHTED_SAMPLE
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split assignment per doc (integer
+    per-mille decision on the md5 uniform — growth-stable)."""
+    from .operators.tokens import dataset_split
+
+    out = dataset_split(_documents(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", "split"
+    )
+
+
+SQL_DATASET_SPLIT = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CASE WHEN CAST(('0x' || substr(md5('s5:' || CAST(doc_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) % 1000 < 800
+            THEN 'train'
+            WHEN CAST(('0x' || substr(md5('s5:' || CAST(doc_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) % 1000 < 900
+            THEN 'val' ELSE 'test' END AS split
+FROM documents
+"""
+
+QUERIES["dataset_split"] = q_dataset_split
+ORACLES["dataset_split"] = SQL_DATASET_SPLIT
