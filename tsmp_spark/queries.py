@@ -10053,3 +10053,99 @@ FROM documents
 
 QUERIES["dataset_split"] = q_dataset_split
 ORACLES["dataset_split"] = SQL_DATASET_SPLIT
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user counts: a user is NEW on their
+    first-seen day, RETURNING after — integer-only, one min-groupBy +
+    one conditional count."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts").cast("long") / 86400)
+        .cast("long")
+        .alias("day"),
+    )
+    ud = ev.distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    tagged = ud.join(first, "user_id")
+    return tagged.groupBy("day").agg(
+        F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("returning_users"),
+    )
+
+
+SQL_NEW_VS_RETURNING = r"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+first AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+SELECT ud.day,
+       CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(sum(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_users
+FROM ud JOIN first f ON f.user_id = ud.user_id
+GROUP BY 1
+"""
+
+QUERIES["new_vs_returning"] = q_new_vs_returning
+ORACLES["new_vs_returning"] = SQL_NEW_VS_RETURNING
+
+
+def q_topk_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user top-2 event types plus an 'other' rollup row — the
+    standard reporting shape (dashboards can't show 50 categories);
+    integer counts, deterministic (cnt DESC, type ASC) rank."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type"
+    )
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    top = ranked.filter(F.col("rn") <= 2).select(
+        "user_id", F.col("event_type").alias("bucket"), "cnt",
+        F.col("rn").cast("int").alias("rank"),
+    )
+    other = (
+        ranked.filter(F.col("rn") > 2)
+        .groupBy("user_id")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .select("user_id", F.lit("other").alias("bucket"), "cnt",
+                F.lit(3).cast("int").alias("rank"))
+    )
+    return top.unionByName(other)
+
+
+SQL_TOPK_WITH_OTHER = r"""
+WITH counts AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM counts
+)
+SELECT user_id, event_type AS bucket, cnt, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 2
+UNION ALL
+SELECT user_id, 'other' AS bucket, CAST(sum(cnt) AS BIGINT) AS cnt,
+       CAST(3 AS INT) AS rank
+FROM ranked WHERE rn > 2 GROUP BY 1
+"""
+
+QUERIES["topk_with_other"] = q_topk_with_other
+ORACLES["topk_with_other"] = SQL_TOPK_WITH_OTHER
