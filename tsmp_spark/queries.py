@@ -10149,3 +10149,122 @@ FROM ranked WHERE rn > 2 GROUP BY 1
 
 QUERIES["topk_with_other"] = q_topk_with_other
 ORACLES["topk_with_other"] = SQL_TOPK_WITH_OTHER
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiler over the warehouse's integer key columns
+    (lineitem/orders): per column — rows, nulls, distincts, min, max.
+    The schema-on-read health check a tiered store runs on ingest;
+    integer-exact throughout."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = [
+        ("lineitem", li, "l_orderkey"),
+        ("lineitem", li, "l_partkey"),
+        ("lineitem", li, "l_suppkey"),
+        ("orders", od, "o_orderkey"),
+        ("orders", od, "o_custkey"),
+    ]
+    parts = []
+    for tname, df, c in cols:
+        parts.append(
+            df.agg(
+                F.lit(tname).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_nulls"),
+                F.countDistinct(c).cast("bigint").alias("n_distinct"),
+                F.min(c).cast("bigint").alias("min_v"),
+                F.max(c).cast("bigint").alias("max_v"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_TABLE_PROFILE = r"""
+SELECT 'lineitem' AS table_name, 'l_orderkey' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(l_orderkey) AS BIGINT) AS min_v, CAST(max(l_orderkey) AS BIGINT) AS max_v
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'l_partkey', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT l_partkey) AS BIGINT),
+       CAST(min(l_partkey) AS BIGINT), CAST(max(l_partkey) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'l_suppkey', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT l_suppkey) AS BIGINT),
+       CAST(min(l_suppkey) AS BIGINT), CAST(max(l_suppkey) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders', 'o_orderkey', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderkey) AS BIGINT),
+       CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_custkey', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS BIGINT), CAST(max(o_custkey) AS BIGINT)
+FROM orders
+"""
+
+QUERIES["table_profile"] = q_table_profile
+ORACLES["table_profile"] = SQL_TABLE_PROFILE
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals (the classic
+    numeric-forgery screen): observed first-digit counts next to the
+    expected Benford share log10(1 + 1/d) — counts integer, shares one
+    identical float expression, deviation r6."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_totalprice") > 0
+    )
+    digit = F.substring(
+        F.regexp_replace(
+            F.format_number(F.col("o_totalprice"), 10), r"[0.,]", ""
+        ), 1, 1
+    ).cast("int")
+    counts = od.select(digit.alias("d")).groupBy("d").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tot = counts.agg(F.sum("cnt").cast("bigint").alias("total"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "cnt",
+        "total",
+        F.round(
+            F.col("cnt").cast("double") / F.col("total").cast("double")
+            - F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d").cast("double")),
+            6,
+        ).alias("deviation"),
+    )
+
+
+SQL_BENFORD = r"""
+WITH digits AS (
+  SELECT CAST(substr(regexp_replace(format('{:.10f}', o_totalprice),
+                                    '[0.,]', '', 'g'), 1, 1) AS INT) AS d
+  FROM orders WHERE o_totalprice > 0
+),
+counts AS (SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM digits GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts)
+SELECT c.d, c.cnt, t.total,
+       round(CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)
+             - log10(1.0 + 1.0 / CAST(c.d AS DOUBLE)), 6) AS deviation
+FROM counts c CROSS JOIN tot t
+"""
+
+QUERIES["benford_audit"] = q_benford_audit
+ORACLES["benford_audit"] = SQL_BENFORD
