@@ -10268,3 +10268,75 @@ FROM counts c CROSS JOIN tot t
 
 QUERIES["benford_audit"] = q_benford_audit
 ORACLES["benford_audit"] = SQL_BENFORD
+
+
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse: orphan FK
+    counts (anti-join) and PK-duplicate counts per declared
+    relationship — the constraint checks a lakehouse can't enforce on
+    write and must audit on read. Integer-only."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+
+    def orphans(name, child, fk, parent, pk):
+        return child.join(
+            parent.select(F.col(pk).alias("_pk")),
+            child[fk] == F.col("_pk"),
+            "left_anti",
+        ).agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("bigint").alias("violations"),
+        )
+
+    def dup_pk(name, df, cols):
+        return (
+            df.groupBy(*cols)
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(
+                F.lit(name).alias("check_name"),
+                F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+                .cast("bigint")
+                .alias("violations"),
+            )
+        )
+
+    checks = [
+        orphans("fk_lineitem_order", li, "l_orderkey", od, "o_orderkey"),
+        orphans("fk_lineitem_part", li, "l_partkey", pt, "p_partkey"),
+        orphans("fk_orders_customer", od, "o_custkey", cu, "c_custkey"),
+        dup_pk("pk_orders", od, ["o_orderkey"]),
+        dup_pk("pk_lineitem", li, ["l_orderkey", "l_linenumber"]),
+        dup_pk("pk_customer", cu, ["c_custkey"]),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+SQL_INTEGRITY_AUDIT = r"""
+SELECT 'fk_lineitem_order' AS check_name, CAST(count(*) AS BIGINT) AS violations
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'fk_lineitem_part', CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'fk_orders_customer', CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'pk_orders', CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+UNION ALL
+SELECT 'pk_lineitem', CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber
+      HAVING count(*) > 1)
+UNION ALL
+SELECT 'pk_customer', CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey HAVING count(*) > 1)
+"""
+
+QUERIES["integrity_audit"] = q_integrity_audit
+ORACLES["integrity_audit"] = SQL_INTEGRITY_AUDIT
