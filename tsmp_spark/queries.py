@@ -10340,3 +10340,41 @@ FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey HAVING count(*) > 1)
 
 QUERIES["integrity_audit"] = q_integrity_audit
 ORACLES["integrity_audit"] = SQL_INTEGRITY_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# Driver-artifact rotation (round 4).
+#
+# CORRECTNESS_r01..r03 all snapshotted the SAME first-50 registry entries
+# while the registry grew 32 -> 72 -> 170: the driver takes ``queries()`` in
+# dict insertion order and caps its per-round sweep.  Rotate so every query
+# that has never had a driver-verified correctness row leads the registry and
+# the 50 already covered by CORRECTNESS_r0{1,2,3}.json trail.  verify_local.py
+# still sweeps all entries regardless of order; see README.md "Driver
+# correctness coverage by round".
+_DRIVER_COVERED_R123 = frozenset({
+    'mp_selfjoin', 'mp_stomp', 'mp_rollup_tier1', 'mp_rollup_tier2',
+    'mp_retention', 'arc_cac', 'motif_topk', 'discord_topk', 'ab_join',
+    'mpdist', 'pmp_multi_window', 'rolling_stats', 'znorm', 'paa',
+    'series_features', 'events_rollup_gapfill', 'topk_users', 'dedup_exact',
+    'ngram_jaccard', 'minhash_sig', 'minhash_lsh', 'simhash', 'quality',
+    'lang_id', 'token_counts', 'fingerprint', 'embedding_topk', 'lsh_ann',
+    'gorilla_roundtrip', 'stompi_stream', 'fluss_segments',
+    'analyze_motifs_discords', 'valmod', 'av_complexity', 'mstomp_2dim',
+    'simple_2dim', 'chains', 'snippets', 'mp_subset', 'sdts', 'salient',
+    'floss_chunked', 'rollup_stream', 'mp_rollup_tier1_nested',
+    'multimodal_features', 'av_zerocrossing', 'ivf_ann', 'embedding_neardup',
+    'mp_chunked', 'repetition',
+})
+
+
+def _rotate_registry() -> None:
+    global QUERIES, ORACLES
+    fresh = [k for k in QUERIES if k not in _DRIVER_COVERED_R123]
+    stale = [k for k in QUERIES if k in _DRIVER_COVERED_R123]
+    order = fresh + stale
+    QUERIES = {k: QUERIES[k] for k in order}
+    ORACLES = {k: ORACLES[k] for k in order if k in ORACLES}
+
+
+_rotate_registry()
