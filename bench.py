@@ -37,6 +37,7 @@ def main() -> None:
         arc_count_cac,
         matrix_profile,
         minhash_lsh_pairs,
+        rollup_chain,
         rollup_rollup,
         rollup_tier,
     )
@@ -147,12 +148,33 @@ def main() -> None:
             # HotSpot C2 passes, while explode+partial-agg runs inside
             # WholeStageCodegen from pass 1 and never materializes the
             # full-resolution rows (map-side combine). SCALE.md §9.
+            #
+            # round 4: tier-1 + tier-2 fused into ONE exchange
+            # (rollup_chain hashes the nested profile by doc_id once;
+            # both tier groupBys reuse it via the ClusteredDistribution
+            # subset rule), and the whole chain runs as ONE job — tier-1
+            # rolled points are counted in-flight with observe() instead
+            # of a persist + second count job. The observed sum(mp_avg)
+            # keeps tier-1's aggregate values from being pruned by the
+            # count-only action above them.
+            from pyspark.sql import Observation
+
             prof = matrix_profile_nested(seqs, 64, num_partitions=cpus)
-            t1 = rollup_tier(_explode_nested(prof), 64).persist()
+            (t1,) = rollup_chain(prof, 64, factors=(), parallelism=cpus)
+            obs = Observation("t1")
+            t1 = t1.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("mp_avg").alias("chk"),
+                F.min("pi_argmin").alias("pi_chk"),
+            )
             t2 = rollup_rollup(t1, 4)
-            n = t1.count() + t2.count()
-            t1.unpersist()
-            return n
+            n2 = (
+                t2.agg(
+                    F.count(F.lit(1)).alias("n2"), F.sum("mp_avg").alias("chk")
+                ).collect()[0]["n2"]
+            )
+            return obs.get["rows"] + n2
 
         rolled_synth = timed("mp_rollup_synth", rollup_synth)
         extras["synth_rolled_points_per_sec"] = round(

@@ -67,32 +67,38 @@ NESTED_PROFILE_SCHEMA = T.StructType(
 )
 
 
-def _explode_nested(nested: DataFrame) -> DataFrame:
+def _explode_nested(
+    nested: DataFrame, columns: tuple[str, ...] | None = None
+) -> DataFrame:
     """Nested per-series arrays → PROFILE_SCHEMA rows, all JVM-side.
 
     One ``arrays_zip`` + ``posexplode`` of the zipped struct: Generate then
     carries a single struct per output row. (Exploding one array while
     retaining the others would copy every retained array into every output
-    row — quadratic in series length.)"""
+    row — quadratic in series length.)
+
+    ``columns`` restricts which profile arrays are carried (default all
+    six). Catalyst cannot prune struct fields through ``arrays_zip``, so a
+    consumer that only needs ``(mp, pi)`` — e.g. the tier-rollup chain —
+    should pass ``("mp", "pi")`` rather than zip four NULL-padded
+    left/right arrays per window (measured cost on a 12.5M-window input:
+    the 6-way zip materializes 3× the bytes the rollup reads)."""
+    if columns is None:
+        columns = ("mp", "pi", "lmp", "lpi", "rmp", "rpi")
     null_d = F.array_repeat(F.lit(None).cast("double"), F.size("mp"))
     null_i = F.array_repeat(F.lit(None).cast("int"), F.size("mp"))
-    z = F.arrays_zip(
-        F.col("mp"),
-        F.col("pi"),
-        F.coalesce(F.col("lmp"), null_d).alias("lmp"),
-        F.coalesce(F.col("lpi"), null_i).alias("lpi"),
-        F.coalesce(F.col("rmp"), null_d).alias("rmp"),
-        F.coalesce(F.col("rpi"), null_i).alias("rpi"),
-    )
+    parts = []
+    for c in columns:
+        if c in ("mp", "pi"):
+            parts.append(F.col(c))
+        else:
+            pad = null_d if c in ("lmp", "rmp") else null_i
+            parts.append(F.coalesce(F.col(c), pad).alias(c))
+    z = F.arrays_zip(*parts)
     return nested.select("doc_id", F.posexplode(z).alias("pos", "s")).select(
         "doc_id",
         F.col("pos").cast("int").alias("pos"),
-        F.col("s.mp").alias("mp"),
-        F.col("s.pi").alias("pi"),
-        F.col("s.lmp").alias("lmp"),
-        F.col("s.lpi").alias("lpi"),
-        F.col("s.rmp").alias("rmp"),
-        F.col("s.rpi").alias("rpi"),
+        *[F.col(f"s.{c}").alias(c) for c in columns],
     )
 
 PARTIAL_SCHEMA = T.StructType(

@@ -72,6 +72,38 @@ def rollup_rollup(tier: DataFrame, factor: int) -> DataFrame:
     )
 
 
+def rollup_chain(
+    nested_profile: DataFrame,
+    bucket: int,
+    factors: tuple[int, ...] = (4,),
+    parallelism: int | None = None,
+) -> list[DataFrame]:
+    """Tier-1..k rollups of a NESTED profile table sharing ONE exchange.
+
+    Every tier's grouping key ``(doc_id, bucket div f)`` has ``doc_id`` as
+    a subset, so hash-partitioning the nested rows by ``doc_id`` once
+    satisfies ClusteredDistribution for the whole chain (the same
+    exchange-reuse rule pinned for pack_sequences): explode → tier-1 →
+    tier-2 → … run in a single stage with zero further shuffles, and the
+    one exchange moves nested rows (series count), not exploded windows.
+    At 100 TB the profile table is already written partitioned by doc_id,
+    making even that exchange a no-op scan-through.
+
+    Returns ``[tier1, tier2, ...]`` — tier k+1 derives from tier k
+    (mins-of-mins), never from tier 0.
+    """
+    from .matrix_profile import _explode_nested
+
+    if parallelism is None:
+        parallelism = nested_profile.sparkSession.sparkContext.defaultParallelism
+    hashed = nested_profile.repartition(parallelism, "doc_id")
+    tier0 = _explode_nested(hashed, columns=("mp", "pi"))
+    tiers = [rollup_tier(tier0, bucket)]
+    for f in factors:
+        tiers.append(rollup_rollup(tiers[-1], f))
+    return tiers
+
+
 def gap_fill(
     tier: DataFrame,
     key_col: str = "doc_id",

@@ -2,7 +2,13 @@
 ``queries()`` entry at sf0.01 and compare against its ``oracle_sql()``
 via DuckDB — row count, column names, and order-insensitive value hash.
 
-Usage: python verify_local.py [query ...]
+Usage: python verify_local.py [--dataset DIR] [--json OUT.json] [query ...]
+
+``--dataset`` points the sweep at another parquet directory (e.g. the
+adversarial set from make_adversarial_testdata.py, or sf0.001);
+``--json`` additionally writes a CORRECTNESS-style per-query artifact so
+the triple sweep (sf0.01 + sf0.001 + adversarial) is auditable without
+re-running — see CORRECTNESS_ADV_r04.json.
 """
 
 from __future__ import annotations
@@ -34,49 +40,74 @@ def value_hash(df: pd.DataFrame) -> int:
     return hash(tuple(rows))
 
 
-def main() -> int:
-    only = set(sys.argv[1:])
+def run(sf_dir: str | None = None, only: set[str] | None = None,
+        spark=None) -> tuple[int, dict]:
+    """Sweep the registry against the oracles at ``sf_dir``.
+
+    Returns (exit_code, results) where results is a CORRECTNESS-style
+    dict: {name: {rows_match, schema_match, hash_match, spark_rows,
+    oracle_rows, sec, err}}.
+    """
+    sf_dir = sf_dir or SF_DIR
+    only = only or set()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    spark = get_spark(cpus=16)
+    if spark is None:
+        spark = get_spark(cpus=16)
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "sec": None, "err": None}
+        results[name] = rec
         try:
-            got = fn(spark, SF_DIR).toPandas()
+            got = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            rec["err"] = f"spark error: {e}"
             print(f"FAIL {name}: spark error: {e}")
             continue
         finally:
             release_caches()  # drop operator-pinned intermediates per query
+        rec["spark_rows"] = len(got)
+        rec["sec"] = round(time.time() - t0, 1)
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(got)} rows, {time.time()-t0:.1f}s)")
             if len(got) == 0:
                 failures.append(name)
+                rec["err"] = "0 rows (rows-only query)"
                 print(f"FAIL {name}: 0 rows")
+            else:
+                rec["rows_match"] = True
+                rec["err"] = "rows-only (no oracle)"
             continue
         try:
             exp = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             failures.append(name)
+            rec["err"] = f"oracle error: {e}"
             print(f"FAIL {name}: oracle error: {e}")
             continue
+        rec["oracle_rows"] = len(exp)
         ok = True
         if len(got) != len(exp):
             ok = False
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
         elif sorted(got.columns) != sorted(exp.columns):
             ok = False
+            rec["rows_match"] = True
             print(f"FAIL {name}: cols spark={sorted(got.columns)} oracle={sorted(exp.columns)}")
         elif value_hash(got) != value_hash(exp):
             ok = False
+            rec["rows_match"] = rec["schema_match"] = True
             print(f"FAIL {name}: value hash mismatch")
             cols = sorted(got.columns)
             g = got.sort_values(cols).reset_index(drop=True)
@@ -88,6 +119,7 @@ def main() -> int:
                     print(f"  col {c}: {diffmask.sum()} diffs")
                     print(pd.concat([g[diffmask].head(3), e[diffmask].head(3)], axis=1))
         if ok:
+            rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = True
             print(f"ok   {name}: {len(got)} rows match ({time.time()-t0:.1f}s)")
         else:
             failures.append(name)
@@ -95,9 +127,35 @@ def main() -> int:
     print()
     if failures:
         print("FAILURES:", failures)
-        return 1
+        return 1, results
     print("all queries match")
-    return 0
+    return 0, results
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir, json_out = None, None
+    names: set[str] = set()
+    i = 0
+    while i < len(args):
+        if args[i] == "--dataset":
+            sf_dir = args[i + 1]
+            i += 2
+        elif args[i] == "--json":
+            json_out = args[i + 1]
+            i += 2
+        else:
+            names.add(args[i])
+            i += 1
+    rc, results = run(sf_dir=sf_dir, only=names)
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"dataset": sf_dir or SF_DIR, "results": results}, f,
+                      indent=2)
+        print(f"wrote {json_out}")
+    return rc
 
 
 if __name__ == "__main__":
