@@ -312,13 +312,31 @@ def test_pq_adc_scan_single_exchange_partial_topk(spark, pq_setup):
 
     emb, _ = pq_setup
     plan = _plan(pq_adc_topk(emb, F.col("vec_id") % 50 == 0, k_neighbors=5))
-    # the scan is map-only (literal distance tables); the ONLY exchange is
-    # the per-query top-k window, with partial top-k below it
-    assert plan.count("Exchange") == 1
+    # round 4: distance tables are broadcast LUT ROWS (in-engine kernel),
+    # not plan literals — the scan is the coded corpus broadcast-crossed
+    # with the query tables (inherent |Q|x|DB| scoring of a brute ADC,
+    # query side broadcast); the ONLY shuffle is the per-query top-k
+    # window, with partial top-k below it
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("BroadcastExchange") == 1
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_adc_plan_size_independent_of_query_count(spark, pq_setup):
+    """The r3 scale bound: literal LUTs grew the plan O(|Q|·m·k). Now the
+    tables are DataFrame rows, so a 256-query predicate must build a plan
+    no bigger than a 2-query one (modulo the predicate text itself)."""
+    from tsmp_spark.operators.similarity import ivf_pq_topk, pq_adc_topk
+
+    emb, _ = pq_setup
+    small = len(_plan(pq_adc_topk(emb, F.col("vec_id") % 500 == 0)))
+    large = len(_plan(pq_adc_topk(emb, F.col("vec_id") % 2 == 0)))
+    assert large < small + 2000, (small, large)
+    small = len(_plan(ivf_pq_topk(emb, F.col("vec_id") % 500 == 0)))
+    large = len(_plan(ivf_pq_topk(emb, F.col("vec_id") % 2 == 0)))
+    assert large < small + 2000, (small, large)
 
 
 def test_simhash_neardup_banded_join_no_python(spark):
@@ -339,8 +357,11 @@ def test_ivf_pq_scan_single_exchange_partial_topk(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = _plan(ivf_pq_topk(emb, F.col("vec_id") % 50 == 0, k_neighbors=5))
     # entire database path (coarse argmax -> residual -> PQ codes -> ADC)
-    # is map-only; the one exchange is the per-query top-k window
-    assert plan.count("Exchange") == 1
+    # is map-only; the LUTs broadcast-HASH-join on the probed cell (round
+    # 4: rows, not literals); the one shuffle is the per-query top-k window
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("BroadcastExchange") == 1
+    assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
