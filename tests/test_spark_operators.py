@@ -1587,6 +1587,16 @@ def test_fuzzy_vocab_pairs_symspell(spark):
     # counts ride along; 'ab' (len 2) was filtered, case folded
     assert got[("data", "date")] == (1, 1, 1)
     assert all("ab" not in k for k in got)
+    # max_variant_freq counts DISTINCT vocab entries per variant key:
+    # 'kxxk' emits variant 'kxk' twice (delete either x) but is ONE
+    # vocab entry, so with cap=2 the {kxk, kxxk} pair must survive
+    # (row-counting would see 3 rows on 'kxk' and over-prune).
+    docs2 = spark.createDataFrame(
+        [(1, "kxk kxxk unrelated words")], "doc_id long, text string"
+    )
+    capped = {(r.word_a, r.word_b)
+              for r in fuzzy_vocab_pairs(docs2, max_variant_freq=2).collect()}
+    assert ("kxk", "kxxk") in capped
 
 
 def test_zorder_key_interleave_and_locality(spark):

@@ -657,9 +657,16 @@ def fuzzy_vocab_pairs(
     if max_variant_freq is not None:
         from pyspark.sql.window import Window
 
+        # The cap counts DISTINCT vocab entries per variant key, so dedup
+        # (word, variant) first — words with repeated letters emit the
+        # same deletion variant once per occurrence ("aaa" -> "aa" x3)
+        # and a raw row count would over-prune. Uncapped path skips the
+        # dedup exchange; the trailing .distinct() already absorbs the
+        # duplicate candidate pairs.
         wf = Window.partitionBy("variant")
         variants = (
-            variants.withColumn("_f", F.count("*").over(wf))
+            variants.dropDuplicates(["word", "variant"])
+            .withColumn("_f", F.count("*").over(wf))
             .filter(F.col("_f") <= max_variant_freq)
             .drop("_f")
         )
