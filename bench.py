@@ -140,27 +140,29 @@ def main() -> None:
     if want("mp_rollup_synth"):
 
         def rollup_synth():
-            # tier-1 via explode→groupBy, the codegen path: MEASURED ~2×
-            # faster steady than rollup_tier_nested's in-array HOF form
-            # (1.40 s vs 2.67 s from a cached profile at this shape) and
-            # ~10× cheaper cold (3.7-6.5 s vs 56-65 s first pass) —
-            # higher-order-function exprs are interpreted and need 2-3
-            # HotSpot C2 passes, while explode+partial-agg runs inside
-            # WholeStageCodegen from pass 1 and never materializes the
-            # full-resolution rows (map-side combine). SCALE.md §9.
+            # Round-4 final form: tier-1 FUSED INTO THE KERNEL
+            # (matrix_profile_tier1) — the profile is already a numpy
+            # array inside the kernel task, so the per-bucket
+            # min/argmin/seq-sum/max fold happens there and the stage is
+            # a pure map: ZERO exchange above the kernel, 64× fewer rows
+            # shipped than the explode→groupBy chain (which itself
+            # measured 2× steady / 10× cold over the interpreted HOF
+            # form — SCALE.md §9). Oracle-gated identical to the
+            # relational chain (mp_tier1_fused hash-green; bit-identity
+            # pinned in test_tier1_fused_equals_relational_bit_exact).
+            # History: explode-chain rolled scaling measured 0.53-0.60
+            # across 6 reps (exchange of 12.5M per-window rows is the
+            # non-scaling tail); the fused chain's only exchange is
+            # tier-2's 196k tier-1 rows.
             #
-            # round 4: tier-1 + tier-2 fused into ONE exchange
-            # (rollup_chain hashes the nested profile by doc_id once;
-            # both tier groupBys reuse it via the ClusteredDistribution
-            # subset rule), and the whole chain runs as ONE job — tier-1
-            # rolled points are counted in-flight with observe() instead
-            # of a persist + second count job. The observed sum(mp_avg)
-            # keeps tier-1's aggregate values from being pruned by the
-            # count-only action above them.
+            # Tier-1 rolled points are counted in-flight with observe()
+            # (one job); the observed sum(mp_avg) keeps tier-1's
+            # aggregate values from being pruned by the count above.
             from pyspark.sql import Observation
 
-            prof = matrix_profile_nested(seqs, 64, num_partitions=cpus)
-            (t1,) = rollup_chain(prof, 64, factors=(), parallelism=cpus)
+            from tsmp_spark.operators.matrix_profile import matrix_profile_tier1
+
+            t1 = matrix_profile_tier1(seqs, 64, 64, num_partitions=cpus)
             obs = Observation("t1")
             t1 = t1.observe(
                 obs,

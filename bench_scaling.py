@@ -24,10 +24,30 @@ from multiprocessing import Pool
 sys.path.insert(0, os.getcwd())
 
 def work(seed):
+    # the FULL rolled chain per doc: kernel + tier-1 fold + tier-2 fold
+    # (same math matrix_profile_tier1/rollup_rollup run), so the probe is
+    # a rolled-chain ceiling too, not just a kernel ceiling
     from tsmp_spark.mpcore import mpx
     rng = np.random.default_rng(seed % 7)
     a = np.cumsum(rng.choice([-1.0, 1.0], size=8192))
-    t0 = time.time(); mpx(a, 64); return time.time() - t0
+    t0 = time.time()
+    r = mpx(a, 64)
+    mp = r.mp.copy(); mp[r.pi < 0] = np.nan
+    t1 = []
+    for b0 in range(0, mp.shape[0], 64):
+        seg = mp[b0:b0 + 64]; fin = np.isfinite(seg)
+        n = int(fin.sum())
+        if n == 0: continue
+        s_inf = np.where(fin, seg, np.inf); k = int(s_inf.argmin())
+        vals = seg[fin]
+        t1.append((b0 // 64, float(seg[k]), int(r.pi[b0 + k]),
+                   float(vals.cumsum()[-1]) / n, float(vals.max()), n))
+    for c0 in range(0, len(t1), 4):
+        grp = t1[c0:c0 + 4]
+        _ = (min(g[1] for g in grp),
+             sum(g[3] * g[5] for g in grp) / sum(g[5] for g in grp),
+             max(g[4] for g in grp))
+    return time.time() - t0
 
 if __name__ == "__main__":
     procs = int(sys.argv[1])
@@ -119,6 +139,15 @@ def main() -> None:
         probe_hi_w = hw_hi * win_per_doc
         rolled_lo = lo.get("synth_rolled_points_per_sec")
         rolled_hi = hi.get("synth_rolled_points_per_sec")
+        # the probe does the SAME rolled chain per doc (kernel + tier-1
+        # + tier-2 folds), so docs/s × rolled-points/doc is the box's
+        # own rolled-chain ceiling — the paired defense for the rolled
+        # leg, same construction as the kernel leg's windows/s ratio
+        plen = synth_len - 64 + 1
+        n_t1 = (plen + 63) // 64
+        rolled_per_doc = n_t1 + (n_t1 + 3) // 4
+        probe_lo_r = hw_lo * rolled_per_doc
+        probe_hi_r = hw_hi * rolled_per_doc
         pairs.append(
             {
                 "rep": r,
@@ -139,6 +168,14 @@ def main() -> None:
                     round((rolled_hi / rolled_lo) / 4.0, 3)
                     if rolled_lo and rolled_hi
                     else None
+                ),
+                "probe_rolled_per_sec_8": round(probe_lo_r, 1),
+                "probe_rolled_per_sec_32": round(probe_hi_r, 1),
+                "rolled_engine_vs_probe_8": (
+                    round(rolled_lo / probe_lo_r, 3) if rolled_lo else None
+                ),
+                "rolled_engine_vs_probe_32": (
+                    round(rolled_hi / probe_hi_r, 3) if rolled_hi else None
                 ),
             }
         )
@@ -178,6 +215,14 @@ def main() -> None:
             "rolled_points_per_sec_hi": best_rhi,
             "raw_scaling_efficiency": round((best_rhi / best_rlo) / 4.0, 3),
             "per_rep": [p["rolled_scaling_efficiency"] for p in rolled],
+            "engine_vs_probe_per_rep": [
+                [p["rolled_engine_vs_probe_8"], p["rolled_engine_vs_probe_32"]]
+                for p in rolled
+            ],
+            "min_rolled_engine_vs_probe": min(
+                min(p["rolled_engine_vs_probe_8"], p["rolled_engine_vs_probe_32"])
+                for p in rolled
+            ),
         }
     print(json.dumps(result, indent=2))
     with open("BENCH_SCALING.json", "w") as f:

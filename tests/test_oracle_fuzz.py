@@ -1,0 +1,214 @@
+"""Seeded property-fuzz for the trickiest event-series oracles
+(VERDICT r3 'Next round' #8): random pathological event schedules —
+exact timestamp ties, inactivity gaps exactly AT the session boundary,
+counter resets, as-of grid edges (grid point before the first event,
+lo > hi empty grids), Holt-Winters cold starts (1-event users never
+seed the recurrence), and interval grain boundaries — each draw runs
+the FULL verify_local gate (row count + schema + order-insensitive
+value hash, Spark vs an independent DuckDB formulation) on a freshly
+written events.parquet.
+
+Determinism contract for the fuzz itself: values are DYADIC (k/64) so
+every r6-rounded cumulative sum in the oracles is binary-exact on both
+engines — the draws stress the tie/gap/reset LOGIC, not the float
+half-rounding lottery CLAUDE.md already documents; event_id is a unique
+shuffled total tiebreaker, exactly the contract the sessionization
+oracles demand. Seeds are pinned; a failure reproduces with
+``python -m pytest tests/test_oracle_fuzz.py -k <draw> -q``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import verify_local
+
+SF_SRC = "/root/testdata/sf0.001"
+#: The five round-3 oracle families the judge named, plus the coalesce
+#: stage interval_join rides on. All read only events.parquet.
+FUZZ_QUERIES = [
+    "sessionize",
+    "session_funnel",
+    "counter_rate",
+    "asof_join",
+    "holt_winters",
+    "interval_join",
+]
+EVENT_TYPES = ["click", "purchase", "error", "signup", "view"]
+BASE_SEC = 1_700_006_400  # multiple of 21600: grid-aligned origin
+
+EVENTS_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+        ("props", pa.string()),
+    ]
+)
+
+
+def _dataset_dir(tmp_path, secs_us, user_ids, etypes, values, rng) -> str:
+    """Write a fuzz events.parquet next to symlinks of the other nine
+    sf0.001 tables (verify_local binds DuckDB views for all ten)."""
+    d = tmp_path / "fuzz_sf"
+    d.mkdir()
+    for f in os.listdir(SF_SRC):
+        if f != "events.parquet":
+            os.symlink(os.path.join(SF_SRC, f), d / f)
+    n = len(secs_us)
+    eids = rng.permutation(n).astype(np.int64)  # unique total tiebreaker
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eids, pa.int64()),
+            "ts": pa.array(np.asarray(secs_us, dtype=np.int64), pa.timestamp("us")),
+            "user_id": pa.array(np.asarray(user_ids, dtype=np.int64), pa.int64()),
+            "event_type": pa.array(etypes, pa.string()),
+            "value": pa.array(np.asarray(values, dtype=np.float64), pa.float64()),
+            "props": pa.array([""] * n, pa.string()),
+        },
+        schema=EVENTS_SCHEMA,
+    )
+    pq.write_table(tbl, d / "events.parquet")
+    return str(d)
+
+
+def _dyadic(rng, n):
+    # k/64: binary-exact, sums and r6 rounds identical on both engines
+    return rng.integers(-512, 512, size=n).astype(np.float64) / 64.0
+
+
+def _assemble(per_user_gaps, rng, micros=True):
+    """per_user_gaps: {user_id: [gap0, gap1, ...]} — gap0 offsets from
+    BASE_SEC, later gaps are deltas. Returns (secs_us, users, etypes,
+    values)."""
+    secs, users = [], []
+    for uid, gaps in per_user_gaps.items():
+        t = BASE_SEC
+        for g in gaps:
+            t += int(g)
+            secs.append(t)
+            users.append(uid)
+    secs = np.asarray(secs, dtype=np.int64)
+    us = secs * 1_000_000
+    if micros:
+        # sub-second jitter: floor(epoch) ties stay ties, but the raw
+        # microsecond timestamps differ — stresses truncation symmetry
+        us = us + rng.integers(0, 1_000_000, size=len(us))
+    etypes = [EVENT_TYPES[i] for i in rng.integers(0, len(EVENT_TYPES), len(us))]
+    values = _dyadic(rng, len(us))
+    return us, users, etypes, values
+
+
+def _run_gate(tmp_path, spark, rng, per_user_gaps, micros=True,
+              etype_override=None, value_override=None):
+    us, users, etypes, values = _assemble(per_user_gaps, rng, micros=micros)
+    if etype_override is not None:
+        etypes = etype_override(rng, len(us))
+    if value_override is not None:
+        values = value_override(rng, len(us))
+    d = _dataset_dir(tmp_path, us, users, etypes, values, rng)
+    rc, results = verify_local.run(sf_dir=d, only=set(FUZZ_QUERIES),
+                                   spark=spark)
+    bad = {k: v for k, v in results.items() if not v["hash_match"]}
+    assert rc == 0, f"oracle mismatch on fuzz draw: {bad}"
+    assert set(results) == set(FUZZ_QUERIES)
+
+
+def test_fuzz_ties(tmp_path, spark):
+    """Heavy exact-second ties: gap 0 dominates, several users collapse
+    to a handful of distinct seconds — sessionize/session_funnel tie
+    order and holt_winters' (sec, value) ordering must agree."""
+    rng = np.random.default_rng(4101)
+    gaps = {}
+    for uid in range(1, 9):
+        n = int(rng.integers(8, 40))
+        gaps[uid] = [int(rng.integers(0, 3600))] + [
+            int(g) for g in rng.choice([0, 0, 0, 1, 2, 60], size=n - 1)
+        ]
+    _run_gate(tmp_path, spark, rng, gaps)
+
+
+def test_fuzz_session_boundaries(tmp_path, spark):
+    """Gaps exactly AT/around the 7200 s session boundary and the
+    21600 s bucket grain; start offsets sit exactly on grid points and
+    one second off them (asof lo/hi ceil edges, interval grain)."""
+    rng = np.random.default_rng(4102)
+    gaps = {}
+    offsets = [0, 1, 21599, 21600, 21601, 7200]
+    for uid in range(1, 11):
+        n = int(rng.integers(6, 30))
+        gaps[uid] = [offsets[uid % len(offsets)]] + [
+            int(g)
+            for g in rng.choice(
+                [7199, 7200, 7201, 3600, 21600, 1, 0], size=n - 1
+            )
+        ]
+    _run_gate(tmp_path, spark, rng, gaps, micros=False)  # exact-second inputs
+
+
+def test_fuzz_resets_and_long_gaps(tmp_path, spark):
+    """Counter resets mid-run (event_id % 16 == 0 group breaks hit
+    arbitrary schedule points), zero and negative values through the
+    abs() path, and 50k-400k s gaps that make most buckets empty."""
+    rng = np.random.default_rng(4103)
+    gaps = {}
+    for uid in range(1, 7):
+        n = int(rng.integers(10, 50))
+        gaps[uid] = [int(rng.integers(0, 21600))] + [
+            int(g)
+            for g in rng.choice([1, 60, 3600, 50_000, 200_000, 400_000], size=n - 1)
+        ]
+
+    def vals(rng, n):
+        v = _dyadic(rng, n)
+        v[rng.random(n) < 0.25] = 0.0  # zero-increase plateaus
+        return v
+
+    _run_gate(tmp_path, spark, rng, gaps, value_override=vals)
+
+
+def test_fuzz_cold_start(tmp_path, spark):
+    """Degenerate series: 1-event users (holt_winters must emit nothing
+    — the oracle's i=2 seed join is empty; asof grids go lo > hi),
+    2-event users (seed row only), and one user whose events all share
+    ONE second."""
+    rng = np.random.default_rng(4104)
+    gaps = {uid: [int(rng.integers(0, 86400))] for uid in range(1, 7)}  # singletons
+    for uid in range(7, 11):
+        gaps[uid] = [int(rng.integers(0, 86400)), int(rng.integers(1, 7200))]
+    for uid in range(11, 13):
+        gaps[uid] = [int(rng.integers(0, 86400))] + [
+            int(g) for g in rng.integers(1, 30000, 2)
+        ]
+    gaps[13] = [12345] + [0] * 9  # ten events, one second
+    _run_gate(tmp_path, spark, rng, gaps)
+
+
+def test_fuzz_funnel_type_schedules(tmp_path, spark):
+    """Funnel-specific: event_type sequences engineered so sessions
+    contain signup-after-click, purchase-before-signup, repeated
+    signups, and pure-noise sessions — step attribution must match the
+    oracle's min-time-per-step semantics in every permutation drawn."""
+    rng = np.random.default_rng(4105)
+    gaps = {}
+    for uid in range(1, 13):
+        n = int(rng.integers(5, 25))
+        gaps[uid] = [int(rng.integers(0, 3600))] + [
+            int(g) for g in rng.choice([0, 1, 600, 7200, 7201], size=n - 1)
+        ]
+
+    def funnel_types(rng, n):
+        # heavy on the three funnel steps so orderings actually collide
+        return [
+            ["signup", "click", "purchase", "view"][i]
+            for i in rng.integers(0, 4, size=n)
+        ]
+
+    _run_gate(tmp_path, spark, rng, gaps, etype_override=funnel_types)

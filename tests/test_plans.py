@@ -66,6 +66,27 @@ def test_rollup_tier_no_extra_python(events):
     assert "BatchEvalPython" not in plan
 
 
+def test_tier1_fused_zero_exchange(spark):
+    """Kernel-fused tier-1 (matrix_profile_tier1) is a pure map over the
+    scan: per-bucket partials fold inside the kernel task, so NOTHING
+    shuffles above it — the map-side pre-aggregation that keeps the
+    north-star rolled chain kernel-dominated at 100 TB. rollup_rollup on
+    top adds exactly the ONE bounded tier-1-row exchange."""
+    from tsmp_spark.operators import rollup_rollup
+    from tsmp_spark.operators.matrix_profile import matrix_profile_tier1
+
+    seqs = spark.createDataFrame(
+        [("d0", [float(i % 7) for i in range(64)])],
+        "doc_id string, tokens array<double>",
+    )
+    t1 = matrix_profile_tier1(seqs, 8, 8, num_partitions=0)
+    plan = _plan(t1)
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
+    plan2 = _plan(rollup_rollup(t1, 4))
+    assert plan2.count("Exchange") == 1
+
+
 def test_minhash_pure_jvm(docs):
     """The whole dedup pipeline is built-in expressions — zero Python."""
     plan = _plan(minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.25))

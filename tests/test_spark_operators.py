@@ -84,6 +84,46 @@ def test_chunked_long_series_path(spark):
         np.testing.assert_allclose(mp, ref, atol=1e-9)
 
 
+def test_tier1_fused_equals_relational_bit_exact(spark):
+    """matrix_profile_tier1 (kernel-fused, map-only) == rollup_tier over
+    the finite exploded profile, BIT-exact with NO rounding: the fused
+    kernel folds each bucket's finite values sequentially in position
+    order, the same accumulation order Spark's hash aggregate applies to
+    the exploded rows — min/max/argmin/n are order-free. Includes a
+    degenerate constant-prefix series so the NaN-sentinel drop rule
+    (_finite_profile contract) is exercised on both paths."""
+    from tsmp_spark.operators import rollup_tier
+    from tsmp_spark.operators.matrix_profile import matrix_profile_tier1
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(6):
+        n = int(rng.integers(80, 200))
+        vals = np.cumsum(rng.choice([-1.0, 1.0], size=n))
+        rows.append((f"d{i}", [float(v) for v in vals]))
+    walk = np.cumsum(rng.choice([-1.0, 1.0], size=60))
+    rows.append(("dconst", [1.0] * 60 + [1.0 + float(v) for v in walk]))
+    seqs = spark.createDataFrame(rows, "doc_id string, tokens array<double>")
+
+    prof = matrix_profile(seqs, W, long_series_threshold=None)
+    finite = prof.filter(
+        F.col("mp").isNotNull() & ~F.isnan("mp")
+        & (F.col("mp") != float("inf")) & (F.col("pi") >= 0)
+    )
+    rel = rollup_tier(finite, 8).toPandas().sort_values(
+        ["doc_id", "bucket"]).reset_index(drop=True)
+    fused = matrix_profile_tier1(seqs, W, 8).toPandas().sort_values(
+        ["doc_id", "bucket"]).reset_index(drop=True)
+    assert len(rel) == len(fused) > 0
+    # the degenerate prefix must have produced dropped positions
+    assert fused[fused.doc_id == "dconst"]["n"].iloc[0] < 8
+    for c in ("doc_id", "bucket", "pi_argmin", "n"):
+        assert (rel[c].to_numpy() == fused[c].to_numpy()).all(), c
+    for c in ("mp_min", "mp_avg", "mp_max"):
+        a, b = rel[c].to_numpy(), fused[c].to_numpy()
+        assert (a == b).all(), (c, a[a != b][:3], b[a != b][:3])
+
+
 def test_partition_invariance(spark, seqs):
     """local[8]-style vs wide partitioning: identical results regardless of
     parallelism (north-rule evidence class)."""

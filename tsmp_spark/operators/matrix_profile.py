@@ -239,6 +239,104 @@ def matrix_profile_nested(
     return result.unionByName(long_result)
 
 
+TIER1_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("mp_min", T.DoubleType(), False),
+        T.StructField("pi_argmin", T.IntegerType(), False),
+        T.StructField("mp_avg", T.DoubleType(), False),
+        T.StructField("mp_max", T.DoubleType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+
+def matrix_profile_tier1(
+    sequences: DataFrame,
+    window_size: int,
+    bucket: int,
+    exclusion_zone: float = 0.5,
+    algorithm: str = "mpx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Kernel-FUSED tier-1 continuous aggregate: the matrix profile and
+    its first rollup tier computed in ONE map-only pass.
+
+    Semantically identical (pinned bit-exact in pytest, no rounding) to
+    ``rollup_tier(_explode_nested(matrix_profile_nested(...)), bucket)``
+    with non-finite positions dropped (the ``_finite_profile`` driver
+    contract — pair-based SQL oracles cannot emit neighborless rows).
+    Physically it is map-side pre-aggregation taken to its limit: the
+    profile is already a numpy array inside the kernel task, so the
+    per-bucket (min, argmin, seq-sum, max, n) fold happens there and the
+    operator ships ONE row per (series, bucket) — ``bucket``× fewer rows
+    and ZERO Exchange above the kernel, vs the relational chain's
+    exchange of every exploded window row. At 100 TB the difference is
+    shipping per-bucket partials instead of per-window rows to the
+    rollup — the same reason combiners exist. Higher tiers re-roll this
+    output relationally (``rollup_rollup``: mins-of-mins, ONE bounded
+    shuffle of tier-1 rows).
+
+    Exactness contract with the relational path: ``mp_avg`` accumulates
+    the bucket's finite values SEQUENTIALLY in position order (numpy
+    ``cumsum``), the same fold order Spark's hash-aggregate applies to
+    the exploded rows of a single-task series; min/max/argmin and the
+    smallest-pos tie-break are order-free. Reference:
+    tsmp R/mp.R (profile) composed with the continuous-aggregate tier
+    design (TimescaleDB); no reference counterpart fuses them.
+    """
+    w = int(window_size)
+    bk = int(bucket)
+    ez_n = exclusion_zone_size(w, exclusion_zone)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "bucket": [], "mp_min": [], "pi_argmin": [],
+                "mp_avg": [], "mp_max": [], "n": [],
+            }
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(tokens, dtype=np.float64)
+                if a.shape[0] < w + ez_n + 1:
+                    continue
+                if algorithm == "stomp":
+                    r = stomp(a, w, exclusion_zone=exclusion_zone)
+                else:
+                    r = mpx(a, w, minlag=ez_n + 1)
+                mp = _clean(r.mp)
+                mp[r.pi < 0] = np.nan
+                pi = r.pi
+                plen = mp.shape[0]
+                for b0 in range(0, plen, bk):
+                    seg = mp[b0 : b0 + bk]
+                    fin = np.isfinite(seg)
+                    n = int(fin.sum())
+                    if n == 0:
+                        continue
+                    s_inf = np.where(fin, seg, np.inf)
+                    k = int(s_inf.argmin())  # first min = smallest pos
+                    vals = seg[fin]
+                    out["doc_id"].append(doc_id)
+                    out["bucket"].append(b0 // bk)
+                    out["mp_min"].append(float(seg[k]))
+                    out["pi_argmin"].append(int(pi[b0 + k]))
+                    # sequential fold in pos order == Spark's per-group
+                    # hash-agg accumulation over the exploded rows
+                    out["mp_avg"].append(float(vals.cumsum()[-1]) / n)
+                    out["mp_max"].append(float(vals.max()))
+                    out["n"].append(n)
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    base = sequences.select("doc_id", "tokens")
+    if num_partitions is None:
+        num_partitions = sequences.sparkSession.sparkContext.defaultParallelism
+    if num_partitions > 0:
+        base = base.repartition(num_partitions)
+    return base.mapInPandas(kernel, TIER1_SCHEMA)
+
+
 def _matrix_profile_chunked_nested(
     sequences: DataFrame,
     w: int,

@@ -1191,6 +1191,8 @@ def histogram_rerollup(
     """
     if coarse_bucket % fine_bucket != 0:
         raise ValueError("coarse_bucket must be a multiple of fine_bucket")
+    from .sketch import _floor_div as _sk_floor_div
+
     factor = coarse_bucket // fine_bucket
     fine = rollup_histogram(
         long_df, fine_bucket, lo, hi, n_bins,
@@ -1199,7 +1201,7 @@ def histogram_rerollup(
     return (
         fine.select(
             F.col(key_col),
-            F.expr(f"bucket div {factor}").alias("bucket"),
+            _sk_floor_div("bucket", factor).alias("bucket"),
             "bin",
             "cnt",
         )

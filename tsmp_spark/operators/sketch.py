@@ -26,6 +26,16 @@ from pyspark.sql import DataFrame, functions as F
 
 from .dedup import _h64
 
+def _floor_div(col: str, factor: int):
+    """Exact integer FLOOR division (DuckDB ``//`` semantics) for the
+    tier merges: Spark's ``div`` truncates toward zero, so a pre-epoch
+    (negative) bucket would silently mis-tier vs the oracle's floor.
+    ``bucket - pmod(bucket, f)`` is the largest multiple of f ≤ bucket,
+    and ``div`` on an exact multiple IS floor — all-integer, no float
+    precision path (review: ADVICE r3, sketch.py:177)."""
+    return F.expr(f"(({col}) - pmod(({col}), {factor})) div {factor}")
+
+
 #: HLL geometry: p=9 index bits → m=512 registers; the remaining 23
 #: hash bits get a sentinel bit 2^23 so rho = trailing-zeros+1 ∈ [1,24].
 HLL_M = 512
@@ -174,7 +184,7 @@ def hll_rerollup(
     )
     coarse = (
         fine.select(
-            F.expr(f"bucket div {factor}").alias("bucket"), "idx", "reg"
+            _floor_div("bucket", factor).alias("bucket"), "idx", "reg"
         )
         .groupBy("bucket", "idx")
         .agg(F.max("reg").alias("reg"))
@@ -362,7 +372,7 @@ def cms_rerollup(
     )
     coarse_counters = (
         fine_cells.select(
-            F.expr(f"bucket div {factor}").alias("bucket"), "r", "c", "cell_cnt"
+            _floor_div("bucket", factor).alias("bucket"), "r", "c", "cell_cnt"
         )
         .groupBy("bucket", "r", "c")
         .agg(F.sum("cell_cnt").alias("cell_cnt"))
@@ -519,12 +529,20 @@ def hll_overlap_estimate(
         .agg(F.max("reg").alias("reg"))
     )
     ests = _hll_estimate(ra.union(rb).union(union)).select("bucket", "est")
-    pivot = ests.groupBy().pivot("bucket", [0, 1, 2]).agg(F.first("est"))
-    return pivot.select(
-        F.col("0").alias("est_left"),
-        F.col("1").alias("est_right"),
-        F.col("2").alias("est_union"),
+    # Ungrouped conditional aggregates, NOT groupBy().pivot(): pivot
+    # returns ZERO rows on empty input while the oracle's ungrouped
+    # max(CASE WHEN bucket=k ...) always returns one (all-NULL) row —
+    # this form matches the oracle's shape exactly, degenerate input
+    # included (an empty side legitimately yields a NULL estimate on
+    # BOTH engines).
+    def pick(k: int):
+        return F.max(F.when(F.col("bucket") == k, F.col("est")))
+
+    return ests.agg(
+        pick(0).alias("est_left"),
+        pick(1).alias("est_right"),
+        pick(2).alias("est_union"),
         F.greatest(
-            F.round(F.col("0") + F.col("1") - F.col("2"), 6), F.lit(0.0)
+            F.round(pick(0) + pick(1) - pick(2), 6), F.lit(0.0)
         ).alias("est_intersection"),
     )

@@ -961,9 +961,15 @@ def temperature_sample(
     counts = documents.groupBy(source_col).agg(
         F.count("*").cast("bigint").alias("n_source")
     )
+    # n_total is an integer sum (exact in double); w_total is an
+    # UNORDERED float sum — round it in-engine to 9 decimals on both
+    # sides (the k-means oracle convention) so sum-order ulp drift can
+    # never flip round(rate*1e6) at a .5 micro-unit boundary.
     tot = counts.agg(
         F.sum("n_source").cast("double").alias("n_total"),
-        F.sum(F.sqrt(F.col("n_source").cast("double"))).alias("w_total"),
+        F.round(
+            F.sum(F.sqrt(F.col("n_source").cast("double"))), 9
+        ).alias("w_total"),
     )
     rates = counts.crossJoin(F.broadcast(tot)).select(
         source_col,

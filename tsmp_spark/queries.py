@@ -8175,7 +8175,7 @@ WITH counts AS (
 ),
 tot AS (
   SELECT CAST(sum(n_source) AS DOUBLE) AS n_total,
-         sum(sqrt(CAST(n_source AS DOUBLE))) AS w_total
+         round(sum(sqrt(CAST(n_source AS DOUBLE))), 9) AS w_total
   FROM counts
 ),
 rates AS (
@@ -10340,6 +10340,31 @@ FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey HAVING count(*) > 1)
 
 QUERIES["integrity_audit"] = q_integrity_audit
 ORACLES["integrity_audit"] = SQL_INTEGRITY_AUDIT
+
+
+def q_mp_tier1_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel-FUSED tier-1: matrix profile + first rollup tier in ONE
+    map-only pass (matrix_profile_tier1) — per-bucket partials computed
+    inside the kernel task, ZERO exchange above it. Must hash-match the
+    relational rollup_tier chain's oracle exactly (same fold order,
+    same tie-breaks) — the map-side pre-aggregation that makes the
+    north-star rolled chain kernel-dominated at scale."""
+    from .operators.matrix_profile import matrix_profile_tier1
+
+    t1 = matrix_profile_tier1(_sequences(spark, sf_dir), W, BUCKET)
+    return t1.select(
+        "doc_id",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        _r4("mp_min").alias("mp_min"),
+        F.col("pi_argmin").cast("bigint").alias("pi_argmin"),
+        _r4("mp_avg").alias("mp_avg"),
+        _r4("mp_max").alias("mp_max"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+QUERIES["mp_tier1_fused"] = q_mp_tier1_fused
+ORACLES["mp_tier1_fused"] = SQL_MP_ROLLUP_TIER1
 
 
 # ---------------------------------------------------------------------------
