@@ -2143,3 +2143,102 @@ def test_behavior_ngrams_null_event_type(spark):
     got = {r.gram for r in behavior_ngrams(
         df, n=3, top_k=10, key_col="user_id", ts_col="sec").collect()}
     assert got == {"c>d>e"}          # no "a>c" phantom trigram
+
+
+def test_kmv_distinct_exact_merge_and_accuracy(spark):
+    """KMV bottom-k sketch contracts: (1) below-k buckets report the
+    EXACT distinct count; (2) merge==recompute for EVERY output column
+    (the k smallest of a coarse bucket are among the k smallest of its
+    fine buckets); (3) a saturated sketch estimates within the
+    theoretical error band; (4) non-nesting grids are loud."""
+    from tsmp_spark.operators.sketch import (
+        KMV_K, kmv_distinct, kmv_rerollup)
+
+    # (1) exact below k: 40 distinct users per bucket < k=64
+    small = spark.createDataFrame(
+        [(i % 40, b * 1000 + i) for b in range(3) for i in range(200)],
+        "user_id long, sec long")
+    for r in kmv_distinct(small, bucket_sec=1000).collect():
+        assert r.n_kept == 40 and r.est == 40.0 and r.h_k == 4294967296
+
+    # (2)+(3) saturated: 2000 distinct per fine bucket
+    big = spark.createDataFrame(
+        [(b * 10000 + i, b * 1000 + (i % 1000)) for b in range(4)
+         for i in range(2000)],
+        "user_id long, sec long")
+    a = sorted(map(tuple, kmv_rerollup(big, 1000, 4000).collect()))
+    b = sorted(map(tuple, kmv_distinct(big, 4000).collect()))
+    assert a == b
+    est = kmv_distinct(big, 4000).collect()[0].est
+    assert abs(est / 8000 - 1) < 0.5   # k=64 -> se ~13%, 4 sigma band
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        kmv_rerollup(big, 1000, 4500)
+
+
+def test_kmv_overlap_exact_and_disjoint(spark):
+    """Theta-sketch set ops: when both sides hold < k distinct items the
+    intersection estimate IS the exact intersection; disjoint saturated
+    sides estimate ~0 intersection and jaccard ~0."""
+    from tsmp_spark.operators.sketch import kmv_overlap
+
+    left = spark.createDataFrame([(f"u{i}",) for i in range(50)], "u string")
+    right = spark.createDataFrame([(f"u{i}",) for i in range(30, 80)], "u string")
+    r = kmv_overlap(left, right, "u", "u").collect()[0]
+    assert (r.n_a, r.n_b) == (50, 50)
+    assert r.est_a == 50.0 and r.est_b == 50.0
+    assert r.est_intersection == 20.0 and r.est_union == 80.0
+    assert abs(r.jaccard_est - 0.25) < 1e-12
+
+    dl = spark.createDataFrame([(f"a{i}",) for i in range(500)], "u string")
+    dr = spark.createDataFrame([(f"b{i}",) for i in range(500)], "u string")
+    d = kmv_overlap(dl, dr, "u", "u").collect()[0]
+    assert d.est_intersection <= d.est_union * 0.1
+
+
+def test_rollup_freshness_gaps_and_lag(spark):
+    """Freshness monitor: per-key expected/present/missing over the span
+    [first key bucket, global max], staleness lag, completeness."""
+    from tsmp_spark.operators.rollup import rollup_freshness
+
+    rows = ([("a", b * 100) for b in (0, 1, 3)]        # gap at 2, stale by 2
+            + [("b", b * 100) for b in (2, 3, 4, 5)])  # complete, fresh
+    df = spark.createDataFrame(rows, "event_type string, sec long")
+    got = {r.event_type: r for r in rollup_freshness(
+        df, bucket_sec=100).collect()}
+    a, b = got["a"], got["b"]
+    assert (a.present, a.expected, a.missing, a.lag_buckets) == (3, 6, 3, 2)
+    assert abs(a.completeness - 0.5) < 1e-12
+    assert (b.present, b.expected, b.missing, b.lag_buckets) == (4, 4, 0, 0)
+    assert b.completeness == 1.0
+
+
+def test_rrf_hybrid_topk_fusion(spark):
+    """RRF fusion contracts: a doc ranked #1 by BOTH legs tops the fused
+    list; rrf equals 1/(60+r_bm25)+1/(60+r_cos) with a missing leg
+    contributing 0; ranks are dense 1..k per query."""
+    from tsmp_spark.operators.text import rrf_hybrid_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana cherry apple"),
+         (2, "apple apple apple apple banana"),
+         (3, "dog cat mouse"),
+         (4, "banana cherry date elderberry fig")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame([(7, "apple banana")],
+                               "query_id long, query_text string")
+    rows = rrf_hybrid_topk(docs, qs, k=4, k_leg=4).collect()
+    assert [r.rank for r in rows] == sorted(r.rank for r in rows)
+    byrank = {r.rank: r for r in rows}
+    for r in rows:
+        want = 0.0
+        if r.rank_bm25 is not None:
+            want += 1.0 / (60 + r.rank_bm25)
+        if r.rank_cos is not None:
+            want += 1.0 / (60 + r.rank_cos)
+        assert abs(r.rrf - want) < 1e-15
+    # doc 3 shares no term with the query: if present at all it must
+    # rank below every doc that matched a leg
+    matched = [r for r in rows if r.rank_bm25 is not None or r.rank_cos is not None]
+    assert all(byrank[1].rrf >= r.rrf for r in rows)
+    assert len(matched) >= 3

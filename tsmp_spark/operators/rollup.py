@@ -3194,3 +3194,57 @@ def tier_incremental_refresh(
         .select(F.col("key").alias(key_col), "bucket", "cnt", "sum_u",
                 "min_u", "max_u")
     )
+
+
+def rollup_freshness(
+    events: DataFrame,
+    bucket_sec: int = 3600,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """Continuous-aggregate freshness / SLA monitor: for every source
+    key, how complete and how stale its rollup tier is relative to the
+    most recent bucket observed ANYWHERE in the table (the
+    "materialization watermark" question TimescaleDB's job stats and
+    Druid's segment-availability views answer — here as a first-class,
+    oracle-checkable operator over the tier itself).
+
+    Per key over [first bucket of the key, global max bucket]:
+    ``expected`` buckets in that span, ``present`` distinct buckets,
+    ``missing = expected − present`` (gap-fill debt), ``lag_buckets =
+    global_max − key_max`` (staleness), and ``completeness =
+    present / expected`` — one raw double quotient of exact integers.
+
+    Scale: one combinable distinct on (key, bucket), one count per key,
+    and a scalar global max broadcast back — nothing keyed finer than
+    the tier itself ever moves.
+    """
+    kb = events.select(
+        F.col(key_col).alias("key"),
+        F.floor(F.col(ts_col).cast("long") / bucket_sec)
+        .cast("long")
+        .alias("bucket"),
+    ).distinct()
+    per_key = kb.groupBy("key").agg(
+        F.count("*").cast("bigint").alias("present"),
+        F.min("bucket").alias("first_bucket"),
+        F.max("bucket").alias("last_bucket"),
+    )
+    gmax = kb.agg(F.max("bucket").alias("global_max"))
+    out = per_key.crossJoin(F.broadcast(gmax))
+    expected = (F.col("global_max") - F.col("first_bucket") + 1).cast("bigint")
+    return out.select(
+        F.col("key").alias(key_col),
+        "present",
+        "first_bucket",
+        "last_bucket",
+        "global_max",
+        expected.alias("expected"),
+        (expected - F.col("present")).cast("bigint").alias("missing"),
+        (F.col("global_max") - F.col("last_bucket"))
+        .cast("bigint")
+        .alias("lag_buckets"),
+        (F.col("present").cast("double") / expected.cast("double")).alias(
+            "completeness"
+        ),
+    )

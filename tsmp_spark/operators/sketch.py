@@ -546,3 +546,237 @@ def hll_overlap_estimate(
             F.round(pick(0) + pick(1) - pick(2), 6), F.lit(0.0)
         ).alias("est_intersection"),
     )
+
+
+#: KMV geometry: keep the k=64 smallest 32-bit hashes per group. The
+#: estimator constant (k-1)·2^32 is exact in double (63·2^32 < 2^38).
+KMV_K = 64
+KMV_RANGE = 4294967296  # 2^32: _h64 yields 8 hex chars -> [0, 2^32)
+
+
+def kmv_kept_rows(
+    events: DataFrame,
+    bucket_sec: int,
+    item_col: str,
+    ts_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """(bucket, h, rn) — the k smallest DISTINCT item hashes per time
+    bucket: the KMV / bottom-k theta sketch (Bar-Yossef et al. 2002;
+    Beyer et al. 2007). Shared front end of :func:`kmv_distinct`,
+    :func:`kmv_rerollup` and :func:`kmv_overlap` so batch, tier-merge
+    and set-op paths consume IDENTICAL hash rows.
+
+    Determinism: hashes are the portable md5 family (``dedup._h64``,
+    replayable bit-for-bit in ANSI SQL); the kept set is defined purely
+    by integer order over DISTINCT hashes, so ``row_number`` needs no
+    tie-break.
+
+    Scale shape: the distinct is one combinable groupBy on
+    ``(bucket, h)``; the per-bucket bottom-k is ``row_number() <= k``,
+    which Spark rewrites to WindowGroupLimit — every map task keeps at
+    most k rows per bucket BEFORE the window exchange, so the sort
+    never sees more than k·tasks rows per bucket no matter how many
+    distinct items the bucket holds.
+    """
+    from pyspark.sql.window import Window
+
+    hashed = events.select(
+        F.floor(F.col(ts_col).cast("long") / bucket_sec)
+        .cast("long")
+        .alias("bucket"),
+        _h64(F.col(item_col).cast("string"), 0).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("bucket").orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def _kmv_estimate(kept: DataFrame, k: int) -> DataFrame:
+    """Finish (bucket, h, rn) kept rows into (bucket, n_kept, h_k, est).
+
+    est = (k-1)·2^32 / h_k when the bucket saturated the sketch
+    (n_kept = k), else the EXACT distinct count (a sketch that never
+    filled holds the whole distinct set). Both branches are single
+    ×/÷ expressions over exact integers — bit-identical across engines
+    with no rounding (the ``holt`` raw-double convention).
+    """
+    agg = kept.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("h_k"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * KMV_RANGE)) / F.col("h_k").cast("double")
+    )
+    return agg.select(
+        "bucket",
+        "n_kept",
+        F.coalesce(F.col("h_k"), F.lit(KMV_RANGE)).cast("bigint").alias("h_k"),
+        est.alias("est"),
+    )
+
+
+def kmv_distinct(
+    events: DataFrame,
+    bucket_sec: int = 86400,
+    item_col: str = "user_id",
+    ts_col: str = "sec",
+    k: int = KMV_K,
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT item) per time bucket via the KMV
+    bottom-k sketch: keep the k smallest distinct md5 hashes, estimate
+    (k-1)/U_(k) with U the k-th minimum normalized to [0,1) (Beyer et
+    al. 2007 unbiased form), exact below k.
+
+    Why next to HLL: the kept set IS the sketch — mergeable by "union
+    then re-take bottom-k" with an EXACT identity (the k smallest of a
+    coarse bucket are necessarily among the k smallest of their fine
+    bucket), and two sketches support set operations (see
+    :func:`kmv_overlap`) that HLL registers cannot express without
+    inclusion–exclusion error stacking.
+
+    Output: (bucket, n_kept, h_k, est) — integers plus one raw float
+    that is a single ×/÷ over exact integers (h_k = 2^32 sentinel when
+    the sketch never filled).
+    """
+    return _kmv_estimate(kmv_kept_rows(events, bucket_sec, item_col, ts_col, k), k)
+
+
+def kmv_rerollup(
+    events: DataFrame,
+    fine_sec: int = 3600,
+    coarse_sec: int = 86400,
+    item_col: str = "user_id",
+    ts_col: str = "sec",
+    k: int = KMV_K,
+) -> DataFrame:
+    """RETENTION-TIER path for the KMV column: build tier-1 kept sets at
+    ``fine_sec``, merge them into ``coarse_sec`` buckets by
+    union-distinct + re-take-bottom-k — WITHOUT touching raw rows again
+    — and estimate. EXACT identity with recomputing at ``coarse_sec``
+    (any hash among a coarse bucket's k smallest is among the k
+    smallest of its fine bucket — pytest-pinned merge==recompute, every
+    column), the KMV analogue of the HLL register-max re-rollup.
+
+    Scale: tier-1 ships ≤ k rows per fine bucket; the merge is a
+    distinct + WindowGroupLimit bottom-k over ≤ k·(coarse/fine) rows
+    per coarse bucket. Raw rows never move twice.
+    """
+    from pyspark.sql.window import Window
+
+    if coarse_sec % fine_sec != 0:
+        raise ValueError("coarse_sec must be a multiple of fine_sec")
+    factor = coarse_sec // fine_sec
+    fine = kmv_kept_rows(events, fine_sec, item_col, ts_col, k)
+    merged = (
+        fine.select(_floor_div("bucket", factor).alias("bucket"), "h")
+        .distinct()
+    )
+    w = Window.partitionBy("bucket").orderBy("h")
+    kept = merged.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    return _kmv_estimate(kept, k)
+
+
+def kmv_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Theta-sketch set operations over two KMV kept sets (the
+    DataSketches theta union/intersection, Dasgupta et al. 2016): with
+    theta = min(theta_A, theta_B), every kept hash below theta is a
+    uniform sample of the union, so
+
+        est_intersection = |{h in A_kept ∩ B_kept : h < theta}| · 2^32 / theta
+
+    — a DIRECT intersection estimate (HLL can only do inclusion–
+    exclusion, whose error stacks three estimates). Sides that never
+    filled (n < k) carry theta = 2^32, making their contribution EXACT;
+    when both sides are exact the intersection estimate IS the exact
+    intersection count.
+
+    Output one row: (n_a, n_b, theta_h, n_common, est_a, est_b,
+    est_intersection, est_union, jaccard_est) — integers plus raw
+    floats, each a fixed-shape expression over exact integers
+    (est_union = est_a + est_b − est_intersection evaluated in that
+    literal order on both engines; jaccard = est_intersection /
+    est_union, NULL when the union estimate is 0).
+
+    Scale: each side collapses to ≤ k rows before anything joins; the
+    set ops are k-row sorted-set operations. Nothing else moves.
+    """
+    def kept(df: DataFrame, col: str) -> DataFrame:
+        tagged = df.select(
+            F.lit(0).cast("long").alias("_ts"),
+            F.col(col).cast("string").alias("_item"),
+        )
+        return kmv_kept_rows(tagged, 1, "_item", "_ts", k)
+
+    ka = kept(left, left_col).select("h", "rn")
+    kb = kept(right, right_col).select("h", "rn")
+
+    def side_stats(kdf: DataFrame):
+        return kdf.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.coalesce(
+                F.max(F.when(F.col("rn") == k, F.col("h"))),
+                F.lit(KMV_RANGE).cast("bigint"),
+            ).alias("theta"),
+        )
+
+    sa = side_stats(ka).select(
+        F.col("n").alias("n_a"), F.col("theta").alias("theta_a")
+    )
+    sb = side_stats(kb).select(
+        F.col("n").alias("n_b"), F.col("theta").alias("theta_b")
+    )
+    stats = sa.crossJoin(sb).select(
+        "n_a",
+        "n_b",
+        "theta_a",
+        "theta_b",
+        F.least(F.col("theta_a"), F.col("theta_b")).alias("theta_h"),
+    )
+    common = (
+        ka.select("h")
+        .join(kb.select("h"), "h")
+        .crossJoin(F.broadcast(stats.select("theta_h")))
+        .filter(F.col("h") < F.col("theta_h"))
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    out = stats.crossJoin(F.broadcast(common))
+
+    def side_est(n: str, theta: str):
+        return F.when(
+            F.col(n) < k, F.col(n).cast("double")
+        ).otherwise(
+            F.lit(float((k - 1) * KMV_RANGE)) / F.col(theta).cast("double")
+        )
+
+    est_a = side_est("n_a", "theta_a")
+    est_b = side_est("n_b", "theta_b")
+    est_i = (
+        F.col("n_common").cast("double")
+        * F.lit(float(KMV_RANGE))
+        / F.col("theta_h").cast("double")
+    )
+    est_u = est_a + est_b - est_i
+    return out.select(
+        "n_a",
+        "n_b",
+        F.col("theta_h").cast("bigint").alias("theta_h"),
+        "n_common",
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_i.alias("est_intersection"),
+        est_u.alias("est_union"),
+        F.when(est_u > 0, est_i / est_u).alias("jaccard_est"),
+    )

@@ -686,3 +686,134 @@ def fuzzy_vocab_pairs(
         .filter(F.col("dist") <= 1)
         .distinct()
     )
+
+
+def rrf_hybrid_topk(
+    documents: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_leg: int = 50,
+    rrf_k: int = 60,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher 2009): fuse a LEXICAL ranking (BM25, :func:`bm25_topk`)
+    with a VECTOR ranking (cosine over :func:`hashed_bow_vectors`
+    feature-hashed embeddings) as
+
+        rrf(d) = 1/(rrf_k + rank_bm25(d)) + 1/(rrf_k + rank_cos(d))
+
+    with a missing leg contributing 0 — the standard two-retriever
+    hybrid-search shape (what OpenSearch/Vespa call "hybrid query"),
+    composed entirely from two already-oracle-gated legs.
+
+    Determinism: BM25 ranks on the r4-rounded score with doc-id
+    tie-break (its own contract); the cosine leg ranks on
+    ``dot / sqrt(norm_q · norm_d)`` where dot and both norms are EXACT
+    integers (signed hashed-BOW counts), so the ranking double is one
+    IEEE ÷/sqrt over exact integers — bit-identical cross-engine; rrf
+    itself is a fixed-order sum of two exact reciprocals of integers.
+    Final rank breaks rrf ties on doc_id.
+
+    Scale: the query set is small by contract (broadcast both legs);
+    the cosine leg is one combinable (doc, dim) groupBy + a dim-keyed
+    join against ≤ |queries|·dim vector rows; fusion is a per-query
+    outer join of two ≤ k_leg lists. The corpus shuffles once per leg.
+
+    Returns ``query_id, doc_id, rank_bm25, rank_cos, rrf, rank``
+    (rank 1..k per query; leg ranks NULL where the leg missed the doc).
+    """
+    from pyspark.sql.window import Window
+
+    lex = bm25_topk(
+        documents,
+        queries,
+        k=k_leg,
+        text_col=text_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+    ).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col("doc_id"),
+        F.col("rank").alias("rank_bm25"),
+    )
+
+    dvec = hashed_bow_vectors(documents, dim=dim, text_col=text_col, id_col=id_col)
+    qvec = hashed_bow_vectors(
+        queries.select(
+            F.col(query_id_col).alias("doc_id"),
+            F.col(query_text_col).alias("text"),
+        ),
+        dim=dim,
+    ).withColumnRenamed("doc_id", "query_id")
+    dnorm = dvec.groupBy("doc_id").agg(
+        F.sum(F.col("value") * F.col("value")).cast("bigint").alias("norm_d")
+    )
+    qnorm = qvec.groupBy("query_id").agg(
+        F.sum(F.col("value") * F.col("value")).cast("bigint").alias("norm_q")
+    )
+    dots = (
+        dvec.join(
+            F.broadcast(qvec.withColumnRenamed("value", "qvalue")), "dim"
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("value") * F.col("qvalue")).cast("bigint").alias("dot"))
+    )
+    cos = (
+        dots.join(dnorm, "doc_id")
+        .join(F.broadcast(qnorm), "query_id")
+        .filter((F.col("norm_d") > 0) & (F.col("norm_q") > 0))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt((F.col("norm_q") * F.col("norm_d")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    wcos = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    vec = (
+        cos.withColumn("rank_cos", F.row_number().over(wcos))
+        .filter(F.col("rank_cos") <= k_leg)
+        .select("query_id", "doc_id", "rank_cos")
+    )
+
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "rank_bm25",
+        "rank_cos",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_bm25")).cast("double"),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_cos")).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("rank_bm25").cast("bigint").alias("rank_bm25"),
+            F.col("rank_cos").cast("bigint").alias("rank_cos"),
+            "rrf",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -10367,6 +10367,339 @@ QUERIES["mp_tier1_fused"] = q_mp_tier1_fused
 ORACLES["mp_tier1_fused"] = SQL_MP_ROLLUP_TIER1
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k theta sketch daily-distinct-users rollup: the k=64
+    smallest distinct md5 hashes per bucket, (k-1)/U_(k) estimate (exact
+    below k) — the mergeable distinct sketch that, unlike HLL, also
+    supports direct set operations (see kmv_overlap)."""
+    from .operators.sketch import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    return kmv_distinct(ev, bucket_sec=86400, item_col="user_id", ts_col="sec")
+
+
+SQL_KMV_DISTINCT = r"""
+WITH rows_ AS (
+  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS bucket,
+         CAST(('0x' || substr(md5('s0:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM events
+),
+rn_ AS (
+  SELECT bucket, h,
+         row_number() OVER (PARTITION BY bucket ORDER BY h) AS rn
+  FROM rows_
+),
+agg AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_kept,
+         max(CASE WHEN rn = 64 THEN h END) AS h_k
+  FROM rn_ WHERE rn <= 64 GROUP BY 1
+)
+SELECT bucket, n_kept,
+       CAST(coalesce(h_k, 4294967296) AS BIGINT) AS h_k,
+       CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+            ELSE 270582939648.0 / CAST(h_k AS DOUBLE) END AS est
+FROM agg
+"""
+
+QUERIES["kmv_distinct"] = q_kmv_distinct
+ORACLES["kmv_distinct"] = SQL_KMV_DISTINCT
+
+
+def q_kmv_rerollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV retention-tier merge: hourly tier-1 kept sets merged into
+    daily buckets by union-distinct + re-take-bottom-k, never touching
+    raw rows again — EXACT identity with recomputing at the coarse
+    grain (pytest-pinned), the KMV analogue of hll_rerollup."""
+    from .operators.sketch import kmv_rerollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    return kmv_rerollup(
+        ev, fine_sec=3600, coarse_sec=86400, item_col="user_id", ts_col="sec"
+    )
+
+
+SQL_KMV_REROLLUP = r"""
+WITH rows_ AS (
+  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket,
+         CAST(('0x' || substr(md5('s0:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM events
+),
+fine AS (
+  SELECT bucket, h,
+         row_number() OVER (PARTITION BY bucket ORDER BY h) AS rn
+  FROM rows_
+),
+merged AS (
+  SELECT DISTINCT bucket // 24 AS bucket, h FROM fine WHERE rn <= 64
+),
+rn2 AS (
+  SELECT bucket, h,
+         row_number() OVER (PARTITION BY bucket ORDER BY h) AS rn
+  FROM merged
+),
+agg AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_kept,
+         max(CASE WHEN rn = 64 THEN h END) AS h_k
+  FROM rn2 WHERE rn <= 64 GROUP BY 1
+)
+SELECT bucket, n_kept,
+       CAST(coalesce(h_k, 4294967296) AS BIGINT) AS h_k,
+       CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+            ELSE 270582939648.0 / CAST(h_k AS DOUBLE) END AS est
+FROM agg
+"""
+
+QUERIES["kmv_rerollup"] = q_kmv_rerollup
+ORACLES["kmv_rerollup"] = SQL_KMV_REROLLUP
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations: distinct-user overlap between the
+    'click' and 'purchase' event populations from two k=64 KMV kept
+    sets — direct intersection estimate below theta = min(theta_a,
+    theta_b) (DataSketches theta union/intersection), exact when a side
+    never filled its sketch."""
+    from .operators.sketch import kmv_overlap
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "click").select("user_id")
+    right = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return kmv_overlap(left, right, "user_id", "user_id")
+
+
+SQL_KMV_OVERLAP = r"""
+WITH ka AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+    SELECT DISTINCT CAST(('0x' || substr(md5('s0:' || CAST(user_id AS VARCHAR)),
+                                         1, 8)) AS BIGINT) AS h
+    FROM events WHERE event_type = 'click')
+),
+kb AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+    SELECT DISTINCT CAST(('0x' || substr(md5('s0:' || CAST(user_id AS VARCHAR)),
+                                         1, 8)) AS BIGINT) AS h
+    FROM events WHERE event_type = 'purchase')
+),
+sa AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_a,
+         CAST(coalesce(max(CASE WHEN rn = 64 THEN h END), 4294967296)
+              AS BIGINT) AS theta_a
+  FROM ka WHERE rn <= 64
+),
+sb AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_b,
+         CAST(coalesce(max(CASE WHEN rn = 64 THEN h END), 4294967296)
+              AS BIGINT) AS theta_b
+  FROM kb WHERE rn <= 64
+),
+st AS (
+  SELECT n_a, n_b, theta_a, theta_b, least(theta_a, theta_b) AS theta_h
+  FROM sa CROSS JOIN sb
+),
+com AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_common
+  FROM ka JOIN kb USING (h) CROSS JOIN st
+  WHERE ka.rn <= 64 AND kb.rn <= 64 AND h < st.theta_h
+),
+fin AS (
+  SELECT st.*, com.n_common,
+         CASE WHEN n_a < 64 THEN CAST(n_a AS DOUBLE)
+              ELSE 270582939648.0 / CAST(theta_a AS DOUBLE) END AS est_a,
+         CASE WHEN n_b < 64 THEN CAST(n_b AS DOUBLE)
+              ELSE 270582939648.0 / CAST(theta_b AS DOUBLE) END AS est_b,
+         CAST(n_common AS DOUBLE) * 4294967296.0
+           / CAST(theta_h AS DOUBLE) AS est_i
+  FROM st CROSS JOIN com
+)
+SELECT n_a, n_b, CAST(theta_h AS BIGINT) AS theta_h, n_common,
+       est_a, est_b, est_i AS est_intersection,
+       est_a + est_b - est_i AS est_union,
+       CASE WHEN est_a + est_b - est_i > 0
+            THEN est_i / (est_a + est_b - est_i) END AS jaccard_est
+FROM fin
+"""
+
+QUERIES["kmv_overlap"] = q_kmv_overlap
+ORACLES["kmv_overlap"] = SQL_KMV_OVERLAP
+
+
+def q_rollup_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate freshness / SLA monitor per event_type over
+    15-minute buckets: present vs expected buckets in [first bucket of
+    key, global max bucket], gap-fill debt, staleness lag, and a
+    completeness ratio (one raw double quotient of exact integers)."""
+    from .operators.rollup import rollup_freshness
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    return rollup_freshness(
+        ev, bucket_sec=900, key_col="event_type", ts_col="sec"
+    )
+
+
+SQL_ROLLUP_FRESHNESS = r"""
+WITH kb AS (
+  SELECT DISTINCT event_type AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) // 900 AS bucket
+  FROM events
+),
+pk AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS present,
+         min(bucket) AS first_bucket, max(bucket) AS last_bucket
+  FROM kb GROUP BY 1
+),
+g AS (SELECT max(bucket) AS global_max FROM kb)
+SELECT key AS event_type, present,
+       CAST(first_bucket AS BIGINT) AS first_bucket,
+       CAST(last_bucket AS BIGINT) AS last_bucket,
+       CAST(global_max AS BIGINT) AS global_max,
+       CAST(global_max - first_bucket + 1 AS BIGINT) AS expected,
+       CAST(global_max - first_bucket + 1 - present AS BIGINT) AS missing,
+       CAST(global_max - last_bucket AS BIGINT) AS lag_buckets,
+       CAST(present AS DOUBLE)
+         / CAST(global_max - first_bucket + 1 AS DOUBLE) AS completeness
+FROM pk CROSS JOIN g
+"""
+
+QUERIES["rollup_freshness"] = q_rollup_freshness
+ORACLES["rollup_freshness"] = SQL_ROLLUP_FRESHNESS
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: BM25 (lexical leg)
+    + hashed-BOW cosine (vector leg), rrf = 1/(60+r_lex) + 1/(60+r_cos)
+    with missing legs contributing 0, top-10 per query with doc-id
+    tie-break. Both leg rankings are deterministic cross-engine (r4-
+    rounded BM25; cosine = exact-int dot / sqrt of exact-int norms)."""
+    from .operators.text import rrf_hybrid_topk
+
+    q = spark.createDataFrame(
+        list(_BM25_QUERIES), schema="query_id long, query_text string"
+    )
+    return rrf_hybrid_topk(_documents(spark, sf_dir), q, k=10, k_leg=50)
+
+
+SQL_RRF_FUSION = r"""
+WITH q(query_id, query_text) AS (
+  VALUES (0, 'spark table scan'), (1, 'customer query join fast'), (2, 'window agg group')
+),
+wl AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+  FROM documents
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, len(words) AS dl, words[i] AS term
+  FROM wl, unnest(generate_series(1, len(words))) AS u(i)
+  WHERE length(words[i]) > 0
+),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+qw AS (SELECT query_id, string_split_regex(lower(trim(query_text)), '\s+') AS words FROM q),
+qt AS (
+  SELECT DISTINCT query_id, words[i] AS term
+  FROM qw, unnest(generate_series(1, len(words))) AS u(i)
+  WHERE length(words[i]) > 0
+),
+qdist AS (SELECT DISTINCT term FROM qt),
+gdf AS (
+  SELECT tf.*, count(*) OVER (PARTITION BY tf.term) AS df
+  FROM tf JOIN qdist USING (term)
+),
+stt AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE)
+           / count(*) AS avgdl
+  FROM documents
+),
+sc AS (
+  SELECT qt.query_id, gdf.doc_id,
+         sum(ln(1.0 + (stt.n_docs - gdf.df + 0.5) / (gdf.df + 0.5))
+             * gdf.tf * 2.2 / (gdf.tf + 1.2 * (0.25 + 0.75 * gdf.dl / stt.avgdl))) AS score
+  FROM gdf JOIN qt ON qt.term = gdf.term CROSS JOIN stt
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT query_id, doc_id, rank_bm25 FROM (
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY round(score, 4) DESC, doc_id ASC)
+                AS BIGINT) AS rank_bm25
+    FROM sc
+  ) WHERE rank_bm25 <= 50
+),
+dh AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('s2:' || term), 1, 8)) AS BIGINT) AS h
+  FROM toks
+),
+comp AS MATERIALIZED (
+  SELECT doc_id, CAST(h % 64 AS INT) AS dim,
+         CAST(sum(1 - 2 * ((h // 64) % 2)) AS BIGINT) AS value
+  FROM dh GROUP BY 1, 2
+),
+qh AS (
+  SELECT query_id, CAST(('0x' || substr(md5('s2:' || term), 1, 8)) AS BIGINT) AS h
+  FROM (
+    SELECT query_id, words[i] AS term
+    FROM qw, unnest(generate_series(1, len(words))) AS u(i)
+    WHERE length(words[i]) > 0
+  )
+),
+qcomp AS MATERIALIZED (
+  SELECT query_id, CAST(h % 64 AS INT) AS dim,
+         CAST(sum(1 - 2 * ((h // 64) % 2)) AS BIGINT) AS value
+  FROM qh GROUP BY 1, 2
+),
+dn AS (SELECT doc_id, CAST(sum(value * value) AS BIGINT) AS norm_d FROM comp GROUP BY 1),
+qn AS (SELECT query_id, CAST(sum(value * value) AS BIGINT) AS norm_q FROM qcomp GROUP BY 1),
+dots AS (
+  SELECT qc.query_id, c.doc_id, CAST(sum(c.value * qc.value) AS BIGINT) AS dot
+  FROM comp c JOIN qcomp qc USING (dim) GROUP BY 1, 2
+),
+cosv AS (
+  SELECT query_id, doc_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(norm_q * norm_d AS DOUBLE)) AS cosine
+  FROM dots JOIN dn USING (doc_id) JOIN qn USING (query_id)
+  WHERE norm_d > 0 AND norm_q > 0
+),
+vec AS (
+  SELECT query_id, doc_id, rank_cos FROM (
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, doc_id ASC)
+                AS BIGINT) AS rank_cos
+    FROM cosv
+  ) WHERE rank_cos <= 50
+),
+fused AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         l.rank_bm25, v.rank_cos,
+         coalesce(1.0 / (60 + l.rank_bm25), 0.0)
+           + coalesce(1.0 / (60 + v.rank_cos), 0.0) AS rrf
+  FROM lex l FULL OUTER JOIN vec v
+    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+)
+SELECT query_id, doc_id, rank_bm25, rank_cos, rrf, rank FROM (
+  SELECT query_id, doc_id,
+         CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+         CAST(rank_cos AS BIGINT) AS rank_cos, rrf,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM fused
+) WHERE rank <= 10
+"""
+
+QUERIES["rrf_fusion"] = q_rrf_fusion
+ORACLES["rrf_fusion"] = SQL_RRF_FUSION
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
