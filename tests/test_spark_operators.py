@@ -2242,3 +2242,43 @@ def test_rrf_hybrid_topk_fusion(spark):
     matched = [r for r in rows if r.rank_bm25 is not None or r.rank_cos is not None]
     assert all(byrank[1].rrf >= r.rrf for r in rows)
     assert len(matched) >= 3
+
+
+def test_rollup_moments_exact_merge_and_degenerate(spark):
+    """Moments sketch contracts: (1) merge==recompute EXACT for every
+    column (decimal power sums are associative); (2) constant buckets
+    emit NULL skew/kurtosis (clamped + NULLIF'd, never NaN/crash);
+    (3) values match numpy population moments; (4) negative values
+    round away-from-zero identically; (5) non-nesting grids are loud."""
+    import numpy as np
+    from tsmp_spark.operators.rollup import moments_rerollup, rollup_moments
+
+    vals = [1.25, -3.5, 7.07, 0.01, -0.06, 12.5, 3.33, -8.88]
+    rows = [("a", i * 400, v) for i, v in enumerate(vals)]
+    rows += [("c", i * 400, 5.0) for i in range(6)]          # constant
+    df = spark.createDataFrame(rows, "event_type string, sec long, value double")
+
+    direct = {(r.event_type, r.bucket): r
+              for r in rollup_moments(df, 86400).collect()}
+    merged = {(r.event_type, r.bucket): r
+              for r in moments_rerollup(df, 400, 86400).collect()}
+    assert set(direct) == set(merged)
+    for k in direct:
+        assert tuple(direct[k]) == tuple(merged[k])          # bit-exact
+
+    a = direct[("a", 0)]
+    cu = np.round(np.array(vals) * 100)                      # engine grid
+    x = cu / 100.0
+    assert a.n == 8
+    assert abs(a.mean_v - x.mean() / 1.0) < 1e-9
+    assert abs(a.var_v - x.var()) < 1e-6
+    m2, m3, m4 = (np.mean((x - x.mean()) ** k) for k in (2, 3, 4))
+    assert abs(a.skewness - m3 / m2 ** 1.5) < 1e-6
+    assert abs(a.kurtosis_ex - (m4 / m2 ** 2 - 3)) < 1e-6
+
+    c = direct[("c", 0)]
+    assert c.var_v == 0.0 and c.skewness is None and c.kurtosis_ex is None
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        moments_rerollup(df, 400, 1000)

@@ -3248,3 +3248,149 @@ def rollup_freshness(
             "completeness"
         ),
     )
+
+
+def _moment_power_sums(
+    events: DataFrame,
+    bucket_sec: int,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """(key, bucket, n, s1..s4) — EXACT power sums of centi-unit values.
+
+    cu = round(value·100) as bigint (the house micro-unit convention at
+    1e2 so cu⁴ stays far inside decimal(38,0)); each power is computed
+    in decimal(38,0) (exact integer arithmetic, ANSI-overflow-checked)
+    and summed exactly. These ARE the mergeable sketch state: partial
+    sums add associatively, so tier merges are exact integer identities.
+    """
+    cu = F.round(F.col(value_col) * 100).cast("bigint")
+    c = cu.cast("decimal(38,0)")
+    return (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.col(ts_col).cast("long") / bucket_sec)
+            .cast("long")
+            .alias("bucket"),
+            c.alias("c1"),
+            (c * c).alias("c2"),
+            (c * c * c).alias("c3"),
+            (c * c * (c * c)).alias("c4"),
+        )
+        .groupBy("key", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c1").alias("s1"),
+            F.sum("c2").alias("s2"),
+            F.sum("c3").alias("s3"),
+            F.sum("c4").alias("s4"),
+        )
+    )
+
+
+def _moment_finisher(sums: DataFrame, key_col: str) -> DataFrame:
+    """Finish exact power sums into mean/variance/skew/excess-kurtosis.
+
+    Every float is derived from the EXACT decimal sums through one
+    fixed-shape expression tree (identical literal order in the oracle
+    SQL): decimal→double conversion is correctly rounded on both
+    engines, so the doubles are bit-identical with no rounding step.
+    Degenerate guards follow the house acf pattern: m2 clamped at 0
+    (cancellation can push a true-zero variance to -1e-12) and NULLIF'd
+    denominators — constant buckets emit NULL skew/kurtosis, never a
+    crash (ANSI) or a NaN.
+    """
+    nD = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    mean = s1 / nD
+    m2 = s2 / nD - mean * mean
+    m3 = (
+        s3 / nD
+        - F.lit(3.0) * mean * (s2 / nD)
+        + F.lit(2.0) * mean * mean * mean
+    )
+    m4 = (
+        s4 / nD
+        - F.lit(4.0) * mean * (s3 / nD)
+        + F.lit(6.0) * mean * mean * (s2 / nD)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    m2c = F.greatest(m2, F.lit(0.0))
+    return sums.select(
+        F.col("key").alias(key_col),
+        "bucket",
+        "n",
+        (mean / F.lit(100.0)).alias("mean_v"),
+        (m2c / F.lit(10000.0)).alias("var_v"),
+        (m3 / F.nullif(m2c * F.sqrt(m2c), F.lit(0.0))).alias("skewness"),
+        (m4 / F.nullif(m2c * m2c, F.lit(0.0)) - F.lit(3.0)).alias(
+            "kurtosis_ex"
+        ),
+    )
+
+
+def rollup_moments(
+    events: DataFrame,
+    bucket_sec: int = 86400,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mergeable moments sketch per (key, time bucket): mean, variance
+    (population), skewness and excess kurtosis from EXACT integer power
+    sums — the moments-sketch continuous-aggregate column (Gan et al.
+    2018's insight that power sums are the canonical mergeable summary
+    for distribution shape).
+
+    Why a sketch and not percentile_cont: power sums MERGE (tier k+1
+    reads tier k only — see :func:`moments_rerollup`) and hold O(1)
+    state per bucket, where exact percentiles need every raw row again
+    at every tier.
+
+    Output: (key, bucket, n, mean_v, var_v, skewness, kurtosis_ex) —
+    one combinable groupBy, map-side partial aggregation, nothing else
+    moves. Constant buckets: NULL skew/kurt (clamped + NULLIF'd, the
+    acf convention).
+    """
+    return _moment_finisher(
+        _moment_power_sums(events, bucket_sec, key_col, ts_col, value_col),
+        key_col,
+    )
+
+
+def moments_rerollup(
+    events: DataFrame,
+    fine_sec: int = 3600,
+    coarse_sec: int = 86400,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """RETENTION-TIER path for the moments column: build fine-bucket
+    power sums, SUM them into coarse buckets (tier k+1 reads tier k
+    only — raw rows are never rescanned), finish identically.
+    merge==recompute is an EXACT identity for every output column:
+    decimal sums are associative, and the finisher sees bit-identical
+    inputs either way (pytest-pinned, all columns).
+    """
+    if coarse_sec % fine_sec != 0:
+        raise ValueError("coarse_sec must be a multiple of fine_sec")
+    fine = _moment_power_sums(events, fine_sec, key_col, ts_col, value_col)
+    factor = coarse_sec // fine_sec
+    merged = (
+        fine.groupBy(
+            "key", (F.floor(F.col("bucket") / factor)).cast("long").alias("bucket")
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("s1").alias("s1"),
+            F.sum("s2").alias("s2"),
+            F.sum("s3").alias("s3"),
+            F.sum("s4").alias("s4"),
+        )
+    )
+    return _moment_finisher(merged, key_col)

@@ -10700,6 +10700,86 @@ QUERIES["rrf_fusion"] = q_rrf_fusion
 ORACLES["rrf_fusion"] = SQL_RRF_FUSION
 
 
+def q_rollup_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moments-sketch column per (event_type, day): mean /
+    variance / skewness / excess kurtosis from EXACT decimal power sums
+    of centi-unit values (Gan et al. 2018 moments sketch). One
+    combinable groupBy; every float is a fixed-shape expression over
+    exact integers — no rounding step."""
+    from .operators.rollup import rollup_moments
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    return rollup_moments(ev, 86400, key_col="event_type")
+
+
+_SQL_MOMENT_FINISH = r"""
+fin2 AS (
+  SELECT event_type, bucket, n, s1 / nD AS mean, nD, s1, s2, s3, s4
+  FROM fin1
+), fin3 AS (
+  SELECT event_type, bucket, n, mean,
+         s2 / nD - mean * mean AS m2r,
+         s3 / nD - 3.0 * mean * (s2 / nD) + 2.0 * mean * mean * mean AS m3,
+         s4 / nD - 4.0 * mean * (s3 / nD)
+                 + 6.0 * mean * mean * (s2 / nD)
+                 - 3.0 * mean * mean * mean * mean AS m4
+  FROM fin2
+), fin4 AS (
+  SELECT event_type, bucket, n, mean, m3, m4, greatest(m2r, 0.0) AS m2c
+  FROM fin3
+)
+SELECT event_type, bucket, n,
+       mean / 100.0 AS mean_v,
+       m2c / 10000.0 AS var_v,
+       m3 / nullif(m2c * sqrt(m2c), 0.0) AS skewness,
+       m4 / nullif(m2c * m2c, 0.0) - 3.0 AS kurtosis_ex
+FROM fin4
+"""
+
+SQL_ROLLUP_MOMENTS = r"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+         CAST(round(value * 100) AS BIGINT) AS cu
+  FROM events
+), sums AS (
+  SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(cu AS HUGEINT)) AS s1,
+         sum(CAST(cu AS HUGEINT) * cu) AS s2,
+         sum(CAST(cu AS HUGEINT) * cu * cu) AS s3,
+         sum((CAST(cu AS HUGEINT) * cu) * (CAST(cu AS HUGEINT) * cu)) AS s4
+  FROM ev GROUP BY event_type, bucket
+), fin1 AS (
+  SELECT event_type, bucket, n, CAST(n AS DOUBLE) AS nD,
+         CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+         CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4
+  FROM sums
+), """ + _SQL_MOMENT_FINISH
+
+QUERIES["rollup_moments"] = q_rollup_moments
+ORACLES["rollup_moments"] = SQL_ROLLUP_MOMENTS
+
+
+def q_moments_rerollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-tier merge of the moments sketch: hourly power sums
+    summed into daily (tier k+1 reads tier k only), finished
+    identically. Gated against the direct daily recompute — decimal
+    sums are associative, so merge==recompute is exact and the oracle
+    IS the coarse-grain chain."""
+    from .operators.rollup import moments_rerollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    return moments_rerollup(ev, 3600, 86400, key_col="event_type")
+
+
+QUERIES["moments_rerollup"] = q_moments_rerollup
+ORACLES["moments_rerollup"] = SQL_ROLLUP_MOMENTS
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
