@@ -905,3 +905,44 @@ def test_dataset_split_stable_under_growth(spark):
     assert abs(c["test"] / 2000 - 0.1) < 0.04
     with _pt.raises(ValueError):
         dataset_split(small, train_permille=950, val_permille=100)
+
+
+def test_zipf_heaps_loglog_fits(spark):
+    """Corpus-law fits: (1) the shared log-log OLS recovers an exact
+    power law (slope, intercept, r2=1); (2) zipf_fit on a corpus built
+    with tf = floor(1000/rank) recovers slope ~ -1 with deterministic
+    ranks; (3) heaps_fit is scale-monotone sane (0 < beta <= 1 on a
+    growing corpus) and degenerate-safe (constant vocab -> r2 NULL,
+    slope 0)."""
+    import pyspark.sql.functions as F
+    from tsmp_spark.operators.tokens import _loglog_ols, heaps_fit, zipf_fit
+
+    # (1) exact power law y = 7 * x^0.5 on integer grid points
+    pts = spark.createDataFrame(
+        [(int(x), int(round(7 * x ** 0.5)))
+         for x in (10**6, 4 * 10**6, 9 * 10**6, 16 * 10**6, 25 * 10**6)],
+        "xv long, yv long")
+    r = _loglog_ols(pts, "xv", "yv").collect()[0]
+    assert abs(r.slope - 0.5) < 1e-3 and r.r2 > 0.9999
+    assert abs(r.intercept - __import__("math").log(7.0)) < 1e-2
+
+    # (2) zipf: token t in 1..50 appears floor(1000/t) times
+    toks = []
+    for t in range(1, 51):
+        toks.extend([t] * (1000 // t))
+    docs = spark.createDataFrame(
+        [(i, toks[i::10]) for i in range(10)], "doc_id long, tokens array<int>")
+    z = zipf_fit(docs).collect()[0]
+    assert z.n_points == 50
+    assert abs(z.slope + 1.0) < 0.05 and z.r2 > 0.98
+
+    # (3) heaps: fresh vocab per doc -> beta ~ 1; constant vocab -> flat
+    fresh = spark.createDataFrame(
+        [(i, list(range(100 * i, 100 * (i + 1)))) for i in range(64)],
+        "doc_id long, tokens array<int>")
+    h = heaps_fit(fresh, bucket=4).collect()[0]
+    assert abs(h.slope - 1.0) < 1e-6 and h.r2 > 0.999999
+    flat = spark.createDataFrame(
+        [(i, [1, 2, 3]) for i in range(64)], "doc_id long, tokens array<int>")
+    hf = heaps_fit(flat, bucket=4).collect()[0]
+    assert hf.slope == 0.0 and hf.r2 is None

@@ -1071,3 +1071,132 @@ def dataset_split(
         .when(b < train_permille + val_permille, "val")
         .otherwise("test"),
     )
+
+
+def _loglog_ols(points: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """One-row log-log OLS over positive integer points — the shared
+    finisher of :func:`zipf_fit` and :func:`heaps_fit`.
+
+    Cross-engine determinism (the k-means rounding convention, taken to
+    integers): ln of an exact integer agrees across engines to ~1 ulp
+    (2e-15 at these magnitudes), so quantizing to 1e-9 micro-units
+    makes each point an exact BIGINT and every OLS sum an exact
+    decimal(38,0) — unordered summation cannot drift. slope / intercept
+    / r² are then fixed-shape double expressions over exact integers
+    (both 1e9 scales cancel in the slope; the intercept divides one
+    back out). Degenerate inputs (all-equal x) yield NULL slope via the
+    NULLIF'd denominator, never an ANSI crash.
+    """
+    lx = F.round(F.log(F.col(x_col).cast("double")) * 1_000_000_000).cast(
+        "bigint"
+    ).cast("decimal(38,0)")
+    ly = F.round(F.log(F.col(y_col).cast("double")) * 1_000_000_000).cast(
+        "bigint"
+    ).cast("decimal(38,0)")
+    agg = points.select(lx.alias("x"), ly.alias("y")).agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    a = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    b = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    c = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = a / F.nullif(b, F.lit(0.0))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+            / F.lit(1.0e9)
+        ).alias("intercept"),
+        ((a * a) / F.nullif(b * c, F.lit(0.0))).alias("r2"),
+    )
+
+
+def zipf_fit(
+    sequences: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token vocabulary: OLS of
+    ln(term frequency) on ln(frequency rank) — slope ≈ −s is the Zipf
+    exponent, the one-row corpus health metric a training-data pipeline
+    tracks per snapshot (a slope drifting toward 0 flags boilerplate /
+    dedup failure; toward −∞ flags vocabulary collapse).
+
+    Ranks are deterministic (tf DESC, token ASC). Scale: one explode +
+    one vocab-bounded combinable groupBy; the rank window runs over
+    VOCAB rows (bounded by contract, 32k here), and the fit is a scalar
+    aggregate. Output: (n_points, slope, intercept, r2) — see
+    :func:`_loglog_ols` for the exact-integer determinism story.
+    """
+    from pyspark.sql.window import Window
+
+    vocab = (
+        sequences.select(F.explode(F.col(tokens_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    ranked = vocab.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("token"))),
+    )
+    return _loglog_ols(ranked, "rank", "tf")
+
+
+def heaps_fit(
+    sequences: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    bucket: int = 8,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(n) ≈ K·n^β, fitted as OLS
+    of ln(cumulative distinct types) on ln(cumulative tokens) at
+    doc-bucket milestones (doc_id div ``bucket``) — β well below ~0.8
+    on a natural corpus; β ≈ 1 means every doc brings fresh vocabulary
+    (tokenizer misconfigured or corpus is noise), the canonical
+    new-snapshot sanity check next to :func:`zipf_fit`.
+
+    A token's first appearance is min(doc_id) over one vocab-bounded
+    groupBy; growth points are per-BUCKET sums cumsummed over the
+    bounded bucket axis (never a per-doc unpartitioned window), so the
+    curve costs one explode + two combinable groupBys + one window over
+    n_docs/bucket rows. Output: (n_points, slope=β, intercept=ln K,
+    r2).
+    """
+    from pyspark.sql.window import Window
+
+    flat = sequences.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.col(tokens_col)).alias("token")
+    )
+    per_bucket_tokens = (
+        sequences.select(
+            (F.col(id_col) / bucket).cast("long").alias("b"),
+            F.size(F.col(tokens_col)).cast("bigint").alias("n_tok"),
+        )
+        .groupBy("b")
+        .agg(F.sum("n_tok").alias("n_tok"))
+    )
+    first_seen = flat.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    per_bucket_new = (
+        first_seen.select((F.col("first_doc") / bucket).cast("long").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("new_types"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    growth = (
+        per_bucket_tokens.join(per_bucket_new, "b", "left")
+        .select(
+            "b",
+            F.sum("n_tok").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_types"), F.lit(0))).over(w).alias(
+                "cum_types"
+            ),
+        )
+        .filter((F.col("cum_tokens") >= 1) & (F.col("cum_types") >= 1))
+    )
+    return _loglog_ols(growth, "cum_tokens", "cum_types")

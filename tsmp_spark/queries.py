@@ -10780,6 +10780,127 @@ QUERIES["moments_rerollup"] = q_moments_rerollup
 ORACLES["moments_rerollup"] = SQL_ROLLUP_MOMENTS
 
 
+_BIGRAMS_EXPR = (
+    "CASE WHEN size(tokens) >= 2 THEN "
+    "zip_with(slice(tokens, 1, size(tokens)-1), slice(tokens, 2, size(tokens)-1), "
+    "(a, b) -> a * 32768 + b) ELSE array() END"
+)
+
+_SQL_BIGRAMS = """
+bigr AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(tokens) - 1),
+                        i -> tokens[i] * 32768 + tokens[i + 1]) AS tokens
+  FROM tokc
+)"""
+
+_SQL_OLS_FINISH = r"""
+pts AS (
+  SELECT CAST(round(ln(CAST(xv AS DOUBLE)) * 1000000000) AS BIGINT) AS x,
+         CAST(round(ln(CAST(yv AS DOUBLE)) * 1000000000) AS BIGINT) AS y
+  FROM raw_pts
+), sums AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM pts
+), abc AS (
+  SELECT CAST(n AS BIGINT) AS n_points,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS a,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+         CAST(n * syy - sy * sy AS DOUBLE) AS c,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(n AS DOUBLE) AS nd
+  FROM sums
+), sl AS (
+  SELECT n_points, a / nullif(b, 0.0) AS slope, a, b, c, sxd, syd, nd
+  FROM abc
+)
+SELECT n_points, slope,
+       (syd - slope * sxd) / nd / 1000000000.0 AS intercept,
+       (a * a) / nullif(b * c, 0.0) AS r2
+FROM sl
+"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent over the corpus BIGRAM vocabulary (bigrams
+    because the synthetic word vocabulary is tiny): ln(tf) ~ ln(rank)
+    OLS with exact-integer micro-unit points — the per-snapshot corpus
+    health metric."""
+    from .operators.tokens import zipf_fit
+
+    t = _tokenized(spark, sf_dir).select(
+        "doc_id", F.expr(_BIGRAMS_EXPR).alias("tokens")
+    )
+    return zipf_fit(t)
+
+
+SQL_ZIPF_FIT = f"""
+WITH {SQL_TOKC}, {_SQL_BIGRAMS},
+flat AS (
+  SELECT tokens[i] AS token
+  FROM bigr, unnest(generate_series(1, len(tokens))) AS g(i)
+),
+vocab AS (SELECT token, count(*) AS tf FROM flat GROUP BY 1),
+raw_pts AS (
+  SELECT row_number() OVER (ORDER BY tf DESC, token) AS xv, tf AS yv
+  FROM vocab
+), {_SQL_OLS_FINISH}
+"""
+
+QUERIES["zipf_fit"] = q_zipf_fit
+ORACLES["zipf_fit"] = SQL_ZIPF_FIT
+
+
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth exponent over bigram types at
+    8-doc bucket milestones: ln(cum distinct types) ~ ln(cum tokens)
+    OLS, exact-integer micro-unit points. beta ~ 1 flags a
+    misconfigured tokenizer / pure-noise corpus."""
+    from .operators.tokens import heaps_fit
+
+    t = _tokenized(spark, sf_dir).select(
+        "doc_id", F.expr(_BIGRAMS_EXPR).alias("tokens")
+    )
+    return heaps_fit(t, bucket=8)
+
+
+SQL_HEAPS_FIT = f"""
+WITH {SQL_TOKC}, {_SQL_BIGRAMS},
+flat AS (
+  SELECT doc_id, tokens[i] AS token
+  FROM bigr, unnest(generate_series(1, len(tokens))) AS g(i)
+),
+pbt AS (
+  SELECT CAST(doc_id // 8 AS BIGINT) AS b, sum(len(tokens)) AS n_tok
+  FROM bigr GROUP BY 1
+),
+fseen AS (SELECT token, min(doc_id) AS first_doc FROM flat GROUP BY 1),
+pbn AS (
+  SELECT CAST(first_doc // 8 AS BIGINT) AS b, count(*) AS new_types
+  FROM fseen GROUP BY 1
+),
+growth AS (
+  SELECT pbt.b,
+         sum(pbt.n_tok) OVER (ORDER BY pbt.b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         sum(coalesce(pbn.new_types, 0)) OVER (ORDER BY pbt.b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_types
+  FROM pbt LEFT JOIN pbn ON pbt.b = pbn.b
+),
+raw_pts AS (
+  SELECT cum_tokens AS xv, cum_types AS yv FROM growth
+  WHERE cum_tokens >= 1 AND cum_types >= 1
+), {_SQL_OLS_FINISH}
+"""
+
+QUERIES["heaps_fit"] = q_heaps_fit
+ORACLES["heaps_fit"] = SQL_HEAPS_FIT
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
