@@ -711,3 +711,34 @@ def test_rollup_chain_matches_two_shuffle_path(events):
         g = got.orderBy("doc_id", "bucket").toPandas().reset_index(drop=True)
         e = exp.orderBy("doc_id", "bucket").toPandas().reset_index(drop=True)
         pd.testing.assert_frame_equal(g, e)
+
+
+def test_hdr_rollup_single_exchange_no_python(events):
+    """HDR sketch build is ONE combinable groupBy over per-row integer
+    expressions — no Python, no join, no window; the index math
+    (bin/shift) stays inside codegen."""
+    from tsmp_spark.operators.sketch import hdr_rollup
+    import pyspark.sql.functions as F
+
+    ev = events.select("event_type", F.unix_timestamp("ts").alias("sec"),
+                       "value")
+    plan = _plan(hdr_rollup(ev, 86400))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_hdr_quantiles_sketch_rows_only_window(events):
+    """The quantile finisher's window + final groupBy run over SKETCH
+    rows and REUSE one (key, bucket)-compatible exchange: two Exchanges
+    total (raw-row groupBy + sketch-row hash), never a third for the
+    final groupBy."""
+    from tsmp_spark.operators.sketch import hdr_quantiles
+    import pyspark.sql.functions as F
+
+    ev = events.select("event_type", F.unix_timestamp("ts").alias("sec"),
+                       "value")
+    plan = _plan(hdr_quantiles(ev, 86400))
+    assert plan.count("Exchange") == 2
+    assert "BatchEvalPython" not in plan

@@ -2282,3 +2282,55 @@ def test_rollup_moments_exact_merge_and_degenerate(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         moments_rerollup(df, 400, 1000)
+
+
+def test_hdr_sketch_contracts(spark):
+    """HDR exponential-histogram contracts: (1) tier merge==recompute
+    bit-exact for every column (integer counts add associatively);
+    (2) quantile estimates land within the bucket's relative-error
+    bound of the exact nearest-rank percentile on a heavy-tailed
+    sample; (3) small values (< 0.32) are EXACT to the centi-unit;
+    (4) sign handling — negative/zero/positive values order correctly
+    through the signed index; (5) non-nesting grids are loud."""
+    import numpy as np
+    import pytest as _pt
+    from tsmp_spark.operators.sketch import (
+        hdr_quantiles,
+        hdr_rerollup,
+        hdr_rollup,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = np.round(np.exp(rng.normal(3.0, 2.0, 4000)) + 0.01, 2)
+    rows = [("a", int(i * 17) % 86400, float(v)) for i, v in enumerate(vals)]
+    rows += [("b", i * 400, v) for i, v in enumerate(
+        [-6.79, -0.02, 0.0, 0.0, 0.01, 0.05, 0.31, 1.0, 490.02])]
+    df = spark.createDataFrame(rows, "event_type string, sec long, value double")
+
+    direct = {(r.key, r.bucket, r.idx): r for r in hdr_rollup(df, 86400).collect()}
+    merged = {(r.key, r.bucket, r.idx): r
+              for r in hdr_rerollup(df, 400, 86400).collect()}
+    assert set(direct) == set(merged) and len(direct) > 0
+    for k in direct:
+        assert tuple(direct[k]) == tuple(merged[k])          # bit-exact
+
+    q = {r.key: r for r in hdr_quantiles(df, 86400).collect()}
+    a = q["a"]
+    assert a.n == 4000
+    grid = np.round(vals * 100) / 100.0                      # engine grid
+    for est, qq in ((a.p50_est, 0.5), (a.p90_est, 0.9), (a.p99_est, 0.99)):
+        exact = float(np.sort(grid)[int(np.ceil(qq * 4000)) - 1])
+        assert abs(est - exact) / exact < 1 / 16             # bucket bound
+
+    b = q["b"]                                               # n=9 ranks 5/9/9
+    assert b.p50_est == 0.01                                 # exact small value
+    assert abs(b.p90_est - 490.02) / 490.02 < 1 / 16
+    assert b.p99_est == b.p90_est
+
+    bidx = sorted((r.idx, r.est_v) for r in direct.values() if r[0] == "b")
+    ests = [e for _, e in bidx]
+    assert ests == sorted(ests)                              # idx orders values
+    assert ests[0] < 0 and 0.0 in ests                       # neg + zero buckets
+
+    with _pt.raises(ValueError):
+        hdr_rerollup(df, 400, 1000)

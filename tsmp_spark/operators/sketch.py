@@ -780,3 +780,211 @@ def kmv_overlap(
         est_u.alias("est_union"),
         F.when(est_u > 0, est_i / est_u).alias("jaccard_est"),
     )
+
+
+#: HDR sub-bucket resolution: 2^5 = 32 sub-bucket labels per
+#: power-of-two octave (the upper 16 are populated: sub = m >> (w−5)
+#: ∈ [16, 31]), so bucket width / lower bound ≤ 1/16 and midpoint
+#: estimates carry ≤ ~3% relative error — the HdrHistogram
+#: "5 significant bits" configuration.
+HDR_SUB = 1 << 5
+
+
+def _hdr_index(cu_name: str):
+    """Signed exponential bucket index of a centi-unit BIGINT column —
+    the HdrHistogram / Prometheus-native-histogram indexing scheme
+    (octave = bit length, sub-bucket = top 5 mantissa bits), computed
+    with EXACT integer/string ops only (integer-literal F.expr, the
+    house bitwise-form exception).
+
+    Why no logarithms: DDSketch's ceil(ln x / ln γ) index (Masson et
+    al., VLDB 2019) is float — Spark's Math.log and DuckDB's libm log
+    can disagree by 1 ulp exactly at a bucket boundary and silently
+    flip an index. ``length(bin(m))`` is the exact floor(log2 m)+1 on
+    BOTH engines (minimal binary string), and the sub-bucket is a pure
+    right-shift, so the index is deterministic by construction — the
+    same reason the moments sketch carries decimal power sums instead
+    of float moments.
+
+    Layout (m = |cu|): cu = 0 → 0; m < 32 → ±m (small values are
+    singleton buckets, exact); else ±(w·32 + (m >> (w−5))) with
+    w = length(bin(m)). Strictly monotone in the signed value, so
+    ordering idx orders values; negatives mirror to −index (DDSketch's
+    negative store flattened onto one ordered axis).
+    """
+    c, m = cu_name, f"abs({cu_name})"
+    body = (
+        f"CASE WHEN {m} < {HDR_SUB} THEN {m} "
+        f"ELSE length(bin({m})) * {HDR_SUB} "
+        f"+ shiftright({m}, cast(length(bin({m})) - 5 as int)) END"
+    )
+    return F.expr(
+        f"CAST(CASE WHEN {c} = 0 THEN 0 "
+        f"WHEN {c} < 0 THEN -({body}) ELSE {body} END AS BIGINT)"
+    )
+
+
+def _hdr_estimate(idx_name: str):
+    """Representative value (original units) of an HDR bucket index:
+    the integer midpoint of the bucket's centi-unit range, ÷ 100.
+
+    m = |idx| < 32 → the exact centi-unit value m; else the bucket
+    covers [r·2^(w−5), (r+1)·2^(w−5)) with w = m div 32, r = m mod 32,
+    and the midpoint is ((lb + ub) >> 1) — all-integer shifts. The only
+    float ops are one exact-integer → double conversion and one ÷ 100.0
+    (F.lit python float, never an F.expr decimal) — bit-identical
+    across engines by IEEE correct rounding, no rounding step (the holt
+    raw-double convention).
+    """
+    i, m = idx_name, f"abs({idx_name})"
+    sh = f"cast({m} div {HDR_SUB} - 5 as int)"
+    mid = (
+        f"CASE WHEN {m} < {HDR_SUB} THEN {m} "
+        f"ELSE shiftright(shiftleft({m} % {HDR_SUB}, {sh}) "
+        f"+ shiftleft({m} % {HDR_SUB} + 1, {sh}) - 1, 1) END"
+    )
+    signed = (
+        f"CAST(CASE WHEN {i} < 0 THEN -({mid}) ELSE ({mid}) END AS DOUBLE)"
+    )
+    return F.expr(signed) / F.lit(100.0)
+
+
+def hdr_rollup(
+    events: DataFrame,
+    bucket_sec: int = 86400,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponential-bucket (HdrHistogram-style) value sketch per
+    (key, time bucket): the mergeable relative-error quantile state a
+    retention-tier store keeps where ``rollup_percentiles`` would need
+    every raw row again (TimescaleDB ships the same role as
+    uddsketch/tdigest hyperfunctions; Prometheus native histograms are
+    this exact layout).
+
+    State is (idx, cnt) pairs — ≤ 16 populated sub-buckets per octave,
+    so a few hundred rows per (key, bucket) no matter how many raw rows
+    or distinct values the bucket holds, and tier k+1 merges tier k by
+    summing cnt per idx (:func:`hdr_rerollup` — merge == recompute is
+    an exact integer identity). Values are centi-units
+    (round(value·100), the moments-sketch convention); the index is
+    log-free exact integer arithmetic (:func:`_hdr_index`).
+
+    Scale: ONE combinable groupBy — partial aggregation collapses each
+    map task to the bucket count before the exchange.
+
+    Output: (key, bucket, idx, cnt, est_v) where est_v is the bucket's
+    deterministic midpoint representative (:func:`_hdr_estimate`).
+    """
+    rows = events.select(
+        F.col(key_col).alias("key"),
+        F.floor(F.col(ts_col).cast("long") / bucket_sec)
+        .cast("long")
+        .alias("bucket"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("cu"),
+    ).select("key", "bucket", _hdr_index("cu").alias("idx"))
+    return (
+        rows.groupBy("key", "bucket", "idx")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            F.col("key"),
+            "bucket",
+            "idx",
+            "cnt",
+            _hdr_estimate("idx").alias("est_v"),
+        )
+    )
+
+
+def hdr_rerollup(
+    events: DataFrame,
+    fine_sec: int = 3600,
+    coarse_sec: int = 86400,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Retention-tier merge of the HDR sketch: fine-tier (idx, cnt)
+    rows summed into the coarse tier — tier k+1 reads tier k ONLY,
+    never raw rows. Counts are integers and addition is associative,
+    so merge == recompute exactly (the oracle IS the direct coarse
+    recompute; pytest pins bit-identity incl. est_v)."""
+    if coarse_sec % fine_sec != 0:
+        raise ValueError("coarse_sec must be a multiple of fine_sec")
+    factor = coarse_sec // fine_sec
+    fine = hdr_rollup(events, fine_sec, key_col, ts_col, value_col)
+    return (
+        fine.select(
+            "key", _floor_div("bucket", factor).alias("bucket"), "idx", "cnt"
+        )
+        .groupBy("key", "bucket", "idx")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .select(
+            "key", "bucket", "idx", "cnt", _hdr_estimate("idx").alias("est_v")
+        )
+    )
+
+
+def hdr_quantiles(
+    events: DataFrame,
+    bucket_sec: int = 86400,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """p50 / p90 / p99 per (key, time bucket) read off the HDR sketch:
+    cumulative counts in index order, quantile q = the representative
+    of the first bucket whose cumulative count reaches the EXACT
+    integer rank ceil(q·n) — rank arithmetic is all-integer
+    ((n+1) div 2, (9n+9) div 10, (99n+99) div 100), so no float
+    literal ever meets a row count (the 0.9·n double-vs-decimal ceil
+    trap). idx is unique per partition after the sketch groupBy, so
+    the cumsum window needs no tie-break (the sessionize total-order
+    rule is satisfied by construction).
+
+    Scale: the raw-row groupBy is the only full exchange; the window +
+    final groupBy run over SKETCH rows (bounded per key·bucket) and
+    share one small (key, bucket)-hash exchange — the same
+    sketch-then-finish shape as hll_rollup.
+
+    Output: (key, bucket, n, p50_est, p90_est, p99_est).
+    """
+    from pyspark.sql.window import Window
+
+    sk = hdr_rollup(events, bucket_sec, key_col, ts_col, value_col)
+    wcum = (
+        Window.partitionBy("key", "bucket")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("key", "bucket")
+    cum = sk.select(
+        "key",
+        "bucket",
+        "idx",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    picks = cum.groupBy("key", "bucket").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("idx"))
+        ).alias("i50"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n * 9 + 9) div 10"), F.col("idx"))
+        ).alias("i90"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n * 99 + 99) div 100"), F.col("idx")
+            )
+        ).alias("i99"),
+    )
+    return picks.select(
+        "key",
+        "bucket",
+        "n",
+        _hdr_estimate("i50").alias("p50_est"),
+        _hdr_estimate("i90").alias("p90_est"),
+        _hdr_estimate("i99").alias("p99_est"),
+    )

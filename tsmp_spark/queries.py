@@ -10901,6 +10901,123 @@ QUERIES["heaps_fit"] = q_heaps_fit
 ORACLES["heaps_fit"] = SQL_HEAPS_FIT
 
 
+def _q_hdr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+
+
+def q_hdr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-bucket (HdrHistogram / Prometheus-native-histogram)
+    value sketch per (event_type, day): mergeable relative-error
+    quantile state with log-FREE exact-integer indexing (octave = bit
+    length of the centi-unit value, sub-bucket = top 5 mantissa bits).
+    ONE combinable groupBy; ≤ ~3% midpoint error by construction."""
+    from .operators.sketch import hdr_rollup
+
+    return hdr_rollup(_q_hdr_events(spark, sf_dir), 86400)
+
+
+# m = |idx|; the mid/est expressions are pure integer shifts mirrored
+# from sketch._hdr_estimate — the only float is the final exact
+# int→double conversion ÷ 100.0.
+def _sql_hdr_est(col: str) -> str:
+    m = f"abs({col})"
+    sh = f"({m} // 32 - 5)"
+    mid = (
+        f"CASE WHEN {m} < 32 THEN {m} "
+        f"ELSE ((({m} % 32) << {sh}) + (({m} % 32 + 1) << {sh}) - 1) >> 1 END"
+    )
+    return (
+        f"CAST(CASE WHEN {col} < 0 THEN -({mid}) ELSE ({mid}) END AS DOUBLE)"
+        f" / 100.0"
+    )
+
+
+_SQL_HDR_BASE = """
+ev AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts) / {bucket_sec}) AS BIGINT) AS bucket,
+         CAST(round(value * 100) AS BIGINT) AS cu
+  FROM events
+), ix AS (
+  SELECT key, bucket,
+         CASE WHEN cu = 0 THEN 0
+              WHEN cu < 0 THEN -(CASE WHEN abs(cu) < 32 THEN abs(cu)
+                   ELSE length(bin(abs(cu))) * 32
+                        + (abs(cu) >> (length(bin(abs(cu))) - 5)) END)
+              ELSE (CASE WHEN abs(cu) < 32 THEN abs(cu)
+                   ELSE length(bin(abs(cu))) * 32
+                        + (abs(cu) >> (length(bin(abs(cu))) - 5)) END)
+         END AS idx
+  FROM ev
+), g AS (
+  SELECT key, bucket, idx, CAST(count(*) AS BIGINT) AS cnt
+  FROM ix GROUP BY 1, 2, 3
+)"""
+
+SQL_HDR_ROLLUP = (
+    "WITH "
+    + _SQL_HDR_BASE.format(bucket_sec=86400)
+    + f"\nSELECT key, bucket, idx, cnt, {_sql_hdr_est('idx')} AS est_v FROM g"
+)
+
+QUERIES["hdr_rollup"] = q_hdr_rollup
+ORACLES["hdr_rollup"] = SQL_HDR_ROLLUP
+
+
+def q_hdr_rerollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-tier merge of the HDR sketch: hourly (idx, cnt) rows
+    summed into daily — tier k+1 reads tier k only; integer counts add
+    associatively so merge == recompute EXACTLY and the oracle is the
+    direct daily recompute."""
+    from .operators.sketch import hdr_rerollup
+
+    return hdr_rerollup(_q_hdr_events(spark, sf_dir), 3600, 86400)
+
+
+QUERIES["hdr_rerollup"] = q_hdr_rerollup
+ORACLES["hdr_rerollup"] = SQL_HDR_ROLLUP
+
+
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 per (event_type, day) read off the HDR sketch:
+    cumulative counts in index order, EXACT integer ranks
+    ((n+1) div 2, (9n+9) div 10, (99n+99) div 100 — no float literal
+    ever meets a row count). The window + final groupBy run over
+    bounded sketch rows; idx is unique per partition so the cumsum
+    needs no tie-break."""
+    from .operators.sketch import hdr_quantiles
+
+    return hdr_quantiles(_q_hdr_events(spark, sf_dir), 86400)
+
+
+SQL_HDR_QUANTILES = (
+    "WITH "
+    + _SQL_HDR_BASE.format(bucket_sec=86400)
+    + f""",
+cum AS (
+  SELECT key, bucket, idx,
+         sum(cnt) OVER (PARTITION BY key, bucket ORDER BY idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY key, bucket) AS n
+  FROM g
+), picks AS (
+  SELECT key, bucket, CAST(max(n) AS BIGINT) AS n,
+         min(CASE WHEN cum >= (n + 1) // 2 THEN idx END) AS i50,
+         min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN idx END) AS i90,
+         min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN idx END) AS i99
+  FROM cum GROUP BY 1, 2
+)
+SELECT key, bucket, n, {_sql_hdr_est('i50')} AS p50_est,
+       {_sql_hdr_est('i90')} AS p90_est, {_sql_hdr_est('i99')} AS p99_est
+FROM picks"""
+)
+
+QUERIES["hdr_quantiles"] = q_hdr_quantiles
+ORACLES["hdr_quantiles"] = SQL_HDR_QUANTILES
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
