@@ -788,3 +788,60 @@ def test_upsert_stream_any_order(spark, tmp_path):
         if k not in want or (sec, eid) > (want[k][0], want[k][1]):
             want[k] = (sec, eid, vu)
     assert got == want
+
+
+def test_hdr_stream_equals_batch_any_order(spark, tmp_path):
+    """Streaming HDR sketch fed OUT-OF-ORDER micro-batches converges to
+    the exact batch sketch cell-for-cell — counts are commutative
+    (cell-wise sums), so the equality needs no arrival contract (the
+    hll/cms convention). State stays sparse: the emitted snapshot never
+    holds more idxs than populated buckets."""
+    import os
+
+    from tsmp_spark.operators.sketch import hdr_rollup
+    from tsmp_spark.streaming.sketch import hdr_stream
+
+    rows = [
+        ("t%d" % (i % 2), (i % 3) * 4000, float(((i * 37) % 500) - 50) / 7.0)
+        for i in range(600)
+    ]
+    batch_df = spark.createDataFrame(
+        rows, "event_type string, sec long, value double"
+    )
+
+    base = str(tmp_path / "ev")
+    os.makedirs(base)
+    scrambled = rows[400:600] + rows[0:200] + rows[200:400]
+    for k in range(3):
+        spark.createDataFrame(
+            scrambled[200 * k : 200 * (k + 1)],
+            "event_type string, sec long, value double",
+        ).coalesce(1).write.parquet(f"{base}/f{k}.parquet")
+
+    stream = (
+        spark.readStream.schema("event_type string, sec long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/*")
+    )
+    q = (
+        hdr_stream(stream, bucket_sec=3600)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hdr_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hdr"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql(
+        "SELECT key, bucket, idx, cnt FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY key, bucket, idx ORDER BY n_seen DESC)"
+        " AS rn FROM hdr_out) WHERE rn = 1"
+    ).collect()
+    want = {(r.key, r.bucket, r.idx): r.cnt for r in hdr_rollup(
+        batch_df, bucket_sec=3600
+    ).collect()}
+    assert {(r.key, r.bucket, r.idx) for r in got} == set(want)
+    for r in got:
+        assert r.cnt == want[(r.key, r.bucket, r.idx)]

@@ -849,6 +849,26 @@ def _hdr_estimate(idx_name: str):
     return F.expr(signed) / F.lit(100.0)
 
 
+def hdr_index_rows(
+    events: DataFrame,
+    bucket_sec: int,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """(key, bucket, idx) — one row per event, JVM-side index
+    expressions only: the shared front end of batch :func:`hdr_rollup`
+    and ``streaming.hdr_stream`` (IDENTICAL expressions, so
+    stream==batch is exact — the hll_register_rows convention)."""
+    return events.select(
+        F.col(key_col).alias("key"),
+        F.floor(F.col(ts_col).cast("long") / bucket_sec)
+        .cast("long")
+        .alias("bucket"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("cu"),
+    ).select("key", "bucket", _hdr_index("cu").alias("idx"))
+
+
 def hdr_rollup(
     events: DataFrame,
     bucket_sec: int = 86400,
@@ -877,13 +897,7 @@ def hdr_rollup(
     Output: (key, bucket, idx, cnt, est_v) where est_v is the bucket's
     deterministic midpoint representative (:func:`_hdr_estimate`).
     """
-    rows = events.select(
-        F.col(key_col).alias("key"),
-        F.floor(F.col(ts_col).cast("long") / bucket_sec)
-        .cast("long")
-        .alias("bucket"),
-        F.round(F.col(value_col) * 100).cast("bigint").alias("cu"),
-    ).select("key", "bucket", _hdr_index("cu").alias("idx"))
+    rows = hdr_index_rows(events, bucket_sec, key_col, ts_col, value_col)
     return (
         rows.groupBy("key", "bucket", "idx")
         .agg(F.count("*").cast("bigint").alias("cnt"))

@@ -11018,6 +11018,53 @@ QUERIES["hdr_quantiles"] = q_hdr_quantiles
 ORACLES["hdr_quantiles"] = SQL_HDR_QUANTILES
 
 
+def q_hdr_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HDR sketch maintained by an actual Structured
+    Streaming query (streaming.hdr_stream): events replayed through a
+    file stream, final sparse (idx, cnt) snapshot per (event_type,
+    day). Counts are commutative, so the final snapshot must equal the
+    BATCH sketch — gated by the same bin/shift index chain as
+    hdr_rollup."""
+    import uuid
+
+    from .operators.sketch import _hdr_estimate
+    from .streaming.sketch import hdr_stream
+
+    name = "hdr_sink_" + uuid.uuid4().hex[:8]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props map<string,string>"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_type", F.unix_timestamp("ts").alias("sec"), "value")
+    )
+    out = hdr_stream(stream, bucket_sec=86400)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""
+        SELECT key, bucket, idx, cnt FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY key, bucket, idx ORDER BY n_seen DESC) AS rn
+          FROM {name}) WHERE rn = 1
+        """
+    ).select("key", "bucket", "idx", "cnt", _hdr_estimate("idx").alias("est_v"))
+
+
+QUERIES["hdr_stream"] = q_hdr_stream
+ORACLES["hdr_stream"] = SQL_HDR_ROLLUP
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #

@@ -168,3 +168,77 @@ def cms_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HDR_OUTPUT_SCHEMA = "key string, bucket long, n_seen long, idx long, cnt long"
+HDR_STATE_SCHEMA = "idxs binary, cnts binary, n_seen long"
+
+
+def _hdr_func(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        idx_b, cnt_b, n_seen = state.get
+        idxs = np.frombuffer(idx_b, dtype=np.int64)
+        cnts = np.frombuffer(cnt_b, dtype=np.int64)
+    else:
+        idxs = np.empty(0, dtype=np.int64)
+        cnts = np.empty(0, dtype=np.int64)
+        n_seen = 0
+    k, bucket = key
+    parts_i, parts_c = [idxs], [cnts]
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        ni, nc = np.unique(pdf["idx"].to_numpy(dtype=np.int64), return_counts=True)
+        parts_i.append(ni)
+        parts_c.append(nc)
+        n_seen += len(pdf)
+    all_i = np.concatenate(parts_i)
+    all_c = np.concatenate(parts_c)
+    idxs, inv = np.unique(all_i, return_inverse=True)
+    cnts = np.zeros(len(idxs), dtype=np.int64)
+    np.add.at(cnts, inv, all_c)
+    state.update((idxs.tobytes(), cnts.tobytes(), int(n_seen)))
+    yield pd.DataFrame(
+        {
+            "key": np.repeat(k, len(idxs)),
+            "bucket": np.repeat(np.int64(bucket), len(idxs)),
+            "n_seen": np.repeat(np.int64(n_seen), len(idxs)),
+            "idx": idxs,
+            "cnt": cnts,
+        }
+    )
+
+
+def hdr_stream(
+    event_stream: DataFrame,
+    bucket_sec: int = 86400,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming counterpart of ``operators.sketch.hdr_rollup``: each
+    micro-batch folds exponential-bucket index arrivals into a sparse
+    (idx → cnt) state per (key, time bucket) and emits the populated
+    buckets as an append-mode snapshot tagged with monotone ``n_seen``
+    (the LAST snapshot per (key, bucket) is the final sketch).
+
+    State is ≤ 16 populated sub-buckets per octave — a few KB per open
+    (key, bucket) regardless of raw-row count or value cardinality, the
+    HDR bound. Counts are COMMUTATIVE (cell-wise sums), so stream==batch
+    holds for ANY arrival order — the hll/cms contract, gated by the
+    same index chain as the batch oracle. Index derivation is JVM-side
+    and SHARED with the batch operator (``hdr_index_rows``); the Python
+    state function only buckets-and-adds a numpy array.
+    """
+    from ..operators.sketch import hdr_index_rows
+
+    rows = hdr_index_rows(event_stream, bucket_sec, key_col, ts_col, value_col)
+    return rows.groupBy("key", "bucket").applyInPandasWithState(
+        _hdr_func,
+        outputStructType=HDR_OUTPUT_SCHEMA,
+        stateStructType=HDR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
