@@ -2334,3 +2334,62 @@ def test_hdr_sketch_contracts(spark):
 
     with _pt.raises(ValueError):
         hdr_rerollup(df, 400, 1000)
+
+
+def test_asap_smooth_model_and_edges(spark):
+    """ASAP contracts: (1) the engine's chosen window and smoothed
+    values match a doc-by-doc numpy replay of the exact-integer
+    pipeline (whole-unit bucket sums, dense spine, roughness argmin
+    under the kurtosis constraint); (2) pure noise smooths hard while a
+    constant series degenerates to w=1 with NULL-roughness ordering;
+    (3) a single-bucket key falls back to w=1 and echoes its value."""
+    import numpy as np
+    from tsmp_spark.operators.rollup import ASAP_WINDOWS, asap_smooth
+
+    rng = np.random.default_rng(11)
+    vals = np.round(50 + rng.uniform(-20, 20, 300), 2)
+    rows = [("n", i * 3600, float(v)) for i, v in enumerate(vals)]
+    rows += [("c", i * 3600, 5.0) for i in range(40)]
+    rows += [("one", 0, 123.45)]
+    df = spark.createDataFrame(rows, "event_type string, sec long, value double")
+    got = asap_smooth(df, 3600).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r.key, []).append(r)
+
+    # numpy replay for key "n" (dense grid == input grid here)
+    s = (np.round(vals * 100).astype(np.int64)).astype(object)
+    s = np.array([int(x) - int(x) % 100 for x in s], dtype=object)
+    s = np.array([x // 100 for x in s], dtype=object)
+    best = None
+    kurt1 = None
+    for w in ASAP_WINDOWS:
+        m = np.array([sum(s[i - w + 1 : i + 1]) for i in range(w - 1, len(s))],
+                     dtype=object)
+        d = m[1:] - m[:-1]
+        nd, sd1, sd2 = len(d), int(sum(d)), int(sum(x * x for x in d))
+        sm = int(sum(m))
+        tm = (abs(sm) % len(m)) * (1 if sm >= 0 else -1)  # engine trunc-mod
+        q = (sm - tm) // len(m)            # exact multiple: // == trunc div
+        dm = m - q
+        c2 = int(sum(x * x for x in dm))
+        c4 = int(sum((x * x) * (x * x) for x in dm))
+        r = (nd * sd2 - sd1 * sd1) / (nd * nd * w * w) if nd else None
+        kurt = len(m) * c4 / (c2 * c2) if c2 else None
+        if w == 1:
+            kurt1 = kurt
+        ok = True if (kurt is None or kurt1 is None) else kurt >= kurt1
+        if ok and (best is None or (r is not None and r < best[0])):
+            if r is not None or best is None:
+                best = (r if r is not None else float("inf"), w, m)
+    r_, w_star, m_star = best
+    eng = sorted(by_key["n"], key=lambda r: r.bucket)
+    assert eng[0].w == w_star
+    assert len(eng) == len(m_star)
+    for row, ms in zip(eng, m_star):
+        assert row.smoothed == float(ms) / w_star
+
+    assert by_key["c"][0].w == 1 and len(by_key["c"]) == 40
+    assert all(r.smoothed == 5.0 for r in by_key["c"])
+    one = by_key["one"]
+    assert len(one) == 1 and one[0].w == 1 and one[0].smoothed == 123.0

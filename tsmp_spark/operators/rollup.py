@@ -3394,3 +3394,166 @@ def moments_rerollup(
         )
     )
     return _moment_finisher(merged, key_col)
+
+
+ASAP_WINDOWS = (1, 2, 4, 8, 16, 32)
+
+
+def asap_smooth(
+    events: DataFrame,
+    bucket_sec: int = 3600,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """ASAP smoothing (Rong & Bailis, VLDB 2017): per key, pick the
+    moving-average window that minimizes roughness (variance of the
+    smoothed series' first differences) subject to preserving the
+    original series' kurtosis, then emit the smoothed series — the
+    automatic "smooth this dashboard" downsample next to LTTB/M4/PAA.
+
+    Deterministic-by-construction variant: the paper's
+    autocorrelation-pruned golden-section search is replaced by a FIXED
+    candidate grid (``ASAP_WINDOWS`` — iterative searches over
+    piecewise-constant objectives are not bit-replayable across
+    engines, the sdts rule). The series is the per-bucket sum of
+    whole-unit values (centi-unit sums trunc-divided by 100 — one
+    deterministic truncation per bucket, keeping 4th-power sums far
+    inside decimal(38,0)), gap-filled to the dense [min, max] bucket
+    spine with 0. Every statistic is a fixed-shape double expression
+    over EXACT decimal power sums — roughness from diff sums, kurtosis
+    from deviations about the trunc-integer mean (within 1 of the true
+    mean; the constraint compares like against like on both engines) —
+    so the per-key argmin cannot drift. Ties and NULL roughness order
+    deterministically ((r IS NULL), r, w); a window qualifies when
+    kurt_w >= kurt_1, vacuously when either kurtosis is undefined
+    (constant series).
+
+    Scale: one combinable raw-row groupBy is the only full-data
+    exchange; everything after runs on the bucket grid (bounded by
+    contract — the theil_sen convention) and the candidate axis is a
+    6-wide literal stack. Exactness contract: |window-sum deviations|⁴
+    × n_buckets must fit decimal(38,0) — |dev| < 1e8 at 1e6 buckets;
+    violations crash loudly under ANSI, never return wrong answers.
+
+    Output: (key, bucket, w, smoothed) for every full window position
+    of the chosen w (smoothed = window mean in whole-value units).
+    """
+    sums = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.floor(F.col(ts_col).cast("long") / bucket_sec)
+            .cast("long")
+            .alias("bucket"),
+            F.round(F.col(value_col) * 100).cast("bigint").alias("cu"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.sum("cu").alias("scu"))
+        .select(
+            "key",
+            "bucket",
+            F.expr("(scu - (scu % 100)) div 100").alias("s"),
+        )
+    )
+    spine = (
+        sums.groupBy("key")
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        .select(
+            "key", F.explode(F.sequence("_lo", "_hi")).alias("bucket")
+        )
+    )
+    dense = spine.join(sums, ["key", "bucket"], "left").select(
+        "key", "bucket", F.coalesce(F.col("s"), F.lit(0)).alias("s")
+    )
+    wk = Window.partitionBy("key").orderBy("bucket")
+    cols = [
+        F.sum("s").over(wk.rowsBetween(-(w - 1), 0)).alias(f"m{w}")
+        for w in ASAP_WINDOWS
+    ]
+    grid = dense.select(
+        "key", "bucket", F.row_number().over(wk).alias("rn"), *cols
+    )
+    stack_expr = "stack({n}, {args}) as (w, msum)".format(
+        n=len(ASAP_WINDOWS),
+        args=", ".join(f"{w}L, m{w}" for w in ASAP_WINDOWS),
+    )
+    stacked = grid.select("key", "bucket", "rn", F.expr(stack_expr)).filter(
+        F.col("rn") >= F.col("w")
+    )
+
+    wkw = Window.partitionBy("key", "w").orderBy("bucket")
+    wall = Window.partitionBy("key", "w")
+    rows = stacked.select(
+        "key",
+        "w",
+        "bucket",
+        "msum",
+        (F.col("msum") - F.lag("msum").over(wkw)).alias("d"),
+        F.expr(
+            "(sum(msum) over (partition by key, w)"
+            " - (sum(msum) over (partition by key, w)"
+            "    % count(*) over (partition by key, w)))"
+            " div count(*) over (partition by key, w)"
+        ).alias("q"),
+    )
+    dm = (F.col("msum") - F.col("q")).cast("decimal(38,0)")
+    dd = F.col("d").cast("decimal(38,0)")
+    stats = rows.groupBy("key", "w").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count("d").cast("bigint").alias("nd"),
+        F.sum(dd).alias("sd1"),
+        F.sum(dd * dd).alias("sd2"),
+        F.sum(dm * dm).alias("c2"),
+        F.sum(dm * dm * (dm * dm)).alias("c4"),
+    )
+    r = (
+        (F.col("nd").cast("double") * F.col("sd2").cast("double")
+         - F.col("sd1").cast("double") * F.col("sd1").cast("double"))
+        / F.nullif(
+            F.col("nd").cast("double") * F.col("nd").cast("double")
+            * F.col("w").cast("double") * F.col("w").cast("double"),
+            F.lit(0.0),
+        )
+    )
+    kurt = (
+        F.col("n").cast("double") * F.col("c4").cast("double")
+        / F.nullif(
+            F.col("c2").cast("double") * F.col("c2").cast("double"), F.lit(0.0)
+        )
+    )
+    scored = stats.select(
+        "key", "w", r.alias("r"), kurt.alias("kurt")
+    )
+    base = scored.filter(F.col("w") == 1).select(
+        "key", F.col("kurt").alias("kurt1")
+    )
+    ranked = (
+        scored.join(base, "key")
+        .filter(
+            F.coalesce(
+                F.col("kurt") >= F.col("kurt1"), F.lit(True)
+            )
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("key").orderBy(
+                    F.col("r").isNull().cast("int"), "r", "w"
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("key", F.col("w").alias("w_star"))
+    )
+    return (
+        stacked.join(F.broadcast(ranked), "key")
+        .filter(F.col("w") == F.col("w_star"))
+        .select(
+            "key",
+            "bucket",
+            "w",
+            (F.col("msum").cast("double") / F.col("w").cast("double")).alias(
+                "smoothed"
+            ),
+        )
+    )

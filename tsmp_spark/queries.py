@@ -11065,6 +11065,93 @@ QUERIES["hdr_stream"] = q_hdr_stream
 ORACLES["hdr_stream"] = SQL_HDR_ROLLUP
 
 
+def q_asap_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASAP smoothing (Rong & Bailis VLDB 2017) per event_type at
+    hourly buckets: fixed candidate grid (1..32), roughness argmin
+    subject to kurtosis preservation, every statistic a fixed-shape
+    double over EXACT decimal power sums — the deterministic
+    dashboard-downsample next to LTTB/M4/PAA."""
+    from .operators.rollup import asap_smooth
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    return asap_smooth(ev, 3600)
+
+
+SQL_ASAP_SMOOTH = r"""
+WITH sums AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+         sum(CAST(round(value * 100) AS BIGINT)) AS scu
+  FROM events GROUP BY 1, 2
+), whole AS (
+  SELECT key, bucket, CAST((scu - (scu % 100)) // 100 AS BIGINT) AS s
+  FROM sums
+), spine AS (
+  SELECT key, unnest(generate_series(lo, hi)) AS bucket
+  FROM (SELECT key, min(bucket) AS lo, max(bucket) AS hi
+        FROM whole GROUP BY 1)
+), dense AS (
+  SELECT sp.key, sp.bucket, coalesce(w.s, 0) AS s
+  FROM spine sp LEFT JOIN whole w
+    ON sp.key = w.key AND sp.bucket = w.bucket
+), grid AS (
+  SELECT key, bucket, row_number() OVER pk AS rn,
+         sum(s) OVER (pk ROWS BETWEEN 0 PRECEDING AND CURRENT ROW) AS m1,
+         sum(s) OVER (pk ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS m2,
+         sum(s) OVER (pk ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m4,
+         sum(s) OVER (pk ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS m8,
+         sum(s) OVER (pk ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS m16,
+         sum(s) OVER (pk ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS m32
+  FROM dense WINDOW pk AS (PARTITION BY key ORDER BY bucket)
+), stacked AS MATERIALIZED (
+  SELECT key, bucket, rn, CAST(cw.w AS BIGINT) AS w,
+         CASE cw.w WHEN 1 THEN m1 WHEN 2 THEN m2 WHEN 4 THEN m4
+                   WHEN 8 THEN m8 WHEN 16 THEN m16 ELSE m32 END AS msum
+  FROM grid CROSS JOIN (VALUES (1), (2), (4), (8), (16), (32)) cw(w)
+  WHERE rn >= cw.w
+), rws AS (
+  SELECT key, w, bucket, msum,
+         msum - lag(msum) OVER (PARTITION BY key, w ORDER BY bucket) AS d,
+         (sum(msum) OVER pw - (sum(msum) OVER pw % count(*) OVER pw))
+           // count(*) OVER pw AS q
+  FROM stacked WINDOW pw AS (PARTITION BY key, w)
+), stats AS (
+  SELECT key, w, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(d) AS BIGINT) AS nd,
+         sum(d) AS sd1, sum(d * d) AS sd2,
+         sum((msum - q) * (msum - q)) AS c2,
+         sum(((msum - q) * (msum - q)) * ((msum - q) * (msum - q))) AS c4
+  FROM rws GROUP BY 1, 2
+), scored AS MATERIALIZED (
+  SELECT key, w,
+         (CAST(nd AS DOUBLE) * CAST(sd2 AS DOUBLE)
+          - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE))
+         / nullif(CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)
+                  * CAST(w AS DOUBLE) * CAST(w AS DOUBLE), 0.0) AS r,
+         CAST(n AS DOUBLE) * CAST(c4 AS DOUBLE)
+         / nullif(CAST(c2 AS DOUBLE) * CAST(c2 AS DOUBLE), 0.0) AS kurt
+  FROM stats
+), ranked AS (
+  SELECT key, w AS w_star,
+         row_number() OVER (PARTITION BY key ORDER BY
+           CASE WHEN r IS NULL THEN 1 ELSE 0 END, r, w) AS rk
+  FROM scored sc
+  WHERE coalesce(
+    kurt >= (SELECT kurt FROM scored b WHERE b.key = sc.key AND b.w = 1),
+    TRUE)
+)
+SELECT st.key, st.bucket, st.w,
+       CAST(st.msum AS DOUBLE) / CAST(st.w AS DOUBLE) AS smoothed
+FROM stacked st
+JOIN ranked rkd ON st.key = rkd.key AND st.w = rkd.w_star AND rkd.rk = 1
+"""
+
+QUERIES["asap_smooth"] = q_asap_smooth
+ORACLES["asap_smooth"] = SQL_ASAP_SMOOTH
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
