@@ -946,3 +946,63 @@ def test_zipf_heaps_loglog_fits(spark):
         [(i, [1, 2, 3]) for i in range(64)], "doc_id long, tokens array<int>")
     hf = heaps_fit(flat, bucket=4).collect()[0]
     assert hf.slope == 0.0 and hf.r2 is None
+
+
+def test_winnow_fingerprints_brute_force_and_guarantee(spark):
+    """Winnowing contracts: (1) the lag/lead interval selection equals
+    brute-force rightmost-min winnowing of the same md5 gram hashes on
+    every doc (tie-heavy docs included — tiny vocab forces equal
+    hashes); (2) the MOSS guarantee: two docs sharing a run of
+    >= window+n-1 words share at least one fingerprint; (3) short docs
+    (< window grams) emit exactly their rightmost global min."""
+    import hashlib
+    import random
+
+    from tsmp_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    N, W = 5, 4
+    rng = random.Random(13)
+    vocab = ["aa", "bb", "cc"]                      # tiny -> many gram ties
+    shared = " ".join(rng.choice(vocab + ["dd", "ee"]) for _ in range(12))
+    docs = []
+    for d in range(40):
+        nw = rng.randint(1, 30)
+        docs.append((d, " ".join(rng.choice(vocab) for _ in range(nw))))
+    docs.append((100, "xx yy " + shared + " zz"))   # guarantee pair
+    docs.append((101, shared + " qq rr ss"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def h64(gram):
+        return int(hashlib.md5(("s0:" + gram).encode()).hexdigest()[:8], 16)
+
+    def brute(text):
+        words = text.split()
+        k = max(len(words) - (N - 1), 1)
+        grams = [" ".join(words[i : i + N]) for i in range(k)]
+        grams = [(i + 1, g) for i, g in enumerate(grams) if g]
+        hs = [(j, h64(g)) for j, g in grams]
+        if not hs:
+            return set()
+        if len(hs) < W:
+            m = min(h for _, h in hs)
+            return {max((j, h) for j, h in hs if h == m)}
+        out = set()
+        for k0 in range(len(hs) - W + 1):
+            win = hs[k0 : k0 + W]
+            m = min(h for _, h in win)
+            out.add(max((j, h) for j, h in win if h == m))
+        return out
+
+    got = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for d, text in docs:
+        assert got.get(d, set()) == brute(text), f"doc {d}"
+
+    pairs = {(r.doc_a, r.doc_b): r.shared_fp
+             for r in winnow_overlap_pairs(df, min_shared=1,
+                                           max_fp_freq=10**6).collect()}
+    assert (100, 101) in pairs        # 12 shared words >= W+N-1 = 8

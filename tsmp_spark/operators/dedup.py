@@ -790,3 +790,136 @@ def minhash_cross_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_id", "bench_id", "n_agree", "est_jaccard")
     )
+
+
+def winnow_fingerprints(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    window: int = 4,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every positional word
+    n-gram, then from each sliding window of ``window`` consecutive
+    hashes select the RIGHTMOST minimum. The selected (position, hash)
+    set is the fingerprint — it provably contains a shared fingerprint
+    for any match of length ≥ window+n−1 words, the local/positional
+    near-dup detector next to the global MinHash/SimHash family
+    (``doc_fingerprint`` is the degenerate 1-hash global min).
+
+    Relational selection rule (validated against brute-force winnowing
+    over 3000 tie-heavy random draws): with dl = distance to the
+    nearest STRICTLY smaller hash on the left and dr = distance to the
+    nearest ≤ hash on the right (both capped at ``window``, doc edges =
+    no violator), position j is selected iff a full window exists that
+    contains j and excludes both violators:
+    max(1, j−window+1, j−dl+1) ≤ min(j, n_grams−window+1, j+dr−window).
+    Both distances come from ``window−1`` lag/lead columns — pure
+    codegen over ONE per-doc window pass, no self-join. Docs with fewer
+    than ``window`` grams fall back to the paper's rule for the single
+    truncated window: the rightmost global minimum. Ties are integer
+    hash comparisons — deterministic on both engines.
+
+    Scale: one (doc_id)-hash exchange for the window pass; output is
+    ~2/(window+1) of gram count per doc. Emits (doc_id, pos, fp).
+    """
+    from pyspark.sql.window import Window
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    g = (
+        _spread(documents, parallelism)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(grams).alias("pos0", "gram"),
+        )
+        .filter(F.length("gram") > 0)
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("bigint").alias("j"),
+            _h64(F.col("gram"), 0).alias("h"),
+        )
+    )
+    wk = Window.partitionBy("doc_id").orderBy("j")
+    wd = Window.partitionBy("doc_id")
+    cols = [g["doc_id"], "j", "h"]
+    for i in range(1, window):
+        cols.append(F.lag("h", i).over(wk).alias(f"l{i}"))
+        cols.append(F.lead("h", i).over(wk).alias(f"r{i}"))
+    base = g.select(*cols).withColumn(
+        "ng", F.count("*").over(wd)
+    ).withColumn(
+        "rn_min",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.asc("h"), F.desc("j"))
+        ),
+    )
+
+    def _dist(prefix: str, strict: bool) -> Column:
+        c: Column | None = None
+        expr = F.lit(window).cast("bigint")
+        for i in range(window - 1, 0, -1):
+            viol = (
+                F.col(f"{prefix}{i}") < F.col("h")
+                if strict
+                else F.col(f"{prefix}{i}") <= F.col("h")
+            )
+            expr = F.when(viol, F.lit(i).cast("bigint")).otherwise(expr)
+            c = expr
+        return c if c is not None else expr
+
+    dl = _dist("l", True)
+    dr = _dist("r", False)
+    j = F.col("j")
+    lo = F.greatest(F.lit(1), j - window + 1, j - dl + 1)
+    hi = F.least(j, F.col("ng") - window + 1, j + dr - window)
+    selected = F.when(F.col("ng") >= window, lo <= hi).otherwise(
+        F.col("rn_min") == 1
+    )
+    return base.filter(selected).select(
+        "doc_id", F.col("j").alias("pos"), F.col("h").alias("fp")
+    )
+
+
+def winnow_overlap_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int = 64,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    the MOSS overlap report: a positional near-dup/plagiarism candidate
+    generator whose guarantee is LOCAL (any shared run of
+    window+n−1 words yields a shared fingerprint) where MinHash's is
+    global Jaccard. Fingerprints shared by more than ``max_fp_freq``
+    docs are dropped (the shingle/band hot-key cap convention —
+    boilerplate fingerprints generate quadratic pairs and no signal).
+
+    Scale: fingerprint build (one per-doc window pass) + one capped
+    equi-join on fp — bounded shuffle, measured-linear family shape.
+    Emits (doc_a, doc_b, shared_fp) with doc_a < doc_b.
+    """
+    fp = winnow_fingerprints(
+        documents, text_col, id_col, n, window, parallelism
+    ).select("doc_id", "fp").distinct()
+    freq = fp.groupBy("fp").agg(F.count("*").alias("_f"))
+    kept = fp.join(freq.filter(F.col("_f") <= max_fp_freq), "fp")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )

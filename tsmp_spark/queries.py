@@ -11152,6 +11152,90 @@ QUERIES["asap_smooth"] = q_asap_smooth
 ORACLES["asap_smooth"] = SQL_ASAP_SMOOTH
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. SIGMOD 2003 / MOSS):
+    rightmost-min of each 4-window over positional 5-gram hashes via
+    the lag/lead interval rule — the LOCAL near-dup detector (any
+    shared run of window+n-1 words yields a shared fingerprint)."""
+    from .operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_documents(spark, sf_dir), parallelism=8)
+
+
+_SQL_WINNOW_FP = r"""
+norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+), wordlists AS (SELECT doc_id, string_split(t, ' ') AS words FROM norm),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS j,
+         array_to_string(words[i:i+4], ' ') AS gram
+  FROM wordlists,
+       unnest(generate_series(1, greatest(len(words) - 4, 1))) AS g(i)
+  WHERE len(array_to_string(words[i:i+4], ' ')) > 0
+), hashed AS (
+  SELECT doc_id, j,
+         CAST(('0x' || substr(md5('s0:' || gram), 1, 8)) AS BIGINT) AS h
+  FROM grams
+), ctx AS (
+  SELECT doc_id, j, h,
+         lag(h, 1)  OVER pj AS l1, lag(h, 2)  OVER pj AS l2,
+         lag(h, 3)  OVER pj AS l3,
+         lead(h, 1) OVER pj AS r1, lead(h, 2) OVER pj AS r2,
+         lead(h, 3) OVER pj AS r3,
+         count(*) OVER (PARTITION BY doc_id) AS ng,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h ASC, j DESC)
+           AS rn_min
+  FROM hashed WINDOW pj AS (PARTITION BY doc_id ORDER BY j)
+), dist AS (
+  SELECT doc_id, j, h, ng, rn_min,
+         CASE WHEN l1 < h THEN 1 WHEN l2 < h THEN 2 WHEN l3 < h THEN 3
+              ELSE 4 END AS dl,
+         CASE WHEN r1 <= h THEN 1 WHEN r2 <= h THEN 2 WHEN r3 <= h THEN 3
+              ELSE 4 END AS dr
+  FROM ctx
+), sel AS (
+  SELECT doc_id, j, h FROM dist
+  WHERE CASE WHEN ng >= 4
+             THEN greatest(1, j - 3, j - dl + 1)
+                  <= least(j, ng - 3, j + dr - 4)
+             ELSE rn_min = 1 END
+)"""
+
+SQL_WINNOW_FINGERPRINTS = (
+    "WITH " + _SQL_WINNOW_FP + "\nSELECT doc_id, j AS pos, h AS fp FROM sel"
+)
+
+QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
+ORACLES["winnow_fingerprints"] = SQL_WINNOW_FINGERPRINTS
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS overlap report: doc pairs sharing >= 2 winnowing
+    fingerprints, hot fingerprints capped at 64 docs (the shingle/band
+    hot-key convention)."""
+    from .operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(_documents(spark, sf_dir), parallelism=8)
+
+
+SQL_WINNOW_OVERLAP = (
+    "WITH " + _SQL_WINNOW_FP + r""",
+fps AS (SELECT DISTINCT doc_id, h AS fp FROM sel),
+freq AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64
+),
+kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN freq USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_fp
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2"""
+)
+
+QUERIES["winnow_overlap"] = q_winnow_overlap
+ORACLES["winnow_overlap"] = SQL_WINNOW_OVERLAP
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
