@@ -120,6 +120,31 @@ def _gen(spark) -> None:
     open(marker, "w").write("ok")
 
 
+def _gen_hdr(spark) -> None:
+    """hdr leg replay data (own marker — added after the v4 .done)."""
+    marker = f"{DATA_ROOT}/.done_hdr"
+    if os.path.exists(marker):
+        return
+    import pandas as pd
+
+    rng = np.random.default_rng(43)
+    per_file = N_EVENTS // N_FILES
+    for f in range(N_FILES):
+        pdf = pd.DataFrame(
+            {
+                "event_type": [f"t{i % 4}" for i in rng.integers(0, 4, per_file)],
+                "sec": rng.integers(0, N_BUCKETS, per_file) * 86400,
+                "value": np.round(np.exp(rng.normal(3.0, 1.5, per_file)), 2),
+            }
+        )
+        spark.createDataFrame(
+            pdf, "event_type string, sec long, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{DATA_ROOT}/hdr/f{f:02d}.parquet"
+        )
+    open(marker, "w").write("ok")
+
+
 def _drain(out, tmp, name: str) -> dict:
     q = (
         out.writeStream.outputMode("update" if name == "stompi" else "append")
@@ -186,6 +211,17 @@ def worker(op: str, cpus: int, tmp: str) -> None:
         )
         out = pack_stream(stream, seq_len=2048, shards=N_SHARDS)
         n_rows = N_DOCS * DOC_TOKENS  # tokens moved, the honest unit
+    elif op == "hdr":
+        from tsmp_spark.streaming.sketch import hdr_stream
+
+        _gen_hdr(spark)
+        stream = (
+            spark.readStream.schema("event_type string, sec long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{DATA_ROOT}/hdr/*")
+        )
+        out = hdr_stream(stream, bucket_sec=86400)
+        n_rows = N_EVENTS
     else:
         from tsmp_spark.streaming.sketch import hll_stream
 
@@ -252,6 +288,8 @@ def main() -> None:
                     "stompi": f"O(series_len): {N_SERIES} keys",
                     "pack": f"O(seq_len) per (source,shard): {4 * N_SHARDS} keys",
                     "hll": f"O(1) 512 registers per bucket: {N_BUCKETS} keys",
+                    "hdr": "O(populated idx cells, <=16/octave) per "
+                           f"(key,bucket): {4 * N_BUCKETS} keys",
                 }[op],
             }
         )
