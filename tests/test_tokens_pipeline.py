@@ -839,6 +839,62 @@ def test_bpe_learn_matches_reference_greedy(spark):
     assert empty.columns == ["merge_round", "left_sym", "right_sym", "pair_count"]
 
 
+def test_bpe_encode_matches_reference_apply(spark):
+    """bpe_encode == pure-python train-on-head/apply-to-all: merges
+    selected from the top-max_words subset, applied (rank order,
+    left-greedy) to EVERY distinct word, then token counts."""
+    import re
+    from collections import Counter
+
+    from tsmp_spark.operators.tokens import bpe_encode
+
+    texts = [
+        "the cat sat on the mat", "the hat of the cat", "that that mat",
+        "aaaa aaa baaab", "low lower lowest", "rare uniqueword here",
+    ] * 2
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    max_words, n_merges, top_k = 6, 5, 15
+    got = [(r.rank, r.token, r.cnt)
+           for r in bpe_encode(
+               df, n_merges=n_merges, max_words=max_words, top_k=top_k
+           ).orderBy("rank").collect()]
+
+    wc = Counter()
+    for _, t in docs:
+        for w in re.sub(r"\s+", " ", t.strip().lower()).split(" "):
+            if re.fullmatch(r"[a-z]+", w):
+                wc[w] += 1
+    train = set(w for w, _ in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words])
+    words = {w: list(w) + ["</w>"] for w in wc}
+    for _ in range(n_merges):
+        pc = Counter()
+        for w in train:
+            syms = words[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        (a, b), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    tc = Counter()
+    for w, syms in words.items():
+        for s in syms:
+            tc[s] += wc[w]
+    want = [(r + 1, t, c) for r, (t, c) in enumerate(
+        sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k])]
+    assert got == want
+
+
 def test_temperature_sample_rebalances_sources(spark):
     from tsmp_spark.operators.tokens import temperature_sample
 

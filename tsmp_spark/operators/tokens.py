@@ -799,6 +799,51 @@ def chunk_documents(
     )
 
 
+def _bpe_merge_step(
+    syms: DataFrame, w_ord, a: str, b: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """One greedy-left BPE merge of pair (a, b) over the per-word symbol
+    table ``(w, freq, pos, sym)`` — the relational run-parity chain shared
+    by ``bpe_learn`` and ``bpe_encode`` (and replayed verbatim by their
+    DuckDB oracles). ``carry`` names extra per-word columns to thread
+    through unchanged (e.g. the encode path's train flag)."""
+    keep = ["w", "freq", *carry]
+    m = (F.col("sym") == a) & (F.lead("sym").over(w_ord) == b)
+    step = syms.select(
+        *keep,
+        "pos",
+        "sym",
+        m.alias("m"),
+        F.sum(F.when(m, 0).otherwise(1))
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("grp"),
+    )
+    runs = step.select(
+        "*",
+        F.when(
+            F.col("m"),
+            F.row_number().over(
+                Window.partitionBy("w", "grp", "m").orderBy("pos")
+            ),
+        ).alias("rn"),
+    ).select("*", (F.col("m") & (F.col("rn") % 2 == 1)).alias("taken"))
+    return (
+        runs.select(
+            *keep,
+            "pos",
+            F.when(
+                F.col("taken"),
+                F.concat(F.col("sym"), F.lead("sym").over(w_ord)),
+            )
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+            F.lag("taken").over(w_ord).alias("consumed"),
+        )
+        .where(~F.coalesce(F.col("consumed"), F.lit(False)))
+        .select(*keep, F.row_number().over(w_ord).alias("pos"), "sym")
+    )
+
+
 def bpe_learn(
     documents: DataFrame,
     n_merges: int = 8,
@@ -875,56 +920,97 @@ def bpe_learn(
             break
         a, b, cnt = cand[0].sym, cand[0].nxt, int(cand[0].cnt)
         merges.append((rnd, a, b, cnt))
-        m = (F.col("sym") == a) & (F.lead("sym").over(w_ord) == b)
-        step = syms.select(
-            "w",
-            "freq",
-            "pos",
-            "sym",
-            m.alias("m"),
-            F.sum(F.when(m, 0).otherwise(1))
-            .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
-            .alias("grp"),
-        )
-        runs = step.select(
-            "*",
-            F.when(
-                F.col("m"),
-                F.row_number().over(
-                    Window.partitionBy("w", "grp", "m").orderBy("pos")
-                ),
-            ).alias("rn"),
-        ).select(
-            "*", (F.col("m") & (F.col("rn") % 2 == 1)).alias("taken")
-        )
-        merged = (
-            runs.select(
-                "w",
-                "freq",
-                "pos",
-                F.when(
-                    F.col("taken"),
-                    F.concat(F.col("sym"), F.lead("sym").over(w_ord)),
-                )
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-                F.lag("taken").over(w_ord).alias("consumed"),
-            )
-            .where(~F.coalesce(F.col("consumed"), F.lit(False)))
-            .select(
-                "w",
-                "freq",
-                F.row_number().over(w_ord).alias("pos"),
-                "sym",
-            )
-        )
-        syms = pin(merged)
+        syms = pin(_bpe_merge_step(syms, w_ord, a, b))
     if not merges:
         return spark.createDataFrame(
             [], "merge_round int, left_sym string, right_sym string, pair_count bigint"
         )
     return spark.createDataFrame(
         merges, "merge_round int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+def bpe_encode(
+    documents: DataFrame,
+    n_merges: int = 8,
+    max_words: int = 200,
+    top_k: int = 40,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a BPE table learned in the same pass —
+    the encode step downstream of ``bpe_learn`` (Sennrich et al. 2016
+    apply merges in learned-rank order; for a freshly-trained table that
+    is exactly the training replay, so learn+apply share one chain).
+
+    Merges are SELECTED from the top-``max_words`` training subset (the
+    ``bpe_learn`` contract) but APPLIED to EVERY distinct corpus word:
+    the symbol state carries a per-word ``trainflag`` and each round's
+    pair count filters on it while the greedy run-parity merge runs over
+    the full vocabulary. Output is the encoded corpus' token-frequency
+    head: ``(rank, token, cnt)`` for the ``top_k`` tokens by
+    (count DESC, token) — a TOTAL order, all integers/strings, so the
+    DuckDB replay hashes identically.
+
+    Scale: one corpus-wide word-count groupBy, then every round touches
+    only the DISTINCT-word symbol table (vocab-bounded, ≪ corpus at
+    100 TB); per round one vocab-bounded window pass + a 1-row collect.
+    The corpus itself is never reshuffled after the initial count.
+    """
+    from .cache import pin
+
+    norm = normalize_text(F.col(text_col))
+    words = (
+        documents.select(F.explode(F.split(norm, " ")).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    wrank = Window.orderBy(F.col("freq").desc(), F.col("w"))
+    words = words.select(
+        "w",
+        "freq",
+        (F.row_number().over(wrank) <= int(max_words)).alias("trainflag"),
+    )
+    syms = pin(
+        words.select(
+            "w",
+            "freq",
+            "trainflag",
+            F.posexplode(
+                F.concat(
+                    F.expr(
+                        "transform(sequence(1, length(w)), i -> substr(w, i, 1))"
+                    ),
+                    F.array(F.lit("</w>")),
+                )
+            ).alias("pos", "sym"),
+        ).select("w", "freq", "trainflag", "pos", "sym")
+    )
+    w_ord = Window.partitionBy("w").orderBy("pos")
+    for _ in range(int(n_merges)):
+        cand = (
+            syms.where(F.col("trainflag"))
+            .select("freq", "sym", F.lead("sym").over(w_ord).alias("nxt"))
+            .where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("sym"), F.col("nxt"))
+            .limit(1)
+            .collect()
+        )
+        if not cand:
+            break
+        syms = pin(
+            _bpe_merge_step(
+                syms, w_ord, cand[0].sym, cand[0].nxt, carry=("trainflag",)
+            )
+        )
+    head = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        syms.groupBy(F.col("sym").alias("token"))
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .select(F.row_number().over(head).alias("rank"), "token", "cnt")
+        .where(F.col("rank") <= int(top_k))
     )
 
 

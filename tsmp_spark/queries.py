@@ -7130,6 +7130,95 @@ QUERIES["bpe_learn"] = q_bpe_learn
 ORACLES["bpe_learn"] = _bpe_oracle_sql()
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency head after BPE encoding: merges selected
+    from the top-200 training words (the bpe_learn chain) but applied to
+    EVERY distinct corpus word; top-40 tokens by (count DESC, token).
+    All integers/strings — exact cross-engine hash."""
+    from .operators.tokens import bpe_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_encode(docs, n_merges=8, max_words=200, top_k=40)
+
+
+def _bpe_encode_oracle_sql(
+    n_merges: int = 8, max_words: int = 200, top_k: int = 40
+) -> str:
+    """Generated DuckDB replay of bpe_encode: the bpe_learn round chain
+    with (a) a trainflag instead of a LIMIT — pair counts filter on it,
+    the greedy merge applies to ALL words — and (b) LEFT JOIN on the
+    per-round best pair so an exhausted pair supply passes the state
+    through unchanged (the engine breaks its loop at that point)."""
+    parts = [
+        f"""WITH words AS MATERIALIZED (
+  SELECT w, freq,
+         row_number() OVER (ORDER BY freq DESC, w) <= {max_words} AS trainflag
+  FROM (
+    SELECT w, count(*) AS freq FROM (
+      SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+      FROM documents
+    ) WHERE regexp_matches(w, '^[a-z]+$')
+    GROUP BY w
+  )
+),
+s0 AS MATERIALIZED (
+  SELECT w, freq, trainflag, pos,
+         CASE WHEN pos <= length(w) THEN substr(w, pos, 1) ELSE '</w>' END AS sym
+  FROM (SELECT w, freq, trainflag, unnest(generate_series(1, length(w) + 1)) AS pos FROM words)
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f""",
+bp{r} AS MATERIALIZED (
+  SELECT sym AS a, nxt AS b FROM (
+    SELECT sym, nxt,
+           row_number() OVER (ORDER BY sum(freq) DESC, sym, nxt) AS rn
+    FROM (SELECT freq, sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+          FROM {prev} WHERE trainflag)
+    WHERE nxt IS NOT NULL GROUP BY sym, nxt
+  ) WHERE rn = 1
+),
+s{r} AS MATERIALIZED (
+  SELECT w, freq, trainflag, row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, sym FROM (
+    SELECT w, freq, trainflag, pos,
+           CASE WHEN taken THEN sym || nxt ELSE sym END AS sym,
+           lag(taken) OVER (PARTITION BY w ORDER BY pos) AS consumed
+    FROM (
+      SELECT w, freq, trainflag, pos, sym, nxt, m, grp,
+             CASE WHEN m THEN (row_number() OVER (PARTITION BY w, grp, m ORDER BY pos) % 2 = 1)
+                  ELSE FALSE END AS taken
+      FROM (
+        SELECT t.w, t.freq, t.trainflag, t.pos, t.sym, t.nxt,
+               (bp.a IS NOT NULL AND t.sym = bp.a AND t.nxt = bp.b) AS m,
+               sum(CASE WHEN bp.a IS NOT NULL AND t.sym = bp.a AND t.nxt = bp.b THEN 0 ELSE 1 END)
+                 OVER (PARTITION BY t.w ORDER BY t.pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM (SELECT w, freq, trainflag, pos, sym,
+                     lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+              FROM {prev}) t
+        LEFT JOIN bp{r} bp ON TRUE
+      )
+    )
+  ) WHERE NOT coalesce(consumed, FALSE)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(rank AS INT) AS rank, token, cnt FROM (
+  SELECT sym AS token, CAST(sum(freq) AS BIGINT) AS cnt,
+         row_number() OVER (ORDER BY sum(freq) DESC, sym) AS rank
+  FROM s{n_merges} GROUP BY sym
+) WHERE rank <= {top_k}"""
+    )
+    return "".join(parts)
+
+
+QUERIES["bpe_encode"] = q_bpe_encode
+ORACLES["bpe_encode"] = _bpe_encode_oracle_sql()
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign click events to coalesced 2h purchase windows per user:
     the bucketized containment join (grain 1h). The oracle's join is
