@@ -729,6 +729,21 @@ def test_hdr_rollup_single_exchange_no_python(events):
     assert "Join" not in plan and "Window" not in plan
 
 
+def test_mg_summary_window_group_limit(events):
+    """The Misra–Gries theta window must be LIMIT-pushed: a
+    WindowGroupLimit below the bucket exchange (partial mode) so a
+    bucket with millions of distinct items never becomes one full-sort
+    task — the row_number filter is rnk <= k+1, the shape Spark's
+    InferWindowGroupLimit rewrites. No Python in the plan."""
+    from tsmp_spark.operators.sketch import mg_summary
+    import pyspark.sql.functions as F
+
+    ev = events.select("user_id", F.unix_timestamp("ts").alias("sec"))
+    plan = _plan(mg_summary(ev, 21600, k=8))
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_hdr_quantiles_sketch_rows_only_window(events):
     """The quantile finisher's window + final groupBy run over SKETCH
     rows and REUSE one (key, bucket)-compatible exchange: two Exchanges

@@ -2196,6 +2196,72 @@ def test_kmv_overlap_exact_and_disjoint(spark):
     assert d.est_intersection <= d.est_union * 0.1
 
 
+def test_mg_summary_bounds_and_merge(spark):
+    """Misra–Gries summary contracts on a constructed corpus: (1) at
+    most k rows per bucket; (2) one-sided bound
+    true - n/(k+1) <= est <= true for every surviving item; (3) every
+    item heavier than n/(k+1) IS in the summary; (4) an all-unique
+    bucket (> k items, every count 1) legitimately materialises ZERO
+    rows, yet the tier merge still carries its mass in the exact coarse
+    n (the metadata-vs-surviving-rows regression); (5) the merged
+    summary keeps the same one-sided bound over the COARSE total."""
+    from tsmp_spark.operators.sketch import mg_rerollup, mg_summary
+
+    def ev(bucket, item, cnt):
+        return [(item, bucket * 100 + (i % 100)) for i in range(cnt)]
+
+    rows = (
+        ev(0, 1, 50) + ev(0, 2, 30) + ev(0, 3, 10)
+        + [(100 + i, 0 * 100 + i) for i in range(20)]      # 20 singletons
+        + [(200 + i, 1 * 100 + i) for i in range(20)]      # all-unique bucket
+        + ev(2, 1, 40) + ev(2, 4, 35) + ev(2, 5, 20) + ev(2, 6, 5)
+        + ev(3, 7, 9) + ev(3, 8, 6) + ev(3, 9, 3)
+    )
+    df = spark.createDataFrame(rows, "user_id long, sec long")
+    k = 3
+
+    true_fine = {}
+    for item, sec in rows:
+        true_fine[(sec // 100, item)] = true_fine.get((sec // 100, item), 0) + 1
+
+    fine = mg_summary(df, bucket_sec=100, k=k).collect()
+    by_bucket = {}
+    for r in fine:
+        by_bucket.setdefault(r.bucket, []).append(r)
+        t = true_fine[(r.bucket, r.item)]
+        assert t - r.n / (k + 1) <= r.est <= t          # (2)
+    assert all(len(v) <= k for v in by_bucket.values())  # (1)
+    assert 1 not in by_bucket                            # (4a) empty summary
+    n_per_bucket = {0: 110, 2: 100, 3: 18}
+    for b, rs in by_bucket.items():
+        assert {r.n for r in rs} == {n_per_bucket[b]}
+        heavy = {i for (bb, i), t in true_fine.items()
+                 if bb == b and t > n_per_bucket[b] / (k + 1)}
+        assert heavy <= {r.item for r in rs}             # (3)
+    # bucket 3 has exactly k distinct items -> theta 0, exact counts
+    assert {(r.item, r.est, r.theta) for r in by_bucket[3]} == {
+        (7, 9, 0), (8, 6, 0), (9, 3, 0)}
+
+    merged = mg_rerollup(df, fine_sec=100, coarse_sec=400, k=k).collect()
+    assert len(merged) <= k
+    n_coarse = 110 + 20 + 100 + 18
+    true_coarse = {}
+    for (b, item), t in true_fine.items():
+        true_coarse[item] = true_coarse.get(item, 0) + t
+    got = {r.item: r for r in merged}
+    assert {r.n for r in merged} == {n_coarse}           # (4b) exact n kept
+    for item, r in got.items():
+        t = true_coarse[item]
+        assert t - n_coarse / (k + 1) <= r.est <= t      # (5)
+    heavy = {i for i, t in true_coarse.items() if t > n_coarse / (k + 1)}
+    assert heavy <= set(got)                             # (3) after merge
+    assert got[1].est == 69 and got[4].est == 15 and got[2].est == 14
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        mg_rerollup(df, fine_sec=100, coarse_sec=450, k=k)
+
+
 def test_rollup_freshness_gaps_and_lag(spark):
     """Freshness monitor: per-key expected/present/missing over the span
     [first key bucket, global max], staleness lag, completeness."""

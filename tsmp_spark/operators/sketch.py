@@ -1002,3 +1002,174 @@ def hdr_quantiles(
         _hdr_estimate("i90").alias("p90_est"),
         _hdr_estimate("i99").alias("p99_est"),
     )
+
+
+def mg_summary(
+    events: DataFrame,
+    bucket_sec: int = 21600,
+    item_col: str = "user_id",
+    ts_col: str = "sec",
+    k: int = 8,
+) -> DataFrame:
+    """Misra–Gries heavy-hitter summary per time bucket: at most ``k``
+    (item, counter) pairs with the one-sided guarantee
+
+        true_count - n/(k+1)  <=  est  <=  true_count
+
+    (Misra & Gries 1982; the mergeable-summaries form of Agarwal et
+    al., PODS 2012 §2). The canonical batch construction: exact counts
+    per (bucket, item), theta = the (k+1)-th largest count in the
+    bucket (0 when the bucket holds <= k distinct items), keep
+    ``est = count - theta`` where positive. At most k items can exceed
+    the (k+1)-th largest count, so the summary is k-bounded by
+    construction; boundary ties (count == theta) drop to 0 and are
+    pruned, which keeps the output deterministic with NO tie-break
+    dependence — theta is the value at a fixed position of the sorted
+    count MULTISET, identical under any ordering of equal counts.
+
+    Why next to the exact :func:`~tsmp_spark.operators.rollup.heavy_hitters`
+    and CMS: the exact top-N is not mergeable (a coarse bucket's top-N
+    is not derivable from fine top-Ns), and CMS answers point queries
+    but cannot enumerate its heavy items without a candidate set. The
+    MG summary is both k-bounded AND mergeable (:func:`mg_rerollup`),
+    the shape a retention tier actually stores.
+
+    Integer-only output (bucket, item, est, theta, n) — n is the bucket
+    total so the n/(k+1) error bound is checkable row-locally.
+
+    Scale: one combinable (bucket, item) groupBy absorbs hot keys
+    map-side; theta and n come from windows over the AGGREGATED rows
+    (cardinality = distinct items per bucket, never raw rows) reusing
+    the same bucket exchange; output <= k rows per bucket.
+    """
+    return _mg_finish(_mg_counts(events, bucket_sec, item_col, ts_col), k)
+
+
+def _mg_counts(
+    events: DataFrame, bucket_sec: int, item_col: str, ts_col: str
+) -> DataFrame:
+    """Exact (bucket, item, cnt) counters — the single raw-row pass both
+    the fine summary and the tier merge's exact-n metadata derive from."""
+    return (
+        events.select(
+            F.floor(F.col(ts_col).cast("long") / bucket_sec)
+            .cast("long")
+            .alias("bucket"),
+            F.col(item_col).cast("bigint").alias("item"),
+        )
+        .groupBy("bucket", "item")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def _mg_finish(counts: DataFrame, k: int) -> DataFrame:
+    """(bucket, item, cnt) exact-or-partial counters -> the k-bounded
+    MG summary (bucket, item, est, theta, n). theta = (k+1)-th largest
+    counter per bucket, taken from a ``row_number() <= k+1`` filter so
+    Spark's WindowGroupLimit pushes a PARTIAL top-(k+1) below the
+    exchange (plan-pinned) — a bucket with millions of distinct items
+    never becomes a single-task full sort, each map task forwards at
+    most k+1 rows per bucket. Every survivor (cnt > theta) is by
+    definition among the top k, so the limited window is lossless.
+    n = one combinable long-sum per bucket over the same counts
+    exchange (ReusedExchange, not a second raw scan); theta/n join back
+    onto <= k rows per bucket — all post-aggregation shuffles are
+    k-bounded."""
+    from pyspark.sql.window import Window
+
+    wrank = Window.partitionBy("bucket").orderBy(
+        F.col("cnt").desc(), F.col("item").asc()
+    )
+    top = counts.withColumn("rnk", F.row_number().over(wrank)).filter(
+        F.col("rnk") <= k + 1
+    )
+    theta = top.groupBy("bucket").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rnk") == k + 1, F.col("cnt"))),
+            F.lit(0).cast("bigint"),
+        ).alias("theta")
+    )
+    ns = counts.groupBy("bucket").agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
+    return (
+        top.filter(F.col("rnk") <= k)
+        .join(theta, "bucket")
+        .filter(F.col("cnt") > F.col("theta"))
+        .join(ns, "bucket")
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("item").cast("bigint").alias("item"),
+            (F.col("cnt") - F.col("theta")).cast("bigint").alias("est"),
+            F.col("theta").cast("bigint").alias("theta"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+def mg_rerollup(
+    events: DataFrame,
+    fine_sec: int = 21600,
+    coarse_sec: int = 86400,
+    item_col: str = "user_id",
+    ts_col: str = "sec",
+    k: int = 8,
+) -> DataFrame:
+    """RETENTION-TIER merge for MG summaries: build tier-1 summaries at
+    ``fine_sec``, merge into ``coarse_sec`` buckets by summing
+    surviving counters per item and re-applying the (k+1)-th-largest
+    subtraction (the Agarwal et al. PODS 2012 §2.1 MERGE — sum
+    counter vectors, subtract the (k+1)-th largest, prune) — raw rows
+    are never rescanned. Unlike the KMV/HLL/moments tiers this merge is
+    NOT identical to recomputing (MG is a lossy summary; errors add),
+    but the merged summary provably keeps the one-sided guarantee
+    ``true - n/(k+1) <= est <= true`` over the COARSE bucket's total n:
+    each subtraction of a (k+1)-th-largest theta removes >= (k+1)·theta
+    of counter mass, total removed mass <= n, so
+    sum(fine thetas) + merge theta <= n/(k+1). The pytest pins both
+    bounds against exact coarse counts, and the oracle replays the
+    merge chain itself.
+
+    The merged ``n`` column is the EXACT coarse-bucket total. It comes
+    from the fine count aggregate, not from surviving summary rows —
+    per-bucket ``n`` is metadata a tier store keeps alongside the
+    counters, and a fine bucket whose counters ALL prune (all-unique
+    traffic with > k items makes theta == every count) materialises
+    zero rows, so summing surviving-row ns would silently under-count
+    the coarse n and void the n/(k+1) bound exactly when traffic is
+    flattest.
+
+    Scale: the counter sums tier-2 reads are k-bounded per fine bucket;
+    the n metadata is one combinable long-sum per coarse bucket off the
+    same fine count aggregate — <= k·(coarse/fine) + 1 inputs per
+    coarse bucket into one groupBy + the k-bounded finish.
+    """
+    if coarse_sec % fine_sec != 0:
+        raise ValueError("coarse_sec must be a multiple of fine_sec")
+    factor = coarse_sec // fine_sec
+    counts = _mg_counts(events, fine_sec, item_col, ts_col)
+    fine = _mg_finish(counts, k)
+    ns = (
+        counts.select(_floor_div("bucket", factor).alias("bucket"), "cnt")
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    )
+    merged = (
+        fine.select(
+            _floor_div("bucket", factor).alias("bucket"), "item", "est"
+        )
+        .groupBy("bucket", "item")
+        .agg(F.sum("est").cast("bigint").alias("cnt"))
+    )
+    out = _mg_finish(merged, k)
+    return (
+        out.drop("n")
+        .join(ns, "bucket")
+        .select(
+            "bucket",
+            "item",
+            "est",
+            "theta",
+            F.col("n_total").cast("bigint").alias("n"),
+        )
+    )

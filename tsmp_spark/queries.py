@@ -11325,6 +11325,122 @@ QUERIES["winnow_overlap"] = q_winnow_overlap
 ORACLES["winnow_overlap"] = SQL_WINNOW_OVERLAP
 
 
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries k=8 heavy-hitter summary per 6h bucket: exact
+    (bucket,item) counts, theta = 9th-largest count, keep est=cnt-theta
+    where positive — the k-bounded MERGEABLE top-item summary a
+    retention tier stores (exact top-N is not mergeable; CMS cannot
+    enumerate its heavy items)."""
+    from .operators.sketch import mg_summary
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    return mg_summary(ev, bucket_sec=21600, item_col="user_id", ts_col="sec", k=8)
+
+
+SQL_MG_HEAVY_HITTERS = r"""
+WITH counts AS MATERIALIZED (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+         CAST(user_id AS BIGINT) AS item,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+ranked AS MATERIALIZED (
+  SELECT bucket, item, cnt,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY cnt DESC, item ASC) AS rnk,
+         CAST(sum(cnt) OVER (PARTITION BY bucket) AS BIGINT) AS n
+  FROM counts
+),
+theta_ AS (
+  SELECT bucket,
+         CAST(coalesce(max(CASE WHEN rnk = 9 THEN cnt END), 0) AS BIGINT)
+           AS theta
+  FROM ranked GROUP BY 1
+)
+SELECT r.bucket, r.item, CAST(r.cnt - t.theta AS BIGINT) AS est,
+       t.theta AS theta, r.n
+FROM ranked r JOIN theta_ t USING (bucket)
+WHERE r.cnt > t.theta
+"""
+
+QUERIES["mg_heavy_hitters"] = q_mg_heavy_hitters
+ORACLES["mg_heavy_hitters"] = SQL_MG_HEAVY_HITTERS
+
+
+def q_mg_rerollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries RETENTION-TIER merge: 6h tier-1 summaries merged into
+    daily buckets by summing surviving counters + one more
+    (k+1)-th-largest subtraction (Agarwal et al. PODS 2012 §2.1) — a
+    lossy merge that provably keeps est in
+    [true - n/(k+1), true] over the coarse total; n carries the exact
+    coarse total as tier metadata."""
+    from .operators.sketch import mg_rerollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    return mg_rerollup(
+        ev, fine_sec=21600, coarse_sec=86400,
+        item_col="user_id", ts_col="sec", k=8,
+    )
+
+
+SQL_MG_REROLLUP = r"""
+WITH counts AS MATERIALIZED (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+         CAST(user_id AS BIGINT) AS item,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+ranked1 AS MATERIALIZED (
+  SELECT bucket, item, cnt,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY cnt DESC, item ASC) AS rnk
+  FROM counts
+),
+theta1 AS (
+  SELECT bucket,
+         CAST(coalesce(max(CASE WHEN rnk = 9 THEN cnt END), 0) AS BIGINT)
+           AS theta
+  FROM ranked1 GROUP BY 1
+),
+fine AS (
+  SELECT r.bucket, r.item, CAST(r.cnt - t.theta AS BIGINT) AS est
+  FROM ranked1 r JOIN theta1 t USING (bucket)
+  WHERE r.cnt > t.theta
+),
+merged AS MATERIALIZED (
+  SELECT bucket // 4 AS bucket, item, CAST(sum(est) AS BIGINT) AS cnt
+  FROM fine GROUP BY 1, 2
+),
+ns AS (
+  SELECT bucket // 4 AS bucket, CAST(sum(cnt) AS BIGINT) AS n_total
+  FROM counts GROUP BY 1
+),
+ranked2 AS MATERIALIZED (
+  SELECT bucket, item, cnt,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY cnt DESC, item ASC) AS rnk
+  FROM merged
+),
+theta2 AS (
+  SELECT bucket,
+         CAST(coalesce(max(CASE WHEN rnk = 9 THEN cnt END), 0) AS BIGINT)
+           AS theta
+  FROM ranked2 GROUP BY 1
+)
+SELECT r.bucket, r.item, CAST(r.cnt - t.theta AS BIGINT) AS est,
+       t.theta AS theta, ns.n_total AS n
+FROM ranked2 r JOIN theta2 t USING (bucket) JOIN ns USING (bucket)
+WHERE r.cnt > t.theta
+"""
+
+QUERIES["mg_rerollup"] = q_mg_rerollup
+ORACLES["mg_rerollup"] = SQL_MG_REROLLUP
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
