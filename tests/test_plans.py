@@ -744,6 +744,34 @@ def test_mg_summary_window_group_limit(events):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_ohlc_single_exchange_no_window(events):
+    """OHLC is ONE combinable groupBy — min_by/max_by over the (ts, id)
+    struct have map-side partials; no Window, no second Exchange, no
+    Python."""
+    from tsmp_spark.operators.rollup import ohlc
+    import pyspark.sql.functions as F
+
+    ev = events.select("event_id", "event_type", "value",
+                       F.unix_timestamp("ts").alias("sec"))
+    plan = _plan(ohlc(ev, 21600))
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan and "BatchEvalPython" not in plan
+
+
+def test_state_agg_exchange_reuse(events):
+    """state_agg: the (key, bucket, state) groupBy EXTENDS the lead
+    window's hashpartitioning(key) — ClusteredDistribution subset rule,
+    ONE exchange total (the pack_sequences plan rule)."""
+    from tsmp_spark.operators.rollup import state_agg
+    import pyspark.sql.functions as F
+
+    ev = events.select("event_id", "event_type", "user_id",
+                       F.unix_timestamp("ts").alias("sec"))
+    plan = _plan(state_agg(ev, 21600))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
+
+
 def test_hdr_quantiles_sketch_rows_only_window(events):
     """The quantile finisher's window + final groupBy run over SKETCH
     rows and REUSE one (key, bucket)-compatible exchange: two Exchanges

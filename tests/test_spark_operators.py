@@ -2262,6 +2262,72 @@ def test_mg_summary_bounds_and_merge(spark):
         mg_rerollup(df, fine_sec=100, coarse_sec=450, k=k)
 
 
+def test_ohlc_merge_identity_and_ties(spark):
+    """OHLC candles: (1) open/close picked by the TOTAL (ts, event_id)
+    order — duplicate timestamps resolve by id, pinned; (2) volume is
+    the exact centi-unit integer sum; (3) tier merge == direct coarse
+    recompute BIT-exact on every column (the ordering metadata makes
+    the candle a true mergeable aggregate)."""
+    from tsmp_spark.operators.rollup import ohlc, ohlc_rerollup
+
+    rows = [
+        # bucket 0 of 'a': tie at t=10 -> open is id 1 (1.5), close id 2
+        (1, 10, "a", 1.5), (2, 10, "a", 2.5), (0, 12, "a", -9.0),
+        # bucket 1 of 'a'
+        (3, 25, "a", 7.25), (4, 39, "a", 0.01),
+        # 'b' single row
+        (5, 5, "b", 4.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, sec long, event_type string, value double")
+    got = {(r.key, r.bucket): r for r in ohlc(ev, bucket=20).collect()}
+    a0 = got[("a", 0)]
+    assert (a0.open, a0.high, a0.low, a0.close) == (1.5, 2.5, -9.0, -9.0)
+    assert a0.vol_centi == 150 + 250 - 900 and a0.n == 3
+    assert (a0.first_ts, a0.first_id, a0.last_ts, a0.last_id) == (10, 1, 12, 0)
+    a1 = got[("a", 1)]
+    assert (a1.open, a1.close, a1.vol_centi) == (7.25, 0.01, 726)
+
+    merged = sorted(map(tuple, ohlc_rerollup(ev, 20, 40).collect()))
+    direct = sorted(map(tuple, ohlc(ev, bucket=40).collect()))
+    assert merged == direct
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ohlc_rerollup(ev, 20, 50)
+
+
+def test_state_agg_splitting_and_merge_identity(spark):
+    """Time-in-state: (1) a run spanning several buckets is split
+    exactly (integer seconds sum to the run length); (2) duplicate-
+    timestamp changes produce zero-length runs (dropped); (3) the final
+    event of a key carries no duration; (4) tier merge == direct coarse
+    recompute BIT-exact."""
+    from tsmp_spark.operators.rollup import state_agg, state_rerollup
+
+    rows = [
+        (0, 0, "a", 7), (1, 15, "b", 7), (2, 45, "a", 7),
+        # key 8: duplicate ts at 10 (ids 3,4) then a change at 30
+        (3, 10, "x", 8), (4, 10, "y", 8), (5, 30, "x", 8),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, sec long, event_type string, user_id long")
+    got = {(r.key, r.bucket, r.state): r.dur_sec
+           for r in state_agg(ev, bucket=20).collect()}
+    assert got == {
+        (7, 0, "a"): 15, (7, 0, "b"): 5, (7, 1, "b"): 20, (7, 2, "b"): 5,
+        (8, 0, "y"): 10, (8, 1, "y"): 10,   # x@10 is zero-length (tie)
+    }
+    total_7 = sum(v for (k, _, _), v in got.items() if k == 7)
+    assert total_7 == 45   # full observed span of key 7
+
+    merged = sorted(map(tuple, state_rerollup(ev, 20, 40).collect()))
+    direct = sorted(map(tuple, state_agg(ev, bucket=40).collect()))
+    assert merged == direct
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        state_rerollup(ev, 20, 50)
+
+
 def test_rollup_freshness_gaps_and_lag(spark):
     """Freshness monitor: per-key expected/present/missing over the span
     [first key bucket, global max], staleness lag, completeness."""

@@ -3557,3 +3557,196 @@ def asap_smooth(
             ),
         )
     )
+
+
+def ohlc(
+    events: DataFrame,
+    bucket: int = 21600,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Candlestick / OHLC continuous aggregate per (key, bucket): open =
+    value at the earliest (ts, id), high / low = extrema, close = value
+    at the latest (ts, id), volume in exact centi-units, n. The
+    TimescaleDB-toolkit ``candlestick_agg`` shape (reference parallel:
+    tsmp's per-window min/avg/max rollup, R/compute.R tiers) — the
+    canonical financial downsample.
+
+    Determinism: open/close pick a row by the TOTAL order (ts, id) —
+    ``id_col`` breaks timestamp ties so both engines select the same
+    row (the sessionize tie rule); the picked values are raw row floats
+    (no arithmetic → no rounding needed). Volume sums exact integer
+    centi-units (the moments-sketch convention) instead of an
+    unordered float sum.
+
+    The aggregate is MERGEABLE: (first_ts, first_id, last_ts, last_id)
+    ride along as ordering metadata so :func:`ohlc_rerollup` can merge
+    fine candles into coarse ones exactly (merge == recompute,
+    pytest-pinned bit-identical).
+
+    Scale: ONE combinable groupBy — min_by/max_by over a struct key
+    have map-side partials; no window, no sort.
+    """
+    b = F.floor(F.col(ts_col).cast("long") / bucket).cast("long")
+    rows = events.select(
+        F.col(key_col).alias("key"),
+        b.alias("bucket"),
+        F.col(ts_col).cast("long").alias("t"),
+        F.col(id_col).cast("long").alias("i"),
+        F.col(value_col).cast("double").alias("v"),
+        F.round(F.col(value_col).cast("double") * 100)
+        .cast("bigint")
+        .alias("v_centi"),
+    )
+    ordkey = F.struct(F.col("t"), F.col("i"))
+    return rows.groupBy("key", "bucket").agg(
+        F.min_by("v", ordkey).alias("open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.max_by("v", ordkey).alias("close"),
+        F.sum("v_centi").cast("bigint").alias("vol_centi"),
+        F.count("*").cast("bigint").alias("n"),
+        F.min("t").cast("bigint").alias("first_ts"),
+        F.min_by("i", ordkey).cast("bigint").alias("first_id"),
+        F.max("t").cast("bigint").alias("last_ts"),
+        F.max_by("i", ordkey).cast("bigint").alias("last_id"),
+    )
+
+
+def ohlc_rerollup(
+    events: DataFrame,
+    fine_sec: int = 21600,
+    coarse_sec: int = 86400,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """RETENTION-TIER merge for OHLC candles: fine candles merged into
+    coarse buckets reading tier-1 only — coarse open = the open of the
+    fine candle with the smallest (first_ts, first_id), close = the
+    close of the one with the largest (last_ts, last_id), high/low =
+    extrema of extrema, volume/n = sums. Because the tie-broken order
+    metadata rides with each candle, merge == recompute is EXACT on
+    every column (pytest bit-identity) — the property that makes OHLC a
+    true continuous aggregate rather than a raw-row rescan.
+
+    Scale: tier-2 touches (coarse/fine) rows per coarse key-bucket —
+    one k-bounded combinable groupBy.
+    """
+    if coarse_sec % fine_sec != 0:
+        raise ValueError("coarse_sec must be a multiple of fine_sec")
+    factor = coarse_sec // fine_sec
+    fine = ohlc(events, fine_sec, key_col, ts_col, value_col, id_col)
+    cb = F.expr(
+        f"((bucket) - pmod((bucket), {factor})) div {factor}"
+    ).alias("bucket")
+    first_key = F.struct(F.col("first_ts"), F.col("first_id"))
+    last_key = F.struct(F.col("last_ts"), F.col("last_id"))
+    return (
+        fine.select(
+            "key", cb, "open", "high", "low", "close", "vol_centi", "n",
+            "first_ts", "first_id", "last_ts", "last_id",
+        )
+        .groupBy("key", "bucket")
+        .agg(
+            F.min_by("open", first_key).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", last_key).alias("close"),
+            F.sum("vol_centi").cast("bigint").alias("vol_centi"),
+            F.sum("n").cast("bigint").alias("n"),
+            F.min("first_ts").cast("bigint").alias("first_ts"),
+            F.min_by("first_id", first_key).cast("bigint").alias("first_id"),
+            F.max("last_ts").cast("bigint").alias("last_ts"),
+            F.max_by("last_id", last_key).cast("bigint").alias("last_id"),
+        )
+    )
+
+
+def state_agg(
+    events: DataFrame,
+    bucket: int = 21600,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-in-state per (key, bucket, state) — the TimescaleDB-toolkit
+    ``state_agg`` shape: each event is a state CHANGE, the state holds
+    from its timestamp until the key's next event (observed-interval
+    semantics: the final event of a key carries no duration — carrying
+    it to a horizon is :func:`gap_fill` composition, documented out of
+    contract). A run spanning bucket boundaries is SPLIT exactly:
+    ``dur(bucket) = min(next_t, bucket_end) − max(t, bucket_start)``
+    summed per (key, bucket, state) — all integer seconds, no floats
+    anywhere, so durations are exact and tier merges are trivially
+    associative (:func:`state_rerollup`).
+
+    Determinism: runs are ordered by the TOTAL order (ts, id) —
+    duplicate timestamps produce zero-length runs deterministically on
+    both engines (the sessionize tie rule).
+
+    Scale: ONE lead window per key (one exchange), then a JVM
+    ``sequence()`` explode bounded by run_len / bucket — never a range
+    join; the final groupBy shuffles (key, bucket, state) rows.
+    """
+    w = Window.partitionBy("key").orderBy(F.col("t").asc(), F.col("i").asc())
+    rows = events.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(ts_col).cast("long").alias("t"),
+        F.col(id_col).cast("long").alias("i"),
+        F.col(state_col).alias("state"),
+    ).withColumn("_next", F.lead("t").over(w))
+    runs = rows.filter(F.col("_next") > F.col("t"))
+    span = runs.select(
+        "key",
+        "state",
+        "t",
+        "_next",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("t") / bucket).cast("long"),
+                F.floor((F.col("_next") - 1) / bucket).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    dur = F.least(F.col("_next"), (F.col("bucket") + 1) * bucket) - F.greatest(
+        F.col("t"), F.col("bucket") * bucket
+    )
+    return (
+        span.select("key", "bucket", "state", dur.alias("_dur"))
+        .groupBy("key", "bucket", "state")
+        .agg(F.sum("_dur").cast("bigint").alias("dur_sec"))
+    )
+
+
+def state_rerollup(
+    events: DataFrame,
+    fine_sec: int = 21600,
+    coarse_sec: int = 86400,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """RETENTION-TIER merge for time-in-state: fine durations summed
+    into coarse buckets reading tier-1 only. Fine bucket boundaries
+    NEST inside coarse ones, so the split-and-sum is associative and
+    merge == recompute is EXACT on every column (integer seconds,
+    pytest bit-identity).
+    """
+    if coarse_sec % fine_sec != 0:
+        raise ValueError("coarse_sec must be a multiple of fine_sec")
+    factor = coarse_sec // fine_sec
+    fine = state_agg(events, fine_sec, key_col, ts_col, state_col, id_col)
+    cb = F.expr(
+        f"((bucket) - pmod((bucket), {factor})) div {factor}"
+    ).alias("bucket")
+    return (
+        fine.select("key", cb, "state", "dur_sec")
+        .groupBy("key", "bucket", "state")
+        .agg(F.sum("dur_sec").cast("bigint").alias("dur_sec"))
+    )

@@ -11441,6 +11441,138 @@ QUERIES["mg_rerollup"] = q_mg_rerollup
 ORACLES["mg_rerollup"] = SQL_MG_REROLLUP
 
 
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick/OHLC continuous aggregate per (event_type, 6h bucket):
+    open/close picked by the TOTAL order (ts, event_id), high/low
+    extrema, volume in exact centi-units — the TimescaleDB
+    candlestick_agg shape with mergeable ordering metadata."""
+    from .operators.rollup import ohlc
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    return ohlc(ev, bucket=21600)
+
+
+SQL_OHLC = r"""
+WITH rows_ AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(event_id AS BIGINT) AS i,
+         CAST(value AS DOUBLE) AS v,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v_centi
+  FROM events
+),
+ord AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY key, bucket ORDER BY t, i) AS rn_a,
+         row_number() OVER (PARTITION BY key, bucket
+                            ORDER BY t DESC, i DESC) AS rn_d
+  FROM rows_
+)
+SELECT key, bucket,
+       max(CASE WHEN rn_a = 1 THEN v END) AS open,
+       max(v) AS high,
+       min(v) AS low,
+       max(CASE WHEN rn_d = 1 THEN v END) AS close,
+       CAST(sum(v_centi) AS BIGINT) AS vol_centi,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(t) AS BIGINT) AS first_ts,
+       CAST(max(CASE WHEN rn_a = 1 THEN i END) AS BIGINT) AS first_id,
+       CAST(max(t) AS BIGINT) AS last_ts,
+       CAST(max(CASE WHEN rn_d = 1 THEN i END) AS BIGINT) AS last_id
+FROM ord GROUP BY 1, 2
+"""
+
+QUERIES["ohlc"] = q_ohlc
+ORACLES["ohlc"] = SQL_OHLC
+
+
+def q_ohlc_rerollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC retention-tier merge: 6h candles merged into daily ones
+    reading tier-1 only — open/close re-picked by the carried
+    (first_ts,first_id)/(last_ts,last_id) metadata, extrema of extrema,
+    volume summed. merge == recompute EXACT, so the oracle is the
+    DIRECT daily recompute."""
+    from .operators.rollup import ohlc_rerollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    return ohlc_rerollup(ev, fine_sec=21600, coarse_sec=86400)
+
+
+SQL_OHLC_REROLLUP = SQL_OHLC.replace("// 21600", "// 86400")
+
+QUERIES["ohlc_rerollup"] = q_ohlc_rerollup
+ORACLES["ohlc_rerollup"] = SQL_OHLC_REROLLUP
+
+
+def q_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state per (user, 6h bucket, state): each event is a state
+    change holding until the user's next event, runs SPLIT exactly at
+    bucket boundaries — integer seconds, the TimescaleDB state_agg
+    shape."""
+    from .operators.rollup import state_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    return state_agg(ev, bucket=21600)
+
+
+SQL_STATE_AGG = r"""
+WITH rows_ AS (
+  SELECT CAST(user_id AS BIGINT) AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(event_id AS BIGINT) AS i,
+         event_type AS state
+  FROM events
+),
+runs AS (
+  SELECT key, state, t,
+         lead(t) OVER (PARTITION BY key ORDER BY t, i) AS next_t
+  FROM rows_
+),
+span AS (
+  SELECT key, state, t, next_t,
+         unnest(generate_series(t // 21600, (next_t - 1) // 21600)) AS bucket
+  FROM runs WHERE next_t > t
+)
+SELECT key, bucket, state,
+       CAST(sum(least(next_t, (bucket + 1) * 21600)
+                - greatest(t, bucket * 21600)) AS BIGINT) AS dur_sec
+FROM span GROUP BY 1, 2, 3
+"""
+
+QUERIES["state_agg"] = q_state_agg
+ORACLES["state_agg"] = SQL_STATE_AGG
+
+
+def q_state_rerollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state retention-tier merge: 6h durations summed into
+    daily buckets reading tier-1 only — fine boundaries nest inside
+    coarse, so merge == recompute EXACT and the oracle is the DIRECT
+    daily recompute."""
+    from .operators.rollup import state_rerollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    return state_rerollup(ev, fine_sec=21600, coarse_sec=86400)
+
+
+SQL_STATE_REROLLUP = SQL_STATE_AGG.replace("21600", "86400")
+
+QUERIES["state_agg_rerollup"] = q_state_rerollup
+ORACLES["state_agg_rerollup"] = SQL_STATE_REROLLUP
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
