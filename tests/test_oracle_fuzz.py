@@ -107,18 +107,20 @@ def _assemble(per_user_gaps, rng, micros=True):
 
 
 def _run_gate(tmp_path, spark, rng, per_user_gaps, micros=True,
-              etype_override=None, value_override=None):
+              etype_override=None, value_override=None,
+              queries=None):
+    queries = FUZZ_QUERIES if queries is None else queries
     us, users, etypes, values = _assemble(per_user_gaps, rng, micros=micros)
     if etype_override is not None:
         etypes = etype_override(rng, len(us))
     if value_override is not None:
         values = value_override(rng, len(us))
     d = _dataset_dir(tmp_path, us, users, etypes, values, rng)
-    rc, results = verify_local.run(sf_dir=d, only=set(FUZZ_QUERIES),
+    rc, results = verify_local.run(sf_dir=d, only=set(queries),
                                    spark=spark)
     bad = {k: v for k, v in results.items() if not v["hash_match"]}
     assert rc == 0, f"oracle mismatch on fuzz draw: {bad}"
-    assert set(results) == set(FUZZ_QUERIES)
+    assert set(results) == set(queries)
 
 
 def test_fuzz_ties(tmp_path, spark):
@@ -212,3 +214,55 @@ def test_fuzz_funnel_type_schedules(tmp_path, spark):
         ]
 
     _run_gate(tmp_path, spark, rng, gaps, etype_override=funnel_types)
+
+
+TIER_FUZZ_QUERIES = [
+    "ohlc",
+    "ohlc_rerollup",
+    "state_agg",
+    "state_agg_rerollup",
+    "mg_heavy_hitters",
+    "mg_rerollup",
+]
+
+
+def test_fuzz_tier_aggregate_boundaries(tmp_path, spark):
+    """Round-4 tier family (OHLC / time-in-state / Misra–Gries) under
+    bucket-boundary stress: gaps that land runs EXACTLY on 21600/86400
+    boundaries (a state run must split with zero-length tails on
+    neither side), exact-second ties (OHLC open/close tie-break by
+    event_id; zero-length state runs), single-event users (no state
+    duration, a 1-row candle), an all-unique stretch (MG buckets whose
+    every counter prunes — the empty-summary/exact-n regression), and
+    one hot user dominating a bucket (MG heavy item must survive both
+    tiers)."""
+    rng = np.random.default_rng(20260819)
+    gaps = {}
+    for uid in range(1, 9):
+        n = int(rng.integers(3, 14))
+        gaps[uid] = [int(rng.integers(0, 86400))] + [
+            int(g)
+            for g in rng.choice(
+                [0, 0, 1, 21599, 21600, 21601, 43200, 86400, 100], size=n - 1
+            )
+        ]
+    gaps[99] = [12345]                      # single-event user
+    gaps[50] = [0] + [7] * 40               # hot user: MG heavy hitter
+    for uid in range(100, 130):             # all-unique stretch, one bucket
+        gaps[uid] = [86400 * 3 + int(uid)]
+    # micros=False: runs START exactly on bucket boundaries (no jitter)
+    _run_gate(tmp_path, spark, rng, gaps, micros=False,
+              queries=TIER_FUZZ_QUERIES)
+
+
+def test_fuzz_tier_aggregate_jittered(tmp_path, spark):
+    """Second tier-family draw WITH microsecond jitter (floor(epoch)
+    truncation symmetry) and a different seed/schedule mix."""
+    rng = np.random.default_rng(77002)
+    gaps = {}
+    for uid in range(1, 15):
+        n = int(rng.integers(2, 20))
+        gaps[uid] = [int(rng.integers(0, 7 * 86400))] + [
+            int(g) for g in rng.integers(0, 90000, size=n - 1)
+        ]
+    _run_gate(tmp_path, spark, rng, gaps, queries=TIER_FUZZ_QUERIES)

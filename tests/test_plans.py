@@ -772,6 +772,19 @@ def test_state_agg_exchange_reuse(events):
     assert "BatchEvalPython" not in plan
 
 
+def test_heartbeat_uptime_single_exchange(events):
+    """heartbeat_uptime end to end: island window, island groupBy,
+    split explode, and the (key, bucket) groupBy all extend the key
+    hash prefix — ONE exchange, no Python."""
+    from tsmp_spark.operators.rollup import heartbeat_uptime
+    import pyspark.sql.functions as F
+
+    ev = events.select("user_id", F.unix_timestamp("ts").alias("sec"))
+    plan = _plan(heartbeat_uptime(ev, 7200, 21600))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
+
+
 def test_hdr_quantiles_sketch_rows_only_window(events):
     """The quantile finisher's window + final groupBy run over SKETCH
     rows and REUSE one (key, bucket)-compatible exchange: two Exchanges

@@ -2328,6 +2328,31 @@ def test_state_agg_splitting_and_merge_identity(spark):
         state_rerollup(ev, 20, 50)
 
 
+def test_heartbeat_uptime_semantics(spark):
+    """Heartbeat liveness: (1) overlapping heartbeats coalesce (no
+    double-count); (2) exact-touch assertions merge into one island;
+    (3) an island spanning a bucket boundary splits exactly; (4)
+    uptime_sec never exceeds the bucket length; (5) duplicate
+    heartbeats at one second are idempotent."""
+    from tsmp_spark.operators.rollup import heartbeat_uptime
+
+    rows = [
+        (7, 0), (7, 5), (7, 10),      # overlap: live [0, 20)
+        (7, 20),                      # exact touch -> same island [0, 30)
+        (7, 100), (7, 100),           # duplicate second: live [100, 110)
+        (8, 35),                      # spans buckets 0/1: [35, 45)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, sec long")
+    got = {(r.key, r.bucket): r
+           for r in heartbeat_uptime(ev, ttl_sec=10, bucket=40).collect()}
+    assert got[(7, 0)].uptime_sec == 30 and got[(7, 0)].n_islands == 1
+    assert got[(7, 2)].uptime_sec == 10 and got[(7, 2)].n_islands == 1
+    assert got[(8, 0)].uptime_sec == 5
+    assert got[(8, 1)].uptime_sec == 5
+    assert all(r.uptime_sec <= 40 for r in got.values())
+    assert (7, 1) not in got          # fully-dark bucket emits nothing
+
+
 def test_rollup_freshness_gaps_and_lag(spark):
     """Freshness monitor: per-key expected/present/missing over the span
     [first key bucket, global max], staleness lag, completeness."""

@@ -3750,3 +3750,56 @@ def state_rerollup(
         .groupBy("key", "bucket", "state")
         .agg(F.sum("dur_sec").cast("bigint").alias("dur_sec"))
     )
+
+
+def heartbeat_uptime(
+    events: DataFrame,
+    ttl_sec: int = 120,
+    bucket: int = 21600,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """Liveness from periodic heartbeats — the TimescaleDB-toolkit
+    ``heartbeat_agg`` shape: each heartbeat asserts the key live for
+    ``[t, t+ttl)``; overlapping/touching assertions coalesce into live
+    islands (:func:`interval_coalesce` — every interval here has
+    ``e = s + ttl``, so timestamp ties are EXACT duplicate intervals
+    and the island walk is order-independent); islands are then split
+    exactly at bucket boundaries into per-(key, bucket) uptime seconds
+    plus the count of live islands touching the bucket. Integer-only —
+    uptime_sec ≤ bucket by construction, downtime = bucket − uptime.
+
+    Scale: the coalesce is the sessionize ONE-exchange pattern; the
+    split explode is bounded by island_len / bucket over ISLAND rows
+    (≤ heartbeats); the final (key, bucket) groupBy extends the key
+    hash prefix — one exchange end to end (plan-pinned).
+    """
+    t = F.col(ts_col).cast("long")
+    hb = events.select(
+        F.col(key_col).cast("long").alias("key"),
+        t.alias("start"),
+        (t + ttl_sec).alias("end"),
+    )
+    isl = interval_coalesce(hb, key_col="key")
+    span = isl.select(
+        "key",
+        F.col("start").alias("s"),
+        F.col("end").alias("e"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / bucket).cast("long"),
+                F.floor((F.col("end") - 1) / bucket).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    dur = F.least(F.col("e"), (F.col("bucket") + 1) * bucket) - F.greatest(
+        F.col("s"), F.col("bucket") * bucket
+    )
+    return (
+        span.select("key", "bucket", dur.alias("_dur"))
+        .groupBy("key", "bucket")
+        .agg(
+            F.sum("_dur").cast("bigint").alias("uptime_sec"),
+            F.count("*").cast("bigint").alias("n_islands"),
+        )
+    )

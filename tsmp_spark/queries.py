@@ -11573,6 +11573,63 @@ QUERIES["state_agg_rerollup"] = q_state_rerollup
 ORACLES["state_agg_rerollup"] = SQL_STATE_REROLLUP
 
 
+def q_heartbeat_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat liveness aggregate (TimescaleDB heartbeat_agg shape):
+    each event asserts its user live for 2h; assertions coalesce into
+    islands, split exactly at 6h bucket boundaries — per-(user, bucket)
+    uptime seconds + live islands touched. Integer-only."""
+    from .operators.rollup import heartbeat_uptime
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    return heartbeat_uptime(ev, ttl_sec=7200, bucket=21600)
+
+
+SQL_HEARTBEAT_UPTIME = r"""
+WITH hb AS (
+  SELECT CAST(user_id AS BIGINT) AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS e
+  FROM events
+),
+flag AS (
+  SELECT key, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY key ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                   OR s > max(e) OVER (PARTITION BY key ORDER BY s, e
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM hb
+),
+isl AS (
+  SELECT key, s, e,
+         sum(brk) OVER (PARTITION BY key ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS island
+  FROM flag
+),
+merged AS (
+  SELECT key, island, min(s) AS s, max(e) AS e FROM isl GROUP BY 1, 2
+),
+span AS (
+  SELECT key, s, e,
+         unnest(generate_series(s // 21600, (e - 1) // 21600)) AS bucket
+  FROM merged
+)
+SELECT key, bucket,
+       CAST(sum(least(e, (bucket + 1) * 21600)
+                - greatest(s, bucket * 21600)) AS BIGINT) AS uptime_sec,
+       CAST(count(*) AS BIGINT) AS n_islands
+FROM span GROUP BY 1, 2
+"""
+
+QUERIES["heartbeat_uptime"] = q_heartbeat_uptime
+ORACLES["heartbeat_uptime"] = SQL_HEARTBEAT_UPTIME
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
