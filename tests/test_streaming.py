@@ -845,3 +845,69 @@ def test_hdr_stream_equals_batch_any_order(spark, tmp_path):
     assert {(r.key, r.bucket, r.idx) for r in got} == set(want)
     for r in got:
         assert r.cnt == want[(r.key, r.bucket, r.idx)]
+
+
+def test_ohlc_stream_equals_batch_any_order(spark, tmp_path):
+    """Streaming candles fed OUT-OF-ORDER micro-batches converge to the
+    exact batch OHLC on EVERY column — open/close re-derive from the
+    carried (ts, id) total-order metadata, high/low/vol/n are
+    commutative folds, so the equality needs no arrival contract.
+    Duplicate timestamps (id tie-break) are planted across batch
+    boundaries."""
+    import os
+
+    from tsmp_spark.operators.rollup import ohlc
+    from tsmp_spark.streaming.rollup import ohlc_stream
+
+    rows = [
+        (i, ("t%d" % (i % 2)), (i % 5) * 9000 + ((i * 13) % 7) * 60,
+         float(((i * 37) % 500) - 250) / 4.0)
+        for i in range(600)
+    ]
+    # duplicate-second collisions with distinct ids, split across files
+    rows += [(1000, "t0", 123, 5.25), (1001, "t0", 123, -7.5),
+             (1002, "t0", 123, 0.75)]
+    schema = "event_id long, event_type string, sec long, value double"
+    batch_df = spark.createDataFrame(rows, schema)
+
+    base = str(tmp_path / "ev")
+    os.makedirs(base)
+    scrambled = rows[401:] + rows[0:200] + rows[200:401]
+    per = len(scrambled) // 3 + 1
+    for k in range(3):
+        chunk = scrambled[per * k: per * (k + 1)]
+        if chunk:
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                f"{base}/f{k}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/*")
+    )
+    q = (
+        ohlc_stream(stream, bucket_sec=9000)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ohlc_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ohlc"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql(
+        "SELECT key, bucket, open, high, low, close, vol_centi, n, "
+        "first_ts, first_id, last_ts, last_id FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY key, bucket ORDER BY n_seen DESC)"
+        " AS rn FROM ohlc_out) WHERE rn = 1"
+    ).collect()
+    want = {(r.key, r.bucket): r for r in ohlc(batch_df, bucket=9000).collect()}
+    assert {(r.key, r.bucket) for r in got} == set(want)
+    for r in got:
+        w = want[(r.key, r.bucket)]
+        assert (r.open, r.high, r.low, r.close) == (w.open, w.high, w.low,
+                                                    w.close)
+        assert (r.vol_centi, r.n) == (w.vol_centi, w.n)
+        assert (r.first_ts, r.first_id, r.last_ts, r.last_id) == (
+            w.first_ts, w.first_id, w.last_ts, w.last_id)

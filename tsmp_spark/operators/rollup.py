@@ -3559,6 +3559,31 @@ def asap_smooth(
     )
 
 
+def ohlc_rows(
+    events: DataFrame,
+    bucket: int,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """JVM-side candle input derivation (key, bucket, t, i, v, v_centi)
+    SHARED by the batch :func:`ohlc` aggregate and the streaming candle
+    (``streaming.rollup.ohlc_stream``) — the hll_register_rows pattern:
+    the stream's Python state function only folds, it never re-derives."""
+    b = F.floor(F.col(ts_col).cast("long") / bucket).cast("long")
+    return events.select(
+        F.col(key_col).alias("key"),
+        b.alias("bucket"),
+        F.col(ts_col).cast("long").alias("t"),
+        F.col(id_col).cast("long").alias("i"),
+        F.col(value_col).cast("double").alias("v"),
+        F.round(F.col(value_col).cast("double") * 100)
+        .cast("bigint")
+        .alias("v_centi"),
+    )
+
+
 def ohlc(
     events: DataFrame,
     bucket: int = 21600,
@@ -3589,17 +3614,7 @@ def ohlc(
     Scale: ONE combinable groupBy — min_by/max_by over a struct key
     have map-side partials; no window, no sort.
     """
-    b = F.floor(F.col(ts_col).cast("long") / bucket).cast("long")
-    rows = events.select(
-        F.col(key_col).alias("key"),
-        b.alias("bucket"),
-        F.col(ts_col).cast("long").alias("t"),
-        F.col(id_col).cast("long").alias("i"),
-        F.col(value_col).cast("double").alias("v"),
-        F.round(F.col(value_col).cast("double") * 100)
-        .cast("bigint")
-        .alias("v_centi"),
-    )
+    rows = ohlc_rows(events, bucket, key_col, ts_col, value_col, id_col)
     ordkey = F.struct(F.col("t"), F.col("i"))
     return rows.groupBy("key", "bucket").agg(
         F.min_by("v", ordkey).alias("open"),

@@ -11630,6 +11630,55 @@ QUERIES["heartbeat_uptime"] = q_heartbeat_uptime
 ORACLES["heartbeat_uptime"] = SQL_HEARTBEAT_UPTIME
 
 
+def q_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC candles maintained by an actual Structured
+    Streaming query (streaming.rollup.ohlc_stream): events replayed
+    through a file stream, final snapshot per (event_type, 6h bucket).
+    The candle fold is commutative-mergeable (total-order open/close
+    metadata + max/min/sums), so the drained snapshot must equal the
+    BATCH candle — gated by the same SQL as the batch `ohlc` oracle."""
+    import uuid
+
+    from .streaming.rollup import ohlc_stream
+
+    name = "ohlc_sink_" + uuid.uuid4().hex[:8]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props map<string,string>"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "event_type", "value",
+                F.unix_timestamp("ts").alias("sec"))
+    )
+    out = ohlc_stream(stream, bucket_sec=21600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""
+        SELECT key, bucket, open, high, low, close, vol_centi, n,
+               first_ts, first_id, last_ts, last_id
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY key, bucket ORDER BY n_seen DESC) AS rn
+          FROM {name}) WHERE rn = 1
+        """
+    )
+
+
+QUERIES["ohlc_stream"] = q_ohlc_stream
+ORACLES["ohlc_stream"] = SQL_OHLC
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #

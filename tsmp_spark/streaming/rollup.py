@@ -93,3 +93,107 @@ def rollup_batch_equivalent(
             "n",
         )
     )
+
+
+OHLC_OUTPUT_SCHEMA = (
+    "key string, bucket long, n_seen long, open double, high double, "
+    "low double, close double, vol_centi long, n long, first_ts long, "
+    "first_id long, last_ts long, last_id long"
+)
+OHLC_STATE_SCHEMA = (
+    "open double, high double, low double, close double, vol_centi long, "
+    "n long, first_ts long, first_id long, last_ts long, last_id long"
+)
+
+
+def _ohlc_func(key, pdfs, state):
+    """Per-(key, bucket) candle fold. The candle is a COMMUTATIVE
+    mergeable aggregate — open/close are picked by the TOTAL (ts, id)
+    order carried in the state, high/low/vol/n are max/min/sums — so
+    stream == batch holds for ANY arrival order (the hll register
+    argument), pytest-gated with out-of-order micro-batches."""
+    import numpy as np
+    import pandas as pd
+
+    if state.exists:
+        (o, h, lo, c, vol, n, fts, fid, lts, lid) = state.get
+    else:
+        o = h = lo = c = None
+        vol = n = 0
+        fts = fid = lts = lid = None
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        t = pdf["t"].to_numpy()
+        i = pdf["i"].to_numpy()
+        v = pdf["v"].to_numpy()
+        vc = pdf["v_centi"].to_numpy()
+        order = np.lexsort((i, t))
+        first, last = order[0], order[-1]
+        if fts is None or (int(t[first]), int(i[first])) < (fts, fid):
+            fts, fid, o = int(t[first]), int(i[first]), float(v[first])
+        if lts is None or (int(t[last]), int(i[last])) > (lts, lid):
+            lts, lid, c = int(t[last]), int(i[last]), float(v[last])
+        bh, bl = float(np.max(v)), float(np.min(v))
+        h = bh if h is None or bh > h else h
+        lo = bl if lo is None or bl < lo else lo
+        vol += int(vc.sum())
+        n += len(pdf)
+    state.update((o, h, lo, c, vol, n, fts, fid, lts, lid))
+    (k, bucket) = key
+    yield pd.DataFrame(
+        [
+            {
+                "key": k,
+                "bucket": int(bucket),
+                "n_seen": int(n),
+                "open": o,
+                "high": h,
+                "low": lo,
+                "close": c,
+                "vol_centi": int(vol),
+                "n": int(n),
+                "first_ts": fts,
+                "first_id": fid,
+                "last_ts": lts,
+                "last_id": lid,
+            }
+        ]
+    )
+
+
+def ohlc_stream(
+    event_stream: DataFrame,
+    bucket_sec: int = 21600,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming counterpart of ``operators.rollup.ohlc``: the candle
+    per (key, bucket) maintained incrementally by
+    ``applyInPandasWithState``. One snapshot row per (key, bucket,
+    micro-batch); ``n_seen`` makes append-mode rows distinct and
+    monotone, and the LAST snapshot per (key, bucket) equals the batch
+    candle EXACTLY for any arrival order — open/close re-derive from
+    the carried (first_ts, first_id)/(last_ts, last_id) total-order
+    metadata exactly like the batch tier merge, high/low/vol/n are
+    commutative folds.
+
+    State is ONE fixed-width row per open candle (~80 bytes) — bounded
+    by open (key, bucket) pairs, not by events; the input derivation is
+    JVM-side and SHARED with batch (``ohlc_rows``)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.rollup import ohlc_rows
+
+    rows = ohlc_rows(
+        event_stream, bucket_sec, key_col, ts_col, value_col, id_col
+    )
+    return rows.groupBy("key", "bucket").applyInPandasWithState(
+        _ohlc_func,
+        outputStructType=OHLC_OUTPUT_SCHEMA,
+        stateStructType=OHLC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
