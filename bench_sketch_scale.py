@@ -31,6 +31,17 @@ OPS = (
     "cms_rerollup",
     "decayed_topk",
     "active_users",
+    # round-4 tier family: MG summaries are k-bounded per bucket, candles
+    # one row per (key, bucket), state/heartbeat split rows bounded by
+    # runs × spanned buckets — all merge stages bucket-bounded, so total
+    # shuffle must grow sub-linearly vs the 10× raw rows (same 30-day span)
+    "mg_heavy_hitters",
+    "mg_rerollup",
+    "ohlc",
+    "ohlc_rerollup",
+    "state_agg",
+    "state_agg_rerollup",
+    "heartbeat_uptime",
 )
 
 
