@@ -911,3 +911,82 @@ def test_ohlc_stream_equals_batch_any_order(spark, tmp_path):
         assert (r.vol_centi, r.n) == (w.vol_centi, w.n)
         assert (r.first_ts, r.first_id, r.last_ts, r.last_id) == (
             w.first_ts, w.first_id, w.last_ts, w.last_id)
+
+
+def test_mg_stream_bounds_any_order(spark, tmp_path):
+    """Streaming Misra–Gries heavy hitters under SCRAMBLED arrival: the
+    drained k-bounded summary must satisfy the order-INDEPENDENT
+    guarantee — ≤ k items per bucket, true − n/(k+1) ≤ est ≤ true for
+    every surviving item, and every item heavier than n/(k+1) present —
+    even though the exact ests are arrival-order dependent (documented;
+    deliberately no stream==batch oracle). State is ≤ k pairs + n per
+    bucket."""
+    import os
+
+    from tsmp_spark.streaming.sketch import MG_STREAM_K, mg_stream
+
+    k = MG_STREAM_K
+    # bucket 0: one dominant item (200 of 420), mid items, unique tail
+    rows = ([(1, 5)] * 200 + [(2, 9)] * 90 + [(3, 11)] * 50
+            + [(100 + j, 13) for j in range(80)])
+    # bucket 1: all-unique traffic — every counter must prune to empty
+    rows += [(500 + j, 86400 + j % 50) for j in range(60)]
+    true0 = {1: 200, 2: 90, 3: 50, **{100 + j: 1 for j in range(80)}}
+
+    base = str(tmp_path / "ev")
+    os.makedirs(base)
+    import random
+
+    rnd = random.Random(20260819)
+    rnd.shuffle(rows)
+    per = len(rows) // 4 + 1
+    schema = "user_id long, sec long"
+    for f in range(4):
+        chunk = rows[per * f: per * (f + 1)]
+        if chunk:
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                f"{base}/f{f}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/*")
+    )
+    q = (
+        mg_stream(stream, bucket_sec=86400)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mg_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mg"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql(
+        "SELECT bucket, n_seen, item, est FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY bucket, coalesce(item, -1) "
+        "ORDER BY n_seen DESC) AS rn FROM mg_out) WHERE rn = 1"
+    ).collect()
+    by_bucket = {}
+    for r in got:
+        by_bucket.setdefault(r.bucket, []).append(r)
+
+    b0 = [r for r in by_bucket[0] if r.item is not None]
+    n0 = 420
+    assert {r.n_seen for r in b0} == {n0}
+    assert len(b0) <= k
+    bound = n0 / (k + 1)
+    for r in b0:
+        t = true0[r.item]
+        assert t - bound <= r.est <= t
+    heavy = {i for i, t in true0.items() if t > bound}
+    assert heavy <= {r.item for r in b0}            # 1 and 2 must survive
+
+    b1 = by_bucket[86400 // 86400 * 1]
+    # all-unique: the last reduce prunes everything — only the sentinel
+    # snapshot remains, with the full n observed
+    live = [r for r in b1 if r.item is not None]
+    assert len(live) <= k
+    for r in live:
+        assert r.est <= 1

@@ -22,7 +22,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.sketch import HLL_M, HLL_REST_BITS, hll_register_rows
@@ -239,6 +239,98 @@ def hdr_stream(
         _hdr_func,
         outputStructType=HDR_OUTPUT_SCHEMA,
         stateStructType=HDR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+MG_OUTPUT_SCHEMA = "bucket long, n_seen long, item long, est long"
+MG_STATE_SCHEMA = "items array<long>, ests array<long>, n_seen long"
+MG_STREAM_K = 8
+
+
+def _mg_reduce(counts: dict, k: int) -> dict:
+    """One Misra–Gries reduce (Agarwal et al. PODS 2012 §2.1): if more
+    than k counters survive, subtract the (k+1)-th largest and prune.
+    theta is a fixed position of the count multiset — deterministic
+    under any tie order."""
+    if len(counts) <= k:
+        return {i: c for i, c in counts.items() if c > 0}
+    theta = sorted(counts.values(), reverse=True)[k]
+    return {i: c - theta for i, c in counts.items() if c > theta}
+
+
+def _mg_func(key, pdfs, state):
+    import pandas as pd
+
+    if state.exists:
+        items, ests, n_seen = state.get
+        summary = dict(zip(items, ests))
+    else:
+        summary, n_seen = {}, 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        for item, cnt in pdf["item"].value_counts().items():
+            summary[int(item)] = summary.get(int(item), 0) + int(cnt)
+        n_seen += len(pdf)
+    summary = _mg_reduce(summary, MG_STREAM_K)
+    items = sorted(summary)
+    state.update(([int(i) for i in items],
+                  [int(summary[i]) for i in items], int(n_seen)))
+    (bucket,) = key
+    if items:
+        yield pd.DataFrame(
+            {
+                "bucket": [int(bucket)] * len(items),
+                "n_seen": [int(n_seen)] * len(items),
+                "item": items,
+                "est": [int(summary[i]) for i in items],
+            }
+        )
+    else:  # keep a snapshot row so the drained state is observable
+        yield pd.DataFrame(
+            [{"bucket": int(bucket), "n_seen": int(n_seen),
+              "item": None, "est": None}]
+        )
+
+
+def mg_stream(
+    event_stream: DataFrame,
+    bucket_sec: int = 86400,
+    item_col: str = "user_id",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """Heavy hitters maintained AT INGEST with k-bounded state — the
+    streaming face of ``operators.sketch.mg_summary``: each micro-batch
+    contributes its exact item counts, merged into the running
+    Misra–Gries summary by the Agarwal et al. MERGE (sum counters,
+    subtract the (k+1)-th largest, prune). State per open bucket is at
+    most k (item, est) pairs + n — fixed bytes regardless of item
+    cardinality, the property that lets this run forever at 10^12
+    events where exact streaming counts cannot.
+
+    Unlike the hll/cms/hdr/ohlc streams the RESULT is arrival-order
+    dependent (MG is lossy; errors land on different items per order) —
+    so there is deliberately NO stream==batch oracle. What IS
+    order-independent is the guarantee, and the pytest gates exactly
+    that under scrambled arrival: every reduce removes ≥ (k+1)·theta of
+    counter mass and total mass is n, so Σ thetas ≤ n/(k+1) and the
+    drained summary satisfies ``true − n/(k+1) ≤ est ≤ true`` with
+    every item heavier than n/(k+1) present.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    rows = event_stream.select(
+        F.floor(F.col(ts_col).cast("long") / bucket_sec)
+        .cast("long")
+        .alias("bucket"),
+        F.col(item_col).cast("bigint").alias("item"),
+    )
+    return rows.groupBy("bucket").applyInPandasWithState(
+        _mg_func,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
