@@ -2550,3 +2550,52 @@ def test_asap_smooth_model_and_edges(spark):
     assert all(r.smoothed == 5.0 for r in by_key["c"])
     one = by_key["one"]
     assert len(one) == 1 and one[0].w == 1 and one[0].smoothed == 123.0
+
+
+def test_dtw_banded_kernel_exactness():
+    """Vectorized anti-diagonal DTW == scalar row-major DP, exact ints."""
+    from tsmp_spark.mpcore.dtw import dtw_banded, dtw_banded_ref
+
+    rng = np.random.default_rng(41)
+    for _ in range(40):
+        t = int(rng.integers(2, 24))
+        r = int(rng.integers(1, 9))
+        a = rng.integers(0, 32768, t)
+        b = rng.integers(0, 32768, t)
+        assert dtw_banded(a, b, r) == dtw_banded_ref(a, b, r)
+    # identity: zero distance to itself, symmetric
+    a = rng.integers(0, 32768, 32)
+    assert dtw_banded(a, a, 4) == 0
+    b = rng.integers(0, 32768, 32)
+    assert dtw_banded(a, b, 4) == dtw_banded(b, a, 4)
+    # empty series
+    assert dtw_banded(np.array([], dtype=np.int64), np.array([], dtype=np.int64), 3) == 0
+
+
+def test_dtw_pairs_operator(spark):
+    """Spark dtw_pairs == local kernel on the same truncated doc set;
+    k-bound and qualification filter respected."""
+    from tsmp_spark.mpcore.dtw import dtw_banded
+    from tsmp_spark.operators import dtw_pairs
+
+    rng = np.random.default_rng(42)
+    docs = []
+    toks = {}
+    for i in range(8):
+        n = 12 if i == 5 else 40  # doc 5 too short to qualify
+        arr = rng.integers(0, 32768, n).tolist()
+        toks[i] = arr
+        docs.append((str(i), [int(x) for x in arr], n, "s"))
+    nested = spark.createDataFrame(
+        docs, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    out = dtw_pairs(nested, trunc=24, band=5, k_docs=4).collect()
+    # doc 5 short -> qualifying smallest four are 0,1,2,3
+    ids = sorted({r["ida"] for r in out} | {r["idb"] for r in out})
+    assert ids == [0, 1, 2, 3]
+    assert len(out) == 6
+    for r in out:
+        want = dtw_banded(
+            np.asarray(toks[r["ida"]][:24]), np.asarray(toks[r["idb"]][:24]), 5
+        )
+        assert r["dtw"] == want

@@ -197,3 +197,67 @@ def sax_symbols(
             F.col("npts").cast("bigint").alias("npts"),
         )
     )
+
+
+def dtw_pairs(
+    nested: DataFrame,
+    trunc: int = 48,
+    band: int = 6,
+    k_docs: int = 6,
+) -> DataFrame:
+    """Pairwise banded DTW distance matrix over the ``k_docs`` smallest
+    qualifying tokenized docs (the UCR-suite companion distance to the
+    matrix profile; Sakoe & Chiba 1978 band, L1 integer step cost).
+
+    Docs with ``n_tok >= trunc`` qualify; each is truncated to its
+    first ``trunc`` tokens so every pair is an equal-length integer DP
+    and the distance is an EXACT bigint (see mpcore/dtw.py — no float
+    convention anywhere, the oracle replays the identical recurrence).
+
+    Scale shape: the doc set is k-bounded by contract (the
+    mpdist_cluster convention), so the crossJoin is a broadcast
+    k×k fan-in — never |docs|² — and the kernel is one map-only
+    Arrow pass; the ONLY exchange is the deterministic k-smallest
+    selection. For an all-pairs corpus sweep at scale, the banded
+    candidate generators (simhash/minhash families) prune first and
+    this kernel re-ranks survivors.
+    """
+    import pandas as pd
+
+    from ..mpcore.dtw import dtw_banded
+
+    k = (
+        nested.filter(F.col("n_tok") >= trunc)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.slice("tokens", 1, trunc).alias("tokens"),
+        )
+        .orderBy("doc_id")
+        .limit(k_docs)
+    )
+    a = k.select(F.col("doc_id").alias("ida"), F.col("tokens").alias("ta"))
+    b = k.select(F.col("doc_id").alias("idb"), F.col("tokens").alias("tb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("ida") < F.col("idb"))
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "ida": pdf["ida"],
+                    "idb": pdf["idb"],
+                    "dtw": [
+                        dtw_banded(
+                            np.asarray(ta, dtype=np.int64),
+                            np.asarray(tb, dtype=np.int64),
+                            band,
+                        )
+                        for ta, tb in zip(pdf["ta"], pdf["tb"])
+                    ],
+                }
+            )
+
+    return pairs.mapInPandas(kernel, "ida long, idb long, dtw long")

@@ -11679,6 +11679,82 @@ QUERIES["ohlc_stream"] = q_ohlc_stream
 ORACLES["ohlc_stream"] = SQL_OHLC
 
 
+DTW_T = 48
+DTW_R = 6
+DTW_SENT = 1 << 40
+
+
+def q_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Sakoe-Chiba-banded DTW distance matrix over the 6
+    smallest qualifying tokenized docs (UCR-suite companion distance to
+    the matrix profile). L1 integer step cost over token ids makes the
+    DP sum EXACT — the hash gate compares raw BIGINTs with no rounding
+    convention; the oracle replays the identical anti-diagonal
+    recurrence as a recursive CTE (formulation numpy/DuckDB-validated
+    before the SQL was written, per the house rule)."""
+    from .operators import dtw_pairs
+
+    return dtw_pairs(
+        _tokenized(spark, sf_dir), trunc=DTW_T, band=DTW_R, k_docs=6
+    )
+
+
+SQL_DTW_PAIRS = f"""
+WITH RECURSIVE {_SQL_TOKEN_SERIES},
+lens AS (
+  SELECT doc_id FROM s GROUP BY 1 HAVING count(*) >= {DTW_T}
+),
+ksel AS (
+  SELECT CAST(doc_id AS BIGINT) AS id FROM lens
+  ORDER BY CAST(doc_id AS BIGINT) LIMIT 6
+),
+lists AS (
+  SELECT CAST(s.doc_id AS BIGINT) AS id,
+         list(CAST(value AS BIGINT) ORDER BY pos) AS la
+  FROM s JOIN ksel ON CAST(s.doc_id AS BIGINT) = ksel.id
+  WHERE pos < {DTW_T} GROUP BY 1
+),
+pairsel AS (
+  SELECT a.id AS ida, b.id AS idb, a.la AS la, b.la AS lb
+  FROM lists a JOIN lists b ON a.id < b.id
+),
+-- anti-diagonal banded DTW: cell (i,j) on diagonal e=i+j depends only
+-- on diagonals e-1 (cur) and e-2 (prev); each iteration is one
+-- elementwise list rebuild, sentinel-padded outside the band. SQL list
+-- position i (1-based) holds dp(i-1, e-(i-1)).
+diag AS (
+  SELECT ida, idb, 0 AS e,
+         list_transform(range(1, {DTW_T} + 1),
+                        i -> CAST({DTW_SENT} AS BIGINT)) AS prev,
+         list_transform(range(1, {DTW_T} + 1), i ->
+           CASE WHEN i = 1 THEN abs(la[1] - lb[1])
+                ELSE CAST({DTW_SENT} AS BIGINT) END) AS cur,
+         la, lb
+  FROM pairsel
+  UNION ALL
+  SELECT ida, idb, e + 1,
+         cur AS prev,
+         list_transform(range(1, {DTW_T} + 1), i ->
+           CASE WHEN e + 1 - (i - 1) BETWEEN 0 AND {DTW_T} - 1
+                 AND abs(2 * (i - 1) - (e + 1)) <= {DTW_R}
+           THEN abs(la[i] - lb[e + 1 - (i - 1) + 1])
+                + least(CASE WHEN i >= 2 THEN cur[i - 1]
+                        ELSE CAST({DTW_SENT} AS BIGINT) END,
+                        cur[i],
+                        CASE WHEN i >= 2 THEN prev[i - 1]
+                        ELSE CAST({DTW_SENT} AS BIGINT) END)
+           ELSE CAST({DTW_SENT} AS BIGINT) END) AS cur,
+         la, lb
+  FROM diag WHERE e < 2 * {DTW_T} - 2
+)
+SELECT ida, idb, cur[{DTW_T}] AS dtw
+FROM diag WHERE e = 2 * {DTW_T} - 2
+"""
+
+QUERIES["dtw_pairs"] = q_dtw_pairs
+ORACLES["dtw_pairs"] = SQL_DTW_PAIRS
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
