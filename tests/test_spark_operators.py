@@ -2599,3 +2599,34 @@ def test_dtw_pairs_operator(spark):
             np.asarray(toks[r["ida"]][:24]), np.asarray(toks[r["idb"]][:24]), 5
         )
         assert r["dtw"] == want
+
+
+def test_ams_f2_sketch_contracts(spark):
+    """AMS tug-of-war: merge == recompute EXACT identity (linearity),
+    estimate lands in a sane band around the exact F2, and the dyadic
+    /16 is exact."""
+    from tsmp_spark.operators import ams_f2, ams_rerollup
+
+    rows = []
+    # two fine (6h) buckets inside one day: skewed multiset per bucket
+    for b, base in ((0, 0), (1, 21600)):
+        for u in range(40):
+            reps = 16 if u == 0 else (4 if u < 5 else 1)
+            for r in range(reps):
+                rows.append((int(u), base + 60 * u + r))
+    ev = spark.createDataFrame(rows, "user_id long, sec long")
+    fine = ams_f2(ev, bucket_sec=21600).collect()
+    assert len(fine) == 2
+    for row in fine:
+        # exact F2 per bucket: 16^2 + 4*4^2 + 35*1 = 355
+        assert row["f2_exact"] == 355
+        assert row["est"] == row["est_x16"] / 16.0
+        # deterministic sketch; 3-sigma-ish sanity band around truth
+        assert 0.2 * 355 <= row["est"] <= 2.8 * 355
+
+    merged = ams_rerollup(ev, fine_sec=21600, coarse_sec=86400).collect()
+    assert len(merged) == 1
+    # linearity: merged counters == whole-day recompute, exactly
+    direct = ams_f2(ev, bucket_sec=86400).collect()[0]
+    assert merged[0]["est_x16"] == direct["est_x16"]
+    assert merged[0]["n"] == direct["n"] == sum(r["n"] for r in fine)

@@ -1173,3 +1173,164 @@ def mg_rerollup(
             F.col("n_total").cast("bigint").alias("n"),
         )
     )
+
+
+#: AMS geometry: 64 ±1 counters = 4 groups × 16, signs from the two
+#: 32-bit halves of ONE 'f2:'-salted md5 digest per item.
+AMS_K = 64
+AMS_G = 4
+AMS_PER_G = AMS_K // AMS_G
+
+
+def _ams_sign(half: str, bit: int):
+    """±1 sign from bit ``bit`` of a 32-bit hash half — the identical
+    integer expression on both engines: 1 - 2·((h >> bit) & 1)."""
+    return F.lit(1) - F.lit(2) * F.shiftright(F.col(half), bit).bitwiseAND(
+        F.lit(1)
+    ).cast("long")
+
+
+def ams_f2(
+    events: DataFrame,
+    bucket_sec: int = 21600,
+    item_col: str = "user_id",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """AMS second-frequency-moment (self-join size) sketch per bucket
+    (Alon, Matias & Szegedy 1996 "tug-of-war"): 64 ±1-signed counters
+    c_j = Σ_rows sign_j(item); each group of 16 estimates F2 = Σ cnt²
+    as Σ c_j² (x16), the output takes the LOWER MEDIAN of the 4 group
+    sums — everything integer until one exact dyadic ÷16.
+
+    F2 is the repeat-heaviness of the bucket (self-join cardinality,
+    skew diagnostic, join-size planning input). Output per bucket:
+    ``est_x16`` (lower-median group sum, bigint), ``est``
+    (= est_x16/16.0, exact dyadic double), ``f2_exact`` (Σ cnt² over
+    true per-item counts, bigint — so ``est/f2_exact`` IS the measured
+    sketch error), ``n`` rows.
+
+    Scale: the counter pass is ONE map-side-combinable groupBy(bucket)
+    with 64 conditional integer sums over projected hash halves — no
+    explode, state 64 longs per bucket; the exact-F2 pass is the
+    (bucket,item) count groupBy (the only cardinality-bound shuffle;
+    at unbounded item cardinality drop f2_exact and the sketch leg
+    alone is the operator). Counters MERGE by element-wise sum
+    (linearity of c_j in the multiset ⇒ merge == recompute EXACTLY —
+    the identity `ams_rerollup`'s oracle rides)."""
+    rows = events.select(
+        F.floor(F.col(ts_col).cast("long") / bucket_sec)
+        .cast("long")
+        .alias("bucket"),
+        F.col(item_col).cast("string").alias("item"),
+    ).withColumn(
+        "h0",
+        F.conv(F.substring(F.md5(F.concat(F.lit("f2:"), F.col("item"))), 1, 8), 16, 10)
+        .cast("long"),
+    ).withColumn(
+        "h1",
+        F.conv(F.substring(F.md5(F.concat(F.lit("f2:"), F.col("item"))), 9, 8), 16, 10)
+        .cast("long"),
+    )
+    counters = rows.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[
+            F.sum(_ams_sign("h0" if j < 32 else "h1", j % 32))
+            .cast("bigint")
+            .alias(f"c{j}")
+            for j in range(AMS_K)
+        ],
+    )
+    gsums = [
+        sum(
+            F.col(f"c{j}") * F.col(f"c{j}")
+            for j in range(g * AMS_PER_G, (g + 1) * AMS_PER_G)
+        ).alias(f"g{g}")
+        for g in range(AMS_G)
+    ]
+    est = counters.select("bucket", "n", *gsums).select(
+        "bucket",
+        "n",
+        F.sort_array(F.array(*[F.col(f"g{g}") for g in range(AMS_G)]))[1]
+        .cast("bigint")
+        .alias("est_x16"),
+    )
+    exact = (
+        events.select(
+            F.floor(F.col(ts_col).cast("long") / bucket_sec)
+            .cast("long")
+            .alias("bucket"),
+            F.col(item_col).cast("string").alias("item"),
+        )
+        .groupBy("bucket", "item")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .groupBy("bucket")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("f2_exact"))
+    )
+    return est.join(exact, "bucket").select(
+        "bucket",
+        "est_x16",
+        (F.col("est_x16") / F.lit(float(AMS_PER_G))).alias("est"),
+        "f2_exact",
+        "n",
+    )
+
+
+def ams_rerollup(
+    events: DataFrame,
+    fine_sec: int = 21600,
+    coarse_sec: int = 86400,
+    item_col: str = "user_id",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """AMS retention-tier merge: fine-bucket counters summed element-
+    wise into coarse buckets READING TIER-1 ONLY, then the estimate
+    recomputed from merged counters. c_j is linear in the multiset, so
+    merge == recompute EXACTLY and the oracle is the direct coarse
+    recompute (the state_rerollup/hll_rerollup identity convention).
+
+    Merge shuffle is coarse-buckets × 64 longs — independent of raw
+    row count, the tiered-store property."""
+    if coarse_sec % fine_sec != 0:
+        raise ValueError("coarse_sec must be a multiple of fine_sec")
+    rows = events.select(
+        F.floor(F.col(ts_col).cast("long") / fine_sec)
+        .cast("long")
+        .alias("bucket"),
+        F.col(item_col).cast("string").alias("item"),
+    ).withColumn(
+        "h0",
+        F.conv(F.substring(F.md5(F.concat(F.lit("f2:"), F.col("item"))), 1, 8), 16, 10)
+        .cast("long"),
+    ).withColumn(
+        "h1",
+        F.conv(F.substring(F.md5(F.concat(F.lit("f2:"), F.col("item"))), 9, 8), 16, 10)
+        .cast("long"),
+    )
+    fine = rows.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[
+            F.sum(_ams_sign("h0" if j < 32 else "h1", j % 32))
+            .cast("bigint")
+            .alias(f"c{j}")
+            for j in range(AMS_K)
+        ],
+    )
+    factor = coarse_sec // fine_sec
+    merged = fine.groupBy(_floor_div("bucket", factor).alias("bucket")).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        *[F.sum(f"c{j}").cast("bigint").alias(f"c{j}") for j in range(AMS_K)],
+    )
+    gsums = [
+        sum(
+            F.col(f"c{j}") * F.col(f"c{j}")
+            for j in range(g * AMS_PER_G, (g + 1) * AMS_PER_G)
+        ).alias(f"g{g}")
+        for g in range(AMS_G)
+    ]
+    return merged.select("bucket", "n", *gsums).select(
+        "bucket",
+        F.sort_array(F.array(*[F.col(f"g{g}") for g in range(AMS_G)]))[1]
+        .cast("bigint")
+        .alias("est_x16"),
+        F.col("n"),
+    )

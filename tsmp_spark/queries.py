@@ -11755,6 +11755,113 @@ QUERIES["dtw_pairs"] = q_dtw_pairs
 ORACLES["dtw_pairs"] = SQL_DTW_PAIRS
 
 
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F2 (self-join size) sketch per 6h bucket over
+    user_id: 64 ±1 md5-signed integer counters, 4 groups of 16, lower
+    median of group sums-of-squares — integer-exact until ONE dyadic
+    ÷16, with the exact F2 emitted beside the estimate so the sketch
+    error is measured, not assumed."""
+    from .operators import ams_f2
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    return ams_f2(ev, bucket_sec=21600, item_col="user_id", ts_col="sec")
+
+
+def _ams_sql_sign(j: int) -> str:
+    half = "h0" if j < 32 else "h1"
+    return f"(1 - 2 * (({half} // {1 << (j % 32)}) % 2))"
+
+
+_AMS_HASHED = r"""
+hashed AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // {fine} AS bucket,
+         CAST(('0x' || substr(md5('f2:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h0,
+         CAST(('0x' || substr(md5('f2:' || CAST(user_id AS VARCHAR)), 9, 8))
+              AS BIGINT) AS h1,
+         CAST(user_id AS VARCHAR) AS item
+  FROM events
+)"""
+
+_AMS_COUNTER_SUMS = ",\n         ".join(
+    f"CAST(sum({_ams_sql_sign(j)}) AS BIGINT) AS c{j}" for j in range(64)
+)
+_AMS_GROUP_SUMS = ",\n         ".join(
+    "(" + " + ".join(f"c{j} * c{j}" for j in range(g * 16, (g + 1) * 16)) + f") AS g{g}"
+    for g in range(4)
+)
+
+SQL_AMS_F2 = f"""
+WITH {_AMS_HASHED.format(fine=21600)},
+counters AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         {_AMS_COUNTER_SUMS}
+  FROM hashed GROUP BY bucket
+),
+grouped AS (
+  SELECT bucket, n,
+         {_AMS_GROUP_SUMS}
+  FROM counters
+),
+est AS (
+  SELECT bucket, n,
+         CAST(list_sort([g0, g1, g2, g3])[2] AS BIGINT) AS est_x16
+  FROM grouped
+),
+exact AS (
+  SELECT bucket, CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact FROM (
+    SELECT bucket, item, count(*) AS cnt FROM hashed GROUP BY 1, 2
+  ) GROUP BY bucket
+)
+SELECT e.bucket, e.est_x16,
+       CAST(e.est_x16 AS DOUBLE) / 16 AS est,
+       x.f2_exact, e.n
+FROM est e JOIN exact x ON e.bucket = x.bucket
+"""
+
+QUERIES["ams_f2"] = q_ams_f2
+ORACLES["ams_f2"] = SQL_AMS_F2
+
+
+def q_ams_rerollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS retention-tier merge: 6h counters summed element-wise into
+    daily buckets READING TIER-1 ONLY. Counters are linear in the
+    multiset, so merge == recompute EXACTLY — the oracle is the direct
+    daily recompute (the hll/state rerollup identity convention)."""
+    from .operators import ams_rerollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    return ams_rerollup(
+        ev, fine_sec=21600, coarse_sec=86400, item_col="user_id", ts_col="sec"
+    )
+
+
+SQL_AMS_REROLLUP = f"""
+WITH {_AMS_HASHED.format(fine=86400)},
+counters AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         {_AMS_COUNTER_SUMS}
+  FROM hashed GROUP BY bucket
+),
+grouped AS (
+  SELECT bucket, n,
+         {_AMS_GROUP_SUMS}
+  FROM counters
+)
+SELECT bucket,
+       CAST(list_sort([g0, g1, g2, g3])[2] AS BIGINT) AS est_x16,
+       n
+FROM grouped
+"""
+
+QUERIES["ams_rerollup"] = q_ams_rerollup
+ORACLES["ams_rerollup"] = SQL_AMS_REROLLUP
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
