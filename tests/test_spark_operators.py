@@ -2630,3 +2630,65 @@ def test_ams_f2_sketch_contracts(spark):
     direct = ams_f2(ev, bucket_sec=86400).collect()[0]
     assert merged[0]["est_x16"] == direct["est_x16"]
     assert merged[0]["n"] == direct["n"] == sum(r["n"] for r in fine)
+
+
+def test_sdt_compress_semantics(spark):
+    """Swinging-door trimming: ramps collapse to endpoints, plateaus to
+    endpoints, a spike forces a stored point, duplicate timestamps keep
+    the latest id, reconstruction error bounded by the deviation."""
+    from tsmp_spark.operators import sdt_compress
+
+    rows = []
+    # series A: exact ramp, 30 points — only endpoints survive
+    for i in range(30):
+        rows.append((i, "A", float(10 + 3 * i), 100 + 60 * i))
+    # series B: plateau then step: plateau ends stored, step stored
+    for i in range(20):
+        v = 50.0 if i < 10 else 200.0
+        rows.append((1000 + i, "B", v, 100 + 60 * i))
+    # series C: duplicate timestamp — later event_id (value 7) wins
+    rows.append((2000, "C", 999.0, 100))
+    rows.append((2001, "C", 7.0, 100))
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, sec long"
+    )
+    out = sdt_compress(ev, bucket=86400, dev_centi=200).collect()
+    a = sorted((r["t"], r["v_centi"]) for r in out if r["key"] == "A")
+    assert a == [(100, 1000), (100 + 60 * 29, (10 + 3 * 29) * 100)]
+    b = sorted(r["t"] for r in out if r["key"] == "B")
+    # plateau stores first point; step break stores the last plateau
+    # point; last point always stored
+    assert b[0] == 100 and b[-1] == 100 + 60 * 19
+    assert 100 + 60 * 9 in b and len(b) <= 4
+    c = [(r["t"], r["v_centi"]) for r in out if r["key"] == "C"]
+    assert c == [(100, 700)]
+
+    # error bound: reconstruct by linear interpolation between kept
+    # points; every dropped point within dev of the line
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    walk = np.cumsum(rng.integers(-100, 101, 200)) / 100.0 + 50
+    ev2 = spark.createDataFrame(
+        [(i, "W", float(walk[i]), 60 * i) for i in range(200)],
+        "event_id long, event_type string, value double, sec long",
+    )
+    kept = sorted(
+        (r["t"], r["v_centi"])
+        for r in sdt_compress(ev2, bucket=10**9, dev_centi=150).collect()
+    )
+    assert len(kept) < 200  # actually compresses a random walk
+    kt = np.array([t for t, _ in kept])
+    kv = np.array([v for _, v in kept])
+    for i in range(200):
+        t, v = 60 * i, round(float(walk[i]) * 100)
+        j = np.searchsorted(kt, t)
+        if j < len(kt) and kt[j] == t:
+            continue
+        lo, hi = j - 1, j
+        line = kv[lo] + (kv[hi] - kv[lo]) * (t - kt[lo]) / (kt[hi] - kt[lo])
+        # store-actual-samples SDT: the envelope proves a feasible line
+        # within ±dev EXISTS, but the kept-point segment itself is only
+        # guaranteed within 2·dev (the documented bound of the
+        # integer-exact variant; see rollup.sdt_compress docstring)
+        assert abs(v - line) <= 2 * 150 + 1

@@ -3818,3 +3818,106 @@ def heartbeat_uptime(
             F.count("*").cast("bigint").alias("n_islands"),
         )
     )
+
+
+SDT_SCHEMA = "key string, bucket long, t long, v_centi long"
+
+
+def sdt_compress(
+    events: DataFrame,
+    bucket: int = 21600,
+    dev_centi: int = 200,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Swinging-door-trimming lossy compression per (series, retention
+    window) — the historian compression step (OSIsoft PI compDev; the
+    LOSSY companion to the lossless Gorilla codec): keep a point only
+    when the deviation envelope (±dev around the line from the last
+    STORED point) can no longer contain the incoming stream.
+
+    Error bound: the door test proves a line from the anchor covering
+    every skipped point within ±dev EXISTS; this variant stores the
+    ACTUAL sample at the break (never a synthesized envelope point, so
+    integers stay exact), and the kept-point lerp reconstruction is
+    guaranteed within 2·dev (pytest-pinned on a random walk). The
+    ±dev-exact variant stores fabricated envelope intersections —
+    fractional values that would break the cross-engine integer gate.
+
+    Exactness contract: values quantize once to centi-units (the ohlc
+    convention), every door comparison is a CROSS-MULTIPLIED integer
+    rational (slopes are never divided), so the kept set is EXACT on
+    both engines — the oracle replays the identical walk in a
+    recursive CTE. Duplicate timestamps collapse to the latest
+    ``id_col`` row BEFORE the walk (both engines), keeping slopes
+    finite.
+
+    Scale: ONE exchange (the (key, bucket) group hash into the Arrow
+    kernel); state per group is the O(1) door pair; segmenting per
+    retention window bounds any single task at the bucket's row count
+    and makes the compression embarrassingly parallel across tiers —
+    first/last points per window are always stored, so windows
+    reconstruct independently.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dev = int(dev_centi)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "i"]).drop_duplicates("t", keep="last")
+        t = pdf["t"].to_numpy(dtype=np.int64)
+        v = pdf["v_centi"].to_numpy(dtype=np.int64)
+        n = len(t)
+        if n == 0:
+            return pd.DataFrame(
+                {"key": [], "bucket": [], "t": [], "v_centi": []}
+            ).astype({"bucket": "int64", "t": "int64", "v_centi": "int64"})
+        keep = [0]
+        at, av = int(t[0]), int(v[0])
+        fresh = True
+        smax = smin = (0, 1)
+        for idx in range(1, n):
+            ct, cv = int(t[idx]), int(v[idx])
+            dt = ct - at
+            up = (cv + dev - av, dt)
+            dn = (cv - dev - av, dt)
+            if fresh:
+                smax, smin = up, dn
+                fresh = False
+            else:
+                if up[0] * smax[1] < smax[0] * up[1]:
+                    smax = up
+                if dn[0] * smin[1] > smin[0] * dn[1]:
+                    smin = dn
+            if smin[0] * smax[1] > smax[0] * smin[1]:
+                keep.append(idx - 1)
+                at, av = int(t[idx - 1]), int(v[idx - 1])
+                d2 = ct - at
+                smax = (cv + dev - av, d2)
+                smin = (cv - dev - av, d2)
+        if keep[-1] != n - 1:
+            keep.append(n - 1)
+        k = np.asarray(keep, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "key": pdf["key"].to_numpy()[k],
+                "bucket": pdf["bucket"].to_numpy()[k],
+                "t": t[k],
+                "v_centi": v[k],
+            }
+        )
+
+    b = F.floor(F.col(ts_col).cast("long") / bucket).cast("long")
+    rows = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        b.alias("bucket"),
+        F.col(ts_col).cast("long").alias("t"),
+        F.col(id_col).cast("long").alias("i"),
+        F.round(F.col(value_col).cast("double") * 100)
+        .cast("bigint")
+        .alias("v_centi"),
+    )
+    return rows.groupBy("key", "bucket").applyInPandas(kernel, SDT_SCHEMA)

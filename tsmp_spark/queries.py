@@ -11862,6 +11862,102 @@ QUERIES["ams_rerollup"] = q_ams_rerollup
 ORACLES["ams_rerollup"] = SQL_AMS_REROLLUP
 
 
+SDT_DEV = 200  # compDev in centi-units (±2.0 value units)
+
+
+def q_sdt_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Swinging-door-trimming lossy compression per (event_type, 6h
+    window) — the historian compDev step beside the lossless Gorilla
+    codec. One centi-unit quantization, then every door decision is a
+    cross-multiplied integer rational: the kept point set is EXACT and
+    the oracle replays the identical walk in a recursive CTE
+    (numpy/DuckDB model validated before the SQL, per the house
+    rule)."""
+    from .operators import sdt_compress
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    return sdt_compress(ev, bucket=21600, dev_centi=SDT_DEV)
+
+
+SQL_SDT_COMPRESS = f"""
+WITH RECURSIVE dedup AS (
+  SELECT key, bucket, t, v FROM (
+    SELECT event_type AS key,
+           CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+           CAST(floor(epoch(ts)) AS BIGINT) AS t,
+           CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v,
+           row_number() OVER (
+             PARTITION BY event_type,
+                          CAST(floor(epoch(ts)) AS BIGINT)
+             ORDER BY CAST(event_id AS BIGINT) DESC) AS r
+    FROM events
+  ) WHERE r = 1
+),
+pts AS (
+  SELECT key, bucket, t, v,
+         row_number() OVER (PARTITION BY key, bucket ORDER BY t) AS rn,
+         count(*) OVER (PARTITION BY key, bucket) AS n
+  FROM dedup
+),
+walk AS (
+  SELECT key, bucket, rn, n, t AS at, v AS av, t AS pt, v AS pv,
+         TRUE AS fresh,
+         CAST(0 AS BIGINT) AS smax_n, CAST(1 AS BIGINT) AS smax_d,
+         CAST(0 AS BIGINT) AS smin_n, CAST(1 AS BIGINT) AS smin_d,
+         [t] AS stored
+  FROM pts WHERE rn = 1
+  UNION ALL
+  SELECT w.key, w.bucket, p.rn, w.n,
+         CASE WHEN crossed THEN w.pt ELSE w.at END,
+         CASE WHEN crossed THEN w.pv ELSE w.av END,
+         p.t, p.v,
+         FALSE,
+         CASE WHEN crossed THEN p.v + {SDT_DEV} - w.pv ELSE new_smax_n END,
+         CASE WHEN crossed THEN p.t - w.pt ELSE new_smax_d END,
+         CASE WHEN crossed THEN p.v - {SDT_DEV} - w.pv ELSE new_smin_n END,
+         CASE WHEN crossed THEN p.t - w.pt ELSE new_smin_d END,
+         CASE WHEN crossed THEN list_append(w.stored, w.pt) ELSE w.stored END
+  FROM walk w
+  JOIN pts p ON p.key = w.key AND p.bucket = w.bucket AND p.rn = w.rn + 1,
+  LATERAL (
+    SELECT p.t - w.at AS dt,
+           p.v + {SDT_DEV} - w.av AS up_n,
+           p.v - {SDT_DEV} - w.av AS dn_n
+  ) c1,
+  LATERAL (
+    SELECT CASE WHEN w.fresh OR c1.up_n * w.smax_d < w.smax_n * c1.dt
+                THEN c1.up_n ELSE w.smax_n END AS new_smax_n,
+           CASE WHEN w.fresh OR c1.up_n * w.smax_d < w.smax_n * c1.dt
+                THEN c1.dt ELSE w.smax_d END AS new_smax_d,
+           CASE WHEN w.fresh OR c1.dn_n * w.smin_d > w.smin_n * c1.dt
+                THEN c1.dn_n ELSE w.smin_n END AS new_smin_n,
+           CASE WHEN w.fresh OR c1.dn_n * w.smin_d > w.smin_n * c1.dt
+                THEN c1.dt ELSE w.smin_d END AS new_smin_d
+  ) c2,
+  LATERAL (
+    SELECT new_smin_n * new_smax_d > new_smax_n * new_smin_d AS crossed
+  ) c3
+),
+fin AS (
+  SELECT key, bucket,
+         CASE WHEN pt <> stored[-1] THEN list_append(stored, pt)
+              ELSE stored END AS stored
+  FROM walk WHERE rn = n
+),
+kept AS (
+  SELECT key, bucket, unnest(stored) AS t FROM fin
+)
+SELECT k.key, k.bucket, k.t, d.v AS v_centi
+FROM kept k JOIN dedup d ON d.key = k.key AND d.bucket = k.bucket AND d.t = k.t
+"""
+
+QUERIES["sdt_compress"] = q_sdt_compress
+ORACLES["sdt_compress"] = SQL_SDT_COMPRESS
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
