@@ -2692,3 +2692,31 @@ def test_sdt_compress_semantics(spark):
         # guaranteed within 2·dev (the documented bound of the
         # integer-exact variant; see rollup.sdt_compress docstring)
         assert abs(v - line) <= 2 * 150 + 1
+
+
+def test_kaplan_meier_product_limit(spark):
+    """KM with censoring: hand-computed small example, exact integer
+    product-limit replay, censored users at risk but never events."""
+    from tsmp_spark.operators import kaplan_meier
+
+    # grain 1s for hand control; churn if last event >= 10s before end.
+    # users: lifetimes 2,2,5 churned; lifetime 4 censored (active at end)
+    rows = []
+    rows += [(1, 0), (1, 2)]        # u1: d=2, last=2, churned
+    rows += [(2, 10), (2, 12)]      # u2: d=2, churned
+    rows += [(3, 0), (3, 5)]        # u3: d=5, churned
+    rows += [(4, 96), (4, 100)]     # u4: d=4, last=100=end -> censored
+    ev = spark.createDataFrame(rows, "user_id long, sec long")
+    out = {
+        r["t_age"]: r
+        for r in kaplan_meier(ev, grain_sec=1, churn_sec=10).collect()
+    }
+    # event times: t=2 (2 events, 4 at risk), t=5 (1 event, 1 at risk:
+    # u4 censored at 4 has left the risk set by t=5)
+    assert set(out) == {2, 5}
+    assert out[2]["n_risk"] == 4 and out[2]["n_event"] == 2
+    assert out[5]["n_risk"] == 1 and out[5]["n_event"] == 1
+    # s(2) = 1e9*2//4 = 5e8; s(5) = 5e8*0//1 = 0
+    assert out[2]["surv_x1e9"] == 500_000_000
+    assert out[5]["surv_x1e9"] == 0
+    assert out[2]["survival"] == 0.5

@@ -11958,6 +11958,74 @@ QUERIES["sdt_compress"] = q_sdt_compress
 ORACLES["sdt_compress"] = SQL_SDT_COMPRESS
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival over user lifetimes with
+    right-censoring (hour-grain lifetimes; churn = last event ≥ 6h
+    before study end — the corpus spans ~30 days, so hour grain gives
+    a real curve at every SF). The product limit replays as INTEGER
+    floor-division micro-units — no float rounding convention
+    anywhere."""
+    from .operators import kaplan_meier
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    return kaplan_meier(ev, grain_sec=3600, churn_sec=21600)
+
+
+SQL_KAPLAN_MEIER = r"""
+WITH RECURSIVE per_user AS (
+  SELECT user_id,
+         min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_t,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_t
+  FROM events GROUP BY 1
+),
+study AS (
+  SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS study_end FROM events
+),
+users AS (
+  SELECT CAST((last_t - first_t) // 3600 AS BIGINT) AS d,
+         CASE WHEN study_end - last_t >= 21600 THEN 1 ELSE 0 END
+           AS churned
+  FROM per_user, study
+),
+per_d AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_at_d,
+         CAST(sum(churned) AS BIGINT) AS e_at_d
+  FROM users GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM users),
+steps AS (
+  SELECT d AS t_age,
+         CAST(tot - coalesce(CAST(sum(n_at_d) OVER (
+             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS BIGINT), 0) AS BIGINT) AS n_risk,
+         e_at_d AS n_event
+  FROM per_d, tot
+),
+ev AS (
+  SELECT t_age, n_risk, n_event,
+         row_number() OVER (ORDER BY t_age) AS rn
+  FROM steps WHERE n_event > 0
+),
+walk AS (
+  SELECT rn, t_age, n_risk, n_event,
+         (CAST(1000000000 AS BIGINT) * (n_risk - n_event)) // n_risk AS s
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.rn, e.t_age, e.n_risk, e.n_event,
+         (w.s * (e.n_risk - e.n_event)) // e.n_risk
+  FROM walk w JOIN ev e ON e.rn = w.rn + 1
+)
+SELECT t_age, n_risk, n_event, CAST(s AS BIGINT) AS surv_x1e9,
+       CAST(s AS DOUBLE) / 1e9 AS survival
+FROM walk
+"""
+
+QUERIES["kaplan_meier"] = q_kaplan_meier
+ORACLES["kaplan_meier"] = SQL_KAPLAN_MEIER
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
