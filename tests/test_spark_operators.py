@@ -2720,3 +2720,32 @@ def test_kaplan_meier_product_limit(spark):
     assert out[2]["surv_x1e9"] == 500_000_000
     assert out[5]["surv_x1e9"] == 0
     assert out[2]["survival"] == 0.5
+
+
+def test_rfm_segments_semantics(spark):
+    """RFM: quintile direction (5 = best), cent exactness, ntile
+    distribution on a hand-built 10-customer book."""
+    from tsmp_spark.operators import rfm_segments
+
+    rows = []
+    # customer i: i orders, each 10.005*i value, last order at day i
+    for c in range(1, 11):
+        for k in range(c):
+            rows.append((c, 86400 * c, 10.0 * c))
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate long, o_totalprice double"
+    )
+    out = {r["custkey"]: r for r in rfm_segments(orders).collect()}
+    assert len(out) == 10
+    # customer 10: most recent (recency 0), most frequent, biggest spend
+    assert out[10]["recency_days"] == 0
+    assert out[10]["frequency"] == 10
+    assert out[10]["monetary_cents"] == 10 * 1000 * 10
+    assert out[10]["r"] == 5 and out[10]["f"] == 5 and out[10]["m"] == 5
+    assert out[10]["rfm_code"] == 555
+    # customer 1: oldest, least frequent, least spend
+    assert out[1]["r"] == 1 and out[1]["f"] == 1 and out[1]["m"] == 1
+    # ntile(5) over 10 rows = exactly 2 per bucket
+    from collections import Counter
+
+    assert Counter(r["f"] for r in out.values()) == {q: 2 for q in range(1, 6)}

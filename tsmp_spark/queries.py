@@ -12026,6 +12026,53 @@ QUERIES["kaplan_meier"] = q_kaplan_meier
 ORACLES["kaplan_meier"] = SQL_KAPLAN_MEIER
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders: recency/frequency/
+    monetary quintiles (5 = best) with exact-cent amounts and
+    total-order ntile tie-breaks — integer-only output."""
+    from .operators import rfm_segments
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    return rfm_segments(orders)
+
+
+SQL_RFM_SEGMENTS = r"""
+WITH per_c AS (
+  SELECT o_custkey AS custkey,
+         max(CAST(floor(epoch(o_orderdate)) AS BIGINT)) AS last_t,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+              AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY 1
+),
+endt AS (
+  SELECT max(CAST(floor(epoch(o_orderdate)) AS BIGINT)) AS end_t FROM orders
+),
+base AS (
+  SELECT custkey,
+         CAST((end_t - last_t) // 86400 AS BIGINT) AS recency_days,
+         frequency, monetary_cents
+  FROM per_c, endt
+)
+SELECT custkey, recency_days, frequency, monetary_cents,
+       CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS BIGINT) AS r,
+       CAST(ntile(5) OVER (ORDER BY frequency ASC, custkey) AS BIGINT) AS f,
+       CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, custkey) AS BIGINT) AS m,
+       CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey) * 100
+            + ntile(5) OVER (ORDER BY frequency ASC, custkey) * 10
+            + ntile(5) OVER (ORDER BY monetary_cents ASC, custkey)
+            AS BIGINT) AS rfm_code
+FROM base
+"""
+
+QUERIES["rfm_segments"] = q_rfm_segments
+ORACLES["rfm_segments"] = SQL_RFM_SEGMENTS
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
