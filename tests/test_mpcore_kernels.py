@@ -244,3 +244,30 @@ def test_skip_locations_masked():
     # far-away windows still finite
     assert np.isfinite(r.mp[0])
     assert np.isfinite(r.mp[-1])
+
+
+def test_aamp_matches_bruteforce_with_ties():
+    """AAMP diagonal march == scalar brute force, exact integers,
+    lexicographic (dist, neighbor) tie rule — small value range forces
+    frequent exact ties."""
+    import numpy as np
+
+    from tsmp_spark.mpcore.aamp import AAMP_SENT, aamp, aamp_ref
+
+    rng = np.random.default_rng(23)
+    for _ in range(25):
+        n = int(rng.integers(10, 50))
+        w = int(rng.integers(2, 8))
+        ez = int(rng.integers(0, 4))
+        x = rng.integers(0, 30, n)
+        m1, p1 = aamp(x, w, ez)
+        m2, p2 = aamp_ref(x, w, ez)
+        assert list(m1) == m2 and list(p1) == p2
+    # constant series: zero distances everywhere, neighbor = smallest
+    # admissible index — no lowvar guard needed (nothing normalized)
+    m, p = aamp(np.full(20, 7), 4, 2)
+    assert set(m.tolist()) == {0}
+    assert p[0] == 3  # first admissible j for i=0 with ez=2
+    # neighborless: series exactly MIN length with full-width ez
+    m, p = aamp(np.arange(6), 4, 4)
+    assert all(v == AAMP_SENT for v in m) and all(v == -1 for v in p)

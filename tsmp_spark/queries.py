@@ -12073,6 +12073,85 @@ QUERIES["rfm_segments"] = q_rfm_segments
 ORACLES["rfm_segments"] = SQL_RFM_SEGMENTS
 
 
+def q_aamp_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AAMP — NON-normalized Euclidean matrix profile per tokenized doc
+    (Akbarinia & Cloez 2019): which VALUES repeat, not which shapes.
+    Over integer token ids the squared window distance is an exact
+    integer, so profile AND index hash bit-for-bit with no float
+    convention and no low-variance guard (nothing is normalized)."""
+    import pandas as pd
+
+    from .mpcore.aamp import AAMP_SENT, aamp
+
+    tok = _tokenized(spark, sf_dir).filter(F.col("n_tok") >= MIN_LEN)
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                mp2, pi = aamp(np.asarray(toks, dtype=np.int64), W, EZ_N)
+                for pos in range(len(mp2)):
+                    if mp2[pos] != AAMP_SENT:
+                        out.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "pos": pos,
+                                "mp2": int(mp2[pos]),
+                                "pi": int(pi[pos]),
+                            }
+                        )
+            if out:
+                yield pd.DataFrame(out)
+
+    seqs = tok.select(F.col("doc_id").cast("bigint").alias("doc_id"), "tokens")
+    return seqs.mapInPandas(
+        kernel, "doc_id long, pos long, mp2 long, pi long"
+    )
+
+
+SQL_AAMP_TOKENS = f"""
+WITH {_SQL_TOKEN_SERIES},
+lens AS (
+  SELECT doc_id, count(*) AS n FROM s GROUP BY 1
+  HAVING count(*) >= {MIN_LEN}
+),
+el AS (
+  SELECT s.doc_id, pos, CAST(value AS BIGINT) AS v
+  FROM s JOIN lens USING (doc_id)
+),
+pr AS (
+  SELECT a.doc_id, a.pos AS t, b.pos - a.pos AS d,
+         (a.v - b.v) * (a.v - b.v) AS sq
+  FROM el a JOIN el b ON a.doc_id = b.doc_id AND b.pos > a.pos + {EZ_N}
+),
+qt AS (
+  SELECT doc_id, t AS i, d,
+         CAST(sum(sq) OVER win AS BIGINT) AS sqd,
+         count(*) OVER win AS m
+  FROM pr
+  WINDOW win AS (PARTITION BY doc_id, d ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)
+),
+sides AS (
+  SELECT doc_id, i AS pos, i + d AS nn, sqd FROM qt WHERE m = {W}
+  UNION ALL
+  SELECT doc_id, i + d AS pos, i AS nn, sqd FROM qt WHERE m = {W}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS BIGINT) AS pos,
+       sqd AS mp2, CAST(nn AS BIGINT) AS pi
+FROM (SELECT doc_id, pos, nn, sqd,
+             row_number() OVER (PARTITION BY doc_id, pos
+                                ORDER BY sqd, nn) AS rn
+      FROM sides)
+WHERE rn = 1
+"""
+
+QUERIES["aamp_tokens"] = q_aamp_tokens
+ORACLES["aamp_tokens"] = SQL_AAMP_TOKENS
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
