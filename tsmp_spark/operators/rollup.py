@@ -4070,3 +4070,60 @@ def rfm_segments(
         "rfm_code",
         (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("bigint"),
     )
+
+
+def concurrency_peak(
+    intervals: DataFrame,
+    bucket_sec: int = 21600,
+    key_col: str = "key",
+    start_col: str = "start",
+    end_col: str = "end",
+    id_col: str = "iid",
+) -> DataFrame:
+    """Peak concurrency per (series, bucket): the classic ±1 sweep over
+    half-open intervals [start, end) — max simultaneous sessions, the
+    capacity-planning aggregate next to `interval_coalesce` (coverage)
+    and `interval_gaps` (holes).
+
+    Determinism: change events sort by the TOTAL order (t, delta, id) —
+    ends (−1) before starts (+1) at equal t gives half-open semantics,
+    and the id tie-break pins per-row running values when two starts
+    share a timestamp (the CLAUDE.md sessionization tie rule; without
+    it the engines may order tied rows differently and the per-row max
+    diverges even though the final sum doesn't). Peaks are reported at
+    change points, so buckets with no change point are absent
+    (concurrency there is flat — the carried value, documented).
+
+    Scale: one keyed window (the sweep) + a bucket groupBy that
+    EXTENDS the window's hash prefix — exchange reused, ONE shuffle,
+    all integer.
+    """
+    from pyspark.sql.window import Window
+
+    changes = intervals.select(
+        F.col(key_col).alias("key"),
+        F.col(start_col).cast("long").alias("t"),
+        F.lit(1).cast("long").alias("delta"),
+        F.col(id_col).cast("long").alias("iid"),
+    ).unionByName(
+        intervals.select(
+            F.col(key_col).alias("key"),
+            F.col(end_col).cast("long").alias("t"),
+            F.lit(-1).cast("long").alias("delta"),
+            F.col(id_col).cast("long").alias("iid"),
+        )
+    )
+    w = Window.partitionBy("key").orderBy("t", "delta", "iid")
+    swept = changes.withColumn(
+        "conc", F.sum("delta").over(w).cast("bigint")
+    )
+    return (
+        swept.groupBy(
+            "key",
+            F.floor(F.col("t") / bucket_sec).cast("long").alias("bucket"),
+        )
+        .agg(
+            F.max("conc").cast("bigint").alias("peak"),
+            F.count("*").cast("bigint").alias("n_changes"),
+        )
+    )

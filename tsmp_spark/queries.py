@@ -12152,6 +12152,54 @@ QUERIES["aamp_tokens"] = q_aamp_tokens
 ORACLES["aamp_tokens"] = SQL_AAMP_TOKENS
 
 
+def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per (event_type, 6h bucket): ±1 sweep
+    over the house synthetic intervals [sec, sec+3600+floor(|v|·600))
+    with the total (t, delta, id) order — half-open semantics, integer
+    exact."""
+    from .operators import concurrency_peak
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.unix_timestamp("ts").cast("long")
+    iv = ev.select(
+        F.col("event_type").alias("key"),
+        sec.alias("start"),
+        (sec + 3600 + F.floor(F.abs(F.col("value")) * 600).cast("long"))
+        .alias("end"),
+        F.col("event_id").alias("iid"),
+    )
+    return concurrency_peak(iv, bucket_sec=21600)
+
+
+SQL_CONCURRENCY_PEAK = r"""
+WITH iv AS (
+  SELECT event_type AS key, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 3600
+           + CAST(floor(abs(value) * 600) AS BIGINT) AS e,
+         CAST(event_id AS BIGINT) AS iid
+  FROM events
+),
+changes AS (
+  SELECT key, s AS t, CAST(1 AS BIGINT) AS delta, iid FROM iv
+  UNION ALL
+  SELECT key, e AS t, CAST(-1 AS BIGINT) AS delta, iid FROM iv
+),
+swept AS (
+  SELECT key, t,
+         CAST(sum(delta) OVER (PARTITION BY key
+                               ORDER BY t, delta, iid) AS BIGINT) AS conc
+  FROM changes
+)
+SELECT key, t // 21600 AS bucket,
+       CAST(max(conc) AS BIGINT) AS peak,
+       CAST(count(*) AS BIGINT) AS n_changes
+FROM swept GROUP BY 1, 2
+"""
+
+QUERIES["concurrency_peak"] = q_concurrency_peak
+ORACLES["concurrency_peak"] = SQL_CONCURRENCY_PEAK
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
