@@ -2781,3 +2781,29 @@ def test_concurrency_peak_sweep(spark):
     )
     got = {r["bucket"]: r["peak"] for r in cp(only_touch, 1000).collect()}
     assert got[0] == 1
+
+
+def test_pagerank_integer_recurrence(spark):
+    """PageRank: hand-replayed 1-iteration values on a 3-node cycle,
+    star-center dominance, mass ≈ conserved (floor loss only)."""
+    from tsmp_spark.operators import pagerank
+
+    # directed 3-cycle, unit weights: symmetric structure keeps ranks equal
+    cyc = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    out = {r["node"]: r["pr_x1e9"] for r in pagerank(cyc, iters=1).collect()}
+    # r0 = 1e9//3 = 333333333; contrib = (85*333333333*1)//(100*1)
+    # = 283333333; tele = (1e9*15//100)//3 = 50000000
+    assert out == {k: 50_000_000 + 283_333_333 for k in "abc"}
+
+    # star (undirected): center out-degree 4, leaves 1 — center dominates
+    pairs = [("hub", f"l{i}", 1) for i in range(4)]
+    edges = pairs + [(b, a, w) for a, b, w in pairs]
+    star = spark.createDataFrame(edges, "src string, dst string, w long")
+    pr = {r["node"]: r["pr_x1e9"] for r in pagerank(star, iters=3).collect()}
+    assert pr["hub"] > max(v for k, v in pr.items() if k != "hub")
+    # mass conservation up to floor leakage: <= 1 unit per edge per iter
+    total = sum(pr.values())
+    assert 10**9 - 8 * 3 - 5 * 3 <= total <= 10**9

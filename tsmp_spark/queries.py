@@ -12200,6 +12200,89 @@ QUERIES["concurrency_peak"] = q_concurrency_peak
 ORACLES["concurrency_peak"] = SQL_CONCURRENCY_PEAK
 
 
+PR_ITERS = 3
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the symmetrized customer–supplier trade
+    graph (edge weight = lineitem count via orders): 3 unrolled power
+    iterations of the INTEGER micro-unit recurrence — bit-exact on
+    both engines, no float anywhere (the kaplan_meier convention)."""
+    from .operators import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    return pagerank(edges, iters=PR_ITERS)
+
+
+def _pr_sql() -> str:
+    tele = "(CAST(1000000000 AS BIGINT) * 15 // 100)"
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        prev = f"r{k-1}"
+        iters.append(f"""
+r{k} AS MATERIALIZED (
+  SELECT nd.node,
+         CAST({tele} // nn.n + coalesce(c.s, 0) AS BIGINT) AS r
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum((85 * p.r * e.w) // (100 * o.W)) AS BIGINT) AS s
+    FROM edges e
+    JOIN {prev} p ON p.node = e.src
+    JOIN outw o ON o.src = e.src
+    GROUP BY 1
+  ) c ON c.node = nd.node
+)""")
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+         's' || CAST(l_suppkey AS VARCHAR) AS b,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst, w FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst, w FROM pairs
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+outw AS MATERIALIZED (
+  SELECT src, CAST(sum(w) AS BIGINT) AS W FROM edges GROUP BY 1
+),
+r0 AS MATERIALIZED (
+  SELECT node, CAST(CAST(1000000000 AS BIGINT) // nn.n AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn
+),{",".join(iters)}
+SELECT node, r AS pr_x1e9 FROM r{PR_ITERS}
+"""
+
+
+SQL_PAGERANK = _pr_sql()
+
+QUERIES["pagerank"] = q_pagerank
+ORACLES["pagerank"] = SQL_PAGERANK
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
