@@ -990,3 +990,86 @@ def test_mg_stream_bounds_any_order(spark, tmp_path):
     assert len(live) <= k
     for r in live:
         assert r.est <= 1
+
+
+def test_sdt_stream_equals_batch_ordered(spark, tmp_path):
+    """Streaming swinging-door == batch sdt_compress on ordered ingest,
+    modulo each open window's trailing point (batch always flushes it;
+    the stream holds it pending until superseded — exactly the
+    last-(key,bucket) rows). O(1) state: anchor + prev + two door
+    rationals."""
+    import os
+
+    from tsmp_spark.operators.rollup import sdt_compress
+    from tsmp_spark.streaming.rollup import sdt_stream
+
+    rng_rows = []
+    ev_id = 0
+    for k, base in (("t0", 0), ("t1", 3)):
+        v = 50.0
+        for i in range(300):
+            # random-ish walk with plateaus via deterministic arithmetic
+            step = ((i * 29 + base) % 11) - 5
+            v = v + step * 0.25
+            rng_rows.append((ev_id, k, 60 * i + base, float(v)))
+            ev_id += 1
+    # duplicate timestamp within one micro-batch: later id must win
+    rng_rows.append((9000, "t0", 60 * 10, 400.0))
+    schema = "event_id long, event_type string, sec long, value double"
+    batch_df = spark.createDataFrame(rng_rows, schema)
+
+    base_dir = str(tmp_path / "sdt_ev")
+    os.makedirs(base_dir)
+    ordered = sorted(rng_rows, key=lambda r: (r[2], r[0]))
+    per = len(ordered) // 3 + 1
+    for k in range(3):
+        chunk = ordered[per * k: per * (k + 1)]
+        if chunk:
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                f"{base_dir}/f{k}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base_dir}/*")
+    )
+    q = (
+        sdt_stream(stream, bucket_sec=7200, dev_centi=120)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdt_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sdt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.key, r.bucket, r.t, r.v_centi)
+        for r in spark.sql("SELECT * FROM sdt_out").collect()
+    }
+    batch = sdt_compress(batch_df, bucket=7200, dev_centi=120).collect()
+    # drop each (key,bucket)'s trailing point — pending in the stream
+    last_t = {}
+    for r in batch:
+        kb = (r.key, r.bucket)
+        if kb not in last_t or r.t > last_t[kb]:
+            last_t[kb] = r.t
+    first_t = {}
+    for r in batch:
+        kb = (r.key, r.bucket)
+        if kb not in first_t or r.t < first_t[kb]:
+            first_t[kb] = r.t
+    # trailing point pending — unless the group is a singleton, where
+    # trailing == first and the first-point emission covers it
+    want = {
+        (r.key, r.bucket, r.t, r.v_centi)
+        for r in batch
+        if last_t[(r.key, r.bucket)] != r.t
+        or first_t[(r.key, r.bucket)] == r.t
+    }
+    assert got == want
+    assert len(got) > 0
+    # duplicate-timestamp row: latest id (9000, v=400) won in both
+    dup = [x for x in got if x[0] == "t0" and x[2] == 600]
+    assert dup and dup[0][3] == 40000

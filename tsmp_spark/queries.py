@@ -12283,6 +12283,62 @@ QUERIES["pagerank"] = q_pagerank
 ORACLES["pagerank"] = SQL_PAGERANK
 
 
+def q_sdt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming swinging-door trimming through an actual Structured
+    Streaming query (streaming.rollup.sdt_stream): events replayed via
+    a file stream, kept points appended as doors close. The walk is
+    order-dependent with O(1) state under the ordered-ingest contract,
+    so the drained output equals the BATCH kept set minus each open
+    window's pending trailing point — the oracle is the batch SDT SQL
+    with trailing rows removed."""
+    import uuid
+
+    from .streaming.rollup import sdt_stream
+
+    name = "sdt_sink_" + uuid.uuid4().hex[:8]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props map<string,string>"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "event_type", "value",
+                F.unix_timestamp("ts").alias("sec"))
+    )
+    out = sdt_stream(stream, bucket_sec=21600, dev_centi=SDT_DEV)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT key, bucket, t, v_centi FROM {name}")
+
+
+SQL_SDT_STREAM = f"""
+WITH base AS MATERIALIZED ({SQL_SDT_COMPRESS}),
+flagged AS (
+  SELECT key, bucket, t, v_centi,
+         max(t) OVER (PARTITION BY key, bucket) AS mt,
+         min(t) OVER (PARTITION BY key, bucket) AS mint
+  FROM base
+)
+-- the stream emits the FIRST kept point immediately and every
+-- door-closed point; only the pending trailing point is absent —
+-- unless the group is a singleton, where trailing == first and the
+-- first-point emission already covered it
+SELECT key, bucket, t, v_centi FROM flagged WHERE t <> mt OR t = mint
+"""
+
+QUERIES["sdt_stream"] = q_sdt_stream
+ORACLES["sdt_stream"] = SQL_SDT_STREAM
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #

@@ -197,3 +197,124 @@ def ohlc_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SDT_OUTPUT_SCHEMA = "key string, bucket long, t long, v_centi long"
+SDT_STATE_SCHEMA = (
+    "at long, av long, pt long, pv long, fresh boolean, "
+    "smax_n long, smax_d long, smin_n long, smin_d long"
+)
+
+
+def _sdt_func_factory(dev: int):
+    def _sdt_func(key, pdfs, state):
+        """Per-(key, bucket) swinging-door walk with O(1) state — the
+        anchor, the previous point, and the two door rationals. The walk
+        is ORDER-dependent (unlike the commutative candle fold), so the
+        stream==batch contract is ORDERED INGEST per key (the
+        sessionize_stream convention): each micro-batch sorts its own
+        rows, batches must not interleave timestamps. Kept points emit
+        the moment their door closes; the bucket's trailing point stays
+        pending until the NEXT point arrives (batch semantics always
+        keep the final point — the pytest compares modulo that flush).
+        """
+        import pandas as pd
+
+        if state.exists:
+            (at, av, pt, pv, fresh, smax_n, smax_d, smin_n, smin_d) = state.get
+            started = True
+        else:
+            at = av = pt = pv = 0
+            fresh = True
+            smax_n = smin_n = 0
+            smax_d = smin_d = 1
+            started = False
+        out = []
+        (k, bucket) = key
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["t", "i"]).drop_duplicates(
+                "t", keep="last"
+            )
+            for t, v in zip(pdf["t"], pdf["v_centi"]):
+                ct, cv = int(t), int(v)
+                if not started:
+                    at, av = ct, cv
+                    pt, pv = ct, cv
+                    fresh = True
+                    started = True
+                    out.append((ct, cv))  # first point always kept
+                    continue
+                if ct <= pt:
+                    continue  # ordered-ingest contract: drop regressions
+                dt = ct - at
+                up_n, dn_n = cv + dev - av, cv - dev - av
+                if fresh:
+                    smax_n, smax_d = up_n, dt
+                    smin_n, smin_d = dn_n, dt
+                    fresh = False
+                else:
+                    if up_n * smax_d < smax_n * dt:
+                        smax_n, smax_d = up_n, dt
+                    if dn_n * smin_d > smin_n * dt:
+                        smin_n, smin_d = dn_n, dt
+                if smin_n * smax_d > smax_n * smin_d:
+                    out.append((pt, pv))  # door closed: prev finalized
+                    at, av = pt, pv
+                    d2 = ct - at
+                    smax_n, smax_d = cv + dev - av, d2
+                    smin_n, smin_d = cv - dev - av, d2
+                pt, pv = ct, cv
+        state.update(
+            (at, av, pt, pv, fresh, smax_n, smax_d, smin_n, smin_d)
+        )
+        if out:
+            yield pd.DataFrame(
+                [
+                    {"key": k, "bucket": int(bucket), "t": t, "v_centi": v}
+                    for t, v in out
+                ]
+            )
+
+    return _sdt_func
+
+
+def sdt_stream(
+    event_stream: DataFrame,
+    bucket_sec: int = 21600,
+    dev_centi: int = 200,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming swinging-door trimming — historian compression AT
+    INGEST: the batch ``rollup.sdt_compress`` door walk maintained
+    incrementally per (key, bucket) with O(1) state (anchor + previous
+    point + two integer door rationals; ~70 bytes per open window).
+
+    Contract: ordered ingest per key (regressing timestamps within a
+    group are dropped); kept points append as doors close, the open
+    window's trailing point is pending until superseded. The input
+    derivation is JVM-side and shares the batch centi quantization.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    b = F.floor(F.col(ts_col).cast("long") / bucket_sec).cast("long")
+    rows = event_stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        b.alias("bucket"),
+        F.col(ts_col).cast("long").alias("t"),
+        F.col(id_col).cast("long").alias("i"),
+        F.round(F.col(value_col).cast("double") * 100)
+        .cast("bigint")
+        .alias("v_centi"),
+    )
+    return rows.groupBy("key", "bucket").applyInPandasWithState(
+        _sdt_func_factory(int(dev_centi)),
+        outputStructType=SDT_OUTPUT_SCHEMA,
+        stateStructType=SDT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
