@@ -266,3 +266,51 @@ def test_fuzz_tier_aggregate_jittered(tmp_path, spark):
             int(g) for g in rng.integers(0, 90000, size=n - 1)
         ]
     _run_gate(tmp_path, spark, rng, gaps, queries=TIER_FUZZ_QUERIES)
+
+
+def test_fuzz_sdt_door_schedules(tmp_path, spark):
+    """Swinging-door + concurrency + KM under pathological schedules:
+    plateaus (zero steps), exact duplicate seconds (gap 0 — the
+    latest-id dedup on both engines), micro-ramps that keep doors open
+    for long runs, and spikes that slam them shut."""
+    rng = np.random.default_rng(4201)
+    gaps = {}
+    for uid in range(1, 7):
+        n = int(rng.integers(12, 60))
+        gaps[uid] = [int(rng.integers(0, 1200))] + [
+            int(g) for g in rng.choice([0, 0, 1, 30, 60, 600], size=n - 1)
+        ]
+
+    def plateau_values(rng2, n):
+        # long constant runs + occasional dyadic spikes
+        base = np.repeat(
+            _dyadic(rng2, max(1, (n + 7) // 8)), 8
+        )[:n]
+        spikes = rng2.integers(0, n, size=max(1, n // 10))
+        base[spikes] += rng2.integers(-400, 400, size=len(spikes)) / 64.0
+        return base
+
+    _run_gate(
+        tmp_path, spark, rng, gaps,
+        value_override=plateau_values,
+        queries=["sdt_compress", "concurrency_peak", "kaplan_meier"],
+    )
+
+
+def test_fuzz_sdt_tie_storms(tmp_path, spark):
+    """Everything lands on a handful of seconds: duplicate-timestamp
+    dedup dominates SDT, the ±1 sweep sees mass start/end ties, and KM
+    lifetimes collapse to few distinct ages (heavy tie groups in the
+    product limit)."""
+    rng = np.random.default_rng(4301)
+    gaps = {}
+    for uid in range(1, 10):
+        n = int(rng.integers(6, 30))
+        gaps[uid] = [int(rng.integers(0, 120))] + [
+            int(g) for g in rng.choice([0, 0, 0, 0, 1, 21600], size=n - 1)
+        ]
+    _run_gate(
+        tmp_path, spark, rng, gaps,
+        queries=["sdt_compress", "concurrency_peak", "kaplan_meier",
+                 "sdt_stream"],
+    )

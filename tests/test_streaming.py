@@ -1073,3 +1073,60 @@ def test_sdt_stream_equals_batch_ordered(spark, tmp_path):
     # duplicate-timestamp row: latest id (9000, v=400) won in both
     dup = [x for x in got if x[0] == "t0" and x[2] == 600]
     assert dup and dup[0][3] == 40000
+
+
+def test_ams_stream_equals_batch_any_order(spark, tmp_path):
+    """Streaming AMS counters fed OUT-OF-ORDER micro-batches converge
+    to the exact batch estimate — integer adds commute, so no arrival
+    contract is needed (the hll register argument)."""
+    import os
+
+    from tsmp_spark.operators.sketch import ams_f2
+    from tsmp_spark.streaming.sketch import ams_stream
+
+    rows = [
+        (i, (i * 7) % 40, (i % 4) * 21600 + (i * 13) % 21600)
+        for i in range(800)
+    ]
+    schema = "event_id long, user_id long, sec long"
+    batch_df = spark.createDataFrame(rows, schema)
+
+    base = str(tmp_path / "ams_ev")
+    os.makedirs(base)
+    scrambled = rows[500:] + rows[:250] + rows[250:500]
+    per = len(scrambled) // 3 + 1
+    for k in range(3):
+        chunk = scrambled[per * k: per * (k + 1)]
+        if chunk:
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                f"{base}/f{k}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/*")
+    )
+    q = (
+        ams_stream(stream, bucket_sec=21600)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ams_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ams"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.bucket: (r.est_x16, r.n_seen)
+        for r in spark.sql(
+            "SELECT bucket, est_x16, n_seen FROM (SELECT *, row_number() "
+            "OVER (PARTITION BY bucket ORDER BY n_seen DESC) rn FROM "
+            "ams_out) WHERE rn = 1"
+        ).collect()
+    }
+    want = {
+        r["bucket"]: (r["est_x16"], r["n"])
+        for r in ams_f2(batch_df, bucket_sec=21600).collect()
+    }
+    assert got == want and len(got) == 4

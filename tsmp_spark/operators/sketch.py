@@ -1190,6 +1190,36 @@ def _ams_sign(half: str, bit: int):
     ).cast("long")
 
 
+def ams_hash_rows(
+    events: DataFrame,
+    bucket_sec: int,
+    item_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """(bucket, item, h0, h1) hashed rows — the shared JVM-side front
+    end of batch ``ams_f2``/``ams_rerollup`` and
+    ``streaming.ams_stream`` (the hll_register_rows convention: the
+    stream's Python state function only folds, never re-derives)."""
+    return events.select(
+        F.floor(F.col(ts_col).cast("long") / bucket_sec)
+        .cast("long")
+        .alias("bucket"),
+        F.col(item_col).cast("string").alias("item"),
+    ).withColumn(
+        "h0",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("f2:"), F.col("item"))), 1, 8),
+            16, 10,
+        ).cast("long"),
+    ).withColumn(
+        "h1",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("f2:"), F.col("item"))), 9, 8),
+            16, 10,
+        ).cast("long"),
+    )
+
+
 def ams_f2(
     events: DataFrame,
     bucket_sec: int = 21600,
@@ -1217,20 +1247,7 @@ def ams_f2(
     alone is the operator). Counters MERGE by element-wise sum
     (linearity of c_j in the multiset ⇒ merge == recompute EXACTLY —
     the identity `ams_rerollup`'s oracle rides)."""
-    rows = events.select(
-        F.floor(F.col(ts_col).cast("long") / bucket_sec)
-        .cast("long")
-        .alias("bucket"),
-        F.col(item_col).cast("string").alias("item"),
-    ).withColumn(
-        "h0",
-        F.conv(F.substring(F.md5(F.concat(F.lit("f2:"), F.col("item"))), 1, 8), 16, 10)
-        .cast("long"),
-    ).withColumn(
-        "h1",
-        F.conv(F.substring(F.md5(F.concat(F.lit("f2:"), F.col("item"))), 9, 8), 16, 10)
-        .cast("long"),
-    )
+    rows = ams_hash_rows(events, bucket_sec, item_col, ts_col)
     counters = rows.groupBy("bucket").agg(
         F.count("*").cast("bigint").alias("n"),
         *[
@@ -1292,20 +1309,7 @@ def ams_rerollup(
     row count, the tiered-store property."""
     if coarse_sec % fine_sec != 0:
         raise ValueError("coarse_sec must be a multiple of fine_sec")
-    rows = events.select(
-        F.floor(F.col(ts_col).cast("long") / fine_sec)
-        .cast("long")
-        .alias("bucket"),
-        F.col(item_col).cast("string").alias("item"),
-    ).withColumn(
-        "h0",
-        F.conv(F.substring(F.md5(F.concat(F.lit("f2:"), F.col("item"))), 1, 8), 16, 10)
-        .cast("long"),
-    ).withColumn(
-        "h1",
-        F.conv(F.substring(F.md5(F.concat(F.lit("f2:"), F.col("item"))), 9, 8), 16, 10)
-        .cast("long"),
-    )
+    rows = ams_hash_rows(events, fine_sec, item_col, ts_col)
     fine = rows.groupBy("bucket").agg(
         F.count("*").cast("bigint").alias("n"),
         *[

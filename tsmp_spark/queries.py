@@ -12339,6 +12339,69 @@ QUERIES["sdt_stream"] = q_sdt_stream
 ORACLES["sdt_stream"] = SQL_SDT_STREAM
 
 
+def q_ams_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming AMS F2 sketch through a real Structured Streaming
+    query: counters are LINEAR integer folds, so the drained last
+    snapshot per bucket equals the batch sketch for any arrival order —
+    gated by the same counter-chain SQL as the batch `ams_f2`."""
+    import uuid
+
+    from .streaming.sketch import ams_stream
+
+    name = "ams_sink_" + uuid.uuid4().hex[:8]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props map<string,string>"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", F.unix_timestamp("ts").alias("sec"))
+    )
+    out = ams_stream(stream, bucket_sec=21600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""
+        SELECT bucket, est_x16, n_seen AS n
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY bucket ORDER BY n_seen DESC) AS rn
+          FROM {name}) WHERE rn = 1
+        """
+    )
+
+
+SQL_AMS_STREAM = f"""
+WITH {_AMS_HASHED.format(fine=21600)},
+counters AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         {_AMS_COUNTER_SUMS}
+  FROM hashed GROUP BY bucket
+),
+grouped AS (
+  SELECT bucket, n,
+         {_AMS_GROUP_SUMS}
+  FROM counters
+)
+SELECT bucket,
+       CAST(list_sort([g0, g1, g2, g3])[2] AS BIGINT) AS est_x16,
+       n
+FROM grouped
+"""
+
+QUERIES["ams_stream"] = q_ams_stream
+ORACLES["ams_stream"] = SQL_AMS_STREAM
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #

@@ -334,3 +334,71 @@ def mg_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+AMS_OUTPUT_SCHEMA = "bucket long, n_seen long, est_x16 long"
+AMS_STATE_SCHEMA = "counters binary, n_seen long"
+
+
+def _ams_func(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-bucket AMS fold: 64 signed integer counters (512 bytes).
+    Counters are LINEAR in the multiset — integer adds commute — so
+    stream == batch for ANY arrival order (the hll register argument);
+    the estimate re-derives from the counters at every snapshot."""
+    from ..operators.sketch import AMS_G, AMS_K, AMS_PER_G
+
+    if state.exists:
+        counters_bytes, n_seen = state.get
+        counters = np.frombuffer(counters_bytes, dtype=np.int64).copy()
+    else:
+        counters, n_seen = np.zeros(AMS_K, dtype=np.int64), 0
+    (bucket,) = key
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        h0 = pdf["h0"].to_numpy(dtype=np.int64)
+        h1 = pdf["h1"].to_numpy(dtype=np.int64)
+        for j in range(AMS_K):
+            h = h0 if j < 32 else h1
+            counters[j] += len(h) - 2 * int(
+                ((h >> (j % 32)) & 1).sum()
+            )
+        n_seen += len(pdf)
+    state.update((counters.tobytes(), n_seen))
+    g = counters.reshape(AMS_G, AMS_PER_G).astype(object)
+    gsums = sorted(int((row * row).sum()) for row in g)
+    yield pd.DataFrame(
+        [
+            {
+                "bucket": int(bucket),
+                "n_seen": int(n_seen),
+                "est_x16": int(gsums[1]),  # lower median of 4
+            }
+        ]
+    )
+
+
+def ams_stream(
+    event_stream: DataFrame,
+    bucket_sec: int = 21600,
+    item_col: str = "user_id",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """Streaming counterpart of ``ams_f2``: the tug-of-war F2 sketch
+    maintained incrementally per bucket. One snapshot row per (bucket,
+    micro-batch); the LAST snapshot equals the batch estimate exactly
+    for any arrival order (counter linearity). State = 64 int64
+    counters = 512 bytes per open bucket; the hash derivation is
+    JVM-side and SHARED with batch (``ams_hash_rows``)."""
+    from ..operators.sketch import ams_hash_rows
+
+    rows = ams_hash_rows(event_stream, bucket_sec, item_col, ts_col)
+    return rows.groupBy("bucket").applyInPandasWithState(
+        _ams_func,
+        outputStructType=AMS_OUTPUT_SCHEMA,
+        stateStructType=AMS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
