@@ -798,3 +798,15 @@ def test_hdr_quantiles_sketch_rows_only_window(events):
     plan = _plan(hdr_quantiles(ev, 86400))
     assert plan.count("Exchange") == 2
     assert "BatchEvalPython" not in plan
+
+
+def test_regional_volume_all_dims_broadcast(spark):
+    """TPC-H Q5 shape: every dimension side broadcasts — the fact table
+    must never SortMergeJoin; its only exchange is the final nation
+    groupBy."""
+    from tsmp_spark.queries import q_regional_volume
+
+    plan = _plan(q_regional_volume(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

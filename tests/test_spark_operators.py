@@ -2807,3 +2807,70 @@ def test_pagerank_integer_recurrence(spark):
     # mass conservation up to floor leakage: <= 1 unit per edge per iter
     total = sum(pr.values())
     assert 10**9 - 8 * 3 - 5 * 3 <= total <= 10**9
+
+
+def test_zonemap_stats_pruning(spark):
+    """Zone-map audit: clustered granules are skippable, mixed granules
+    are kept with a measurable false-keep cost."""
+    from tsmp_spark.operators import zonemap_stats
+
+    rows = []
+    # granule 0 (ids 0..511): all values below the range -> skippable
+    for i in range(512):
+        rows.append((i, 50.0))
+    # granule 1: straddles the range -> kept, some matches
+    for i in range(512, 1024):
+        rows.append((i, 150.0 if i % 4 == 0 else 300.0))
+    ev = spark.createDataFrame(rows, "event_id long, value double")
+    out = {r["granule"]: r for r in zonemap_stats(
+        ev, granule_rows=512, lo_centi=10000, hi_centi=20000).collect()}
+    assert out[0]["skippable"] == 1 and out[0]["n_match"] == 0
+    assert out[1]["skippable"] == 0 and out[1]["n_match"] == 128
+    assert out[1]["n_rows"] - out[1]["n_match"] == 384  # false-keep cost
+    assert out[0]["vmin_centi"] == out[0]["vmax_centi"] == 5000
+
+
+def test_trimmed_mean_count_based(spark):
+    """Count-based 10% trim: k = n//10 dropped from EACH side over the
+    total (value, id) order; degenerate small buckets keep everything."""
+    from tsmp_spark.operators import trimmed_mean
+
+    rows = [(i, "a", float(v), 0)
+            for i, v in enumerate([100, 1, 2, 3, 4, 5, 6, 7, 8, -50])]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, sec long")
+    out = trimmed_mean(ev, bucket_sec=86400, trim_pct=10).collect()[0]
+    # n=10, k=1: drop -50 and 100 -> kept 1..8, sum 36*100 centi
+    assert out["n"] == 10 and out["n_kept"] == 8
+    assert out["sum_kept_centi"] == 3600
+    assert out["mean_centi"] == 450.0
+    # n < 1/trim_pct: k=0, nothing trimmed
+    small = spark.createDataFrame(
+        rows[:5], "event_id long, event_type string, value double, sec long")
+    o2 = trimmed_mean(small, bucket_sec=86400, trim_pct=10).collect()[0]
+    assert o2["n_kept"] == 5
+
+
+def test_croston_forecast_recurrence(spark):
+    """Croston: hand-replayed dyadic recurrence; single-demand users
+    emit NULL interval/forecast."""
+    from tsmp_spark.operators import croston_forecast
+
+    rows = []
+    # user 1: demands day 0 (2 events), day 3 (1), day 5 (4)
+    rows += [(1, 10), (1, 20)]
+    rows += [(1, 3 * 86400 + 5)]
+    rows += [(1, 5 * 86400 + k) for k in range(4)]
+    # user 2: one demand day only
+    rows += [(2, 100), (2, 200)]
+    ev = spark.createDataFrame(rows, "user_id long, sec long")
+    out = {r["key"]: r for r in croston_forecast(ev).collect()}
+    # replay: z=2 -> second demand z=1 gap 3: z_hat=1.5, q_hat=3
+    # third demand z=4 gap 2: z_hat=2.75, q_hat=2.5
+    u1 = out[1]
+    assert u1["n_demands"] == 3
+    assert u1["z_hat"] == 2.75 and u1["q_hat"] == 2.5
+    assert u1["forecast"] == 2.75 / 2.5
+    u2 = out[2]
+    assert u2["n_demands"] == 1
+    assert u2["q_hat"] is None and u2["forecast"] is None

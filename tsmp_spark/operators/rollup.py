@@ -4127,3 +4127,205 @@ def concurrency_peak(
             F.count("*").cast("bigint").alias("n_changes"),
         )
     )
+
+
+def zonemap_stats(
+    events: DataFrame,
+    granule_rows: int = 512,
+    lo_centi: int = 10000,
+    hi_centi: int = 20000,
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Zone-map (min/max granule index) pruning audit — the
+    data-skipping lever every 100 TB scan lives on (Iceberg/parquet
+    row-group stats, ClickHouse mark files). Granules are ingestion-
+    order blocks of ``granule_rows`` by id; per granule we emit the
+    zone map (integer centi min/max), the pruning DECISION for the
+    range predicate [lo, hi], and the audit pair: rows the predicate
+    actually matches vs rows a kept granule must scan — so
+    ``n_rows - n_match`` summed over kept granules IS the measured
+    false-keep cost of this layout (compare against the z-ordered
+    layout's stats to quantify clustering value).
+
+    All integer: centi quantization (the ohlc convention), skippable
+    decided by pure integer comparison. ONE combinable groupBy.
+    """
+    g = events.select(
+        F.expr(f"({id_col} - pmod({id_col}, {granule_rows})) div {granule_rows}")
+        .cast("long")
+        .alias("granule"),
+        F.round(F.col(value_col).cast("double") * 100)
+        .cast("bigint")
+        .alias("vc"),
+    )
+    return g.groupBy("granule").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("vc").cast("bigint").alias("vmin_centi"),
+        F.max("vc").cast("bigint").alias("vmax_centi"),
+        F.sum(
+            ((F.col("vc") >= lo_centi) & (F.col("vc") <= hi_centi)).cast("long")
+        ).cast("bigint").alias("n_match"),
+    ).withColumn(
+        "skippable",
+        (
+            (F.col("vmax_centi") < lo_centi) | (F.col("vmin_centi") > hi_centi)
+        ).cast("int").cast("bigint"),
+    )
+
+
+def trimmed_mean(
+    events: DataFrame,
+    bucket_sec: int = 21600,
+    trim_pct: int = 10,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Trimmed-mean continuous aggregate per (series, bucket): drop the
+    ``k = n·trim_pct // 100`` lowest and highest observations (COUNT-
+    based trimming over the TOTAL (value, id) order — no interpolation,
+    so everything stays integer: the percentile-free robust mean).
+
+    Output: n, n_kept, exact centi sum of the kept mass, and the mean
+    as one division of exact integers (identical double both engines).
+    Degenerate buckets where trimming would empty the set (n ≤ 2k)
+    emit NULL mean with n_kept = 0 — pinned, not engine-dependent.
+
+    Scale: one (key, bucket) window pair + a groupBy on the SAME keys —
+    the exchange-reuse rule, ONE shuffle total.
+    """
+    from pyspark.sql.window import Window
+
+    rows = events.select(
+        F.col(key_col).alias("key"),
+        F.floor(F.col(ts_col).cast("long") / bucket_sec)
+        .cast("long")
+        .alias("bucket"),
+        F.round(F.col(value_col).cast("double") * 100)
+        .cast("bigint")
+        .alias("vc"),
+        F.col(id_col).cast("long").alias("i"),
+    )
+    wa = Window.partitionBy("key", "bucket").orderBy(
+        F.col("vc").asc(), F.col("i").asc()
+    )
+    wd = Window.partitionBy("key", "bucket").orderBy(
+        F.col("vc").desc(), F.col("i").desc()
+    )
+    ranked = rows.select(
+        "key",
+        "bucket",
+        "vc",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+        F.count("*").over(
+            Window.partitionBy("key", "bucket")
+        ).alias("n"),
+    )
+    # integer floor division on both engines — never a float path
+    kk = F.expr(f"(n * {trim_pct}) div 100").cast("long")
+    kept = (F.col("ra") > kk) & (F.col("rd") > kk)
+    return (
+        ranked.groupBy("key", "bucket")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.sum(kept.cast("long")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("vc")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("sum_kept_centi"),
+        )
+        .select(
+            "key",
+            "bucket",
+            "n",
+            "n_kept",
+            "sum_kept_centi",
+            F.when(
+                F.col("n_kept") > 0,
+                F.col("sum_kept_centi") / F.col("n_kept"),
+            ).alias("mean_centi"),
+        )
+    )
+
+
+CROSTON_SCHEMA = (
+    "key long, n_demands long, z_hat double, q_hat double, forecast double"
+)
+
+
+def croston_forecast(
+    events: DataFrame,
+    day_sec: int = 86400,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """Croston's method (Croston 1972) — THE intermittent-demand
+    forecaster, the missing sibling of the exponential family
+    (ewma → holt → holt_winters → croston): demand size ẑ and
+    inter-demand interval q̂ smoothed SEPARATELY, only at demand
+    points; forecast = ẑ/q̂ demand per day.
+
+    Demand series: events per (key, whole day) — days with activity
+    are demand points (z = count), silent days stretch the interval.
+    Pinned conventions (variants differ; ours is the documented one):
+    ẑ initializes to the first demand size and smooths from the
+    second; q̂ initializes to the first observed gap (at the second
+    demand) and smooths from the third, DYADIC α = 0.5 throughout —
+    every step is the identical correctly-
+    rounded IEEE chain on both engines, so outputs gate RAW and
+    UNROUNDED (the holt convention). Keys with < 2 demand days emit
+    NULL q̂/forecast.
+
+    Scale: one combinable (key, day) count groupBy, then a per-key
+    Arrow kernel over the demand-day table (≤ horizon rows per key) —
+    one group-hash exchange.
+    """
+    import numpy as np
+    import pandas as pd
+
+    daily = (
+        events.select(
+            F.col(key_col).cast("long").alias("key"),
+            F.floor(F.col(ts_col).cast("long") / day_sec)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("key", "day")
+        .agg(F.count("*").cast("long").alias("z"))
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        days = pdf["day"].to_numpy(dtype=np.int64)
+        zs = pdf["z"].to_numpy(dtype=np.int64)
+        key = int(pdf["key"].iloc[0])
+        n = len(days)
+        z_hat = float(zs[0])
+        q_hat = None
+        for i in range(1, n):
+            gap = float(days[i] - days[i - 1])
+            z = float(zs[i])
+            if q_hat is None:
+                q_hat = gap
+                z_hat = z_hat + 0.5 * (z - z_hat)
+            else:
+                z_hat = z_hat + 0.5 * (z - z_hat)
+                q_hat = q_hat + 0.5 * (gap - q_hat)
+        fc = None if q_hat is None else z_hat / q_hat
+        return pd.DataFrame(
+            [
+                {
+                    "key": key,
+                    "n_demands": n,
+                    "z_hat": z_hat,
+                    "q_hat": q_hat,
+                    "forecast": fc,
+                }
+            ]
+        )
+
+    return daily.groupBy("key").applyInPandas(
+        lambda pdf: kernel(pdf), CROSTON_SCHEMA
+    )

@@ -12402,6 +12402,206 @@ QUERIES["ams_stream"] = q_ams_stream
 ORACLES["ams_stream"] = SQL_AMS_STREAM
 
 
+def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shape local-supplier volume: lineitem ⋈ orders ⋈
+    customer ⋈ supplier ⋈ nation ⋈ region (ASIA), LOCAL suppliers only
+    (c_nationkey = s_nationkey), revenue per nation in integer-exact
+    1e-4 units. Every dimension side broadcasts — the fact table
+    shuffles exactly once, for its own nation groupBy."""
+    region = (
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_nationkey").alias("cn"), "n_name")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", F.col("s_nationkey").alias("sn")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_u"),
+    )
+    oc = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    j = (
+        li.join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("cn") == F.col("sn"))
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum("rev_u").cast("bigint").alias("revenue_u"),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
+
+
+SQL_REGIONAL_VOLUME = r"""
+SELECT n_name AS nation,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_u,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+GROUP BY 1
+"""
+
+QUERIES["regional_volume"] = q_regional_volume
+ORACLES["regional_volume"] = SQL_REGIONAL_VOLUME
+
+
+def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning audit over ingestion-order granules of 512
+    events: per-granule integer min/max, the skip decision for
+    value ∈ [100, 200], and actual-match counts — n_rows − n_match on
+    kept granules IS the measured false-keep cost of the layout."""
+    from .operators import zonemap_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value"
+    )
+    return zonemap_stats(
+        ev, granule_rows=512, lo_centi=10000, hi_centi=20000
+    )
+
+
+SQL_ZONEMAP_PRUNE = r"""
+WITH g AS (
+  SELECT (CAST(event_id AS BIGINT) - ((CAST(event_id AS BIGINT) % 512 + 512) % 512)) // 512 AS granule,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vc
+  FROM events
+)
+SELECT granule,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(vc) AS BIGINT) AS vmin_centi,
+       CAST(max(vc) AS BIGINT) AS vmax_centi,
+       CAST(sum(CASE WHEN vc >= 10000 AND vc <= 20000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_match,
+       CAST(CASE WHEN max(vc) < 10000 OR min(vc) > 20000 THEN 1 ELSE 0 END
+            AS BIGINT) AS skippable
+FROM g GROUP BY 1
+"""
+
+QUERIES["zonemap_prune"] = q_zonemap_prune
+ORACLES["zonemap_prune"] = SQL_ZONEMAP_PRUNE
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed-mean continuous aggregate per (event_type, 6h
+    bucket): count-based trimming over the TOTAL (value, id) order —
+    no interpolation, integer-exact kept mass, ONE shuffle (the window
+    exchange reused by the groupBy)."""
+    from .operators import trimmed_mean
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    return trimmed_mean(ev, bucket_sec=21600, trim_pct=10)
+
+
+SQL_TRIMMED_MEAN = r"""
+WITH rows_ AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vc,
+         CAST(event_id AS BIGINT) AS i
+  FROM events
+),
+ranked AS (
+  SELECT key, bucket, vc,
+         row_number() OVER (PARTITION BY key, bucket
+                            ORDER BY vc ASC, i ASC) AS ra,
+         row_number() OVER (PARTITION BY key, bucket
+                            ORDER BY vc DESC, i DESC) AS rd,
+         count(*) OVER (PARTITION BY key, bucket) AS n
+  FROM rows_
+),
+agg AS (
+  SELECT key, bucket,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN ra > (n * 10) // 100 AND rd > (n * 10) // 100
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN ra > (n * 10) // 100 AND rd > (n * 10) // 100
+                       THEN vc ELSE 0 END) AS BIGINT) AS sum_kept_centi
+  FROM ranked GROUP BY 1, 2
+)
+SELECT key, bucket, n, n_kept, sum_kept_centi,
+       CASE WHEN n_kept > 0
+            THEN CAST(sum_kept_centi AS DOUBLE) / n_kept END AS mean_centi
+FROM agg
+"""
+
+QUERIES["trimmed_mean"] = q_trimmed_mean
+ORACLES["trimmed_mean"] = SQL_TRIMMED_MEAN
+
+
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast per user over daily event
+    counts: dyadic α=0.5 separate smoothing of demand size and
+    inter-demand interval — raw unrounded doubles gate bit-exact (the
+    holt convention); oracle replays the recurrence step-for-step."""
+    from .operators import croston_forecast
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    return croston_forecast(ev, day_sec=86400)
+
+
+SQL_CROSTON = r"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(user_id AS BIGINT) AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS z
+  FROM events GROUP BY 1, 2
+),
+dem AS (
+  SELECT key, day, z,
+         row_number() OVER (PARTITION BY key ORDER BY day) AS rn,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM daily
+),
+walk AS (
+  SELECT key, rn, n, day AS prev_day,
+         CAST(z AS DOUBLE) AS z_hat,
+         CAST(NULL AS DOUBLE) AS q_hat
+  FROM dem WHERE rn = 1
+  UNION ALL
+  SELECT w.key, d.rn, w.n, d.day,
+         w.z_hat + CAST(0.5 AS DOUBLE)
+                   * (CAST(d.z AS DOUBLE) - w.z_hat),
+         CASE WHEN w.q_hat IS NULL
+              THEN CAST(d.day - w.prev_day AS DOUBLE)
+              ELSE w.q_hat + CAST(0.5 AS DOUBLE)
+                   * (CAST(d.day - w.prev_day AS DOUBLE) - w.q_hat)
+         END
+  FROM walk w JOIN dem d ON d.key = w.key AND d.rn = w.rn + 1
+)
+SELECT key, CAST(n AS BIGINT) AS n_demands, z_hat, q_hat,
+       CASE WHEN q_hat IS NOT NULL THEN z_hat / q_hat END AS forecast
+FROM walk WHERE rn = n
+"""
+
+QUERIES["croston"] = q_croston
+ORACLES["croston"] = SQL_CROSTON
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
