@@ -2874,3 +2874,43 @@ def test_croston_forecast_recurrence(spark):
     u2 = out[2]
     assert u2["n_demands"] == 1
     assert u2["q_hat"] is None and u2["forecast"] is None
+
+
+def test_alarm_hysteresis_deadband(spark):
+    """Hysteresis: ON at hi, stays ON through the deadband, OFF only at
+    lo; chatter inside the band emits nothing; pre-crossing rows OFF."""
+    from tsmp_spark.operators import alarm_transitions
+
+    vals = [(0, 150.0), (1, 250.0), (2, 180.0), (3, 210.0), (4, 150.0),
+            (5, 90.0), (6, 150.0), (7, 120.0), (8, 300.0)]
+    ev = spark.createDataFrame(
+        [(i, "a", v, i) for i, v in vals],
+        "event_id long, event_type string, value double, sec long",
+    )
+    out = sorted(
+        (r["t"], r["state"])
+        for r in alarm_transitions(ev, hi_centi=20000, lo_centi=10000).collect()
+    )
+    # ON at t=1 (250), OFF at t=5 (90), ON at t=8 (300); deadband
+    # values (180/210/150/150/120) never transition
+    assert out == [(1, 1), (5, 0), (8, 1)]
+
+
+def test_basket_lift_exact_counts(spark):
+    """Lift quadruple on a hand basket set; duplicate lines collapse;
+    support threshold prunes."""
+    from tsmp_spark.operators import basket_lift
+
+    rows = [
+        (1, 10), (1, 20), (1, 20),        # dup line collapses
+        (2, 10), (2, 20),
+        (3, 10), (3, 30),
+        (4, 40),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = basket_lift(li, min_pair_support=2).collect()
+    assert len(out) == 1  # only (10,20) co-occurs twice
+    r = out[0]
+    assert (r["item_a"], r["item_b"]) == (10, 20)
+    assert (r["pair_n"], r["a_n"], r["b_n"], r["n_baskets"]) == (2, 3, 2, 4)
+    assert r["lift"] == (2 * 4) / (3 * 2)

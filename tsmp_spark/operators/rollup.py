@@ -4329,3 +4329,121 @@ def croston_forecast(
     return daily.groupBy("key").applyInPandas(
         lambda pdf: kernel(pdf), CROSTON_SCHEMA
     )
+
+
+def alarm_transitions(
+    events: DataFrame,
+    hi_centi: int = 20000,
+    lo_centi: int = 10000,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Two-threshold hysteresis alarm (the industrial alarm-management
+    shape, ISA-18.2 deadband): alarm turns ON when the value reaches
+    ``hi``, OFF only when it falls back to ``lo`` — the deadband
+    between swallows chatter. Emits STATE TRANSITIONS only.
+
+    No recursion needed: the alarm state at any row is the direction
+    of the MOST RECENT threshold crossing, i.e. one
+    ``last(ignorenulls)`` window over (t, id) — the relational trick
+    that turns a state machine into a single pass. Rows before any
+    crossing are OFF (pinned init). All comparisons integer centi.
+
+    Scale: ONE keyed window; the transition filter is a lag over the
+    same partitioning — exchange reused, one shuffle total.
+    """
+    from pyspark.sql.window import Window
+
+    rows = events.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).cast("long").alias("t"),
+        F.col(id_col).cast("long").alias("i"),
+        F.round(F.col(value_col).cast("double") * 100)
+        .cast("bigint")
+        .alias("vc"),
+    )
+    cross = F.when(F.col("vc") >= hi_centi, F.lit(1)).when(
+        F.col("vc") <= lo_centi, F.lit(0)
+    )
+    w = Window.partitionBy("key").orderBy("t", "i")
+    st = rows.withColumn(
+        "state",
+        F.coalesce(
+            F.last(cross, ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            F.lit(0),
+        ).cast("bigint"),
+    ).withColumn(
+        "prev_state",
+        F.coalesce(F.lag("state").over(w), F.lit(0)).cast("bigint"),
+    )
+    return st.filter(F.col("state") != F.col("prev_state")).select(
+        "key",
+        "t",
+        F.col("i").alias("event_id"),
+        "vc",
+        "state",
+    )
+
+
+def basket_lift(
+    lineitem: DataFrame,
+    min_pair_support: int = 2,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Market-basket pairwise lift (the association-rules building
+    block): for item pairs co-occurring in ≥ ``min_pair_support``
+    baskets, lift = P(a,b) / (P(a)·P(b)) over basket counts — emitted
+    as the EXACT INTEGER quadruple (pair_n, a_n, b_n, n_baskets) plus
+    lift as one fixed-order expression of those ints (identical double
+    both engines; lift > 1 ⇒ affinity).
+
+    Scale: baskets dedupe to distinct (order, item) first (one
+    combinable groupBy), then the pair generator is a SELF-EQUI-JOIN
+    ON THE BASKET KEY — fan-out bounded by (basket size choose 2),
+    never |items|²; per-item supports ride a broadcast join. The
+    support threshold prunes BEFORE the lift math. Typical basket
+    sizes are single digits, so the shuffle is ~20× |lineitem| worst
+    case — linear, the ngram_jaccard argument.
+    """
+    base = lineitem.select(
+        F.col(order_col).alias("o"), F.col(item_col).alias("it")
+    ).distinct()
+    n_baskets = base.select("o").distinct().agg(
+        F.count("*").cast("bigint").alias("n_baskets")
+    )
+    support = base.groupBy("it").agg(
+        F.count("*").cast("bigint").alias("s")
+    )
+    a = base.select(F.col("o"), F.col("it").alias("ia"))
+    b = base.select(F.col("o"), F.col("it").alias("ib"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").cast("bigint").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_support)
+    )
+    sa = support.select(F.col("it").alias("ia"), F.col("s").alias("a_n"))
+    sb = support.select(F.col("it").alias("ib"), F.col("s").alias("b_n"))
+    out = (
+        pairs.join(F.broadcast(sa), "ia")
+        .join(F.broadcast(sb), "ib")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    lift = (F.col("pair_n") * F.col("n_baskets")) / (
+        F.col("a_n") * F.col("b_n")
+    )
+    return out.select(
+        F.col("ia").alias("item_a"),
+        F.col("ib").alias("item_b"),
+        "pair_n",
+        "a_n",
+        "b_n",
+        "n_baskets",
+        lift.alias("lift"),
+    )

@@ -12602,6 +12602,90 @@ QUERIES["croston"] = q_croston
 ORACLES["croston"] = SQL_CROSTON
 
 
+def q_alarm_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hysteresis alarm transitions per event_type (ON ≥ 200, OFF ≤
+    100): the two-threshold state machine as ONE last(ignorenulls)
+    window — integer centi comparisons, transitions only."""
+    from .operators import alarm_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    return alarm_transitions(ev, hi_centi=20000, lo_centi=10000)
+
+
+SQL_ALARM_TRANSITIONS = r"""
+WITH rows_ AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(event_id AS BIGINT) AS i,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vc
+  FROM events
+),
+st AS (
+  SELECT key, t, i, vc,
+         coalesce(last_value(
+           CASE WHEN vc >= 20000 THEN 1 WHEN vc <= 10000 THEN 0 END
+           IGNORE NULLS) OVER (
+             PARTITION BY key ORDER BY t, i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+           AS state
+  FROM rows_
+),
+tr AS (
+  SELECT key, t, i, vc, CAST(state AS BIGINT) AS state,
+         CAST(coalesce(lag(state) OVER (PARTITION BY key ORDER BY t, i), 0)
+              AS BIGINT) AS prev_state
+  FROM st
+)
+SELECT key, t, i AS event_id, vc, state
+FROM tr WHERE state <> prev_state
+"""
+
+QUERIES["alarm_transitions"] = q_alarm_transitions
+ORACLES["alarm_transitions"] = SQL_ALARM_TRANSITIONS
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pairwise lift over order lines (pairs co-occurring
+    in ≥ 3 orders): exact integer support quadruple + lift as one
+    fixed-order expression — basket-key self-join fan-out, never
+    |items|²."""
+    from .operators import basket_lift
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    return basket_lift(li, min_pair_support=3)
+
+
+SQL_BASKET_LIFT = r"""
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS it FROM lineitem
+),
+nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM base),
+support AS (
+  SELECT it, CAST(count(*) AS BIGINT) AS s FROM base GROUP BY 1
+),
+pairs AS (
+  SELECT a.it AS ia, b.it AS ib, CAST(count(*) AS BIGINT) AS pair_n
+  FROM base a JOIN base b ON a.o = b.o AND a.it < b.it
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT p.ia AS item_a, p.ib AS item_b, p.pair_n,
+       sa.s AS a_n, sb.s AS b_n, nb.n_baskets,
+       CAST(p.pair_n * nb.n_baskets AS DOUBLE) / (sa.s * sb.s) AS lift
+FROM pairs p
+JOIN support sa ON sa.it = p.ia
+JOIN support sb ON sb.it = p.ib
+CROSS JOIN nb
+"""
+
+QUERIES["basket_lift"] = q_basket_lift
+ORACLES["basket_lift"] = SQL_BASKET_LIFT
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
