@@ -2914,3 +2914,33 @@ def test_basket_lift_exact_counts(spark):
     assert (r["item_a"], r["item_b"]) == (10, 20)
     assert (r["pair_n"], r["a_n"], r["b_n"], r["n_baskets"]) == (2, 3, 2, 4)
     assert r["lift"] == (2 * 4) / (3 * 2)
+
+
+def test_compaction_plan_ffd(spark):
+    """FFD bin packing: decreasing-order first fit, oversized files get
+    their own bin, per-group independence, bins never exceed target
+    (except single-oversize bins)."""
+    from collections import defaultdict
+
+    from tsmp_spark.operators import compaction_plan
+
+    rows = [
+        ("a", 1, 600), ("a", 2, 500), ("a", 3, 400), ("a", 4, 300),
+        ("a", 5, 1500),               # oversize -> own bin
+        ("b", 6, 100), ("b", 7, 100),
+    ]
+    files = spark.createDataFrame(rows, "grp string, file_id long, size long")
+    out = compaction_plan(files, target_bytes=1000).collect()
+    assign = {r["file_id"]: (r["grp"], r["bin_id"]) for r in out}
+    # order desc: 1500(own bin1), 600(bin2), 500(bin3: 600+500>1000),
+    # 400(bin2: 600+400=1000 fits), 300(bin3: 500+300=800)
+    assert assign[5] == ("a", 1)
+    assert assign[1] == ("a", 2) and assign[3] == ("a", 2)
+    assert assign[2] == ("a", 3) and assign[4] == ("a", 3)
+    assert assign[6][1] == assign[7][1] == 1  # b packs into one bin
+    loads = defaultdict(int)
+    for r in out:
+        loads[(r["grp"], r["bin_id"])] += r["size"]
+    for (g, b), ld in loads.items():
+        members = [r for r in out if (r["grp"], r["bin_id"]) == (g, b)]
+        assert ld <= 1000 or len(members) == 1

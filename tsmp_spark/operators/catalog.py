@@ -42,3 +42,66 @@ def write_table(df: DataFrame, name_or_path: str, mode: str = "overwrite") -> No
         except Exception:
             pass
     df.write.mode(mode).parquet(name_or_path)
+
+
+COMPACTION_SCHEMA = "grp string, file_id long, size long, bin_id long"
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    group_col: str = "grp",
+    id_col: str = "file_id",
+    size_col: str = "size",
+) -> DataFrame:
+    """Small-file compaction planner — the Iceberg
+    ``rewrite_data_files`` bin-packing step as a first-class operator:
+    within each partition group, pack files into output bins of at
+    most ``target_bytes`` by FIRST-FIT-DECREASING over the TOTAL
+    (size DESC, id ASC) order (files larger than the target get a bin
+    of their own). Returns every file's assigned ``bin_id`` (1-based,
+    in bin-creation order) — the rewrite task list.
+
+    Determinism: pure integer greedy over a total order — the bin
+    assignment is EXACT on both engines (the oracle replays the same
+    walk in a recursive CTE, numpy/DuckDB-validated first).
+
+    Scale: this is a MANIFEST-level operator — input is file metadata
+    (one row per data file), thousands of rows per partition group,
+    not data. One group-hash exchange into the Arrow kernel; the
+    sequential greedy is inherent to FFD and irrelevant at manifest
+    cardinality.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["size", "file_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        loads: list[int] = []
+        bins = []
+        for sz in pdf["size"].astype(int):
+            placed = None
+            for b, ld in enumerate(loads):
+                if ld + sz <= target_bytes:
+                    placed = b
+                    break
+            if placed is None:
+                loads.append(int(sz))
+                placed = len(loads) - 1
+            else:
+                loads[placed] += int(sz)
+            bins.append(placed + 1)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[["grp", "file_id", "size", "bin_id"]]
+
+    rows = files.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(id_col).cast("long").alias("file_id"),
+        F.col(size_col).cast("long").alias("size"),
+    )
+    return rows.groupBy("grp").applyInPandas(
+        lambda pdf: kernel(pdf), COMPACTION_SCHEMA
+    )

@@ -12686,6 +12686,62 @@ QUERIES["basket_lift"] = q_basket_lift
 ORACLES["basket_lift"] = SQL_BASKET_LIFT
 
 
+COMPACT_TARGET = 8192
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg rewrite_data_files-style compaction plan: per-source
+    first-fit-decreasing bin packing of document byte sizes into
+    8 KiB output bins — pure integer greedy over a total order, exact
+    on both engines."""
+    from .operators import compaction_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("source").alias("grp"),
+        F.col("doc_id").cast("long").alias("file_id"),
+        F.octet_length("text").cast("long").alias("size"),
+    )
+    return compaction_plan(docs, target_bytes=COMPACT_TARGET)
+
+
+SQL_COMPACTION_PLAN = f"""
+WITH RECURSIVE items AS (
+  SELECT source AS grp, CAST(doc_id AS BIGINT) AS id,
+         CAST(strlen(text) AS BIGINT) AS sz
+  FROM documents
+),
+ordered AS (
+  SELECT grp, id, sz,
+         row_number() OVER (PARTITION BY grp ORDER BY sz DESC, id) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM items
+),
+walk AS (
+  SELECT grp, rn, n, id, sz, CAST(1 AS BIGINT) AS bin_id, [sz] AS loads
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT w.grp, o.rn, w.n, o.id, o.sz,
+         CASE WHEN len(fits) > 0 THEN CAST(fits[1] AS BIGINT)
+              ELSE CAST(len(w.loads) + 1 AS BIGINT) END,
+         CASE WHEN len(fits) > 0
+              THEN list_transform(range(1, len(w.loads) + 1),
+                     i -> CASE WHEN i = fits[1] THEN w.loads[i] + o.sz
+                               ELSE w.loads[i] END)
+              ELSE list_append(w.loads, o.sz) END
+  FROM walk w
+  JOIN ordered o ON o.grp = w.grp AND o.rn = w.rn + 1,
+  LATERAL (
+    SELECT list_filter(range(1, len(w.loads) + 1),
+                       i -> w.loads[i] + o.sz <= {COMPACT_TARGET}) AS fits
+  ) c
+)
+SELECT grp, id AS file_id, sz AS size, bin_id FROM walk
+"""
+
+QUERIES["compaction_plan"] = q_compaction_plan
+ORACLES["compaction_plan"] = SQL_COMPACTION_PLAN
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
