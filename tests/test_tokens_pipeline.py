@@ -1062,3 +1062,26 @@ def test_winnow_fingerprints_brute_force_and_guarantee(spark):
              for r in winnow_overlap_pairs(df, min_shared=1,
                                            max_fp_freq=10**6).collect()}
     assert (100, 101) in pairs        # 12 shared words >= W+N-1 = 8
+
+
+def test_stratified_sample_exact_k(spark):
+    """Exactly min(k, |stratum|) per stratum, deterministic across
+    calls, salt-independent draws differ."""
+    from tsmp_spark.operators import stratified_sample
+
+    rows = [(i, "big" if i < 50 else "small") for i in range(56)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, 10).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by["big"]) == 10
+    assert len(by["small"]) == 6  # stratum smaller than k: all kept
+    # deterministic
+    again = {(r["doc_id"], r["source"])
+             for r in stratified_sample(df, 10).collect()}
+    assert again == {(r["doc_id"], r["source"]) for r in out}
+    # a different salt draws a different big-stratum subset
+    other = stratified_sample(df, 10, salt="strat2").collect()
+    oby = {r["doc_id"] for r in other if r["source"] == "big"}
+    assert oby != by["big"]

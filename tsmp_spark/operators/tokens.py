@@ -1286,3 +1286,35 @@ def heaps_fit(
         .filter((F.col("cum_tokens") >= 1) & (F.col("cum_types") >= 1))
     )
     return _loglog_ols(growth, "cum_tokens", "cum_types")
+
+
+def stratified_sample(
+    df: DataFrame,
+    k_per_stratum: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "strat1",
+) -> DataFrame:
+    """Deterministic EXACT-k-per-stratum sample — the third sampling
+    primitive beside `source_mixture` (rate-based) and
+    `weighted_sample_topk` (weighted without replacement): every
+    stratum contributes exactly min(k, |stratum|) rows, chosen by the
+    portable md5 order (salted so independent samples don't correlate),
+    RNG-free and reproducible on any engine.
+
+    Scale: ONE stratum-keyed window with a rank ≤ k predicate —
+    Spark's WindowGroupLimit pushes the top-k INSIDE the shuffle
+    (partial top-k per map task), so the exchange moves O(strata · k),
+    not the corpus. The md5 order key is computed per row, map-side.
+    """
+    from pyspark.sql.window import Window
+
+    key = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(stratum_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k_per_stratum)
+        .drop("_rk")
+    )

@@ -12742,6 +12742,36 @@ QUERIES["compaction_plan"] = q_compaction_plan
 ORACLES["compaction_plan"] = SQL_COMPACTION_PLAN
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-20-docs-per-source deterministic sample: salted md5 order
+    key, one WindowGroupLimit-bounded keyed window — the shuffle moves
+    O(strata · k), never the corpus."""
+    from .operators import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = stratified_sample(docs, k_per_stratum=20)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+
+
+SQL_STRATIFIED_SAMPLE = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('strat1:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+QUERIES["stratified_sample"] = q_stratified_sample
+ORACLES["stratified_sample"] = SQL_STRATIFIED_SAMPLE
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
