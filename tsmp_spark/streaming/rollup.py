@@ -231,13 +231,18 @@ def _sdt_func_factory(dev: int):
             started = False
         out = []
         (k, bucket) = key
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["t", "i"]).drop_duplicates(
-                "t", keep="last"
+        # Arrow may hand one micro-batch as SEVERAL chunks that are not
+        # globally time-ordered — concat and sort ONCE so the ordered-
+        # ingest contract only concerns batch boundaries, never chunk
+        # boundaries.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allp = (
+                pd.concat(chunks, ignore_index=True)
+                .sort_values(["t", "i"])
+                .drop_duplicates("t", keep="last")
             )
-            for t, v in zip(pdf["t"], pdf["v_centi"]):
+            for t, v in zip(allp["t"], allp["v_centi"]):
                 ct, cv = int(t), int(v)
                 if not started:
                     at, av = ct, cv
