@@ -2944,3 +2944,40 @@ def test_compaction_plan_ffd(spark):
     for (g, b), ld in loads.items():
         members = [r for r in out if (r["grp"], r["bin_id"]) == (g, b)]
         assert ld <= 1000 or len(members) == 1
+
+
+def test_mp_left_right_min_merge_is_full_profile(spark):
+    """Elementwise min of the left and right profiles IS the ordinary
+    matrix profile (stomp.R:196-210): same mp value at every position,
+    and pi equals whichever side won (left on ties — the full-profile
+    update scans query windows in ascending order with strict <)."""
+    import numpy as np
+
+    from tsmp_spark.mpcore.stomp import stomp
+
+    rng = np.random.default_rng(7)
+    x = np.cumsum(rng.standard_normal(300))
+    r = stomp(x, 12)
+    merged = np.minimum(r.lmp, r.rmp)
+    np.testing.assert_allclose(merged, r.mp, rtol=0, atol=0)
+    pick = np.where(r.lmp <= r.rmp, r.lpi, r.rpi)
+    finite = np.isfinite(r.mp)
+    np.testing.assert_array_equal(pick[finite], r.pi[finite])
+
+
+def test_mp_left_right_query_single_kernel_scan(spark):
+    """The long-format L/R query keeps ONE Arrow kernel stage (stack
+    unpivots below it, no lineage branching) and the L rows are exactly
+    the positions whose neighbor index is smaller."""
+    from tsmp_spark.queries import q_mp_left_right
+
+    df = q_mp_left_right(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        if r["side"] == "L":
+            assert r["pi"] < r["pos"]
+        else:
+            assert r["pi"] > r["pos"]

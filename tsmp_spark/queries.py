@@ -12772,6 +12772,63 @@ QUERIES["stratified_sample"] = q_stratified_sample
 ORACLES["stratified_sample"] = SQL_STRATIFIED_SAMPLE
 
 
+def q_mp_left_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left/right matrix profile (stomp.R:196-210): each window's nearest
+    neighbor restricted to strictly EARLIER (left) or strictly LATER
+    (right) positions. The left profile is the online-novelty primitive
+    (a high left-MP window has never been seen before — the streaming
+    discord of Yeh et al. 2016 §V) and the right profile drives chain
+    discovery; their elementwise min is the ordinary profile (pinned in
+    pytest). Long format (doc_id, pos, side, mp_r, pi), sides without an
+    admissible neighbor omitted (pair-based SQL cannot emit them).
+
+    Plan: ONE kernel scan — the six nested arrays explode once
+    (arrays_zip + posexplode) and ``stack`` unpivots the L/R pair
+    JVM-side below the filter; no Arrow-lineage branching."""
+    from .operators.matrix_profile import _explode_nested, matrix_profile_nested
+
+    nested = matrix_profile_nested(
+        _sequences(spark, sf_dir), W, algorithm="stomp", long_series_threshold=None
+    )
+    lr = _explode_nested(nested).selectExpr(
+        "doc_id",
+        "CAST(pos AS BIGINT) AS pos",
+        "stack(2, 'L', lmp, lpi, 'R', rmp, rpi) AS (side, mp_raw, pi_raw)",
+    )
+    return lr.filter(
+        F.col("pi_raw").isNotNull()
+        & (F.col("pi_raw") >= 0)
+        & F.col("mp_raw").isNotNull()
+        & ~F.isnan("mp_raw")
+    ).select(
+        "doc_id",
+        "pos",
+        "side",
+        _r4("mp_raw").alias("mp_r"),
+        F.col("pi_raw").cast("bigint").alias("pi"),
+    )
+
+
+SQL_MP_LEFT_RIGHT = f"""
+WITH {sql_mp_cte()},
+lr AS (
+  SELECT doc_id, i AS pos, 'R' AS side, j AS nn, dist FROM dists
+  UNION ALL
+  SELECT doc_id, j AS pos, 'L' AS side, i AS nn, dist FROM dists
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, side,
+       round(dist, 4) AS mp_r, CAST(nn AS BIGINT) AS pi
+FROM (SELECT doc_id, pos, side, nn, dist,
+             row_number() OVER (PARTITION BY doc_id, pos, side
+                                ORDER BY dist, nn) AS rn
+      FROM lr)
+WHERE rn = 1
+"""
+
+QUERIES["mp_left_right"] = q_mp_left_right
+ORACLES["mp_left_right"] = SQL_MP_LEFT_RIGHT
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
