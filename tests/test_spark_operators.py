@@ -2981,3 +2981,47 @@ def test_mp_left_right_query_single_kernel_scan(spark):
             assert r["pi"] < r["pos"]
         else:
             assert r["pi"] > r["pos"]
+
+
+def test_contrast_profile_semantics(spark):
+    """CP is 0 where A's self-match beats the AB match by nothing, and
+    maximal where A repeats a shape B never shows: plant the same motif
+    twice in A, keep B unrelated noise — CP at the motif positions must
+    dominate the profile."""
+    import numpy as np
+
+    from tsmp_spark.operators import contrast_profile
+
+    rng = np.random.default_rng(11)
+    w = 8
+    motif = np.sin(np.linspace(0, 4 * np.pi, w * 2))
+    a = rng.standard_normal(120) * 0.05
+    a[10 : 10 + motif.size] += motif
+    a[70 : 70 + motif.size] += motif
+    b = np.cumsum(rng.standard_normal(100))
+    pairs = spark.createDataFrame(
+        [("A", a.tolist(), "B", b.tolist())],
+        "doc_id_a string, tokens_a array<double>, doc_id_b string, tokens_b array<double>",
+    )
+    rows = contrast_profile(pairs, w).collect()
+    assert rows
+    by_pos = {r["pos"]: r for r in rows}
+    for r in rows:
+        assert 0.0 <= r["cp"] <= 1.0
+        assert abs(
+            r["cp"]
+            - min(max((r["mp_ab"] - r["mp_aa"]) / (2 * np.sqrt(w)), 0.0), 1.0)
+        ) < 1e-12
+    top = max(rows, key=lambda r: (r["cp"], -r["pos"]))
+    # the winning contrast window OVERLAPS one of the motif plants (any
+    # window touching the high-amplitude plant is dominated by it after
+    # z-normalization, and the two plant regions mirror each other)
+    assert (3 <= top["pos"] < 10 + motif.size) or (
+        63 <= top["pos"] < 70 + motif.size
+    ), top["pos"]
+    # short pair is skipped whole (MIN_LEN gate on both sides)
+    short = spark.createDataFrame(
+        [("A", a.tolist()[:10], "B", b.tolist())],
+        "doc_id_a string, tokens_a array<double>, doc_id_b string, tokens_b array<double>",
+    )
+    assert contrast_profile(short, w).count() == 0

@@ -550,3 +550,97 @@ def matrix_profile_join(
     if parallelism > 0:
         pairs = pairs.repartition(parallelism)
     return pairs.mapInPandas(kernel, AB_SCHEMA)
+
+CONTRAST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id_a", T.StringType(), False),
+        T.StructField("doc_id_b", T.StringType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+        T.StructField("mp_aa", T.DoubleType(), False),
+        T.StructField("mp_ab", T.DoubleType(), False),
+        T.StructField("cp", T.DoubleType(), False),
+    ]
+)
+
+
+def contrast_profile(
+    pairs: DataFrame,
+    window_size: int,
+    exclusion_zone: float = 0.5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Contrast profile (Yeh, Zheng, Wang et al., "Matrix Profile XXVII:
+    Contrast Profile", ICDM 2022): per position ``i`` of series A,
+
+        ``CP(i) = clip((MP_AB(i) - MP_AA(i)) / (2*sqrt(w)), 0, 1)``
+
+    where ``MP_AA`` is A's self-join profile (standard exclusion zone —
+    the same semantics as :func:`matrix_profile`) and ``MP_AB`` is A's
+    nearest neighbor in B (ez = 0, mpx.cpp:106-252). High CP marks a
+    subsequence CONSERVED in A (small MP_AA) yet ABSENT from B (large
+    MP_AB) — the discriminative-pattern primitive the reference's motif
+    stack lacks.
+
+    Input: series pairs ``(doc_id_a, tokens_a, doc_id_b, tokens_b)``.
+    Output: one row per A-position where both profiles have a defined
+    neighbor (degenerate/neighborless positions are dropped — the
+    pair-based SQL oracle convention). Pairs where either series is
+    shorter than ``w + ez_n + 1`` are skipped whole: the AA profile
+    cannot exist, and the oracle's MIN_LEN gate drops them too.
+
+    Physical plan: ONE ``mapInPandas`` stage computing both kernels per
+    pair — no join between two profile lineages, no second scan; both
+    kernels are O(n^2/w) numpy marches over data already in task memory.
+    """
+    w = int(window_size)
+    ez_n = exclusion_zone_size(w, exclusion_zone)
+    min_len = w + ez_n + 1
+    denom = 2.0 * float(np.sqrt(float(w)))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for da, ta, db, tb in zip(
+                pdf["doc_id_a"], pdf["tokens_a"], pdf["doc_id_b"], pdf["tokens_b"]
+            ):
+                a = np.asarray(ta, dtype=np.float64)
+                b = np.asarray(tb, dtype=np.float64)
+                if a.shape[0] < min_len or b.shape[0] < min_len:
+                    continue
+                raa = mpx(a, w, minlag=ez_n + 1)
+                rab = mpx_ab(a, b, w) if b.shape[0] <= a.shape[0] else None
+                if rab is None:
+                    r = mpx_ab(b, a, w)
+                    mpab, piab = r.mpb, r.pib
+                else:
+                    mpab, piab = rab.mp, rab.pi
+                ok = (
+                    (raa.pi >= 0)
+                    & np.isfinite(raa.mp)
+                    & (piab >= 0)
+                    & np.isfinite(mpab)
+                )
+                pos = np.flatnonzero(ok)
+                if not pos.size:
+                    continue
+                cp = np.clip((mpab[pos] - raa.mp[pos]) / denom, 0.0, 1.0)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id_a": np.repeat(da, pos.size),
+                            "doc_id_b": np.repeat(db, pos.size),
+                            "pos": pos.astype(np.int32),
+                            "mp_aa": raa.mp[pos],
+                            "mp_ab": mpab[pos],
+                            "cp": cp,
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    if parallelism is None:
+        parallelism = pairs.sparkSession.sparkContext.defaultParallelism
+    if parallelism > 0:
+        pairs = pairs.repartition(parallelism)
+    return pairs.mapInPandas(kernel, CONTRAST_SCHEMA)

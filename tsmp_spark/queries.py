@@ -12829,6 +12829,73 @@ QUERIES["mp_left_right"] = q_mp_left_right
 ORACLES["mp_left_right"] = SQL_MP_LEFT_RIGHT
 
 
+def q_contrast_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrast profile (Yeh et al., ICDM 2022) over the deterministic
+    user pairs: CP(i) = clip((MP_AB(i) - MP_AA(i)) / (2*sqrt(w)), 0, 1)
+    — subsequences of A conserved in A but absent from B. One kernel
+    pass computes both profiles; see operators.contrast_profile."""
+    from .operators import contrast_profile
+
+    cp = contrast_profile(_pairs(spark, sf_dir), W)
+    return cp.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.col("pos").cast("bigint").alias("pos"),
+        _r4("mp_aa").alias("mp_aa_r"),
+        _r4("mp_ab").alias("mp_ab_r"),
+        _r4("cp").alias("cp_r"),
+    )
+
+
+SQL_CONTRAST_PROFILE = f"""
+WITH {sql_mp_cte()},
+pairsel AS (
+  SELECT CAST(a.doc_id AS BIGINT) AS ida, CAST(b.doc_id AS BIGINT) AS idb
+  FROM (SELECT DISTINCT doc_id FROM len) a
+  JOIN (SELECT DISTINCT doc_id FROM len) b
+    ON CAST(a.doc_id AS BIGINT) % 2 = 0 AND CAST(a.doc_id AS BIGINT) < 10
+   AND CAST(b.doc_id AS BIGINT) = CAST(a.doc_id AS BIGINT) + 1
+),
+abpr AS (
+  SELECT p.ida, p.idb, ea.pos AS t, eb.pos - ea.pos AS d,
+         ea.value * eb.value AS prod
+  FROM pairsel p
+  JOIN s ea ON ea.doc_id = CAST(p.ida AS VARCHAR)
+  JOIN s eb ON eb.doc_id = CAST(p.idb AS VARCHAR)
+),
+abqt AS (
+  SELECT ida, idb, t AS i, d,
+         sum(prod) OVER win AS qt, count(prod) OVER win AS m
+  FROM abpr
+  WINDOW win AS (PARTITION BY ida, idb, d ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)
+),
+abdists AS (
+  SELECT q.ida, q.idb, q.i,
+         sqrt(greatest(2.0 * {W} * (1.0 - (q.qt - {W} * si.mu * sj.mu)
+              / ({W} * si.sd * sj.sd)), 0.0)) AS dist
+  FROM abqt q
+  JOIN stats si ON si.doc_id = CAST(q.ida AS VARCHAR) AND si.pos = q.i
+  JOIN stats sj ON sj.doc_id = CAST(q.idb AS VARCHAR) AND sj.pos = q.i + q.d
+  WHERE q.m = {W} AND si.sd >= 1e-7 * (abs(si.mu) + 1.0)
+    AND sj.sd >= 1e-7 * (abs(sj.mu) + 1.0)
+),
+mpab AS (
+  SELECT ida, idb, i AS pos, min(dist) AS mp_ab FROM abdists GROUP BY 1, 2, 3
+)
+SELECT CAST(x.ida AS VARCHAR) AS doc_id_a, CAST(x.idb AS VARCHAR) AS doc_id_b,
+       CAST(x.pos AS BIGINT) AS pos,
+       round(mp.mp, 4) AS mp_aa_r, round(x.mp_ab, 4) AS mp_ab_r,
+       round(least(greatest((x.mp_ab - mp.mp) / (2.0 * sqrt({W}.0)), 0.0), 1.0),
+             4) AS cp_r
+FROM mpab x
+JOIN mp ON mp.doc_id = CAST(x.ida AS VARCHAR) AND mp.pos = x.pos
+"""
+
+QUERIES["contrast_profile"] = q_contrast_profile
+ORACLES["contrast_profile"] = SQL_CONTRAST_PROFILE
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
