@@ -3025,3 +3025,33 @@ def test_contrast_profile_semantics(spark):
         "doc_id_a string, tokens_a array<double>, doc_id_b string, tokens_b array<double>",
     )
     assert contrast_profile(short, w).count() == 0
+
+
+def test_phrase_search_overlaps_and_repeats(spark):
+    """Positional phrase AND: overlapping matches count separately,
+    repeated phrase terms require genuinely consecutive positions, and
+    ranking is (n_matches DESC, doc_id)."""
+    from tsmp_spark.operators import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # 'a b a' matches at 0 and 2
+            (2, "a a a a"),          # 'a a' matches at 0,1,2
+            (3, "b a  b"),           # double space: still consecutive words
+            (4, ""),                 # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [(0, "a b a"), (1, "a a"), (2, "b a b")],
+        "query_id long, phrase_text string",
+    )
+    out = {(r["query_id"], r["doc_id"]): r for r in phrase_search(docs, phrases).collect()}
+    assert out[(0, 1)]["n_matches"] == 2 and out[(0, 1)]["first_pos"] == 0
+    assert out[(1, 2)]["n_matches"] == 3
+    assert out[(1, 1)] if (1, 1) in out else True  # 'a a' never consecutive in doc1
+    assert (1, 1) not in out
+    assert out[(2, 3)]["n_matches"] == 1 and out[(2, 3)]["first_pos"] == 0
+    assert out[(2, 1)]["n_matches"] == 2 and out[(2, 1)]["rank"] == 1
+    assert out[(2, 3)]["rank"] == 2
+    assert all(k[1] != 4 for k in out)

@@ -817,3 +817,77 @@ def rrf_hybrid_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def phrase_search(
+    documents: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search over a positional inverted index.
+
+    ``phrases``: small ``(query_id, phrase_text)`` table. A phrase of k
+    words matches at document position ``a`` when word ``a+s`` equals
+    phrase slot ``s`` for every ``s < k`` (consecutive, ordered — the
+    classic positional-postings AND; Manning et al., IIR §2.4.2).
+
+    Physical shape: the corpus explodes ONCE into positional postings
+    ``(doc_id, pos, term)``; the phrase table explodes into ``(query_id,
+    slot, term)`` and is BROADCAST, so the only corpus-wide movement is
+    one exchange of the term-matched postings keyed (query_id, doc_id,
+    anchor) — matched-term volume, not corpus volume, and the term
+    equi-join prunes every posting whose term appears in no phrase.
+    Overlapping matches count separately (anchors differ); repeated
+    phrase terms are handled because each (posting, slot) pair
+    contributes one distinct row to the anchor count.
+
+    Returns one row per (query_id, matching doc): ``n_matches``,
+    ``first_pos`` (smallest anchor), and ``rank`` by (n_matches DESC,
+    doc_id) per query.
+    """
+    from pyspark.sql.window import Window
+
+    words = _words(F.col(text_col))
+    toks = documents.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.posexplode(words).alias("pos", "term"),
+    ).filter(F.length("term") > 0)
+
+    pw = _words(F.col("phrase_text"))
+    slots = phrases.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.posexplode(pw).alias("slot", "term"),
+    ).filter(F.length("term") > 0)
+    slots = slots.join(
+        slots.groupBy("query_id").agg(F.count("*").alias("k")), "query_id"
+    )
+
+    hits = (
+        toks.join(F.broadcast(slots), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("pos") - F.col("slot")).alias("anchor"),
+            "k",
+        )
+        .filter(F.col("anchor") >= 0)
+    )
+    occurrences = (
+        hits.groupBy("query_id", "doc_id", "anchor")
+        .agg(F.count("*").alias("n_slots"), F.max("k").alias("k"))
+        .filter(F.col("n_slots") == F.col("k"))
+    )
+    per_doc = occurrences.groupBy("query_id", "doc_id").agg(
+        F.count("*").alias("n_matches"), F.min("anchor").alias("first_pos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_matches"), F.asc("doc_id")
+    )
+    return per_doc.select(
+        "query_id",
+        "doc_id",
+        F.col("n_matches").cast("bigint").alias("n_matches"),
+        F.col("first_pos").cast("bigint").alias("first_pos"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )

@@ -12896,6 +12896,85 @@ QUERIES["contrast_profile"] = q_contrast_profile
 ORACLES["contrast_profile"] = SQL_CONTRAST_PROFILE
 
 
+#: fixed phrase workload for the phrase-search query (same literals feed
+#: the Spark side and the oracle's VALUES table); query 2 has a repeated
+#: term — the slot-distinctness edge case
+PHRASES = {
+    0: "table scan",
+    1: "join order",
+    2: "batch batch",
+    3: "rep rep rep",  # overlapping-anchor storm on the adversarial set
+    4: "中文 文本",  # non-ASCII terms, whitespace-delimited CJK probe
+}
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional inverted index (Manning et
+    al. IIR §2.4.2): consecutive-position postings AND, overlap-counting,
+    ranked per query by match count."""
+    from .operators import phrase_search
+
+    docs = _documents(spark, sf_dir)
+    phrases = spark.createDataFrame(
+        [(k, v) for k, v in PHRASES.items()], "query_id long, phrase_text string"
+    )
+    return phrase_search(docs, phrases)
+
+
+_PHRASE_VALUES = ", ".join(f"({k}, '{v}')" for k, v in PHRASES.items())
+
+SQL_PHRASE_SEARCH = rf"""
+WITH q(query_id, phrase_text) AS (VALUES {_PHRASE_VALUES}),
+wl AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS words
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, words[i] AS term
+  FROM wl, unnest(generate_series(1, len(words))) AS u(i)
+  WHERE length(words[i]) > 0
+),
+pw AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         string_split_regex(lower(trim(phrase_text)), '\s+') AS words
+  FROM q
+),
+slots AS (
+  SELECT query_id, i - 1 AS slot, words[i] AS term
+  FROM pw, unnest(generate_series(1, len(words))) AS u(i)
+  WHERE length(words[i]) > 0
+),
+sk AS (
+  SELECT s.*, k FROM slots s
+  JOIN (SELECT query_id, count(*) AS k FROM slots GROUP BY 1) USING (query_id)
+),
+hits AS (
+  SELECT sk.query_id, t.doc_id, t.pos - sk.slot AS anchor, sk.k
+  FROM toks t JOIN sk ON t.term = sk.term
+  WHERE t.pos - sk.slot >= 0
+),
+occ AS (
+  SELECT query_id, doc_id, anchor
+  FROM hits GROUP BY 1, 2, 3 HAVING count(*) = max(k)
+),
+per_doc AS (
+  SELECT query_id, doc_id,
+         CAST(count(*) AS BIGINT) AS n_matches,
+         CAST(min(anchor) AS BIGINT) AS first_pos
+  FROM occ GROUP BY 1, 2
+)
+SELECT query_id, doc_id, n_matches, first_pos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY n_matches DESC, doc_id ASC) AS BIGINT)
+         AS rank
+FROM per_doc
+"""
+
+QUERIES["phrase_search"] = q_phrase_search
+ORACLES["phrase_search"] = SQL_PHRASE_SEARCH
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
