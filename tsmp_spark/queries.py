@@ -12975,6 +12975,69 @@ QUERIES["phrase_search"] = q_phrase_search
 ORACLES["phrase_search"] = SQL_PHRASE_SEARCH
 
 
+def q_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via Spark's NATIVE ``session_window``
+    state (streaming.sessions.sessionize_stream), gated against the
+    BATCH sessionize oracle: the event stream is replayed through a
+    file source followed by one per-user SENTINEL event placed beyond
+    ``watermark + gap`` of everything real, so the advancing watermark
+    finalizes every real session (append mode emits each exactly once)
+    while the sentinel sessions themselves can never finalize — the
+    drained sink is exactly the batch split, sentinel-free by
+    construction, and ``session_idx`` is recovered as the per-user
+    start-order rank."""
+    import tempfile
+    import uuid
+
+    from .streaming.sessions import sessionize_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    # sentinel horizon: gap (2h) + watermark delay (4h) + 1h margin
+    max_ts = ev.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    sentinel_sec = int(max_ts) + 7 * 3600
+    sentinels = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("ts", F.timestamp_seconds(F.lit(sentinel_sec)))
+    )
+    base = tempfile.mkdtemp(prefix="sess_replay_")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{base}/d0")
+    sentinels.coalesce(1).write.mode("overwrite").parquet(f"{base}/d1")
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").option(
+        "pathGlobFilter", "*.parquet"
+    ).parquet(f"{base}/d*")
+    out = sessionize_stream(stream, gap="2 hours", watermark="4 hours")
+    name = "sess_sink_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .start()
+    )
+    q.awaitTermination(300)
+    snap = spark.table(name)
+    wnd = Window.partitionBy("user_id").orderBy("session_start")
+    return snap.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        (F.row_number().over(wnd) - 1).cast("bigint").alias("session_idx"),
+        F.unix_timestamp("session_start").cast("bigint").alias("session_start"),
+        F.unix_timestamp("session_end").cast("bigint").alias("session_end"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("duration").cast("bigint").alias("duration"),
+    )
+
+
+QUERIES["sessions_stream"] = q_sessions_stream
+ORACLES["sessions_stream"] = SQL_SESSIONIZE  # stream==batch, same ground truth
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
