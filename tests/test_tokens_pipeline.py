@@ -622,6 +622,45 @@ def test_c4_line_filters_pure_jvm_zero_exchange(docs):
     assert "Exchange" not in plan
 
 
+def test_gopher_quality_rules(spark):
+    from tsmp_spark.operators import gopher_quality_filters
+
+    good = " ".join(["alpha beta gamma delta epsilon zeta the of"] * 8)  # 64 words
+    docs = spark.createDataFrame(
+        [
+            (1, good),  # all rules pass
+            (2, "the of short"),  # < min_words
+            (3, good + " " + " ".join(["w"] * 200)),  # > max_words
+            (4, good + "\n" + "\n".join(f"- b{i}" for i in range(80))),  # bullets
+            (5, good + "\nhm...\nuh...\nso...\nand...\nwell..."),  # ellipsis ends
+            (6, good + " " + " ".join(["##"] * 10)),  # symbol spam
+            (7, good + " " + " ".join(["123"] * 40)),  # non-alpha words
+            (8, " ".join(["alpha beta gamma delta epsilon zeta eta iota"] * 8)),  # no stopwords
+            (9, good + " " + "x" * 900),  # mega-word: mean len > 10
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_filters(docs, min_words=40, max_words=150).collect()}
+    assert out[1].keep == 1 and out[1].n_words == 64 and out[1].n_stop == 2
+    assert out[2].keep == 0  # word count below floor
+    assert out[3].keep == 0 and out[3].n_words == 264  # above ceiling
+    assert out[4].keep == 0 and out[4].n_bullet == 80 and out[4].n_lines == 81
+    assert out[5].keep == 0 and out[5].n_ellipsis == 5
+    assert out[6].keep == 0 and out[6].n_sym == 20
+    assert out[7].keep == 0 and out[7].n_alpha == 64  # 64/104 < 80%
+    assert out[8].keep == 0 and out[8].n_stop == 0
+    assert out[9].keep == 0 and out[9].n_chars > 10 * out[9].n_words
+
+
+def test_gopher_quality_pure_jvm_zero_exchange(docs):
+    from tsmp_spark.operators import gopher_quality_filters
+
+    plan = _plan(gopher_quality_filters(docs))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Exchange" not in plan
+
+
 def _bm25_python(corpus, queries, k1=1.2, b=0.75):
     """Independent BM25 reference (Lucene idf form)."""
     toks = {d: t.lower().strip().split() for d, t in corpus}

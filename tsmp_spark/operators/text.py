@@ -416,6 +416,90 @@ def c4_line_filters(
     )
 
 
+#: the Gopher "stop word" presence list (Rae et al. 2021 appendix A1.1) —
+#: a document must contain at least two of these to survive.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filters(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-rules document quality filtering (Rae et al. 2021,
+    arXiv:2112.11446 appendix A1.1 — the MassiveText curation recipe,
+    the other classic web-corpus filter next to C4's).
+
+    A document survives iff ALL hold (every sub-decision exposed as an
+    integer column so the gate hashes exactly, no float ratios):
+      * word count in ``[min_words, max_words]``,
+      * mean word length in [3, 10]    → ``3·n_words ≤ Σlen ≤ 10·n_words``,
+      * symbol-to-word ratio < 0.1 (``#`` chars + ``...`` runs)
+                                       → ``10·n_sym < n_words``,
+      * < 90% of lines start with a ``- `` bullet → ``10·n_bullet < 9·n_lines``,
+      * < 30% of lines end with ``...``           → ``10·n_ellipsis < 3·n_lines``,
+      * ≥ 80% of words contain an alphabetic char → ``5·n_alpha ≥ 4·n_words``,
+      * ≥ ``min_stopwords`` DISTINCT Gopher stop words present.
+
+    Zero-shuffle: one per-row projection, lines/words never leave their
+    row (array filter + aggregate, not explode) — adds no Exchange at any
+    scale; at 100 TB this is a map-only scan. The lambda eval is
+    interpreted (no codegen), dominated by the per-word regex either way.
+
+    Returns ``id_col, n_words, n_chars, n_alpha, n_stop, n_sym, n_lines,
+    n_bullet, n_ellipsis, keep`` (all bigint except ``keep`` int).
+    """
+    t = F.col(text_col)
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    lines = F.split(t, "\n")
+    n_words = F.size(words).cast("bigint")
+    n_chars = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("bigint")
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(words, s),
+        )
+    ).cast("bigint")
+    hash_cnt = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ell_cnt = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_sym = (hash_cnt + ell_cnt).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(F.filter(lines, lambda l: l.startswith("- "))).cast("bigint")
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("bigint")
+
+    d = documents.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop"),
+        n_sym.alias("n_sym"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet"),
+        n_ellipsis.alias("n_ellipsis"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.lit(3) * F.col("n_words") <= F.col("n_chars"))
+        & (F.col("n_chars") <= F.lit(10) * F.col("n_words"))
+        & (F.lit(10) * F.col("n_sym") < F.col("n_words"))
+        & (F.lit(10) * F.col("n_bullet") < F.lit(9) * F.col("n_lines"))
+        & (F.lit(10) * F.col("n_ellipsis") < F.lit(3) * F.col("n_lines"))
+        & (F.lit(5) * F.col("n_alpha") >= F.lit(4) * F.col("n_words"))
+        & (F.col("n_stop") >= min_stopwords)
+    )
+    return d.withColumn("keep", keep.cast("int"))
+
+
 def bm25_topk(
     documents: DataFrame,
     queries: DataFrame,

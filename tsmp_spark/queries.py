@@ -5032,6 +5032,95 @@ QUERIES["c4_filters"] = q_c4_filters
 ORACLES["c4_filters"] = SQL_C4_FILTERS
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules quality filtering (Rae et al. 2021 A1.1) over a corpus
+    with every rule class planted by doc_id arithmetic: bullet walls
+    (member 0), ellipsis endings (1), symbol spam (2), non-alphabetic
+    word runs (3), untouched docs (4, exercises the word-count bounds),
+    stop-word boosters (5), and a 2000-char mega-word that breaks the
+    mean-word-length bound (6). Every sub-decision is an integer column
+    — no float ratio ever reaches the hash."""
+    from .operators.text import gopher_quality_filters
+
+    d = _documents(spark, sf_dir)
+    member = F.col("doc_id") % 7
+    b10 = "".join(f"\n- b{i}" for i in range(10))
+    extra = (
+        F.when(member == 0, F.lit(b10))
+        .when(member == 1, F.lit("\nwell maybe...\nor not..."))
+        .when(member == 2, F.lit(" ## ## ## ## ## ##"))
+        .when(member == 3, F.lit(" 11 22 33 44 55 66 77 88 99 00"))
+        .when(member == 5, F.lit(" that have with be"))
+        .when(member == 6, F.concat(F.lit(" "), F.repeat(F.lit("x"), 2000)))
+        .otherwise(F.lit(""))
+    )
+    docs = d.select("doc_id", F.concat(F.col("text"), extra).alias("text"))
+    out = gopher_quality_filters(docs, min_words=40, max_words=120)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_words"),
+        F.col("n_chars"),
+        F.col("n_alpha"),
+        F.col("n_stop"),
+        F.col("n_sym"),
+        F.col("n_lines"),
+        F.col("n_bullet"),
+        F.col("n_ellipsis"),
+        F.col("keep"),
+    )
+
+
+SQL_GOPHER_QUALITY = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text ||
+         CASE doc_id % 7
+           WHEN 0 THEN replace('|- b0|- b1|- b2|- b3|- b4|- b5|- b6|- b7|- b8|- b9', '|', chr(10))
+           WHEN 1 THEN replace('|well maybe...|or not...', '|', chr(10))
+           WHEN 2 THEN ' ## ## ## ## ## ##'
+           WHEN 3 THEN ' 11 22 33 44 55 66 77 88 99 00'
+           WHEN 5 THEN ' that have with be'
+           WHEN 6 THEN ' ' || repeat('x', 2000)
+           ELSE '' END AS text
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\s+') AS words,
+         string_split(text, chr(10)) AS lines,
+         len(text) - len(replace(text, '#', '')) AS hash_cnt,
+         (len(text) - len(replace(text, '...', ''))) // 3 AS ell_cnt
+  FROM planted
+),
+agg AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                              s -> list_contains(words, s))) AS BIGINT) AS n_stop,
+         CAST(hash_cnt + ell_cnt AS BIGINT) AS n_sym,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l -> starts_with(l, '- '))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS n_ellipsis
+  FROM feat
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       n_words, n_chars, n_alpha, n_stop, n_sym, n_lines, n_bullet, n_ellipsis,
+       CAST(n_words >= 40 AND n_words <= 120
+        AND 3 * n_words <= n_chars AND n_chars <= 10 * n_words
+        AND 10 * n_sym < n_words
+        AND 10 * n_bullet < 9 * n_lines
+        AND 10 * n_ellipsis < 3 * n_lines
+        AND 5 * n_alpha >= 4 * n_words
+        AND n_stop >= 2 AS INT) AS keep
+FROM agg
+"""
+
+QUERIES["gopher_quality"] = q_gopher_quality
+ORACLES["gopher_quality"] = SQL_GOPHER_QUALITY
+
+
 #: fixed keyword queries for the BM25 driver gate — drawn from the synthetic
 #: corpus vocabulary so tf/df/dl all discriminate.
 _BM25_QUERIES: tuple[tuple[int, str], ...] = (
