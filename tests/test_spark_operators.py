@@ -3055,3 +3055,68 @@ def test_phrase_search_overlaps_and_repeats(spark):
     assert out[(2, 1)]["n_matches"] == 2 and out[(2, 1)]["rank"] == 1
     assert out[(2, 3)]["rank"] == 2
     assert all(k[1] != 4 for k in out)
+
+
+# --- DGIM exponential histogram ----------------------------------------------
+
+
+def _dgim_ref(bits, n_window):
+    """Sequential textbook DGIM (Datar et al. 2002): insert one bucket per
+    1-bit, merge the two OLDEST whenever three share a size. Returns
+    (est2, n_buckets_in_window, exact)."""
+    buckets = []  # (size, pos) newest first
+    for pos, b in enumerate(bits, start=1):
+        if not b:
+            continue
+        buckets.insert(0, (1, pos))
+        while True:
+            sizes = [s for s, _ in buckets]
+            for s in sorted(set(sizes)):
+                idxs = [j for j, (sz, _) in enumerate(buckets) if sz == s]
+                if len(idxs) == 3:
+                    j1, j2 = idxs[-2], idxs[-1]
+                    buckets[j1] = (2 * s, buckets[j1][1])
+                    del buckets[j2]
+                    break
+            else:
+                break
+    p = len(bits)
+    inw = [(s, t) for s, t in buckets if t >= p - n_window + 1]
+    exact = sum(bits[-n_window:])
+    if not inw:
+        return 0, 0, exact
+    return 2 * sum(s for s, _ in inw) - max(s for s, _ in inw), len(inw), exact
+
+
+def test_dgim_closed_form_equals_state_machine(spark):
+    """The relational closed form (bucket sizes = the {1,2}-digit base-2
+    representation of the one-count) must reproduce the sequential DGIM
+    state machine bucket-for-bucket — sizes, count, AND the halved-oldest
+    estimate — plus the classic <=50% relative error bound."""
+    import random
+
+    from tsmp_spark.operators.sketch import dgim_estimate
+
+    random.seed(11)
+    rows, eid = [], 0
+    for u in range(5):
+        for i in range(random.choice([1, 7, 63, 64, 257, 500])):
+            rows.append((eid, 1_700_000_000 + i, u))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts long, user_id long")
+    out = dgim_estimate(
+        df, (F.col("event_id") % 3 == 0), window_sizes=(8, 32, 128)
+    ).collect()
+
+    bits = {}
+    for e, t, u in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        bits.setdefault(u, []).append(1 if e % 3 == 0 else 0)
+    assert len(out) == 5 * 3
+    for r in out:
+        est2, nb, exact = _dgim_ref(bits[r.key], r.n_window)
+        assert (r.est2, r.n_buckets, r.exact) == (est2, nb, exact), (
+            r.key,
+            r.n_window,
+        )
+        if exact:
+            assert abs(r.est2 / 2 - exact) <= 0.5 * exact  # DGIM bound

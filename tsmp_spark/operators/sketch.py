@@ -1338,3 +1338,172 @@ def ams_rerollup(
         .alias("est_x16"),
         F.col("n"),
     )
+
+
+# --- DGIM exponential histogram: sliding-window bit counting -----------------
+
+#: max digit levels for the DGIM closed form — 2^30 ones per key bound.
+DGIM_LEVELS = 30
+
+
+def dgim_buckets(
+    events: DataFrame,
+    bit_col,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """DGIM exponential-histogram buckets (Datar, Gionis, Indyk, Motwani,
+    SICOMP 2002 — the classic sliding-window bit-counting sketch with
+    O(log^2 N) state) in CLOSED FORM.
+
+    The key identity that makes this a one-pass relational operator
+    instead of a sequential replay: with the ≤2-buckets-per-size
+    invariant, the multiset of DGIM bucket sizes after ``c`` ones is the
+    UNIQUE representation of ``c`` as ``Σ d_i·2^i`` with digits
+    ``d_i ∈ {1,2}`` (merging the two oldest same-size buckets preserves
+    exactly this canonical form), and the buckets partition the ones
+    into contiguous rank ranges, sizes ascending from newest.  So the
+    full bucket list — sizes AND timestamps — is a deterministic
+    function of (c, the ranked one-positions): no state machine, no
+    Python, one shuffle by key.
+
+    ``bit_col``: boolean Column marking the 1-bits. Position = rank of
+    the event in the key's total (ts, id) order (DGIM windows are over
+    POSITIONS). Returns one row per bucket:
+    ``key, c_ones, n_pos, bucket_idx (0 = newest), size, pos``
+    (pos = position of the newest one inside the bucket).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    base = events.select(
+        F.col(key_col).alias("key"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        bit_col.cast("int").alias("bit"),
+    )
+    ones = base.where(F.col("bit") == 1)
+    wr = Window.partitionBy("key").orderBy(F.col("pos").desc())
+    ranked = ones.select(
+        "key", "pos", F.row_number().over(wr).cast("bigint").alias("rnk")
+    )
+    totals = base.groupBy("key").agg(
+        F.max("pos").alias("n_pos"), F.sum("bit").cast("bigint").alias("c_ones")
+    )
+    # digits of c in the {1,2} base-2 representation, newest (size 1) first:
+    # fold over DGIM_LEVELS steps carrying (rem, size, sizes[]).
+    zero = F.named_struct(
+        F.lit("rem"), F.col("c_ones"),
+        F.lit("sz"), F.lit(1).cast("bigint"),
+        F.lit("sizes"), F.array().cast("array<bigint>"),
+    )
+
+    def _step(acc, _i):
+        rem, sz, sizes = acc["rem"], acc["sz"], acc["sizes"]
+        d = (
+            F.when(rem == 0, F.lit(0))
+            .when(rem % 2 == 1, F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("bigint")
+        )
+        appended = (
+            F.when(d == 0, sizes)
+            .when(d == 1, F.concat(sizes, F.array(sz)))
+            .otherwise(F.concat(sizes, F.array(sz, sz)))
+        )
+        return F.named_struct(
+            F.lit("rem"), ((rem - d) / F.lit(2)).cast("bigint"),
+            F.lit("sz"), sz * 2,
+            F.lit("sizes"), appended,
+        )
+
+    sized = totals.select(
+        "key", "n_pos", "c_ones",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(DGIM_LEVELS)), zero, _step
+        )["sizes"].alias("sizes"),
+    )
+    # bucket k (0-based, newest first) covers ranks (Σ_{j<k} size_j, Σ_{j≤k}];
+    # its timestamp is the position of its newest one: rank Σ_{j<k}+1.
+    b = sized.select(
+        "key", "n_pos", "c_ones",
+        F.posexplode("sizes").alias("bucket_idx", "size"),
+        F.col("sizes"),
+    ).select(
+        "key", "n_pos", "c_ones", "bucket_idx", "size",
+        (
+            F.aggregate(
+                F.slice(F.col("sizes"), 1, F.col("bucket_idx")),
+                F.lit(0).cast("bigint"),
+                lambda a, s: a + s,
+            )
+            + 1
+        ).alias("head_rank"),
+    )
+    r = ranked.select(
+        F.col("key").alias("rkey"), F.col("rnk").alias("head_rank"), "pos"
+    )
+    return b.join(
+        r, (b["key"] == r["rkey"]) & (b["head_rank"] == r["head_rank"])
+    ).select(b["key"], "n_pos", "c_ones", "bucket_idx", "size", "pos")
+
+
+def dgim_estimate(
+    events: DataFrame,
+    bit_col,
+    window_sizes: tuple[int, ...] = (8, 32, 128, 512),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """DGIM count estimate over the last ``N`` positions per key, one row
+    per (key, N): classic rule — sum the sizes of in-window buckets and
+    halve the oldest.  Emitted in DOUBLED integer units (``est2`` =
+    2·estimate) so the halving never leaves the integers; ``exact`` is
+    the true in-window one-count (the ≤50 % relative-error bound is a
+    pytest property, not a hashed float).
+
+    Scale: ONE shuffle by key for the position ranking, then everything
+    is per-key O(log² N) bucket rows; the windows table is a literal
+    broadcast. State at 100 TB = ~60 bucket rows per key, not raw bits.
+    """
+    spark = events.sparkSession
+    b = dgim_buckets(events, bit_col, key_col, ts_col, id_col)
+    wins = spark.createDataFrame(
+        [(int(n),) for n in window_sizes], "n_window bigint"
+    )
+    inw = (
+        b.crossJoin(F.broadcast(wins))
+        .where(F.col("pos") >= F.col("n_pos") - F.col("n_window") + 1)
+        .groupBy("key", "n_window")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            (2 * F.sum("size") - F.max("size")).cast("bigint").alias("est2"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    base = events.select(
+        F.col(key_col).alias("key"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        bit_col.cast("int").alias("bit"),
+    )
+    npos = base.groupBy("key").agg(F.max("pos").alias("n_pos"))
+    exact = (
+        base.join(npos, "key")
+        .crossJoin(F.broadcast(wins))
+        .where(F.col("pos") >= F.col("n_pos") - F.col("n_window") + 1)
+        .groupBy("key", "n_window")
+        .agg(F.sum("bit").cast("bigint").alias("exact"))
+    )
+    return (
+        exact.join(inw, ["key", "n_window"], "left")
+        .select(
+            "key",
+            "n_window",
+            F.coalesce("n_buckets", F.lit(0)).cast("bigint").alias("n_buckets"),
+            F.coalesce("est2", F.lit(0)).cast("bigint").alias("est2"),
+            "exact",
+        )
+    )

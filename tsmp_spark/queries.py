@@ -11914,6 +11914,107 @@ QUERIES["ams_f2"] = q_ams_f2
 ORACLES["ams_f2"] = SQL_AMS_F2
 
 
+def q_dgim_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DGIM exponential-histogram sliding-window bit counting (Datar,
+    Gionis, Indyk & Motwani, SICOMP 2002) in CLOSED FORM: the bucket
+    multiset after c ones is the unique Σ d_i·2^i, d_i∈{1,2}
+    representation of c, so both engines derive the ENTIRE O(log² N)
+    sketch state — sizes and timestamps — relationally from (c, ranked
+    one-positions), no state machine. bit = event_id % 3 == 0 so every
+    dataset (incl. the single-event-type adversarial set) exercises it;
+    est2 is the doubled-integer estimate (2·est, exact in bigints),
+    `exact` is the true windowed count (the ≤50% error bound is a pytest
+    property, not a hashed float)."""
+    from .operators.sketch import dgim_estimate
+
+    e = _events(spark, sf_dir)
+    out = dgim_estimate(
+        e, (F.col("event_id") % 3 == 0), window_sizes=(8, 32, 128, 512)
+    )
+    return out.select(
+        F.col("key").cast("bigint").alias("key"),
+        F.col("n_window").cast("bigint").alias("n_window"),
+        F.col("n_buckets"),
+        F.col("est2"),
+        F.col("exact"),
+    )
+
+
+SQL_DGIM_SLIDING = r"""
+WITH RECURSIVE base AS (
+  SELECT user_id AS key,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+         CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS bit
+  FROM events
+),
+totals AS (
+  SELECT key, CAST(max(pos) AS BIGINT) AS n_pos,
+         CAST(sum(bit) AS BIGINT) AS c_ones
+  FROM base GROUP BY key
+),
+lv AS (
+  SELECT key, 0 AS i, c_ones AS rem, CAST(1 AS BIGINT) AS sz,
+         CASE WHEN c_ones = 0 THEN 0
+              WHEN c_ones % 2 = 1 THEN 1 ELSE 2 END AS d
+  FROM totals
+  UNION ALL
+  SELECT key, i + 1, (rem - d) // 2 AS rem, sz * 2 AS sz,
+         CASE WHEN (rem - d) // 2 = 0 THEN 0
+              WHEN ((rem - d) // 2) % 2 = 1 THEN 1 ELSE 2 END AS d
+  FROM lv
+  WHERE i < 30 AND (rem - d) // 2 > 0
+),
+buckets AS (
+  SELECT key, sz AS size, cp,
+         row_number() OVER (PARTITION BY key ORDER BY sz, cp) AS bseq
+  FROM lv, unnest([0, 1]) AS t(cp)
+  WHERE d > 0 AND cp < d
+),
+heads AS (
+  SELECT key, size,
+         CAST(sum(size) OVER (PARTITION BY key ORDER BY bseq)
+              - size + 1 AS BIGINT) AS head_rank
+  FROM buckets
+),
+ranked AS (
+  SELECT key, pos,
+         row_number() OVER (PARTITION BY key ORDER BY pos DESC) AS rnk
+  FROM base WHERE bit = 1
+),
+placed AS (
+  SELECT h.key, h.size, r.pos
+  FROM heads h JOIN ranked r ON h.key = r.key AND h.head_rank = r.rnk
+),
+wins AS (SELECT CAST(n AS BIGINT) AS n_window FROM unnest([8, 32, 128, 512]) AS w(n)),
+inw AS (
+  SELECT p.key, w.n_window,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(2 * sum(p.size) - max(p.size) AS BIGINT) AS est2
+  FROM placed p
+  JOIN totals t ON p.key = t.key
+  CROSS JOIN wins w
+  WHERE p.pos >= t.n_pos - w.n_window + 1
+  GROUP BY p.key, w.n_window
+),
+ex AS (
+  SELECT b.key, w.n_window, CAST(sum(b.bit) AS BIGINT) AS exact
+  FROM base b
+  JOIN totals t ON b.key = t.key
+  CROSS JOIN wins w
+  WHERE b.pos >= t.n_pos - w.n_window + 1
+  GROUP BY b.key, w.n_window
+)
+SELECT CAST(e.key AS BIGINT) AS key, e.n_window,
+       COALESCE(i.n_buckets, 0) AS n_buckets,
+       COALESCE(i.est2, 0) AS est2,
+       e.exact
+FROM ex e LEFT JOIN inw i ON e.key = i.key AND e.n_window = i.n_window
+"""
+
+QUERIES["dgim_sliding"] = q_dgim_sliding
+ORACLES["dgim_sliding"] = SQL_DGIM_SLIDING
+
+
 def q_ams_rerollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS retention-tier merge: 6h counters summed element-wise into
     daily buckets READING TIER-1 ONLY. Counters are linear in the
