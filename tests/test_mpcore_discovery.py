@@ -154,3 +154,74 @@ def test_snippets_two_regimes():
     assert abs(s.snippet_frac.sum() - 1.0) < 1e-6
     # one snippet from each regime
     assert (s.snippet_idx < 400).any() and (s.snippet_idx >= 400).any()
+
+
+# --- k-motiflets --------------------------------------------------------------
+
+
+def _brute_znorm_dist(ts, w, i, j):
+    a, b = ts[i : i + w], ts[j : j + w]
+    za = (a - a.mean()) / a.std()
+    zb = (b - b.mean()) / b.std()
+    return float(np.sqrt(max(((za - zb) ** 2).sum(), 0.0)))
+
+
+def test_k_motiflets_matches_exhaustive():
+    """Anchored-greedy winner equals an independent reimplementation:
+    brute per-pair z-norm distances, greedy replay per anchor in plain
+    Python, global argmin."""
+    from tsmp_spark.mpcore.motiflets import k_motiflets
+    from tsmp_spark.mpcore import exclusion_zone_size
+
+    rng = np.random.default_rng(5)
+    w, k = 8, 3
+    ez = exclusion_zone_size(w, 0.5)
+    # i.i.d. noise with an identical planted motif at 3 spots: noise
+    # windows are mutually far in z-space, the plants nearly identical
+    ts = rng.normal(size=120)
+    pat = np.sin(np.linspace(0, 3.0, w)) * 4
+    for at in (10, 55, 100):
+        ts[at : at + w] = pat + rng.normal(size=w) * 0.01
+
+    m = ts.shape[0] - w + 1
+    d = np.full((m, m), np.nan)
+    for i in range(m):
+        for j in range(m):
+            if abs(i - j) > ez:
+                d[i, j] = _brute_znorm_dist(ts, w, i, j)
+
+    best = None
+    for i in range(m):
+        sel, cand = [i], d[i].copy()
+        ok = True
+        for _ in range(k - 1):
+            if np.all(np.isnan(cand)):
+                ok = False
+                break
+            jn = int(np.nanargmin(cand))
+            sel.append(jn)
+            cand[max(0, jn - ez) : jn + ez + 1] = np.nan
+        if not ok:
+            continue
+        ext = max(
+            d[a, b] for x, a in enumerate(sel) for b in sel[x + 1 :]
+        )
+        if best is None or ext < best[0]:
+            best = (ext, i, sel)
+
+    got = k_motiflets(ts, w, k)
+    assert got is not None
+    assert got.anchor == best[1]
+    assert got.members == best[2]
+    assert got.extent == pytest.approx(best[0], abs=1e-6)
+    # the planted occurrences should be what wins
+    assert all(min(abs(mm - at) for at in (10, 55, 100)) <= 2 for mm in got.members)
+
+
+def test_k_motiflets_degenerate_and_short():
+    from tsmp_spark.mpcore.motiflets import k_motiflets
+
+    # constant series: every window degenerate -> no motiflet
+    assert k_motiflets(np.zeros(64), 8, 3) is None
+    # too short for 3 non-overlapping windows
+    assert k_motiflets(np.arange(10, dtype=float), 8, 3) is None

@@ -644,3 +644,65 @@ def contrast_profile(
     if parallelism > 0:
         pairs = pairs.repartition(parallelism)
     return pairs.mapInPandas(kernel, CONTRAST_SCHEMA)
+
+
+MOTIFLET_SCHEMA = (
+    "doc_id string, anchor int, members array<int>, extent double"
+)
+
+
+def k_motiflets_op(
+    sequences: DataFrame,
+    window_size: int,
+    k: int = 3,
+    exclusion_zone: float = 0.5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Best k-motiflet per series (Schäfer & Leser, PVLDB 2022): the set
+    of exactly ``k`` non-overlapping windows minimizing the maximal
+    pairwise z-normalized distance (the EXTENT) — the radius-free
+    alternative to the reference's pair-based find_motifs (R/motifs.R).
+
+    Candidate generation is the paper's anchored greedy: every position
+    is an anchor, picks its k−1 nearest admissible neighbors, minimal
+    extent wins (mpcore.motiflets). One row out per series that admits a
+    full k-set: ``(doc_id, anchor, members, extent)``, members in pick
+    order (anchor first), deterministic smaller-index tie-breaks on both
+    engines.
+
+    Physical plan: per-series ``mapInPandas`` — no shuffle beyond the
+    balancing repartition; the O(m²) pair matrix lives only inside the
+    task, sized by the per-window series bound, never materialized as
+    rows (the SQL oracle materializes it, which is exactly why the oracle
+    is the slow path and this is not).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..mpcore.motiflets import k_motiflets
+
+        for pdf in batches:
+            ids, anchors, members, extents = [], [], [], []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                ts = np.asarray(toks, dtype=np.float64)
+                best = k_motiflets(ts, window_size, k, exclusion_zone)
+                if best is None:
+                    continue
+                ids.append(doc_id)
+                anchors.append(best.anchor)
+                members.append(np.asarray(best.members, dtype=np.int32))
+                extents.append(best.extent)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "anchor": np.asarray(anchors, dtype=np.int32),
+                        "members": members,
+                        "extent": np.asarray(extents, dtype=np.float64),
+                    }
+                )
+
+    if parallelism is None:
+        parallelism = sequences.sparkSession.sparkContext.defaultParallelism
+    if parallelism > 0:
+        sequences = sequences.repartition(parallelism)
+    return sequences.mapInPandas(kernel, MOTIFLET_SCHEMA)

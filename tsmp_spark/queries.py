@@ -13086,6 +13086,67 @@ QUERIES["contrast_profile"] = q_contrast_profile
 ORACLES["contrast_profile"] = SQL_CONTRAST_PROFILE
 
 
+def q_k_motiflets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best 3-motiflet per series (Schäfer & Leser, PVLDB 2022): the set
+    of 3 non-overlapping windows minimizing the max pairwise z-norm
+    distance (extent) — radius-free motif sets, anchored greedy
+    candidate generation. The oracle replays both greedy picks and the
+    extent argmin relationally over the brute pair-distance table."""
+    from .operators import k_motiflets_op
+
+    out = k_motiflets_op(_sequences(spark, sf_dir), W, k=3)
+    return out.select(
+        "doc_id",
+        F.col("anchor").cast("bigint").alias("anchor"),
+        F.element_at("members", 2).cast("bigint").alias("m1"),
+        F.element_at("members", 3).cast("bigint").alias("m2"),
+        _r4("extent").alias("extent_r"),
+    )
+
+
+SQL_K_MOTIFLETS = f"""
+WITH {sql_mp_cte()},
+dall AS (
+  SELECT doc_id, i, j, dist FROM dists
+  UNION ALL
+  SELECT doc_id, j AS i, i AS j, dist FROM dists
+),
+n1 AS (
+  SELECT doc_id, i AS anchor, j AS m1, dist AS d1 FROM (
+    SELECT doc_id, i, j, dist,
+           row_number() OVER (PARTITION BY doc_id, i ORDER BY dist, j) AS rn
+    FROM dall
+  ) WHERE rn = 1
+),
+n2 AS (
+  SELECT doc_id, anchor, m1, d1, m2, d2 FROM (
+    SELECT d.doc_id, n1.anchor, n1.m1, n1.d1, d.j AS m2, d.dist AS d2,
+           row_number() OVER (PARTITION BY d.doc_id, n1.anchor
+                              ORDER BY d.dist, d.j) AS rn
+    FROM dall d
+    JOIN n1 ON d.doc_id = n1.doc_id AND d.i = n1.anchor
+    WHERE abs(d.j - n1.m1) > {EZ_N}
+  ) WHERE rn = 1
+),
+ext AS (
+  SELECT n2.doc_id, n2.anchor, n2.m1, n2.m2,
+         greatest(n2.d1, n2.d2, dp.dist) AS extent
+  FROM n2
+  JOIN dall dp ON dp.doc_id = n2.doc_id AND dp.i = n2.m1 AND dp.j = n2.m2
+)
+SELECT doc_id, CAST(anchor AS BIGINT) AS anchor, CAST(m1 AS BIGINT) AS m1,
+       CAST(m2 AS BIGINT) AS m2, round(extent, 4) AS extent_r
+FROM (
+  SELECT doc_id, anchor, m1, m2, extent,
+         row_number() OVER (PARTITION BY doc_id ORDER BY extent, anchor) AS rn
+  FROM ext
+) WHERE rn = 1
+"""
+
+QUERIES["k_motiflets"] = q_k_motiflets
+ORACLES["k_motiflets"] = SQL_K_MOTIFLETS
+
+
 #: fixed phrase workload for the phrase-search query (same literals feed
 #: the Spark side and the oracle's VALUES table); query 2 has a repeated
 #: term — the slot-distinctness edge case
