@@ -225,3 +225,27 @@ def test_k_motiflets_degenerate_and_short():
     assert k_motiflets(np.zeros(64), 8, 3) is None
     # too short for 3 non-overlapping windows
     assert k_motiflets(np.arange(10, dtype=float), 8, 3) is None
+
+
+def test_topk_nn_rank1_equals_classic_profile():
+    """The k-NN matrix profile's rank-1 neighbor must reproduce the
+    classic 1-NN profile (mpx kernel) exactly on every non-degenerate
+    position — cross-kernel consistency between the O(m^2) matrix path
+    and the diagonal-march path."""
+    from tsmp_spark.mpcore import exclusion_zone_size, mpx
+    from tsmp_spark.mpcore.motiflets import znorm_dist_matrix
+
+    rng = np.random.default_rng(9)
+    ts = np.cumsum(rng.normal(size=200))
+    w = 8
+    ez = exclusion_zone_size(w, 0.5)
+    r = mpx(ts, w, minlag=ez + 1)
+    d = znorm_dist_matrix(ts, w, ez)
+    for i in range(d.shape[0]):
+        row = d[i]
+        j = np.flatnonzero(~np.isnan(row))
+        if not j.size or r.pi[i] < 0 or not np.isfinite(r.mp[i]):
+            continue
+        order = np.lexsort((j, row[j]))
+        assert j[order[0]] == r.pi[i], i
+        assert row[j[order[0]]] == pytest.approx(r.mp[i], abs=1e-8)

@@ -706,3 +706,68 @@ def k_motiflets_op(
     if parallelism > 0:
         sequences = sequences.repartition(parallelism)
     return sequences.mapInPandas(kernel, MOTIFLET_SCHEMA)
+
+
+MP_TOPK_SCHEMA = "doc_id string, pos int, rank int, nn int, dist double"
+
+
+def matrix_profile_topk(
+    sequences: DataFrame,
+    window_size: int,
+    k: int = 3,
+    exclusion_zone: float = 0.5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """k-NN matrix profile: for every window position the k nearest
+    z-normalized neighbors (not just the 1-NN the classic profile keeps)
+    — the multi-neighbor generalization behind motif-set ranking and
+    density-based TS clustering (cf. tsmp find_motifs' neighbor scan,
+    R/motifs.R:86-118, which re-derives neighbors per motif; here they
+    are a first-class column).
+
+    Output: ``(doc_id, pos, rank 1..k, nn, dist)``, rank ordered by
+    ``(dist, nn)`` — deterministic smaller-index tie-break, same as the
+    relational oracle's ``row_number``. Positions with fewer than k
+    admissible neighbors emit what they have; degenerate windows emit
+    nothing (the pair-based-oracle convention).
+
+    Per-series ``mapInPandas``: the O(m²) matrix stays inside the task
+    (per-window series bound), only k rows per position come out.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..mpcore.motiflets import znorm_dist_matrix
+
+        ez_n = exclusion_zone_size(window_size, exclusion_zone)
+        for pdf in batches:
+            out = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                ts = np.asarray(toks, dtype=np.float64)
+                d_mat = znorm_dist_matrix(ts, window_size, ez_n)
+                m = d_mat.shape[0]
+                for i in range(m):
+                    row = d_mat[i]
+                    j = np.flatnonzero(~np.isnan(row))
+                    if not j.size:
+                        continue
+                    order = np.lexsort((j, row[j]))[:k]
+                    sel = j[order]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "doc_id": np.repeat(doc_id, sel.size),
+                                "pos": np.full(sel.size, i, dtype=np.int32),
+                                "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+                                "nn": sel.astype(np.int32),
+                                "dist": row[sel],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    if parallelism is None:
+        parallelism = sequences.sparkSession.sparkContext.defaultParallelism
+    if parallelism > 0:
+        sequences = sequences.repartition(parallelism)
+    return sequences.mapInPandas(kernel, MP_TOPK_SCHEMA)

@@ -13147,6 +13147,42 @@ QUERIES["k_motiflets"] = q_k_motiflets
 ORACLES["k_motiflets"] = SQL_K_MOTIFLETS
 
 
+def q_mp_topk_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN matrix profile (k=3): every window's 3 nearest z-normalized
+    neighbors with deterministic (dist, nn) rank order — the
+    multi-neighbor column the classic 1-NN profile throws away."""
+    from .operators import matrix_profile_topk
+
+    out = matrix_profile_topk(_sequences(spark, sf_dir), W, k=3)
+    return out.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("nn").cast("bigint").alias("nn"),
+        _r4("dist").alias("dist_r"),
+    )
+
+
+SQL_MP_TOPK_NN = f"""
+WITH {sql_mp_cte()},
+dall AS (
+  SELECT doc_id, i, j, dist FROM dists
+  UNION ALL
+  SELECT doc_id, j AS i, i AS j, dist FROM dists
+)
+SELECT doc_id, CAST(i AS BIGINT) AS pos, CAST(rn AS BIGINT) AS rank,
+       CAST(j AS BIGINT) AS nn, round(dist, 4) AS dist_r
+FROM (
+  SELECT doc_id, i, j, dist,
+         row_number() OVER (PARTITION BY doc_id, i ORDER BY dist, j) AS rn
+  FROM dall
+) WHERE rn <= 3
+"""
+
+QUERIES["mp_topk_nn"] = q_mp_topk_nn
+ORACLES["mp_topk_nn"] = SQL_MP_TOPK_NN
+
+
 #: fixed phrase workload for the phrase-search query (same literals feed
 #: the Spark side and the oracle's VALUES table); query 2 has a repeated
 #: term — the slot-distinctness edge case
