@@ -1130,3 +1130,64 @@ def test_ams_stream_equals_batch_any_order(spark, tmp_path):
         for r in ams_f2(batch_df, bucket_sec=21600).collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_dgim_stream_equals_batch_closed_form(spark, tmp_path):
+    """Streaming textbook DGIM state machine fed ORDERED micro-batches
+    (3 files, maxFilesPerTrigger=1 — state carries across batches) ends
+    at exactly the batch CLOSED FORM's buckets and estimates — the
+    {1,2}-digit representation theorem, end to end."""
+    import os
+
+    from tsmp_spark.operators.sketch import dgim_estimate
+    from tsmp_spark.streaming.sketch import dgim_stream
+
+    rows = [
+        (i, 1_700_000_000 + i, (i * 7) % 6, 1 if (i * 13) % 3 == 0 else 0)
+        for i in range(900)
+    ]
+    schema = "event_id long, ts long, key long, bit int"
+    batch_df = spark.createDataFrame(rows, schema)
+
+    base = str(tmp_path / "dgim_ev")
+    os.makedirs(base)
+    per = 300
+    for k in range(3):  # ordered-append contract: files in event order
+        spark.createDataFrame(rows[per * k : per * (k + 1)], schema).coalesce(
+            1
+        ).write.parquet(f"{base}/f{k}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/*")
+    )
+    q = (
+        dgim_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dgim_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dgim"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.key, r.n_window): (r.n_buckets, r.est2)
+        for r in spark.sql(
+            "SELECT key, n_window, n_buckets, est2 FROM (SELECT *, "
+            "row_number() OVER (PARTITION BY key, n_window ORDER BY n_pos DESC)"
+            " AS rn FROM dgim_out) WHERE rn = 1"
+        ).collect()
+    }
+    want = {
+        (r.key, r.n_window): (r.n_buckets, r.est2)
+        for r in dgim_estimate(
+            batch_df, F.col("bit") == 1, window_sizes=(8, 32, 128, 512),
+            key_col="key", ts_col="ts", id_col="event_id",
+        ).collect()
+    }
+    assert got == want and len(got) == 6 * 4

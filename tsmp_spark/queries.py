@@ -12015,6 +12015,71 @@ QUERIES["dgim_sliding"] = q_dgim_sliding
 ORACLES["dgim_sliding"] = SQL_DGIM_SLIDING
 
 
+def q_dgim_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME DGIM sketch maintained by an actual Structured Streaming
+    query running the textbook sequential state machine
+    (streaming.sketch.dgim_stream) — the final per-key snapshot must
+    equal the batch CLOSED FORM, which is exactly what the oracle
+    computes. Stream state = the O(log² N) bucket list per key."""
+    import uuid
+
+    from .streaming.sketch import dgim_stream
+
+    name = "dgim_sink_" + uuid.uuid4().hex[:8]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props map<string,string>"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.col("user_id").alias("key"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            (F.col("event_id") % 3 == 0).cast("int").alias("bit"),
+        )
+    )
+    out = dgim_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""
+        SELECT key, n_window, n_buckets, est2 FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY key, n_window ORDER BY n_pos DESC) AS rn
+          FROM {name}) WHERE rn = 1
+        """
+    )
+
+
+#: the batch closed form minus the `exact` column — what the stream can
+#: answer from its O(log² N) state alone.
+SQL_DGIM_STREAM = SQL_DGIM_SLIDING.replace(
+    """SELECT CAST(e.key AS BIGINT) AS key, e.n_window,
+       COALESCE(i.n_buckets, 0) AS n_buckets,
+       COALESCE(i.est2, 0) AS est2,
+       e.exact
+FROM ex e LEFT JOIN inw i ON e.key = i.key AND e.n_window = i.n_window""",
+    """SELECT CAST(t.key AS BIGINT) AS key, w.n_window,
+       COALESCE(i.n_buckets, 0) AS n_buckets,
+       COALESCE(i.est2, 0) AS est2
+FROM totals t CROSS JOIN wins w
+LEFT JOIN inw i ON t.key = i.key AND w.n_window = i.n_window""",
+)
+assert "e.exact" not in SQL_DGIM_STREAM
+
+QUERIES["dgim_stream"] = q_dgim_stream
+ORACLES["dgim_stream"] = SQL_DGIM_STREAM
+
+
 def q_ams_rerollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS retention-tier merge: 6h counters summed element-wise into
     daily buckets READING TIER-1 ONLY. Counters are linear in the

@@ -402,3 +402,79 @@ def ams_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- DGIM sliding-window bit counting ----------------------------------------
+
+DGIM_OUTPUT_SCHEMA = "key long, n_window long, n_buckets long, est2 long, n_pos long"
+DGIM_STATE_SCHEMA = "n_pos long, sizes array<long>, poss array<long>"
+
+#: window sizes the stream snapshots — matches the batch driver query.
+DGIM_WINDOWS = (8, 32, 128, 512)
+
+
+def _dgim_func(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """True sequential DGIM (Datar et al. 2002): one bucket per 1-bit,
+    cascade-merge the two OLDEST whenever three share a size. State is
+    the O(log² N) bucket list (sizes + newest-one positions, newest
+    first) — the streaming counterpart of the batch operator's closed
+    form, which the stream==batch pytest pins bucket-for-bucket.
+
+    ORDERED-append contract (the stompi convention): batches arrive in
+    (ts, event_id) order across micro-batches; within a batch we sort."""
+    if state.exists:
+        n_pos, sizes_t, poss_t = state.get
+        sizes, poss = list(sizes_t), list(poss_t)
+    else:
+        n_pos, sizes, poss = 0, [], []
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    for bit in pdf["bit"].to_numpy():
+        n_pos += 1
+        if not bit:
+            continue
+        sizes.insert(0, 1)
+        poss.insert(0, n_pos)
+        while True:
+            merged = False
+            seen: dict[int, list[int]] = {}
+            for j, s in enumerate(sizes):
+                seen.setdefault(s, []).append(j)
+            for s in sorted(seen):
+                idxs = seen[s]
+                if len(idxs) == 3:
+                    j1, j2 = idxs[-2], idxs[-1]  # the two OLDEST
+                    sizes[j1] = 2 * s  # keeps the newer one's position
+                    del sizes[j2]
+                    del poss[j2]
+                    merged = True
+                    break
+            if not merged:
+                break
+    state.update((n_pos, sizes, poss))
+    out = []
+    for n in DGIM_WINDOWS:
+        inw = [s for s, p in zip(sizes, poss) if p >= n_pos - n + 1]
+        est2 = 2 * sum(inw) - max(inw) if inw else 0
+        out.append((int(key[0]), int(n), len(inw), int(est2), int(n_pos)))
+    yield pd.DataFrame(
+        out, columns=["key", "n_window", "n_buckets", "est2", "n_pos"]
+    )
+
+
+def dgim_stream(event_stream: DataFrame) -> DataFrame:
+    """Streaming counterpart of ``operators.sketch.dgim_estimate``: the
+    textbook DGIM state machine per key. One snapshot row per (key,
+    window, micro-batch); the LAST snapshot equals the batch closed form
+    exactly under the ordered-append contract. Expects columns
+    ``key, ts, event_id, bit``."""
+    return event_stream.groupBy("key").applyInPandasWithState(
+        _dgim_func,
+        outputStructType=DGIM_OUTPUT_SCHEMA,
+        stateStructType=DGIM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
