@@ -3120,3 +3120,43 @@ def test_dgim_closed_form_equals_state_machine(spark):
         )
         if exact:
             assert abs(r.est2 / 2 - exact) <= 0.5 * exact  # DGIM bound
+
+
+def test_count_sketch_exact_when_collision_free_and_merge_identity(spark):
+    """With a tiny vocab vs w=256 the d=4 rows are (almost surely)
+    collision-free, where the signed estimator is EXACT (est == cnt —
+    verified against an explicit per-row collision check, not assumed);
+    and the retention-tier merge must equal the direct coarse build
+    row-for-row (counter linearity)."""
+    from tsmp_spark.operators.sketch import (
+        CS_D, CS_W, count_sketch, cs_hash_rows, cs_rerollup,
+    )
+
+    rows = [(f"item{(i * 7) % 6}", (i % 8) * 3600 + i) for i in range(600)]
+    ev = spark.createDataFrame(rows, "event_type string, sec long")
+    out = {
+        (r.bucket, r.item): (r.est, r.cnt)
+        for r in count_sketch(ev, bucket_sec=21600).collect()
+    }
+    assert out
+    # explicit collision map per (bucket, row): items sharing a column
+    hashed = cs_hash_rows(ev, 21600, "event_type", "sec").dropDuplicates(
+        ["bucket", "item"]
+    ).collect()
+    collide = set()
+    for r in range(CS_D):
+        seen: dict = {}
+        for h in hashed:
+            keycol = (h.bucket, r, h[f"k{r}"])
+            if keycol in seen and seen[keycol] != h.item:
+                collide.add((h.bucket, h.item))
+                collide.add((h.bucket, seen[keycol]))
+            seen[keycol] = h.item
+    for key, (est, cnt) in out.items():
+        if key not in collide:
+            assert est == cnt, key
+    merged = {
+        (r.bucket, r.item): (r.est, r.cnt)
+        for r in cs_rerollup(ev, fine_sec=3600, coarse_sec=21600).collect()
+    }
+    assert merged == out

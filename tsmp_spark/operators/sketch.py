@@ -1507,3 +1507,189 @@ def dgim_estimate(
             "exact",
         )
     )
+
+
+# --- count-sketch: signed frequency estimation --------------------------------
+
+#: count-sketch geometry: d=4 rows x w=256 signed counters; column hashes
+#: from md5 digest 's2:' (seeds 8..11), sign hashes from 's3:' (12..15).
+CS_D = 4
+CS_W = 256
+
+
+def cs_hash_rows(
+    events: DataFrame, bucket_sec: int, item_col: str, ts_col: str
+) -> DataFrame:
+    """(bucket, item, k0..k3, g0..g3) hashed rows — column index and ±1
+    sign per count-sketch row, all from the portable md5 family
+    (`dedup._h64`), reproducible bit-for-bit in ANSI SQL."""
+    sel = [
+        F.floor(F.col(ts_col).cast("long") / bucket_sec)
+        .cast("long")
+        .alias("bucket"),
+        F.col(item_col).cast("string").alias("item"),
+    ]
+    item = F.col(item_col).cast("string")
+    sel += [
+        (_h64(item, 8 + r) % CS_W).cast("int").alias(f"k{r}") for r in range(CS_D)
+    ]
+    sel += [
+        ((_h64(item, 12 + r) % 2) * 2 - 1).cast("int").alias(f"g{r}")
+        for r in range(CS_D)
+    ]
+    return events.select(*sel)
+
+
+def count_sketch(
+    events: DataFrame,
+    bucket_sec: int = 21600,
+    item_col: str = "event_type",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """Count-sketch frequency estimates per (bucket, item) (Charikar,
+    Chen & Farach-Colton, ICALP 2002): where count-min's unsigned
+    counters only ever OVER-estimate, count-sketch counters accumulate
+    ±1-signed counts so collisions cancel in expectation — the estimator
+    ``median_r(g_r(x)·C[r, k_r(x)])`` is unbiased, the sketch behind
+    heavy-hitter recovery in one pass over adversarial skew.
+
+    Deterministic median: with d=4 the LOWER MEDIAN (2nd smallest) is
+    taken — a fixed position of the value multiset, so engines cannot
+    disagree on ties (the ams_f2 convention). Integer-only output
+    ``(bucket, item, est, cnt)`` with the exact count alongside; unlike
+    CMS, ``est`` may be below OR above ``cnt``.
+
+    Scale: state is d·w = 1024 signed cells per bucket regardless of
+    item cardinality; one combinable groupBy builds cells, the probe
+    joins distinct items × d — the cms_counts plan shape exactly.
+    Counters merge by cell-wise SUM (linearity), so retention tiers
+    re-roll without raw rows (`cs_rerollup`).
+    """
+    rows = cs_hash_rows(events, bucket_sec, item_col, ts_col)
+    cells = rows.select(
+        "bucket",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(F.col(f"k{r}").alias("c"), F.col(f"g{r}").alias("g"))
+                    for r in range(CS_D)
+                ]
+            )
+        ).alias("r", "kg"),
+    ).select("bucket", "r", F.col("kg.c").alias("c"), F.col("kg.g").alias("g"))
+    counters = cells.groupBy("bucket", "r", "c").agg(
+        F.sum("g").cast("bigint").alias("cell")
+    )
+    probes = (
+        rows.groupBy(
+            "bucket", "item",
+            *[f"k{r}" for r in range(CS_D)],
+            *[f"g{r}" for r in range(CS_D)],
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            "bucket",
+            "item",
+            "cnt",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"k{r}").alias("c"), F.col(f"g{r}").alias("g")
+                        )
+                        for r in range(CS_D)
+                    ]
+                )
+            ).alias("r", "kg"),
+        )
+        .select(
+            "bucket", "item", "cnt", "r",
+            F.col("kg.c").alias("c"), F.col("kg.g").alias("g"),
+        )
+    )
+    return (
+        probes.join(counters, ["bucket", "r", "c"])
+        .groupBy("bucket", "item", "cnt")
+        .agg(
+            F.sort_array(F.collect_list(F.col("g") * F.col("cell")))[1]
+            .cast("bigint")
+            .alias("est")
+        )
+        .select("bucket", "item", "est", "cnt")
+    )
+
+
+def cs_rerollup(
+    events: DataFrame,
+    fine_sec: int = 3600,
+    coarse_sec: int = 21600,
+    item_col: str = "event_type",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """Retention-tier path for the count-sketch column: tier-1 signed
+    cells at ``fine_sec`` merged cell-wise-sum into ``coarse_sec``
+    buckets (tier k+1 reads tier k only — counter linearity makes
+    merged == rebuilt-at-coarse an exact integer identity, which is
+    what the driver oracle gates), then the per-item estimate answered
+    against the merged counters."""
+    if coarse_sec % fine_sec != 0:
+        raise ValueError("coarse_sec must be a multiple of fine_sec")
+    rows = cs_hash_rows(events, fine_sec, item_col, ts_col)
+    fine = (
+        rows.select(
+            "bucket",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"k{r}").alias("c"), F.col(f"g{r}").alias("g")
+                        )
+                        for r in range(CS_D)
+                    ]
+                )
+            ).alias("r", "kg"),
+        )
+        .select("bucket", "r", F.col("kg.c").alias("c"), F.col("kg.g").alias("g"))
+        .groupBy("bucket", "r", "c")
+        .agg(F.sum("g").cast("bigint").alias("cell"))
+    )
+    factor = coarse_sec // fine_sec
+    merged = fine.groupBy(
+        _floor_div("bucket", factor).alias("bucket"), "r", "c"
+    ).agg(F.sum("cell").cast("bigint").alias("cell"))
+    probes = (
+        cs_hash_rows(events, coarse_sec, item_col, ts_col)
+        .groupBy(
+            "bucket", "item",
+            *[f"k{r}" for r in range(CS_D)],
+            *[f"g{r}" for r in range(CS_D)],
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            "bucket", "item", "cnt",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"k{r}").alias("c"), F.col(f"g{r}").alias("g")
+                        )
+                        for r in range(CS_D)
+                    ]
+                )
+            ).alias("r", "kg"),
+        )
+        .select(
+            "bucket", "item", "cnt", "r",
+            F.col("kg.c").alias("c"), F.col("kg.g").alias("g"),
+        )
+    )
+    return (
+        probes.join(merged, ["bucket", "r", "c"])
+        .groupBy("bucket", "item", "cnt")
+        .agg(
+            F.sort_array(F.collect_list(F.col("g") * F.col("cell")))[1]
+            .cast("bigint")
+            .alias("est")
+        )
+        .select("bucket", "item", "est", "cnt")
+    )

@@ -7820,6 +7820,94 @@ QUERIES["cms_rerollup"] = q_cms_rerollup
 ORACLES["cms_rerollup"] = SQL_CMS_COUNTS
 
 
+def q_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-sketch event-type frequencies per 6h bucket (Charikar et
+    al. 2002): d=4 md5 rows x w=256 ±1-SIGNED counters, estimate = the
+    LOWER MEDIAN of the four signed reads — unbiased where count-min
+    only over-counts. Integer-only, exact count alongside."""
+    from .operators.sketch import count_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    return count_sketch(ev, bucket_sec=21600, item_col="event_type", ts_col="sec")
+
+
+SQL_COUNT_SKETCH = r"""
+WITH hashed AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+         CAST(event_type AS VARCHAR) AS item,
+         CAST(('0x' || substr(md5('s2:' || CAST(event_type AS VARCHAR)), 1, 8))
+              AS BIGINT) % 256 AS k0,
+         CAST(('0x' || substr(md5('s2:' || CAST(event_type AS VARCHAR)), 9, 8))
+              AS BIGINT) % 256 AS k1,
+         CAST(('0x' || substr(md5('s2:' || CAST(event_type AS VARCHAR)), 17, 8))
+              AS BIGINT) % 256 AS k2,
+         CAST(('0x' || substr(md5('s2:' || CAST(event_type AS VARCHAR)), 25, 8))
+              AS BIGINT) % 256 AS k3,
+         CAST(('0x' || substr(md5('s3:' || CAST(event_type AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 * 2 - 1 AS g0,
+         CAST(('0x' || substr(md5('s3:' || CAST(event_type AS VARCHAR)), 9, 8))
+              AS BIGINT) % 2 * 2 - 1 AS g1,
+         CAST(('0x' || substr(md5('s3:' || CAST(event_type AS VARCHAR)), 17, 8))
+              AS BIGINT) % 2 * 2 - 1 AS g2,
+         CAST(('0x' || substr(md5('s3:' || CAST(event_type AS VARCHAR)), 25, 8))
+              AS BIGINT) % 2 * 2 - 1 AS g3
+  FROM events
+),
+cells AS (
+  SELECT bucket, r, c, CAST(sum(g) AS BIGINT) AS cell FROM (
+    SELECT bucket, 0 AS r, k0 AS c, g0 AS g FROM hashed
+    UNION ALL SELECT bucket, 1, k1, g1 FROM hashed
+    UNION ALL SELECT bucket, 2, k2, g2 FROM hashed
+    UNION ALL SELECT bucket, 3, k3, g3 FROM hashed
+  ) GROUP BY 1, 2, 3
+),
+probes AS (
+  SELECT bucket, item, k0, k1, k2, k3, g0, g1, g2, g3,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM hashed GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10
+),
+probes_long AS (
+  SELECT bucket, item, cnt, 0 AS r, k0 AS c, g0 AS g FROM probes
+  UNION ALL SELECT bucket, item, cnt, 1, k1, g1 FROM probes
+  UNION ALL SELECT bucket, item, cnt, 2, k2, g2 FROM probes
+  UNION ALL SELECT bucket, item, cnt, 3, k3, g3 FROM probes
+),
+reads AS (
+  SELECT p.bucket, p.item, p.cnt, p.g * cells.cell AS v
+  FROM probes_long p
+  JOIN cells ON cells.bucket = p.bucket AND cells.r = p.r AND cells.c = p.c
+)
+SELECT bucket, item, CAST(v AS BIGINT) AS est, cnt FROM (
+  SELECT bucket, item, cnt, v,
+         row_number() OVER (PARTITION BY bucket, item ORDER BY v) AS rn
+  FROM reads
+) WHERE rn = 2
+"""
+
+QUERIES["count_sketch"] = q_count_sketch
+ORACLES["count_sketch"] = SQL_COUNT_SKETCH
+
+
+def q_cs_rerollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-sketch retention-tier merge: hourly signed cells summed
+    into 6h buckets, estimates answered against the MERGED counters —
+    counter linearity makes merged == rebuilt-at-coarse an exact
+    integer identity, so the oracle is the direct coarse recompute."""
+    from .operators.sketch import cs_rerollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    return cs_rerollup(ev, fine_sec=3600, coarse_sec=21600,
+                       item_col="event_type", ts_col="sec")
+
+
+QUERIES["cs_rerollup"] = q_cs_rerollup
+ORACLES["cs_rerollup"] = SQL_COUNT_SKETCH
+
+
 def q_histogram_rerollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram retention-tier merge: hourly 16-bin counts summed into
     6h buckets without re-reading raw rows; oracle recomputes at 6h
