@@ -3160,3 +3160,32 @@ def test_count_sketch_exact_when_collision_free_and_merge_identity(spark):
         for r in cs_rerollup(ev, fine_sec=3600, coarse_sec=21600).collect()
     }
     assert merged == out
+
+
+def test_slo_burn_multiwindow_alert_semantics(spark):
+    """Hand-built book: a key burning hot in both windows alerts; hot
+    short but cold long (or the reverse) does NOT; empty windows never
+    alert. Integer cross-multiplied comparisons only."""
+    from tsmp_spark.operators.rollup import slo_burn
+
+    t = 1_000_000
+    rows = []
+    # key 1: 4 events in short window, 3 errors (burn 3.75) AND long also hot
+    rows += [(1, t - 100 * i, 1 if i < 3 else 0) for i in range(4)]
+    # key 2: hot short (2/2 err) but long window diluted by 40 clean events
+    rows += [(2, t - 10 * i, 1) for i in range(2)]
+    rows += [(2, t - 30000 - i, 0) for i in range(40)]
+    # key 3: all activity outside the short window, hot long only
+    rows += [(3, t - 30000 - i, 1) for i in range(5)]
+    df = spark.createDataFrame(rows, "user_id long, sec long, err int")
+    out = {
+        r.key: r
+        for r in slo_burn(
+            df, F.col("err") == 1, short_sec=3600, long_sec=86400,
+            budget_num=1, budget_den=5, burn_num=1, burn_den=1,
+        ).collect()
+    }
+    assert out[1].alert == 1 and out[1].n_err_short == 3
+    assert out[2].alert == 0  # long burn = 5*2/42 < 1
+    assert out[2].n_tot_long == 42 and out[2].n_err_long == 2
+    assert out[3].alert == 0 and out[3].n_tot_short == 0  # empty short

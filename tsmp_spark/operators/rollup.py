@@ -4447,3 +4447,60 @@ def basket_lift(
         "n_baskets",
         lift.alias("lift"),
     )
+
+
+def slo_burn(
+    events: DataFrame,
+    err_col,
+    short_sec: int = 21600,
+    long_sec: int = 259200,
+    budget_num: int = 1,
+    budget_den: int = 5,
+    burn_num: int = 1,
+    burn_den: int = 1,
+    key_col: str = "user_id",
+    sec_col: str = "sec",
+) -> DataFrame:
+    """Multi-window SLO error-budget burn-rate alert (the Google SRE
+    workbook's multiwindow multi-burn-rate pattern): at evaluation time
+    T = max event time, a key alerts iff its burn rate exceeds the
+    threshold over BOTH the short and the long trailing window —
+    burn = (err/total) / budget, budget = 1 − SLO.
+
+    Integer-exact throughout: burn > thr is evaluated as the
+    cross-multiplied ``budget_den·burn_den·err > budget_num·burn_num·
+    total`` (with budget = budget_num/budget_den and thr =
+    burn_num/burn_den), so no float ratio is ever formed — the division
+    that plagues every ratio-threshold rollup simply never happens.
+    Empty windows never alert.
+
+    Scale: ONE broadcast scalar (global max time) + ONE combinable
+    groupBy(key) with four conditional sums — no window function, no
+    second shuffle; at 100 TB this is a single map-side-combinable agg.
+
+    Output: ``key, n_err_short, n_tot_short, n_err_long, n_tot_long,
+    alert`` — all bigint, alert int.
+    """
+    mx = events.select(F.max(F.col(sec_col).cast("long")).alias("mx"))
+    base = events.select(
+        F.col(key_col).alias("key"),
+        F.col(sec_col).cast("long").alias("sec"),
+        err_col.cast("int").alias("err"),
+    ).crossJoin(F.broadcast(mx))
+    in_s = F.col("sec") > F.col("mx") - short_sec
+    in_l = F.col("sec") > F.col("mx") - long_sec
+    agg = base.groupBy("key").agg(
+        F.sum(F.when(in_s, F.col("err")).otherwise(0)).cast("bigint").alias("n_err_short"),
+        F.sum(F.when(in_s, 1).otherwise(0)).cast("bigint").alias("n_tot_short"),
+        F.sum(F.when(in_l, F.col("err")).otherwise(0)).cast("bigint").alias("n_err_long"),
+        F.sum(F.when(in_l, 1).otherwise(0)).cast("bigint").alias("n_tot_long"),
+    )
+    lhs = budget_den * burn_den
+    rhs = budget_num * burn_num
+    alert = (
+        (F.col("n_tot_short") > 0)
+        & (F.col("n_tot_long") > 0)
+        & (F.lit(lhs) * F.col("n_err_short") > F.lit(rhs) * F.col("n_tot_short"))
+        & (F.lit(lhs) * F.col("n_err_long") > F.lit(rhs) * F.col("n_tot_long"))
+    )
+    return agg.withColumn("alert", alert.cast("int"))

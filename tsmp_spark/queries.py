@@ -7908,6 +7908,64 @@ QUERIES["cs_rerollup"] = q_cs_rerollup
 ORACLES["cs_rerollup"] = SQL_COUNT_SKETCH
 
 
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alert (SRE workbook multiwindow
+    pattern): per key, error-budget burn over the trailing 6h AND 72h
+    windows, alert iff both exceed burn 1 at budget 1/5. The error bit
+    is event_id % 5 == 0 (arithmetic, so every dataset exercises it);
+    burn > thr is a cross-multiplied integer comparison — no float
+    ratio is ever formed."""
+    from .operators.rollup import slo_burn
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("sec")
+    )
+    out = slo_burn(
+        ev,
+        (F.col("event_id") % 5 == 0),
+        short_sec=21600,
+        long_sec=259200,
+        budget_num=1,
+        budget_den=5,
+        burn_num=1,
+        burn_den=1,
+        key_col="user_id",
+        sec_col="sec",
+    )
+    return out.select(
+        F.col("key").cast("bigint").alias("key"),
+        "n_err_short", "n_tot_short", "n_err_long", "n_tot_long", "alert",
+    )
+
+
+SQL_SLO_BURN = r"""
+WITH base AS (
+  SELECT user_id AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS err
+  FROM events
+),
+mx AS (SELECT max(sec) AS mx FROM base),
+agg AS (
+  SELECT key,
+         CAST(sum(CASE WHEN sec > mx - 21600 THEN err ELSE 0 END) AS BIGINT) AS n_err_short,
+         CAST(sum(CASE WHEN sec > mx - 21600 THEN 1 ELSE 0 END) AS BIGINT) AS n_tot_short,
+         CAST(sum(CASE WHEN sec > mx - 259200 THEN err ELSE 0 END) AS BIGINT) AS n_err_long,
+         CAST(sum(CASE WHEN sec > mx - 259200 THEN 1 ELSE 0 END) AS BIGINT) AS n_tot_long
+  FROM base, mx GROUP BY key
+)
+SELECT CAST(key AS BIGINT) AS key,
+       n_err_short, n_tot_short, n_err_long, n_tot_long,
+       CAST(n_tot_short > 0 AND n_tot_long > 0
+        AND 5 * n_err_short > n_tot_short
+        AND 5 * n_err_long > n_tot_long AS INT) AS alert
+FROM agg
+"""
+
+QUERIES["slo_burn"] = q_slo_burn
+ORACLES["slo_burn"] = SQL_SLO_BURN
+
+
 def q_histogram_rerollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram retention-tier merge: hourly 16-bin counts summed into
     6h buckets without re-reading raw rows; oracle recomputes at 6h
