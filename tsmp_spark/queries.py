@@ -12359,6 +12359,138 @@ QUERIES["sdt_compress"] = q_sdt_compress
 ORACLES["sdt_compress"] = SQL_SDT_COMPRESS
 
 
+def q_sdt_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-fidelity audit of the swinging-door kept set: every
+    raw point lerp-reconstructed from its bracketing kept points, the
+    error kept as the INTEGER rational |v·dt − lerp_num| (centi·sec
+    units — the division that would make the error a float never
+    happens; the reported max is one floor division to milli-centi
+    units), plus the 2·dev bound checked cross-multiplied per point.
+    Composes two operators (sdt_compress + the audit) in one plan:
+    the brackets come from last/first IGNORE NULLS windows over the
+    same (key, bucket) exchange the kernel used."""
+    from pyspark.sql import Window
+
+    from .operators import sdt_compress
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    kept = sdt_compress(ev, bucket=21600, dev_centi=SDT_DEV).select(
+        "key", "bucket", "t", F.lit(1).alias("is_kept")
+    )
+    wdd = Window.partitionBy("key", "t").orderBy(F.col("i").desc())
+    dedup = (
+        ev.select(
+            F.col("event_type").alias("key"),
+            F.col("sec").cast("long").alias("t"),
+            # the sdt_compress quantization expression, verbatim
+            F.round(F.col("value").cast("double") * 100).cast("bigint").alias("v"),
+            F.col("event_id").cast("long").alias("i"),
+        )
+        .withColumn("r", F.row_number().over(wdd))
+        .where(F.col("r") == 1)
+        .select(
+            "key", F.floor(F.col("t") / 21600).cast("long").alias("bucket"),
+            F.col("t").cast("long").alias("t"), "v",
+        )
+    )
+    marked = dedup.join(kept, ["key", "bucket", "t"], "left").withColumn(
+        "is_kept", F.coalesce("is_kept", F.lit(0))
+    )
+    wb = (
+        Window.partitionBy("key", "bucket")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("key", "bucket")
+        .orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    kt = F.when(F.col("is_kept") == 1, F.col("t"))
+    kv = F.when(F.col("is_kept") == 1, F.col("v"))
+    br = marked.select(
+        "key", "bucket", "t", "v", "is_kept",
+        F.last(kt, ignorenulls=True).over(wb).alias("t0"),
+        F.last(kv, ignorenulls=True).over(wb).alias("v0"),
+        F.first(kt, ignorenulls=True).over(wf).alias("t1"),
+        F.first(kv, ignorenulls=True).over(wf).alias("v1"),
+    )
+    errs = br.select(
+        "key", "bucket", "is_kept",
+        F.when(F.col("is_kept") == 1, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.abs(
+                F.col("v") * (F.col("t1") - F.col("t0"))
+                - (
+                    F.col("v0") * (F.col("t1") - F.col("t0"))
+                    + (F.col("v1") - F.col("v0")) * (F.col("t") - F.col("t0"))
+                )
+            )
+        )
+        .alias("err_scaled"),
+        F.when(F.col("is_kept") == 1, F.lit(1).cast("bigint"))
+        .otherwise(F.col("t1") - F.col("t0"))
+        .alias("dt"),
+    )
+    return errs.groupBy("key", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum("is_kept").cast("bigint").alias("n_kept"),
+        F.max(F.expr("err_scaled * 1000 div dt")).cast("bigint").alias("max_err_milli"),
+        F.min(
+            F.when(F.col("err_scaled") <= 2 * SDT_DEV * F.col("dt"), 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("bound_ok"),
+    )
+
+
+_SDT_KEPT_BODY = SQL_SDT_COMPRESS.rsplit("SELECT k.key", 1)[0].rstrip()
+assert _SDT_KEPT_BODY.endswith(")")
+
+SQL_SDT_ERROR_AUDIT = f"""{_SDT_KEPT_BODY},
+marked AS (
+  SELECT d.key, d.bucket, d.t, d.v,
+         CASE WHEN k.t IS NOT NULL THEN 1 ELSE 0 END AS is_kept
+  FROM dedup d LEFT JOIN kept k
+    ON k.key = d.key AND k.bucket = d.bucket AND k.t = d.t
+),
+br AS (
+  SELECT key, bucket, t, v, is_kept,
+         last_value(CASE WHEN is_kept = 1 THEN t END IGNORE NULLS) OVER wb AS t0,
+         last_value(CASE WHEN is_kept = 1 THEN v END IGNORE NULLS) OVER wb AS v0,
+         first_value(CASE WHEN is_kept = 1 THEN t END IGNORE NULLS) OVER wf AS t1,
+         first_value(CASE WHEN is_kept = 1 THEN v END IGNORE NULLS) OVER wf AS v1
+  FROM marked
+  WINDOW wb AS (PARTITION BY key, bucket ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY key, bucket ORDER BY t
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+errs AS (
+  SELECT key, bucket, is_kept,
+         CASE WHEN is_kept = 1 THEN CAST(0 AS BIGINT)
+              ELSE abs(v * (t1 - t0)
+                       - (v0 * (t1 - t0) + (v1 - v0) * (t - t0))) END AS err_scaled,
+         CASE WHEN is_kept = 1 THEN CAST(1 AS BIGINT)
+              ELSE t1 - t0 END AS dt
+  FROM br
+)
+SELECT key, bucket,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(is_kept) AS BIGINT) AS n_kept,
+       CAST(max(err_scaled * 1000 // dt) AS BIGINT) AS max_err_milli,
+       CAST(min(CASE WHEN err_scaled <= 2 * {SDT_DEV} * dt
+                     THEN 1 ELSE 0 END) AS INT) AS bound_ok
+FROM errs GROUP BY 1, 2
+"""
+
+QUERIES["sdt_error_audit"] = q_sdt_error_audit
+ORACLES["sdt_error_audit"] = SQL_SDT_ERROR_AUDIT
+
+
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier product-limit survival over user lifetimes with
     right-censoring (hour-grain lifetimes; churn = last event ≥ 6h
