@@ -3206,3 +3206,27 @@ def test_sdt_error_audit_bound_holds_on_random_walk(spark):
     assert all(r.n_kept <= r.n_points for r in out)
     assert any(r.n_kept < r.n_points for r in out)  # compression happened
     assert all(r.max_err_milli >= 0 for r in out)
+
+
+def test_kmv_difference_exact_when_unfilled_and_bounded(spark):
+    """Two sides below k: theta stays 2^32 so both difference estimates
+    are the EXACT set-difference counts; a filled side keeps the
+    estimate within the theta-sampling band of truth."""
+    from tsmp_spark.operators.sketch import kmv_difference
+
+    a = spark.createDataFrame([(i,) for i in range(30)], "user_id long")
+    b = spark.createDataFrame([(i,) for i in range(20, 50)], "user_id long")
+    r = kmv_difference(a, b, "user_id", "user_id").collect()[0]
+    assert (r.n_a, r.n_b) == (30, 30)
+    assert r.theta_h == 4294967296
+    assert r.n_a_only == 20 and r.n_b_only == 20
+    assert r.est_a_not_b == 20.0 and r.est_b_not_a == 20.0
+
+    big_a = spark.createDataFrame([(i,) for i in range(3000)], "user_id long")
+    big_b = spark.createDataFrame(
+        [(i,) for i in range(1000, 4000)], "user_id long"
+    )
+    r2 = kmv_difference(big_a, big_b, "user_id", "user_id").collect()[0]
+    # truth: |A\B| = |B\A| = 1000; k=64 theta sampling -> generous band
+    assert 200 < r2.est_a_not_b < 3500
+    assert 200 < r2.est_b_not_a < 3500

@@ -1693,3 +1693,83 @@ def cs_rerollup(
         )
         .select("bucket", "item", "est", "cnt")
     )
+
+
+def kmv_difference(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Theta-sketch A-NOT-B (the DataSketches AnotB operation,
+    Dasgupta et al. 2016) over two KMV kept sets: with
+    theta = min(theta_A, theta_B), A's kept hashes below theta are a
+    uniform sample of A AND B's kept set records EVERY B-hash below
+    theta, so membership tests against it are exact there —
+
+        est_|A\\B| = |{h in A_kept : h < theta, h not in B_kept}| . 2^32 / theta
+
+    (and symmetrically for B\\A). Inclusion-exclusion with HLL stacks
+    three estimator errors; this is ONE sampled count. Sides that never
+    filled carry theta = 2^32, so two unfilled sides make both
+    difference estimates EXACT set-difference counts.
+
+    Output one row: (n_a, n_b, theta_h, n_a_only, n_b_only,
+    est_a_not_b, est_b_not_a) — integers plus two fixed-shape doubles.
+    Scale: each side collapses to <= k rows before the anti-joins;
+    nothing else moves (the kmv_overlap plan shape).
+    """
+
+    def kept(df: DataFrame, col: str) -> DataFrame:
+        tagged = df.select(
+            F.lit(0).cast("long").alias("_ts"),
+            F.col(col).cast("string").alias("_item"),
+        )
+        return kmv_kept_rows(tagged, 1, "_item", "_ts", k)
+
+    ka = kept(left, left_col).select("h", "rn")
+    kb = kept(right, right_col).select("h", "rn")
+
+    def side_stats(kdf: DataFrame):
+        return kdf.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.coalesce(
+                F.max(F.when(F.col("rn") == k, F.col("h"))),
+                F.lit(KMV_RANGE).cast("bigint"),
+            ).alias("theta"),
+        )
+
+    sa = side_stats(ka).select(
+        F.col("n").alias("n_a"), F.col("theta").alias("theta_a")
+    )
+    sb = side_stats(kb).select(
+        F.col("n").alias("n_b"), F.col("theta").alias("theta_b")
+    )
+    stats = sa.crossJoin(sb).select(
+        "n_a", "n_b",
+        F.least(F.col("theta_a"), F.col("theta_b")).alias("theta_h"),
+    )
+    a_only = (
+        ka.select("h")
+        .join(kb.select("h"), "h", "left_anti")
+        .crossJoin(F.broadcast(stats.select("theta_h")))
+        .filter(F.col("h") < F.col("theta_h"))
+        .agg(F.count("*").cast("bigint").alias("n_a_only"))
+    )
+    b_only = (
+        kb.select("h")
+        .join(ka.select("h"), "h", "left_anti")
+        .crossJoin(F.broadcast(stats.select("theta_h")))
+        .filter(F.col("h") < F.col("theta_h"))
+        .agg(F.count("*").cast("bigint").alias("n_b_only"))
+    )
+    out = stats.crossJoin(F.broadcast(a_only)).crossJoin(F.broadcast(b_only))
+    scale = F.lit(float(KMV_RANGE)) / F.col("theta_h").cast("double")
+    return out.select(
+        "n_a", "n_b",
+        F.col("theta_h").cast("bigint").alias("theta_h"),
+        "n_a_only", "n_b_only",
+        (F.col("n_a_only").cast("double") * scale).alias("est_a_not_b"),
+        (F.col("n_b_only").cast("double") * scale).alias("est_b_not_a"),
+    )

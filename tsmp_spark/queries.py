@@ -10853,6 +10853,73 @@ QUERIES["kmv_overlap"] = q_kmv_overlap
 ORACLES["kmv_overlap"] = SQL_KMV_OVERLAP
 
 
+def q_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch A-NOT-B: distinct-user set differences between the
+    even-event and third-event populations (arithmetic splits so every
+    dataset exercises both anti-joins) from two k=64 KMV kept sets —
+    ONE sampled count below theta per direction, where HLL would stack
+    three estimator errors through inclusion-exclusion."""
+    from .operators.sketch import kmv_difference
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_id") % 2 == 0).select("user_id")
+    right = ev.filter(F.col("event_id") % 3 == 0).select("user_id")
+    return kmv_difference(left, right, "user_id", "user_id")
+
+
+SQL_KMV_DIFFERENCE = r"""
+WITH ka AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+    SELECT DISTINCT CAST(('0x' || substr(md5('s0:' || CAST(user_id AS VARCHAR)),
+                                         1, 8)) AS BIGINT) AS h
+    FROM events WHERE event_id % 2 = 0)
+),
+kb AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+    SELECT DISTINCT CAST(('0x' || substr(md5('s0:' || CAST(user_id AS VARCHAR)),
+                                         1, 8)) AS BIGINT) AS h
+    FROM events WHERE event_id % 3 = 0)
+),
+sa AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_a,
+         CAST(coalesce(max(CASE WHEN rn = 64 THEN h END), 4294967296)
+              AS BIGINT) AS theta_a
+  FROM ka WHERE rn <= 64
+),
+sb AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_b,
+         CAST(coalesce(max(CASE WHEN rn = 64 THEN h END), 4294967296)
+              AS BIGINT) AS theta_b
+  FROM kb WHERE rn <= 64
+),
+st AS (
+  SELECT n_a, n_b, least(theta_a, theta_b) AS theta_h
+  FROM sa CROSS JOIN sb
+),
+ao AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_a_only
+  FROM ka CROSS JOIN st
+  WHERE ka.rn <= 64 AND ka.h < st.theta_h
+    AND NOT EXISTS (SELECT 1 FROM kb WHERE kb.rn <= 64 AND kb.h = ka.h)
+),
+bo AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_b_only
+  FROM kb CROSS JOIN st
+  WHERE kb.rn <= 64 AND kb.h < st.theta_h
+    AND NOT EXISTS (SELECT 1 FROM ka WHERE ka.rn <= 64 AND ka.h = kb.h)
+)
+SELECT n_a, n_b, CAST(theta_h AS BIGINT) AS theta_h, n_a_only, n_b_only,
+       CAST(n_a_only AS DOUBLE) * (4294967296.0 / CAST(theta_h AS DOUBLE))
+         AS est_a_not_b,
+       CAST(n_b_only AS DOUBLE) * (4294967296.0 / CAST(theta_h AS DOUBLE))
+         AS est_b_not_a
+FROM st CROSS JOIN ao CROSS JOIN bo
+"""
+
+QUERIES["kmv_difference"] = q_kmv_difference
+ORACLES["kmv_difference"] = SQL_KMV_DIFFERENCE
+
+
 def q_rollup_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate freshness / SLA monitor per event_type over
     15-minute buckets: present vs expected buckets in [first bucket of
