@@ -3230,3 +3230,28 @@ def test_kmv_difference_exact_when_unfilled_and_bounded(spark):
     # truth: |A\B| = |B\A| = 1000; k=64 theta sampling -> generous band
     assert 200 < r2.est_a_not_b < 3500
     assert 200 < r2.est_b_not_a < 3500
+
+
+def test_scd2_build_versions_and_intervals(spark):
+    """Hand-built change stream: consecutive duplicates collapse, ties
+    break on event id, intervals chain half-open, last row current."""
+    from tsmp_spark.operators.rollup import scd2_build
+
+    rows = [
+        (1, "a", 100, 1), (1, "a", 200, 2), (1, "b", 300, 3),
+        (1, "b", 300, 4),  # same ts, same attr -> no new version
+        (1, "a", 400, 5),
+        (2, "x", 100, 6),
+        # key 3: tie at t=100 — id order decides attr sequence a->b
+        (3, "a", 100, 7), (3, "b", 100, 8),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, sec long, event_id long")
+    out = {(r.key, r.version): r for r in scd2_build(df).collect()}
+    assert len(out) == 3 + 1 + 2
+    assert out[(1, 1)].attr == "a" and out[(1, 1)].valid_from == 100
+    assert out[(1, 1)].valid_to == 300 and out[(1, 1)].is_current == 0
+    assert out[(1, 2)].attr == "b" and out[(1, 2)].valid_to == 400
+    assert out[(1, 3)].attr == "a" and out[(1, 3)].is_current == 1
+    assert out[(2, 1)].is_current == 1 and out[(2, 1)].valid_to is None
+    assert out[(3, 1)].attr == "a" and out[(3, 2)].attr == "b"
+    assert out[(3, 1)].valid_to == 100  # zero-length interval from the tie

@@ -4504,3 +4504,55 @@ def slo_burn(
         & (F.lit(lhs) * F.col("n_err_long") > F.lit(rhs) * F.col("n_tot_long"))
     )
     return agg.withColumn("alert", alert.cast("int"))
+
+
+def scd2_build(
+    events: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "sec",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 build (Kimball SCD2): collapse a
+    change stream into versioned validity intervals per key — a new
+    version opens only when the tracked attribute actually CHANGES
+    under the total (ts, id) event order; ``valid_to`` is the next
+    change's timestamp (half-open [from, to)), NULL on the current row.
+
+    Integer-exact: epoch seconds, version = running count of change
+    rows, ties pinned by the id tie-break (the house sessionization
+    rule — Spark evaluates lag and the running sum over ONE window
+    spec; the oracle orders both by the same total key).
+
+    Scale: ONE hash(key) exchange serves the lag, the change filter,
+    the version cumsum, and the lead — four window passes, one shuffle;
+    the dimension output is bounded by change count, not event count.
+
+    Output: ``key, version, attr, valid_from, valid_to, is_current``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    base = events.select(
+        F.col(key_col).alias("key"),
+        F.col(attr_col).cast("string").alias("attr"),
+        F.col(ts_col).cast("long").alias("t"),
+        F.col(id_col).cast("long").alias("i"),
+    )
+    wk = Window.partitionBy("key").orderBy("t", "i")
+    marked = base.withColumn("prev_attr", F.lag("attr").over(wk)).withColumn(
+        "chg",
+        (F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr"))).cast(
+            "int"
+        ),
+    )
+    changes = marked.where(F.col("chg") == 1)
+    wc = Window.partitionBy("key").orderBy("t", "i")
+    out = changes.select(
+        "key",
+        F.row_number().over(wc).cast("bigint").alias("version"),
+        "attr",
+        F.col("t").alias("valid_from"),
+        F.lead("t").over(wc).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+    return out

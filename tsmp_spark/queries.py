@@ -10920,6 +10920,52 @@ QUERIES["kmv_difference"] = q_kmv_difference
 ORACLES["kmv_difference"] = SQL_KMV_DIFFERENCE
 
 
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball SCD2 dimension build from the event change stream: per
+    user, a new version opens only when event_type CHANGES under the
+    total (ts, event_id) order; half-open validity intervals, NULL
+    valid_to marks the current row. Output bounded by change count."""
+    from .operators.rollup import scd2_build
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    out = scd2_build(ev)
+    return out.select(
+        F.col("key").cast("bigint").alias("key"),
+        "version", "attr", "valid_from", "valid_to", "is_current",
+    )
+
+
+SQL_SCD2_DIMENSION = r"""
+WITH base AS (
+  SELECT user_id AS key, CAST(event_type AS VARCHAR) AS attr,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t, CAST(event_id AS BIGINT) AS i
+  FROM events
+),
+marked AS (
+  SELECT key, attr, t, i,
+         lag(attr) OVER (PARTITION BY key ORDER BY t, i) AS prev_attr
+  FROM base
+),
+changes AS (
+  SELECT key, attr, t, i FROM marked
+  WHERE prev_attr IS NULL OR attr <> prev_attr
+)
+SELECT CAST(key AS BIGINT) AS key,
+       CAST(row_number() OVER w AS BIGINT) AS version, attr,
+       t AS valid_from,
+       lead(t) OVER w AS valid_to,
+       CAST(lead(t) OVER w IS NULL AS INT) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY key ORDER BY t, i)
+"""
+
+QUERIES["scd2_dimension"] = q_scd2_dimension
+ORACLES["scd2_dimension"] = SQL_SCD2_DIMENSION
+
+
 def q_rollup_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate freshness / SLA monitor per event_type over
     15-minute buckets: present vs expected buckets in [first bucket of
