@@ -810,3 +810,31 @@ def test_regional_volume_all_dims_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_build_one_exchange_one_sort(events):
+    """SCD2's four window passes (lag, change filter, version
+    row_number, lead) all ride ONE hash(key) exchange AND one sort —
+    the change filter preserves the (t, i) order so Catalyst re-sorts
+    nothing."""
+    from tsmp_spark.operators.rollup import scd2_build
+
+    ev = events.select(
+        "user_id", "event_type", "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    plan = _plan(scd2_build(ev))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort") == 1
+
+
+def test_slo_burn_single_groupby_plus_scalar_broadcast(events):
+    """slo_burn = one combinable groupBy(key) plus the broadcast global
+    max — no window function, no second data shuffle."""
+    from tsmp_spark.operators.rollup import slo_burn
+
+    ev = events.select("user_id", "event_id", F.unix_timestamp("ts").alias("sec"))
+    plan = _plan(slo_burn(ev, F.col("event_id") % 5 == 0))
+    assert plan.count("hashpartitioning") == 1  # the key groupBy
+    assert "BroadcastNestedLoopJoin" in plan  # the scalar max
+    assert "Window" not in plan
