@@ -3255,3 +3255,34 @@ def test_scd2_build_versions_and_intervals(spark):
     assert out[(2, 1)].is_current == 1 and out[(2, 1)].valid_to is None
     assert out[(3, 1)].attr == "a" and out[(3, 2)].attr == "b"
     assert out[(3, 1)].valid_to == 100  # zero-length interval from the tie
+
+
+def test_realtime_rollup_union_equals_direct(spark):
+    """The tier+raw union must equal the direct full-grain aggregate
+    (the real-time cagg identity), the open tail must come from 'raw',
+    and an explicit threshold moves the boundary."""
+    from tsmp_spark.operators.rollup import realtime_rollup
+
+    rows = [("k", 3600 * (i // 4) + i % 4, float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "event_type string, sec long, value double")
+    out = realtime_rollup(df, bucket_sec=3600).collect()
+    direct = {
+        (r.key, r.bucket): (r.n, r.sum_centi, r.vmin, r.vmax)
+        for r in df.groupBy(
+            F.col("event_type").alias("key"),
+            F.floor(F.col("sec") / 3600).cast("long").alias("bucket"),
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_centi"),
+            F.min(F.round(F.col("value") * 100).cast("bigint")).alias("vmin"),
+            F.max(F.round(F.col("value") * 100).cast("bigint")).alias("vmax"),
+        ).collect()
+    }
+    got = {(r.key, r.bucket): (r.n, r.sum_centi, r.vmin, r.vmax) for r in out}
+    assert got == direct
+    srcs = {r.bucket: r.src for r in out}
+    assert srcs[max(srcs)] == "raw"
+    assert all(s == "tier" for b, s in srcs.items() if b < max(srcs))
+    # explicit threshold: everything raw when thr = 0
+    out0 = realtime_rollup(df, bucket_sec=3600, threshold_sec=0).collect()
+    assert all(r.src == "raw" for r in out0)

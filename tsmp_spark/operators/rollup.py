@@ -4556,3 +4556,68 @@ def scd2_build(
         F.lead("t").over(wc).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull().cast("int"))
     return out
+
+
+def realtime_rollup(
+    events: DataFrame,
+    bucket_sec: int = 3600,
+    threshold_sec: int | None = None,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Real-time continuous aggregate (the TimescaleDB real-time caggs
+    pattern): closed buckets are answered from the MATERIALIZED tier,
+    the still-open tail is aggregated from raw rows at query time, and
+    the union is exactly the direct full-grain aggregate — which is the
+    identity the driver oracle gates.
+
+    ``threshold_sec`` is the materialization watermark (default: the
+    start of the bucket containing the global max event time — i.e.
+    everything before the open bucket is materialized). Values are
+    exact centi-unit integers (the ohlc convention); ``src`` marks which
+    path produced each row ('tier' / 'raw') and is derivable on both
+    engines (bucket < threshold//bucket_sec).
+
+    Scale: the tier path is the pre-aggregated state (here rebuilt from
+    rows below the threshold — in production a stored table); the raw
+    path scans ONLY the open tail, which filter-pushdown prunes to the
+    newest partition. Both legs are combinable groupBys; the union adds
+    no exchange.
+    """
+    v_centi = F.round(F.col(value_col).cast("double") * 100).cast("bigint")
+    base = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("long").alias("sec"),
+        v_centi.alias("v"),
+    )
+    if threshold_sec is None:
+        mx = base.select(
+            (F.floor(F.max("sec") / bucket_sec) * bucket_sec)
+            .cast("long")
+            .alias("thr")
+        )
+    else:
+        mx = events.sparkSession.range(1).select(
+            F.lit(int(threshold_sec)).cast("long").alias("thr")
+        )
+    based = base.crossJoin(F.broadcast(mx))
+
+    def agg(df: DataFrame, src: str) -> DataFrame:
+        return (
+            df.groupBy(
+                "key",
+                F.floor(F.col("sec") / bucket_sec).cast("long").alias("bucket"),
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("v").cast("bigint").alias("sum_centi"),
+                F.min("v").cast("bigint").alias("vmin"),
+                F.max("v").cast("bigint").alias("vmax"),
+            )
+            .withColumn("src", F.lit(src))
+        )
+
+    tier = agg(based.where(F.col("sec") < F.col("thr")), "tier")
+    raw = agg(based.where(F.col("sec") >= F.col("thr")), "raw")
+    return tier.unionByName(raw)

@@ -10966,6 +10966,43 @@ QUERIES["scd2_dimension"] = q_scd2_dimension
 ORACLES["scd2_dimension"] = SQL_SCD2_DIMENSION
 
 
+def q_realtime_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time continuous aggregate: hourly OHLC-style stats answered
+    from the materialized tier for closed buckets UNION the raw open
+    tail — together exactly the direct full-grain aggregate, with src
+    marking which path produced each row."""
+    from .operators.rollup import realtime_rollup
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", "value", F.unix_timestamp("ts").alias("sec")
+    )
+    return realtime_rollup(ev, bucket_sec=3600)
+
+
+SQL_REALTIME_ROLLUP = r"""
+WITH base AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v
+  FROM events
+),
+thr AS (
+  SELECT CAST(max(sec) // 3600 * 3600 AS BIGINT) AS thr FROM base
+)
+SELECT key, CAST(sec // 3600 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS sum_centi,
+       CAST(min(v) AS BIGINT) AS vmin,
+       CAST(max(v) AS BIGINT) AS vmax,
+       CASE WHEN sec // 3600 < thr // 3600 THEN 'tier' ELSE 'raw' END AS src
+FROM base, thr
+GROUP BY key, sec // 3600, CASE WHEN sec // 3600 < thr // 3600 THEN 'tier' ELSE 'raw' END
+"""
+
+QUERIES["realtime_rollup"] = q_realtime_rollup
+ORACLES["realtime_rollup"] = SQL_REALTIME_ROLLUP
+
+
 def q_rollup_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate freshness / SLA monitor per event_type over
     15-minute buckets: present vs expected buckets in [first bucket of
