@@ -3286,3 +3286,22 @@ def test_realtime_rollup_union_equals_direct(spark):
     # explicit threshold: everything raw when thr = 0
     out0 = realtime_rollup(df, bucket_sec=3600, threshold_sec=0).collect()
     assert all(r.src == "raw" for r in out0)
+
+
+def test_cdc_apply_delete_and_last_write_wins(spark):
+    from tsmp_spark.operators.rollup import cdc_apply
+
+    rows = [
+        (1, "U", 100, 1, 1.0), (1, "U", 200, 2, 2.0),       # live, v=200
+        (2, "U", 100, 3, 5.0), (2, "D", 200, 4, 0.0),       # deleted
+        (3, "D", 100, 5, 0.0), (3, "U", 200, 6, 7.0),       # resurrected
+        (4, "U", 100, 7, 1.0), (4, "U", 100, 8, 9.0),       # tie -> id 8 wins
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, op string, sec long, event_id long, value double"
+    )
+    out = {r.key: r for r in cdc_apply(df).collect()}
+    assert set(out) == {1, 3, 4}
+    assert out[1].value_centi == 200 and out[1].n_ops == 2
+    assert out[3].value_centi == 700 and out[3].last_ts == 200
+    assert out[4].value_centi == 900

@@ -4621,3 +4621,50 @@ def realtime_rollup(
     tier = agg(based.where(F.col("sec") < F.col("thr")), "tier")
     raw = agg(based.where(F.col("sec") >= F.col("thr")), "raw")
     return tier.unionByName(raw)
+
+
+def cdc_apply(
+    changes: DataFrame,
+    key_col: str = "user_id",
+    op_col: str = "op",
+    ts_col: str = "sec",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """CDC MERGE apply (the Iceberg/Delta MERGE INTO semantics over a
+    change stream): per key, replay inserts/updates/deletes in the
+    total (ts, id) order — the final snapshot keeps the LAST change's
+    value, and a key whose last change is a delete is ABSENT from the
+    table (where ``latest_snapshot`` keeps every key, this is the op
+    that actually removes rows).
+
+    Integer-exact: value in centi-units, version = change count per
+    key. ONE hash(key) exchange: the last-change pick is a
+    row_number==1 over the total order (WindowGroupLimit pushes the
+    top-1 below the shuffle), the per-key counts ride the same
+    partitioning.
+
+    Output: ``key, value_centi, n_ops, last_ts`` for live keys.
+    """
+    from pyspark.sql import Window
+
+    base = changes.select(
+        F.col(key_col).alias("key"),
+        F.col(op_col).cast("string").alias("op"),
+        F.col(ts_col).cast("long").alias("t"),
+        F.col(id_col).cast("long").alias("i"),
+        F.round(F.col(value_col).cast("double") * 100).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("t").desc(), F.col("i").desc())
+    stats = base.groupBy("key").agg(
+        F.count("*").cast("bigint").alias("n_ops")
+    )
+    last = (
+        base.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .where(F.col("op") != "D")
+        .select("key", F.col("v").alias("value_centi"), F.col("t").alias("last_ts"))
+    )
+    return last.join(stats, "key").select(
+        "key", "value_centi", "n_ops", "last_ts"
+    )

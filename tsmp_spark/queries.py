@@ -11003,6 +11003,54 @@ QUERIES["realtime_rollup"] = q_realtime_rollup
 ORACLES["realtime_rollup"] = SQL_REALTIME_ROLLUP
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics over a CDC change stream: ops derived by
+    event_id arithmetic (every 10th change is a DELETE), final snapshot
+    keeps the last change per key under the total (ts, id) order and
+    DROPS keys whose last change deleted them."""
+    from .operators.rollup import cdc_apply
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "value",
+        F.when(F.col("event_id") % 10 == 9, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    out = cdc_apply(ev)
+    return out.select(
+        F.col("key").cast("bigint").alias("key"),
+        "value_centi", "n_ops", "last_ts",
+    )
+
+
+SQL_CDC_APPLY = r"""
+WITH base AS (
+  SELECT user_id AS key,
+         CASE WHEN event_id % 10 = 9 THEN 'D' ELSE 'U' END AS op,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(event_id AS BIGINT) AS i,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v
+  FROM events
+),
+stats AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_ops FROM base GROUP BY key
+),
+last AS (
+  SELECT key, v AS value_centi, t AS last_ts FROM (
+    SELECT key, op, v, t,
+           row_number() OVER (PARTITION BY key ORDER BY t DESC, i DESC) AS rn
+    FROM base
+  ) WHERE rn = 1 AND op <> 'D'
+)
+SELECT CAST(l.key AS BIGINT) AS key, l.value_centi, s.n_ops, l.last_ts
+FROM last l JOIN stats s ON l.key = s.key
+"""
+
+QUERIES["cdc_apply"] = q_cdc_apply
+ORACLES["cdc_apply"] = SQL_CDC_APPLY
+
+
 def q_rollup_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate freshness / SLA monitor per event_type over
     15-minute buckets: present vs expected buckets in [first bucket of
