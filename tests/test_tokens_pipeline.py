@@ -1124,3 +1124,51 @@ def test_stratified_sample_exact_k(spark):
     other = stratified_sample(df, 10, salt="strat2").collect()
     oby = {r["doc_id"] for r in other if r["source"] == "big"}
     assert oby != by["big"]
+
+
+def test_span_corruption_plan_layout(spark):
+    """Mask plans are deterministic across runs, spans merge when
+    adjacent/overlapping, never exceed doc bounds, and docs with no
+    picks emit zero-span rows."""
+    from tsmp_spark.operators.tokens import span_corruption_plan
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(5 + (i * 13) % 60))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: r for r in span_corruption_plan(docs).collect()}
+    b = {r.doc_id: r for r in span_corruption_plan(docs).collect()}
+    assert a.keys() == b.keys() and all(
+        (a[k].n_spans, a[k].n_masked, a[k].sum_starts)
+        == (b[k].n_spans, b[k].n_masked, b[k].sum_starts)
+        for k in a
+    )
+    assert len(a) == 40
+    for r in a.values():
+        assert 0 <= r.n_masked <= r.n_tokens
+        assert r.n_spans <= r.n_masked or r.n_masked == 0
+        assert r.mask_rate_milli == r.n_masked * 1000 // r.n_tokens
+    assert any(r.n_spans > 0 for r in a.values())
+    assert sum(r.n_masked for r in a.values()) > 0
+
+
+def test_emd_1d_pairs_known_distributions(spark):
+    """EMD between two point masses one bin apart = width; identical
+    distributions = 0; triangle inequality-ish sanity on three keys."""
+    from tsmp_spark.operators.rollup import emd_1d_pairs
+
+    rows = (
+        [("a", 0.0)] * 10          # bin 8
+        + [("b", 0.625)] * 10      # bin 9 -> one bin from a
+        + [("c", 0.0)] * 7 + [("c", 0.625)] * 3
+    )
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {(r.key_a, r.key_b): r for r in emd_1d_pairs(df).collect()}
+    assert out[("a", "b")].emd == pytest.approx(0.625)
+    assert out[("a", "c")].emd == pytest.approx(0.625 * 0.3)
+    assert out[("b", "c")].emd == pytest.approx(0.625 * 0.7)
+    same = spark.createDataFrame(
+        [("x", 1.0)] * 5 + [("y", 1.0)] * 9, "event_type string, value double"
+    )
+    r = emd_1d_pairs(same).collect()[0]
+    assert r.emd == 0.0 and r.sum_abs == 0

@@ -4668,3 +4668,86 @@ def cdc_apply(
     return last.join(stats, "key").select(
         "key", "value_centi", "n_ops", "last_ts"
     )
+
+
+def emd_1d_pairs(
+    events: DataFrame,
+    lo: float = -5.0,
+    hi: float = 5.0,
+    n_bins: int = 16,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """1-D earth-mover's distance (Wasserstein-1) between the value
+    distributions of every key pair — the distribution-drift monitor of
+    the observability layer. On a shared fixed-bin grid the 1-D EMD is
+    the area between CDFs: ``Σ_bins |F_a(b) − F_b(b)| · width``.
+
+    Integer-exact core: per-bin cumulative COUNTS only; the CDF
+    difference is cross-multiplied to ``|cum_a·n_b − cum_b·n_a|`` so no
+    ratio forms until the final single fixed-shape double
+    ``emd = sum_abs · width / (n_a · n_b)`` (one expression over exact
+    integers — the kmv/hll float convention). Edge bins clamp
+    out-of-range values (the rollup_histogram convention).
+
+    Scale: each key collapses to ≤ n_bins rows before the pair join —
+    the pair fan-out is |keys|²·n_bins over BOUNDED sketch rows, raw
+    rows shuffle once into the histogram groupBy.
+    """
+    width = (float(hi) - float(lo)) / int(n_bins)
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - float(lo)) / width)
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(int(n_bins) - 1)).cast("int")
+    hist = (
+        events.select(F.col(key_col).cast("string").alias("key"), bin_.alias("bin"))
+        .groupBy("key", "bin")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    spark = events.sparkSession
+    bins = spark.range(int(n_bins)).select(F.col("id").cast("int").alias("bin"))
+    keys = hist.select("key").distinct()
+    grid = keys.crossJoin(F.broadcast(bins))
+    from pyspark.sql import Window
+
+    dense = (
+        grid.join(hist, ["key", "bin"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)).cast("bigint"))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.partitionBy("key").orderBy("bin")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    totals = hist.groupBy("key").agg(F.sum("cnt").cast("bigint").alias("n"))
+    a = dense.join(totals, "key").select(
+        F.col("key").alias("key_a"), "bin",
+        F.col("cum").alias("cum_a"), F.col("n").alias("n_a"),
+    )
+    b = dense.join(totals, "key").select(
+        F.col("key").alias("key_b"), "bin",
+        F.col("cum").alias("cum_b"), F.col("n").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, "bin")
+        .where(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b", "n_a", "n_b")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+                )
+            )
+            .cast("bigint")
+            .alias("sum_abs")
+        )
+    )
+    emd = (
+        F.col("sum_abs").cast("double")
+        * F.lit(float(width))
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return pairs.select(
+        "key_a", "key_b", "n_a", "n_b", "sum_abs", emd.alias("emd")
+    )

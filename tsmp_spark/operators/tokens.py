@@ -1318,3 +1318,88 @@ def stratified_sample(
         .filter(F.col("_rk") <= k_per_stratum)
         .drop("_rk")
     )
+
+
+def span_corruption_plan(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    start_rate_mod: int = 7,
+    min_len: int = 2,
+    len_mod: int = 3,
+) -> DataFrame:
+    """T5-style span-corruption PLANNING (Raffel et al. 2020 §3.1.4 —
+    the denoising objective's mask layout): deterministically pick
+    corruption spans over each document's token positions, merge
+    overlapping/adjacent picks, and report the mask layout per doc.
+    RNG-free: a position starts a span iff its salted md5 ≡ 0 (mod
+    ``start_rate_mod``) and the span length is ``min_len + md5' mod
+    len_mod`` — the stratified_sample convention, reproducible
+    bit-for-bit in SQL, identical across engines and runs (a training
+    pipeline needs the SAME mask plan on every replay).
+
+    Merging is the interval-coalesce island walk (adjacent spans fuse —
+    inclusive integer positions, start ≤ prev_max_end + 1) under the
+    total per-doc position order.
+
+    Output: ``doc_id, n_tokens, n_spans, n_masked, sum_starts,
+    mask_rate_milli`` — all integers (rate in exact milli-units via
+    floor division).
+
+    Scale: one posexplode + ONE hash(doc) exchange serving the island
+    windows and the final doc groupBy (prefix rule); span candidates are
+    per-row expressions.
+    """
+    from pyspark.sql import Window
+
+    from .text import _words
+    from .dedup import _h64
+
+    words = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_words(F.col(text_col))).alias("p", "w"),
+    ).select("doc_id", "p")
+    n_tok = words.groupBy("doc_id").agg(
+        F.max("p").cast("bigint").alias("n_tokens")
+    ).withColumn("n_tokens", F.col("n_tokens") + 1)
+    tagged = words.join(n_tok, "doc_id")
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("p").cast("string"))
+    starts = tagged.where(_h64(key, 4) % start_rate_mod == 0).select(
+        "doc_id", "n_tokens",
+        F.col("p").cast("bigint").alias("s"),
+        F.least(
+            F.col("p") + min_len - 1 + (_h64(key, 5) % len_mod),
+            F.col("n_tokens") - 1,
+        )
+        .cast("bigint")
+        .alias("e"),
+    )
+    wo = Window.partitionBy("doc_id").orderBy("s")
+    prev_max = F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    marked = starts.withColumn(
+        "new_island",
+        (prev_max.isNull() | (F.col("s") > prev_max + 1)).cast("int"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = marked.groupBy("doc_id", "n_tokens", "island").agg(
+        F.min("s").alias("is_"), F.max("e").alias("ie")
+    )
+    per_doc = islands.groupBy("doc_id", "n_tokens").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("ie") - F.col("is_") + 1).cast("bigint").alias("n_masked"),
+        F.sum("is_").cast("bigint").alias("sum_starts"),
+    )
+    out = n_tok.join(per_doc.drop("n_tokens"), "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("n_masked", F.lit(0)).cast("bigint").alias("n_masked"),
+        F.coalesce("sum_starts", F.lit(0)).cast("bigint").alias("sum_starts"),
+    )
+    return out.withColumn(
+        "mask_rate_milli", F.expr("n_masked * 1000 div n_tokens").cast("bigint")
+    )

@@ -11051,6 +11051,124 @@ QUERIES["cdc_apply"] = q_cdc_apply
 ORACLES["cdc_apply"] = SQL_CDC_APPLY
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption mask planning: RNG-free deterministic span
+    picks (salted md5 start/length draws per token position), merged by
+    the interval-coalesce island walk — the SAME mask plan on every
+    replay and engine. Integer-only layout stats per doc."""
+    from .operators.tokens import span_corruption_plan
+
+    return span_corruption_plan(_documents(spark, sf_dir))
+
+
+SQL_SPAN_CORRUPTION = r"""
+WITH words AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS p
+  FROM words, unnest(generate_series(0, n_tokens - 1)) AS g(i)
+),
+starts AS (
+  SELECT doc_id, n_tokens, p AS s,
+         least(
+           p + 1 + CAST(('0x' || substr(md5(
+             's1:' || CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)),
+             9, 8)) AS BIGINT) % 3,
+           n_tokens - 1) AS e
+  FROM pos
+  WHERE CAST(('0x' || substr(md5(
+          's1:' || CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)),
+          1, 8)) AS BIGINT) % 7 = 0
+),
+pm AS (
+  SELECT doc_id, n_tokens, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM starts
+),
+isl AS (
+  SELECT doc_id, n_tokens, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max + 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s) AS island
+  FROM pm
+),
+gi AS (
+  SELECT doc_id, n_tokens, island, min(s) AS is_, max(e) AS ie
+  FROM isl GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(ie - is_ + 1) AS BIGINT) AS n_masked,
+         CAST(sum(is_) AS BIGINT) AS sum_starts
+  FROM gi GROUP BY 1
+)
+SELECT w.doc_id, w.n_tokens,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.n_masked, 0) AS n_masked,
+       COALESCE(p.sum_starts, 0) AS sum_starts,
+       CAST(COALESCE(p.n_masked, 0) * 1000 // w.n_tokens AS BIGINT)
+         AS mask_rate_milli
+FROM words w LEFT JOIN per p USING (doc_id)
+"""
+
+QUERIES["span_corruption"] = q_span_corruption
+ORACLES["span_corruption"] = SQL_SPAN_CORRUPTION
+
+
+def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein distribution drift between every event-type pair
+    on the shared 16-bin [-5,5) value grid: integer cross-multiplied
+    CDF differences, ONE final fixed-shape double."""
+    from .operators.rollup import emd_1d_pairs
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    return emd_1d_pairs(ev)
+
+
+SQL_EMD_DRIFT = r"""
+WITH h AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         CAST(least(greatest(floor((CAST(value AS DOUBLE) - (-5.0)) / 0.625),
+                             0), 15) AS INT) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT key FROM h),
+grid AS (
+  SELECT k.key, CAST(i AS INT) AS bin
+  FROM keys k, unnest(generate_series(0, 15)) AS g(i)
+),
+dense AS (
+  SELECT g.key, g.bin, COALESCE(h.cnt, 0) AS cnt,
+         CAST(sum(COALESCE(h.cnt, 0)) OVER (PARTITION BY g.key ORDER BY g.bin)
+              AS BIGINT) AS cum
+  FROM grid g LEFT JOIN h ON h.key = g.key AND h.bin = g.bin
+),
+totals AS (SELECT key, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY key),
+pairs AS (
+  SELECT a.key AS key_a, b.key AS key_b, ta.n AS n_a, tb.n AS n_b,
+         CAST(sum(abs(a.cum * tb.n - b.cum * ta.n)) AS BIGINT) AS sum_abs
+  FROM dense a
+  JOIN dense b ON a.bin = b.bin AND a.key < b.key
+  JOIN totals ta ON ta.key = a.key
+  JOIN totals tb ON tb.key = b.key
+  GROUP BY 1, 2, 3, 4
+)
+SELECT key_a, key_b, n_a, n_b, sum_abs,
+       CAST(sum_abs AS DOUBLE) * 0.625 / CAST(n_a * n_b AS DOUBLE) AS emd
+FROM pairs
+"""
+
+QUERIES["emd_drift"] = q_emd_drift
+ORACLES["emd_drift"] = SQL_EMD_DRIFT
+
+
 def q_rollup_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate freshness / SLA monitor per event_type over
     15-minute buckets: present vs expected buckets in [first bucket of
