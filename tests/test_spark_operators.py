@@ -3305,3 +3305,32 @@ def test_cdc_apply_delete_and_last_write_wins(spark):
     assert out[1].value_centi == 200 and out[1].n_ops == 2
     assert out[3].value_centi == 700 and out[3].last_ts == 200
     assert out[4].value_centi == 900
+
+
+def test_dtw_search_lower_bound_property_and_plant(spark):
+    """LB_Keogh <= exact banded DTW on every emitted row; a planted
+    exact copy of the query ranks first with dtw == lb == 0; results
+    deterministic across runs."""
+    import numpy as np
+
+    from tsmp_spark.operators.series import dtw_search
+
+    rng = np.random.default_rng(3)
+    rows = []
+    q = [int(x) for x in rng.integers(0, 100, 48)]
+    rows.append((0, q, 48))  # smallest doc_id -> becomes the query
+    for d in range(1, 12):
+        toks = [int(x) for x in rng.integers(0, 100, 80)]
+        if d == 7:
+            toks[20:36] = q[:16]  # planted exact match
+        rows.append((d, toks, len(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>, n_tok int")
+    out = dtw_search(df, t=16, band=3, min_query_len=48, k_cand=32, topk=10).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.lb <= r.dtw
+    best = [r for r in out if r.rank == 1][0]
+    assert best.dtw == 0
+    assert (best.doc_id, best.pos) in {(0, 0), (7, 20)}
+    again = dtw_search(df, t=16, band=3, min_query_len=48, k_cand=32, topk=10).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -261,3 +261,126 @@ def dtw_pairs(
             )
 
     return pairs.mapInPandas(kernel, "ida long, idb long, dtw long")
+
+
+def dtw_search(
+    nested: DataFrame,
+    t: int = 16,
+    band: int = 3,
+    min_query_len: int = 48,
+    k_cand: int = 32,
+    topk: int = 10,
+) -> DataFrame:
+    """UCR-suite style query-by-example DTW subsequence search with the
+    LB_Keogh lower-bound cascade (Keogh & Ratanamajhan — the classic
+    envelope pruning; Rakthanmanon et al. KDD 2012 "Searching and
+    mining trillions"): a cheap O(t) integer lower bound scores EVERY
+    window, only the ``k_cand`` best-bounded candidates pay the exact
+    O(t·band) banded DTW, the final ranking re-ranks survivors.
+
+    Semantics contract (the lsh_ann convention): this is a
+    candidate-generate + re-rank operator — the output is the exact-DTW
+    top-k OF the k_cand lowest-LB windows, deterministic under the
+    total (lb, doc, pos) / (dtw, doc, pos) tie orders. Since
+    LB_Keogh ≤ DTW, a true match with DTW below every survivor's bound
+    is never lost; the pytest pins the bound property per window.
+
+    Integer-exact throughout: token ids, envelope, bound and DP are all
+    bigints — no float convention anywhere (the dtw_pairs gate).
+
+    Scale: the LB pass is a map-only Arrow kernel (sliding windows never
+    leave their task); ONE top-k exchange selects k_cand rows; the
+    exact-DTW pass touches k_cand windows only. The query is derived
+    in-engine from the smallest qualifying doc (no external literals).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..mpcore.dtw import dtw_banded
+
+    qrow = (
+        nested.filter(F.col("n_tok") >= min_query_len)
+        .select(F.col("doc_id").cast("bigint").alias("did"), "tokens")
+        .orderBy("did")
+        .limit(1)
+        .collect()
+    )
+    if not qrow:
+        return nested.sparkSession.createDataFrame(
+            [], "doc_id bigint, pos bigint, lb bigint, dtw bigint, rank int"
+        )
+    q = np.asarray(qrow[0].tokens[:t], dtype=np.int64)
+    upper = np.array(
+        [int(q[max(0, j - band) : j + band + 1].max()) for j in range(t)],
+        dtype=np.int64,
+    )
+    lower = np.array(
+        [int(q[max(0, j - band) : j + band + 1].min()) for j in range(t)],
+        dtype=np.int64,
+    )
+
+    def lb_kernel(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            out = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(toks, dtype=np.int64)
+                m = a.shape[0] - t + 1
+                if m <= 0:
+                    continue
+                w = sliding_window_view(a, t)
+                over = np.maximum(w - upper, 0)
+                under = np.maximum(lower - w, 0)
+                lb = np.maximum(over, under).sum(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": np.repeat(np.int64(doc_id), m),
+                            "pos": np.arange(m, dtype=np.int64),
+                            "lb": lb.astype(np.int64),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cands = nested.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "tokens"
+    ).mapInPandas(lb_kernel, "doc_id long, pos long, lb long")
+    surv = cands.orderBy("lb", "doc_id", "pos").limit(k_cand)
+    withwin = surv.join(
+        nested.select(F.col("doc_id").cast("bigint").alias("doc_id"), "tokens"),
+        "doc_id",
+    ).select(
+        "doc_id", "pos", "lb",
+        F.slice("tokens", F.col("pos").cast("int") + 1, t).alias("win"),
+    )
+
+    def exact_kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pos": pdf["pos"],
+                    "lb": pdf["lb"],
+                    "dtw": [
+                        dtw_banded(q, np.asarray(wv, dtype=np.int64), band)
+                        for wv in pdf["win"]
+                    ],
+                }
+            )
+
+    exact = withwin.mapInPandas(
+        exact_kernel, "doc_id long, pos long, lb long, dtw long"
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy("dtw", "doc_id", "pos")
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= topk)
+        .select("doc_id", "pos", "lb", "dtw", "rank")
+    )

@@ -12306,6 +12306,110 @@ QUERIES["dtw_pairs"] = q_dtw_pairs
 ORACLES["dtw_pairs"] = SQL_DTW_PAIRS
 
 
+#: LB_Keogh search geometry: window/query length, Sakoe-Chiba radius,
+#: candidate budget, final top-k.
+LBK_T = 16
+LBK_R = 3
+LBK_K = 32
+LBK_TOP = 10
+
+
+def q_dtw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCR-suite LB_Keogh cascade: the integer envelope lower bound
+    scores every window of every tokenized doc, the 32 best-bounded
+    candidates pay exact banded DTW, top-10 re-ranked — the classic
+    'filter pushdown for similarity search'. Query = first 16 tokens
+    of the smallest qualifying doc, derived in-engine on both sides."""
+    from .operators.series import dtw_search
+
+    return dtw_search(
+        _tokenized(spark, sf_dir),
+        t=LBK_T, band=LBK_R, min_query_len=DTW_T, k_cand=LBK_K, topk=LBK_TOP,
+    )
+
+
+SQL_DTW_SEARCH = f"""
+WITH RECURSIVE {_SQL_TOKEN_SERIES},
+qsel AS (
+  SELECT CAST(doc_id AS BIGINT) AS qid FROM s
+  GROUP BY 1 HAVING count(*) >= {DTW_T}
+  ORDER BY 1 LIMIT 1
+),
+q AS (
+  SELECT s.pos AS j, CAST(s.value AS BIGINT) AS qv
+  FROM s JOIN qsel ON CAST(s.doc_id AS BIGINT) = qsel.qid
+  WHERE s.pos < {LBK_T}
+),
+env AS (
+  SELECT a.j, max(b.qv) AS u, min(b.qv) AS l
+  FROM q a JOIN q b ON abs(a.j - b.j) <= {LBK_R}
+  GROUP BY a.j
+),
+lbt AS (
+  SELECT CAST(s.doc_id AS BIGINT) AS id, s.pos - e.j AS pos0,
+         greatest(CAST(s.value AS BIGINT) - e.u,
+                  e.l - CAST(s.value AS BIGINT), 0) AS c
+  FROM s JOIN env e ON s.pos >= e.j
+),
+lb AS (
+  SELECT id, CAST(pos0 AS BIGINT) AS pos0, CAST(sum(c) AS BIGINT) AS lb
+  FROM lbt GROUP BY 1, 2 HAVING count(*) = {LBK_T}
+),
+surv AS (
+  SELECT id, pos0, lb FROM lb ORDER BY lb, id, pos0 LIMIT {LBK_K}
+),
+ql AS (SELECT list(qv ORDER BY j) AS la FROM q),
+wl AS (
+  SELECT sv.id, sv.pos0, sv.lb,
+         list(CAST(s.value AS BIGINT) ORDER BY s.pos) AS lw
+  FROM surv sv
+  JOIN s ON CAST(s.doc_id AS BIGINT) = sv.id
+        AND s.pos BETWEEN sv.pos0 AND sv.pos0 + {LBK_T} - 1
+  GROUP BY 1, 2, 3
+),
+pairsel2 AS (SELECT id, pos0, lb, la, lw FROM wl, ql),
+sdiag AS (
+  SELECT id, pos0, lb, 0 AS e,
+         list_transform(range(1, {LBK_T} + 1),
+                        i -> CAST({DTW_SENT} AS BIGINT)) AS prev,
+         list_transform(range(1, {LBK_T} + 1), i ->
+           CASE WHEN i = 1 THEN abs(la[1] - lw[1])
+                ELSE CAST({DTW_SENT} AS BIGINT) END) AS cur,
+         la, lw
+  FROM pairsel2
+  UNION ALL
+  SELECT id, pos0, lb, e + 1,
+         cur AS prev,
+         list_transform(range(1, {LBK_T} + 1), i ->
+           CASE WHEN e + 1 - (i - 1) BETWEEN 0 AND {LBK_T} - 1
+                 AND abs(2 * (i - 1) - (e + 1)) <= {LBK_R}
+           THEN abs(la[i] - lw[e + 1 - (i - 1) + 1])
+                + least(CASE WHEN i >= 2 THEN cur[i - 1]
+                        ELSE CAST({DTW_SENT} AS BIGINT) END,
+                        cur[i],
+                        CASE WHEN i >= 2 THEN prev[i - 1]
+                        ELSE CAST({DTW_SENT} AS BIGINT) END)
+           ELSE CAST({DTW_SENT} AS BIGINT) END) AS cur,
+         la, lw
+  FROM sdiag WHERE e < 2 * {LBK_T} - 2
+),
+fin2 AS (
+  SELECT id, pos0, lb, cur[{LBK_T}] AS dtw
+  FROM sdiag WHERE e = 2 * {LBK_T} - 2
+)
+SELECT id AS doc_id, pos0 AS pos, lb, CAST(dtw AS BIGINT) AS dtw,
+       CAST(rn AS INT) AS rank
+FROM (
+  SELECT id, pos0, lb, dtw,
+         row_number() OVER (ORDER BY dtw, id, pos0) AS rn
+  FROM fin2
+) WHERE rn <= {LBK_TOP}
+"""
+
+QUERIES["dtw_search"] = q_dtw_search
+ORACLES["dtw_search"] = SQL_DTW_SEARCH
+
+
 def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS tug-of-war F2 (self-join size) sketch per 6h bucket over
     user_id: 64 ±1 md5-signed integer counters, 4 groups of 16, lower
