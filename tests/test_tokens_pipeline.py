@@ -513,6 +513,56 @@ def test_lm_perplexity_flags_junk(spark):
     assert again == {d: r.ppl for d, r in out.items()}
 
 
+def test_kn_perplexity_hand_model(spark):
+    """kn_perplexity matches a doc-by-doc pure-Python Kneser–Ney replay
+    (d=3/4 integer-rational form) on a tiny corpus, and the KN property
+    holds: a word seen in many distinct contexts backs off higher than
+    an equally-frequent word welded to one context."""
+    from tsmp_spark.operators.tokens import kn_perplexity
+
+    docs = {
+        0: [1, 2, 3, 1, 2],
+        1: [2, 3, 4, 2, 3],
+        2: [5, 1, 2, 5, 4],
+        3: [7],  # single token: unigram-only leg
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, tokens array<int>"
+    )
+    out = {r.doc_id: r for r in kn_perplexity(df).collect()}
+
+    from collections import Counter
+
+    bi = Counter()
+    for t in docs.values():
+        for a, b in zip(t, t[1:]):
+            bi[(a, b)] += 1
+    B = len(bi)
+    cctx, n1p, ncw = Counter(), Counter(), Counter()
+    for (a, b), c in bi.items():
+        cctx[a] += c
+        n1p[a] += 1
+        ncw[b] += 1
+    for d, t in docs.items():
+        nlls = [math.log(B + 32768) - math.log(ncw[t[0]] + 1)]
+        for a, b in zip(t, t[1:]):
+            num = max(4 * bi[(a, b)] - 3, 0) * B + 3 * n1p[a] * ncw[b]
+            den = 4 * cctx[a] * B
+            nlls.append(math.log(den) - math.log(num))
+        assert out[d].n_scored == len(t)
+        assert abs(out[d].nll - round(sum(nlls) / len(nlls), 4)) <= 1e-4
+    # KN property: "francisco" (always after "san") vs "the" (many
+    # contexts), equal unigram frequency — first-token backoff must
+    # prefer the many-context word.
+    san, fran, the = 100, 101, 102
+    rows = [(i, [san, fran]) for i in range(8)]
+    rows += [(10 + i, [i + 50, the]) for i in range(8)]
+    rows += [(30, [fran]), (31, [the])]
+    df2 = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    o2 = {r.doc_id: r.nll for r in kn_perplexity(df2).collect()}
+    assert o2[31] < o2[30]
+
+
 def test_training_order_per_epoch_shuffle(spark, tok):
     """Each epoch gives a different deterministic global order; the same
     epoch always gives the same order; keys are unique."""

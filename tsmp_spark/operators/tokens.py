@@ -704,6 +704,105 @@ def lm_perplexity(
     )
 
 
+def kn_perplexity(
+    sequences: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    vocab_size: int = VOCAB_SIZE,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    Goodman 1999 eq. 4.28 with absolute discount d = 0.75) — the
+    standard n-gram LM the CCNet/KenLM quality-scoring stack actually
+    ships, next to :func:`lm_perplexity`'s add-one baseline. The KN
+    insight: the backoff weight of a word is how many distinct CONTEXTS
+    it continues (``N1+(·w)``), not its raw frequency — "Francisco" is
+    frequent but follows only "San", so it backs off low.
+
+    With d = 3/4 every probability is ONE exact integer rational::
+
+        p(w|v) = ( max(4·c(v,w) − 3, 0)·B  +  3·N1+(v·)·N1+(·w) )
+                 / ( 4·c(v) · B )
+
+    where ``B`` = total distinct bigrams, ``N1+(v·)`` = distinct
+    continuations of context v, ``N1+(·w)`` = distinct left-contexts of
+    w.  (Derivation: p = (max(c−d,0) + d·N1+(v·)·N1+(·w)/B) / c(v),
+    multiplied through by 4B.)  Because the model is trained on the
+    corpus being scored, every scored pair has c(v,w) ≥ 1, so the
+    numerator is always positive.  First tokens score against the
+    add-one continuation unigram ``(N1+(·w)+1)/(B+V)``.  Both sides of
+    the oracle compute ``nll = ln(den) − ln(num)`` over the SAME exact
+    bigint operands (the lm_perplexity ln-of-exact-integers precedent);
+    per-doc output is the r4-rounded mean NLL and perplexity.
+
+    Integer headroom: den = 4·c(v)·B needs c(v)·B < 2⁶¹ — at
+    trillion-token scale with 32k vocab, c(v) ≤ 10¹² and B ≤ V² ≈ 10⁹
+    overflows bigint, so the operator would move num/den to
+    decimal(38,0) there; documented, not needed at any test SF.
+
+    Scale shape: identical to lm_perplexity — model tables are vocab- or
+    distinct-bigram-bounded map-side-combinable aggregates; scoring
+    re-joins the corpus pairs against broadcast-size model tables
+    (``bi`` unhinted so AQE picks shuffle-join if vocab² outgrows
+    broadcast); ONE final per-doc groupBy. No all-pairs anything.
+
+    Output: (doc_id, n_scored, nll, ppl).
+    """
+    toks = F.col(tokens_col)
+    from .cache import pin
+
+    pairs = pin(
+        sequences.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("_t"),
+            F.posexplode(toks).alias("p", "cur"),
+        ).select(
+            "doc_id",
+            F.when(F.col("p") > 0, F.col("_t")[F.col("p") - 1]).alias("prev"),
+            "cur",
+        )
+    )
+    bi = pin(
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("c2"))
+    )
+    # context totals + distinct-continuation counts share one pass over
+    # the (vocab²-bounded) bigram table; N1+(·w) and B are its column
+    # marginals — all model state is bounded by distinct bigrams.
+    ctx = bi.groupBy("prev").agg(
+        F.sum("c2").alias("cctx"), F.count("*").alias("n1p")
+    )
+    ncw = bi.groupBy("cur").agg(F.count("*").alias("ncw"))
+    btot = bi.agg(F.count("*").alias("b"))
+    num = F.when(
+        F.col("prev").isNull(),
+        F.coalesce(F.col("ncw"), F.lit(0)) + F.lit(1),
+    ).otherwise(
+        F.greatest(F.lit(4) * F.col("c2") - F.lit(3), F.lit(0)) * F.col("b")
+        + F.lit(3) * F.col("n1p") * F.col("ncw")
+    )
+    den = F.when(
+        F.col("prev").isNull(), F.col("b") + F.lit(int(vocab_size))
+    ).otherwise(F.lit(4) * F.col("cctx") * F.col("b"))
+    scored = (
+        pairs.join(bi, ["prev", "cur"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .join(F.broadcast(ncw), "cur", "left")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "doc_id",
+            (
+                F.log(den.cast("double")) - F.log(num.cast("double"))
+            ).alias("nll_tok"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_scored"),
+        F.avg("nll_tok").alias("nll"),
+        F.exp(F.avg("nll_tok")).alias("ppl"),
+    )
+
+
 def training_order(
     packed: DataFrame,
     epoch: int = 0,

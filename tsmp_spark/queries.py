@@ -4858,6 +4858,63 @@ QUERIES["lm_perplexity"] = q_lm_perplexity
 ORACLES["lm_perplexity"] = SQL_LM_PERPLEXITY
 
 
+def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM scoring (d=3/4 ⇒ every
+    probability one exact integer rational; nll = ln(den)−ln(num) over
+    identical bigint operands on both engines)."""
+    from .operators.tokens import kn_perplexity
+
+    p = kn_perplexity(_tokenized(spark, sf_dir))
+    return p.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_scored").cast("bigint").alias("n_scored"),
+        _r4("nll").alias("nll"),
+        _r4("ppl").alias("ppl"),
+    )
+
+
+SQL_KN_PERPLEXITY = f"""
+WITH {SQL_TOKC},
+pairs AS (
+  SELECT doc_id,
+         CASE WHEN i > 1 THEN tokens[i - 1] END AS prev,
+         tokens[i] AS cur
+  FROM tokc, unnest(generate_series(1, len(tokens))) AS g(i)
+),
+bi AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+  FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+ctx AS (
+  SELECT prev, CAST(sum(c2) AS BIGINT) AS cctx,
+         CAST(count(*) AS BIGINT) AS n1p
+  FROM bi GROUP BY 1
+),
+ncw AS (SELECT cur, CAST(count(*) AS BIGINT) AS ncw FROM bi GROUP BY 1),
+btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi),
+scored AS (
+  SELECT p.doc_id,
+         ln(CAST(CASE WHEN p.prev IS NULL THEN bt.b + 32768
+                      ELSE 4 * cx.cctx * bt.b END AS DOUBLE))
+         - ln(CAST(CASE WHEN p.prev IS NULL THEN COALESCE(nc.ncw, 0) + 1
+                        ELSE greatest(4 * b.c2 - 3, 0) * bt.b
+                             + 3 * cx.n1p * nc.ncw END AS DOUBLE))
+           AS nll_tok
+  FROM pairs p
+  LEFT JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
+  LEFT JOIN ctx cx ON cx.prev = p.prev
+  LEFT JOIN ncw nc ON nc.cur = p.cur
+  CROSS JOIN btot bt
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+       round(avg(nll_tok), 4) AS nll, round(exp(avg(nll_tok)), 4) AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+QUERIES["kn_perplexity"] = q_kn_perplexity
+ORACLES["kn_perplexity"] = SQL_KN_PERPLEXITY
+
+
 def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-1 global shuffle of the packed sequences:
     md5 order key per sequence, globally ranked."""
