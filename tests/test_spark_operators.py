@@ -3334,3 +3334,39 @@ def test_dtw_search_lower_bound_property_and_plant(spark):
     assert (best.doc_id, best.pos) in {(0, 0), (7, 20)}
     again = dtw_search(df, t=16, band=3, min_query_len=48, k_cand=32, topk=10).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_sigma_clip_iterative_book(spark):
+    """Iterative 3-sigma clipping replays a numpy reference pass-for-pass:
+    a gross outlier masks a milder one until round 2 (the iterative
+    property); constant and singleton groups clip nothing; boundary
+    points (|x-mu| == 3s exactly) survive."""
+    import numpy as np
+    from tsmp_spark.operators import sigma_clip
+
+    base = [10.0, 10.02, 9.98, 10.01, 9.99, 10.0, 10.03, 9.97] * 4
+    vals = base + [500.0, 12.0]   # 500 clipped r1, 12 clipped r2
+    rows = [(i, "a", v) for i, v in enumerate(vals)]
+    rows += [(100 + i, "const", 7.0) for i in range(5)]
+    rows += [(200, "single", 3.5)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r.key: r for r in sigma_clip(ev, rounds=3, k_sigma=3).collect()}
+
+    def np_clip(vs, rounds=3, k=3):
+        cu = np.round(np.array(vs) * 100).astype(np.int64)
+        for _ in range(rounds):
+            n, s1, s2 = len(cu), cu.sum(), (cu * cu).sum()
+            keep = (n * cu - s1) ** 2 * (n - 1) <= k * k * n * (n * s2 - s1 * s1)
+            cu = cu[keep]
+        return cu
+
+    ref = np_clip([float(v) for v in vals])
+    assert out["a"].n_raw == len(vals)
+    assert out["a"].n_kept == len(ref) == len(base)  # both outliers gone
+    assert out["a"].sum_kept_centi == int(ref.sum())
+    assert out["a"].mean_kept == ref.sum() / len(ref)
+    # one round only removes the gross outlier; the mild one hides behind it
+    one = {r.key: r for r in sigma_clip(ev, rounds=1, k_sigma=3).collect()}
+    assert one["a"].n_kept == len(base) + 1
+    assert out["const"].n_clipped == 0 and out["const"].n_kept == 5
+    assert out["single"].n_kept == 1 and out["single"].mean_kept == 350.0

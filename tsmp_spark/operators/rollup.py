@@ -4751,3 +4751,84 @@ def emd_1d_pairs(
     return pairs.select(
         "key_a", "key_b", "n_a", "n_b", "sum_abs", emd.alias("emd")
     )
+
+
+def sigma_clip(
+    events: DataFrame,
+    rounds: int = 3,
+    k_sigma: int = 3,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Iterative sigma-clipping robust aggregate (astropy ``sigma_clip``
+    / the photometry-pipeline standard; Rosner 1983's iterative-removal
+    shape with a fixed k·σ cut): ``rounds`` passes per key, each
+    recomputing mean/sd over the SURVIVORS and dropping every point
+    beyond k sample standard deviations.
+
+    Every clip decision is an EXACT integer comparison — no float mean,
+    sd, or z-score ever forms.  With centi-unit values ``c``, survivor
+    count ``n``, survivor sums ``s1 = Σc`` and ``s2 = Σc²``::
+
+        |c − μ| > k·s   ⇔   (n·c − s1)²·(n−1) > k²·n·(n·s2 − s1²)
+
+    (both sides decimal(38,0) / HUGEINT — cross-multiplied through
+    μ = s1/n and s² = (n·s2 − s1²)/(n·(n−1))), so Spark and the oracle
+    clip the IDENTICAL point set; boundary points (equality) survive.
+    n = 1 and constant groups clip nothing (both sides 0), and a round
+    can never clip an entire group — Σ(c−μ)² = (n−1)s² means at most
+    ⌊(n−1)/k²⌋ points can exceed k·s.
+
+    Scale shape: per round ONE map-side-combinable groupBy over the
+    survivors plus a BROADCAST join of the key-bounded stats table back
+    onto the rows — the corpus is scanned ``rounds + 1`` times (the
+    k-rounds convention of pagerank/BPE), never shuffled on anything
+    but the key, and round state is O(keys).
+
+    Output: (key, n_raw, n_kept, n_clipped, sum_kept_centi, mean_kept)
+    — mean_kept is ONE division of exact integers (bit-stable
+    cross-engine).
+    """
+    from .cache import pin
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    k2 = int(k_sigma) * int(k_sigma)
+    cu = F.round(F.col(value_col) * 100).cast("bigint")
+    base = pin(events.select(F.col(key_col).alias("key"), cu.alias("cu")))
+    kept = base
+    c = F.col("cu").cast("decimal(38,0)")
+    for _ in range(int(rounds)):
+        st = kept.groupBy("key").agg(
+            F.count("*").cast("decimal(38,0)").alias("_n"),
+            F.sum(c).alias("_s1"),
+            F.sum(c * c).alias("_s2"),
+        )
+        d = F.col("_n") * c - F.col("_s1")
+        lhs = d * d * (F.col("_n") - F.lit(1))
+        rhs = (
+            F.lit(k2)
+            * F.col("_n")
+            * (F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1"))
+        )
+        kept = (
+            kept.join(F.broadcast(st), "key")
+            .filter(lhs <= rhs)
+            .select("key", "cu")
+        )
+    raw = base.groupBy("key").agg(F.count("*").cast("bigint").alias("n_raw"))
+    fin = kept.groupBy("key").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("cu").cast("bigint").alias("sum_kept_centi"),
+    )
+    return raw.join(fin, "key").select(
+        "key",
+        "n_raw",
+        "n_kept",
+        (F.col("n_raw") - F.col("n_kept")).cast("bigint").alias("n_clipped"),
+        "sum_kept_centi",
+        (
+            F.col("sum_kept_centi").cast("double")
+            / F.col("n_kept").cast("double")
+        ).alias("mean_kept"),
+    )

@@ -14145,6 +14145,67 @@ QUERIES["sessions_stream"] = q_sessions_stream
 ORACLES["sessions_stream"] = SQL_SESSIONIZE  # stream==batch, same ground truth
 
 
+def q_sigma_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative 3-round 3σ clipping per event type: every clip decision
+    an exact cross-multiplied integer comparison — Spark and DuckDB drop
+    the identical point set."""
+    from .operators.rollup import sigma_clip
+
+    return sigma_clip(_events(spark, sf_dir), rounds=3, k_sigma=3)
+
+
+SQL_SIGMA_CLIP = r"""
+WITH base AS (
+  SELECT event_type AS key, CAST(round(value * 100) AS BIGINT) AS cu
+  FROM events
+),
+s1 AS MATERIALIZED (
+  SELECT key, CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(cu AS HUGEINT)) AS s1, sum(CAST(cu AS HUGEINT) * cu) AS s2
+  FROM base GROUP BY key
+),
+k1 AS MATERIALIZED (
+  SELECT b.key, b.cu FROM base b JOIN s1 ON s1.key = b.key
+  WHERE (s1.n * b.cu - s1.s1) * (s1.n * b.cu - s1.s1) * (s1.n - 1)
+        <= 9 * s1.n * (s1.n * s1.s2 - s1.s1 * s1.s1)
+),
+s2 AS MATERIALIZED (
+  SELECT key, CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(cu AS HUGEINT)) AS s1, sum(CAST(cu AS HUGEINT) * cu) AS s2
+  FROM k1 GROUP BY key
+),
+k2 AS MATERIALIZED (
+  SELECT b.key, b.cu FROM k1 b JOIN s2 ON s2.key = b.key
+  WHERE (s2.n * b.cu - s2.s1) * (s2.n * b.cu - s2.s1) * (s2.n - 1)
+        <= 9 * s2.n * (s2.n * s2.s2 - s2.s1 * s2.s1)
+),
+s3 AS MATERIALIZED (
+  SELECT key, CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(cu AS HUGEINT)) AS s1, sum(CAST(cu AS HUGEINT) * cu) AS s2
+  FROM k2 GROUP BY key
+),
+k3 AS MATERIALIZED (
+  SELECT b.key, b.cu FROM k2 b JOIN s3 ON s3.key = b.key
+  WHERE (s3.n * b.cu - s3.s1) * (s3.n * b.cu - s3.s1) * (s3.n - 1)
+        <= 9 * s3.n * (s3.n * s3.s2 - s3.s1 * s3.s1)
+),
+raw AS (SELECT key, CAST(count(*) AS BIGINT) AS n_raw FROM base GROUP BY key),
+fin AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(cu) AS BIGINT) AS sum_kept_centi
+  FROM k3 GROUP BY key
+)
+SELECT r.key, r.n_raw, f.n_kept,
+       CAST(r.n_raw - f.n_kept AS BIGINT) AS n_clipped, f.sum_kept_centi,
+       CAST(f.sum_kept_centi AS DOUBLE) / CAST(f.n_kept AS DOUBLE)
+         AS mean_kept
+FROM raw r JOIN fin f ON f.key = r.key
+"""
+
+QUERIES["sigma_clip"] = q_sigma_clip
+ORACLES["sigma_clip"] = SQL_SIGMA_CLIP
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
