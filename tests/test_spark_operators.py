@@ -3370,3 +3370,26 @@ def test_sigma_clip_iterative_book(spark):
     assert one["a"].n_kept == len(base) + 1
     assert out["const"].n_clipped == 0 and out["const"].n_kept == 5
     assert out["single"].n_kept == 1 and out["single"].mean_kept == 350.0
+
+
+def test_triangle_stats_hand_graph(spark):
+    """K4 gives every node tri=C(3,2)... i.e. 3 triangles per node and
+    lcc=1; a pendant node has deg=1, tri=0, lcc NULL; a star hub has
+    zero triangles (and zero oriented wedges — the skew-cap property);
+    duplicate/reversed input edges collapse."""
+    from tsmp_spark.operators import triangle_stats
+
+    k4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+    edges = k4 + [(3, 10)]                      # pendant off the clique
+    edges += [(20, 21 + i) for i in range(5)]   # star: hub 20, 5 leaves
+    edges += [(j, i) for i, j in k4] + k4       # reversed + duplicates
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r for r in triangle_stats(df).collect()}
+    for n in range(3):
+        assert out[n].deg == 3 and out[n].tri == 3 and out[n].lcc == 1.0
+    assert out[3].deg == 4 and out[3].tri == 3
+    assert out[3].lcc == 6.0 / 12.0
+    assert out[10].deg == 1 and out[10].tri == 0 and out[10].lcc is None
+    assert out[20].deg == 5 and out[20].tri == 0 and out[20].lcc == 0.0
+    total = sum(r.tri for r in out.values())
+    assert total == 3 * 4  # 4 triangles in K4, each credited 3 times

@@ -89,3 +89,100 @@ def pagerank(
             )
         )
     return ranks.select("node", F.col("r").alias("pr_x1e9"))
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient via the
+    degree-ordered wedge join (Suri & Vassilvitskii WWW 2011; Schank &
+    Wagner 2005's node-iterator++) — THE shuffle-bounded way to count
+    triangles on a warehouse engine.
+
+    Input: an undirected edge list (duplicates and both directions
+    welcome — canonicalized to distinct ``a < b`` pairs, self-loops
+    dropped). Every edge is then ORIENTED from its lower to its higher
+    endpoint in the total ``(degree, node)`` order, which caps every
+    node's out-degree at O(√|E|) (arboricity bound): the wedge join's
+    fan-out is Σ C(outdeg, 2) = O(|E|^{3/2}) WORST CASE — independent
+    of hot-node skew, which is exactly why the orientation exists (a
+    star graph yields zero wedges at its hub). Each triangle {a,b,c}
+    has exactly ONE node with two out-edges, so every triangle is found
+    once, then credited to all three corners.
+
+    Everything is exact integer counting; the only float is the final
+    ``lcc = 2·tri / (deg·(deg−1))`` — ONE division of exact bigints
+    (bit-stable cross-engine), NULL for degree < 2.
+
+    Scale shape: canonical-edge dedup (one shuffle), degree groupBy,
+    wedge self-join keyed on the pivot node, closing equi-join keyed on
+    the (v, w) edge pair, corner-credit groupBy — five key-bounded
+    shuffles, no cartesian anywhere, and the oriented fan-out bound is
+    the published O(|E|^{3/2}).
+
+    Output: (node, deg, tri, lcc).
+    """
+    from .cache import pin
+
+    a, b = F.col(src_col), F.col(dst_col)
+    canon = pin(
+        edges.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = pin(
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    lo_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = pin(
+        canon.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lo_first, F.col("dega")).otherwise(F.col("degb")).alias("du"),
+            F.when(lo_first, F.col("degb")).otherwise(F.col("dega")).alias("dv"),
+        )
+    )
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    e2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = e1.join(e2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tris = wedges.join(closing, ["v1", "v2"]).select(
+        F.col("u").alias("n1"), F.col("v1").alias("n2"), F.col("v2").alias("n3")
+    )
+    corner = (
+        tris.select(F.col("n1").alias("node"))
+        .unionByName(tris.select(F.col("n2").alias("node")))
+        .unionByName(tris.select(F.col("n3").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("tri"))
+    )
+    lcc = (F.lit(2) * F.col("tri")).cast("double") / F.nullif(
+        (F.col("deg") * (F.col("deg") - F.lit(1))).cast("double"), F.lit(0.0)
+    )
+    return (
+        deg.join(corner, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("tri"), F.lit(0)).cast("bigint").alias("tri"),
+        )
+        .select("node", "deg", "tri", lcc.alias("lcc"))
+    )

@@ -14206,6 +14206,76 @@ QUERIES["sigma_clip"] = q_sigma_clip
 ORACLES["sigma_clip"] = SQL_SIGMA_CLIP
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient over the
+    co-ordered-parts graph (parts sharing an order are adjacent):
+    degree-ordered wedge join, exact integer counting, one final
+    bigint division per node."""
+    from .operators import triangle_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    op = li.distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return triangle_stats(edges).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("deg").cast("bigint").alias("deg"),
+        F.col("tri").cast("bigint").alias("tri"),
+        F.col("lcc").alias("lcc"),
+    )
+
+
+SQL_TRIANGLES = r"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+canon AS (
+  SELECT DISTINCT a.p AS a, b.p AS b
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM canon UNION ALL SELECT b AS node FROM canon
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (da.deg, c.a) < (db.deg, c.b) THEN c.a ELSE c.b END AS u,
+         CASE WHEN (da.deg, c.a) < (db.deg, c.b) THEN c.b ELSE c.a END AS v,
+         CASE WHEN (da.deg, c.a) < (db.deg, c.b) THEN db.deg ELSE da.deg END AS dv
+  FROM canon c
+  JOIN deg da ON da.node = c.a
+  JOIN deg db ON db.node = c.b
+),
+tris AS (
+  SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+  FROM oriented e1
+  JOIN oriented e2 ON e1.u = e2.u
+   AND (e1.dv, e1.v) < (e2.dv, e2.v)
+  JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+corner AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+    SELECT n1 AS node FROM tris UNION ALL SELECT n2 FROM tris
+    UNION ALL SELECT n3 FROM tris
+  ) GROUP BY node
+)
+SELECT d.node, d.deg, COALESCE(c.tri, 0) AS tri,
+       CAST(2 * COALESCE(c.tri, 0) AS DOUBLE)
+         / NULLIF(CAST(d.deg * (d.deg - 1) AS DOUBLE), 0.0) AS lcc
+FROM deg d LEFT JOIN corner c ON c.node = d.node
+"""
+
+QUERIES["triangles"] = q_triangles
+ORACLES["triangles"] = SQL_TRIANGLES
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
