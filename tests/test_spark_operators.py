@@ -3393,3 +3393,36 @@ def test_triangle_stats_hand_graph(spark):
     assert out[20].deg == 5 and out[20].tri == 0 and out[20].lcc == 0.0
     total = sum(r.tri for r in out.values())
     assert total == 3 * 4  # 4 triangles in K4, each credited 3 times
+
+
+def test_spc_western_electric_rules(spark):
+    """Hand-built chart: R1 fires on a 3-sigma spike, R2 on 2-of-3
+    beyond 2-sigma same side, R4 on 8 consecutive same-side points;
+    constant series fires nothing; a center-line point breaks runs."""
+    from tsmp_spark.operators import spc_rules
+
+    # key "a": baseline alternating +/-1 around 0 keeps mu=0, sd=1-ish;
+    # engineered with explicit numbers instead: values in centi already.
+    def rows(key, vals, base_id=0):
+        return [
+            (base_id + i, key, float(i), float(v)) for i, v in enumerate(vals)
+        ]
+
+    # mu=0, sigma=2: eight [+2,-2] pairs then a 10 spike (5 sigma) -> R1
+    a = [2, -2] * 8 + [10]
+    # "b": 2-of-3 beyond 2 sigma same side: 12 alternating +/-1 then two
+    # +4s (d=4800, 4*var_n2=22.08e6 < d^2=23.04e6 < 9*var_n2 -> zone B
+    # only, hand-checked in centi units)
+    b = [1, -1] * 6 + [4, 4]
+    # "c": 8 consecutive above mean after alternating prefix
+    c = [5, -5] * 8 + [1] * 8
+    ev = spark.createDataFrame(
+        rows("a", a) + rows("b", b, 100) + rows("c", c, 200) + rows("k", [4.0] * 10, 300),
+        "event_id long, event_type string, sec double, value double",
+    )
+    out = {r.key: r for r in spc_rules(ev).collect()}
+    assert out["a"].v1 >= 1                      # the spike
+    assert out["b"].v2 >= 1 and out["b"].v1 == 0  # zone-B run, never 3sd
+    assert out["c"].v4 >= 1                      # 8 same side
+    k = out["k"]
+    assert (k.v1, k.v2, k.v3, k.v4) == (0, 0, 0, 0)  # constant: sigma 0, quiet

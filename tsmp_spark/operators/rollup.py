@@ -4832,3 +4832,112 @@ def sigma_clip(
             / F.col("n_kept").cast("double")
         ).alias("mean_kept"),
     )
+
+
+def spc_rules(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Western Electric control-chart rules (WECO 1956; Montgomery SPC
+    ch. 5) per key, center line and sigma zones fit on the key's full
+    history (the Phase-I-on-itself convention, documented):
+
+    - R1: a point beyond 3σ,
+    - R2: 2 of 3 consecutive points beyond 2σ on the SAME side,
+    - R3: 4 of 5 consecutive points beyond 1σ on the same side,
+    - R4: 8 consecutive points on the same side of the center line.
+
+    Every zone decision is an exact cross-multiplied integer
+    comparison: with centi-units ``c``, ``n`` points, ``s1 = Σc``,
+    ``s2 = Σc²`` (population σ² = (n·s2 − s1²)/n²)::
+
+        |c − μ| > k·σ   ⇔   (n·c − s1)² > k²·(n·s2 − s1²)
+
+    and the side is ``sign(n·c − s1)`` (a point exactly on the center
+    line has side 0 and breaks R4 runs; the sigma_clip decimal(38,0) /
+    HUGEINT arithmetic).  Rules fire on rolling windows over the TOTAL
+    per-key ``(ts, id)`` order (the house sessionization rule), so tied
+    timestamps cannot flip run counts cross-engine.  Constant keys
+    (σ = 0): beyond-σ is strict, so zones never fire and sides are 0 —
+    all rules quiet, no division anywhere.
+
+    Scale shape: one key-bounded stats groupBy broadcast back, ONE
+    window pass (all four rolling sums share the same window spec →
+    one hash(key) exchange + one sort), one final combinable groupBy
+    reusing the exchange.  Violation counts only move per key.
+
+    Output: (key, n, v1, v2, v3, v4).
+    """
+    from .cache import pin
+
+    cu = F.round(F.col(value_col) * 100).cast("bigint")
+    base = pin(
+        events.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).cast("long").alias("t"),
+            F.col(id_col).cast("long").alias("i"),
+            cu.alias("cu"),
+        )
+    )
+    c = F.col("cu").cast("decimal(38,0)")
+    st = base.groupBy("key").agg(
+        F.count("*").cast("decimal(38,0)").alias("_n"),
+        F.sum(c).alias("_s1"),
+        F.sum(c * c).alias("_s2"),
+    )
+    d = F.col("_n") * c - F.col("_s1")
+    var_n2 = F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")
+    flagged = base.join(F.broadcast(st), "key").select(
+        "key",
+        "t",
+        "i",
+        F.signum(d).cast("int").alias("side"),
+        (d * d > F.lit(9) * var_n2).cast("int").alias("b3"),
+        ((d * d > F.lit(4) * var_n2) & (d > 0)).cast("int").alias("b2p"),
+        ((d * d > F.lit(4) * var_n2) & (d < 0)).cast("int").alias("b2m"),
+        ((d * d > var_n2) & (d > 0)).cast("int").alias("b1p"),
+        ((d * d > var_n2) & (d < 0)).cast("int").alias("b1m"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("t", "i")
+
+    def roll(col, k):
+        return F.sum(col).over(w.rowsBetween(-(k - 1), 0))
+
+    nrow = F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    viol = flagged.select(
+        "key",
+        F.col("b3").alias("v1"),
+        (
+            (nrow >= 3)
+            & ((roll(F.col("b2p"), 3) >= 2) | (roll(F.col("b2m"), 3) >= 2))
+        )
+        .cast("int")
+        .alias("v2"),
+        (
+            (nrow >= 5)
+            & ((roll(F.col("b1p"), 5) >= 4) | (roll(F.col("b1m"), 5) >= 4))
+        )
+        .cast("int")
+        .alias("v3"),
+        (
+            (nrow >= 8)
+            & (
+                (roll((F.col("side") == 1).cast("int"), 8) == 8)
+                | (roll((F.col("side") == -1).cast("int"), 8) == 8)
+            )
+        )
+        .cast("int")
+        .alias("v4"),
+    )
+    return viol.groupBy("key").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v1").cast("bigint").alias("v1"),
+        F.sum("v2").cast("bigint").alias("v2"),
+        F.sum("v3").cast("bigint").alias("v3"),
+        F.sum("v4").cast("bigint").alias("v4"),
+    )

@@ -14276,6 +14276,81 @@ QUERIES["triangles"] = q_triangles
 ORACLES["triangles"] = SQL_TRIANGLES
 
 
+def q_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western Electric control-chart rule violations per event type:
+    exact cross-multiplied sigma-zone decisions, rolling-run rules over
+    the total (ts, event_id) order."""
+    from .operators.rollup import spc_rules
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+        "value",
+    )
+    return spc_rules(ev)
+
+
+SQL_SPC_RULES = r"""
+WITH base AS (
+  SELECT event_type AS key, CAST(epoch(ts) AS BIGINT) AS t,
+         event_id AS i, CAST(round(value * 100) AS BIGINT) AS cu
+  FROM events
+),
+st AS (
+  SELECT key, CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(cu AS HUGEINT)) AS s1, sum(CAST(cu AS HUGEINT) * cu) AS s2
+  FROM base GROUP BY key
+),
+flagged AS (
+  SELECT b.key, b.t, b.i,
+         CASE WHEN st.n * b.cu - st.s1 > 0 THEN 1
+              WHEN st.n * b.cu - st.s1 < 0 THEN -1 ELSE 0 END AS side,
+         CASE WHEN (st.n * b.cu - st.s1) * (st.n * b.cu - st.s1)
+                   > 9 * (st.n * st.s2 - st.s1 * st.s1) THEN 1 ELSE 0 END AS b3,
+         CASE WHEN (st.n * b.cu - st.s1) * (st.n * b.cu - st.s1)
+                   > 4 * (st.n * st.s2 - st.s1 * st.s1)
+               AND st.n * b.cu - st.s1 > 0 THEN 1 ELSE 0 END AS b2p,
+         CASE WHEN (st.n * b.cu - st.s1) * (st.n * b.cu - st.s1)
+                   > 4 * (st.n * st.s2 - st.s1 * st.s1)
+               AND st.n * b.cu - st.s1 < 0 THEN 1 ELSE 0 END AS b2m,
+         CASE WHEN (st.n * b.cu - st.s1) * (st.n * b.cu - st.s1)
+                   > (st.n * st.s2 - st.s1 * st.s1)
+               AND st.n * b.cu - st.s1 > 0 THEN 1 ELSE 0 END AS b1p,
+         CASE WHEN (st.n * b.cu - st.s1) * (st.n * b.cu - st.s1)
+                   > (st.n * st.s2 - st.s1 * st.s1)
+               AND st.n * b.cu - st.s1 < 0 THEN 1 ELSE 0 END AS b1m
+  FROM base b JOIN st ON st.key = b.key
+),
+viol AS (
+  SELECT key, b3 AS v1,
+         CASE WHEN row_number() OVER w >= 3
+               AND (sum(b2p) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2
+                 OR sum(b2m) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2)
+              THEN 1 ELSE 0 END AS v2,
+         CASE WHEN row_number() OVER w >= 5
+               AND (sum(b1p) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) >= 4
+                 OR sum(b1m) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) >= 4)
+              THEN 1 ELSE 0 END AS v3,
+         CASE WHEN row_number() OVER w >= 8
+               AND (sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                      OVER (w ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) = 8
+                 OR sum(CASE WHEN side = -1 THEN 1 ELSE 0 END)
+                      OVER (w ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) = 8)
+              THEN 1 ELSE 0 END AS v4
+  FROM flagged
+  WINDOW w AS (PARTITION BY key ORDER BY t, i)
+)
+SELECT key, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v1) AS BIGINT) AS v1, CAST(sum(v2) AS BIGINT) AS v2,
+       CAST(sum(v3) AS BIGINT) AS v3, CAST(sum(v4) AS BIGINT) AS v4
+FROM viol GROUP BY key
+"""
+
+QUERIES["spc_rules"] = q_spc_rules
+ORACLES["spc_rules"] = SQL_SPC_RULES
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
