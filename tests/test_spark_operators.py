@@ -3426,3 +3426,37 @@ def test_spc_western_electric_rules(spark):
     assert out["c"].v4 >= 1                      # 8 same side
     k = out["k"]
     assert (k.v1, k.v2, k.v3, k.v4) == (0, 0, 0, 0)  # constant: sigma 0, quiet
+
+
+def test_rdp_simplify_exact_walk(spark):
+    """Hand-built polylines: the apex of a V survives, collinear
+    interiors vanish, duplicate timestamps collapse to the latest
+    event_id, 2-point windows pass through, and the depth budget caps
+    a dense square wave at 2^depth + 1 kept points."""
+    from tsmp_spark.operators import rdp_simplify
+
+    rows = []
+
+    def add(key, pts, base=0):
+        for i, (t, v) in enumerate(pts):
+            rows.append((base + i, key, float(t), float(v)))
+
+    add("v", [(0, 0.0), (5, 10.0), (10, 0.0)])
+    add("l", [(i, 2.0 * i) for i in range(6)], 100)          # collinear
+    add("d", [(0, 0.0), (3, 9.0), (3, 1.0), (8, 0.0)], 200)  # dup t=3
+    add("t2", [(1, 5.0), (2, -5.0)], 300)
+    add("z", [(i, (i % 2) * 10.0) for i in range(20)], 400)  # square wave
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, sec double, value double"
+    )
+    got = {}
+    for r in rdp_simplify(ev, eps_centi=50, max_depth=3).collect():
+        got.setdefault(r.key, []).append((r.t, r.v_centi))
+    for k in got:
+        got[k].sort()
+    assert got["v"] == [(0, 0), (5, 1000), (10, 0)]
+    assert got["l"] == [(0, 0), (5, 1000)]       # interiors dev == 0
+    assert got["d"] == [(0, 0), (3, 100), (8, 0)]  # id 202 beats 201
+    assert got["t2"] == [(1, 500), (2, -500)]
+    assert len(got["z"]) <= 2 ** 3 + 1            # depth budget
+    assert got["z"][0] == (0, 0) and got["z"][-1] == (19, 1000)

@@ -4941,3 +4941,104 @@ def spc_rules(
         F.sum("v3").cast("bigint").alias("v3"),
         F.sum("v4").cast("bigint").alias("v4"),
     )
+
+
+RDP_SCHEMA = "key string, bucket long, t long, v_centi long"
+
+
+def rdp_simplify(
+    events: DataFrame,
+    eps_centi: int = 50,
+    max_depth: int = 3,
+    bucket: int = 86400,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Depth-budgeted Ramer–Douglas–Peucker polyline simplification per
+    (series, retention window) — the shape-preserving downsampler next
+    to :func:`sdt_compress` (streaming envelope) and ``lttb`` (fixed
+    budget): keep a segment's endpoints, find the interior point
+    farthest from the chord, split there if it deviates more than
+    ``eps``, recurse.  ``max_depth`` caps the recursion (kept points ≤
+    2^max_depth + 1 per window), which (a) bounds output like LTTB
+    while adapting placement like RDP, and (b) makes the walk a fixed
+    number of LEVEL-SYNCHRONOUS rounds — the same segment set every
+    engine derives, so the oracle unrolls one CTE round per level.
+
+    This is the VERTICAL-distance RDP variant (the time-series
+    convention — perpendicular distance mixes value and time units):
+    deviation of p against chord (lo, hi) is the exact integer rational
+
+        dev·(t_hi − t_lo) = v_p·(t_hi−t_lo) − [v_lo·(t_hi−t_p) + v_hi·(t_p−t_lo)]
+
+    compared cross-multiplied against ``eps·(t_hi−t_lo)``; the split
+    point is argmax by ``(|dev_num| DESC, t ASC)`` — all integers, so
+    the kept set is EXACT on both engines (the sdt_compress contract).
+    Duplicate timestamps collapse to the latest ``id_col`` row first;
+    windows with ≤ 2 points keep everything.
+
+    Scale: ONE exchange (group hash into the Arrow kernel); the
+    per-window point count bounds any task, and windows simplify
+    independently (endpoints always kept), so retention tiers
+    reconstruct without cross-window state.
+    """
+    import numpy as np
+    import pandas as pd
+
+    eps = int(eps_centi)
+    depth_cap = int(max_depth)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "i"]).drop_duplicates("t", keep="last")
+        t = pdf["t"].to_numpy(dtype=np.int64)
+        v = pdf["v_centi"].to_numpy(dtype=np.int64)
+        n = len(t)
+        if n <= 2:
+            k = np.arange(n, dtype=np.int64)
+        else:
+            kept = {0, n - 1}
+            segs = [(0, n - 1)]
+            for _ in range(depth_cap):
+                nxt = []
+                for lo, hi in segs:
+                    if hi - lo < 2:
+                        continue
+                    tt = t[lo + 1 : hi]
+                    vv = v[lo + 1 : hi]
+                    dtm = t[hi] - t[lo]
+                    dev = vv * dtm - (
+                        v[lo] * (t[hi] - tt) + v[hi] * (tt - t[lo])
+                    )
+                    a = np.abs(dev)
+                    m = int(a.max())
+                    if m > eps * dtm:
+                        p = lo + 1 + int(np.argmax(a))  # first max = min t
+                        kept.add(p)
+                        nxt.append((lo, p))
+                        nxt.append((p, hi))
+                segs = nxt
+                if not segs:
+                    break
+            k = np.asarray(sorted(kept), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "key": pdf["key"].to_numpy()[k],
+                "bucket": pdf["bucket"].to_numpy()[k],
+                "t": t[k],
+                "v_centi": v[k],
+            }
+        )
+
+    b = F.floor(F.col(ts_col).cast("long") / bucket).cast("long")
+    rows = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        b.alias("bucket"),
+        F.col(ts_col).cast("long").alias("t"),
+        F.col(id_col).cast("long").alias("i"),
+        F.round(F.col(value_col).cast("double") * 100)
+        .cast("bigint")
+        .alias("v_centi"),
+    )
+    return rows.groupBy("key", "bucket").applyInPandas(kernel, RDP_SCHEMA)

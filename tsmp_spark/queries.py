@@ -14293,7 +14293,7 @@ def q_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SPC_RULES = r"""
 WITH base AS (
-  SELECT event_type AS key, CAST(epoch(ts) AS BIGINT) AS t,
+  SELECT event_type AS key, CAST(floor(epoch(ts)) AS BIGINT) AS t,
          event_id AS i, CAST(round(value * 100) AS BIGINT) AS cu
   FROM events
 ),
@@ -14349,6 +14349,93 @@ FROM viol GROUP BY key
 
 QUERIES["spc_rules"] = q_spc_rules
 ORACLES["spc_rules"] = SQL_SPC_RULES
+
+
+def q_rdp_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-budgeted vertical-distance RDP simplification per
+    (event_type, day): exact integer chord-deviation argmax, three
+    level-synchronous split rounds — kept point set identical on both
+    engines."""
+    from .operators.rollup import rdp_simplify
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+        "value",
+    )
+    return rdp_simplify(ev, eps_centi=50, max_depth=3, bucket=86400)
+
+
+def _rdp_round(prev_seg: str, r: int) -> str:
+    """One RDP level: per active segment, the (|dev| DESC, t ASC) argmax
+    interior point; split where it deviates beyond eps·dt."""
+    return f"""
+sp{r} AS MATERIALIZED (
+  SELECT key, bucket, lot, lov, hit, hiv, t, v FROM (
+    SELECT s.key, s.bucket, s.lot, s.lov, s.hit, s.hiv, p.t, p.v,
+           abs(p.v * (s.hit - s.lot)
+               - (s.lov * (s.hit - p.t) + s.hiv * (p.t - s.lot))) AS ad,
+           row_number() OVER (
+             PARTITION BY s.key, s.bucket, s.lot, s.hit
+             ORDER BY abs(p.v * (s.hit - s.lot)
+                 - (s.lov * (s.hit - p.t) + s.hiv * (p.t - s.lot))) DESC,
+                 p.t ASC) AS rn
+    FROM {prev_seg} s
+    JOIN base p ON p.key = s.key AND p.bucket = s.bucket
+               AND p.t > s.lot AND p.t < s.hit
+  ) WHERE rn = 1 AND ad > 50 * (hit - lot)
+),
+seg{r} AS MATERIALIZED (
+  SELECT key, bucket, lot, lov, t AS hit, v AS hiv FROM sp{r}
+  UNION ALL
+  SELECT key, bucket, t AS lot, v AS lov, hit, hiv FROM sp{r}
+)"""
+
+
+SQL_RDP_SIMPLIFY = (
+    r"""
+WITH base AS MATERIALIZED (
+  SELECT key, bucket, t, v FROM (
+    SELECT event_type AS key,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+           CAST(floor(epoch(ts)) AS BIGINT) AS t,
+           CAST(round(value * 100) AS BIGINT) AS v,
+           row_number() OVER (
+             PARTITION BY event_type, CAST(floor(epoch(ts)) AS BIGINT)
+             ORDER BY event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+ends AS (
+  SELECT key, bucket,
+         min_by(t, t) AS lot, min_by(v, t) AS lov,
+         max_by(t, t) AS hit, max_by(v, t) AS hiv,
+         CAST(count(*) AS BIGINT) AS npts
+  FROM base GROUP BY key, bucket
+),
+seg0 AS (
+  SELECT key, bucket, lot, lov, hit, hiv FROM ends WHERE npts >= 2
+),"""
+    + _rdp_round("seg0", 1)
+    + ","
+    + _rdp_round("seg1", 2)
+    + ","
+    + _rdp_round("seg2", 3)
+    + r"""
+SELECT DISTINCT key, bucket, t, v_centi FROM (
+  SELECT key, bucket, lot AS t, lov AS v_centi FROM ends
+  UNION ALL
+  SELECT key, bucket, hit AS t, hiv AS v_centi FROM ends
+  UNION ALL SELECT key, bucket, t, v AS v_centi FROM sp1
+  UNION ALL SELECT key, bucket, t, v AS v_centi FROM sp2
+  UNION ALL SELECT key, bucket, t, v AS v_centi FROM sp3
+)
+"""
+)
+
+QUERIES["rdp_simplify"] = q_rdp_simplify
+ORACLES["rdp_simplify"] = SQL_RDP_SIMPLIFY
 
 
 # ---------------------------------------------------------------------------
