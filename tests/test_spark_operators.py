@@ -3460,3 +3460,33 @@ def test_rdp_simplify_exact_walk(spark):
     assert got["t2"] == [(1, 500), (2, -500)]
     assert len(got["z"]) <= 2 ** 3 + 1            # depth budget
     assert got["z"][0] == (0, 0) and got["z"][-1] == (19, 1000)
+
+
+def test_ar2_forecast_hand_values(spark):
+    """Alternating +/-1 series has closed-form Yule-Walker solution
+    (r1=-0.9, r2=0.8 at n=10 -> phi1=-18/19, phi2=-1/19); constant and
+    2-point series NULL out through the degenerate guards."""
+    from tsmp_spark.operators import ar2_forecast
+
+    rows = []
+    for i in range(10):
+        rows.append((1, float(i), 1.0 if i % 2 == 0 else -1.0))
+    for i in range(10):
+        rows.append((2, float(i), 5.0))          # constant
+    rows += [(3, 0.0, 3.0), (3, 1.0, 7.0)]       # too short for lag 2
+    ev = spark.createDataFrame(rows, "user_id long, sec double, value double")
+    out = {r.user_id: r for r in ar2_forecast(ev).collect()}
+
+    a = out[1]
+    assert a.n == 10
+    assert a.phi1 == pytest.approx(-18.0 / 19.0, abs=2e-6)
+    assert a.phi2 == pytest.approx(-1.0 / 19.0, abs=2e-6)
+    # last obs -1 (t=9), previous +1: f1 = -phi1 + phi2 = 17/19
+    assert a.fc1 == pytest.approx(17.0 / 19.0, abs=2e-6)
+    assert a.fc2 == pytest.approx((-18.0 / 19.0) * (17.0 / 19.0) + 1.0 / 19.0, abs=2e-6)
+
+    c = out[2]
+    assert c.phi1 is None and c.fc1 is None and c.fc3 is None
+
+    s = out[3]
+    assert s.n == 2 and s.phi1 is None and s.fc1 is None

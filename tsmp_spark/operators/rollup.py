@@ -5042,3 +5042,93 @@ def rdp_simplify(
         .alias("v_centi"),
     )
     return rows.groupBy("key", "bucket").applyInPandas(kernel, RDP_SCHEMA)
+
+
+def ar2_forecast(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Yule-Walker AR(2) fit + 3-step-ahead forecast per series — the
+    classic parametric companion to the smoothing forecasters here
+    (:func:`ewma_smooth`, ``holt``, ``holt_winters``, ``croston``).
+
+    Estimator: biased autocovariances about the series mean in
+    observation order, ``c_k = Σ u_t·u_{t+k}`` with ``u = v − m̂``
+    (denominators cancel in the ratios), then the order-2 Yule-Walker
+    solve ``φ1 = r1(1−r2)/(1−r1²)``, ``φ2 = (r2−r1²)/(1−r1²)`` and the
+    mean-reverting recursion ``ŷ_{n+h} = m̂ + φ1(ŷ_{n+h−1}−m̂) +
+    φ2(ŷ_{n+h−2}−m̂)`` seeded with the last two observations.
+
+    Cross-engine determinism (the k-means oracle convention): the two
+    unordered float reductions that feed everything — the mean and the
+    ratios r1, r2 — are rounded in-engine to 9 decimals on BOTH sides;
+    every later step is division/multiplication of identical doubles in
+    identical expression order, so φ and the forecasts are bit-equal and
+    the r6 output rounding is cosmetic. Degenerate guards: zero c0
+    (constant series) and r1² = 1 NULLIF out; series shorter than 3
+    propagate NULL through the missing lag-2 sum / second seed. Tied
+    (ts, value) rows carry equal centered values, so lead pairing under
+    either engine's tie order yields the same product multiset.
+
+    One exchange: both window specs and the final groupBy share the key
+    hash. All JVM-side expressions, no Python in the row path.
+    """
+    k, t, v = F.col(key_col), F.col(ts_col), F.col(value_col)
+    rows = events.select(
+        k.cast("long").alias("key"),
+        t.cast("long").alias("sec"),
+        v.cast("double").alias("v"),
+    )
+    wp = Window.partitionBy("key")
+    wo = Window.partitionBy("key").orderBy(F.col("sec").asc(), F.col("v").asc())
+    wd = Window.partitionBy("key").orderBy(F.col("sec").desc(), F.col("v").desc())
+    cent = rows.withColumn("mr", F.round(F.avg("v").over(wp), 9)).withColumn(
+        "u", F.col("v") - F.col("mr")
+    )
+    led = cent.select(
+        "key",
+        "mr",
+        "v",
+        "u",
+        F.lead("u", 1).over(wo).alias("u1"),
+        F.lead("u", 2).over(wo).alias("u2"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    agg = led.groupBy("key").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max("mr").alias("mr"),
+        F.sum(F.col("u") * F.col("u")).alias("c0"),
+        F.sum(F.col("u") * F.col("u1")).alias("c1"),
+        F.sum(F.col("u") * F.col("u2")).alias("c2"),
+        F.max(F.when(F.col("rn") == 1, F.col("v"))).alias("yl"),
+        F.max(F.when(F.col("rn") == 2, F.col("v"))).alias("yp"),
+    )
+    r = agg.select(
+        "*",
+        F.round(F.col("c1") / F.nullif(F.col("c0"), F.lit(0.0)), 9).alias("r1"),
+        F.round(F.col("c2") / F.nullif(F.col("c0"), F.lit(0.0)), 9).alias("r2"),
+    )
+    den = F.nullif(F.lit(1.0) - F.col("r1") * F.col("r1"), F.lit(0.0))
+    p = r.select(
+        "*",
+        ((F.col("r1") * (F.lit(1.0) - F.col("r2"))) / den).alias("phi1"),
+        ((F.col("r2") - F.col("r1") * F.col("r1")) / den).alias("phi2"),
+    )
+    mr, p1, p2 = F.col("mr"), F.col("phi1"), F.col("phi2")
+    f1 = mr + p1 * (F.col("yl") - mr) + p2 * (F.col("yp") - mr)
+    fc = p.withColumn("f1", f1)
+    f2 = mr + p1 * (F.col("f1") - mr) + p2 * (F.col("yl") - mr)
+    fc = fc.withColumn("f2", f2)
+    f3 = mr + p1 * (F.col("f2") - mr) + p2 * (F.col("f1") - mr)
+    fc = fc.withColumn("f3", f3)
+    return fc.select(
+        F.col("key").alias(key_col),
+        "n",
+        (F.round(p1, 6) + F.lit(0.0)).alias("phi1"),
+        (F.round(p2, 6) + F.lit(0.0)).alias("phi2"),
+        (F.round(F.col("f1"), 6) + F.lit(0.0)).alias("fc1"),
+        (F.round(F.col("f2"), 6) + F.lit(0.0)).alias("fc2"),
+        (F.round(F.col("f3"), 6) + F.lit(0.0)).alias("fc3"),
+    )

@@ -14438,6 +14438,77 @@ QUERIES["rdp_simplify"] = q_rdp_simplify
 ORACLES["rdp_simplify"] = SQL_RDP_SIMPLIFY
 
 
+def q_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule-Walker AR(2) fit + 3-step forecast per user series: r9-rounded
+    mean and autocorrelation ratios make the phi/forecast chain bit-equal
+    across engines; constant and too-short series NULL out."""
+    from .operators.rollup import ar2_forecast
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    out = ar2_forecast(ev, key_col="user_id", ts_col="sec")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "n",
+        "phi1",
+        "phi2",
+        "fc1",
+        "fc2",
+        "fc3",
+    )
+
+
+SQL_AR2_FORECAST = r"""
+WITH ev AS (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         value AS v
+  FROM events
+),
+cent AS (
+  SELECT key, sec, v,
+         round(avg(v) OVER (PARTITION BY key), 9) AS mr
+  FROM ev
+),
+led AS (
+  SELECT key, mr, v, v - mr AS u,
+         lead(v - mr, 1) OVER w AS u1,
+         lead(v - mr, 2) OVER w AS u2,
+         row_number() OVER (PARTITION BY key ORDER BY sec DESC, v DESC) AS rn
+  FROM cent WINDOW w AS (PARTITION BY key ORDER BY sec ASC, v ASC)
+),
+agg AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n, max(mr) AS mr,
+         sum(u * u) AS c0, sum(u * u1) AS c1, sum(u * u2) AS c2,
+         max(CASE WHEN rn = 1 THEN v END) AS yl,
+         max(CASE WHEN rn = 2 THEN v END) AS yp
+  FROM led GROUP BY key
+),
+rr AS (
+  SELECT *, round(c1 / nullif(c0, 0.0), 9) AS r1,
+            round(c2 / nullif(c0, 0.0), 9) AS r2
+  FROM agg
+),
+p AS (
+  SELECT *,
+         (r1 * (1.0 - r2)) / nullif(1.0 - r1 * r1, 0.0) AS phi1,
+         (r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0) AS phi2
+  FROM rr
+),
+s1 AS (SELECT *, mr + phi1 * (yl - mr) + phi2 * (yp - mr) AS f1 FROM p),
+s2 AS (SELECT *, mr + phi1 * (f1 - mr) + phi2 * (yl - mr) AS f2 FROM s1),
+s3 AS (SELECT *, mr + phi1 * (f2 - mr) + phi2 * (f1 - mr) AS f3 FROM s2)
+SELECT CAST(key AS BIGINT) AS user_id, n,
+       round(phi1, 6) + 0.0 AS phi1, round(phi2, 6) + 0.0 AS phi2,
+       round(f1, 6) + 0.0 AS fc1, round(f2, 6) + 0.0 AS fc2,
+       round(f3, 6) + 0.0 AS fc3
+FROM s3
+"""
+
+QUERIES["ar2_forecast"] = q_ar2_forecast
+ORACLES["ar2_forecast"] = SQL_AR2_FORECAST
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
