@@ -3490,3 +3490,31 @@ def test_ar2_forecast_hand_values(spark):
 
     s = out[3]
     assert s.n == 2 and s.phi1 is None and s.fc1 is None
+
+
+def test_wordpiece_greedy_munch(spark):
+    """Full-vocab corpus: greedy takes the longest (4-char) start piece
+    then continuation pieces; words <= 4 chars stay whole; vocab_size=0
+    degrades to exact char-level encoding with ## continuations."""
+    from tsmp_spark.operators import wordpiece_encode
+
+    docs = spark.createDataFrame(
+        [("d1", "banana bandana cat")], "doc_id string, text string"
+    )
+    out = {r.piece: (r.rank, r.cnt) for r in wordpiece_encode(
+        docs, vocab_size=400, top_k=40
+    ).collect()}
+    assert set(out) == {"bana", "##na", "band", "##ana", "cat"}
+    assert all(c == 1 for _, c in out.values())
+    # equal counts -> alphabetical rank order
+    assert [p for p, (r, _) in sorted(out.items(), key=lambda kv: kv[1][0])] == [
+        "##ana", "##na", "bana", "band", "cat"
+    ]
+
+    docs2 = spark.createDataFrame(
+        [("d1", "cat cat")], "doc_id string, text string"
+    )
+    out2 = {r.piece: r.cnt for r in wordpiece_encode(
+        docs2, vocab_size=0, top_k=40
+    ).collect()}
+    assert out2 == {"c": 2, "##a": 2, "##t": 2}

@@ -1502,3 +1502,112 @@ def span_corruption_plan(
     return out.withColumn(
         "mask_rate_milli", F.expr("n_masked * 1000 div n_tokens").cast("bigint")
     )
+
+
+def wordpiece_encode(
+    documents: DataFrame,
+    vocab_size: int = 160,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    top_k: int = 40,
+    text_col: str = "text",
+) -> DataFrame:
+    """WordPiece greedy longest-match-first tokenization (the BERT
+    encoder of Wu et al. 2016 §3; HuggingFace ``WordPiece`` semantics:
+    at each position take the LONGEST vocabulary piece, continuation
+    pieces spelled ``##x``) — the second tokenizer family next to
+    :func:`bpe_encode`'s merge-replay, exercising maximal munch instead
+    of merge ranks.
+
+    Self-contained vocab (deterministic, both engines derive it): the
+    top-``vocab_size`` substrings of length 2..``max_piece_len`` over
+    the distinct-word table by (occurrence-weighted freq DESC, cont,
+    form) — start and continuation forms counted separately — plus ALL
+    single-character forms seen, so every munch step matches and no
+    [UNK] arises. Words are lowercase ``^[a-z]+$`` capped at
+    ``max_word_len`` chars (bounds the walk depth; the SQL replay
+    unrolls it as one linear recursion over a PRE-AGGREGATED munch
+    table — longest match per (word, position) — so the recursive term
+    needs no aggregate).
+
+    Output: ``(rank, piece, cnt)`` token-frequency head under the total
+    order (cnt DESC, piece) — all integers/strings, exact hash.
+
+    Scale: one corpus word-count groupBy (combinable); everything after
+    runs on the DISTINCT-word table (vocab-bounded, ≪ corpus at 100 TB);
+    the vocab collect is ``vocab_size + |alphabet|`` rows. The corpus is
+    never reshuffled after the initial count.
+    """
+    import pandas as pd
+
+    from .cache import pin
+    from .dedup import normalize_text
+
+    norm = normalize_text(F.col(text_col))
+    words = pin(
+        documents.select(F.explode(F.split(norm, " ")).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .where(F.length("w") <= int(max_word_len))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+
+    subs = None
+    for ln in range(1, int(max_piece_len) + 1):
+        s = (
+            words.where(F.length("w") >= ln)
+            .select(
+                "freq",
+                F.posexplode(
+                    F.expr(
+                        f"transform(sequence(1, length(w) - {ln} + 1),"
+                        f" i -> substr(w, i, {ln}))"
+                    )
+                ).alias("p", "form"),
+            )
+            .select(
+                "freq",
+                "form",
+                (F.col("p") > 0).alias("cont"),
+                F.lit(ln).alias("flen"),
+            )
+        )
+        subs = s if subs is None else subs.unionByName(s)
+    counts = subs.groupBy("form", "cont", "flen").agg(
+        F.sum("freq").cast("bigint").alias("cnt")
+    )
+    wv = Window.orderBy(F.col("cnt").desc(), F.col("cont").asc(), F.col("form").asc())
+    multi = (
+        counts.where(F.col("flen") >= 2)
+        .select("form", "cont", F.row_number().over(wv).alias("rn"))
+        .where(F.col("rn") <= int(vocab_size))
+        .select("form", "cont")
+    )
+    single = counts.where(F.col("flen") == 1).select("form", "cont")
+    vocab = {(r.form, bool(r.cont)) for r in multi.unionByName(single).collect()}
+
+    mpl = int(max_piece_len)
+
+    def kernel(batches):
+        for pdf in batches:
+            pieces, freqs = [], []
+            for w, fr in zip(pdf["w"], pdf["freq"]):
+                pos, n = 0, len(w)
+                while pos < n:
+                    ln = min(mpl, n - pos)
+                    while ln > 1 and (w[pos : pos + ln], pos > 0) not in vocab:
+                        ln -= 1
+                    pieces.append(("##" if pos else "") + w[pos : pos + ln])
+                    freqs.append(fr)
+                    pos += ln
+            yield pd.DataFrame({"piece": pieces, "freq": freqs})
+
+    enc = words.mapInPandas(kernel, "piece string, freq long")
+    agg = enc.groupBy("piece").agg(F.sum("freq").cast("bigint").alias("cnt"))
+    wr = Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+    return (
+        agg.select(
+            F.row_number().over(wr).cast("int").alias("rank"), "piece", "cnt"
+        )
+        .where(F.col("rank") <= int(top_k))
+    )

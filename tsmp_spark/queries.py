@@ -14509,6 +14509,81 @@ QUERIES["ar2_forecast"] = q_ar2_forecast
 ORACLES["ar2_forecast"] = SQL_AR2_FORECAST
 
 
+def q_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece maximal-munch encoding with a corpus-derived vocab
+    (top-160 substrings len 2-4 + all single chars): top-40 piece
+    frequencies. All integers/strings — exact cross-engine hash."""
+    from .operators.tokens import wordpiece_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return wordpiece_encode(
+        docs, vocab_size=160, max_piece_len=4, max_word_len=16, top_k=40
+    )
+
+
+SQL_WORDPIECE = r"""
+WITH RECURSIVE words AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+    FROM documents
+  ) WHERE regexp_matches(w, '^[a-z]+$') AND length(w) <= 16
+  GROUP BY w
+),
+cand AS MATERIALIZED (
+  -- every (word, 0-based pos, piece length) candidate with its substring
+  SELECT w, freq, p0, L, substr(w, p0 + 1, L) AS sub, p0 > 0 AS cont
+  FROM (
+    SELECT w, freq, p0, unnest(generate_series(1, 4)) AS L
+    FROM (SELECT w, freq, unnest(generate_series(0, length(w) - 1)) AS p0
+          FROM words)
+  ) WHERE p0 + L <= length(w)
+),
+counts AS MATERIALIZED (
+  SELECT sub AS form, cont, L AS flen, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM cand GROUP BY 1, 2, 3
+),
+vocab AS MATERIALIZED (
+  SELECT form, cont, flen FROM (
+    SELECT form, cont, flen,
+           row_number() OVER (ORDER BY cnt DESC, cont, form) AS rn
+    FROM counts WHERE flen >= 2
+  ) WHERE rn <= 160
+  UNION ALL
+  SELECT form, cont, flen FROM counts WHERE flen = 1
+),
+munch AS MATERIALIZED (
+  -- longest vocab match at each position (single chars always match)
+  SELECT c.w, c.p0, max(c.L) AS len
+  FROM cand c
+  JOIN vocab v ON v.form = c.sub AND v.cont = c.cont AND v.flen = c.L
+  GROUP BY c.w, c.p0
+),
+wk AS (
+  SELECT w, 0 AS pos FROM words
+  UNION ALL
+  SELECT wk.w, wk.pos + m.len
+  FROM wk JOIN munch m ON m.w = wk.w AND m.p0 = wk.pos
+  WHERE wk.pos + m.len < length(wk.w)
+),
+enc AS (
+  SELECT CASE WHEN wk.pos > 0 THEN '##' || substr(wk.w, wk.pos + 1, m.len)
+              ELSE substr(wk.w, wk.pos + 1, m.len) END AS piece,
+         wo.freq
+  FROM wk
+  JOIN munch m ON m.w = wk.w AND m.p0 = wk.pos
+  JOIN words wo ON wo.w = wk.w
+)
+SELECT CAST(rank AS INT) AS rank, piece, cnt FROM (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt,
+         row_number() OVER (ORDER BY sum(freq) DESC, piece) AS rank
+  FROM enc GROUP BY piece
+) WHERE rank <= 40
+"""
+
+QUERIES["wordpiece"] = q_wordpiece
+ORACLES["wordpiece"] = SQL_WORDPIECE
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
