@@ -3518,3 +3518,56 @@ def test_wordpiece_greedy_munch(spark):
         docs2, vocab_size=0, top_k=40
     ).collect()}
     assert out2 == {"c": 2, "##a": 2, "##t": 2}
+
+
+def test_isotonic_fit_pava_equivalence(spark):
+    """Hand cases ([3,1,2] -> [2,2,2]; [1,3,2] -> [1,2.5,2.5]; sorted
+    input is a fixed point) plus equivalence to a reference PAVA on a
+    seeded series, and the monotonicity invariant."""
+    import numpy as np
+
+    from tsmp_spark.operators import isotonic_fit
+
+    def pava(y):
+        # classic pool-adjacent-violators, float means
+        blocks = [[v, 1] for v in y]
+        i = 0
+        while i < len(blocks) - 1:
+            if blocks[i][0] / blocks[i][1] > blocks[i + 1][0] / blocks[i + 1][1]:
+                blocks[i][0] += blocks[i + 1][0]
+                blocks[i][1] += blocks[i + 1][1]
+                del blocks[i + 1]
+                i = max(i - 1, 0)
+            else:
+                i += 1
+        out = []
+        for s, c in blocks:
+            out += [s / c] * c
+        return out
+
+    rng = np.random.RandomState(7)
+    series = {
+        1: [3.0, 1.0, 2.0],
+        2: [1.0, 3.0, 2.0],
+        3: [1.0, 2.0, 3.0, 4.0],
+        4: list(np.round(rng.randn(20) * 5, 2)),
+    }
+    rows = []
+    for k, vals in series.items():
+        for h, v in enumerate(vals):
+            rows.append((100 * k + h, str(k), float(3600 * h), float(v)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, sec double, value double"
+    )
+    got = {}
+    for r in isotonic_fit(ev).collect():
+        got.setdefault(r.key, []).append((r.hr, r.yhat))
+    fits = {k: [y for _, y in sorted(v)] for k, v in got.items()}
+    # yhat is in centi-units (the v_centi grid the fit runs on)
+    assert fits["1"] == [200.0, 200.0, 200.0]
+    assert fits["2"] == [100.0, 250.0, 250.0]
+    assert fits["3"] == [100.0, 200.0, 300.0, 400.0]
+    # seeded series: matches reference PAVA on centi-units, and monotone
+    expect = pava([round(v * 100) for v in series[4]])
+    assert fits["4"] == pytest.approx([e for e in expect], abs=1e-9)
+    assert all(a <= b + 1e-12 for a, b in zip(fits["4"], fits["4"][1:]))

@@ -5132,3 +5132,87 @@ def ar2_forecast(
         (F.round(F.col("f2"), 6) + F.lit(0.0)).alias("fc2"),
         (F.round(F.col("f3"), 6) + F.lit(0.0)).alias("fc3"),
     )
+
+
+ISO_SCHEMA = "key string, bucket long, hr long, v_centi long, yhat double"
+
+
+def isotonic_fit(
+    events: DataFrame,
+    bucket: int = 86400,
+    grain: int = 3600,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """L2 isotonic (monotone non-decreasing) regression per (series,
+    retention window) over the window's per-grain last values — the
+    monotone-trend/calibration fit (Barlow et al. 1972; PAVA). Computed
+    via the MINIMAX closed form of the PAVA solution,
+
+        ŷ_i = max_{j ≤ i} min_{k ≥ i} mean(y_j .. y_k),
+
+    evaluated in float64 on BOTH engines: every candidate mean is one
+    IEEE division of an integer centi-unit prefix-sum difference by an
+    integer count, and the max/min lattice is pure comparisons — no
+    accumulation order anywhere — so the fit is bit-identical
+    cross-engine even where exact-rational PAVA and float comparisons
+    would disagree about a <1-ulp tie. Points are the per-``grain`` last
+    observation (latest ``id_col`` on timestamp ties), so n per window
+    is bounded by ``bucket/grain`` and the kernel's O(n²)/oracle's
+    O(n³) forms stay trivially small.
+
+    Scale: per-grain dedup rides a (key, bucket)-partitioned window;
+    the kernel groupBy extends the same hash (one exchange family);
+    windows fit independently so retention tiers roll up without
+    cross-window state.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hr")
+        v = pdf["v_centi"].to_numpy(dtype=np.int64)
+        n = len(v)
+        S = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(v, out=S[1:])
+        num = S[None, 1:] - S[:-1, None]          # num[j, k] = S_{k+1} - S_j
+        j_idx = np.arange(n)
+        den = j_idx[None, :] - j_idx[:, None] + 1  # k - j + 1
+        with np.errstate(invalid="ignore", divide="ignore"):
+            A = num.astype(np.float64) / den.astype(np.float64)
+        A[den <= 0] = np.inf                       # mask j > k for the k-min
+        M = np.minimum.accumulate(A[:, ::-1], axis=1)[:, ::-1]
+        M[den <= 0] = -np.inf                      # mask j > i for the j-max
+        yhat = np.diagonal(np.maximum.accumulate(M, axis=0)).copy()
+        return pd.DataFrame(
+            {
+                "key": pdf["key"].to_numpy(),
+                "bucket": pdf["bucket"].to_numpy(),
+                "hr": pdf["hr"].to_numpy(),
+                "v_centi": v,
+                "yhat": yhat,
+            }
+        )
+
+    t = F.col(ts_col).cast("long")
+    rows = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.floor(t / bucket).cast("long").alias("bucket"),
+        F.floor(t / grain).cast("long").alias("hr"),
+        t.alias("t"),
+        F.col(id_col).cast("long").alias("i"),
+        F.round(F.col(value_col).cast("double") * 100)
+        .cast("bigint")
+        .alias("v_centi"),
+    )
+    wlast = Window.partitionBy("key", "bucket", "hr").orderBy(
+        F.col("t").desc(), F.col("i").desc()
+    )
+    pts = (
+        rows.withColumn("rn", F.row_number().over(wlast))
+        .where(F.col("rn") == 1)
+        .select("key", "bucket", "hr", "v_centi")
+    )
+    return pts.groupBy("key", "bucket").applyInPandas(kernel, ISO_SCHEMA)

@@ -14584,6 +14584,72 @@ QUERIES["wordpiece"] = q_wordpiece
 ORACLES["wordpiece"] = SQL_WORDPIECE
 
 
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) L2 fit per (event_type, day)
+    over hourly last values, via the PAVA minimax closed form — every
+    candidate mean is one IEEE division of integer centi sums, so the
+    fit is bit-identical cross-engine."""
+    from .operators.rollup import isotonic_fit
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+        "value",
+    )
+    return isotonic_fit(ev, bucket=86400, grain=3600)
+
+
+SQL_ISOTONIC = r"""
+WITH rowsx AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         event_id AS i,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+pts AS MATERIALIZED (
+  SELECT key, bucket, hr, v FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY key, bucket, hr ORDER BY t DESC, i DESC) AS rn
+    FROM rowsx
+  ) WHERE rn = 1
+),
+pos AS MATERIALIZED (
+  SELECT key, bucket, hr, v,
+         row_number() OVER (PARTITION BY key, bucket ORDER BY hr) AS rn,
+         CAST(sum(v) OVER (PARTITION BY key, bucket ORDER BY hr)
+              AS BIGINT) AS s
+  FROM pts
+),
+pairs AS MATERIALIZED (
+  SELECT a.key, a.bucket, a.rn AS j, b.rn AS k,
+         CAST(b.s - a.s + a.v AS DOUBLE) / (b.rn - a.rn + 1) AS m
+  FROM pos a
+  JOIN pos b ON b.key = a.key AND b.bucket = a.bucket AND b.rn >= a.rn
+),
+inner_min AS MATERIALIZED (
+  SELECT p.key, p.bucket, p.j, i.rn AS irn, min(p.m) AS mn
+  FROM pairs p
+  JOIN pos i ON i.key = p.key AND i.bucket = p.bucket
+            AND i.rn BETWEEN p.j AND p.k
+  GROUP BY 1, 2, 3, 4
+),
+fit AS (
+  SELECT key, bucket, irn, max(mn) AS yhat
+  FROM inner_min GROUP BY 1, 2, 3
+)
+SELECT p.key, p.bucket, p.hr, p.v AS v_centi, f.yhat
+FROM pos p
+JOIN fit f ON f.key = p.key AND f.bucket = p.bucket AND f.irn = p.rn
+"""
+
+QUERIES["isotonic"] = q_isotonic
+ORACLES["isotonic"] = SQL_ISOTONIC
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
