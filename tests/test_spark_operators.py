@@ -3571,3 +3571,35 @@ def test_isotonic_fit_pava_equivalence(spark):
     expect = pava([round(v * 100) for v in series[4]])
     assert fits["4"] == pytest.approx([e for e in expect], abs=1e-9)
     assert all(a <= b + 1e-12 for a, b in zip(fits["4"], fits["4"][1:]))
+
+
+def test_roc_auc_hand_cases(spark):
+    """1-dim embeddings make the score the squared value: perfect
+    separation gives AUC 1/0, an all-tied table gives 0.5, and a mixed
+    layout reproduces the hand-counted pair fraction."""
+    from tsmp_spark.operators import roc_auc_by_label
+
+    def emb(rows):
+        return spark.createDataFrame(
+            [(i, [float(v)], l) for i, (v, l) in enumerate(rows)],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    # positives at squares {4, 9}, negatives at {1, 2}
+    out = {r.label: r for r in roc_auc_by_label(
+        emb([(2.0, 1), (3.0, 1), (1.0, 0), (2.0 ** 0.5, 0)])
+    ).collect()}
+    assert out[1].auc == 1.0 and out[0].auc == 0.0
+    assert out[1].n1 == 2 and out[1].n0 == 2
+
+    # all tied -> 0.5 for every class
+    out2 = {r.label: r for r in roc_auc_by_label(
+        emb([(1.0, 0), (1.0, 0), (1.0, 1), (1.0, 2)])
+    ).collect()}
+    assert out2[0].auc == 0.5 and out2[1].auc == 0.5 and out2[2].auc == 0.5
+
+    # pos squares {1, 9}, neg squares {4, 16}: 1 of 4 pairs won -> 0.25
+    out3 = {r.label: r for r in roc_auc_by_label(
+        emb([(1.0, 1), (3.0, 1), (2.0, 0), (4.0, 0)])
+    ).collect()}
+    assert out3[1].auc == 0.25 and out3[0].auc == 0.75

@@ -14650,6 +14650,57 @@ QUERIES["isotonic"] = q_isotonic
 ORACLES["isotonic"] = SQL_ISOTONIC
 
 
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest ROC-AUC per embedding class on the squared-norm
+    score (integer micro-units): midranks in exact half-units, AUC is
+    one IEEE division of exact bigints."""
+    from .operators.similarity import roc_auc_by_label
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return roc_auc_by_label(emb)
+
+
+SQL_ROC_AUC = r"""
+WITH ex AS (
+  SELECT vec_id, CAST(label AS INT) AS label, unnest(
+    list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+  FROM embeddings
+),
+scored AS (
+  SELECT vec_id, label,
+         CAST(round(sum(x * x) * 1000000.0) AS BIGINT) AS u
+  FROM ex GROUP BY vec_id, label
+),
+gl AS (
+  SELECT u, label, CAST(count(*) AS BIGINT) AS cnt
+  FROM scored GROUP BY u, label
+),
+gt AS (
+  SELECT u, CAST(sum(cnt) AS BIGINT) AS cntt FROM gl GROUP BY u
+),
+gtb AS (
+  SELECT u, cntt,
+         CAST(coalesce(sum(cntt) OVER (ORDER BY u
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS before
+  FROM gt
+),
+per AS (
+  SELECT label, CAST(sum(cnt) AS BIGINT) AS n1,
+         CAST(sum(cnt * (2 * before + cntt + 1)) AS BIGINT) AS r1_2
+  FROM gl JOIN gtb USING (u) GROUP BY label
+),
+tot AS (SELECT CAST(sum(n1) AS BIGINT) AS n FROM per)
+SELECT label, n1, CAST(n - n1 AS BIGINT) AS n0,
+       CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE)
+         / nullif(CAST(2 * n1 * (n - n1) AS DOUBLE), 0.0) + 0.0 AS auc
+FROM per, tot
+"""
+
+QUERIES["roc_auc"] = q_roc_auc
+ORACLES["roc_auc"] = SQL_ROC_AUC
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
