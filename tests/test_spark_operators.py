@@ -3603,3 +3603,29 @@ def test_roc_auc_hand_cases(spark):
         emb([(1.0, 1), (3.0, 1), (2.0, 0), (4.0, 0)])
     ).collect()}
     assert out3[1].auc == 0.25 and out3[0].auc == 0.75
+
+
+def test_calibration_bins_hand_case(spark):
+    """A perfectly calibrated bin contributes zero gap; a fully wrong
+    high-confidence bin contributes its whole confidence mass; ECE is
+    the N-weighted mixture (0.3 here, exactly)."""
+    from tsmp_spark.operators import calibration_bins
+
+    # conf = (x0 + 0.4) / 0.8: x0=0.2 -> 0.75 (bin 7), x0=0.32 -> 0.9 (bin 9)
+    rows = [
+        # bin 7: 3 of 4 correct -> acc 0.75 == conf 0.75, gap 0
+        (1, [0.2, 1.0], 1), (2, [0.2, 1.0], 1), (3, [0.2, -1.0], 0),
+        (4, [0.2, 1.0], 0),
+        # bin 9: both wrong -> acc 0, conf 0.9
+        (5, [0.32, 1.0], 0), (6, [0.32, -1.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.bin: r for r in calibration_bins(emb, n_bins=10).collect()}
+    assert set(out) == {7, 9}
+    b7, b9 = out[7], out[9]
+    assert b7.n == 4 and b7.acc == 0.75 and b7.conf_avg == 0.75
+    assert b9.n == 2 and b9.acc == 0.0 and b9.conf_avg == pytest.approx(0.9)
+    # ECE = (0 + |0 - 2*0.9e6|) / (1e6 * 6) = 0.3 on every row
+    assert b7.ece == pytest.approx(0.3) and b9.ece == pytest.approx(0.3)

@@ -1227,3 +1227,70 @@ def roc_auc_by_label(
             + F.lit(0.0)
         ).alias("auc"),
     )
+
+
+def calibration_bins(
+    embeddings: DataFrame,
+    n_bins: int = 10,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reliability diagram + expected calibration error (Naeini et al.
+    2015; Guo et al. 2017 §2) for a deterministic linear probe over the
+    embedding table: confidence = clamp((x₀+0.4)/0.8, 0, 1) (no
+    transcendentals — cross-engine exp() is not bit-stable; the affine
+    window matches the synthetic embeddings' component range so the
+    diagram populates all bins), predicted
+    class-1 iff x₁ > 0, correctness against ``label == 1``.
+
+    Exactness: confidence is quantized once to integer micro-units;
+    each bin's accuracy ``correct/n`` and mean confidence
+    ``Σcu/(n·10⁶)`` are single IEEE divisions of exact bigints, and
+    ``ECE = Σ_b |10⁶·correct_b − Σcu_b| / (10⁶·N)`` folds the
+    absolute-gap weighting into ONE exact integer sum — no float
+    accumulation anywhere.
+
+    Scale: per-row JVM expressions, one combinable groupBy over ≤
+    ``n_bins`` keys, broadcast scalar join for N. Map-side everything.
+    """
+    x0 = F.col(vec_col).getItem(0).cast("double")
+    x1 = F.col(vec_col).getItem(1).cast("double")
+    conf = F.least(
+        F.greatest((x0 + F.lit(0.4)) / F.lit(0.8), F.lit(0.0)), F.lit(1.0)
+    )
+    cu = F.round(conf * F.lit(1000000.0)).cast("bigint")
+    correct = ((x1 > 0) == (F.col(label_col).cast("int") == 1)).cast("bigint")
+    b = F.least(
+        F.floor(F.col("cu") * n_bins / 1000000).cast("int"), F.lit(int(n_bins) - 1)
+    )
+    rows = embeddings.select(cu.alias("cu"), correct.alias("ok")).select(
+        b.alias("bin"), "cu", "ok"
+    )
+    g = rows.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("ok").cast("bigint").alias("n_correct"),
+        F.sum("cu").cast("bigint").alias("cu_sum"),
+    )
+    gap = F.abs(F.lit(1000000) * F.col("n_correct") - F.col("cu_sum"))
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(gap).cast("bigint").alias("gap_sum"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_correct",
+        (F.col("n_correct").cast("double") / F.col("n").cast("double") + F.lit(0.0)).alias(
+            "acc"
+        ),
+        (
+            F.col("cu_sum").cast("double")
+            / (F.col("n").cast("double") * F.lit(1000000.0))
+            + F.lit(0.0)
+        ).alias("conf_avg"),
+        (
+            F.col("gap_sum").cast("double")
+            / (F.lit(1000000.0) * F.col("n_total").cast("double"))
+            + F.lit(0.0)
+        ).alias("ece"),
+    )

@@ -14701,6 +14701,50 @@ QUERIES["roc_auc"] = q_roc_auc
 ORACLES["roc_auc"] = SQL_ROC_AUC
 
 
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE for a linear probe over embeddings:
+    micro-unit confidences, exact integer gap sums, every output a
+    single IEEE division of bigints."""
+    from .operators.similarity import calibration_bins
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return calibration_bins(emb, n_bins=10)
+
+
+SQL_CALIBRATION = r"""
+WITH rowsx AS (
+  SELECT CAST(round(least(greatest((CAST(embedding[1] AS DOUBLE) + 0.4) / 0.8,
+                                   0.0), 1.0) * 1000000.0) AS BIGINT) AS cu,
+         CAST((CAST(embedding[2] AS DOUBLE) > 0)
+              = (CAST(label AS INT) = 1) AS BIGINT) AS ok
+  FROM embeddings
+),
+binned AS (
+  SELECT least(CAST(floor(cu * 10 / 1000000.0) AS INT), 9) AS bin, cu, ok
+  FROM rowsx
+),
+g AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ok) AS BIGINT) AS n_correct,
+         CAST(sum(cu) AS BIGINT) AS cu_sum
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         CAST(sum(abs(1000000 * n_correct - cu_sum)) AS BIGINT) AS gap_sum
+  FROM g
+)
+SELECT bin, n, n_correct,
+       CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) + 0.0 AS acc,
+       CAST(cu_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) + 0.0 AS conf_avg,
+       CAST(gap_sum AS DOUBLE) / (1000000.0 * CAST(n_total AS DOUBLE)) + 0.0 AS ece
+FROM g, tot
+"""
+
+QUERIES["calibration"] = q_calibration
+ORACLES["calibration"] = SQL_CALIBRATION
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
