@@ -838,3 +838,15 @@ def test_slo_burn_single_groupby_plus_scalar_broadcast(events):
     assert plan.count("hashpartitioning") == 1  # the key groupBy
     assert "BroadcastNestedLoopJoin" in plan  # the scalar max
     assert "Window" not in plan
+
+
+def test_salted_skew_agg_two_phase_plan(docs):
+    """The salted aggregation's first exchange partitions on (key, salt)
+    — never on the bare skewed key — and the merge exchange on key sees
+    at most B rows per key. Two hash exchanges, no window, no sort."""
+    from tsmp_spark.operators.series import salted_groupby_stats
+
+    plan = _plan(salted_groupby_stats(docs, salt_buckets=16))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "_salt" in plan.split("Exchange hashpartitioning")[1]
+    assert "Window" not in plan and "Sort" not in plan

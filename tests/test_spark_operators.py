@@ -3629,3 +3629,32 @@ def test_calibration_bins_hand_case(spark):
     assert b9.n == 2 and b9.acc == 0.0 and b9.conf_avg == pytest.approx(0.9)
     # ECE = (0 + |0 - 2*0.9e6|) / (1e6 * 6) = 0.3 on every row
     assert b7.ece == pytest.approx(0.3) and b9.ece == pytest.approx(0.3)
+
+
+def test_salted_skew_agg_equals_direct(spark):
+    """An extreme hot key (90% of rows on one source) through the salted
+    two-phase path equals the direct groupBy exactly — count/sum/min/max
+    are algebraic, the mean is one division of the same bigints."""
+    from tsmp_spark.operators import salted_groupby_stats
+
+    rows = [(i, "hot" if i % 10 else "cold", 100 + 7 * i) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r.key: r for r in salted_groupby_stats(docs, salt_buckets=8).collect()}
+    want = {
+        r["source"]: r
+        for r in docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("s"),
+            F.min("n_chars").alias("mn"),
+            F.max("n_chars").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(got) == {"hot", "cold"}
+    for k, w in want.items():
+        g = got[k]
+        assert (g.n_docs, g.chars_sum, g.chars_min, g.chars_max) == (
+            w["n"], w["s"], w["mn"], w["mx"],
+        )
+        assert g.chars_avg == w["s"] / w["n"]

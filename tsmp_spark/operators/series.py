@@ -85,6 +85,63 @@ def salted_repartition(
     return out.drop("_salt")
 
 
+def salted_groupby_stats(
+    docs: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    value_col: str = "n_chars",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe two-phase aggregation: the salted-repartition pattern the
+    north rule names, as a first-class correctness-gated operator.
+
+    A hot ``key_col`` value (one source contributing most of a 100 TB
+    corpus) pins the classic single-phase ``groupBy(key)`` onto one
+    reducer. Phase 1 here aggregates on ``(key, salt)`` where
+    ``salt = pmod(xxhash64(id), B)`` — deterministic per row, so the
+    fan-out is stable across retries — spreading the hot key over ``B``
+    reducers; phase 2 merges the ≤ B partials per key. Every partial is
+    algebraic (count/sum/min/max over bigints), so merge == direct
+    exactly, which the DuckDB oracle checks against the plain GROUP BY.
+
+    Scale: shuffle 1 is (key, salt)-partitioned — bounded by the row
+    count, never by key skew; shuffle 2 moves ≤ B rows per key. The mean
+    is ONE IEEE division of exact bigints, bit-identical cross-engine.
+    """
+    v = F.col(value_col).cast("bigint")
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(int(salt_buckets)))
+    p1 = (
+        docs.select(F.col(key_col).alias("key"), salt.alias("_salt"), v.alias("v"))
+        .groupBy("key", "_salt")
+        .agg(
+            F.count("*").cast("bigint").alias("pn"),
+            F.sum("v").cast("bigint").alias("ps"),
+            F.min("v").alias("pmn"),
+            F.max("v").alias("pmx"),
+        )
+    )
+    return (
+        p1.groupBy("key")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_docs"),
+            F.sum("ps").cast("bigint").alias("chars_sum"),
+            F.min("pmn").alias("chars_min"),
+            F.max("pmx").alias("chars_max"),
+        )
+        .select(
+            "key",
+            "n_docs",
+            "chars_sum",
+            "chars_min",
+            "chars_max",
+            (
+                F.col("chars_sum").cast("double") / F.col("n_docs").cast("double")
+                + F.lit(0.0)
+            ).alias("chars_avg"),
+        )
+    )
+
+
 def events_to_nested(events: DataFrame, source: str = "events") -> DataFrame:
     """events → nested (doc_id, tokens, n_tok, source) in ONE aggregate.
 

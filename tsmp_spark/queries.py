@@ -14745,6 +14745,33 @@ QUERIES["calibration"] = q_calibration
 ORACLES["calibration"] = SQL_CALIBRATION
 
 
+def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation (north rule: explicit
+    salted-repartition handling of source-key skew): phase 1 on
+    (source, pmod(xxhash64(doc_id), 16)), phase 2 merges the ≤16
+    algebraic partials per source; must equal the plain GROUP BY."""
+    from .operators.series import salted_groupby_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return salted_groupby_stats(docs, salt_buckets=16)
+
+
+SQL_SALTED_SKEW_AGG = r"""
+SELECT source AS key,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_sum,
+       CAST(min(n_chars) AS BIGINT) AS chars_min,
+       CAST(max(n_chars) AS BIGINT) AS chars_max,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         + 0.0 AS chars_avg
+FROM documents
+GROUP BY source
+"""
+
+QUERIES["salted_skew_agg"] = q_salted_skew_agg
+ORACLES["salted_skew_agg"] = SQL_SALTED_SKEW_AGG
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
