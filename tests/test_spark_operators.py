@@ -3658,3 +3658,26 @@ def test_salted_skew_agg_equals_direct(spark):
             w["n"], w["s"], w["mn"], w["mx"],
         )
         assert g.chars_avg == w["s"] / w["n"]
+
+
+def test_forecast_backtest_hand_case(spark):
+    """Period-3 series with one corrupted test bucket: seasonal-naive is
+    perfect except the last bucket, so MASE = (1·n_train)/(d_sum·n_test)
+    computed by hand = 0.25."""
+    import datetime as dt
+
+    from tsmp_spark.operators.rollup import forecast_backtest
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [1.0, 2.0, 3.0, 1.0, 2.0, 3.0, 1.0, 2.0, 3.0, 2.0]
+    rows = [(i, base + dt.timedelta(seconds=i), "k", v) for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = forecast_backtest(ev, bucket_sec=1, season=3, horizon=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    # test buckets 7,8,9: forecasts v[4],v[5],v[6] = 2,3,1 vs 2,3,2 -> e=1e6
+    # train buckets 1..6: naive-1 diffs 1,1,2,1,1,2 -> d=8e6
+    assert (r.n_test, r.n_train, r.e_sum_u, r.d_sum_u) == (3, 6, 1000000, 8000000)
+    assert r.mase == (1000000 * 6) / (8000000 * 3)

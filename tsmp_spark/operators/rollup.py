@@ -4331,6 +4331,97 @@ def croston_forecast(
     )
 
 
+def forecast_backtest(
+    events: DataFrame,
+    bucket_sec: int = 3600,
+    season: int = 24,
+    horizon: int = 24,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Rolling-origin forecast backtest (Hyndman & Koehler 2006 MASE):
+    the evaluation harness every forecaster in the family (ewma → holt →
+    holt_winters → croston → ar2) gets judged with, as a first-class
+    operator. Per key, the bucketed value series on its dense
+    [min, max] bucket spine (missing buckets = 0, the gap_fill
+    convention); the last ``horizon`` buckets are the test window.
+
+    Forecast under test: seasonal-naive v̂_t = v_{t−season} (actuals, the
+    standard one-step rolling origin). Scale denominator: the in-sample
+    naive-1 MAE over the training region. Exactness: per-row values are
+    quantized once to integer micro-units, every |error| sum is an exact
+    bigint, and MASE = (Σ_test·n_train) / (Σ_train·n_test) is ONE IEEE
+    division of exact bigint products — no float accumulation. Buckets
+    whose lag falls before the spine contribute to neither sum (counts
+    are emitted so the oracle pins the same support).
+
+    Scale: one combinable (key, bucket) groupBy (bucket-grid-bounded:
+    ≤ keys × span/bucket_sec rows); the spine explode is per-key-range-
+    bounded. With the bounded sums side broadcast (the measured local
+    plan), the spine keeps the rng groupBy's key partitioning, so the
+    window AND the final groupBy reuse that one exchange; with a high-
+    cardinality key the join falls back to a (key, bucket) shuffle and
+    the window re-partitions on key — still bucket-grid-bounded rows.
+    """
+    vu = F.round(F.col(value_col).cast("double") * F.lit(1000000.0)).cast("bigint")
+    b = F.floor(F.unix_timestamp(F.col(ts_col)).cast("long") / bucket_sec).cast(
+        "long"
+    )
+    sums = (
+        events.where(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col)))
+        .select(F.col(key_col).alias("key"), b.alias("bucket"), vu.alias("vu"))
+        .groupBy("key", "bucket")
+        .agg(F.sum("vu").cast("bigint").alias("s"))
+    )
+    spine = (
+        sums.groupBy("key")
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        .select(
+            "key",
+            F.col("_hi").alias("bmax"),
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bucket"),
+        )
+    )
+    dense = spine.join(sums, ["key", "bucket"], "left").select(
+        "key", "bucket", "bmax", F.coalesce(F.col("s"), F.lit(0)).alias("v")
+    )
+    w = Window.partitionBy("key").orderBy("bucket")
+    lagged = dense.select(
+        "key",
+        "bucket",
+        "bmax",
+        "v",
+        F.lag("v", season).over(w).alias("f_sn"),
+        F.lag("v", 1).over(w).alias("f_n1"),
+    )
+    is_test = F.col("bucket") > F.col("bmax") - F.lit(int(horizon))
+    e_term = F.when(
+        is_test & F.col("f_sn").isNotNull(), F.abs(F.col("v") - F.col("f_sn"))
+    )
+    d_term = F.when(
+        (~is_test) & F.col("f_n1").isNotNull(), F.abs(F.col("v") - F.col("f_n1"))
+    )
+    g = lagged.groupBy("key").agg(
+        F.count(e_term).cast("bigint").alias("n_test"),
+        F.coalesce(F.sum(e_term), F.lit(0)).cast("bigint").alias("e_sum_u"),
+        F.count(d_term).cast("bigint").alias("n_train"),
+        F.coalesce(F.sum(d_term), F.lit(0)).cast("bigint").alias("d_sum_u"),
+    )
+    return g.select(
+        "key",
+        "n_test",
+        "n_train",
+        "e_sum_u",
+        "d_sum_u",
+        (
+            (F.col("e_sum_u") * F.col("n_train")).cast("double")
+            / F.nullif((F.col("d_sum_u") * F.col("n_test")).cast("double"), F.lit(0.0))
+            + F.lit(0.0)
+        ).alias("mase"),
+    )
+
+
 def alarm_transitions(
     events: DataFrame,
     hi_centi: int = 20000,

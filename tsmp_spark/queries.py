@@ -14772,6 +14772,66 @@ QUERIES["salted_skew_agg"] = q_salted_skew_agg
 ORACLES["salted_skew_agg"] = SQL_SALTED_SKEW_AGG
 
 
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin seasonal-naive backtest with MASE per event_type:
+    hourly micro-unit bucket sums on the dense spine, last-24h test
+    window, all error sums exact bigints, MASE one IEEE division."""
+    from .operators.rollup import forecast_backtest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return forecast_backtest(ev, bucket_sec=3600, season=24, horizon=24)
+
+
+SQL_FORECAST_BACKTEST = r"""
+WITH sums AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+         CAST(sum(CAST(round(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT))
+              AS BIGINT) AS s
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+),
+rng AS (
+  SELECT key, min(bucket) AS lo, max(bucket) AS bmax FROM sums GROUP BY key
+),
+spine AS (
+  SELECT r.key, r.bmax, gs.bucket
+  FROM rng r, unnest(generate_series(r.lo, r.bmax)) AS gs(bucket)
+),
+dense AS (
+  SELECT sp.key, sp.bucket, sp.bmax, COALESCE(su.s, 0) AS v
+  FROM spine sp
+  LEFT JOIN sums su ON su.key = sp.key AND su.bucket = sp.bucket
+),
+lagged AS (
+  SELECT key, bucket, bmax, v,
+         lag(v, 24) OVER (PARTITION BY key ORDER BY bucket) AS f_sn,
+         lag(v, 1)  OVER (PARTITION BY key ORDER BY bucket) AS f_n1
+  FROM dense
+),
+g AS (
+  SELECT key,
+    CAST(count(CASE WHEN bucket > bmax - 24 AND f_sn IS NOT NULL
+                    THEN 1 END) AS BIGINT) AS n_test,
+    CAST(COALESCE(sum(CASE WHEN bucket > bmax - 24 AND f_sn IS NOT NULL
+                           THEN abs(v - f_sn) END), 0) AS BIGINT) AS e_sum_u,
+    CAST(count(CASE WHEN bucket <= bmax - 24 AND f_n1 IS NOT NULL
+                    THEN 1 END) AS BIGINT) AS n_train,
+    CAST(COALESCE(sum(CASE WHEN bucket <= bmax - 24 AND f_n1 IS NOT NULL
+                           THEN abs(v - f_n1) END), 0) AS BIGINT) AS d_sum_u
+  FROM lagged GROUP BY key
+)
+SELECT key, n_test, n_train, e_sum_u, d_sum_u,
+       CAST(e_sum_u * n_train AS DOUBLE)
+         / NULLIF(CAST(d_sum_u * n_test AS DOUBLE), 0.0) + 0.0 AS mase
+FROM g
+"""
+
+QUERIES["forecast_backtest"] = q_forecast_backtest
+ORACLES["forecast_backtest"] = SQL_FORECAST_BACKTEST
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
