@@ -3681,3 +3681,34 @@ def test_forecast_backtest_hand_case(spark):
     # train buckets 1..6: naive-1 diffs 1,1,2,1,1,2 -> d=8e6
     assert (r.n_test, r.n_train, r.e_sum_u, r.d_sum_u) == (3, 6, 1000000, 8000000)
     assert r.mase == (1000000 * 6) / (8000000 * 3)
+
+
+def test_allan_variance_hand_case(spark):
+    """8 base buckets with counts [2,0,1,3,2,2,4,0]: hand-checked block
+    sums and squared successive diffs at m=1,2,4; m=8 has one block ->
+    NULL avar."""
+    import datetime as dt
+
+    from tsmp_spark.operators.rollup import allan_variance
+
+    base = dt.datetime(2024, 1, 1)
+    counts = [2, 0, 1, 3, 2, 2, 4, 0]
+    rows = []
+    eid = 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + dt.timedelta(seconds=i), "k"))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r.m: r for r in allan_variance(ev, bucket_sec=1, taus=(1, 2, 4, 8)).collect()}
+    # m=1: series has lo..hi = buckets 0..6 only (bucket 7 has count 0 and
+    # no events -> spine ends at 6). v = [2,0,1,3,2,2,4]
+    # ds^2: 4,1,4,1,0,4 -> ss=14, M=7, avar=14/12
+    assert (out[1].m_blocks, out[1].ss) == (7, 14)
+    assert out[1].avar == 14 / 12
+    # m=2: blocks (2,0),(1,3),(2,2) complete -> S=[2,4,4]; ds^2: 4,0 -> ss=4
+    assert (out[2].m_blocks, out[2].ss) == (3, 4)
+    assert out[2].avar == 4 / (2 * 2 * 4)
+    # m=4: one complete block (buckets 0-3) -> M=1 -> NULL
+    assert out[4].m_blocks == 1 and out[4].avar is None
+    assert 8 not in out or out[8].m_blocks == 0

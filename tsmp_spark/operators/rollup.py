@@ -4422,6 +4422,99 @@ def forecast_backtest(
     )
 
 
+def allan_variance(
+    events: DataFrame,
+    bucket_sec: int = 1800,
+    taus: tuple[int, ...] = (1, 2, 4, 8),
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Allan variance of the per-bucket event rate at multiple averaging
+    times (Allan 1966; the clock-stability statistic, and the classic
+    answer to "how far can I downsample this counter before the tier
+    stops being informative"). For each ``m`` in ``taus``, base buckets
+    on the dense per-key spine (missing = 0, the gap_fill convention)
+    are merged into non-overlapping blocks of ``m`` — exactly a
+    retention-tier rollup with factor m — and
+    ``avar(m·τ0) = Σ_j (S_{j+1} − S_j)² / (2·(M−1)·m²)``
+    over the M complete blocks' integer count sums S_j.
+
+    Exactness: block sums and squared successive differences are exact
+    bigints (counts are integers, the grid is dense); ``avar`` is ONE
+    IEEE division of exact bigints, bit-identical cross-engine. Partial
+    trailing blocks (nb < m) are dropped on both engines; keys with
+    M < 2 complete blocks at a tier emit NULL avar.
+
+    Scale: one combinable (key, bucket) count groupBy (grid-bounded),
+    a broadcast 4-row tau table, then a (key, m)-keyed window+groupBy
+    over ≤ |grid| rows per tier. No data-sized shuffle beyond the
+    bucket rollup itself.
+    """
+    b = F.floor(F.unix_timestamp(F.col(ts_col)).cast("long") / bucket_sec).cast(
+        "long"
+    )
+    counts = (
+        events.select(F.col(key_col).alias("key"), b.alias("bucket"))
+        .groupBy("key", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    spine = (
+        counts.groupBy("key")
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        .select(
+            "key",
+            F.col("_lo").alias("lo"),
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bucket"),
+        )
+    )
+    dense = spine.join(counts, ["key", "bucket"], "left").select(
+        "key", "lo", "bucket", F.coalesce(F.col("c"), F.lit(0)).alias("v")
+    )
+    tau = dense.sparkSession.createDataFrame([(int(m),) for m in taus], "m int")
+    blocks = (
+        dense.crossJoin(F.broadcast(tau))
+        .select(
+            "key",
+            "m",
+            F.floor((F.col("bucket") - F.col("lo")) / F.col("m"))
+            .cast("long")
+            .alias("j"),
+            "v",
+        )
+        .groupBy("key", "m", "j")
+        .agg(
+            F.sum("v").cast("bigint").alias("s"),
+            F.count("*").cast("bigint").alias("nb"),
+        )
+        .where(F.col("nb") == F.col("m").cast("bigint"))
+    )
+    w = Window.partitionBy("key", "m").orderBy("j")
+    d = blocks.select(
+        "key", "m", "j", "s", (F.col("s") - F.lag("s", 1).over(w)).alias("ds")
+    )
+    g = d.groupBy("key", "m").agg(
+        F.count("*").cast("bigint").alias("m_blocks"),
+        F.coalesce(F.sum(F.col("ds") * F.col("ds")), F.lit(0))
+        .cast("bigint")
+        .alias("ss"),
+    )
+    denom = (
+        F.lit(2)
+        * (F.col("m_blocks") - F.lit(1))
+        * F.col("m").cast("bigint")
+        * F.col("m").cast("bigint")
+    ).cast("double")
+    return g.select(
+        "key",
+        "m",
+        "m_blocks",
+        "ss",
+        (F.col("ss").cast("double") / F.nullif(denom, F.lit(0.0)) + F.lit(0.0)).alias(
+            "avar"
+        ),
+    )
+
+
 def alarm_transitions(
     events: DataFrame,
     hi_centi: int = 20000,

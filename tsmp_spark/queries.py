@@ -14832,6 +14832,62 @@ QUERIES["forecast_backtest"] = q_forecast_backtest
 ORACLES["forecast_backtest"] = SQL_FORECAST_BACKTEST
 
 
+def q_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allan variance of the per-30min event rate per event_type at
+    averaging tiers m ∈ {1,2,4,8}: block sums are exact bigint
+    retention-tier rollups, avar is one IEEE division."""
+    from .operators.rollup import allan_variance
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return allan_variance(ev, bucket_sec=1800, taus=(1, 2, 4, 8))
+
+
+SQL_ALLAN_VARIANCE = r"""
+WITH counts AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts) / 1800) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+rng AS (
+  SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM counts GROUP BY key
+),
+spine AS (
+  SELECT r.key, r.lo, gs.bucket
+  FROM rng r, unnest(generate_series(r.lo, r.hi)) AS gs(bucket)
+),
+dense AS (
+  SELECT sp.key, sp.lo, sp.bucket, COALESCE(cn.c, 0) AS v
+  FROM spine sp LEFT JOIN counts cn
+    ON cn.key = sp.key AND cn.bucket = sp.bucket
+),
+blocks AS (
+  SELECT key, m, CAST(floor((bucket - lo) / m) AS BIGINT) AS j,
+         CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS nb
+  FROM dense, unnest([1, 2, 4, 8]) AS t(m)
+  GROUP BY 1, 2, 3
+  HAVING count(*) = m
+),
+d AS (
+  SELECT key, m, s,
+         s - lag(s, 1) OVER (PARTITION BY key, m ORDER BY j) AS ds
+  FROM blocks
+),
+g AS (
+  SELECT key, m, CAST(count(*) AS BIGINT) AS m_blocks,
+         CAST(COALESCE(sum(ds * ds), 0) AS BIGINT) AS ss
+  FROM d GROUP BY 1, 2
+)
+SELECT key, CAST(m AS INT) AS m, m_blocks, ss,
+       CAST(ss AS DOUBLE)
+         / NULLIF(CAST(2 * (m_blocks - 1) * m * m AS DOUBLE), 0.0) + 0.0 AS avar
+FROM g
+"""
+
+QUERIES["allan_variance"] = q_allan_variance
+ORACLES["allan_variance"] = SQL_ALLAN_VARIANCE
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
