@@ -3712,3 +3712,19 @@ def test_allan_variance_hand_case(spark):
     # m=4: one complete block (buckets 0-3) -> M=1 -> NULL
     assert out[4].m_blocks == 1 and out[4].avar is None
     assert 8 not in out or out[8].m_blocks == 0
+
+
+def test_kcore_peel_hand_case(spark):
+    """Triangle {1,2,3} with pendant 4-5 chain: k=2 peels 5 in round 1
+    (deg 1), then 4 in round 2 (its only edge died), triangle survives
+    with degree 2 each."""
+    from tsmp_spark.operators import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {r.node: r for r in kcore_peel(edges, k=2, rounds=4).collect()}
+    assert out[5].removed_round == 1 and out[5].final_deg is None
+    assert out[4].removed_round == 2
+    for n in (1, 2, 3):
+        assert out[n].removed_round is None and out[n].final_deg == 2

@@ -186,3 +186,107 @@ def triangle_stats(
         )
         .select("node", "deg", "tri", lcc.alias("lcc"))
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Round-synchronous k-core peeling (Seidman 1983; the distributed
+    formulation of Montresor et al. 2013): each round removes EVERY
+    currently-alive node whose degree over surviving edges is < k, all
+    at once, then drops their edges. ``rounds`` synchronized rounds are
+    the pinned spec (the connected-components/Lloyd convention for
+    iterative relational algorithms): both engines replay exactly the
+    same rounds, so the output is integer-exact whether or not the peel
+    has reached its fixpoint — at warehouse scale the synchronous peel
+    converges in O(log n) rounds, and ``rounds`` is the depth budget.
+
+    Zero-degree alive nodes count as degree 0 (< k) — the alive set is
+    tracked explicitly so a node whose last edge disappears is peeled
+    next round, not silently forgotten.
+
+    Output: (node, removed_round ∈ [1, rounds] or NULL if the node
+    survives, final_deg = surviving-edge degree for survivors, NULL for
+    removed nodes). Everything is integer counting; no floats at all.
+
+    Scale: per round one degree groupBy over surviving edges plus two
+    broadcast-able anti-joins against the (shrinking) weak set; edge
+    survivorship only ever shrinks. Per-round ``localCheckpoint`` cuts
+    the lineage exactly as connected_components does (a lazy 4-round
+    join chain sends Catalyst superlinear), and every checkpoint block
+    except the result's own is unpersisted before returning.
+    """
+    sc = edges.sparkSession.sparkContext
+    created: list[int] = []
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        out = df.localCheckpoint()
+        try:
+            created.append(int(out._jdf.queryExecution().analyzed().rdd().id()))
+        except Exception:
+            created.append(-1)  # unknown id: leak this round rather than guess
+        return out
+
+    a, b = F.col(src_col), F.col(dst_col)
+    canon = _ckpt(
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = _ckpt(
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    alive = nodes
+    e = canon
+    removed = None
+    for r in range(1, int(rounds) + 1):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+        weak = _ckpt(
+            alive.join(deg, "node", "left")
+            .where(F.coalesce(F.col("c"), F.lit(0)) < k)
+            .select("node")
+        )
+        alive = _ckpt(alive.join(weak, "node", "left_anti"))
+        e = _ckpt(
+            e.join(weak.select(F.col("node").alias("a")), "a", "left_anti").join(
+                weak.select(F.col("node").alias("b")), "b", "left_anti"
+            )
+        )
+        tagged = weak.select("node", F.lit(r).cast("int").alias("removed_round"))
+        removed = tagged if removed is None else removed.unionByName(tagged)
+    final_deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("fd"))
+    )
+    result = _ckpt(
+        nodes.join(removed, "node", "left")
+        .join(final_deg, "node", "left")
+        .select(
+            "node",
+            "removed_round",
+            F.when(
+                F.col("removed_round").isNull(),
+                F.coalesce(F.col("fd"), F.lit(0)).cast("bigint"),
+            ).alias("final_deg"),
+        )
+    )
+    # free per-round checkpoint blocks; the result's own (last id) survives
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in created[:-1]:
+        jrdd = jmap.get(rid) if rid >= 0 else None
+        if jrdd is not None:
+            jrdd.unpersist()
+    return result

@@ -14888,6 +14888,104 @@ QUERIES["allan_variance"] = q_allan_variance
 ORACLES["allan_variance"] = SQL_ALLAN_VARIANCE
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-synchronous k-core peel (k=3, 4 rounds) over the
+    co-ordered-parts graph: pure integer degree counting, every round's
+    simultaneous removal replayed exactly by the unrolled oracle."""
+    from .operators import kcore_peel
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    op = li.distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    out = kcore_peel(edges, k=3, rounds=4)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"),
+        "removed_round",
+        "final_deg",
+    )
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled round-chained MATERIALIZED CTEs (each round's edge set
+    references the previous twice — per CLAUDE.md DuckDB inlines CTEs
+    by reference, so MATERIALIZED everywhere)."""
+    parts = [
+        r"""
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(a.p, b.p) AS a, greatest(a.p, b.p) AS b
+  FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node
+  FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+),
+alive0 AS MATERIALIZED (SELECT node FROM nodes)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+deg{r} AS MATERIALIZED (
+  SELECT node, count(*) AS c
+  FROM (SELECT a AS node FROM e{r - 1} UNION ALL SELECT b FROM e{r - 1})
+  GROUP BY 1
+),
+weak{r} AS MATERIALIZED (
+  SELECT al.node FROM alive{r - 1} al
+  LEFT JOIN deg{r} d ON d.node = al.node
+  WHERE COALESCE(d.c, 0) < {k}
+),
+alive{r} AS MATERIALIZED (
+  SELECT al.node FROM alive{r - 1} al
+  LEFT JOIN weak{r} w ON w.node = al.node
+  WHERE w.node IS NULL
+),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r - 1} e
+  LEFT JOIN weak{r} wa ON wa.node = e.a
+  LEFT JOIN weak{r} wb ON wb.node = e.b
+  WHERE wa.node IS NULL AND wb.node IS NULL
+)"""
+        )
+    removed_union = " UNION ALL ".join(
+        f"SELECT node, {r} AS removed_round FROM weak{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(
+        f""",
+removed AS MATERIALIZED ({removed_union}),
+fdeg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS fd
+  FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+  GROUP BY 1
+)
+SELECT CAST(n.node AS BIGINT) AS node,
+       CAST(r.removed_round AS INT) AS removed_round,
+       CASE WHEN r.removed_round IS NULL
+            THEN CAST(COALESCE(f.fd, 0) AS BIGINT) END AS final_deg
+FROM nodes n
+LEFT JOIN removed r ON r.node = n.node
+LEFT JOIN fdeg f ON f.node = n.node"""
+    )
+    return "".join(parts)
+
+
+SQL_KCORE = _kcore_oracle_sql(k=3, rounds=4)
+
+QUERIES["kcore"] = q_kcore
+ORACLES["kcore"] = SQL_KCORE
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
