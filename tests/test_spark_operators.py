@@ -3728,3 +3728,22 @@ def test_kcore_peel_hand_case(spark):
     assert out[4].removed_round == 2
     for n in (1, 2, 3):
         assert out[n].removed_round is None and out[n].final_deg == 2
+
+
+def test_mmr_topk_diversifies(spark):
+    """Query q has two near-identical high-relevance docs (1, 2) and a
+    less relevant but orthogonal doc 3: plain top-2 is {1, 2}, MMR
+    round 2 must skip the redundant 2 and pick 3."""
+    from tsmp_spark.operators import mmr_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # the query
+        (1, [0.999, 0.04471, 0.0]),  # near-duplicate of the query axis
+        (2, [0.998, 0.0632, 0.0]),   # near-duplicate of doc 1
+        (3, [0.5, 0.0, 0.8660]),     # less relevant, orthogonal-ish
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0)
+    out = {r.sel_round: r for r in mmr_topk(emb, q, k=2, pool=3).collect()}
+    assert out[1].neighbor_id == 1  # most relevant
+    assert out[2].neighbor_id == 3  # diversity beats redundancy

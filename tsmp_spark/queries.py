@@ -14986,6 +14986,132 @@ QUERIES["kcore"] = q_kcore
 ORACLES["kcore"] = SQL_KCORE
 
 
+def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-4 from each query's exact top-12 cosine pool
+    (λ=0.5 dyadic): greedy rounds replayed by the unrolled oracle,
+    scores bit-identical through the pinned carried-norm cosine."""
+    from .operators import mmr_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 4)
+    out = mmr_topk(emb, queries, k=4, pool=12)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("sel_round").cast("int").alias("sel_round"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        (F.round(F.col("score"), 4) + F.lit(0.0)).alias("score"),
+    )
+
+
+def _mmr_oracle_sql(k: int = 4, pool: int = 12, n_queries: int = 4) -> str:
+    """Greedy MMR rounds unrolled as MATERIALIZED CTEs (each references
+    the previous round's remainder and selected set — per CLAUDE.md
+    DuckDB inlines by reference, so MATERIALIZED throughout)."""
+    head = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS MATERIALIZED (
+  SELECT vec_id, unnest(v) AS x, unnest(generate_series(1, len(v))) AS i
+  FROM e
+),
+norms AS MATERIALIZED (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id
+),
+qdots AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, sum(q.x * n.x) AS dot
+  FROM ex q JOIN ex n ON q.i = n.i
+   AND q.vec_id < {n_queries} AND q.vec_id != n.vec_id
+  GROUP BY 1, 2
+),
+qscored AS (
+  SELECT d.query_id, d.neighbor_id,
+         d.dot / NULLIF(nq.nrm * nn.nrm, 0) AS cosine
+  FROM qdots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nn ON nn.vec_id = d.neighbor_id
+),
+cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM qscored WHERE cosine IS NOT NULL
+  ) WHERE rank <= {pool}
+),
+cids AS MATERIALIZED (SELECT DISTINCT neighbor_id AS cid FROM cand),
+cex AS MATERIALIZED (
+  SELECT ex.vec_id, ex.x, ex.i FROM ex JOIN cids ON cids.cid = ex.vec_id
+),
+pdots AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b, sum(a.x * b.x) AS dot
+  FROM cex a JOIN cex b ON a.i = b.i AND a.vec_id != b.vec_id
+  GROUP BY 1, 2
+),
+pairsim AS MATERIALIZED (
+  SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+         pd.dot / NULLIF(na.nrm * nb.nrm, 0) AS sim
+  FROM cand c1
+  JOIN cand c2 ON c2.query_id = c1.query_id
+              AND c2.neighbor_id != c1.neighbor_id
+  JOIN pdots pd ON pd.a = c1.neighbor_id AND pd.b = c2.neighbor_id
+  JOIN norms na ON na.vec_id = c1.neighbor_id
+  JOIN norms nb ON nb.vec_id = c2.neighbor_id
+),
+selall1 AS MATERIALIZED (
+  SELECT query_id, 1 AS sel_round, neighbor_id, cosine AS score
+  FROM cand WHERE rank = 1
+),
+rem1 AS MATERIALIZED (
+  SELECT query_id, neighbor_id, cosine FROM cand WHERE rank > 1
+)"""
+    parts = [head]
+    for t in range(2, k + 1):
+        parts.append(
+            f""",
+ms{t} AS MATERIALIZED (
+  SELECT r.query_id, r.neighbor_id, max(r.cosine) AS cosine,
+         max(p.sim) AS maxsim
+  FROM rem{t - 1} r
+  JOIN pairsim p ON p.query_id = r.query_id AND p.a = r.neighbor_id
+  JOIN selall{t - 1} s ON s.query_id = r.query_id AND s.neighbor_id = p.b
+  GROUP BY 1, 2
+),
+pick{t} AS MATERIALIZED (
+  SELECT query_id, {t} AS sel_round, neighbor_id, score FROM (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rn
+    FROM (SELECT query_id, neighbor_id,
+                 0.5 * cosine - 0.5 * maxsim AS score FROM ms{t})
+  ) WHERE rn = 1
+),
+selall{t} AS MATERIALIZED (
+  SELECT * FROM selall{t - 1} UNION ALL SELECT * FROM pick{t}
+),
+rem{t} AS MATERIALIZED (
+  SELECT r.query_id, r.neighbor_id, r.cosine FROM rem{t - 1} r
+  LEFT JOIN pick{t} p ON p.query_id = r.query_id
+                     AND p.neighbor_id = r.neighbor_id
+  WHERE p.neighbor_id IS NULL
+)"""
+        )
+    parts.append(
+        f"""
+SELECT query_id, CAST(sel_round AS INT) AS sel_round, neighbor_id,
+       round(score, 4) + 0.0 AS score
+FROM selall{k}"""
+    )
+    return "".join(parts)
+
+
+SQL_MMR = _mmr_oracle_sql(k=4, pool=12, n_queries=4)
+
+QUERIES["mmr"] = q_mmr
+ORACLES["mmr"] = SQL_MMR
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
