@@ -3747,3 +3747,35 @@ def test_mmr_topk_diversifies(spark):
     out = {r.sel_round: r for r in mmr_topk(emb, q, k=2, pool=3).collect()}
     assert out[1].neighbor_id == 1  # most relevant
     assert out[2].neighbor_id == 3  # diversity beats redundancy
+
+
+def test_fellegi_sunter_hand_case(spark):
+    """4 records, one block: u = 1/3 for all three fields, so agreement
+    weight = ln(2.7) and disagreement = ln(0.15); the three observed
+    patterns carry hand-computed scores."""
+    import math
+
+    from tsmp_spark.operators import fellegi_sunter_blocks
+
+    rows = [
+        (1, 0, "A", "x1", 0.0),
+        (2, 0, "A", "y1", 2000.0),
+        (3, 0, "B", "z2", 0.0),
+        (4, 0, "B", "w2", 2000.0),
+    ]
+    cust = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_nationkey int, c_mktsegment string, "
+        "c_name string, c_acctbal double",
+    )
+    out = {
+        (r.g_seg, r.g_digit, r.g_bal): r
+        for r in fellegi_sunter_blocks(cust).collect()
+    }
+    wa, wd = math.log(2.7), math.log(0.15)
+    assert out[(1, 1, 0)].n_pairs == 2
+    assert out[(1, 1, 0)].score == pytest.approx(2 * wa + wd)
+    assert out[(0, 0, 1)].n_pairs == 2
+    assert out[(0, 0, 1)].score == pytest.approx(2 * wd + wa)
+    assert out[(0, 0, 0)].n_pairs == 2
+    assert out[(0, 0, 0)].score == pytest.approx(3 * wd)

@@ -923,3 +923,118 @@ def winnow_overlap_pairs(
         .agg(F.count("*").cast("bigint").alias("shared_fp"))
         .filter(F.col("shared_fp") >= min_shared)
     )
+
+
+def fellegi_sunter_blocks(
+    customers: DataFrame,
+    block_col: str = "c_nationkey",
+    id_col: str = "c_custkey",
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (JASA 1969), the
+    agreement-pattern form: within-block candidate pairs are reduced to
+    their field-agreement bit pattern, and each pattern gets the classic
+    log-likelihood match score Σᵢ ln(mᵢ/uᵢ) / ln((1−mᵢ)/(1−uᵢ)).
+
+    u-probabilities are ESTIMATED EXACTLY from the data as rationals:
+    uᵢ = Σ_v nᵥ(nᵥ−1) / N(N−1) (the chance a random pair agrees on
+    field i); mᵢ is the pinned prior 9/10. Every weight is therefore
+    ln of an exact bigint minus ln of an exact bigint (the
+    lm_perplexity/kn_perplexity ln-of-exact-integers precedent), and
+    the pattern score is the FIXED-ORDER sum w₁+w₂+w₃ — no float
+    aggregation anywhere. Degenerate fields (uᵢ ∈ {0, 1}: all-distinct
+    or constant) contribute weight 0 on both engines instead of ln(0).
+
+    Comparison fields over the TPC-H-ish customer table: market
+    segment, name's last character, and the exact-cent thousand-dollar
+    balance bucket (floor of micro-cents — negative balances floor
+    consistently on both engines).
+
+    Scale: blocking bounds the pair join (never all-pairs); the
+    agreement patterns collapse pairs into ≤ 2³ rows before any float
+    exists; u-stats are three value-bounded groupBys broadcast as one
+    row. Output: (g_seg, g_digit, g_bal ∈ {0,1}, n_pairs, score).
+    """
+    c = customers.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.substring(F.col("c_name"), -1, 1).alias("digit"),
+        F.floor(
+            F.round(F.col("c_acctbal").cast("double") * F.lit(100.0)).cast("bigint")
+            / F.lit(100000.0)
+        )
+        .cast("bigint")
+        .alias("bal"),
+    )
+    n_tot = c.agg(F.count("*").cast("bigint").alias("n"))
+
+    def u_num(col: str, alias: str) -> DataFrame:
+        return (
+            c.groupBy(col)
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .agg(
+                F.coalesce(F.sum(F.col("cnt") * (F.col("cnt") - 1)), F.lit(0))
+                .cast("bigint")
+                .alias(alias)
+            )
+        )
+
+    stats = (
+        n_tot.crossJoin(u_num("seg", "u_seg"))
+        .crossJoin(u_num("digit", "u_digit"))
+        .crossJoin(u_num("bal", "u_bal"))
+        .select(
+            (F.col("n") * (F.col("n") - 1)).cast("bigint").alias("u_den"),
+            "u_seg",
+            "u_digit",
+            "u_bal",
+        )
+    )
+    a = c.select(
+        F.col("id").alias("ida"), "blk",
+        F.col("seg").alias("sega"), F.col("digit").alias("diga"),
+        F.col("bal").alias("bala"),
+    )
+    b = c.select(
+        F.col("id").alias("idb"), "blk",
+        F.col("seg").alias("segb"), F.col("digit").alias("digb"),
+        F.col("bal").alias("balb"),
+    )
+    patterns = (
+        a.join(b, "blk")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            (F.col("sega") == F.col("segb")).cast("int").alias("g_seg"),
+            (F.col("diga") == F.col("digb")).cast("int").alias("g_digit"),
+            (F.col("bala") == F.col("balb")).cast("int").alias("g_bal"),
+        )
+        .groupBy("g_seg", "g_digit", "g_bal")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+    def weight(bit: str, un: str):
+        und = F.col("u_den") - F.col(un)
+        agree = F.log((F.lit(9) * F.col("u_den")).cast("double")) - F.log(
+            (F.lit(10) * F.col(un)).cast("double")
+        )
+        disagree = F.log(F.col("u_den").cast("double")) - F.log(
+            (F.lit(10) * und).cast("double")
+        )
+        return (
+            F.when((F.col(un) == 0) | (und == 0), F.lit(0.0))
+            .when(F.col(bit) == 1, agree)
+            .otherwise(disagree)
+        )
+
+    return patterns.crossJoin(F.broadcast(stats)).select(
+        "g_seg",
+        "g_digit",
+        "g_bal",
+        "n_pairs",
+        (
+            weight("g_seg", "u_seg")
+            + weight("g_digit", "u_digit")
+            + weight("g_bal", "u_bal")
+            + F.lit(0.0)
+        ).alias("score"),
+    )

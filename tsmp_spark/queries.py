@@ -15112,6 +15112,81 @@ QUERIES["mmr"] = q_mmr
 ORACLES["mmr"] = SQL_MMR
 
 
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter agreement-pattern linkage over nation-blocked
+    customer pairs: exact-rational u-probabilities, fixed-order
+    ln-of-bigint score per pattern."""
+    from .operators import fellegi_sunter_blocks
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = fellegi_sunter_blocks(cust)
+    return out.select(
+        "g_seg",
+        "g_digit",
+        "g_bal",
+        "n_pairs",
+        (F.round(F.col("score"), 6) + F.lit(0.0)).alias("score"),
+    )
+
+
+SQL_RECORD_LINKAGE = r"""
+WITH c AS MATERIALIZED (
+  SELECT c_custkey AS id, c_nationkey AS blk, c_mktsegment AS seg,
+         substr(c_name, length(c_name), 1) AS digit,
+         CAST(floor(CAST(round(CAST(c_acctbal AS DOUBLE) * 100.0) AS BIGINT)
+                    / 100000.0) AS BIGINT) AS bal
+  FROM customer
+),
+ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+useg AS (
+  SELECT CAST(COALESCE(sum(cnt * (cnt - 1)), 0) AS BIGINT) AS u_seg
+  FROM (SELECT CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY seg)
+),
+udig AS (
+  SELECT CAST(COALESCE(sum(cnt * (cnt - 1)), 0) AS BIGINT) AS u_digit
+  FROM (SELECT CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY digit)
+),
+ubal AS (
+  SELECT CAST(COALESCE(sum(cnt * (cnt - 1)), 0) AS BIGINT) AS u_bal
+  FROM (SELECT CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY bal)
+),
+stats AS (
+  SELECT CAST(n * (n - 1) AS BIGINT) AS u_den, u_seg, u_digit, u_bal
+  FROM ntot, useg, udig, ubal
+),
+patterns AS (
+  SELECT CAST(a.seg = b.seg AS INT) AS g_seg,
+         CAST(a.digit = b.digit AS INT) AS g_digit,
+         CAST(a.bal = b.bal AS INT) AS g_bal,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+  GROUP BY 1, 2, 3
+)
+SELECT g_seg, g_digit, g_bal, n_pairs,
+       round(
+         (CASE WHEN u_seg = 0 OR u_den - u_seg = 0 THEN 0.0
+               WHEN g_seg = 1
+               THEN ln(CAST(9 * u_den AS DOUBLE)) - ln(CAST(10 * u_seg AS DOUBLE))
+               ELSE ln(CAST(u_den AS DOUBLE))
+                    - ln(CAST(10 * (u_den - u_seg) AS DOUBLE)) END)
+         + (CASE WHEN u_digit = 0 OR u_den - u_digit = 0 THEN 0.0
+               WHEN g_digit = 1
+               THEN ln(CAST(9 * u_den AS DOUBLE)) - ln(CAST(10 * u_digit AS DOUBLE))
+               ELSE ln(CAST(u_den AS DOUBLE))
+                    - ln(CAST(10 * (u_den - u_digit) AS DOUBLE)) END)
+         + (CASE WHEN u_bal = 0 OR u_den - u_bal = 0 THEN 0.0
+               WHEN g_bal = 1
+               THEN ln(CAST(9 * u_den AS DOUBLE)) - ln(CAST(10 * u_bal AS DOUBLE))
+               ELSE ln(CAST(u_den AS DOUBLE))
+                    - ln(CAST(10 * (u_den - u_bal) AS DOUBLE)) END)
+         + 0.0, 6) + 0.0 AS score
+FROM patterns, stats
+"""
+
+QUERIES["record_linkage"] = q_record_linkage
+ORACLES["record_linkage"] = SQL_RECORD_LINKAGE
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
