@@ -3779,3 +3779,27 @@ def test_fellegi_sunter_hand_case(spark):
     assert out[(0, 0, 1)].score == pytest.approx(2 * wd + wa)
     assert out[(0, 0, 0)].n_pairs == 2
     assert out[(0, 0, 0)].score == pytest.approx(3 * wd)
+
+
+def test_lcss_pairs_hand_case(spark):
+    """LCS of [1,2,3,4] vs [2,4,1,3] is 2 ([2,3] or [1,3] or [2,4]);
+    identical docs give lcs = trunc and sim = 1.0."""
+    from tsmp_spark.mpcore.dtw import lcs_length
+    from tsmp_spark.operators import lcss_pairs
+
+    assert lcs_length([1, 2, 3, 4], [2, 4, 1, 3]) == 2
+    assert lcs_length([], [1, 2]) == 0
+    assert lcs_length([5, 5, 5], [5, 5]) == 2
+
+    rows = [
+        ("1", [1, 2, 3, 4], 4, "s"),
+        ("2", [2, 4, 1, 3], 4, "s"),
+        ("3", [1, 2, 3, 4], 4, "s"),
+    ]
+    nested = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    out = {(r.ida, r.idb): r for r in lcss_pairs(nested, trunc=4, k_docs=3).collect()}
+    assert out[(1, 2)].lcs == 2 and out[(1, 2)].sim == 0.5
+    assert out[(1, 3)].lcs == 4 and out[(1, 3)].sim == 1.0
+    assert out[(2, 3)].lcs == 2

@@ -92,3 +92,29 @@ def dtw_banded_ref(a, b, band: int) -> int:
                 best = min(best, dp[i - 1][j - 1])
             dp[i][j] = c + best
     return dp[T - 1][U - 1]
+
+
+def lcs_length(a, b) -> int:
+    """Exact longest-common-subsequence length between two integer token
+    sequences (Wagner & Fischer 1974 DP). All-integer — the strongest
+    cross-engine gate (no rounding convention anywhere); the DuckDB
+    oracle replays the identical recurrence anti-diagonally (invalid
+    cells are 0, which IS the LCS boundary condition, so no sentinel
+    is needed — max semantics make 0 neutral)."""
+    bl = list(b)
+    m = len(bl)
+    prev = [0] * (m + 1)
+    for x in a:
+        cur = [0] * (m + 1)
+        cp = cur  # local alias; inner loop is O(T) ints, T is trunc-bounded
+        pj = prev
+        for j in range(1, m + 1):
+            if x == bl[j - 1]:
+                c = pj[j - 1] + 1
+            else:
+                left = cp[j - 1]
+                up = pj[j]
+                c = left if left >= up else up
+            cp[j] = c
+        prev = cur
+    return int(prev[m])

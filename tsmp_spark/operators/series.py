@@ -441,3 +441,66 @@ def dtw_search(
         .where(F.col("rank") <= topk)
         .select("doc_id", "pos", "lb", "dtw", "rank")
     )
+
+
+def lcss_pairs(
+    nested: DataFrame,
+    trunc: int = 40,
+    k_docs: int = 6,
+) -> DataFrame:
+    """Pairwise longest-common-subsequence similarity over the
+    ``k_docs`` smallest qualifying tokenized docs — the order-preserving
+    companion to dtw_pairs (DTW tolerates warping, LCS tolerates
+    DROPOUT: shared-subsequence length is the natural plagiarism /
+    near-dup re-rank distance over token ids).
+
+    Same contract as dtw_pairs: docs with ``n_tok >= trunc`` qualify,
+    truncated to their first ``trunc`` tokens, so every pair is an
+    equal-length ALL-INTEGER DP — the lcs value is an exact bigint and
+    ``sim = lcs/trunc`` is one IEEE division. k-bounded broadcast
+    fan-in, one map-only Arrow pass (the mpdist_cluster convention);
+    at corpus scale the banded candidate generators prune first and
+    this kernel re-ranks survivors.
+
+    Output: (ida, idb, lcs, sim). Cites reference scope: tsmp ships no
+    token-sequence similarity (SURVEY.md §2 extras).
+    """
+    import pandas as pd
+
+    from ..mpcore.dtw import lcs_length
+
+    k = (
+        nested.filter(F.col("n_tok") >= trunc)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.slice("tokens", 1, trunc).alias("tokens"),
+        )
+        .orderBy("doc_id")
+        .limit(k_docs)
+    )
+    a = k.select(F.col("doc_id").alias("ida"), F.col("tokens").alias("ta"))
+    b = k.select(F.col("doc_id").alias("idb"), F.col("tokens").alias("tb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("ida") < F.col("idb"))
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "ida": pdf["ida"],
+                    "idb": pdf["idb"],
+                    "lcs": [
+                        lcs_length([int(x) for x in ta], [int(x) for x in tb])
+                        for ta, tb in zip(pdf["ta"], pdf["tb"])
+                    ],
+                }
+            )
+
+    out = pairs.mapInPandas(kernel, "ida long, idb long, lcs long")
+    return out.select(
+        "ida",
+        "idb",
+        "lcs",
+        (F.col("lcs").cast("double") / F.lit(float(trunc)) + F.lit(0.0)).alias("sim"),
+    )

@@ -15187,6 +15187,76 @@ QUERIES["record_linkage"] = q_record_linkage
 ORACLES["record_linkage"] = SQL_RECORD_LINKAGE
 
 
+LCSS_T = 40
+
+
+def q_lcss_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise LCS similarity over the 6 smallest qualifying tokenized
+    docs: all-integer DP (exact bigint), sim one IEEE division; the
+    oracle replays the identical recurrence anti-diagonally with the
+    0-boundary (no sentinel — max semantics make 0 neutral)."""
+    from .operators import lcss_pairs
+
+    return lcss_pairs(_tokenized(spark, sf_dir), trunc=LCSS_T, k_docs=6)
+
+
+SQL_LCSS_PAIRS = f"""
+WITH RECURSIVE {{token_series}},
+lens AS (
+  SELECT doc_id FROM s GROUP BY 1 HAVING count(*) >= {LCSS_T}
+),
+ksel AS (
+  SELECT CAST(doc_id AS BIGINT) AS id FROM lens
+  ORDER BY CAST(doc_id AS BIGINT) LIMIT 6
+),
+lists AS (
+  SELECT CAST(s.doc_id AS BIGINT) AS id,
+         list(CAST(value AS BIGINT) ORDER BY pos) AS la
+  FROM s JOIN ksel ON CAST(s.doc_id AS BIGINT) = ksel.id
+  WHERE pos < {LCSS_T} GROUP BY 1
+),
+pairsel AS (
+  SELECT a.id AS ida, b.id AS idb, a.la AS la, b.la AS lb
+  FROM lists a JOIN lists b ON a.id < b.id
+),
+-- anti-diagonal LCS: position i (1-based) on diagonal e holds
+-- dp(i-1, e-(i-1)); out-of-range cells store 0, which IS the LCS
+-- boundary condition (max semantics make 0 neutral, so unlike the DTW
+-- min recurrence no sentinel is needed)
+diag AS (
+  SELECT ida, idb, 0 AS e,
+         list_transform(range(1, {LCSS_T} + 1),
+                        i -> CAST(0 AS BIGINT)) AS prev,
+         list_transform(range(1, {LCSS_T} + 1), i ->
+           CASE WHEN i = 1
+           THEN CAST(CASE WHEN la[1] = lb[1] THEN 1 ELSE 0 END AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END) AS cur,
+         la, lb
+  FROM pairsel
+  UNION ALL
+  SELECT ida, idb, e + 1,
+         cur AS prev,
+         list_transform(range(1, {LCSS_T} + 1), i ->
+           CASE WHEN e + 1 - (i - 1) BETWEEN 0 AND {LCSS_T} - 1
+           THEN greatest(
+                  CASE WHEN i >= 2 THEN cur[i - 1] ELSE CAST(0 AS BIGINT) END,
+                  cur[i],
+                  CASE WHEN i >= 2 THEN prev[i - 1] ELSE CAST(0 AS BIGINT) END
+                    + CAST(CASE WHEN la[i] = lb[e + 1 - (i - 1) + 1]
+                           THEN 1 ELSE 0 END AS BIGINT))
+           ELSE CAST(0 AS BIGINT) END) AS cur,
+         la, lb
+  FROM diag WHERE e < 2 * {LCSS_T} - 2
+)
+SELECT ida, idb, cur[{LCSS_T}] AS lcs,
+       CAST(cur[{LCSS_T}] AS DOUBLE) / CAST({LCSS_T} AS DOUBLE) + 0.0 AS sim
+FROM diag WHERE e = 2 * {LCSS_T} - 2
+""".replace("{token_series}", _SQL_TOKEN_SERIES)
+
+QUERIES["lcss_pairs"] = q_lcss_pairs
+ORACLES["lcss_pairs"] = SQL_LCSS_PAIRS
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
