@@ -3803,3 +3803,24 @@ def test_lcss_pairs_hand_case(spark):
     assert out[(1, 2)].lcs == 2 and out[(1, 2)].sim == 0.5
     assert out[(1, 3)].lcs == 4 and out[(1, 3)].sim == 1.0
     assert out[(2, 3)].lcs == 2
+
+
+def test_rbo_rankings_hand_case(spark):
+    """Cosine order (1,3,2) vs dot order (1,2,3): matched weights are
+    w[1] + 2*w[3] over the exact denominator."""
+    from tsmp_spark.operators import rbo_rankings
+    from tsmp_spark.operators.similarity import RBO_DEN, RBO_WEIGHTS
+
+    rows = [
+        (0, [1.0, 0.0]),     # query
+        (1, [2.0, 0.0]),     # cos 1.0 (tie, id first), dot 2.0
+        (2, [0.9, 0.435]),   # cos ~0.9, dot 0.9
+        (3, [0.5, 0.0]),     # cos 1.0 (tie, id second), dot 0.5
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = rbo_rankings(emb, emb.filter(F.col("vec_id") == 0)).collect()
+    assert len(out) == 1
+    r = out[0]
+    want = RBO_WEIGHTS[0] + 2 * RBO_WEIGHTS[2]
+    assert r.n_common == 3 and r.num_sum == want
+    assert r.rbo == want / RBO_DEN

@@ -1411,3 +1411,90 @@ def mmr_topk(
         if jrdd is not None:
             jrdd.unpersist()
     return result
+
+
+#: RBO@10 prefix-weight table, p = 9/10, as EXACT integers over the
+#: common denominator 10^10 · lcm(1..10): RBO_WEIGHT[m-1] =
+#: Σ_{d=m..10} 9^(d-1) · 10^(10-d) · (2520/d). A matched item whose
+#: worse rank is m contributes to every prefix overlap ov_d with d ≥ m,
+#: so its total exact-integer weight is this partial sum — making the
+#: whole RBO numerator ONE order-free bigint SUM. Shared verbatim with
+#: the SQL oracle (the SAX-breakpoint one-place convention).
+RBO_DEPTH = 10
+RBO_DEN = 10**RBO_DEPTH * 2520
+RBO_WEIGHTS = (
+    5932493265528, 3412493265528, 2278493265528, 1598093265528,
+    1138823265528, 808148865528, 560143065528, 368824305528,
+    218160782028, 97629963228,
+)
+
+
+def rbo_rankings(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rank-Biased Overlap (Webber, Moffat & Zobel TOIS 2010) between two
+    retrieval rankings of the same corpus — the top-weighted agreement
+    metric every retrieval/ANN eval wants: here cosine top-10 vs
+    raw-inner-product top-10 per query (metric disagreement is exactly
+    what RBO measures; swap either side for an ANN ranking to audit
+    recall).
+
+    Exactness: RBO@D = (1−p)·Σ_d p^{d−1}·|A_:d ∩ B_:d|/d with p = 9/10
+    is a RATIONAL with denominator 10^D·lcm(1..D). Each matched item is
+    folded to the integer weight RBO_WEIGHTS[max(rank_A, rank_B)], the
+    numerator is one order-free bigint SUM, and ``rbo`` is ONE IEEE
+    division by the exact constant — no float accumulation, no powers.
+
+    Scale: both rankings ride cosine_topk's broadcast-queries contract;
+    the overlap join is (query, id)-keyed over ≤ D rows per query.
+
+    Output: (query_id, n_common, num_sum, rbo).
+    """
+    a = cosine_topk(embeddings, queries, k=RBO_DEPTH, id_col=id_col, vec_col=vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v_e"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("v_q"),
+    )
+    dots = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("v_q"), F.col("v_e")).alias("dot"),
+        )
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    b = (
+        dots.withColumn("rank_b", F.row_number().over(wb))
+        .filter(F.col("rank_b") <= RBO_DEPTH)
+        .select("query_id", "neighbor_id", "rank_b")
+    )
+    warr = F.array(*[F.lit(int(w)) for w in RBO_WEIGHTS])
+    j = a.select("query_id", "neighbor_id", F.col("rank").alias("rank_a")).join(
+        b, ["query_id", "neighbor_id"]
+    )
+    g = j.select(
+        "query_id",
+        F.element_at(warr, F.greatest("rank_a", "rank_b").cast("int")).alias("w"),
+    ).groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_common"),
+        F.sum("w").cast("bigint").alias("num_sum"),
+    )
+    return g.select(
+        "query_id",
+        "n_common",
+        "num_sum",
+        (
+            F.col("num_sum").cast("double") / F.lit(float(RBO_DEN)) + F.lit(0.0)
+        ).alias("rbo"),
+    )

@@ -15257,6 +15257,83 @@ QUERIES["lcss_pairs"] = q_lcss_pairs
 ORACLES["lcss_pairs"] = SQL_LCSS_PAIRS
 
 
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBO@10 (p=9/10) between cosine top-10 and inner-product top-10
+    per query: matched items fold to exact-integer prefix weights, the
+    numerator is one order-free bigint sum, rbo one IEEE division."""
+    from .operators import rbo_rankings
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return rbo_rankings(emb, queries)
+
+
+def _rbo_weights_sql() -> str:
+    from .operators.similarity import RBO_WEIGHTS
+
+    return "[" + ", ".join(str(w) for w in RBO_WEIGHTS) + "]"
+
+
+SQL_RBO = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS MATERIALIZED (
+  SELECT vec_id, unnest(v) AS x, unnest(generate_series(1, len(v))) AS i
+  FROM e
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+dots AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, sum(q.x * n.x) AS dot
+  FROM ex q JOIN ex n ON q.i = n.i AND q.vec_id < 8 AND q.vec_id != n.vec_id
+  GROUP BY 1, 2
+),
+a AS (
+  SELECT query_id, neighbor_id, rank_a FROM (
+    SELECT d.query_id, d.neighbor_id,
+           row_number() OVER (
+             PARTITION BY d.query_id
+             ORDER BY d.dot / NULLIF(nq.nrm * nn.nrm, 0) DESC,
+                      d.neighbor_id ASC) AS rank_a
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.query_id
+    JOIN norms nn ON nn.vec_id = d.neighbor_id
+    WHERE d.dot / NULLIF(nq.nrm * nn.nrm, 0) IS NOT NULL
+  ) WHERE rank_a <= {{D}}
+),
+b AS (
+  SELECT query_id, neighbor_id, rank_b FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot DESC, neighbor_id ASC) AS rank_b
+    FROM dots
+  ) WHERE rank_b <= {{D}}
+)
+SELECT a.query_id AS query_id,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(sum(({{W}})[greatest(a.rank_a, b.rank_b)]) AS BIGINT) AS num_sum,
+       CAST(sum(({{W}})[greatest(a.rank_a, b.rank_b)]) AS DOUBLE)
+         / CAST({{DEN}} AS DOUBLE) + 0.0 AS rbo
+FROM a JOIN b ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+GROUP BY 1
+"""
+
+
+def _finalize_rbo_sql() -> str:
+    from .operators.similarity import RBO_DEN, RBO_DEPTH
+
+    return (
+        SQL_RBO.replace("{D}", str(RBO_DEPTH))
+        .replace("{W}", _rbo_weights_sql())
+        .replace("{DEN}", str(RBO_DEN))
+    )
+
+
+QUERIES["rbo"] = q_rbo
+ORACLES["rbo"] = _finalize_rbo_sql()
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
