@@ -3824,3 +3824,19 @@ def test_rbo_rankings_hand_case(spark):
     want = RBO_WEIGHTS[0] + 2 * RBO_WEIGHTS[2]
     assert r.n_common == 3 and r.num_sum == want
     assert r.rbo == want / RBO_DEN
+
+
+def test_presence_rollup_hand_case(spark):
+    """Events at minutes 0, 1, 59 of hour 0 and minute 0 of hour 5:
+    tier-1 masks are exact bit patterns; tier-2 (4h) sees hour 0 in
+    coarse bucket 0 bit 0 and hour 5 in coarse bucket 1 bit 1."""
+    from tsmp_spark.operators.sketch import presence_rollup
+
+    secs = [0, 60, 3599, 5 * 3600]
+    ev = spark.createDataFrame([("k", s) for s in secs], "event_type string, sec long")
+    out = {(r.tier, r.bucket): r for r in presence_rollup(ev).collect()}
+    assert out[(1, 0)].mask == (1 << 0) | (1 << 1) | (1 << 59)
+    assert out[(1, 0)].n_active == 3
+    assert out[(1, 5)].mask == 1 and out[(1, 5)].n_active == 1
+    assert out[(2, 0)].mask == 1        # only hour 0 active in hours 0-3
+    assert out[(2, 1)].mask == (1 << 1)  # hour 5 = fine bit 1 of bucket 1

@@ -1773,3 +1773,73 @@ def kmv_difference(
         (F.col("n_a_only").cast("double") * scale).alias("est_a_not_b"),
         (F.col("n_b_only").cast("double") * scale).alias("est_b_not_a"),
     )
+
+
+def presence_rollup(
+    events: DataFrame,
+    bucket_sec: int = 3600,
+    slots: int = 60,
+    factor: int = 4,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """Presence-bitmap continuous aggregate + retention-tier merge — the
+    observability store's uptime primitive (a roaring-bitmap-shaped
+    answer to "WHICH sub-intervals had activity", where hll answers
+    "how many distinct"): tier 1 packs each bucket's ``slots``
+    sub-interval activity flags into ONE bigint mask
+    (``bit_or(1 << slot)``); tier 2 merges ``factor`` fine buckets into
+    a coarse mask whose bit b says "fine bucket b was non-empty" —
+    derived PURELY from tier-1 output, the mergeable-sketch contract
+    (tier-2 never re-reads raw events).
+
+    Everything is integer/bitwise — bit_or is commutative and
+    order-free, so there is NO rounding convention anywhere and the
+    hash gate compares raw bigints.
+
+    Scale: tier 1 is one combinable (key, bucket) groupBy with
+    map-side partial bit_or; tier 2 is a second groupBy over
+    tier-1-bounded rows whose key extends the same hash prefix.
+
+    Output: (key, tier ∈ {1, 2}, bucket, mask, n_active).
+    """
+    if slots > 63 or factor > 63:
+        raise ValueError("presence_rollup: mask bits must fit a bigint")
+    sec = F.col(ts_col).cast("long")
+    slot_w = int(bucket_sec) // int(slots)
+    t1 = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.floor(sec / bucket_sec).cast("long").alias("bucket"),
+            ((sec % bucket_sec) / F.lit(int(slot_w))).cast("int").alias("slot"),
+        )
+        .select(
+            "key",
+            "bucket",
+            F.expr("shiftleft(cast(1 as bigint), slot)").alias("bit"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.bit_or("bit").cast("bigint").alias("mask"))
+    )
+    t2 = (
+        t1.select(
+            "key",
+            F.floor(F.col("bucket") / factor).cast("long").alias("cb"),
+            (F.col("bucket") % factor).cast("int").alias("fb"),
+        )
+        .select(
+            "key", F.col("cb").alias("bucket"),
+            F.expr("shiftleft(cast(1 as bigint), fb)").alias("bit"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.bit_or("bit").cast("bigint").alias("mask"))
+    )
+    out1 = t1.select(
+        "key", F.lit(1).cast("int").alias("tier"), "bucket", "mask",
+        F.bit_count("mask").cast("int").alias("n_active"),
+    )
+    out2 = t2.select(
+        "key", F.lit(2).cast("int").alias("tier"), "bucket", "mask",
+        F.bit_count("mask").cast("int").alias("n_active"),
+    )
+    return out1.unionByName(out2)

@@ -15334,6 +15334,52 @@ QUERIES["rbo"] = q_rbo
 ORACLES["rbo"] = _finalize_rbo_sql()
 
 
+def q_presence_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presence-bitmap continuous aggregate: hourly 60-slot activity
+    masks per event_type (tier 1) merged into 4-hour non-empty-bucket
+    masks (tier 2, derived purely from tier 1) — all bitwise-integer,
+    raw-bigint hash gate."""
+    from .operators.sketch import presence_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    return presence_rollup(
+        ev, bucket_sec=3600, slots=60, factor=4, key_col="event_type"
+    )
+
+
+SQL_PRESENCE_ROLLUP = r"""
+WITH f AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+t1 AS (
+  SELECT key, sec // 3600 AS bucket,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST((sec % 3600) // 60 AS INT))
+              AS BIGINT) AS mask
+  FROM f GROUP BY 1, 2
+),
+t2 AS (
+  SELECT key, bucket // 4 AS bucket,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(bucket % 4 AS INT))
+              AS BIGINT) AS mask
+  FROM t1 GROUP BY 1, 2
+)
+SELECT key, CAST(1 AS INT) AS tier, bucket, mask,
+       CAST(bit_count(mask) AS INT) AS n_active
+FROM t1
+UNION ALL
+SELECT key, CAST(2 AS INT) AS tier, bucket, mask,
+       CAST(bit_count(mask) AS INT) AS n_active
+FROM t2
+"""
+
+QUERIES["presence_rollup"] = q_presence_rollup
+ORACLES["presence_rollup"] = SQL_PRESENCE_ROLLUP
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
