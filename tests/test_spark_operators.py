@@ -3840,3 +3840,42 @@ def test_presence_rollup_hand_case(spark):
     assert out[(1, 5)].mask == 1 and out[(1, 5)].n_active == 1
     assert out[(2, 0)].mask == 1        # only hour 0 active in hours 0-3
     assert out[(2, 1)].mask == (1 << 1)  # hour 5 = fine bit 1 of bucket 1
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from tsmp_spark.operators import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.99, 0.141], 1),   # same label: excluded however similar
+        (2, [0.9, 0.436], 0),    # different label
+        (3, [0.0, 1.0], 0),      # different label, orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = [
+        (r.neighbor_id, r.rank)
+        for r in hard_negatives(emb, emb.filter(F.col("vec_id") == 0), k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert out == [(2, 1), (3, 2)]
+
+
+def test_churn_labels_hand_case(spark):
+    """User active on days 0, 3, 20 with data ending day 20: day 0 not
+    churned (gap 3), day 3 churned (gap 17), day 20 censored -> NULL."""
+    import datetime as dt
+
+    from tsmp_spark.operators.rollup import churn_labels
+
+    base = dt.datetime(2024, 1, 1)
+    days = [0, 3, 20]
+    ev = spark.createDataFrame(
+        [(i, base + dt.timedelta(days=d), 1) for i, d in enumerate(days)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    out = {r.day - 19723: r for r in churn_labels(ev).collect()}
+    d0 = min(out)
+    assert out[d0].churned == 0
+    assert out[d0 + 3].churned == 1
+    assert out[d0 + 20].churned is None

@@ -5400,3 +5400,46 @@ def isotonic_fit(
         .select("key", "bucket", "hr", "v_centi")
     )
     return pts.groupBy("key", "bucket").applyInPandas(kernel, ISO_SCHEMA)
+
+
+def churn_labels(
+    events: DataFrame,
+    day_sec: int = 86400,
+    horizon_days: int = 7,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Churn label generation — the training-data labeling step for
+    retention models: for every (user, active day), ``churned = 1`` iff
+    the user has NO event in the following ``horizon_days`` days. The
+    label of the last observed day is NULL (right-censored: the horizon
+    extends past the observation window, the kaplan_meier convention),
+    EXCEPT when the gap to the global end of data already exceeds the
+    horizon — then the absence is observable and the label is 1.
+
+    All-integer: day buckets, event counts, a single lead() per user,
+    and the global max day broadcast as a 1-row scalar.
+
+    Scale: one combinable (key, day) groupBy; the lead window hashes on
+    key (extends the groupBy's prefix — exchange reuse); the scalar max
+    is a broadcast nested-loop of one row.
+    """
+    d = F.floor(F.unix_timestamp(F.col(ts_col)).cast("long") / day_sec).cast("long")
+    daily = (
+        events.select(F.col(key_col).alias("key"), d.alias("day"))
+        .groupBy("key", "day")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    gmax = daily.agg(F.max("day").alias("gmax"))
+    w = Window.partitionBy("key").orderBy("day")
+    lead_day = F.lead("day", 1).over(w)
+    out = daily.withColumn("next_day", lead_day).crossJoin(F.broadcast(gmax))
+    churn = (
+        F.when(
+            F.col("next_day").isNotNull(),
+            (F.col("next_day") - F.col("day") > horizon_days).cast("int"),
+        )
+        .when(F.col("gmax") - F.col("day") > horizon_days, F.lit(1))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    return out.select("key", "day", "n_events", churn.alias("churned"))

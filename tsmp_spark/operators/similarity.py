@@ -1498,3 +1498,55 @@ def rbo_rankings(
             F.col("num_sum").cast("double") / F.lit(float(RBO_DEN)) + F.lit(0.0)
         ).alias("rbo"),
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training (the
+    ANCE/DPR recipe: the best negatives are the most-similar items of a
+    DIFFERENT class): per query, the top-k most cosine-similar vectors
+    whose label differs from the query's.
+
+    Same exactness and scale contract as cosine_topk — carried norms
+    below the broadcast join, one WindowGroupLimit top-k, ties on
+    smaller neighbor id. Output: (query_id, neighbor_id, rank, cosine).
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("lbl_e"),
+        F.col(vec_col).cast("array<double>").alias("v_e"),
+    ).withColumn("n_e", _norm(F.col("v_e")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("lbl_q"),
+        F.col(vec_col).cast("array<double>").alias("v_q"),
+    ).withColumn("n_q", _norm(F.col("v_q")))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("lbl_e") != F.col("lbl_q"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_carried(
+                F.col("v_q"), F.col("v_e"), F.col("n_q"), F.col("n_e")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

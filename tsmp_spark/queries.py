@@ -15380,6 +15380,96 @@ QUERIES["presence_rollup"] = q_presence_rollup
 ORACLES["presence_rollup"] = SQL_PRESENCE_ROLLUP
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: top-3 most-similar DIFFERENT-label vectors
+    per query (the contrastive-training negatives recipe) — carried-norm
+    cosines, deterministic tie-break."""
+    from .operators import hard_negatives
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 16)
+    out = hard_negatives(emb, queries, k=3)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        (F.round(F.col("cosine"), 4) + F.lit(0.0)).alias("cosine"),
+    )
+
+
+SQL_HARD_NEGATIVES = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(v) AS x, unnest(generate_series(1, len(v))) AS i
+  FROM e
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, sum(q.x * n.x) AS dot
+  FROM ex q JOIN ex n ON q.i = n.i AND q.vec_id < 16 AND q.vec_id != n.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         d.dot / NULLIF(nq.nrm * nn.nrm, 0) AS cosine
+  FROM dots d
+  JOIN e eq ON eq.vec_id = d.query_id
+  JOIN e en ON en.vec_id = d.neighbor_id
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nn ON nn.vec_id = d.neighbor_id
+  WHERE eq.label != en.label
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored WHERE cosine IS NOT NULL
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 4) + 0.0 AS cosine
+FROM ranked WHERE rank <= 3
+"""
+
+QUERIES["hard_negatives"] = q_hard_negatives
+ORACLES["hard_negatives"] = SQL_HARD_NEGATIVES
+
+
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn label generation for retention-model training: per active
+    (user, day), 1 iff no event in the next 7 days; right-censored tail
+    days are NULL unless the observable gap already proves churn."""
+    from .operators.rollup import churn_labels
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return churn_labels(ev, horizon_days=7)
+
+
+SQL_CHURN_LABELS = r"""
+WITH daily AS (
+  SELECT user_id AS key,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+g AS (SELECT max(day) AS gmax FROM daily),
+led AS (
+  SELECT key, day, n_events,
+         lead(day, 1) OVER (PARTITION BY key ORDER BY day) AS next_day
+  FROM daily
+)
+SELECT key, day, n_events,
+       CASE WHEN next_day IS NOT NULL THEN CAST(next_day - day > 7 AS INT)
+            WHEN gmax - day > 7 THEN 1
+            ELSE CAST(NULL AS INT) END AS churned
+FROM led, g
+"""
+
+QUERIES["churn_labels"] = q_churn_labels
+ORACLES["churn_labels"] = SQL_CHURN_LABELS
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
