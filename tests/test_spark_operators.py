@@ -3879,3 +3879,21 @@ def test_churn_labels_hand_case(spark):
     assert out[d0].churned == 0
     assert out[d0 + 3].churned == 1
     assert out[d0 + 20].churned is None
+
+
+def test_cdc_chunks_boundary_shift_locality(spark):
+    """Two docs sharing a long tail but differing at the head still share
+    the tail chunks (boundaries move WITH content): every chunk of the
+    common suffix that starts after both docs' heads appears with
+    n_docs == 2."""
+    from tsmp_spark.operators import cdc_chunks
+
+    tail = " ".join(f"w{i}" for i in range(120))
+    rows = [(1, "alpha beta " + tail), (2, "gamma " + tail)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cdc_chunks(docs, w=3, modulus=8).collect()
+    # fixed-size chunking would share nothing (offsets differ by 1 word);
+    # CDC must recover shared chunks from the 120-word common tail
+    shared = [r for r in out if r.n_docs == 2]
+    assert len(shared) >= 3
+    assert all(r.n_occ >= 2 for r in out)

@@ -18,6 +18,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from .cache import pin
 
@@ -1037,4 +1038,88 @@ def fellegi_sunter_blocks(
             + weight("g_bal", "u_bal")
             + F.lit(0.0)
         ).alias("score"),
+    )
+
+
+def cdc_chunks(
+    documents: DataFrame,
+    w: int = 3,
+    modulus: int = 16,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking dedup (Muthitacharoen et al. SOSP 2001
+    LBFS; the Rabin-boundary idea behind FastCDC/restic/borg): a chunk
+    boundary falls AFTER word i wherever the rolling ``w``-gram hash ≡ 0
+    (mod ``modulus``) — so chunk boundaries move WITH the content, and
+    an insertion early in a document re-chunks only its own
+    neighborhood instead of shifting every downstream fixed-size chunk.
+    The pure content-defined rule (no min/max chunk clamp) keeps the
+    chunk id a relational exclusive-cumsum — no recursion, no state.
+
+    Expected chunk length is ``modulus`` words; hashes are the portable
+    salted-md5 family (_h64), reproducible verbatim in the oracle.
+    Output: duplicated chunks across the corpus — (chunk_hash, n_occ,
+    n_docs, n_words) for chunks seen ≥ ``min_occurrences`` times.
+
+    Scale: ONE doc-keyed exchange serves the gram window, the boundary
+    cumsum, and the per-chunk groupBy (each extends the same hash
+    prefix); the global chunk-hash groupBy is the only data-sized
+    shuffle and is map-side combinable. All-integer decisions.
+    """
+    words = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "pos", "word"
+        ),
+    ).filter(F.col("word") != "")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.when(
+        F.col("pos") >= w - 1,
+        F.concat_ws(
+            " ", *[F.lag("word", w - 1 - j).over(wd) for j in range(w - 1)], F.col("word")
+        ),
+    )
+    b = words.select(
+        "doc_id",
+        "pos",
+        "word",
+        F.when(
+            (F.col("pos") >= w - 1)
+            & (F.pmod(_h64(F.concat(F.lit("cdc:"), gram), 0), F.lit(int(modulus))) == 0),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("boundary"),
+    )
+    wexcl = wd.rowsBetween(Window.unboundedPreceding, -1)
+    cid = b.select(
+        "doc_id",
+        "pos",
+        "word",
+        F.coalesce(F.sum("boundary").over(wexcl), F.lit(0))
+        .cast("bigint")
+        .alias("chunk_idx"),
+    )
+    chunks = cid.groupBy("doc_id", "chunk_idx").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            )
+        ).alias("chunk_hash"),
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occ"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.max("n_words").cast("bigint").alias("n_words"),
+        )
+        .filter(F.col("n_occ") >= min_occurrences)
     )

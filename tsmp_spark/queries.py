@@ -15470,6 +15470,64 @@ QUERIES["churn_labels"] = q_churn_labels
 ORACLES["churn_labels"] = SQL_CHURN_LABELS
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup: Rabin-style word-3-gram
+    boundaries (hash % 16 == 0), duplicated chunks across the corpus —
+    boundaries move with content, all-integer decisions."""
+    from .operators import cdc_chunks
+
+    return cdc_chunks(_documents(spark, sf_dir), w=3, modulus=16)
+
+
+SQL_CDC_CHUNKS = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+wl AS (SELECT doc_id, string_split(t, ' ') AS words FROM norm),
+wx AS (
+  SELECT doc_id, i - 1 AS pos, words[i] AS word
+  FROM wl, unnest(generate_series(1, len(words))) AS g(i)
+  WHERE words[i] <> ''
+),
+grams AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN pos >= 2 THEN
+           lag(word, 2) OVER win || ' ' || lag(word, 1) OVER win || ' ' || word
+         END AS gram
+  FROM wx WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+b AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN pos >= 2 AND
+              CAST(('0x' || substr(md5('s0:cdc:' || gram), 1, 8)) AS BIGINT)
+                % 16 = 0
+         THEN 1 ELSE 0 END AS boundary
+  FROM grams
+),
+cid AS (
+  SELECT doc_id, pos, word,
+         CAST(COALESCE(sum(boundary) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS chunk_idx
+  FROM b
+),
+chunks AS (
+  SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_words,
+         md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+  FROM cid GROUP BY 1, 2
+)
+SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(max(n_words) AS BIGINT) AS n_words
+FROM chunks GROUP BY 1 HAVING count(*) >= 2
+"""
+
+QUERIES["cdc_chunks"] = q_cdc_chunks
+ORACLES["cdc_chunks"] = SQL_CDC_CHUNKS
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
