@@ -3897,3 +3897,16 @@ def test_cdc_chunks_boundary_shift_locality(spark):
     shared = [r for r in out if r.n_docs == 2]
     assert len(shared) >= 3
     assert all(r.n_occ >= 2 for r in out)
+
+
+def test_freq_of_freqs_hand_case(spark):
+    """Tokens with counts {a:1, b:1, c:2, d:3}: N_1=2, N_2=1, N_3=1;
+    c*(1) = 2*1/2 = 1.0, c*(2) = 3*1/1 = 3.0, c*(3) NULL."""
+    from tsmp_spark.operators import freq_of_freqs
+
+    rows = [("1", [10, 11, 12, 12, 13, 13, 13])]
+    seq = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = {r.c: r for r in freq_of_freqs(seq).collect()}
+    assert out[1].n_types == 2 and out[1].c_star == 1.0
+    assert out[2].n_types == 1 and out[2].c_star == 3.0
+    assert out[3].n_types == 1 and out[3].c_star is None

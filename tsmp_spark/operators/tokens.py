@@ -1611,3 +1611,41 @@ def wordpiece_encode(
         )
         .where(F.col("rank") <= int(top_k))
     )
+
+
+def freq_of_freqs(sequences: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Good–Turing frequency-of-frequencies table (Good 1953; the
+    smoothing diagnostic behind Kneser–Ney's discounts and the
+    vocabulary-saturation check of a training corpus): N_c = how many
+    token TYPES occur exactly c times, plus the Good–Turing adjusted
+    count c* = (c+1)·N_{c+1}/N_c (NULL where N_{c+1} is absent — the
+    unsmoothed-estimator gap the technique exists to highlight).
+
+    All-integer until the single IEEE division per row; hapax count is
+    the c = 1 row. Scale: one token-count groupBy (vocab-bounded
+    output), one count-of-counts groupBy (≤ max-count rows), one
+    self-join on c+1 over that tiny table.
+
+    Output: (c, n_types, c_star).
+    """
+    counts = (
+        sequences.select(F.explode(F.col(tokens_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    nof = counts.groupBy("c").agg(F.count("*").cast("bigint").alias("n_types"))
+    nxt = nof.select(
+        (F.col("c") - 1).alias("c"), F.col("n_types").alias("n_next")
+    )
+    return (
+        nof.join(nxt, "c", "left")
+        .select(
+            "c",
+            "n_types",
+            (
+                ((F.col("c") + 1) * F.col("n_next")).cast("double")
+                / F.col("n_types").cast("double")
+                + F.lit(0.0)
+            ).alias("c_star"),
+        )
+    )

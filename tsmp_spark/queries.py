@@ -15528,6 +15528,34 @@ QUERIES["cdc_chunks"] = q_cdc_chunks
 ORACLES["cdc_chunks"] = SQL_CDC_CHUNKS
 
 
+def q_freq_of_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies over the tokenized corpus:
+    N_c type counts plus the adjusted count (c+1)N_{c+1}/N_c — the
+    KN-discount diagnostic, hapax row at c=1."""
+    from .operators import freq_of_freqs
+
+    return freq_of_freqs(_tokenized(spark, sf_dir))
+
+
+SQL_FREQ_OF_FREQS = f"""
+WITH {_SQL_TOKEN_SERIES},
+counts AS (
+  SELECT CAST(value AS BIGINT) AS token, CAST(count(*) AS BIGINT) AS c
+  FROM s GROUP BY 1
+),
+nof AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS n_types FROM counts GROUP BY 1
+)
+SELECT a.c AS c, a.n_types AS n_types,
+       CAST((a.c + 1) * b.n_types AS DOUBLE) / CAST(a.n_types AS DOUBLE)
+         + 0.0 AS c_star
+FROM nof a LEFT JOIN nof b ON b.c = a.c + 1
+"""
+
+QUERIES["freq_of_freqs"] = q_freq_of_freqs
+ORACLES["freq_of_freqs"] = SQL_FREQ_OF_FREQS
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
