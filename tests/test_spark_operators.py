@@ -3910,3 +3910,24 @@ def test_freq_of_freqs_hand_case(spark):
     assert out[1].n_types == 2 and out[1].c_star == 1.0
     assert out[2].n_types == 1 and out[2].c_star == 3.0
     assert out[3].n_types == 1 and out[3].c_star is None
+
+
+def test_minhash_accuracy_audit_hand_case(spark):
+    """Identical docs: all 8 minhashes agree, exact Jaccard 1.0, error 0.
+    Disjoint docs: 0 matches, exact 0, error 0."""
+    from tsmp_spark.operators import minhash_accuracy_audit
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely different words appear in this other document here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_a, r.doc_b): r for r in minhash_accuracy_audit(docs).collect()}
+    same = out[(0, 1)]
+    assert same.est_matches == 8 and same.est_jaccard == 1.0
+    assert same.inter == same.uni and same.exact_jaccard == 1.0
+    assert same.abs_err == 0.0
+    disj = out[(0, 2)]
+    assert disj.inter == 0 and disj.exact_jaccard == 0.0
+    assert disj.est_matches == 0 and disj.abs_err == 0.0

@@ -1123,3 +1123,102 @@ def cdc_chunks(
         )
         .filter(F.col("n_occ") >= min_occurrences)
     )
+
+
+def minhash_accuracy_audit(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    max_doc_id: int = 12,
+) -> DataFrame:
+    """Sketch-accuracy audit: estimated MinHash Jaccard vs EXACT shingle
+    Jaccard, per pair, with the error carried as exact integers — the
+    "measure, don't model" evidence for the dedup family's sketch (the
+    est/exact gap is a binomial(num_hashes, J) sample; this operator
+    makes that error observable instead of assumed).
+
+    Contract: the doc set is id-bounded (``doc_id < max_doc_id``, the
+    dtw_pairs k-bounded convention) because exact Jaccard needs the
+    all-pairs shingle join the sketch exists to avoid — the audit runs
+    on a slice, the sketch runs on the corpus.
+
+    Exactness: est_matches, intersection and union sizes are exact
+    bigints; est_jaccard = est/num_hashes is a DYADIC division (exact
+    for power-of-two num_hashes); exact_jaccard and abs_err are single
+    IEEE divisions of exact bigint products — |est·union − H·inter| /
+    (H·union) — nothing float-accumulates.
+
+    Output: (doc_a, doc_b, est_matches, inter, uni, est_jaccard,
+    exact_jaccard, abs_err).
+    """
+    docs = documents.filter(F.col(id_col).cast("bigint") < max_doc_id)
+    sh = shingle_table(docs, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
+    sig = minhash_signatures(docs, text_col, id_col, n, num_hashes)
+    a = sig.join(sizes, "doc_id").select(
+        F.col("doc_id").cast("bigint").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = sig.join(sizes, "doc_id").select(
+        F.col("doc_id").cast("bigint").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("doc_a") < F.col("doc_b"))
+    est = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("bigint")
+    sha = sh.select(F.col("doc_id").cast("bigint").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").cast("bigint").alias("doc_b"), "shingle")
+    inter = (
+        sha.join(shb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    out = (
+        pairs.select("doc_a", "doc_b", est.alias("est_matches"), "sz_a", "sz_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_matches",
+            F.coalesce(F.col("inter"), F.lit(0)).cast("bigint").alias("inter"),
+            (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0)))
+            .cast("bigint")
+            .alias("uni"),
+        )
+    )
+    h = F.lit(int(num_hashes))
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "est_matches",
+        "inter",
+        "uni",
+        (
+            F.col("est_matches").cast("double") / F.lit(float(num_hashes))
+            + F.lit(0.0)
+        ).alias("est_jaccard"),
+        (
+            F.col("inter").cast("double")
+            / F.nullif(F.col("uni").cast("double"), F.lit(0.0))
+            + F.lit(0.0)
+        ).alias("exact_jaccard"),
+        (
+            F.abs(F.col("est_matches") * F.col("uni") - h * F.col("inter")).cast(
+                "double"
+            )
+            / F.nullif((h * F.col("uni")).cast("double"), F.lit(0.0))
+            + F.lit(0.0)
+        ).alias("abs_err"),
+    )

@@ -15556,6 +15556,61 @@ QUERIES["freq_of_freqs"] = q_freq_of_freqs
 ORACLES["freq_of_freqs"] = SQL_FREQ_OF_FREQS
 
 
+def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: MinHash estimated Jaccard vs exact shingle
+    Jaccard on the id-bounded doc slice — error carried as exact
+    integer cross-products, measured not modeled."""
+    from .operators import minhash_accuracy_audit
+
+    return minhash_accuracy_audit(
+        _documents(spark, sf_dir), n=3, num_hashes=8, max_doc_id=12
+    )
+
+
+SQL_MINHASH_AUDIT = f"""
+WITH {_sql_minhash(8)},
+est AS (
+  SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+         CAST(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+              AS BIGINT) AS est_matches
+  FROM minhash a JOIN minhash b ON a.hash_idx = b.hash_idx
+   AND CAST(a.doc_id AS BIGINT) < CAST(b.doc_id AS BIGINT)
+  WHERE CAST(a.doc_id AS BIGINT) < 12 AND CAST(b.doc_id AS BIGINT) < 12
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, CAST(count(*) AS BIGINT) AS sz
+  FROM shingles WHERE CAST(doc_id AS BIGINT) < 12 GROUP BY 1
+),
+inter AS (
+  SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+   AND CAST(a.doc_id AS BIGINT) < CAST(b.doc_id AS BIGINT)
+  WHERE CAST(a.doc_id AS BIGINT) < 12 AND CAST(b.doc_id AS BIGINT) < 12
+  GROUP BY 1, 2
+)
+SELECT e.doc_a AS doc_a, e.doc_b AS doc_b, e.est_matches AS est_matches,
+       CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+       CAST(sa.sz + sb.sz - COALESCE(i.inter, 0) AS BIGINT) AS uni,
+       CAST(e.est_matches AS DOUBLE) / 8.0 + 0.0 AS est_jaccard,
+       CAST(COALESCE(i.inter, 0) AS DOUBLE)
+         / NULLIF(CAST(sa.sz + sb.sz - COALESCE(i.inter, 0) AS DOUBLE), 0.0)
+         + 0.0 AS exact_jaccard,
+       CAST(abs(e.est_matches * (sa.sz + sb.sz - COALESCE(i.inter, 0))
+                - 8 * COALESCE(i.inter, 0)) AS DOUBLE)
+         / NULLIF(CAST(8 * (sa.sz + sb.sz - COALESCE(i.inter, 0)) AS DOUBLE),
+                  0.0) + 0.0 AS abs_err
+FROM est e
+JOIN sizes sa ON sa.id = e.doc_a
+JOIN sizes sb ON sb.id = e.doc_b
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+"""
+
+QUERIES["minhash_audit"] = q_minhash_audit
+ORACLES["minhash_audit"] = SQL_MINHASH_AUDIT
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
