@@ -3931,3 +3931,37 @@ def test_minhash_accuracy_audit_hand_case(spark):
     disj = out[(0, 2)]
     assert disj.inter == 0 and disj.exact_jaccard == 0.0
     assert disj.est_matches == 0 and disj.abs_err == 0.0
+
+
+def test_presence_stream_equals_batch_any_order(spark):
+    """Scrambled micro-batch order through the stateful fold equals the
+    batch tier-1 mask (bit_or commutes + idempotent) — exercised via the
+    state function directly with out-of-order and duplicate slots."""
+    import pandas as pd
+
+    from tsmp_spark.streaming.sketch import _presence_func
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState()
+    batches = [
+        pd.DataFrame({"slot": [59, 0]}),
+        pd.DataFrame({"slot": [0, 7]}),  # duplicate slot 0: idempotent
+    ]
+    rows = []
+    for b in batches:
+        rows = list(_presence_func(("k", 5), iter([b]), st))
+    out = rows[-1].iloc[0]
+    assert out["mask"] == (1 << 59) | (1 << 0) | (1 << 7)
+    assert out["n_active"] == 3 and out["n_seen"] == 4

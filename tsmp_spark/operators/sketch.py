@@ -1775,6 +1775,25 @@ def kmv_difference(
     )
 
 
+def presence_slot_rows(
+    events: DataFrame,
+    bucket_sec: int,
+    slots: int,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """(key, bucket, slot) — the JVM-side front end shared by batch
+    :func:`presence_rollup` and ``streaming.presence_stream`` (both
+    consume IDENTICAL expressions, so stream==batch is exact)."""
+    sec = F.col(ts_col).cast("long")
+    slot_w = int(bucket_sec) // int(slots)
+    return events.select(
+        F.col(key_col).alias("key"),
+        F.floor(sec / bucket_sec).cast("long").alias("bucket"),
+        ((sec % bucket_sec) / F.lit(int(slot_w))).cast("int").alias("slot"),
+    )
+
+
 def presence_rollup(
     events: DataFrame,
     bucket_sec: int = 3600,
@@ -1805,14 +1824,8 @@ def presence_rollup(
     """
     if slots > 63 or factor > 63:
         raise ValueError("presence_rollup: mask bits must fit a bigint")
-    sec = F.col(ts_col).cast("long")
-    slot_w = int(bucket_sec) // int(slots)
     t1 = (
-        events.select(
-            F.col(key_col).alias("key"),
-            F.floor(sec / bucket_sec).cast("long").alias("bucket"),
-            ((sec % bucket_sec) / F.lit(int(slot_w))).cast("int").alias("slot"),
-        )
+        presence_slot_rows(events, bucket_sec, slots, key_col, ts_col)
         .select(
             "key",
             "bucket",

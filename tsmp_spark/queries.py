@@ -15611,6 +15611,64 @@ QUERIES["minhash_audit"] = q_minhash_audit
 ORACLES["minhash_audit"] = SQL_MINHASH_AUDIT
 
 
+def q_presence_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming presence bitmap maintained by an actual Structured
+    Streaming query: events replayed through a file stream, final mask
+    snapshot per (event_type, hour). bit_or commutes and is idempotent,
+    so the final snapshot must equal the BATCH tier-1 mask — gated by
+    the same SQL as presence_rollup's tier 1."""
+    import uuid
+
+    from .streaming.sketch import presence_stream
+
+    name = "presence_sink_" + uuid.uuid4().hex[:8]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props map<string,string>"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_type", F.unix_timestamp("ts").alias("sec"))
+    )
+    out = presence_stream(stream, bucket_sec=3600, slots=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""
+        SELECT key, bucket, mask, n_active FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY key, bucket ORDER BY n_seen DESC) AS rn
+          FROM {name}) WHERE rn = 1
+        """
+    )
+
+
+SQL_PRESENCE_STREAM = r"""
+SELECT event_type AS key,
+       epochsec // 3600 AS bucket,
+       CAST(bit_or(CAST(1 AS BIGINT) << CAST((epochsec % 3600) // 60 AS INT))
+            AS BIGINT) AS mask,
+       CAST(bit_count(bit_or(CAST(1 AS BIGINT)
+                             << CAST((epochsec % 3600) // 60 AS INT)))
+            AS INT) AS n_active
+FROM (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS epochsec
+      FROM events)
+GROUP BY 1, 2
+"""
+
+QUERIES["presence_stream"] = q_presence_stream
+ORACLES["presence_stream"] = SQL_PRESENCE_STREAM
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #

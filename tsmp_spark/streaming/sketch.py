@@ -478,3 +478,66 @@ def dgim_stream(event_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PRESENCE_OUTPUT_SCHEMA = "key string, bucket long, n_seen long, mask long, n_active int"
+PRESENCE_STATE_SCHEMA = "mask long, n_seen long"
+
+
+def _presence_func(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-(key, bucket) presence fold: ONE bigint mask. bit_or is
+    commutative and idempotent — stream == batch for ANY arrival order
+    AND under at-least-once replay (the strongest of the fold
+    guarantees: even duplicate deliveries cannot change the mask)."""
+    if state.exists:
+        mask, n_seen = state.get
+    else:
+        mask, n_seen = 0, 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        for s in pdf["slot"].to_numpy():
+            mask |= 1 << int(s)
+        n_seen += len(pdf)
+    state.update((mask, n_seen))
+    k, bucket = key
+    yield pd.DataFrame(
+        [
+            {
+                "key": str(k),
+                "bucket": int(bucket),
+                "n_seen": int(n_seen),
+                "mask": int(mask),
+                "n_active": int(bin(mask).count("1")),
+            }
+        ]
+    )
+
+
+def presence_stream(
+    event_stream: DataFrame,
+    bucket_sec: int = 3600,
+    slots: int = 60,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """Streaming counterpart of ``operators.sketch.presence_rollup``
+    tier 1: the presence bitmap maintained incrementally per (key,
+    bucket). One snapshot row per micro-batch; the LAST snapshot equals
+    the batch mask exactly for any arrival order (bit_or commutes and
+    is idempotent). State = one bigint + a count per open (key, bucket)
+    — 16 bytes, the smallest state in the streaming family. Slot
+    derivation is JVM-side and SHARED with batch
+    (``presence_slot_rows``)."""
+    from ..operators.sketch import presence_slot_rows
+
+    rows = presence_slot_rows(event_stream, bucket_sec, slots, key_col, ts_col)
+    return rows.groupBy("key", "bucket").applyInPandasWithState(
+        _presence_func,
+        outputStructType=PRESENCE_OUTPUT_SCHEMA,
+        stateStructType=PRESENCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
