@@ -3965,3 +3965,44 @@ def test_presence_stream_equals_batch_any_order(spark):
     out = rows[-1].iloc[0]
     assert out["mask"] == (1 << 59) | (1 << 0) | (1 << 7)
     assert out["n_active"] == 3 and out["n_seen"] == 4
+
+
+def test_apdex_hand_case(spark):
+    """Values 10, 60, 150, 300 vs T=50: 1 satisfied, 2 tolerating (60,
+    150 <= 200), 1 frustrated -> apdex = (2*1+2)/8 = 0.5."""
+    import datetime as dt
+
+    from tsmp_spark.operators.rollup import apdex_scores
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 60.0, 150.0, 300.0]
+    ev = spark.createDataFrame(
+        [(i, base, "k", v) for i, v in enumerate(vals)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    out = apdex_scores(ev, threshold_centi=5000).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n, r.satisfied, r.tolerating) == (4, 1, 2)
+    assert r.apdex == 0.5
+
+
+def test_mi_contingency_hand_case(spark):
+    """Perfectly dependent layout (type A only hour 0, B only hour 1,
+    equal counts): every observed cell has pmi = ln(2)."""
+    import datetime as dt
+    import math
+
+    from tsmp_spark.operators.rollup import mi_contingency
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(4):
+        rows.append((i, base, "A"))
+        rows.append((100 + i, base + dt.timedelta(hours=1), "B"))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = mi_contingency(ev).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.c == 4 and r.c_key == 4 and r.c_hour == 4 and r.n_total == 8
+        assert r.pmi == pytest.approx(math.log(2))

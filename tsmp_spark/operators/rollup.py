@@ -5443,3 +5443,102 @@ def churn_labels(
         .otherwise(F.lit(None).cast("int"))
     )
     return out.select("key", "day", "n_events", churn.alias("churned"))
+
+
+def apdex_scores(
+    events: DataFrame,
+    threshold_centi: int = 5000,
+    bucket_sec: int = 21600,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Apdex application-performance index (Apdex Alliance spec): per
+    (key, bucket), satisfied = value ≤ T, tolerating = T < value ≤ 4T,
+    ``apdex = (satisfied + tolerating/2) / n``. The half-weight is
+    folded into integers — ``(2·sat + tol) / (2n)`` — so the score is
+    ONE IEEE division of exact bigints; values compare in exact centi
+    units (the house micro-unit convention, no float threshold ever
+    meets a row).
+
+    Scale: one combinable groupBy, map-side everything.
+    Output: (key, bucket, n, satisfied, tolerating, apdex).
+    """
+    vu = F.round(F.col(value_col).cast("double") * F.lit(100.0)).cast("bigint")
+    b = F.floor(F.unix_timestamp(F.col(ts_col)).cast("long") / bucket_sec).cast(
+        "long"
+    )
+    t = F.lit(int(threshold_centi))
+    rows = events.where(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+    ).select(
+        F.col(key_col).alias("key"),
+        b.alias("bucket"),
+        (vu <= t).cast("bigint").alias("sat"),
+        ((vu > t) & (vu <= 4 * t)).cast("bigint").alias("tol"),
+    )
+    g = rows.groupBy("key", "bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("sat").cast("bigint").alias("satisfied"),
+        F.sum("tol").cast("bigint").alias("tolerating"),
+    )
+    return g.select(
+        "key",
+        "bucket",
+        "n",
+        "satisfied",
+        "tolerating",
+        (
+            (F.lit(2) * F.col("satisfied") + F.col("tolerating")).cast("double")
+            / (F.lit(2) * F.col("n")).cast("double")
+            + F.lit(0.0)
+        ).alias("apdex"),
+    )
+
+
+def mi_contingency(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Pointwise mutual information contingency table between event type
+    and hour-of-day — "which event types are time-of-day dependent",
+    the categorical-association sibling of token_pmi. Emitted PER CELL
+    (count + pmi), never summed: the total MI would be an unordered
+    float sum, but each cell's ``pmi = ln(c·N) − ln(c_key·c_hour)`` is
+    a FIXED-ORDER difference of ln-of-exact-bigints (the kn_perplexity
+    convention), so every output value is bit-stable.
+
+    Scale: one (key, hour) groupBy (≤ |types|·24 cells), two margin
+    groupBys over the cell table, one broadcast scalar.
+    Output: (key, hour, c, c_key, c_hour, n_total, pmi).
+    """
+    hour = (
+        F.floor(F.unix_timestamp(F.col(ts_col)).cast("long") / 3600) % 24
+    ).cast("int")
+    cells = (
+        events.select(F.col(key_col).alias("key"), hour.alias("hour"))
+        .groupBy("key", "hour")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    mk = cells.groupBy("key").agg(F.sum("c").cast("bigint").alias("c_key"))
+    mh = cells.groupBy("hour").agg(F.sum("c").cast("bigint").alias("c_hour"))
+    nt = cells.agg(F.sum("c").cast("bigint").alias("n_total"))
+    return (
+        cells.join(mk, "key")
+        .join(F.broadcast(mh), "hour")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "key",
+            "hour",
+            "c",
+            "c_key",
+            "c_hour",
+            "n_total",
+            (
+                F.log((F.col("c") * F.col("n_total")).cast("double"))
+                - F.log((F.col("c_key") * F.col("c_hour")).cast("double"))
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+    )

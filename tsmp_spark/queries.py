@@ -15669,6 +15669,78 @@ QUERIES["presence_stream"] = q_presence_stream
 ORACLES["presence_stream"] = SQL_PRESENCE_STREAM
 
 
+def q_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex per (event_type, 6h bucket): exact centi-unit satisfaction
+    tiers, half-weight folded into (2*sat + tol)/(2n) — one division of
+    exact bigints."""
+    from .operators.rollup import apdex_scores
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return apdex_scores(ev, threshold_centi=5000, bucket_sec=21600)
+
+
+SQL_APDEX = r"""
+WITH rowsx AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts) / 21600) AS BIGINT) AS bucket,
+         CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS vu
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+),
+g AS (
+  SELECT key, bucket, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN vu <= 5000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS satisfied,
+         CAST(sum(CASE WHEN vu > 5000 AND vu <= 20000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tolerating
+  FROM rowsx GROUP BY 1, 2
+)
+SELECT key, bucket, n, satisfied, tolerating,
+       CAST(2 * satisfied + tolerating AS DOUBLE) / CAST(2 * n AS DOUBLE)
+         + 0.0 AS apdex
+FROM g
+"""
+
+QUERIES["apdex"] = q_apdex
+ORACLES["apdex"] = SQL_APDEX
+
+
+def q_mi_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell PMI between event type and hour-of-day: every value a
+    fixed-order difference of ln-of-exact-bigints — no float sum ever."""
+    from .operators.rollup import mi_contingency
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = mi_contingency(ev)
+    # ln differs by 1 ulp between JVM Math.log and libm on some exact-
+    # bigint arguments (measured: one cell in 120 at sf0.01) — r6-round
+    # the ln difference for the hash gate, the kn_perplexity convention.
+    return out.withColumn("pmi", F.round(F.col("pmi"), 6) + F.lit(0.0))
+
+
+SQL_MI_CONTINGENCY = r"""
+WITH cells AS (
+  SELECT event_type AS key,
+         CAST((CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24) AS INT) AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+mk AS (SELECT key, CAST(sum(c) AS BIGINT) AS c_key FROM cells GROUP BY 1),
+mh AS (SELECT hour, CAST(sum(c) AS BIGINT) AS c_hour FROM cells GROUP BY 1),
+nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cells)
+SELECT cells.key AS key, cells.hour AS hour, c, c_key, c_hour, n_total,
+       round(ln(CAST(c * n_total AS DOUBLE))
+             - ln(CAST(c_key * c_hour AS DOUBLE)) + 0.0, 6) + 0.0 AS pmi
+FROM cells
+JOIN mk ON mk.key = cells.key
+JOIN mh ON mh.hour = cells.hour
+CROSS JOIN nt
+"""
+
+QUERIES["mi_contingency"] = q_mi_contingency
+ORACLES["mi_contingency"] = SQL_MI_CONTINGENCY
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
