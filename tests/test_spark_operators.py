@@ -4006,3 +4006,23 @@ def test_mi_contingency_hand_case(spark):
     for r in out:
         assert r.c == 4 and r.c_key == 4 and r.c_hour == 4 and r.n_total == 8
         assert r.pmi == pytest.approx(math.log(2))
+
+
+def test_hdr_accuracy_audit_bound(spark):
+    """HDR's exponential buckets guarantee ~3% relative value error
+    (5-bit mantissa): the audited realized error must respect it, and
+    the exact percentiles must be true nearest-rank values."""
+    from tsmp_spark.operators.sketch import hdr_accuracy_audit
+
+    vals = [float(v) for v in range(1, 101)]  # 1..100
+    ev = spark.createDataFrame(
+        [(i, "k", 0, v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, sec long, value double",
+    )
+    out = hdr_accuracy_audit(ev, bucket_sec=86400).collect()
+    assert len(out) == 1
+    r = out[0]
+    # nearest-rank over 100 values: ranks 50/90/99 -> values 50/90/99
+    assert r.p50_c == 5000 and r.p90_c == 9000 and r.p99_c == 9900
+    for rel in (r.rel50, r.rel90, r.rel99):
+        assert rel is not None and rel <= 0.04

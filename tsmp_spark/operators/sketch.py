@@ -1856,3 +1856,85 @@ def presence_rollup(
         F.bit_count("mask").cast("int").alias("n_active"),
     )
     return out1.unionByName(out2)
+
+
+def hdr_accuracy_audit(
+    events: DataFrame,
+    bucket_sec: int = 86400,
+    key_col: str = "event_type",
+    ts_col: str = "sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sketch-accuracy audit for the HDR quantile sketch: the sketch's
+    p50/p90/p99 estimates vs the EXACT nearest-rank centi-unit
+    percentiles, with per-quantile relative error — the
+    "measure, don't model" evidence for the tiered quantile store (HDR
+    guarantees bounded RELATIVE value error by construction; this makes
+    the realized error a gated number instead of a cited one).
+
+    Exactness: exact percentiles are centi-unit BIGINTs at the same
+    integer ranks the sketch reader uses ((n+1) div 2, …); estimates
+    come from the identical hdr_quantiles chain; each relative error is
+    a fixed-shape expression |est − exact| / |exact| over those — no
+    accumulation, no rounding convention.
+
+    Scale contract: exact percentiles need the bucket's raw values in a
+    task (the rollup_percentiles caveat) — the audit runs on the
+    bucket grid, the sketch runs everywhere.
+
+    Output: (key, bucket, n, p50_c, p50_est, rel50, p90_c, p90_est,
+    rel90, p99_c, p99_est, rel99).
+    """
+    from pyspark.sql.window import Window
+
+    est = hdr_quantiles(events, bucket_sec, key_col, ts_col, value_col)
+    rows = events.select(
+        F.col(key_col).alias("key"),
+        F.floor(F.col(ts_col).cast("long") / bucket_sec).cast("long").alias("bucket"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("cu"),
+    )
+    w = Window.partitionBy("key", "bucket").orderBy("cu")
+    wall = Window.partitionBy("key", "bucket")
+    r = rows.select(
+        "key",
+        "bucket",
+        "cu",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wall).alias("nn"),
+    )
+    exact = r.groupBy("key", "bucket").agg(
+        F.min(F.when(F.col("rn") == F.expr("(nn + 1) div 2"), F.col("cu")))
+        .cast("bigint")
+        .alias("p50_c"),
+        F.min(F.when(F.col("rn") == F.expr("(nn * 9 + 9) div 10"), F.col("cu")))
+        .cast("bigint")
+        .alias("p90_c"),
+        F.min(F.when(F.col("rn") == F.expr("(nn * 99 + 99) div 100"), F.col("cu")))
+        .cast("bigint")
+        .alias("p99_c"),
+    )
+
+    def rel(est_col: str, exact_col: str):
+        ev = F.col(exact_col).cast("double") / F.lit(100.0)
+        return (
+            F.abs(F.col(est_col) - ev) / F.nullif(F.abs(ev), F.lit(0.0))
+            + F.lit(0.0)
+        )
+
+    return (
+        est.join(exact, ["key", "bucket"])
+        .select(
+            "key",
+            "bucket",
+            "n",
+            "p50_c",
+            "p50_est",
+            rel("p50_est", "p50_c").alias("rel50"),
+            "p90_c",
+            "p90_est",
+            rel("p90_est", "p90_c").alias("rel90"),
+            "p99_c",
+            "p99_est",
+            rel("p99_est", "p99_c").alias("rel99"),
+        )
+    )

@@ -15741,6 +15741,66 @@ QUERIES["mi_contingency"] = q_mi_contingency
 ORACLES["mi_contingency"] = SQL_MI_CONTINGENCY
 
 
+def q_hdr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR sketch-accuracy audit: estimated vs exact nearest-rank centi
+    percentiles per (event_type, day), realized relative error gated."""
+    from .operators.sketch import hdr_accuracy_audit
+
+    return hdr_accuracy_audit(_q_hdr_events(spark, sf_dir), 86400)
+
+
+SQL_HDR_AUDIT = (
+    "WITH "
+    + _SQL_HDR_BASE.format(bucket_sec=86400)
+    + f""",
+cum AS (
+  SELECT key, bucket, idx,
+         sum(cnt) OVER (PARTITION BY key, bucket ORDER BY idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY key, bucket) AS n
+  FROM g
+), picks AS (
+  SELECT key, bucket, CAST(max(n) AS BIGINT) AS n,
+         min(CASE WHEN cum >= (n + 1) // 2 THEN idx END) AS i50,
+         min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN idx END) AS i90,
+         min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN idx END) AS i99
+  FROM cum GROUP BY 1, 2
+), ests AS (
+  SELECT key, bucket, n, {_sql_hdr_est('i50')} AS p50_est,
+         {_sql_hdr_est('i90')} AS p90_est, {_sql_hdr_est('i99')} AS p99_est
+  FROM picks
+), r AS (
+  SELECT key, bucket, cu,
+         row_number() OVER (PARTITION BY key, bucket ORDER BY cu) AS rn,
+         count(*) OVER (PARTITION BY key, bucket) AS nn
+  FROM ev
+), exact AS (
+  SELECT key, bucket,
+         CAST(min(CASE WHEN rn = (nn + 1) // 2 THEN cu END) AS BIGINT)
+           AS p50_c,
+         CAST(min(CASE WHEN rn = (nn * 9 + 9) // 10 THEN cu END) AS BIGINT)
+           AS p90_c,
+         CAST(min(CASE WHEN rn = (nn * 99 + 99) // 100 THEN cu END) AS BIGINT)
+           AS p99_c
+  FROM r GROUP BY 1, 2
+)
+SELECT e.key AS key, e.bucket AS bucket, e.n AS n,
+       x.p50_c AS p50_c, e.p50_est AS p50_est,
+       abs(e.p50_est - CAST(x.p50_c AS DOUBLE) / 100.0)
+         / NULLIF(abs(CAST(x.p50_c AS DOUBLE) / 100.0), 0.0) + 0.0 AS rel50,
+       x.p90_c AS p90_c, e.p90_est AS p90_est,
+       abs(e.p90_est - CAST(x.p90_c AS DOUBLE) / 100.0)
+         / NULLIF(abs(CAST(x.p90_c AS DOUBLE) / 100.0), 0.0) + 0.0 AS rel90,
+       x.p99_c AS p99_c, e.p99_est AS p99_est,
+       abs(e.p99_est - CAST(x.p99_c AS DOUBLE) / 100.0)
+         / NULLIF(abs(CAST(x.p99_c AS DOUBLE) / 100.0), 0.0) + 0.0 AS rel99
+FROM ests e JOIN exact x ON x.key = e.key AND x.bucket = e.bucket"""
+)
+
+QUERIES["hdr_audit"] = q_hdr_audit
+ORACLES["hdr_audit"] = SQL_HDR_AUDIT
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
