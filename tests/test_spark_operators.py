@@ -4026,3 +4026,27 @@ def test_hdr_accuracy_audit_bound(spark):
     assert r.p50_c == 5000 and r.p90_c == 9000 and r.p99_c == 9900
     for rel in (r.rel50, r.rel90, r.rel99):
         assert rel is not None and rel <= 0.04
+
+
+def test_ndcg_hand_case(spark):
+    """Query with 2 relevant docs in the corpus: retrieved ranks put one
+    relevant at rank 1 and one at rank 3 -> DCG = w1 + w3,
+    IDCG = w1 + w2, nDCG computed from the exact integer table."""
+    from tsmp_spark.operators import ndcg_at_k
+    from tsmp_spark.operators.similarity import NDCG_PREFIX, NDCG_W
+
+    rows = [
+        (0, [1.0, 0.0], 1),      # query, label 1
+        (1, [0.99, 0.141], 1),   # relevant, rank 1 (closest)
+        (2, [0.9, 0.436], 0),    # irrelevant, rank 2
+        (3, [0.8, 0.6], 1),      # relevant, rank 3
+        (4, [0.0, 1.0], 0),      # irrelevant, rank 4
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = ndcg_at_k(emb, emb.filter(F.col("vec_id") == 0)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_retrieved == 4 and r.n_relevant_at_k == 2
+    assert r.dcg_num == NDCG_W[0] + NDCG_W[2]
+    assert r.idcg_num == NDCG_PREFIX[1]
+    assert r.ndcg == (NDCG_W[0] + NDCG_W[2]) / NDCG_PREFIX[1]

@@ -1550,3 +1550,98 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+#: nDCG@10 discount weights 1/log2(d+1) scaled to EXACT integers
+#: (round(10^12/log2(d+1))) and their prefix sums — the RBO_WEIGHTS
+#: convention: DCG and ideal-DCG become order-free bigint sums and nDCG
+#: ONE IEEE division. Shared verbatim with the SQL oracle.
+NDCG_DEPTH = 10
+NDCG_W = (
+    1000000000000, 630929753571, 500000000000, 430676558073, 386852807235,
+    356207187108, 333333333333, 315464876786, 301029995664, 289064826318,
+)
+NDCG_PREFIX = (
+    1000000000000, 1630929753571, 2130929753571, 2561606311644,
+    2948459118879, 3304666305987, 3637999639320, 3953464516106,
+    4254494511770, 4543559338088,
+)
+
+
+def ndcg_at_k(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """nDCG@10 of the exact cosine ranking against binary relevance
+    (neighbor shares the query's label) — the standard graded retrieval
+    metric, here with the discount table as EXACT integers so DCG is an
+    order-free bigint sum and nDCG is ONE division (the RBO weight
+    trick; no float ever accumulates).
+
+    Ideal DCG uses R = min(10, #same-label items − 1) top slots filled
+    — the textbook normalization. Queries with R = 0 emit NULL ndcg.
+
+    Scale: rides cosine_topk's broadcast-queries contract; the label
+    census is one combinable groupBy broadcast back.
+
+    Output: (query_id, n_retrieved, n_relevant_at_k, dcg_num, idcg_num,
+    ndcg).
+    """
+    ranked = cosine_topk(
+        embeddings, queries, k=NDCG_DEPTH, id_col=id_col, vec_col=vec_col
+    )
+    lbl = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("lbl_n")
+    )
+    qlbl = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("lbl_q")
+    )
+    census = embeddings.groupBy(F.col(label_col).alias("lbl_q")).agg(
+        F.count("*").cast("bigint").alias("n_label")
+    )
+    warr = F.array(*[F.lit(int(w)) for w in NDCG_W])
+    parr = F.array(*[F.lit(int(p)) for p in NDCG_PREFIX])
+    j = (
+        ranked.join(F.broadcast(qlbl), "query_id")
+        .join(lbl, "neighbor_id")
+        .select(
+            "query_id",
+            "lbl_q",
+            (F.col("lbl_n") == F.col("lbl_q")).cast("bigint").alias("rel"),
+            F.element_at(warr, F.col("rank").cast("int")).alias("w"),
+        )
+    )
+    g = j.groupBy("query_id", "lbl_q").agg(
+        F.count("*").cast("bigint").alias("n_retrieved"),
+        F.sum("rel").cast("bigint").alias("n_relevant_at_k"),
+        F.sum(F.col("rel") * F.col("w")).cast("bigint").alias("dcg_num"),
+    )
+    out = g.join(F.broadcast(census), "lbl_q").select(
+        "query_id",
+        "n_retrieved",
+        "n_relevant_at_k",
+        "dcg_num",
+        F.when(
+            F.least(F.col("n_label") - 1, F.lit(NDCG_DEPTH)) > 0,
+            F.element_at(
+                parr, F.least(F.col("n_label") - 1, F.lit(NDCG_DEPTH)).cast("int")
+            ),
+        )
+        .cast("bigint")
+        .alias("idcg_num"),
+    )
+    return out.select(
+        "query_id",
+        "n_retrieved",
+        "n_relevant_at_k",
+        "dcg_num",
+        "idcg_num",
+        (
+            F.col("dcg_num").cast("double")
+            / F.nullif(F.col("idcg_num").cast("double"), F.lit(0.0))
+            + F.lit(0.0)
+        ).alias("ndcg"),
+    )

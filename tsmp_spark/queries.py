@@ -15801,6 +15801,87 @@ QUERIES["hdr_audit"] = q_hdr_audit
 ORACLES["hdr_audit"] = SQL_HDR_AUDIT
 
 
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the exact cosine ranking against same-label binary
+    relevance: integer discount weights make DCG/IDCG order-free bigint
+    sums, nDCG one IEEE division."""
+    from .operators import ndcg_at_k
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 16)
+    return ndcg_at_k(emb, queries)
+
+
+def _ndcg_consts_sql() -> tuple[str, str]:
+    from .operators.similarity import NDCG_PREFIX, NDCG_W
+
+    return (
+        "[" + ", ".join(str(w) for w in NDCG_W) + "]",
+        "[" + ", ".join(str(p) for p in NDCG_PREFIX) + "]",
+    )
+
+
+def _finalize_ndcg_sql() -> str:
+    w, p = _ndcg_consts_sql()
+    return """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS MATERIALIZED (
+  SELECT vec_id, unnest(v) AS x, unnest(generate_series(1, len(v))) AS i
+  FROM e
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, sum(q.x * n.x) AS dot
+  FROM ex q JOIN ex n ON q.i = n.i AND q.vec_id < 16 AND q.vec_id != n.vec_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT d.query_id, d.neighbor_id,
+           row_number() OVER (
+             PARTITION BY d.query_id
+             ORDER BY d.dot / NULLIF(nq.nrm * nn.nrm, 0) DESC,
+                      d.neighbor_id ASC) AS rank
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.query_id
+    JOIN norms nn ON nn.vec_id = d.neighbor_id
+    WHERE d.dot / NULLIF(nq.nrm * nn.nrm, 0) IS NOT NULL
+  ) WHERE rank <= 10
+),
+census AS (SELECT label AS lbl_q, CAST(count(*) AS BIGINT) AS n_label
+           FROM embeddings GROUP BY 1),
+g AS (
+  SELECT r.query_id, eq.label AS lbl_q,
+         CAST(count(*) AS BIGINT) AS n_retrieved,
+         CAST(sum(CASE WHEN en.label = eq.label THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_relevant_at_k,
+         CAST(sum(CASE WHEN en.label = eq.label
+                  THEN ({W})[CAST(r.rank AS INT)] ELSE 0 END)
+              AS BIGINT) AS dcg_num
+  FROM ranked r
+  JOIN e eq ON eq.vec_id = r.query_id
+  JOIN e en ON en.vec_id = r.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT g.query_id AS query_id, n_retrieved, n_relevant_at_k, dcg_num,
+       CAST(CASE WHEN least(c.n_label - 1, 10) > 0
+            THEN ({P})[CAST(least(c.n_label - 1, 10) AS INT)] END
+            AS BIGINT) AS idcg_num,
+       CAST(dcg_num AS DOUBLE)
+         / NULLIF(CAST(CASE WHEN least(c.n_label - 1, 10) > 0
+                       THEN ({P})[CAST(least(c.n_label - 1, 10) AS INT)] END
+                       AS DOUBLE), 0.0) + 0.0 AS ndcg
+FROM g JOIN census c ON c.lbl_q = g.lbl_q
+""".replace("{W}", w).replace("{P}", p)
+
+
+QUERIES["ndcg"] = q_ndcg
+ORACLES["ndcg"] = _finalize_ndcg_sql()
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
