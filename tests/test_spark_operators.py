@@ -4050,3 +4050,23 @@ def test_ndcg_hand_case(spark):
     assert r.dcg_num == NDCG_W[0] + NDCG_W[2]
     assert r.idcg_num == NDCG_PREFIX[1]
     assert r.ndcg == (NDCG_W[0] + NDCG_W[2]) / NDCG_PREFIX[1]
+
+
+def test_retrieval_metrics_hand_case(spark):
+    """Same layout as the nDCG hand case: first relevant at rank 1,
+    2 of 2 relevant retrieved -> rr 1.0, p@10 0.2, recall 1.0."""
+    from tsmp_spark.operators import retrieval_metrics
+
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.99, 0.141], 1),
+        (2, [0.9, 0.436], 0),
+        (3, [0.8, 0.6], 1),
+        (4, [0.0, 1.0], 0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = retrieval_metrics(emb, emb.filter(F.col("vec_id") == 0)).collect()
+    r = out[0]
+    assert r.first_rel_rank == 1 and r.rr == 1.0
+    assert r.n_relevant_at_k == 2 and r.n_relevant == 2
+    assert r.precision_at_k == 0.2 and r.recall_at_k == 1.0

@@ -1645,3 +1645,70 @@ def ndcg_at_k(
             + F.lit(0.0)
         ).alias("ndcg"),
     )
+
+
+def retrieval_metrics(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reciprocal rank + precision@10 + recall@10 of the exact cosine
+    ranking under same-label binary relevance — the metric triple every
+    retrieval eval reports beside nDCG. All counts are exact integers;
+    rr, precision and recall are each ONE IEEE division (emitted PER
+    QUERY — averaging is the reader's unordered float sum to make, not
+    the gate's).
+
+    Output: (query_id, first_rel_rank, rr, n_relevant_at_k, n_relevant,
+    precision_at_k, recall_at_k).
+    """
+    ranked = cosine_topk(
+        embeddings, queries, k=NDCG_DEPTH, id_col=id_col, vec_col=vec_col
+    )
+    lbl = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("lbl_n")
+    )
+    qlbl = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("lbl_q")
+    )
+    census = embeddings.groupBy(F.col(label_col).alias("lbl_q")).agg(
+        F.count("*").cast("bigint").alias("n_label")
+    )
+    j = (
+        ranked.join(F.broadcast(qlbl), "query_id")
+        .join(lbl, "neighbor_id")
+        .select(
+            "query_id",
+            "lbl_q",
+            "rank",
+            (F.col("lbl_n") == F.col("lbl_q")).cast("bigint").alias("rel"),
+        )
+    )
+    g = j.groupBy("query_id", "lbl_q").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rank")))
+        .cast("bigint")
+        .alias("first_rel_rank"),
+        F.sum("rel").cast("bigint").alias("n_relevant_at_k"),
+    )
+    out = g.join(F.broadcast(census), "lbl_q")
+    n_rel = (F.col("n_label") - 1).cast("bigint")
+    return out.select(
+        "query_id",
+        "first_rel_rank",
+        (
+            F.lit(1.0) / F.col("first_rel_rank").cast("double") + F.lit(0.0)
+        ).alias("rr"),
+        "n_relevant_at_k",
+        n_rel.alias("n_relevant"),
+        (
+            F.col("n_relevant_at_k").cast("double") / F.lit(float(NDCG_DEPTH))
+            + F.lit(0.0)
+        ).alias("precision_at_k"),
+        (
+            F.col("n_relevant_at_k").cast("double")
+            / F.nullif(n_rel.cast("double"), F.lit(0.0))
+            + F.lit(0.0)
+        ).alias("recall_at_k"),
+    )

@@ -15882,6 +15882,71 @@ QUERIES["ndcg"] = q_ndcg
 ORACLES["ndcg"] = _finalize_ndcg_sql()
 
 
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR / precision@10 / recall@10 per query under same-label binary
+    relevance — exact integer counts, one division per metric."""
+    from .operators import retrieval_metrics
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 16)
+    return retrieval_metrics(emb, queries)
+
+
+SQL_RETRIEVAL_METRICS = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS MATERIALIZED (
+  SELECT vec_id, unnest(v) AS x, unnest(generate_series(1, len(v))) AS i
+  FROM e
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, sum(q.x * n.x) AS dot
+  FROM ex q JOIN ex n ON q.i = n.i AND q.vec_id < 16 AND q.vec_id != n.vec_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT d.query_id, d.neighbor_id,
+           row_number() OVER (
+             PARTITION BY d.query_id
+             ORDER BY d.dot / NULLIF(nq.nrm * nn.nrm, 0) DESC,
+                      d.neighbor_id ASC) AS rank
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.query_id
+    JOIN norms nn ON nn.vec_id = d.neighbor_id
+    WHERE d.dot / NULLIF(nq.nrm * nn.nrm, 0) IS NOT NULL
+  ) WHERE rank <= 10
+),
+census AS (SELECT label AS lbl_q, CAST(count(*) AS BIGINT) AS n_label
+           FROM embeddings GROUP BY 1),
+g AS (
+  SELECT r.query_id, eq.label AS lbl_q,
+         CAST(min(CASE WHEN en.label = eq.label THEN r.rank END) AS BIGINT)
+           AS first_rel_rank,
+         CAST(sum(CASE WHEN en.label = eq.label THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_relevant_at_k
+  FROM ranked r
+  JOIN e eq ON eq.vec_id = r.query_id
+  JOIN e en ON en.vec_id = r.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT g.query_id AS query_id, first_rel_rank,
+       1.0 / CAST(first_rel_rank AS DOUBLE) + 0.0 AS rr,
+       n_relevant_at_k,
+       CAST(c.n_label - 1 AS BIGINT) AS n_relevant,
+       CAST(n_relevant_at_k AS DOUBLE) / 10.0 + 0.0 AS precision_at_k,
+       CAST(n_relevant_at_k AS DOUBLE)
+         / NULLIF(CAST(c.n_label - 1 AS DOUBLE), 0.0) + 0.0 AS recall_at_k
+FROM g JOIN census c ON c.lbl_q = g.lbl_q
+"""
+
+QUERIES["retrieval_metrics"] = q_retrieval_metrics
+ORACLES["retrieval_metrics"] = SQL_RETRIEVAL_METRICS
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
