@@ -4070,3 +4070,22 @@ def test_retrieval_metrics_hand_case(spark):
     assert r.first_rel_rank == 1 and r.rr == 1.0
     assert r.n_relevant_at_k == 2 and r.n_relevant == 2
     assert r.precision_at_k == 0.2 and r.recall_at_k == 1.0
+
+
+def test_order_integrity_hand_case(spark):
+    """Ids in perfect ts order -> footrule 0; ids fully reversed vs ts
+    -> footrule = floor(n^2/2) -> disorder exactly 1.0."""
+    import datetime as dt
+
+    from tsmp_spark.operators.rollup import order_integrity_audit
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(5):  # ordered key
+        rows.append((i, base + dt.timedelta(seconds=i), "ord"))
+    for i in range(5):  # reversed key: later ids have earlier ts
+        rows.append((100 + i, base + dt.timedelta(seconds=100 - i), "rev"))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r.key: r for r in order_integrity_audit(ev).collect()}
+    assert out["ord"].footrule == 0 and out["ord"].disorder == 0.0
+    assert out["rev"].footrule == 12 and out["rev"].disorder == 1.0

@@ -5542,3 +5542,56 @@ def mi_contingency(
             ).alias("pmi"),
         )
     )
+
+
+def order_integrity_audit(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Arrival-order integrity audit: how far the ingest order (event
+    id) deviates from event-time order, per key, as the Spearman
+    footrule Σ|rank_ts − rank_id| — the lakehouse "do I need to re-sort
+    before time-window compaction" number (0 = perfectly ordered
+    ingest; 1 = fully reversed).
+
+    Both ranks are row_numbers under TOTAL orders ((ts, id) and (id))
+    — the house tie rule — so the footrule is an exact bigint;
+    ``disorder = footrule / floor(n²/2)`` (the footrule maximum) is ONE
+    IEEE division; keys with n < 2 emit NULL.
+
+    Scale: both rank windows and the final groupBy hash on the key —
+    one exchange, two sorts.
+
+    Output: (key, n, footrule, disorder).
+    """
+    wt = Window.partitionBy("key").orderBy("ts", "id")
+    wi = Window.partitionBy("key").orderBy("id")
+    rows = events.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("id"),
+    ).select(
+        "key",
+        (F.row_number().over(wt) - F.row_number().over(wi))
+        .cast("bigint")
+        .alias("d"),
+    )
+    g = rows.groupBy("key").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.abs(F.col("d"))).cast("bigint").alias("footrule"),
+    )
+    maxf = F.expr("(n * n) div 2").cast("bigint")
+    return g.select(
+        "key",
+        "n",
+        "footrule",
+        (
+            F.col("footrule").cast("double")
+            / F.nullif(
+                F.when(F.col("n") >= 2, maxf).cast("double"), F.lit(0.0)
+            )
+            + F.lit(0.0)
+        ).alias("disorder"),
+    )

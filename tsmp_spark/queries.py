@@ -15947,6 +15947,41 @@ QUERIES["retrieval_metrics"] = q_retrieval_metrics
 ORACLES["retrieval_metrics"] = SQL_RETRIEVAL_METRICS
 
 
+def q_order_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-vs-event-time order audit per event_type: exact-integer
+    Spearman footrule between the (ts,id) and (id) total orders,
+    normalized by its floor(n^2/2) maximum."""
+    from .operators.rollup import order_integrity_audit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return order_integrity_audit(ev)
+
+
+SQL_ORDER_INTEGRITY = r"""
+WITH r AS (
+  SELECT event_type AS key,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id)
+              - row_number() OVER (PARTITION BY event_type
+                                   ORDER BY event_id) AS BIGINT) AS d
+  FROM events
+),
+g AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(abs(d)) AS BIGINT) AS footrule
+  FROM r GROUP BY 1
+)
+SELECT key, n, footrule,
+       CAST(footrule AS DOUBLE)
+         / NULLIF(CAST(CASE WHEN n >= 2 THEN (n * n) // 2 END AS DOUBLE), 0.0)
+         + 0.0 AS disorder
+FROM g
+"""
+
+QUERIES["order_integrity"] = q_order_integrity
+ORACLES["order_integrity"] = SQL_ORDER_INTEGRITY
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
