@@ -4089,3 +4089,16 @@ def test_order_integrity_hand_case(spark):
     out = {r.key: r for r in order_integrity_audit(ev).collect()}
     assert out["ord"].footrule == 0 and out["ord"].disorder == 0.0
     assert out["rev"].footrule == 12 and out["rev"].disorder == 1.0
+
+
+def test_snapshot_diff_hand_case(spark):
+    from tsmp_spark.operators.rollup import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, 10, "A"), (2, 20, "B"), (3, 30, "C")], "k long, v long, s string"
+    )
+    b = spark.createDataFrame(
+        [(1, 10, "A"), (2, 21, "B"), (4, 40, "D")], "k long, v long, s string"
+    )
+    out = {r.key: r.op for r in snapshot_diff(a, b, "k", ("v", "s")).collect()}
+    assert out == {2: "update", 3: "delete", 4: "insert"}

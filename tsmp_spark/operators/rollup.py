@@ -5595,3 +5595,48 @@ def order_integrity_audit(
             + F.lit(0.0)
         ).alias("disorder"),
     )
+
+
+def snapshot_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    compare_cols: tuple[str, ...],
+) -> DataFrame:
+    """Table-version diff — the Iceberg/Delta ``table_changes`` /
+    snapshot-compare primitive: classify every key as INSERT (only in
+    the new version), DELETE (only in the old), or UPDATE (present in
+    both with any compared column differing, NULL-safely). Unchanged
+    keys are dropped — the output is the changeset, not the table.
+
+    Column comparison is null-safe equality on the raw values (never a
+    hash of stringified doubles — double→string formatting differs
+    across engines, values don't). Integer/string/exact-unit columns
+    compare exactly; op is a pure integer decision.
+
+    Scale: ONE full-outer hash join on the key; both sides shuffle
+    once, the changeset is usually a small fraction of either.
+
+    Output: (key, op ∈ {'insert','delete','update'}).
+    """
+    ka = a.select(
+        F.col(key_col).alias("key"),
+        *[F.col(c).alias(f"a_{c}") for c in compare_cols],
+        F.lit(1).alias("_ina"),
+    )
+    kb = b.select(
+        F.col(key_col).alias("key"),
+        *[F.col(c).alias(f"b_{c}") for c in compare_cols],
+        F.lit(1).alias("_inb"),
+    )
+    j = ka.join(kb, "key", "full_outer")
+    changed = None
+    for c in compare_cols:
+        neq = ~F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))
+        changed = neq if changed is None else (changed | neq)
+    op = (
+        F.when(F.col("_ina").isNull(), F.lit("insert"))
+        .when(F.col("_inb").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return j.select("key", op.alias("op")).filter(F.col("op").isNotNull())

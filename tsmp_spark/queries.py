@@ -15982,6 +15982,71 @@ QUERIES["order_integrity"] = q_order_integrity
 ORACLES["order_integrity"] = SQL_ORDER_INTEGRITY
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between orders and a deterministically-mutated next
+    version (every 7th key's price bumped one cent, every 11th deleted,
+    every 13th mirrored as a new negative key): null-safe raw-value
+    comparison, pure integer op decisions."""
+    from .operators.rollup import snapshot_diff
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("double") * F.lit(100.0))
+        .cast("bigint")
+        .alias("price_c"),
+        "o_orderstatus",
+    )
+    b = a.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("price_c") + 1
+        ).otherwise(F.col("price_c")).alias("price_c"),
+        "o_orderstatus",
+    )
+    inserts = a.filter(F.col("o_orderkey") % 13 == 0).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"), "price_c", "o_orderstatus"
+    )
+    b = b.unionByName(inserts)
+    return snapshot_diff(
+        a, b, "o_orderkey", ("price_c", "o_orderstatus")
+    ).select(F.col("key").cast("bigint").alias("key"), "op")
+
+
+SQL_SNAPSHOT_DIFF = r"""
+WITH a AS (
+  SELECT o_orderkey AS key,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS price_c,
+         o_orderstatus AS st
+  FROM orders
+),
+b AS (
+  SELECT key,
+         CASE WHEN key % 7 = 0 THEN price_c + 1 ELSE price_c END AS price_c,
+         st
+  FROM a WHERE key % 11 != 0
+  UNION ALL
+  SELECT -key AS key, price_c, st FROM a WHERE key % 13 = 0
+)
+SELECT COALESCE(a.key, b.key) AS key,
+       CASE WHEN a.key IS NULL THEN 'insert'
+            WHEN b.key IS NULL THEN 'delete'
+            WHEN NOT (a.price_c IS NOT DISTINCT FROM b.price_c)
+              OR NOT (a.st IS NOT DISTINCT FROM b.st) THEN 'update'
+       END AS op
+FROM a FULL OUTER JOIN b ON b.key = a.key
+WHERE (CASE WHEN a.key IS NULL THEN 'insert'
+            WHEN b.key IS NULL THEN 'delete'
+            WHEN NOT (a.price_c IS NOT DISTINCT FROM b.price_c)
+              OR NOT (a.st IS NOT DISTINCT FROM b.st) THEN 'update'
+       END) IS NOT NULL
+"""
+
+QUERIES["snapshot_diff"] = q_snapshot_diff
+ORACLES["snapshot_diff"] = SQL_SNAPSHOT_DIFF
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
