@@ -4102,3 +4102,22 @@ def test_snapshot_diff_hand_case(spark):
     )
     out = {r.key: r.op for r in snapshot_diff(a, b, "k", ("v", "s")).collect()}
     assert out == {2: "update", 3: "delete", 4: "insert"}
+
+
+def test_watermark_audit_hand_case(spark):
+    """Ingest order 0,100,40,90,200 (seconds): lateness = 0,0,60,10,0;
+    sorted [0,0,0,10,60] -> p50 = 0, p95 = 60 (rank 5), none > 60."""
+    import datetime as dt
+
+    from tsmp_spark.operators.rollup import watermark_audit
+
+    base = dt.datetime(2024, 1, 1)
+    secs = [0, 100, 40, 90, 200]
+    ev = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s), "k") for i, s in enumerate(secs)],
+        "event_id long, ts timestamp, event_type string",
+    )
+    out = watermark_audit(ev).collect()
+    r = out[0]
+    assert (r.n, r.p50_late, r.p95_late, r.max_late) == (5, 0, 60, 60)
+    assert r.n_over_60s == 0 and r.frac_over_60s == 0.0

@@ -5640,3 +5640,75 @@ def snapshot_diff(
         .when(changed, F.lit("update"))
     )
     return j.select("key", op.alias("op")).filter(F.col("op").isNotNull())
+
+
+def watermark_audit(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Watermark-delay audit: how late does data actually arrive? Per
+    key, each event's LATENESS = (running max event-time over the
+    ingest order so far) − its own event-time, in whole seconds — the
+    empirical distribution a Structured Streaming ``withWatermark``
+    delay should be sized from (the streaming family's rollup_stream
+    consumes exactly such a bound).
+
+    Exactness: ingest order is the TOTAL id order; the running max and
+    every lateness are exact bigint seconds; p50/p95/max lateness use
+    the same nearest-rank integer-rank convention as hdr_quantiles; the
+    late-fraction beyond a fixed 60 s bound is one division of counts.
+
+    Scale: one key exchange serves the running-max window, the rank
+    window and the final groupBy.
+
+    Output: (key, n, p50_late, p95_late, max_late, n_over_60s,
+    frac_over_60s).
+    """
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    wrun = (
+        Window.partitionBy("key")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rows = events.select(
+        F.col(key_col).alias("key"), F.col(id_col).alias("id"), sec.alias("sec")
+    ).select(
+        "key",
+        "id",
+        (F.max("sec").over(wrun) - F.col("sec")).cast("bigint").alias("late"),
+    )
+    wr = Window.partitionBy("key").orderBy("late", "id")
+    wall = Window.partitionBy("key")
+    r = rows.select(
+        "key",
+        "late",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wall).alias("nn"),
+    )
+    g = r.groupBy("key").agg(
+        F.max("nn").cast("bigint").alias("n"),
+        F.min(F.when(F.col("rn") == F.expr("(nn + 1) div 2"), F.col("late")))
+        .cast("bigint")
+        .alias("p50_late"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(nn * 19 + 19) div 20"), F.col("late"))
+        )
+        .cast("bigint")
+        .alias("p95_late"),
+        F.max("late").cast("bigint").alias("max_late"),
+        F.sum((F.col("late") > 60).cast("bigint")).cast("bigint").alias("n_over_60s"),
+    )
+    return g.select(
+        "key",
+        "n",
+        "p50_late",
+        "p95_late",
+        "max_late",
+        "n_over_60s",
+        (
+            F.col("n_over_60s").cast("double") / F.col("n").cast("double")
+            + F.lit(0.0)
+        ).alias("frac_over_60s"),
+    )

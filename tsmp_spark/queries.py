@@ -16047,6 +16047,55 @@ QUERIES["snapshot_diff"] = q_snapshot_diff
 ORACLES["snapshot_diff"] = SQL_SNAPSHOT_DIFF
 
 
+def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical watermark-delay audit per event_type: running-max
+    lateness in exact seconds, nearest-rank p50/p95, fraction beyond
+    a 60 s bound."""
+    from .operators.rollup import watermark_audit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return watermark_audit(ev)
+
+
+SQL_WATERMARK_AUDIT = r"""
+WITH rowsx AS (
+  SELECT event_type AS key, event_id AS id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+late AS (
+  SELECT key, id,
+         CAST(max(sec) OVER (PARTITION BY key ORDER BY id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - sec
+              AS BIGINT) AS late
+  FROM rowsx
+),
+r AS (
+  SELECT key, late,
+         row_number() OVER (PARTITION BY key ORDER BY late, id) AS rn,
+         count(*) OVER (PARTITION BY key) AS nn
+  FROM late
+),
+g AS (
+  SELECT key, CAST(max(nn) AS BIGINT) AS n,
+         CAST(min(CASE WHEN rn = (nn + 1) // 2 THEN late END) AS BIGINT)
+           AS p50_late,
+         CAST(min(CASE WHEN rn = (nn * 19 + 19) // 20 THEN late END)
+              AS BIGINT) AS p95_late,
+         CAST(max(late) AS BIGINT) AS max_late,
+         CAST(sum(CASE WHEN late > 60 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_over_60s
+  FROM r GROUP BY 1
+)
+SELECT key, n, p50_late, p95_late, max_late, n_over_60s,
+       CAST(n_over_60s AS DOUBLE) / CAST(n AS DOUBLE) + 0.0 AS frac_over_60s
+FROM g
+"""
+
+QUERIES["watermark_audit"] = q_watermark_audit
+ORACLES["watermark_audit"] = SQL_WATERMARK_AUDIT
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
