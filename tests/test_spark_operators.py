@@ -4121,3 +4121,15 @@ def test_watermark_audit_hand_case(spark):
     r = out[0]
     assert (r.n, r.p50_late, r.p95_late, r.max_late) == (5, 0, 60, 60)
     assert r.n_over_60s == 0 and r.frac_over_60s == 0.0
+
+
+def test_embedding_stats_hand_case(spark):
+    from tsmp_spark.operators import embedding_stats
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, -2.0]), (1, [3.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    out = {r.dim: r for r in embedding_stats(emb).collect()}
+    assert out[1].n == 2 and out[1].mu == 2.0 and out[1].sd == 1.0
+    assert out[1].vmin == 1.0 and out[1].vmax == 3.0
+    assert out[2].mu == 0.0 and out[2].sd == 2.0

@@ -1712,3 +1712,52 @@ def retrieval_metrics(
             + F.lit(0.0)
         ).alias("recall_at_k"),
     )
+
+
+def embedding_stats(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension corpus statistics of the embedding matrix — the
+    whitening/normalization-prep pass (PCA-whitening, feature scaling,
+    and drift monitors all start here): n, mean, sd, min, max per
+    dimension.
+
+    Determinism: mean is the r9-rounded unordered sum quotient and sd
+    is the RECENTERED two-pass form √(Σ(x−μ)²/n) r9 — the sax_symbols
+    convention (the one-pass co-moment form loses near-constant
+    dimensions to catastrophic cancellation whose fp noise differs per
+    engine); min/max are exact. Dimensions are 1-based to match SQL
+    list indexing.
+
+    Scale: one posexplode + ONE dim-keyed groupBy pass for the moments
+    (the μ broadcast joins back for the second pass) — dim cardinality
+    is the embedding width, so every post-explode shuffle is
+    width-bounded.
+
+    Output: (dim, n, mu, sd, vmin, vmax).
+    """
+    ex = embeddings.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim0", "x")
+    ).select((F.col("dim0") + 1).cast("int").alias("dim"), "x")
+    mu = ex.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("x"), 9).alias("mu"),
+        F.min("x").alias("vmin"),
+        F.max("x").alias("vmax"),
+    )
+    second = (
+        ex.join(F.broadcast(mu.select("dim", "mu")), "dim")
+        .groupBy("dim")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")))
+                    / F.count("*")
+                ),
+                9,
+            ).alias("sd")
+        )
+    )
+    return mu.join(second, "dim").select("dim", "n", "mu", "sd", "vmin", "vmax")

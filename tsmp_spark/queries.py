@@ -16096,6 +16096,38 @@ QUERIES["watermark_audit"] = q_watermark_audit
 ORACLES["watermark_audit"] = SQL_WATERMARK_AUDIT
 
 
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding matrix stats (whitening prep): r9 mean,
+    recentered two-pass r9 sd, exact min/max, width-bounded shuffles."""
+    from .operators import embedding_stats
+
+    return embedding_stats(_embeddings(spark, sf_dir))
+
+
+SQL_EMBEDDING_STATS = r"""
+WITH ex AS (
+  SELECT i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+mu AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n, round(avg(x), 9) AS mu,
+         min(x) AS vmin, max(x) AS vmax
+  FROM ex GROUP BY 1
+),
+second AS (
+  SELECT ex.dim AS dim,
+         round(sqrt(sum((x - mu.mu) * (x - mu.mu)) / count(*)), 9) AS sd
+  FROM ex JOIN mu ON mu.dim = ex.dim GROUP BY 1
+)
+SELECT CAST(mu.dim AS INT) AS dim, n, mu.mu AS mu, second.sd AS sd,
+       vmin, vmax
+FROM mu JOIN second ON second.dim = mu.dim
+"""
+
+QUERIES["embedding_stats"] = q_embedding_stats
+ORACLES["embedding_stats"] = SQL_EMBEDDING_STATS
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
