@@ -4133,3 +4133,17 @@ def test_embedding_stats_hand_case(spark):
     assert out[1].n == 2 and out[1].mu == 2.0 and out[1].sd == 1.0
     assert out[1].vmin == 1.0 and out[1].vmax == 3.0
     assert out[2].mu == 0.0 and out[2].sd == 2.0
+
+
+def test_ann_recall_audit_bounds(spark):
+    """Recall is in [0,1], hit counts never exceed either leg, and on
+    the sf0.001 embeddings the LSH path finds a nonzero fraction."""
+    from tsmp_spark.operators import ann_recall_audit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = ann_recall_audit(emb, max_query_id=8).collect()
+    assert out
+    for r in out:
+        assert 0 <= r.n_hit <= min(r.n_exact, max(r.n_approx, 0))
+        assert 0.0 <= r.recall <= 1.0
+    assert sum(r.n_hit for r in out) > 0

@@ -1761,3 +1761,65 @@ def embedding_stats(
         )
     )
     return mu.join(second, "dim").select("dim", "n", "mu", "sd", "vmin", "vmax")
+
+
+def ann_recall_audit(
+    embeddings: DataFrame,
+    max_query_id: int = 16,
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN accuracy audit: recall@k of the LSH-bucketed approximate
+    ranking against the exact cosine top-k, per query — completing the
+    measured-sketch-error triptych (minhash_accuracy_audit for dedup,
+    hdr_accuracy_audit for quantiles, this for similarity search). The
+    exact leg is id-bounded by the audit contract; the LSH leg is the
+    production path.
+
+    All counts are exact integers; recall = hits / |exact| is ONE IEEE
+    division. Output: (query_id, n_exact, n_approx, n_hit, recall).
+    """
+    exact = cosine_topk(
+        embeddings,
+        embeddings.filter(F.col(id_col) < max_query_id),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    approx = (
+        lsh_bucket_topk(embeddings, k=k, n_planes=n_planes, n_tables=n_tables)
+        .filter(F.col("query_id") < max_query_id)
+        .select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+    )
+    ecnt = exact.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    )
+    acnt = approx.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_approx")
+    )
+    hits = (
+        exact.join(
+            approx.withColumnRenamed("a_neighbor", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    return (
+        ecnt.join(acnt, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_approx"), F.lit(0)).cast("bigint").alias("n_approx"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+                + F.lit(0.0)
+            ).alias("recall"),
+        )
+    )

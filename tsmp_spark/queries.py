@@ -16128,6 +16128,108 @@ QUERIES["embedding_stats"] = q_embedding_stats
 ORACLES["embedding_stats"] = SQL_EMBEDDING_STATS
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall audit: LSH-bucketed top-10 vs exact cosine top-10 per
+    query — exact integer hit counts, one division."""
+    from .operators import ann_recall_audit
+
+    return ann_recall_audit(
+        _embeddings(spark, sf_dir), max_query_id=16, k=10, n_planes=6, n_tables=2
+    )
+
+
+SQL_ANN_RECALL = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS MATERIALIZED (
+  SELECT vec_id, unnest(v) AS x, unnest(generate_series(1, len(v))) AS i
+  FROM e
+),
+norms AS MATERIALIZED (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id
+),
+planes AS (SELECT unnest(generate_series(0, 11)) AS p),
+proj AS (
+  SELECT ex.vec_id, pl.p,
+         sum(ex.x * sin(pl.p * 1013904223.0 + (ex.i - 1) * 1664525.0)) AS dot
+  FROM ex CROSS JOIN planes pl
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id, CAST(floor(p / 6) AS INT) AS tbl,
+         CAST(sum(CASE WHEN dot >= 0
+                  THEN CAST(pow(2, p % 6) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM buckets a
+  JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+               AND a.vec_id != b.vec_id
+),
+cdots AS (
+  SELECT c.query_id, c.neighbor_id, sum(q.x * n.x) AS dot
+  FROM cand c
+  JOIN ex q ON q.vec_id = c.query_id
+  JOIN ex n ON n.vec_id = c.neighbor_id AND n.i = q.i
+  GROUP BY 1, 2
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT d.query_id, d.neighbor_id,
+           row_number() OVER (PARTITION BY d.query_id
+             ORDER BY d.dot / NULLIF(nq.nrm * nn.nrm, 0) DESC,
+                      d.neighbor_id ASC) AS rank
+    FROM cdots d
+    JOIN norms nq ON nq.vec_id = d.query_id
+    JOIN norms nn ON nn.vec_id = d.neighbor_id
+    WHERE d.dot / NULLIF(nq.nrm * nn.nrm, 0) IS NOT NULL
+  ) WHERE rank <= 10
+),
+qdots AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, sum(q.x * n.x) AS dot
+  FROM ex q JOIN ex n ON q.i = n.i AND q.vec_id < 16 AND q.vec_id != n.vec_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT d.query_id, d.neighbor_id,
+           row_number() OVER (PARTITION BY d.query_id
+             ORDER BY d.dot / NULLIF(nq.nrm * nn.nrm, 0) DESC,
+                      d.neighbor_id ASC) AS rank
+    FROM qdots d
+    JOIN norms nq ON nq.vec_id = d.query_id
+    JOIN norms nn ON nn.vec_id = d.neighbor_id
+    WHERE d.dot / NULLIF(nq.nrm * nn.nrm, 0) IS NOT NULL
+  ) WHERE rank <= 10
+),
+ecnt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         FROM exact GROUP BY 1),
+acnt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx
+         FROM approx WHERE query_id < 16 GROUP BY 1),
+hits AS (
+  SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM exact x JOIN approx a ON a.query_id = x.query_id
+           AND a.neighbor_id = x.neighbor_id
+  GROUP BY 1
+)
+SELECT e1.query_id AS query_id, n_exact,
+       CAST(COALESCE(a1.n_approx, 0) AS BIGINT) AS n_approx,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE)
+         + 0.0 AS recall
+FROM ecnt e1
+LEFT JOIN acnt a1 ON a1.query_id = e1.query_id
+LEFT JOIN hits h ON h.query_id = e1.query_id
+"""
+
+QUERIES["ann_recall"] = q_ann_recall
+ORACLES["ann_recall"] = SQL_ANN_RECALL
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
