@@ -1222,3 +1222,33 @@ def test_emd_1d_pairs_known_distributions(spark):
     )
     r = emd_1d_pairs(same).collect()[0]
     assert r.emd == 0.0 and r.sum_abs == 0
+
+
+def test_ks_2samp_pairs_hand_case(spark):
+    """Exact KS on a hand CDF book: A={1,2,3}, B={1.5,2.5} has
+    sup gap 1/3 first attained at v=1 (centi 100); identical
+    distributions give 0 with the smallest pooled point as location."""
+    from tsmp_spark.operators.rollup import ks_2samp_pairs
+
+    rows = [("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 1.5), ("B", 2.5)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {(r.key_a, r.key_b): r for r in ks_2samp_pairs(df).collect()}
+    r = out[("A", "B")]
+    # cum_a*n_b - cum_b*n_a over pooled points:
+    #   v=1: |1*2-0*3|=2, v=1.5: |1*2-1*3|=1, v=2: |2*2-1*3|=1,
+    #   v=2.5: |2*2-2*3|=2, v=3: |3*2-2*3|=0  -> d_num=2, at=100
+    assert r.d_num == 2 and r.n_a == 3 and r.n_b == 2
+    assert r.at_centi == 100
+    assert r.ks == pytest.approx(1 / 3)
+    same = spark.createDataFrame(
+        [("x", 1.0), ("x", 4.0), ("y", 1.0), ("y", 4.0)],
+        "event_type string, value double",
+    )
+    s = ks_2samp_pairs(same).collect()[0]
+    assert s.d_num == 0 and s.ks == 0.0 and s.at_centi == 100
+    # disjoint supports -> KS = 1 somewhere between them
+    dis = spark.createDataFrame(
+        [("p", 0.0)] * 4 + [("q", 9.0)] * 6, "event_type string, value double"
+    )
+    d = ks_2samp_pairs(dis).collect()[0]
+    assert d.d_num == d.n_a * d.n_b and d.ks == 1.0 and d.at_centi == 0

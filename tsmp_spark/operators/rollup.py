@@ -4937,6 +4937,103 @@ def emd_1d_pairs(
     )
 
 
+def ks_2samp_pairs(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of every key pair — the sup-norm companion to
+    :func:`emd_1d_pairs`' area-between-CDFs drift monitor (Kolmogorov
+    1933; Smirnov 1939; the distribution-shift gate of a data-pipeline
+    observability layer).
+
+    ``D = sup_x |F_a(x) − F_b(x)|`` evaluated EXACTLY over the pooled
+    value points (no binning): values quantize ONCE to integer
+    centi-units (the sigma_clip convention — the quantization is the
+    documented contract, everything after it is exact), per-key
+    cumulative counts are ranked over the GLOBAL distinct-value grid,
+    and the supremum is an integer max of cross-multiplied CDF gaps
+    ``|cum_a·n_b − cum_b·n_a|`` — no ratio forms until the final single
+    division ``ks = d_num / (n_a·n_b)``. Evaluating on the global grid
+    (a superset of each pair's pooled points) is exact: between a
+    pair's own points both CDFs are constant, so the extra grid rows
+    repeat an existing gap and cannot change the max.
+
+    The argmax location ``at_centi`` (SMALLEST centi value attaining
+    the max — integer tie rule, deterministic cross-engine) is emitted
+    so a drift alert can say WHERE the distributions diverge most.
+
+    Scale: raw rows shuffle once into the (key, centi) groupBy; the
+    pair fan-out is |keys|²·V over BOUNDED sketch rows (V = distinct
+    centi values, capped by the value range after quantization), the
+    emd_1d_pairs shape. Keys are a dimension (event types), never the
+    corpus.
+    """
+    cu = F.round(F.col(value_col).cast("double") * 100).cast("bigint")
+    hist = (
+        events.select(F.col(key_col).cast("string").alias("key"), cu.alias("vc"))
+        .groupBy("key", "vc")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    vals = hist.select("vc").distinct()
+    keys = hist.select("key").distinct()
+    grid = keys.crossJoin(F.broadcast(vals))
+    dense = (
+        grid.join(hist, ["key", "vc"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)).cast("bigint"))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.partitionBy("key").orderBy("vc")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    totals = hist.groupBy("key").agg(F.sum("cnt").cast("bigint").alias("n"))
+    a = dense.join(totals, "key").select(
+        F.col("key").alias("key_a"), "vc",
+        F.col("cum").alias("cum_a"), F.col("n").alias("n_a"),
+    )
+    b = dense.join(totals, "key").select(
+        F.col("key").alias("key_b"), "vc",
+        F.col("cum").alias("cum_b"), F.col("n").alias("n_b"),
+    )
+    gaps = (
+        a.join(b, "vc")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a", "key_b", "n_a", "n_b", "vc",
+            F.abs(
+                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            ).cast("bigint").alias("gap"),
+        )
+    )
+    top = gaps.groupBy("key_a", "key_b", "n_a", "n_b").agg(
+        F.max("gap").cast("bigint").alias("d_num"),
+    )
+    # smallest vc attaining the max: integer-only argmin via a bounded
+    # max-filter join (the house deterministic-tie form)
+    at = (
+        gaps.join(
+            top.select("key_a", "key_b", "d_num"), ["key_a", "key_b"]
+        )
+        .where(F.col("gap") == F.col("d_num"))
+        .groupBy("key_a", "key_b")
+        .agg(F.min("vc").cast("bigint").alias("at_centi"))
+    )
+    ks = F.col("d_num").cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    return (
+        top.join(at, ["key_a", "key_b"])
+        .select(
+            "key_a", "key_b", "n_a", "n_b", "d_num", "at_centi",
+            (ks + F.lit(0.0)).alias("ks"),
+        )
+    )
+
+
 def sigma_clip(
     events: DataFrame,
     rounds: int = 3,

@@ -16230,6 +16230,61 @@ QUERIES["ann_recall"] = q_ann_recall
 ORACLES["ann_recall"] = SQL_ANN_RECALL
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift between every
+    event-type pair: sup-norm CDF gap over the pooled centi-quantized
+    value points, integer cross-multiplied, smallest-location argmax,
+    ONE final division."""
+    from .operators.rollup import ks_2samp_pairs
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    return ks_2samp_pairs(ev)
+
+
+SQL_KS_DRIFT = r"""
+WITH h AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vc,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+vals AS (SELECT DISTINCT vc FROM h),
+keys AS (SELECT DISTINCT key FROM h),
+grid AS (SELECT k.key, v.vc FROM keys k, vals v),
+dense AS (
+  SELECT g.key, g.vc,
+         CAST(sum(COALESCE(h.cnt, 0)) OVER (PARTITION BY g.key ORDER BY g.vc)
+              AS BIGINT) AS cum
+  FROM grid g LEFT JOIN h ON h.key = g.key AND h.vc = g.vc
+),
+totals AS (SELECT key, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY key),
+gaps AS (
+  SELECT a.key AS key_a, b.key AS key_b, ta.n AS n_a, tb.n AS n_b, a.vc,
+         CAST(abs(a.cum * tb.n - b.cum * ta.n) AS BIGINT) AS gap
+  FROM dense a
+  JOIN dense b ON a.vc = b.vc AND a.key < b.key
+  JOIN totals ta ON ta.key = a.key
+  JOIN totals tb ON tb.key = b.key
+),
+top AS (
+  SELECT key_a, key_b, n_a, n_b, CAST(max(gap) AS BIGINT) AS d_num
+  FROM gaps GROUP BY 1, 2, 3, 4
+),
+at AS (
+  SELECT g.key_a, g.key_b, CAST(min(g.vc) AS BIGINT) AS at_centi
+  FROM gaps g JOIN top t ON t.key_a = g.key_a AND t.key_b = g.key_b
+  WHERE g.gap = t.d_num
+  GROUP BY 1, 2
+)
+SELECT t.key_a, t.key_b, t.n_a, t.n_b, t.d_num, a.at_centi,
+       CAST(t.d_num AS DOUBLE) / CAST(t.n_a * t.n_b AS DOUBLE) + 0.0 AS ks
+FROM top t JOIN at a ON a.key_a = t.key_a AND a.key_b = t.key_b
+"""
+
+QUERIES["ks_drift"] = q_ks_drift
+ORACLES["ks_drift"] = SQL_KS_DRIFT
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
