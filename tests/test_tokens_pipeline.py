@@ -1252,3 +1252,38 @@ def test_ks_2samp_pairs_hand_case(spark):
     )
     d = ks_2samp_pairs(dis).collect()[0]
     assert d.d_num == d.n_a * d.n_b and d.ks == 1.0 and d.at_centi == 0
+
+
+def test_item_cf_similarity_hand_book(spark):
+    """Hand-built basket incidence: items X,Y share baskets {1,2};
+    deg X=3, Y=2 -> jaccard 2/3, cosine 2/sqrt(6); min_cn prunes the
+    single-basket pair; max_basket_size drops the big basket from
+    pair generation but NOT from degrees; duplicates collapse."""
+    import math
+
+    from tsmp_spark.operators.rollup import item_cf_similarity
+
+    rows = [
+        (1, "X"), (1, "Y"), (2, "X"), (2, "Y"), (3, "X"), (3, "Z"),
+        (3, "Z"),  # duplicate (basket, item) must collapse
+        (4, "Z"),
+    ]
+    df = spark.createDataFrame(rows, "o int, it string")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in item_cf_similarity(df, min_cn=2).collect()
+    }
+    assert set(out) == {("X", "Y")}  # X-Z co-occurs once -> pruned
+    r = out[("X", "Y")]
+    assert r.cn == 2 and r.deg_a == 3 and r.deg_b == 2
+    assert r.jaccard == pytest.approx(2 / 3)
+    assert r.cosine == pytest.approx(2 / math.sqrt(6))
+    lo = {
+        (r.item_a, r.item_b): r
+        for r in item_cf_similarity(df, min_cn=1).collect()
+    }
+    assert lo[("X", "Z")].cn == 1 and lo[("X", "Z")].deg_b == 2
+    # cap=1 drops every multi-item basket from pair generation: no
+    # pairs at all, degrees (checked above) were already full counts
+    capped = item_cf_similarity(df, min_cn=1, max_basket_size=1).collect()
+    assert capped == []

@@ -4633,6 +4633,76 @@ def basket_lift(
     )
 
 
+def item_cf_similarity(
+    baskets: DataFrame,
+    min_cn: int = 2,
+    max_basket_size: int | None = None,
+    basket_col: str = "o",
+    item_col: str = "it",
+) -> DataFrame:
+    """Item–item collaborative-filtering similarity (Sarwar, Karypis,
+    Konstan & Riedl WWW 2001; Deshpande & Karypis TOIS 2004): for every
+    item pair sharing ≥ ``min_cn`` baskets, the NEIGHBORHOOD-SET
+    Jaccard and cosine over basket incidence — the one-mode-projection
+    link-prediction / "customers who bought X also bought Y" primitive
+    (common-neighbor count over the bipartite basket–item graph).
+
+    Distinct from :func:`basket_lift` (support/lift association rules):
+    here the statistics are SET similarities of the two items'
+    basket neighborhoods — ``jaccard = cn/(deg_a+deg_b−cn)`` and
+    ``cosine = cn/√(deg_a·deg_b)`` — each ONE fixed-shape expression
+    over exact integers (sqrt is IEEE correctly-rounded, so both
+    doubles are bit-stable cross-engine).
+
+    Scale: (basket, item) dedups in one combinable groupBy; the pair
+    generator is the basket-keyed SELF-EQUI-JOIN — fan-out
+    Σ C(|basket|, 2), never |items|². ``max_basket_size`` is the
+    hot-key cap knob (the shingle/band convention): baskets larger
+    than the cap are dropped from PAIR GENERATION only (degrees keep
+    counting them), a documented recall trade; None = exact. Degrees
+    ride broadcast joins onto the cn-pruned pair table.
+    """
+    base = baskets.select(
+        F.col(basket_col).alias("o"), F.col(item_col).alias("it")
+    ).distinct()
+    deg = base.groupBy("it").agg(F.count("*").cast("bigint").alias("deg"))
+    gen = base
+    if max_basket_size is not None:
+        sizes = base.groupBy("o").agg(F.count("*").cast("bigint").alias("_sz"))
+        gen = (
+            base.join(sizes, "o")
+            .filter(F.col("_sz") <= int(max_basket_size))
+            .drop("_sz")
+        )
+    a = gen.select("o", F.col("it").alias("ia"))
+    b = gen.select("o", F.col("it").alias("ib"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").cast("bigint").alias("cn"))
+        .filter(F.col("cn") >= int(min_cn))
+    )
+    da = deg.select(F.col("it").alias("ia"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("it").alias("ib"), F.col("deg").alias("deg_b"))
+    out = pairs.join(F.broadcast(da), "ia").join(F.broadcast(db), "ib")
+    jac = F.col("cn").cast("double") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("cn")
+    ).cast("double")
+    cos = F.col("cn").cast("double") / F.sqrt(
+        (F.col("deg_a") * F.col("deg_b")).cast("double")
+    )
+    return out.select(
+        F.col("ia").alias("item_a"),
+        F.col("ib").alias("item_b"),
+        "cn",
+        "deg_a",
+        "deg_b",
+        (jac + F.lit(0.0)).alias("jaccard"),
+        (cos + F.lit(0.0)).alias("cosine"),
+    )
+
+
 def slo_burn(
     events: DataFrame,
     err_col,

@@ -16285,6 +16285,56 @@ QUERIES["ks_drift"] = q_ks_drift
 ORACLES["ks_drift"] = SQL_KS_DRIFT
 
 
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item–item collaborative filtering over the customer–supplier
+    co-purchase bipartite graph: supplier pairs sharing ≥ 2 customers
+    with neighborhood Jaccard + cosine — exact integer common-neighbor
+    counts, one fixed-shape division/sqrt each."""
+    from .operators.rollup import item_cf_similarity
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    baskets = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("o"), F.col("l_suppkey").alias("it")
+    )
+    return item_cf_similarity(baskets, min_cn=2).select(
+        F.col("item_a").cast("bigint").alias("item_a"),
+        F.col("item_b").cast("bigint").alias("item_b"),
+        "cn", "deg_a", "deg_b", "jaccard", "cosine",
+    )
+
+
+SQL_ITEM_CF = r"""
+WITH base AS (
+  SELECT DISTINCT o.o_custkey AS o, l.l_suppkey AS it
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+deg AS (SELECT it, CAST(count(*) AS BIGINT) AS deg FROM base GROUP BY it),
+pairs AS (
+  SELECT a.it AS ia, b.it AS ib, CAST(count(*) AS BIGINT) AS cn
+  FROM base a JOIN base b ON a.o = b.o AND a.it < b.it
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT CAST(p.ia AS BIGINT) AS item_a, CAST(p.ib AS BIGINT) AS item_b,
+       p.cn, da.deg AS deg_a, db.deg AS deg_b,
+       CAST(p.cn AS DOUBLE)
+         / CAST(da.deg + db.deg - p.cn AS DOUBLE) + 0.0 AS jaccard,
+       CAST(p.cn AS DOUBLE)
+         / sqrt(CAST(da.deg * db.deg AS DOUBLE)) + 0.0 AS cosine
+FROM pairs p
+JOIN deg da ON da.it = p.ia
+JOIN deg db ON db.it = p.ib
+"""
+
+QUERIES["item_cf"] = q_item_cf
+ORACLES["item_cf"] = SQL_ITEM_CF
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
