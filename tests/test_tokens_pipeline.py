@@ -1287,3 +1287,27 @@ def test_item_cf_similarity_hand_book(spark):
     # pairs at all, degrees (checked above) were already full counts
     capped = item_cf_similarity(df, min_cn=1, max_basket_size=1).collect()
     assert capped == []
+
+
+def test_readability_scores_hand_counts(spark):
+    """Known counts: 'The cat sat. It ran!' = 5 words, 2 sentence runs,
+    5 vowel groups -> flesch/fk from the closed formulas; empty and
+    terminator-free docs yield NULL scores."""
+    from tsmp_spark.operators.text import readability_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. It ran!"),
+            (2, "no terminator here"),
+            (3, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in readability_scores(docs).collect()}
+    r = out[1]
+    assert (r.n_words, r.n_sents, r.n_syll) == (5, 2, 5)
+    wps, spw = 5 / 2, 5 / 5
+    assert r.flesch == pytest.approx(206.835 - 1.015 * wps - 84.6 * spw)
+    assert r.fk_grade == pytest.approx(0.39 * wps + 11.8 * spw - 15.59)
+    assert out[2].n_sents == 0 and out[2].flesch is None
+    assert out[3].n_words == 0 and out[3].fk_grade is None

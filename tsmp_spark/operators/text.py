@@ -65,6 +65,53 @@ def quality_features(
     )
 
 
+def readability_scores(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade level (Flesch 1948;
+    Kincaid et al. 1975) — the classic readability quality signals a
+    curation layer ranks prose by.
+
+    Heuristic, deterministic counting contract (identical Java-regex /
+    RE2 semantics — plain character classes only): words = non-empty
+    whitespace splits, sentences = runs of ``[.!?]``, syllables =
+    vowel-ish runs ``[aeiouy]+`` of the lowercased text (the standard
+    vowel-group approximation; no dictionary).
+
+    Both scores are FIXED-SHAPE float expressions over three exact
+    integer counts — words/sentence and syllables/word are each ONE
+    IEEE division, then literal·double products in a pinned order —
+    so the doubles gate raw cross-engine (the emd convention). NULL
+    when a doc has no sentence terminator or no words.
+
+    Scale: per-row JVM expressions, ZERO exchange — map-only at 100 TB.
+    """
+    t = F.col(text_col)
+    n_words = F.size(
+        F.filter(_words(t), lambda w: F.length(w) > 0)
+    ).cast("bigint")
+    n_sents = F.regexp_count(t, F.lit(r"[.!?]+")).cast("bigint")
+    n_syll = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")).cast("bigint")
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    )
+    wps = F.col("n_words").cast("double") / F.nullif(
+        F.col("n_sents").cast("double"), F.lit(0.0)
+    )
+    spw = F.col("n_syll").cast("double") / F.nullif(
+        F.col("n_words").cast("double"), F.lit(0.0)
+    )
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return base.select(
+        "doc_id", "n_words", "n_sents", "n_syll",
+        flesch.alias("flesch"), fk.alias("fk_grade"),
+    )
+
+
 def quality_score(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Scalar quality score in [0,1]: combines the features with fixed
     weights (deterministic, documented; not learned)."""

@@ -16335,6 +16335,45 @@ QUERIES["item_cf"] = q_item_cf
 ORACLES["item_cf"] = SQL_ITEM_CF
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + FK grade per document: three exact integer
+    counts (words / sentence runs / vowel-group syllables) and two
+    fixed-shape float expressions, zero-exchange map-only plan."""
+    from .operators.text import readability_scores
+
+    return readability_scores(_documents(spark, sf_dir))
+
+
+SQL_READABILITY = r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              w -> len(w) > 0)) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sents,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syll
+  FROM documents
+)
+SELECT doc_id, n_words, n_sents, n_syll,
+       CAST(206.835 AS DOUBLE)
+         - CAST(1.015 AS DOUBLE)
+           * (CAST(n_words AS DOUBLE) / nullif(CAST(n_sents AS DOUBLE), 0.0))
+         - CAST(84.6 AS DOUBLE)
+           * (CAST(n_syll AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0))
+         AS flesch,
+       CAST(0.39 AS DOUBLE)
+         * (CAST(n_words AS DOUBLE) / nullif(CAST(n_sents AS DOUBLE), 0.0))
+         + CAST(11.8 AS DOUBLE)
+           * (CAST(n_syll AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0))
+         - CAST(15.59 AS DOUBLE)
+         AS fk_grade
+FROM c
+"""
+
+QUERIES["readability"] = q_readability
+ORACLES["readability"] = SQL_READABILITY
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
