@@ -1311,3 +1311,27 @@ def test_readability_scores_hand_counts(spark):
     assert r.fk_grade == pytest.approx(0.39 * wps + 11.8 * spw - 15.59)
     assert out[2].n_sents == 0 and out[2].flesch is None
     assert out[3].n_words == 0 and out[3].fk_grade is None
+
+
+def test_rater_agreement_kappa_hand_book(spark):
+    """Cohen 1960 hand case: 3 agreements of 4 with margins (3,1)x(2,2)
+    gives kappa (4*3-8)/(16-8) = 0.5; constant identical raters make
+    chance agreement total -> kappa NULL."""
+    from tsmp_spark.operators.similarity import rater_agreement
+
+    df = spark.createDataFrame(
+        [("A", "A"), ("A", "A"), ("B", "B"), ("A", "B")],
+        "rater_a string, rater_b string",
+    )
+    rows = {(r.label_a, r.label_b): r for r in rater_agreement(df).collect()}
+    assert {k: v.n for k, v in rows.items()} == {
+        ("A", "A"): 2, ("B", "B"): 1, ("A", "B"): 1
+    }
+    any_row = rows[("A", "A")]
+    assert any_row.n_total == 4 and any_row.agree_n == 3
+    assert any_row.pe_num == 8 and any_row.kappa == pytest.approx(0.5)
+    const = spark.createDataFrame(
+        [("X", "X")] * 5, "rater_a string, rater_b string"
+    )
+    c = rater_agreement(const).collect()[0]
+    assert c.kappa is None and c.agree_n == 5

@@ -1823,3 +1823,65 @@ def ann_recall_audit(
             ).alias("recall"),
         )
     )
+
+
+def rater_agreement(
+    labels: DataFrame,
+    a_col: str = "rater_a",
+    b_col: str = "rater_b",
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement (Cohen 1960) between two
+    categorical labelings of the same items — the filter-consistency
+    audit of a curation layer (e.g. "do the Gopher and C4 keep
+    decisions agree beyond chance?").
+
+    Exact-integer core: with confusion cells ``n_ab``, row margins
+    ``r_k``, column margins ``c_k`` and total N::
+
+        kappa = (N·Σ_k n_kk − Σ_k r_k·c_k) / (N² − Σ_k r_k·c_k)
+
+    — the po/pe form cross-multiplied through N², so kappa is ONE
+    division of exact bigints (bit-stable cross-engine). Both raters
+    constant on the same label makes the denominator 0 → NULL
+    (chance agreement is total; kappa undefined, the lowvar
+    convention). Emission is per confusion CELL (the mi_contingency
+    convention) with the scalar audit columns repeated per row.
+
+    Scale: one combinable (a, b) groupBy over the items; margins and
+    the kappa numerator fold over the ≤ |labels|² cell table, which
+    rides a broadcast join back onto the cells. Items shuffle once.
+    """
+    base = labels.select(
+        F.col(a_col).cast("string").alias("a"),
+        F.col(b_col).cast("string").alias("b"),
+    )
+    cells = base.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    ra = cells.groupBy("a").agg(F.sum("n").cast("bigint").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("n").cast("bigint").alias("c"))
+    pe = (
+        ra.join(cb, ra.a == cb.b)
+        .agg(F.sum(F.col("r") * F.col("c")).cast("bigint").alias("pe_num"))
+    )
+    scal = cells.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("agree_n"),
+    ).crossJoin(F.broadcast(pe))
+    kappa = (
+        F.col("n_total") * F.col("agree_n") - F.col("pe_num")
+    ).cast("double") / F.nullif(
+        (F.col("n_total") * F.col("n_total") - F.col("pe_num")).cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        cells.crossJoin(F.broadcast(scal))
+        .select(
+            F.col("a").alias("label_a"),
+            F.col("b").alias("label_b"),
+            "n", "n_total", "agree_n", "pe_num",
+            (kappa + F.lit(0.0)).alias("kappa"),
+        )
+    )

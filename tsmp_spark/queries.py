@@ -16374,6 +16374,133 @@ QUERIES["readability"] = q_readability
 ORACLES["readability"] = SQL_READABILITY
 
 
+def q_filter_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the Gopher and C4 keep decisions on a
+    corpus with all four confusion cells planted by doc_id arithmetic
+    (terminal-punct tails on evens, stopword-rich unterminated tails on
+    %5==1 odds, symbol spam on %3==0): exact-integer confusion cells +
+    ONE bigint division for kappa, per-cell emission."""
+    from .operators.similarity import rater_agreement
+    from .operators.text import c4_line_filters, gopher_quality_filters
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(" that have with be good words indeed."),
+            )
+            .when(
+                F.col("doc_id") % 5 == 1,
+                F.lit(" and of to be that have no stop"),
+            )
+            .otherwise(F.lit(" no full stop here")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" ## ## ## ## ## ## ## ## ## ##"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    ga = gopher_quality_filters(docs).select(
+        "doc_id", F.col("keep").alias("ga")
+    )
+    cb = c4_line_filters(docs, min_kept_lines=1).select(
+        "doc_id", F.col("keep").cast("int").alias("cb")
+    )
+    return rater_agreement(ga.join(cb, "doc_id"), "ga", "cb")
+
+
+SQL_FILTER_KAPPA = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 2 = 0 THEN ' that have with be good words indeed.'
+              WHEN doc_id % 5 = 1 THEN ' and of to be that have no stop'
+              ELSE ' no full stop here' END ||
+         CASE WHEN doc_id % 3 = 0 THEN ' ## ## ## ## ## ## ## ## ## ##'
+              ELSE '' END AS text
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\s+') AS words,
+         string_split(text, chr(10)) AS lines,
+         len(text) - len(replace(text, '#', '')) AS hash_cnt,
+         (len(text) - len(replace(text, '...', ''))) // 3 AS ell_cnt
+  FROM planted
+),
+agg AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                              s -> list_contains(words, s))) AS BIGINT) AS n_stop,
+         CAST(hash_cnt + ell_cnt AS BIGINT) AS n_sym,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l -> starts_with(l, '- '))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS n_ellipsis
+  FROM feat
+),
+g AS (
+  SELECT doc_id,
+         CAST(n_words >= 50 AND n_words <= 100000
+          AND 3 * n_words <= n_chars AND n_chars <= 10 * n_words
+          AND 10 * n_sym < n_words
+          AND 10 * n_bullet < 9 * n_lines
+          AND 10 * n_ellipsis < 3 * n_lines
+          AND 5 * n_alpha >= 4 * n_words
+          AND n_stop >= 2 AS INT) AS ga
+  FROM agg
+),
+cf AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)),
+           l -> len(string_split_regex(trim(l), '\s+')) >= 5
+                AND regexp_matches(trim(l), '[.!?"]$')
+                AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM planted
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(kept) >= 1
+          AND NOT contains(lower(array_to_string(kept, chr(10))), 'lorem ipsum')
+          AND NOT contains(array_to_string(kept, chr(10)), '{')
+          AND NOT regexp_matches(lower(array_to_string(kept, chr(10))),
+                                 '\b(badword|blockedterm)\b') AS INT) AS cb
+  FROM cf
+),
+lab AS (
+  SELECT CAST(g.ga AS VARCHAR) AS a, CAST(c.cb AS VARCHAR) AS b
+  FROM g JOIN c USING (doc_id)
+),
+cells AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM lab GROUP BY 1, 2
+),
+ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY a),
+cbm AS (SELECT b, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY b),
+pe AS (
+  SELECT CAST(sum(ra.r * cbm.c) AS BIGINT) AS pe_num
+  FROM ra JOIN cbm ON ra.a = cbm.b
+),
+scal AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS agree_n
+  FROM cells
+)
+SELECT cells.a AS label_a, cells.b AS label_b, cells.n,
+       s.n_total, s.agree_n, p.pe_num,
+       CAST(s.n_total * s.agree_n - p.pe_num AS DOUBLE)
+         / nullif(CAST(s.n_total * s.n_total - p.pe_num AS DOUBLE), 0.0)
+         + 0.0 AS kappa
+FROM cells CROSS JOIN scal s CROSS JOIN pe p
+"""
+
+QUERIES["filter_kappa"] = q_filter_kappa
+ORACLES["filter_kappa"] = SQL_FILTER_KAPPA
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
