@@ -1335,3 +1335,30 @@ def test_rater_agreement_kappa_hand_book(spark):
     )
     c = rater_agreement(const).collect()[0]
     assert c.kappa is None and c.agree_n == 5
+
+
+def test_tokenizer_fertility_hand_counts(spark):
+    """'ab cd.' = 2 words, 3 bpe tokens (ab, cd, '.'), 6 bytes ->
+    fertility 1500 milli, 2000 milli bytes/token; empty docs count
+    but contribute nothing; zero-word source yields NULL ratios."""
+    from tsmp_spark.operators.text import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ab cd.", "s1"),
+            (2, "", "s1"),
+            (3, "...", "s2"),  # ONE ws-word, 3 single-punct bpe tokens
+            (4, "   ", "s3"),  # whitespace-only: 0 words, 0 tokens
+        ],
+        "doc_id int, text string, source string",
+    )
+    out = {r.source: r for r in tokenizer_fertility(docs).collect()}
+    s1 = out["s1"]
+    assert (s1.n_docs, s1.n_words, s1.n_tokens, s1.n_bytes) == (2, 2, 3, 6)
+    assert s1.fertility_milli == 1500 and s1.bytes_per_token_milli == 2000
+    s2 = out["s2"]
+    assert s2.n_words == 1 and s2.n_tokens == 3
+    assert s2.fertility_milli == 3000 and s2.bytes_per_token_milli == 1000
+    s3 = out["s3"]
+    assert s3.n_words == 0 and s3.n_tokens == 0 and s3.n_bytes == 3
+    assert s3.fertility_milli is None and s3.bytes_per_token_milli is None

@@ -65,6 +65,53 @@ def quality_features(
     )
 
 
+def tokenizer_fertility(
+    documents: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source tokenizer fertility audit — the "how many tokens does
+    this corpus cost" planning statistic (fertility = tokens per word,
+    the standard tokenizer-quality metric; bytes per token is the
+    compression-ratio companion the scaling-law bookkeeping wants).
+
+    INTEGER-exact: per source, total docs / whitespace words /
+    BPE-ish regex tokens (:func:`bpe_ish_token_count`) / UTF-8 bytes,
+    then milli-unit ratios by floor division of exact bigints —
+    ``fertility_milli = 1000·tokens // words`` and
+    ``bytes_per_token_milli = 1000·bytes // tokens`` (NULL on empty
+    denominators, no float anywhere).
+
+    Scale: per-row JVM expressions into ONE map-side-combinable
+    source groupBy — a single bounded shuffle at 100 TB.
+    """
+    t = F.col(text_col)
+    n_words = F.size(F.filter(_words(t), lambda w: F.length(w) > 0))
+    per = documents.select(
+        F.col(source_col).alias("source"),
+        n_words.cast("bigint").alias("w"),
+        bpe_ish_token_count(t).cast("bigint").alias("tk"),
+        F.octet_length(t).cast("bigint").alias("by"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("n_words"),
+        F.sum("tk").cast("bigint").alias("n_tokens"),
+        F.sum("by").cast("bigint").alias("n_bytes"),
+    )
+    return agg.select(
+        "source", "n_docs", "n_words", "n_tokens", "n_bytes",
+        F.when(
+            F.col("n_words") > 0,
+            F.expr("(1000 * n_tokens) div n_words").cast("bigint"),
+        ).alias("fertility_milli"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("(1000 * n_bytes) div n_tokens").cast("bigint"),
+        ).alias("bytes_per_token_milli"),
+    )
+
+
 def readability_scores(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -16501,6 +16501,48 @@ QUERIES["filter_kappa"] = q_filter_kappa
 ORACLES["filter_kappa"] = SQL_FILTER_KAPPA
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility + bytes-per-token audit: exact
+    integer corpus totals and milli-unit floor-division ratios, one
+    combinable groupBy."""
+    from .operators.text import tokenizer_fertility
+
+    return tokenizer_fertility(_documents(spark, sf_dir))
+
+
+SQL_TOKENIZER_FERTILITY = r"""
+WITH per AS (
+  SELECT source,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              w -> len(w) > 0)) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(lower(text),
+                                     '([a-z]+|[0-9]+|[^a-z0-9\s])')) AS BIGINT)
+           AS tk,
+         CAST(strlen(text) AS BIGINT) AS by
+  FROM documents
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS n_words,
+         CAST(sum(tk) AS BIGINT) AS n_tokens,
+         CAST(sum(by) AS BIGINT) AS n_bytes
+  FROM per GROUP BY source
+)
+SELECT source, n_docs, n_words, n_tokens, n_bytes,
+       CASE WHEN n_words > 0
+            THEN CAST((1000 * n_tokens) // n_words AS BIGINT) END
+         AS fertility_milli,
+       CASE WHEN n_tokens > 0
+            THEN CAST((1000 * n_bytes) // n_tokens AS BIGINT) END
+         AS bytes_per_token_milli
+FROM agg
+"""
+
+QUERIES["tokenizer_fertility"] = q_tokenizer_fertility
+ORACLES["tokenizer_fertility"] = SQL_TOKENIZER_FERTILITY
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
