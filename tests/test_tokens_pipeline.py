@@ -1362,3 +1362,38 @@ def test_tokenizer_fertility_hand_counts(spark):
     s3 = out["s3"]
     assert s3.n_words == 0 and s3.n_tokens == 0 and s3.n_bytes == 3
     assert s3.fertility_milli is None and s3.bytes_per_token_milli is None
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles bridged by one edge: after 2 rounds every node in
+    each triangle carries its clique's minimum label; the hand replay
+    of round 1 (neighbor majority, min-label ties) is asserted too."""
+    from tsmp_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("a", "c"),       # triangle {a,b,c}
+            ("x", "y"), ("y", "z"), ("x", "z"),       # triangle {x,y,z}
+            ("c", "x"),                                # bridge
+        ],
+        "src string, dst string",
+    )
+    # round 1 by hand: a sees {b,c}->min b; b sees {a,c}->a; c sees
+    # {a,b,x}->a; x sees {c,y,z}->c; y sees {x,z}->x; z sees {x,y}->x
+    r1 = {
+        r.node: r.label
+        for r in label_propagation(edges, rounds=1).collect()
+    }
+    assert r1 == {"a": "b", "b": "a", "c": "a", "x": "c", "y": "x", "z": "x"}
+    # round 2 by hand from r1: a sees {b:a, c:a} -> a; b sees {a:b, c:a}
+    # tie -> a; c sees {a:b, b:a, x:c} three-way tie -> a;
+    # x sees {c:a, y:x, z:x} -> x; y and z each see {x:c, other:x}
+    # tie -> c
+    r2 = {
+        r.node: r.label
+        for r in label_propagation(edges, rounds=2).collect()
+    }
+    assert r2 == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "c", "z": "c"}
+    out = label_propagation(edges, rounds=2)
+    sizes = {r.node: r.community_size for r in out.collect()}
+    assert all(v >= 1 for v in sizes.values())

@@ -19,6 +19,7 @@ error term.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 PR_SCALE = 10**9
 PR_DAMP_NUM = 85
@@ -284,6 +285,91 @@ def kcore_peel(
         )
     )
     # free per-round checkpoint blocks; the result's own (last id) survives
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in created[:-1]:
+        jrdd = jmap.get(rid) if rid >= 0 else None
+        if jrdd is not None:
+            jrdd.unpersist()
+    return result
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007, made DETERMINISTIC): every node starts
+    labeled with itself; each of ``rounds`` synchronized rounds every
+    node simultaneously adopts the most frequent label among its
+    NEIGHBORS, ties broken by the SMALLEST label (the house total-tie
+    rule — vanilla LPA breaks ties randomly and is not replayable).
+    Fixed round count, not convergence-tested: the depth-budget
+    contract of :func:`kcore_peel`.
+
+    Exactness: neighbor-label counts are exact integers and the
+    argmax order ``(count DESC, label ASC)`` is total (labels are
+    distinct within a node's count table), so every round is
+    bit-replayable cross-engine.
+
+    Scale: per round ONE edge-keyed join (labels onto neighbor
+    endpoints) + ONE (node, label) combinable groupBy + ONE node-keyed
+    WindowGroupLimit top-1 — all hash-bounded by |E| and |V|; round
+    state is the (node, label) table. Per-round ``localCheckpoint``
+    keeps the Catalyst plan linear in rounds (the kcore/connected-
+    components convention), and all per-round blocks except the
+    result's are unpersisted before returning.
+
+    Output: (node, label, community_size) after the final round.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    sc = edges.sparkSession.sparkContext
+    created: list[int] = []
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        out = df.localCheckpoint()
+        try:
+            created.append(int(out._jdf.queryExecution().analyzed().rdd().id()))
+        except Exception:
+            created.append(-1)
+        return out
+
+    a, b = F.col(src_col), F.col(dst_col)
+    adj = _ckpt(
+        edges.select(a.alias("node"), b.alias("nbr"))
+        .unionByName(edges.select(b.alias("node"), a.alias("nbr")))
+        .filter(F.col("node") != F.col("nbr"))
+        .distinct()
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(int(rounds)):
+        nl = adj.join(
+            labels.select(
+                F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+            ),
+            "nbr",
+        )
+        cnt = nl.groupBy("node", F.col("nbr_label").alias("label")).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        labels = _ckpt(
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("community_size")
+    )
+    result = _ckpt(labels.join(F.broadcast(sizes), "label").select(
+        "node", "label", "community_size"
+    ))
     jmap = sc._jsc.getPersistentRDDs()
     for rid in created[:-1]:
         jrdd = jmap.get(rid) if rid >= 0 else None

@@ -16543,6 +16543,77 @@ QUERIES["tokenizer_fertility"] = q_tokenizer_fertility
 ORACLES["tokenizer_fertility"] = SQL_TOKENIZER_FERTILITY
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (3 rounds) over the
+    customer–supplier trade graph: most-frequent neighbor label with
+    smallest-label ties, exact integer counts, per-round
+    localCheckpoint; unrolled-round oracle."""
+    from .operators.graph import label_propagation
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(edges, rounds=3)
+
+
+def _lpa_sql(rounds: int = 3) -> str:
+    steps = []
+    for k in range(1, rounds + 1):
+        prev = f"l{k-1}"
+        steps.append(f"""
+c{k} AS (
+  SELECT ad.node, l.label, CAST(count(*) AS BIGINT) AS c
+  FROM adj ad JOIN {prev} l ON l.node = ad.nbr
+  GROUP BY 1, 2
+),
+l{k} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM c{k}
+  ) WHERE rn = 1
+)""")
+    last = f"l{rounds}"
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM pairs
+  UNION
+  SELECT b AS node, a AS nbr FROM pairs
+),
+l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM adj),
+{','.join(steps)},
+sz AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS community_size
+  FROM {last} GROUP BY label
+)
+SELECT t.node, t.label, sz.community_size
+FROM {last} t JOIN sz USING (label)
+"""
+
+
+SQL_LABEL_PROPAGATION = _lpa_sql(3)
+
+QUERIES["label_propagation"] = q_label_propagation
+ORACLES["label_propagation"] = SQL_LABEL_PROPAGATION
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
