@@ -102,3 +102,68 @@ def test_token_shard_bit_level():
         encode_shard(np.array([2]), np.array([1]))  # inconsistent index
     with _pytest.raises(ValueError):
         decode_shard(b"XXXX" + blob[4:])
+
+
+def test_simple8b_roundtrip_fuzz():
+    from tsmp_spark.codecs.simple8b import simple8b_decode, simple8b_encode
+
+    rng = np.random.default_rng(7)
+    for trial in range(100):
+        n = int(rng.integers(0, 500))
+        mag = int(rng.integers(0, 59))
+        v = rng.integers(0, max(1, 2 ** mag), n).astype(np.int64)
+        if n and rng.random() < 0.3:
+            v[rng.integers(0, n, size=n // 3)] = 0
+        out = simple8b_decode(simple8b_encode(v))
+        np.testing.assert_array_equal(out, v)
+
+
+def test_simple8b_selector_boundaries_and_range():
+    from tsmp_spark.codecs.simple8b import (
+        SELECTORS, simple8b_decode, simple8b_encode,
+    )
+
+    # exact width-boundary values per selector class survive
+    for _, bits in SELECTORS:
+        if bits == 0:
+            continue
+        v = np.array([(1 << bits) - 1, 0, 1], dtype=np.int64)
+        np.testing.assert_array_equal(simple8b_decode(simple8b_encode(v)), v)
+    v = np.array([0, (1 << 60) - 1], dtype=np.int64)
+    np.testing.assert_array_equal(simple8b_decode(simple8b_encode(v)), v)
+    with pytest.raises(ValueError):
+        simple8b_encode(np.array([1 << 60], dtype=np.int64))
+    with pytest.raises(ValueError):
+        simple8b_encode(np.array([-1], dtype=np.int64))
+
+
+def test_simple8b_zero_runs_compress_and_determinism():
+    from tsmp_spark.codecs.simple8b import simple8b_encode, simple8b_decode
+
+    zeros = np.zeros(960, dtype=np.int64)
+    blob = simple8b_encode(zeros)
+    # 4 words of 240 zeros + 8-byte header: 0.04 bits/value
+    assert len(blob) == 8 + 4 * 8
+    np.testing.assert_array_equal(simple8b_decode(blob), zeros)
+    assert blob == simple8b_encode(zeros)
+
+
+def test_simple8b_sorted_seconds_wrapper():
+    from tsmp_spark.codecs.simple8b import (
+        pack_sorted_seconds, unpack_sorted_seconds,
+    )
+
+    s = np.int64(1_700_000_000) + np.arange(0, 3600, 3, dtype=np.int64)
+    blob = pack_sorted_seconds(s)
+    np.testing.assert_array_equal(unpack_sorted_seconds(blob), s)
+    # regular cadence: small constant deltas pack ~20 values/word
+    assert len(blob) < s.size  # way under 8 bytes/value
+    np.testing.assert_array_equal(
+        unpack_sorted_seconds(pack_sorted_seconds(np.array([5], np.int64))),
+        np.array([5], np.int64),
+    )
+    assert unpack_sorted_seconds(
+        pack_sorted_seconds(np.empty(0, np.int64))
+    ).size == 0
+    with pytest.raises(ValueError):
+        pack_sorted_seconds(np.array([3, 1], dtype=np.int64))

@@ -16614,6 +16614,52 @@ QUERIES["label_propagation"] = q_label_propagation
 ORACLES["label_propagation"] = SQL_LABEL_PROPAGATION
 
 
+def q_simple8b_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event timestamps → simple8b-packed delta blob
+    (Anh & Moffat 2010; the InfluxDB/TSM timestamp codec) → unpack →
+    rows. Oracle is the plain ordered-seconds SQL, so the codec is
+    proven lossless end-to-end (the gorilla_roundtrip contract for the
+    WORD-aligned integer scheme)."""
+    import numpy as np
+    import pandas as pd
+
+    from .codecs.simple8b import pack_sorted_seconds, unpack_sorted_seconds
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("sec")
+    )
+
+    def pack_unpack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        secs = np.sort(pdf["sec"].to_numpy(np.int64))
+        out = unpack_sorted_seconds(pack_sorted_seconds(secs))
+        return pd.DataFrame(
+            {
+                "user_id": np.repeat(key[0], len(out)),
+                "idx": np.arange(len(out), dtype=np.int64),
+                "sec": out,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        pack_unpack, "user_id long, idx long, sec long"
+    )
+
+
+SQL_SIMPLE8B_ROUNDTRIP = r"""
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY epoch(ts), event_id) - 1
+            AS BIGINT) AS idx,
+       -- floor, not CAST: Spark's unix_timestamp truncates sub-second
+       -- timestamps while DuckDB's BIGINT cast rounds them
+       CAST(floor(epoch(ts)) AS BIGINT) AS sec
+FROM events
+"""
+
+QUERIES["simple8b_roundtrip"] = q_simple8b_roundtrip
+ORACLES["simple8b_roundtrip"] = SQL_SIMPLE8B_ROUNDTRIP
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
