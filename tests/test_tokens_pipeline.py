@@ -1397,3 +1397,32 @@ def test_label_propagation_two_cliques(spark):
     out = label_propagation(edges, rounds=2)
     sizes = {r.node: r.community_size for r in out.collect()}
     assert all(v >= 1 for v in sizes.values())
+
+
+def test_canonical_docs_picks_longest_member(spark):
+    """Two identical-text near-dups: the one with more characters is
+    canonical, group id stays the component minimum, singletons are
+    excluded; char ties fall to the smaller doc id."""
+    from tsmp_spark.operators.dedup import canonical_docs
+
+    same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, same, 50),
+            (2, same, 80),
+            (7, "completely different words nothing shared here at all", 99),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    out = canonical_docs(docs, num_hashes=8, bands=4, threshold=0.25).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.group_id, r.canonical_id) == (1, 2)
+    assert (r.n_members, r.chars_kept, r.total_chars, r.n_dropped) == (
+        2, 80, 130, 1,
+    )
+    tie = spark.createDataFrame(
+        [(1, same, 60), (2, same, 60)], "doc_id long, text string, n_chars long"
+    )
+    t = canonical_docs(tie, num_hashes=8, bands=4, threshold=0.25).collect()[0]
+    assert t.canonical_id == 1

@@ -1222,3 +1222,79 @@ def minhash_accuracy_audit(
             + F.lit(0.0)
         ).alias("abs_err"),
     )
+
+
+def canonical_docs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Canonical-representative selection per near-dup group — the
+    "keep the best copy" step that turns :func:`dedup_groups` output
+    into an actual curation decision (RefinedWeb/CCNet keep the
+    longest/cleanest member of each fuzzy-dup cluster, not the
+    arbitrary component minimum).
+
+    Per multi-member component: canonical = the member with the MOST
+    characters, ties to the smallest doc id (total integer order —
+    deterministic cross-engine). Output one row per group:
+    ``(group_id, canonical_id, n_members, chars_kept, total_chars,
+    n_dropped)`` — all exact integers, no float anywhere.
+
+    Scale: rides the dedup_groups component table (bounded LSH band
+    shuffles + O(log n) star rounds); the argmax is ONE component-keyed
+    WindowGroupLimit top-1 and the stats one combinable groupBy on the
+    SAME key — the two reuse one exchange (the ClusteredDistribution
+    prefix rule).
+    """
+    from pyspark.sql.window import Window
+
+    g = dedup_groups(
+        documents,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+    memb = g.select("doc_id", "keep_id").join(
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(chars_col).cast("bigint").alias("nc"),
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("keep_id").orderBy(
+        F.col("nc").desc(), F.col("doc_id").asc()
+    )
+    best = (
+        memb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("keep_id").alias("group_id"),
+            F.col("doc_id").alias("canonical_id"),
+            F.col("nc").alias("chars_kept"),
+        )
+    )
+    stats = memb.groupBy("keep_id").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("nc").cast("bigint").alias("total_chars"),
+    )
+    return (
+        best.join(stats, best.group_id == stats.keep_id)
+        .filter(F.col("n_members") >= 2)
+        .select(
+            F.col("group_id").cast("bigint").alias("group_id"),
+            F.col("canonical_id").cast("bigint").alias("canonical_id"),
+            "n_members",
+            "chars_kept",
+            "total_chars",
+            (F.col("n_members") - F.lit(1)).cast("bigint").alias("n_dropped"),
+        )
+    )

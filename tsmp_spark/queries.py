@@ -16660,6 +16660,64 @@ QUERIES["simple8b_roundtrip"] = q_simple8b_roundtrip
 ORACLES["simple8b_roundtrip"] = SQL_SIMPLE8B_ROUNDTRIP
 
 
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection per near-dup group: most
+    characters wins, smallest-id ties — one WindowGroupLimit top-1 +
+    one combinable groupBy riding the dedup_groups component table."""
+    from .operators.dedup import canonical_docs
+
+    return canonical_docs(
+        _documents(spark, sf_dir), num_hashes=8, bands=4, threshold=0.25
+    )
+
+
+SQL_CANONICAL_DOCS = f"""
+WITH RECURSIVE {_sql_minhash_pairs(8, 2)},
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM agree WHERE n_agree / 8.0 >= 0.25
+),
+edges2 AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach AS (
+  SELECT u AS n, u AS r FROM edges2
+  UNION
+  SELECT e.v AS n, reach.r FROM reach JOIN edges2 e ON e.u = reach.n
+),
+comp AS (SELECT n, min(r) AS component FROM reach GROUP BY n),
+memb AS MATERIALIZED (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS keep_id,
+         CAST(d.n_chars AS BIGINT) AS nc
+  FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+),
+best AS (
+  SELECT keep_id AS group_id, doc_id AS canonical_id, nc AS chars_kept
+  FROM (
+    SELECT doc_id, keep_id, nc,
+           row_number() OVER (PARTITION BY keep_id
+                              ORDER BY nc DESC, doc_id ASC) AS rn
+    FROM memb
+  ) WHERE rn = 1
+),
+stats AS (
+  SELECT keep_id, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(nc) AS BIGINT) AS total_chars
+  FROM memb GROUP BY keep_id
+)
+SELECT CAST(b.group_id AS BIGINT) AS group_id,
+       CAST(b.canonical_id AS BIGINT) AS canonical_id,
+       s.n_members, b.chars_kept, s.total_chars,
+       CAST(s.n_members - 1 AS BIGINT) AS n_dropped
+FROM best b JOIN stats s ON s.keep_id = b.group_id
+WHERE s.n_members >= 2
+"""
+
+QUERIES["canonical_docs"] = q_canonical_docs
+ORACLES["canonical_docs"] = SQL_CANONICAL_DOCS
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
