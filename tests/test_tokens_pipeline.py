@@ -1426,3 +1426,35 @@ def test_canonical_docs_picks_longest_member(spark):
     )
     t = canonical_docs(tie, num_hashes=8, bands=4, threshold=0.25).collect()[0]
     assert t.canonical_id == 1
+
+
+def test_cep_pattern_match_negation_book(spark):
+    """A->B within T with no C between: an error between click and
+    purchase kills the match; a later clean pair matches; out-of-window
+    B does not; same-second ties follow the (sec, event_id) total
+    order."""
+    from tsmp_spark.operators.rollup import cep_pattern_match
+
+    rows = [
+        (1, 1, "click", 100), (1, 2, "error", 200), (1, 3, "purchase", 300),
+        (1, 4, "click", 400), (1, 5, "purchase", 500),
+        (2, 6, "click", 0), (2, 7, "purchase", 7200),
+        (3, 8, "click", 10), (3, 9, "purchase", 10), (3, 10, "error", 10),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, sec long"
+    )
+    out = {
+        r.key: r
+        for r in cep_pattern_match(
+            ev, "click", "purchase", "error", window_sec=3600
+        ).collect()
+    }
+    r1 = out[1]
+    assert (r1.n_a, r1.n_matches, r1.matched) == (2, 1, 1)
+    assert (r1.first_a_sec, r1.first_b_sec) == (400, 500)
+    r2 = out[2]
+    assert (r2.n_matches, r2.matched) == (0, 0)
+    assert r2.first_a_sec is None and r2.first_b_sec is None
+    r3 = out[3]  # purchase(id 9) precedes error(id 10) in the id order
+    assert (r3.n_matches, r3.first_a_sec, r3.first_b_sec) == (1, 10, 10)

@@ -4633,6 +4633,100 @@ def basket_lift(
     )
 
 
+def cep_pattern_match(
+    events: DataFrame,
+    a_type: str,
+    b_type: str,
+    not_between: str,
+    window_sec: int = 3600,
+    key_col: str = "user_id",
+    sec_col: str = "sec",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Event-pattern (CEP) matching with a NEGATIVE condition — the
+    ClickHouse ``sequenceMatch('(?1)(?t<=w)(?3)')``-with-``(?2)``-absent
+    / Flink CEP ``notFollowedBy`` primitive: per key, an occurrence of
+    ``a_type`` matches iff the NEXT ``b_type`` event (in the total
+    event order) is within ``window_sec`` AND no ``not_between`` event
+    falls strictly between them. The funnel operator can't express the
+    negation; this is the "click converted to purchase with no error in
+    between" query.
+
+    Determinism: events are totally ordered by the packed integer sort
+    key ``sk = sec·2²⁴ + event_id`` (the house sessionization
+    total-order rule — DuckDB orders TIES independently per window
+    function, so both "next B" and "next C" look-aheads run over the
+    SAME integer order; contract: ``event_id < 2²⁴``, asserted
+    nowhere hot — the pack would overflow bigint far later anyway).
+    "Between" is strict in that total order. All comparisons integer.
+
+    Scale: ONE key-hash exchange + one sort serve both look-ahead
+    window passes (same spec) and the final per-key groupBy extends
+    the key prefix — exchange reused, no joins, no pair blow-up
+    (the candidate-pair formulation would be A×B per key).
+
+    Output per key with ≥1 A event: ``(key, n_a, n_matches, matched,
+    first_a_sec, first_b_sec)`` — first match = smallest matching A in
+    the total order; NULLs when unmatched.
+    """
+    sk = (
+        F.col(sec_col).cast("long") * F.lit(1 << 24)
+        + F.col(id_col).cast("long")
+    ).alias("sk")
+    base = events.select(
+        F.col(key_col).alias("key"),
+        F.col(sec_col).cast("long").alias("sec"),
+        F.col(type_col).alias("etype"),
+        sk,
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("sk")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    look = base.select(
+        "key", "sec", "etype", "sk",
+        F.min(
+            F.when(F.col("etype") == b_type, F.col("sk"))
+        ).over(w).alias("next_b"),
+        F.min(
+            F.when(F.col("etype") == not_between, F.col("sk"))
+        ).over(w).alias("next_c"),
+    )
+    a = look.filter(F.col("etype") == a_type)
+    hit = (
+        F.col("next_b").isNotNull()
+        & (
+            (F.col("next_b") - F.col("sk"))
+            <= F.lit(int(window_sec) * (1 << 24))
+        )
+        & (F.col("next_c").isNull() | (F.col("next_c") > F.col("next_b")))
+    )
+    flagged = a.select(
+        "key", "sec", "sk", "next_b", hit.cast("int").alias("hit")
+    )
+    agg = flagged.groupBy("key").agg(
+        F.count("*").cast("bigint").alias("n_a"),
+        F.sum("hit").cast("bigint").alias("n_matches"),
+        F.min(F.when(F.col("hit") == 1, F.col("sk"))).alias("_first_sk"),
+    )
+    # first_b must belong to the FIRST matching A, not the min over all
+    # matches — rejoin on the min sk (integer equality, deterministic)
+    first = flagged.select(
+        "key", F.col("sk").alias("_first_sk"),
+        F.col("sec").alias("first_a_sec"),
+        F.expr(f"next_b div {1 << 24}").cast("long").alias("_fb"),
+    )
+    out = agg.join(first, ["key", "_first_sk"], "left")
+    return out.select(
+        "key", "n_a", "n_matches",
+        (F.col("n_matches") > 0).cast("int").alias("matched"),
+        F.col("first_a_sec").cast("bigint").alias("first_a_sec"),
+        F.col("_fb").cast("bigint").alias("first_b_sec"),
+    )
+
+
 def item_cf_similarity(
     baskets: DataFrame,
     min_cn: int = 2,

@@ -16718,6 +16718,66 @@ QUERIES["canonical_docs"] = q_canonical_docs
 ORACLES["canonical_docs"] = SQL_CANONICAL_DOCS
 
 
+def q_cep_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP negation pattern per user: click → purchase within one hour
+    with NO error strictly between (ClickHouse sequenceMatch / Flink
+    notFollowedBy shape) — packed-integer total order, two look-ahead
+    windows sharing one exchange, all-integer decisions."""
+    from .operators.rollup import cep_pattern_match
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+    )
+    return cep_pattern_match(
+        ev, "click", "purchase", "error", window_sec=3600
+    )
+
+
+SQL_CEP_MATCH = r"""
+WITH base AS (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         event_type AS etype,
+         CAST(floor(epoch(ts)) AS BIGINT) * 16777216 + event_id AS sk
+  FROM events
+),
+look AS (
+  SELECT key, sec, etype, sk,
+         min(CASE WHEN etype = 'purchase' THEN sk END)
+           OVER (PARTITION BY key ORDER BY sk
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_b,
+         min(CASE WHEN etype = 'error' THEN sk END)
+           OVER (PARTITION BY key ORDER BY sk
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_c
+  FROM base
+),
+a AS (
+  SELECT key, sec, sk, next_b,
+         CAST(next_b IS NOT NULL
+          AND next_b - sk <= CAST(3600 AS BIGINT) * 16777216
+          AND (next_c IS NULL OR next_c > next_b) AS INT) AS hit
+  FROM look WHERE etype = 'click'
+),
+agg AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_a,
+         CAST(sum(hit) AS BIGINT) AS n_matches,
+         min(CASE WHEN hit = 1 THEN sk END) AS first_sk
+  FROM a GROUP BY key
+)
+SELECT agg.key, agg.n_a, agg.n_matches,
+       CAST(agg.n_matches > 0 AS INT) AS matched,
+       CAST(f.sec AS BIGINT) AS first_a_sec,
+       CAST(f.next_b // 16777216 AS BIGINT) AS first_b_sec
+FROM agg
+LEFT JOIN a f ON f.key = agg.key AND f.sk = agg.first_sk
+"""
+
+QUERIES["cep_match"] = q_cep_match
+ORACLES["cep_match"] = SQL_CEP_MATCH
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
