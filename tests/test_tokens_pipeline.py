@@ -1458,3 +1458,23 @@ def test_cep_pattern_match_negation_book(spark):
     assert r2.first_a_sec is None and r2.first_b_sec is None
     r3 = out[3]  # purchase(id 9) precedes error(id 10) in the id order
     assert (r3.n_matches, r3.first_a_sec, r3.first_b_sec) == (1, 10, 10)
+
+
+def test_hrw_shard_assign_elasticity_property(spark):
+    """HRW's defining guarantee: growing 8 -> 9 shards moves keys ONLY
+    onto the new shard 8, at roughly 1/9 of keys; assignment is
+    deterministic and spread across all shards."""
+    from tsmp_spark.operators.catalog import hrw_shard_assign
+
+    keys = spark.range(900).select(F.col("id").cast("string").alias("key"))
+    out = hrw_shard_assign(keys, n_shards=8, n_shards_after=9).collect()
+    assert len(out) == 900
+    moved = [r for r in out if r.moved]
+    assert all(r.shard_after == 8 for r in moved)          # only TO the new
+    assert all(
+        r.shard == r.shard_after for r in out if not r.moved
+    )
+    assert 900 / 9 * 0.5 < len(moved) < 900 / 9 * 2        # ~1/9 rate
+    assert {r.shard for r in out} == set(range(8))
+    again = hrw_shard_assign(keys, n_shards=8, n_shards_after=9).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

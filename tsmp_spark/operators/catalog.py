@@ -10,7 +10,7 @@ downstream is identical (same DataFrames, same pushdown behavior).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -104,4 +104,58 @@ def compaction_plan(
     )
     return rows.groupBy("grp").applyInPandas(
         lambda pdf: kernel(pdf), COMPACTION_SCHEMA
+    )
+
+
+def hrw_shard_assign(
+    keys: DataFrame,
+    n_shards: int = 8,
+    n_shards_after: int | None = None,
+    key_col: str = "key",
+) -> DataFrame:
+    """Rendezvous / highest-random-weight consistent shard assignment
+    (Thaler & Ravishankar 1998 — the consistent-hashing variant every
+    shard-router and Iceberg-style partition rebalancer leans on):
+    ``shard(key) = argmax_s hash(s, key)``, evaluated for ``n_shards``
+    and (optionally) ``n_shards_after`` with a per-key ``moved`` flag —
+    the elasticity audit. HRW's defining property, pinned in pytest:
+    growing N→N+1 moves keys ONLY onto the new shard (every key's old
+    per-shard weights are unchanged), at an expected 1/(N+1) rate.
+
+    Determinism: weight = the house portable md5 hash salted
+    ``hrw<s>:`` per shard; the argmax is ONE integer ``greatest`` over
+    packed ``w·64 + s`` values (w < 2³², s < 64), so ties fall to the
+    LARGER shard by construction — no window, no explode, no join.
+
+    Scale: per-row JVM expressions only — ZERO exchange, map-only at
+    any corpus size; N inlines as N literal md5 calls (N ≤ 64 by the
+    packing contract).
+    """
+    from .dedup import _h64
+
+    if not 1 <= n_shards <= 64:
+        raise ValueError("n_shards must be in [1, 64]")
+    k = F.col(key_col).cast("string")
+
+    def packed(n: int) -> Column:
+        terms = [
+            _h64(F.concat(F.lit(f"hrw{s}:"), k), 0) * F.lit(64) + F.lit(s)
+            for s in range(n)
+        ]
+        best = terms[0] if len(terms) == 1 else F.greatest(*terms)
+        return (best % 64).cast("int")
+
+    out = keys.select(
+        F.col(key_col).alias("key"), packed(n_shards).alias("shard")
+    )
+    if n_shards_after is None:
+        return out
+    if not 1 <= n_shards_after <= 64:
+        raise ValueError("n_shards_after must be in [1, 64]")
+    return keys.select(
+        F.col(key_col).alias("key"),
+        packed(n_shards).alias("shard"),
+        packed(n_shards_after).alias("shard_after"),
+    ).withColumn(
+        "moved", (F.col("shard") != F.col("shard_after")).cast("int")
     )

@@ -16778,6 +16778,43 @@ QUERIES["cep_match"] = q_cep_match
 ORACLES["cep_match"] = SQL_CEP_MATCH
 
 
+def q_hrw_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) consistent shard assignment of user keys at
+    N=8 and N=9 with the per-key moved flag: packed integer argmax over
+    inline md5 weights, map-only zero-exchange (after the distinct)."""
+    from .operators.catalog import hrw_shard_assign
+
+    keys = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("key")
+    ).distinct()
+    return hrw_shard_assign(keys, n_shards=8, n_shards_after=9)
+
+
+def _hrw_sql(n_before: int, n_after: int) -> str:
+    def packed(n: int) -> str:
+        terms = ", ".join(
+            "CAST(('0x' || substr(md5('s0:hrw" + str(s) + ":' || key), 1, 8)) "
+            f"AS BIGINT) * 64 + {s}"
+            for s in range(n)
+        )
+        return f"greatest({terms}) % 64"
+
+    return f"""
+WITH keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events)
+SELECT key,
+       CAST({packed(n_before)} AS INT) AS shard,
+       CAST({packed(n_after)} AS INT) AS shard_after,
+       CAST(({packed(n_before)}) <> ({packed(n_after)}) AS INT) AS moved
+FROM keys
+"""
+
+
+SQL_HRW_SHARDS = _hrw_sql(8, 9)
+
+QUERIES["hrw_shards"] = q_hrw_shards
+ORACLES["hrw_shards"] = SQL_HRW_SHARDS
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
