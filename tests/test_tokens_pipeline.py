@@ -1478,3 +1478,24 @@ def test_hrw_shard_assign_elasticity_property(spark):
     assert {r.shard for r in out} == set(range(8))
     again = hrw_shard_assign(keys, n_shards=8, n_shards_after=9).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_quantile_discretize_hand_books(spark):
+    """1..8 into 4 bins: edges 2/4/6 (centi 200/400/600), perfectly
+    even counts; heavy ties bin LOW and uneven counts are exact."""
+    from tsmp_spark.operators.rollup import quantile_discretize
+
+    ev = spark.createDataFrame(
+        [(float(v),) for v in range(1, 9)], "value double"
+    )
+    out = {r.bin: r for r in quantile_discretize(ev, n_bins=4).collect()}
+    assert (out[0].e1, out[0].e2, out[0].e3) == (200, 400, 600)
+    assert all(out[b].n_rows == 2 for b in range(4))
+    assert (out[0].lo_vc, out[0].hi_vc) == (100, 200)
+    assert (out[3].lo_vc, out[3].hi_vc) == (700, 800)
+    ties = spark.createDataFrame(
+        [(1.0,)] * 4 + [(2.0,)], "value double"
+    )
+    t = {r.bin: r for r in quantile_discretize(ties, n_bins=2).collect()}
+    # edge = value at rank ceil(5/2)=3 -> 1.0; ties bin LOW
+    assert t[0].n_rows == 4 and t[1].n_rows == 1 and t[0].e1 == 100

@@ -4633,6 +4633,70 @@ def basket_lift(
     )
 
 
+def quantile_discretize(
+    events: DataFrame,
+    n_bins: int = 4,
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact equal-frequency quantile discretization (the Spark MLlib
+    ``QuantileDiscretizer`` / feature-binning primitive, made
+    bit-deterministic): values quantize ONCE to centi-units, bin edges
+    are the NEAREST-RANK order statistics at ranks ``⌈j·n/n_bins⌉``
+    (j = 1..n_bins−1, the hdr integer-rank convention), and a row's bin
+    is the pure integer count of edges strictly below its value (edge
+    ties bin LOW). No float ever forms.
+
+    Scale: raw rows fold into the bounded distinct-value sketch table
+    in one combinable groupBy; the cumulative rank walk runs over THAT
+    table (the ks_drift shape — a single-partition window over sketch
+    rows, never raw rows), edges broadcast back as n_bins−1 scalar
+    columns, and the final per-bin groupBy is combinable. Ties can make
+    bins uneven (exactness over evenness — documented).
+
+    Output per observed bin: ``(bin, n_rows, lo_vc, hi_vc)`` plus the
+    edge list repeated for visibility.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    cu = F.round(F.col(value_col).cast("double") * 100).cast("bigint")
+    vals = events.select(cu.alias("vc"))
+    hist = vals.groupBy("vc").agg(F.count("*").cast("bigint").alias("cnt"))
+    wcum = Window.orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dense = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    total = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
+    ranks = dense.crossJoin(F.broadcast(total))
+    edge_cols = []
+    for j in range(1, int(n_bins)):
+        # nearest-rank: smallest vc whose cumulative count reaches
+        # ceil(j*n/n_bins) = (j*n + n_bins - 1) div n_bins
+        r = F.expr(f"({j} * n + {int(n_bins) - 1}) div {int(n_bins)}")
+        edge_cols.append(
+            F.min(F.when(F.col("cum") >= r, F.col("vc"))).alias(f"e{j}")
+        )
+    edges = ranks.agg(*edge_cols)
+    tagged = vals.crossJoin(F.broadcast(edges))
+    bin_expr = None
+    for j in range(1, int(n_bins)):
+        term = (F.col("vc") > F.col(f"e{j}")).cast("int")
+        bin_expr = term if bin_expr is None else bin_expr + term
+    out = (
+        tagged.withColumn("bin", bin_expr.cast("int"))
+        .groupBy("bin", *[f"e{j}" for j in range(1, int(n_bins))])
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("vc").cast("bigint").alias("lo_vc"),
+            F.max("vc").cast("bigint").alias("hi_vc"),
+        )
+    )
+    return out.select(
+        "bin", "n_rows", "lo_vc", "hi_vc",
+        *[F.col(f"e{j}").cast("bigint").alias(f"e{j}")
+          for j in range(1, int(n_bins))],
+    )
+
+
 def cep_pattern_match(
     events: DataFrame,
     a_type: str,

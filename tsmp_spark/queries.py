@@ -16815,6 +16815,48 @@ QUERIES["hrw_shards"] = q_hrw_shards
 ORACLES["hrw_shards"] = SQL_HRW_SHARDS
 
 
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-frequency discretization of event values into 4
+    bins: integer nearest-rank centi edges over the bounded
+    distinct-value sketch, pure-integer bin assignment, per-bin
+    summary."""
+    from .operators.rollup import quantile_discretize
+
+    return quantile_discretize(
+        _events(spark, sf_dir).select("value"), n_bins=4
+    )
+
+
+SQL_QUANTILE_BINS = r"""
+WITH vals AS (
+  SELECT CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vc FROM events
+),
+hist AS (SELECT vc, CAST(count(*) AS BIGINT) AS cnt FROM vals GROUP BY vc),
+dense AS (
+  SELECT vc, CAST(sum(cnt) OVER (ORDER BY vc) AS BIGINT) AS cum FROM hist
+),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+edges AS (
+  SELECT
+    min(CASE WHEN d.cum >= (1 * t.n + 3) // 4 THEN d.vc END) AS e1,
+    min(CASE WHEN d.cum >= (2 * t.n + 3) // 4 THEN d.vc END) AS e2,
+    min(CASE WHEN d.cum >= (3 * t.n + 3) // 4 THEN d.vc END) AS e3
+  FROM dense d CROSS JOIN total t
+)
+SELECT CAST(CAST(vc > e1 AS INT) + CAST(vc > e2 AS INT)
+            + CAST(vc > e3 AS INT) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(vc) AS BIGINT) AS lo_vc,
+       CAST(max(vc) AS BIGINT) AS hi_vc,
+       e1, e2, e3
+FROM vals CROSS JOIN edges
+GROUP BY 1, e1, e2, e3
+"""
+
+QUERIES["quantile_bins"] = q_quantile_bins
+ORACLES["quantile_bins"] = SQL_QUANTILE_BINS
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
