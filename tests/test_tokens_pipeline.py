@@ -1499,3 +1499,31 @@ def test_quantile_discretize_hand_books(spark):
     t = {r.bin: r for r in quantile_discretize(ties, n_bins=2).collect()}
     # edge = value at rank ceil(5/2)=3 -> 1.0; ties bin LOW
     assert t[0].n_rows == 4 and t[1].n_rows == 1 and t[0].e1 == 100
+
+
+def test_bag_of_patterns_hand_words(spark):
+    """A pure ramp yields one numerosity-reduced word 0123 (=27); a
+    constant series is low-variance and emits nothing; short series
+    (< window) emit nothing."""
+    from tsmp_spark.operators.series import bag_of_patterns
+
+    rows = (
+        [(1, i, float(i)) for i in range(10)]       # ramp: 3 identical words
+        + [(2, i, 5.0) for i in range(12)]          # constant: lowvar
+        + [(3, i, float(i)) for i in range(5)]      # too short
+    )
+    df = spark.createDataFrame(rows, "doc_id long, pos long, value double")
+    out = bag_of_patterns(df, window=8, w=4, a=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    # z-normalized ramp: segment z's fall in the 4 symbol bands 0,1,2,3
+    assert (r.key, r.word, r.cnt) == (1, 0 * 64 + 1 * 16 + 2 * 4 + 3, 1)
+    # an up-down-up series yields multiple distinct words
+    zig = [(9, i, float(v)) for i, v in enumerate(
+        [0, 9, 1, 8, 0, 9, 1, 8, 0, 9, 1, 8]
+    )]
+    z = bag_of_patterns(
+        spark.createDataFrame(zig, "doc_id long, pos long, value double"),
+        window=8, w=4, a=4,
+    ).collect()
+    assert sum(r.cnt for r in z) >= 2

@@ -504,3 +504,91 @@ def lcss_pairs(
         "lcs",
         (F.col("lcs").cast("double") / F.lit(float(trunc)) + F.lit(0.0)).alias("sim"),
     )
+
+
+def bag_of_patterns(
+    long_df: DataFrame,
+    window: int = 8,
+    w: int = 4,
+    a: int = 4,
+    key_col: str = "doc_id",
+    pos_col: str = "pos",
+    value_col: str = "value",
+) -> DataFrame:
+    """Bag-of-patterns time-series features (Lin & Li 2009/2012 — the
+    histogram-of-SAX-words representation behind BOP/SAX-VSM
+    classification): slide a length-``window`` subsequence over each
+    series (step 1), z-normalize PER WINDOW, PAA to ``w`` segments,
+    SAX to an ``a``-symbol word, apply NUMEROSITY REDUCTION (a run of
+    identical consecutive words counts once — the trivial-match rule),
+    and count words per series.
+
+    Exactness WITHOUT rounding conventions: each window's mean/sd/PAA
+    are FIXED-ORDER expressions over ``window`` lead columns
+    (``(c0+c1+…)/n`` left-associated, recentered sd, IEEE sqrt), so
+    both engines evaluate bit-identical doubles — nothing unordered
+    ever forms (the holt raw-gating convention; the whole-series sax
+    operator needs r9 because its window avg() is unordered, this one
+    does not). Breakpoint comparisons are strict (ties to the lower
+    symbol, the sax rule); windows in the engine-wide low-variance
+    band (sd < 1e-7·(|mu|+1)) are DROPPED, as are incomplete tail
+    windows. Word = Σ sym_k·a^(w−1−k), an exact integer.
+
+    Scale: the ``window`` leads, the numerosity lag, and the final
+    (key, word) groupBy all ride ONE key-hash exchange + one sort
+    (same window spec, ClusteredDistribution prefix reuse). Output is
+    the word histogram — bounded by a^w words per key.
+    """
+    if window % w != 0:
+        raise ValueError("window must be a multiple of w")
+    if a not in SAX_BREAKPOINTS:
+        raise ValueError(f"bag_of_patterns: alphabet size {a} unsupported")
+    bps = SAX_BREAKPOINTS[a]
+    seg = window // w
+    k, p, v = F.col(key_col), F.col(pos_col), F.col(value_col)
+    wo = Window.partitionBy("key").orderBy("pos", "v")
+    rows = long_df.select(
+        k.alias("key"), p.alias("pos"), v.cast("double").alias("v")
+    )
+    cols = [F.lead("v", j).over(wo).alias(f"c{j}") for j in range(window)]
+    led = rows.select("key", "pos", "v", *cols)
+    cs = [F.col(f"c{j}") for j in range(window)]
+    total = cs[0]
+    for c in cs[1:]:
+        total = total + c
+    mu = total / F.lit(float(window))
+    var = (cs[0] - mu) * (cs[0] - mu)
+    for c in cs[1:]:
+        var = var + (c - mu) * (c - mu)
+    sd = F.sqrt(var / F.lit(float(window)))
+    word = None
+    for s in range(w):
+        pseg = cs[s * seg]
+        for j in range(1, seg):
+            pseg = pseg + cs[s * seg + j]
+        pr = pseg / F.lit(float(seg))
+        z = (pr - mu) / sd
+        sym = None
+        for bp in bps:
+            t = (z > F.lit(float(bp))).cast("int")
+            sym = t if sym is None else sym + t
+        term = sym.cast("bigint") * F.lit(int(a ** (w - 1 - s)))
+        word = term if word is None else word + term
+    ok = (
+        F.col(f"c{window - 1}").isNotNull()
+        & (sd >= F.lit(1e-7) * (F.abs(mu) + F.lit(1.0)))
+    )
+    kept = led.select(
+        "key", "pos", "v", F.when(ok, word).alias("word")
+    ).filter(F.col("word").isNotNull())
+    prev = F.lag("word").over(Window.partitionBy("key").orderBy("pos", "v"))
+    reduced = kept.withColumn("prev", prev).filter(
+        F.col("prev").isNull() | (F.col("word") != F.col("prev"))
+    )
+    return (
+        reduced.groupBy("key", "word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            F.col("key"), F.col("word").cast("bigint").alias("word"), "cnt"
+        )
+    )

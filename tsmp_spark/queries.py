@@ -16857,6 +16857,84 @@ QUERIES["quantile_bins"] = q_quantile_bins
 ORACLES["quantile_bins"] = SQL_QUANTILE_BINS
 
 
+def q_bag_of_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-patterns word histogram per user series (Lin & Li):
+    length-8 sliding windows, per-window z-norm (fixed-order
+    expressions — no rounding convention needed), PAA-4 → 4-symbol SAX
+    word, numerosity reduction, (key, word) counts."""
+    from .operators.series import bag_of_patterns
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("sec"), "value"
+    )
+    return bag_of_patterns(
+        ev, window=8, w=4, a=4,
+        key_col="user_id", pos_col="sec", value_col="value",
+    ).select(
+        F.col("key").cast("bigint").alias("user_id"), "word", "cnt"
+    )
+
+
+def _bop_sql(window: int = 8, w: int = 4, a: int = 4) -> str:
+    seg = window // w
+    leads = ",\n         ".join(
+        f"lead(v, {j}) OVER win AS c{j}" for j in range(window)
+    )
+    tot = " + ".join(f"c{j}" for j in range(window))
+    mu = f"(({tot}) / CAST({window} AS DOUBLE))"
+    # sd must inline mu (an alias is not referenceable in its own
+    # SELECT); numerically identical — same value, same expression tree
+    var2 = " + ".join(f"(c{j} - {mu}) * (c{j} - {mu})" for j in range(window))
+    bps = {4: (-0.6744897501960817, 0.0, 0.6744897501960817)}[a]
+    syms = []
+    for s in range(w):
+        pseg = " + ".join(f"c{s * seg + j}" for j in range(seg))
+        z = f"((({pseg}) / CAST({seg} AS DOUBLE)) - mu) / sd"
+        sym = " + ".join(f"CAST(({z}) > {bp!r} AS INT)" for bp in bps)
+        syms.append(f"CAST({sym} AS BIGINT) * {a ** (w - 1 - s)}")
+    word = " + ".join(syms)
+    return f"""
+WITH ev AS (
+  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS pos,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+),
+led AS (
+  SELECT key, pos, v,
+         {leads}
+  FROM ev WINDOW win AS (PARTITION BY key ORDER BY pos, v)
+),
+m AS (
+  SELECT *, {mu} AS mu,
+         sqrt(({var2}) / CAST({window} AS DOUBLE)) AS sd
+  FROM led
+),
+kept AS (
+  SELECT key, pos, v,
+         CASE WHEN c{window - 1} IS NOT NULL
+                   AND sd >= 1e-7 * (abs(mu) + 1.0)
+              THEN {word} END AS word
+  FROM m
+),
+red AS (
+  SELECT key, pos, v, word,
+         lag(word) OVER (PARTITION BY key ORDER BY pos, v) AS prev
+  FROM kept WHERE word IS NOT NULL
+)
+SELECT CAST(key AS BIGINT) AS user_id, CAST(word AS BIGINT) AS word,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM red
+WHERE prev IS NULL OR word <> prev
+GROUP BY 1, 2
+"""
+
+
+SQL_BAG_OF_PATTERNS = _bop_sql(8, 4, 4)
+
+QUERIES["bag_of_patterns"] = q_bag_of_patterns
+ORACLES["bag_of_patterns"] = SQL_BAG_OF_PATTERNS
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
