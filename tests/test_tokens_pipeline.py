@@ -1527,3 +1527,28 @@ def test_bag_of_patterns_hand_words(spark):
         window=8, w=4, a=4,
     ).collect()
     assert sum(r.cnt for r in z) >= 2
+
+
+def test_winsorized_stats_hand_case(spark):
+    """1..20 at 5% (k=1): min raised to 2, max lowered to 19 — the
+    textbook one-each winsorization; mean = 10.5 exactly."""
+    from tsmp_spark.operators.rollup import winsorized_stats
+
+    ev = spark.createDataFrame(
+        [("a", float(v), v) for v in range(1, 21)],
+        "event_type string, value double, event_id long",
+    )
+    r = winsorized_stats(ev, pct=5).collect()[0]
+    assert (r.n, r.lo_centi, r.hi_centi) == (20, 200, 1900)
+    assert (r.n_clamped_lo, r.n_clamped_hi) == (1, 1)
+    assert r.winsorized_sum_centi == 21000
+    assert r.winsorized_mean == pytest.approx(10.5)
+    # heavy outliers on both sides clamp symmetrically at 10%
+    ev2 = spark.createDataFrame(
+        [("b", -1000.0, 1), ("b", 1000.0, 10)]
+        + [("b", float(v), v) for v in range(2, 10)],
+        "event_type string, value double, event_id long",
+    )
+    r2 = winsorized_stats(ev2, pct=10).collect()[0]
+    assert (r2.n_clamped_lo, r2.n_clamped_hi) == (1, 1)
+    assert (r2.lo_centi, r2.hi_centi) == (200, 900)

@@ -4633,6 +4633,77 @@ def basket_lift(
     )
 
 
+def winsorized_stats(
+    events: DataFrame,
+    pct: int = 5,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Winsorized robust aggregate (Tukey; Dixon & Tukey 1968) — the
+    CLAMPING companion to :func:`trimmed_mean` (which drops): per key,
+    values below the ``pct``-th / above the ``(100−pct)``-th
+    nearest-rank order statistic are REPLACED by those bounds, and the
+    winsorized mean is ONE division of exact centi-unit integers.
+
+    The classic count convention, SHARED with :func:`trimmed_mean`:
+    ``k = n·pct//100`` per side; the k smallest values are raised to
+    the rank-``k+1`` order statistic and the k largest lowered to the
+    rank-``n−k`` one, over the TOTAL ``(value, id)`` order — pure
+    integer rank comparisons, deterministic under any tie pattern.
+    Clamping, summing, and counting are all integer; nothing float
+    ever forms except the final mean division.
+
+    Scale: ONE key-hash exchange serves the rank window, the per-row
+    clamp, and the final combinable groupBy (same key prefix). No
+    global sort, no broadcast of raw rows.
+
+    Output: (key, n, lo_centi, hi_centi, n_clamped_lo, n_clamped_hi,
+    winsorized_sum_centi, winsorized_mean).
+    """
+    if not 0 < pct < 50:
+        raise ValueError("pct must be in (0, 50)")
+    cu = F.round(F.col(value_col).cast("double") * 100).cast("bigint")
+    base = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        cu.alias("vc"),
+        F.col(id_col).cast("long").alias("id"),
+    )
+    wo = Window.partitionBy("key").orderBy("vc", "id")
+    wk = Window.partitionBy("key")
+    ranked = base.select(
+        "key", "vc",
+        F.row_number().over(wo).alias("rk"),
+        F.count("*").over(wk).alias("n"),
+    )
+    lo_rank = F.expr(f"(({pct} * n) div 100) + 1")
+    hi_rank = F.expr(f"n - (({pct} * n) div 100)")
+    bounds = ranked.groupBy("key").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(F.when(F.col("rk") >= lo_rank, F.col("vc")))
+        .cast("bigint").alias("lo_centi"),
+        F.min(F.when(F.col("rk") >= hi_rank, F.col("vc")))
+        .cast("bigint").alias("hi_centi"),
+    )
+    clamped = ranked.join(bounds.select("key", "lo_centi", "hi_centi"), "key")
+    wv = F.least(F.greatest(F.col("vc"), F.col("lo_centi")), F.col("hi_centi"))
+    agg = clamped.groupBy("key", "lo_centi", "hi_centi").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("vc") < F.col("lo_centi")).cast("int"))
+        .cast("bigint").alias("n_clamped_lo"),
+        F.sum((F.col("vc") > F.col("hi_centi")).cast("int"))
+        .cast("bigint").alias("n_clamped_hi"),
+        F.sum(wv).cast("bigint").alias("winsorized_sum_centi"),
+    )
+    mean = F.col("winsorized_sum_centi").cast("double") / (
+        F.lit(100.0) * F.col("n").cast("double")
+    )
+    return agg.select(
+        "key", "n", "lo_centi", "hi_centi", "n_clamped_lo", "n_clamped_hi",
+        "winsorized_sum_centi", (mean + F.lit(0.0)).alias("winsorized_mean"),
+    )
+
+
 def quantile_discretize(
     events: DataFrame,
     n_bins: int = 4,

@@ -16935,6 +16935,55 @@ QUERIES["bag_of_patterns"] = q_bag_of_patterns
 ORACLES["bag_of_patterns"] = SQL_BAG_OF_PATTERNS
 
 
+def q_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%) robust aggregate per event type: nearest-rank
+    integer clamp bounds over the (value, id) total order, all-integer
+    clamp/sum/count, one final mean division."""
+    from .operators.rollup import winsorized_stats
+
+    return winsorized_stats(_events(spark, sf_dir), pct=5)
+
+
+SQL_WINSORIZED = r"""
+WITH base AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vc,
+         event_id AS id
+  FROM events
+),
+ranked AS (
+  SELECT key, vc,
+         row_number() OVER (PARTITION BY key ORDER BY vc, id) AS rk,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM base
+),
+bounds AS (
+  SELECT key, CAST(max(n) AS BIGINT) AS n,
+         CAST(min(CASE WHEN rk >= (5 * n) // 100 + 1
+                       THEN vc END) AS BIGINT) AS lo_centi,
+         CAST(min(CASE WHEN rk >= n - (5 * n) // 100
+                       THEN vc END) AS BIGINT) AS hi_centi
+  FROM ranked GROUP BY key
+)
+SELECT r.key,
+       CAST(count(*) AS BIGINT) AS n,
+       b.lo_centi, b.hi_centi,
+       CAST(sum(CASE WHEN r.vc < b.lo_centi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_lo,
+       CAST(sum(CASE WHEN r.vc > b.hi_centi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_hi,
+       CAST(sum(least(greatest(r.vc, b.lo_centi), b.hi_centi)) AS BIGINT)
+         AS winsorized_sum_centi,
+       CAST(sum(least(greatest(r.vc, b.lo_centi), b.hi_centi)) AS DOUBLE)
+         / (100.0 * CAST(count(*) AS DOUBLE)) + 0.0 AS winsorized_mean
+FROM ranked r JOIN bounds b USING (key)
+GROUP BY r.key, b.lo_centi, b.hi_centi
+"""
+
+QUERIES["winsorized"] = q_winsorized
+ORACLES["winsorized"] = SQL_WINSORIZED
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
