@@ -16984,6 +16984,67 @@ QUERIES["winsorized"] = q_winsorized
 ORACLES["winsorized"] = SQL_WINSORIZED
 
 
+def q_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pg_trgm-style fuzzy string matching over part names: character
+    trigram sets, candidate pairs from a trigram-keyed equi-join with a
+    hot-trigram cap (800 keys), exact set Jaccard/cosine — the trigram
+    role-swap of the item_cf operator (baskets = trigrams, items =
+    names), ≥ 8 shared trigrams."""
+    from .operators.rollup import item_cf_similarity
+
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", F.lower(F.col("p_name")).alias("nm")
+    ).filter(F.length("nm") >= 3)
+    tri = parts.select(
+        F.col("p_partkey").alias("it"),
+        F.explode(
+            F.expr("transform(sequence(1, length(nm) - 2), "
+                   "i -> substring(nm, i, 3))")
+        ).alias("o"),
+    ).distinct()
+    return item_cf_similarity(
+        tri, min_cn=8, max_basket_size=800, basket_col="o", item_col="it"
+    ).select(
+        F.col("item_a").cast("bigint").alias("item_a"),
+        F.col("item_b").cast("bigint").alias("item_b"),
+        "cn", "deg_a", "deg_b", "jaccard", "cosine",
+    )
+
+
+SQL_TRIGRAM_SIMILARITY = r"""
+WITH parts AS (
+  SELECT p_partkey, lower(p_name) AS nm FROM part WHERE len(lower(p_name)) >= 3
+),
+tri AS (
+  SELECT DISTINCT p_partkey AS it, substr(nm, CAST(i AS INT), 3) AS o
+  FROM parts, unnest(generate_series(1, len(nm) - 2)) AS g(i)
+),
+deg AS (SELECT it, CAST(count(*) AS BIGINT) AS deg FROM tri GROUP BY it),
+sizes AS (SELECT o, count(*) AS sz FROM tri GROUP BY o),
+gen AS (
+  SELECT t.o, t.it FROM tri t JOIN sizes s ON s.o = t.o WHERE s.sz <= 800
+),
+pairs AS (
+  SELECT a.it AS ia, b.it AS ib, CAST(count(*) AS BIGINT) AS cn
+  FROM gen a JOIN gen b ON a.o = b.o AND a.it < b.it
+  GROUP BY 1, 2
+  HAVING count(*) >= 8
+)
+SELECT CAST(p.ia AS BIGINT) AS item_a, CAST(p.ib AS BIGINT) AS item_b,
+       p.cn, da.deg AS deg_a, db.deg AS deg_b,
+       CAST(p.cn AS DOUBLE)
+         / CAST(da.deg + db.deg - p.cn AS DOUBLE) + 0.0 AS jaccard,
+       CAST(p.cn AS DOUBLE)
+         / sqrt(CAST(da.deg * db.deg AS DOUBLE)) + 0.0 AS cosine
+FROM pairs p
+JOIN deg da ON da.it = p.ia
+JOIN deg db ON db.it = p.ib
+"""
+
+QUERIES["trigram_similarity"] = q_trigram_similarity
+ORACLES["trigram_similarity"] = SQL_TRIGRAM_SIMILARITY
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
