@@ -1552,3 +1552,32 @@ def test_winsorized_stats_hand_case(spark):
     r2 = winsorized_stats(ev2, pct=10).collect()[0]
     assert (r2.n_clamped_lo, r2.n_clamped_hi) == (1, 1)
     assert (r2.lo_centi, r2.hi_centi) == (200, 900)
+
+
+def test_containment_pairs_quote_inclusion(spark):
+    """A short doc fully quoted inside a long one: containment_a = 1
+    even though Jaccard is low; unrelated docs emit nothing; the
+    integer gate matches the float ratio."""
+    from tsmp_spark.operators.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon"
+    long_doc = (
+        quote
+        + " one two three four five six seven eight nine ten"
+        + " eleven twelve thirteen fourteen fifteen sixteen"
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in containment_pairs(
+            docs, threshold_milli=500, max_shingle_freq=10**6
+        ).collect()
+    }
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert r.inter == r.na  # every shingle of the quote is inside
+    assert r.containment_a == pytest.approx(1.0)
+    assert r.containment_b < 0.5  # asymmetric: Jaccard-style view low

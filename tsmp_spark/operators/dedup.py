@@ -1298,3 +1298,59 @@ def canonical_docs(
             (F.col("n_members") - F.lit(1)).cast("bigint").alias("n_dropped"),
         )
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_milli: int = 500,
+    max_shingle_freq: int = 64,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC containment detection (Broder 1997, "On the
+    resemblance and containment of documents" — the OTHER statistic of
+    the paper that gave us shingling): ``c(A,B) = |S(A)∩S(B)| / |S(A)|``
+    over word-``n``-gram shingle sets. Quote inclusion, boilerplate
+    wrapping, and excerpt reposts have LOW Jaccard but HIGH one-sided
+    containment — :func:`ngram_jaccard_pairs` cannot see them.
+
+    Integer decision rule: a pair is emitted when EITHER direction's
+    containment reaches ``threshold_milli``/1000, tested as the
+    cross-multiplied integer ``1000·inter ≥ thr·n_small`` (no float
+    ratio ever gates). Both directions and the shingle counts are
+    emitted as exact integers; the two containments are fixed-shape
+    single divisions for the reader.
+
+    Scale: identical plan to the Jaccard generator — ONE shingle
+    equi-join bounded by ``max_shingle_freq``, sizes broadcast onto the
+    pruned pair table. Same linear-measured shuffle family.
+    """
+    sh = pin(shingle_table(_spread(documents, parallelism), text_col, id_col, n))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
+    sh_f = sh.join(freq.filter(F.col("freq") <= max_shingle_freq), "shingle")
+    a = sh_f.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_f.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    joined = inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    thr = F.lit(int(threshold_milli))
+    keep = (
+        (F.lit(1000) * F.col("inter") >= thr * F.col("na"))
+        | (F.lit(1000) * F.col("inter") >= thr * F.col("nb"))
+    )
+    return joined.filter(keep).select(
+        "doc_a", "doc_b", "inter", "na", "nb",
+        (F.col("inter").cast("double") / F.col("na").cast("double")
+         + F.lit(0.0)).alias("containment_a"),
+        (F.col("inter").cast("double") / F.col("nb").cast("double")
+         + F.lit(0.0)).alias("containment_b"),
+    )

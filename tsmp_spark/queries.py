@@ -17045,6 +17045,47 @@ QUERIES["trigram_similarity"] = q_trigram_similarity
 ORACLES["trigram_similarity"] = SQL_TRIGRAM_SIMILARITY
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (Broder 1997): pairs where either
+    direction's |A∩B|/|A| reaches 0.5, gated by the cross-multiplied
+    integer rule — catches quote-inclusion pairs Jaccard misses."""
+    from .operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _documents(spark, sf_dir),
+        threshold_milli=500,
+        max_shingle_freq=1000000,
+    )
+
+
+SQL_CONTAINMENT = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter,
+       sa.n_sh AS na, sb.n_sh AS nb,
+       CAST(i.inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) + 0.0
+         AS containment_a,
+       CAST(i.inter AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) + 0.0
+         AS containment_b
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE 1000 * i.inter >= 500 * sa.n_sh OR 1000 * i.inter >= 500 * sb.n_sh
+"""
+
+QUERIES["containment"] = q_containment
+ORACLES["containment"] = SQL_CONTAINMENT
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
