@@ -1581,3 +1581,35 @@ def test_containment_pairs_quote_inclusion(spark):
     assert r.inter == r.na  # every shingle of the quote is inside
     assert r.containment_a == pytest.approx(1.0)
     assert r.containment_b < 0.5  # asymmetric: Jaccard-style view low
+
+
+def test_spearman_pairs_midrank_books(spark):
+    """Perfect monotone pairs give rho=1/-1; the tied-midrank book
+    ((1,1,2) vs (5,7,9)) gives the hand value sqrt(3)/2; a constant
+    series NULLs out."""
+    import math
+    from datetime import datetime, timedelta
+
+    from tsmp_spark.operators.rollup import spearman_pairs
+
+    t0 = datetime(2024, 1, 1)
+
+    def rows(key, vals):
+        return [
+            (key, t0 + timedelta(hours=i), float(v))
+            for i, v in enumerate(vals)
+        ]
+
+    ev = spark.createDataFrame(
+        rows("up", [1, 2, 3]) + rows("mono", [10, 20, 30])
+        + rows("down", [9, 6, 3]) + rows("tied", [1, 1, 2])
+        + rows("const", [4, 4, 4]),
+        "event_type string, ts timestamp, value double",
+    )
+    out = {
+        (r.key_a, r.key_b): r for r in spearman_pairs(ev).collect()
+    }
+    assert out[("mono", "up")].rho == pytest.approx(1.0)
+    assert out[("down", "up")].rho == pytest.approx(-1.0)
+    assert out[("tied", "up")].rho == pytest.approx(math.sqrt(3) / 2)
+    assert out[("const", "up")].rho is None

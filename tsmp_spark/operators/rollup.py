@@ -4633,6 +4633,94 @@ def basket_lift(
     )
 
 
+def spearman_pairs(
+    events: DataFrame,
+    bucket_sec: int = 3600,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Spearman rank correlation between every key pair's bucket-sum
+    series (Spearman 1904, midrank/tie-corrected form) — the monotone
+    dependence monitor next to the Pearson CCF and the KS/EMD drift
+    pair.
+
+    Exactness via DOUBLED MIDRANKS (the roc_auc half-unit trick):
+    within each pair's shared-bucket set, ``d = 2·rank_min + ties − 1``
+    is an exact integer, and tie-corrected Spearman IS Pearson on
+    midranks — so rho reduces to ONE fixed-shape expression over five
+    exact bigint sums::
+
+        rho = (n·Σdxdy − Σdx·Σdy)
+              / sqrt(max(n·Σdx²−(Σdx)², 0) · max(n·Σdy²−(Σdy)², 0))
+
+    (greatest-clamped per the ANSI zero-variance rule; NULL when either
+    rank variance is 0 — a constant series has no monotone order).
+    Bucket sums are exact centi integers, so ranks are tie-order
+    independent on both engines.
+
+    Scale: raw rows fold into the (key, bucket) tier-1 groupBy once;
+    the pair join fans out over BOUNDED (keys × buckets) sketch rows
+    (the emd/ks shape); rank windows partition by pair.
+    """
+    cu = F.round(F.col(value_col).cast("double") * 100).cast("bigint")
+    t1 = (
+        events.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.floor(F.unix_timestamp(ts_col) / bucket_sec)
+            .cast("long")
+            .alias("bucket"),
+            cu.alias("vc"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.sum("vc").cast("bigint").alias("s"))
+    )
+    a = t1.select(
+        F.col("key").alias("key_a"), "bucket", F.col("s").alias("x")
+    )
+    b = t1.select(
+        F.col("key").alias("key_b"), "bucket", F.col("s").alias("y")
+    )
+    pairs = a.join(b, "bucket").where(F.col("key_a") < F.col("key_b"))
+    wp = Window.partitionBy("key_a", "key_b")
+
+    def dblrank(col: str) -> Column:
+        r = F.rank().over(wp.orderBy(col))
+        eq = F.count("*").over(Window.partitionBy("key_a", "key_b", col))
+        return (F.lit(2) * r + eq - F.lit(1)).cast("bigint")
+
+    ranked = pairs.select(
+        "key_a", "key_b",
+        dblrank("x").alias("dx"), dblrank("y").alias("dy"),
+    )
+    agg = ranked.groupBy("key_a", "key_b").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    varx = F.greatest(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double"),
+        F.lit(0.0),
+    )
+    vary = F.greatest(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double"),
+        F.lit(0.0),
+    )
+    rho = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / F.nullif(F.sqrt(varx * vary), F.lit(0.0))
+    )
+    return agg.select(
+        "key_a", "key_b", "n", "sx", "sy", "sxx", "syy", "sxy",
+        (rho + F.lit(0.0)).alias("rho"),
+    )
+
+
 def winsorized_stats(
     events: DataFrame,
     pct: int = 5,

@@ -17086,6 +17086,61 @@ QUERIES["containment"] = q_containment
 ORACLES["containment"] = SQL_CONTAINMENT
 
 
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rho between every event-type pair's
+    hourly bucket-sum series: doubled midranks as exact integers, five
+    bigint sums, ONE fixed-shape rho expression."""
+    from .operators.rollup import spearman_pairs
+
+    return spearman_pairs(_events(spark, sf_dir))
+
+
+SQL_SPEARMAN = r"""
+WITH t1 AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+         CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT))
+              AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.key AS key_a, b.key AS key_b, a.bucket,
+         a.s AS x, b.s AS y
+  FROM t1 a JOIN t1 b ON a.bucket = b.bucket AND a.key < b.key
+),
+ranked AS (
+  SELECT key_a, key_b,
+         CAST(2 * rank() OVER (PARTITION BY key_a, key_b ORDER BY x)
+              + count(*) OVER (PARTITION BY key_a, key_b, x) - 1
+              AS BIGINT) AS dx,
+         CAST(2 * rank() OVER (PARTITION BY key_a, key_b ORDER BY y)
+              + count(*) OVER (PARTITION BY key_a, key_b, y) - 1
+              AS BIGINT) AS dy
+  FROM pairs
+),
+agg AS (
+  SELECT key_a, key_b,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dx) AS BIGINT) AS sx,
+         CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy
+  FROM ranked GROUP BY 1, 2
+)
+SELECT key_a, key_b, n, sx, sy, sxx, syy, sxy,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / nullif(sqrt(greatest(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)
+                       * greatest(CAST(n * syy - sy * sy AS DOUBLE), 0.0)),
+                  0.0)
+         + 0.0 AS rho
+FROM agg
+"""
+
+QUERIES["spearman"] = q_spearman
+ORACLES["spearman"] = SQL_SPEARMAN
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
