@@ -1613,3 +1613,41 @@ def test_spearman_pairs_midrank_books(spark):
     assert out[("down", "up")].rho == pytest.approx(-1.0)
     assert out[("tied", "up")].rho == pytest.approx(math.sqrt(3) / 2)
     assert out[("const", "up")].rho is None
+
+
+def test_cep_stream_state_machine_split_batches():
+    """The streaming state function replayed across arbitrary batch
+    splits equals the batch semantics on the hand book (error kills,
+    later pair matches, window bound respected)."""
+    import pandas as pd
+
+    from tsmp_spark.streaming.cep import PACK, _make_func
+
+    class FakeState:
+        exists = False
+
+        def update(self, t):
+            self.exists, self.get = True, t
+
+    rows = [  # (sec, id, role) in order: the user-1 book + window probe
+        (100, 1, 0), (200, 2, 2), (300, 3, 1),   # A, C kills, B late
+        (400, 4, 0), (500, 5, 1),                # clean A->B match
+        (10000, 6, 0), (20000, 7, 1),            # B outside 3600s window
+    ]
+    for split in (1, 2, 3, 7):
+        st = FakeState()
+        func = _make_func(3600)
+        chunk = len(rows) // split or 1
+        outs = []
+        for i in range(0, len(rows), chunk):
+            part = rows[i : i + chunk]
+            pdf = pd.DataFrame(
+                {
+                    "sk": [s * PACK + e for s, e, _ in part],
+                    "role": [r for _, _, r in part],
+                }
+            )
+            outs.extend(func((1,), iter([pdf]), st))
+        final = outs[-1].iloc[-1]
+        assert (final.n_a, final.n_matches, final.matched) == (3, 1, 1)
+        assert (final.first_a_sec, final.first_b_sec) == (400, 500)

@@ -17141,6 +17141,54 @@ QUERIES["spearman"] = q_spearman
 ORACLES["spearman"] = SQL_SPEARMAN
 
 
+def q_cep_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP negation pattern through a real Structured
+    Streaming drain: per-key open-A state machine over the packed-sk
+    order; the last snapshot per key equals the batch operator, so the
+    batch oracle gates the stream directly."""
+    import uuid
+
+    from .streaming.cep import cep_stream
+
+    name = "cep_sink_" + uuid.uuid4().hex[:8]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props map<string,string>"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            "user_id", "event_id", "event_type",
+            F.unix_timestamp("ts").cast("long").alias("sec"),
+        )
+    )
+    out = cep_stream(stream, "click", "purchase", "error", window_sec=3600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""
+        SELECT key, n_a, n_matches, matched, first_a_sec, first_b_sec
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY key ORDER BY n_seen DESC) AS rn
+          FROM {name}) WHERE rn = 1
+        """
+    )
+
+
+QUERIES["cep_stream"] = q_cep_stream
+ORACLES["cep_stream"] = SQL_CEP_MATCH
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
