@@ -1651,3 +1651,27 @@ def test_cep_stream_state_machine_split_batches():
         final = outs[-1].iloc[-1]
         assert (final.n_a, final.n_matches, final.matched) == (3, 1, 1)
         assert (final.first_a_sec, final.first_b_sec) == (400, 500)
+
+
+def test_curriculum_stages_equal_token_budget(spark):
+    """Token counts [1,2,3,6] with 4 stages (budget 3): exclusive
+    prefixes 0/1/3/6 map to stages 0/0/1/2; the two-level prefix
+    equals the global order under length ties (id breaks)."""
+    from tsmp_spark.operators.tokens import curriculum_stages
+
+    rows = [
+        (1, list(range(1))), (2, list(range(2))),
+        (3, list(range(3))), (4, list(range(6))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r.doc_id: r for r in curriculum_stages(df, n_stages=4).collect()}
+    assert [(out[i].cum_excl, out[i].stage) for i in (1, 2, 3, 4)] == [
+        (0, 0), (1, 0), (3, 1), (6, 2),
+    ]
+    tie = spark.createDataFrame(
+        [(10, [1, 2]), (11, [3, 4]), (12, [5, 6]), (13, [7, 8])],
+        "doc_id long, tokens array<int>",
+    )
+    t = {r.doc_id: r for r in curriculum_stages(tie, n_stages=2).collect()}
+    # equal lengths: id order gives prefixes 0,2,4,6 -> stages 0,0,1,1
+    assert [t[i].stage for i in (10, 11, 12, 13)] == [0, 0, 1, 1]

@@ -1649,3 +1649,69 @@ def freq_of_freqs(sequences: DataFrame, tokens_col: str = "tokens") -> DataFrame
             ).alias("c_star"),
         )
     )
+
+
+def curriculum_stages(
+    sequences: DataFrame,
+    n_stages: int = 4,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Length-based curriculum staging with EQUAL TOKEN BUDGETS
+    (shortest-first curriculum, Bengio et al. 2009 applied the way
+    LLM data pipelines schedule it: stage boundaries split the TOKEN
+    mass, not the doc count, so every stage costs the same compute):
+    docs ordered by ``(n_tok, doc_id)``; a doc's stage is
+    ``min(n_stages−1, cum_excl·n_stages div total)`` where ``cum_excl``
+    is the exact token count strictly before it in that total order.
+    Pure integer — bit-stable under any tie pattern.
+
+    Scale: NO global window. The exclusive prefix decomposes as
+    (tokens of all strictly-shorter length groups) + (tokens of
+    same-length docs with smaller id): the first term is a prefix over
+    the BOUNDED distinct-length sketch table (the quantile_discretize
+    argument), the second a window PARTITIONED BY length — both
+    key-bounded. The broadcast total closes it.
+
+    Output: (doc_id, n_tok, cum_excl, stage).
+    """
+    if n_stages < 1:
+        raise ValueError("n_stages must be >= 1")
+    docs = sequences.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.col(tokens_col)).cast("bigint").alias("n_tok"),
+    )
+    glen = docs.groupBy("n_tok").agg(
+        F.sum("n_tok").cast("bigint").alias("grp_tok")
+    )
+    wlen = Window.orderBy("n_tok").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    gpre = glen.withColumn(
+        "grp_pre", F.coalesce(F.sum("grp_tok").over(wlen), F.lit(0))
+    ).select("n_tok", "grp_pre")
+    wdoc = Window.partitionBy("n_tok").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    within = docs.withColumn(
+        "win_pre", F.coalesce(F.sum("n_tok").over(wdoc), F.lit(0))
+    )
+    total = docs.agg(F.sum("n_tok").cast("bigint").alias("total"))
+    out = (
+        within.join(F.broadcast(gpre), "n_tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "cum_excl",
+            (F.col("grp_pre") + F.col("win_pre")).cast("bigint"),
+        )
+    )
+    stage = F.when(
+        F.col("total") > 0,
+        F.least(
+            F.lit(int(n_stages) - 1),
+            F.expr(f"(cum_excl * {int(n_stages)}) div total"),
+        ),
+    ).otherwise(F.lit(0))
+    return out.select(
+        "doc_id", "n_tok", "cum_excl", stage.cast("int").alias("stage")
+    )

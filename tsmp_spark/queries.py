@@ -17189,6 +17189,41 @@ QUERIES["cep_stream"] = q_cep_stream
 ORACLES["cep_stream"] = SQL_CEP_MATCH
 
 
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-first curriculum staging with equal token budgets over
+    the tokenized corpus: exact exclusive token prefix in the
+    (n_tok, doc_id) total order via the two-level bounded-sketch
+    decomposition, pure-integer stage assignment."""
+    from .operators.tokens import curriculum_stages
+
+    return curriculum_stages(_tokenized(spark, sf_dir), n_stages=4)
+
+
+SQL_CURRICULUM = f"""
+WITH {SQL_TOKC},
+docs AS (
+  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tok FROM tokc
+),
+total AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM docs),
+pre AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(sum(n_tok) OVER (
+           ORDER BY n_tok, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS cum_excl
+  FROM docs
+)
+SELECT p.doc_id, p.n_tok, p.cum_excl,
+       CAST(CASE WHEN t.total > 0
+                 THEN least(3, (p.cum_excl * 4) // t.total)
+                 ELSE 0 END AS INT) AS stage
+FROM pre p CROSS JOIN total t
+"""
+
+QUERIES["curriculum"] = q_curriculum
+ORACLES["curriculum"] = SQL_CURRICULUM
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
