@@ -1675,3 +1675,23 @@ def test_curriculum_stages_equal_token_budget(spark):
     t = {r.doc_id: r for r in curriculum_stages(tie, n_stages=2).collect()}
     # equal lengths: id order gives prefixes 0,2,4,6 -> stages 0,0,1,1
     assert [t[i].stage for i in (10, 11, 12, 13)] == [0, 0, 1, 1]
+
+
+def test_rake_word_scores_hand_phrases(spark):
+    """Stopword 'of' and non-alpha 'networks.' delimit phrases
+    [deep learning] | [deep] | [learning wins]; hand freq/degree per
+    word, delimiters never emitted."""
+    from tsmp_spark.operators.text import rake_word_scores
+
+    docs = spark.createDataFrame(
+        [(1, "deep learning of deep networks. learning wins")],
+        "doc_id long, text string",
+    )
+    out = {r.word: r for r in rake_word_scores(docs).collect()}
+    # phrases: [deep learning] | [deep] ('networks.' delims) |
+    # [learning wins]
+    assert (out["deep"].freq, out["deep"].degree) == (2, 3)
+    assert out["deep"].score == pytest.approx(1.5)
+    assert (out["learning"].freq, out["learning"].degree) == (2, 4)
+    assert (out["wins"].freq, out["wins"].degree) == (1, 2)
+    assert "of" not in out and "networks." not in out

@@ -65,6 +65,61 @@ def quality_features(
     )
 
 
+def rake_word_scores(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_phrase_len: int = 1,
+) -> DataFrame:
+    """RAKE keyword scoring (Rose, Engel, Cramer & Cowley 2010 — Rapid
+    Automatic Keyword Extraction): candidate phrases are maximal runs
+    of content words between STOPWORD/non-alpha delimiters; each
+    word's ``freq`` counts its occurrences in phrases, ``degree`` sums
+    the lengths of the phrases containing it (co-occurrence incl.
+    self), and the RAKE score is ``degree/freq`` — words that appear
+    inside LONG multi-word phrases outrank equally-frequent words that
+    stand alone.
+
+    Per-WORD emission (corpus level): freq and degree are exact
+    integers; the score is ONE division (bit-stable). Phrase-sum
+    scores are deliberately not emitted — they would be unordered
+    float sums (the mi_contingency argument).
+
+    Phrase derivation is relational and total-ordered: posexplode the
+    word array, mark delimiters (stopword OR non-``[a-z]+`` token),
+    phrase_id = running delimiter count per doc (the sessionize
+    cumsum), then one (doc, phrase) groupBy for lengths and one word
+    groupBy for the totals. One doc-keyed exchange + two combinable
+    groupBys.
+    """
+    words = _words(F.col(text_col))
+    toks = documents.select(
+        F.col("doc_id").alias("doc_id"),
+        F.posexplode(words).alias("pos", "w"),
+    )
+    is_delim = (~F.col("w").rlike(r"^[a-z]+$")) | F.col("w").isin(*STOPWORDS)
+    from pyspark.sql.window import Window
+
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    marked = toks.withColumn("d", is_delim.cast("int")).withColumn(
+        "phrase_id",
+        F.sum("d").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    content = marked.filter(F.col("d") == 0)
+    plen = content.groupBy("doc_id", "phrase_id").agg(
+        F.count("*").cast("bigint").alias("plen")
+    ).filter(F.col("plen") >= int(min_phrase_len))
+    occ = content.join(plen, ["doc_id", "phrase_id"])
+    agg = occ.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    )
+    score = F.col("degree").cast("double") / F.col("freq").cast("double")
+    return agg.select(
+        F.col("w").alias("word"), "freq", "degree",
+        (score + F.lit(0.0)).alias("score"),
+    )
+
+
 def tokenizer_fertility(
     documents: DataFrame,
     text_col: str = "text",

@@ -17224,6 +17224,58 @@ QUERIES["curriculum"] = q_curriculum
 ORACLES["curriculum"] = SQL_CURRICULUM
 
 
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scores over the corpus: stopword-delimited phrase
+    runs via the sessionize cumsum, exact integer freq/degree per
+    word, score = one division."""
+    from .operators.text import rake_word_scores
+
+    return rake_word_scores(_documents(spark, sf_dir))
+
+
+SQL_RAKE_KEYWORDS = r"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, a[CAST(i AS INT) + 1] AS w
+  FROM ws, unnest(generate_series(0, len(a) - 1)) AS g(i)
+),
+marked AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN NOT regexp_matches(w, '^[a-z]+$')
+                   OR w IN ('the','a','an','and','or','of','to','in','is','it')
+              THEN 1 ELSE 0 END AS d
+  FROM toks
+),
+ph AS (
+  SELECT doc_id, pos, w, d,
+         sum(d) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS phrase_id
+  FROM marked
+),
+content AS (SELECT doc_id, phrase_id, w FROM ph WHERE d = 0),
+plen AS (
+  SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS plen
+  FROM content GROUP BY 1, 2
+),
+occ AS (
+  SELECT c.w, p.plen
+  FROM content c JOIN plen p USING (doc_id, phrase_id)
+)
+SELECT w AS word,
+       CAST(count(*) AS BIGINT) AS freq,
+       CAST(sum(plen) AS BIGINT) AS degree,
+       CAST(sum(plen) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.0 AS score
+FROM occ GROUP BY w
+"""
+
+QUERIES["rake_keywords"] = q_rake_keywords
+ORACLES["rake_keywords"] = SQL_RAKE_KEYWORDS
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
