@@ -1695,3 +1695,21 @@ def test_rake_word_scores_hand_phrases(spark):
     assert (out["learning"].freq, out["learning"].degree) == (2, 4)
     assert (out["wins"].freq, out["wins"].degree) == (1, 2)
     assert "of" not in out and "networks." not in out
+
+
+def test_degree_assortativity_books(spark):
+    """A star is perfectly disassortative (r = -1); a regular graph
+    has zero degree variance (NULL); hand sums pinned on the star."""
+    from tsmp_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [("c", "l1"), ("c", "l2"), ("c", "l3")], "src string, dst string"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert (r.n_ends, r.sj, r.sjj, r.sjk) == (6, 12, 30, 18)
+    assert r.assortativity == pytest.approx(-1.0)
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    t = degree_assortativity(tri).collect()[0]
+    assert t.assortativity is None  # 2-regular: zero degree variance

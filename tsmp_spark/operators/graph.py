@@ -376,3 +376,73 @@ def label_propagation(
         if jrdd is not None:
             jrdd.unpersist()
     return result
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman PRL 2002): the Pearson
+    correlation of endpoint degrees over every edge END of the
+    undirected graph (each canonical edge contributes both (d_u, d_v)
+    and (d_v, d_u) — the standard symmetric treatment). Positive:
+    hubs link hubs; negative: hubs link leaves (bipartite trade
+    graphs sit firmly negative).
+
+    Exact: degrees and all five sums are bigints; r is ONE fixed-shape
+    expression with greatest-clamped variances and a NULLIF'd sqrt
+    denominator (the spearman/acf convention — a regular graph has
+    zero degree variance and NULLs out rather than dividing by zero).
+
+    Scale: canonical dedup + one degree groupBy + two broadcast degree
+    joins onto the edge list + one scalar aggregate. No window, no
+    pair blow-up.
+
+    Output one row: (n_ends, sj, sk, sjj, skk, sjk, assortativity).
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    canon = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    ends = canon.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        canon.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("j"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("k"))
+    rows = ends.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    agg = rows.agg(
+        F.count("*").cast("bigint").alias("n_ends"),
+        F.sum("j").cast("bigint").alias("sj"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(F.col("j") * F.col("j")).cast("bigint").alias("sjj"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+        F.sum(F.col("j") * F.col("k")).cast("bigint").alias("sjk"),
+    )
+    varj = F.greatest(
+        (F.col("n_ends") * F.col("sjj") - F.col("sj") * F.col("sj"))
+        .cast("double"),
+        F.lit(0.0),
+    )
+    vark = F.greatest(
+        (F.col("n_ends") * F.col("skk") - F.col("sk") * F.col("sk"))
+        .cast("double"),
+        F.lit(0.0),
+    )
+    r = (
+        (F.col("n_ends") * F.col("sjk") - F.col("sj") * F.col("sk"))
+        .cast("double")
+        / F.nullif(F.sqrt(varj * vark), F.lit(0.0))
+    )
+    return agg.select(
+        "n_ends", "sj", "sk", "sjj", "skk", "sjk",
+        (r + F.lit(0.0)).alias("assortativity"),
+    )

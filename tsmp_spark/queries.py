@@ -17276,6 +17276,70 @@ QUERIES["rake_keywords"] = q_rake_keywords
 ORACLES["rake_keywords"] = SQL_RAKE_KEYWORDS
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer–supplier trade graph
+    (Newman 2002): Pearson of endpoint degrees over symmetric edge
+    ends — five exact bigint sums, one fixed-shape expression."""
+    from .operators.graph import degree_assortativity
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return degree_assortativity(edges)
+
+
+SQL_ASSORTATIVITY = r"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs
+  ) GROUP BY node
+),
+ends AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION ALL
+  SELECT b AS u, a AS v FROM pairs
+),
+rows_ AS (
+  SELECT du.deg AS j, dv.deg AS k
+  FROM ends e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ends,
+         CAST(sum(j) AS BIGINT) AS sj, CAST(sum(k) AS BIGINT) AS sk,
+         CAST(sum(j * j) AS BIGINT) AS sjj,
+         CAST(sum(k * k) AS BIGINT) AS skk,
+         CAST(sum(j * k) AS BIGINT) AS sjk
+  FROM rows_
+)
+SELECT n_ends, sj, sk, sjj, skk, sjk,
+       CAST(n_ends * sjk - sj * sk AS DOUBLE)
+         / nullif(sqrt(greatest(CAST(n_ends * sjj - sj * sj AS DOUBLE), 0.0)
+                       * greatest(CAST(n_ends * skk - sk * sk AS DOUBLE), 0.0)),
+                  0.0)
+         + 0.0 AS assortativity
+FROM agg
+"""
+
+QUERIES["assortativity"] = q_assortativity
+ORACLES["assortativity"] = SQL_ASSORTATIVITY
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
