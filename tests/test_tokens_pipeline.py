@@ -1713,3 +1713,35 @@ def test_degree_assortativity_books(spark):
     )
     t = degree_assortativity(tri).collect()[0]
     assert t.assortativity is None  # 2-regular: zero degree variance
+
+
+def test_nelson_aalen_hand_curve(spark):
+    """Hand censoring book: 3 churned users at ages 0/1/2 plus one
+    censored at age 2 give at-risk 4/3/2 and exact micro-unit hazard
+    increments 1e9//4, 1e9//3, 1e9//2 with an integer prefix sum."""
+    from tsmp_spark.operators.rollup import nelson_aalen
+
+    # study_end = 100000. churn_sec=21600: users whose last event is
+    # >= 21600 before end are churned (events). grain 3600.
+    rows = []
+    # u1: first 0, last 3600  -> d=1, last far from end -> churned
+    rows += [(1, 0), (1, 3600)]
+    # u2: first 0, last 7200  -> d=2, churned
+    rows += [(2, 0), (2, 7200)]
+    # u3: first 0, last 0     -> d=0, churned
+    rows += [(3, 0)]
+    # u4: last event at study end -> censored, d=0
+    rows += [(4, 90000), (4, 100000)]
+    ev = spark.createDataFrame(rows, "user_id long, sec long")
+    out = {r.t_age: r for r in nelson_aalen(ev).collect()}
+    # ages: u3 d=0(event), u4 d=2? (100000-90000)//3600 = 2, censored
+    # at-risk by age: age0: all 4; age1: u1,u2,u4(d=2); age2: u2,u4
+    r0 = out[0]
+    assert (r0.n_risk, r0.n_event) == (4, 1)
+    assert r0.h_x1e9 == 10**9 // 4 and r0.cumhaz_x1e9 == 250000000
+    r1 = out[1]
+    assert (r1.n_risk, r1.n_event) == (3, 1)
+    assert r1.cumhaz_x1e9 == 250000000 + 10**9 // 3
+    r2 = out[2]
+    assert (r2.n_risk, r2.n_event) == (2, 1)
+    assert r2.cumhaz_x1e9 == 250000000 + 333333333 + 10**9 // 2

@@ -4633,6 +4633,76 @@ def basket_lift(
     )
 
 
+def nelson_aalen(
+    events: DataFrame,
+    grain_sec: int = 3600,
+    churn_sec: int = 21600,
+    key_col: str = "user_id",
+    ts_col: str = "sec",
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator (Nelson 1972; Aalen
+    1978) over the SAME censored-lifetime derivation as
+    :func:`kaplan_meier` — ``H(t) = Σ_{s≤t} d_s/n_s``, the additive
+    companion to the product-limit curve (and the exp(−H) cross-check
+    every survival toolkit ships).
+
+    Exactness: each hazard increment is the INTEGER floor division
+    ``h = (10⁹·d) div n`` and the cumulative hazard is an INTEGER
+    running sum over the event-time order — no float anywhere, no
+    rounding convention, no recursive walk (the increment, unlike the
+    KM product, is order-free; only the prefix sum needs the order,
+    and integer cumsum is exact). Bias ≤ 1e-9 per step, documented.
+
+    Scale: identical shape to kaplan_meier minus the kernel — the
+    cumsum window runs over the horizon-BOUNDED duration table
+    (hundreds of rows), never raw users.
+
+    Output per event time: (t_age, n_risk, n_event, h_x1e9,
+    cumhaz_x1e9).
+    """
+    per_user = events.groupBy(F.col(key_col).alias("u")).agg(
+        F.min(F.col(ts_col).cast("long")).alias("first_t"),
+        F.max(F.col(ts_col).cast("long")).alias("last_t"),
+    )
+    study_end = events.agg(
+        F.max(F.col(ts_col).cast("long")).alias("study_end")
+    )
+    users = per_user.crossJoin(F.broadcast(study_end)).select(
+        F.floor((F.col("last_t") - F.col("first_t")) / grain_sec)
+        .cast("long")
+        .alias("d"),
+        (F.col("study_end") - F.col("last_t") >= churn_sec)
+        .cast("int")
+        .alias("churned"),
+    )
+    per_d = users.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("n_at_d"),
+        F.sum("churned").cast("bigint").alias("e_at_d"),
+    )
+    total = users.agg(F.count("*").cast("bigint").alias("tot"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    steps = (
+        per_d.crossJoin(F.broadcast(total))
+        .withColumn("before", F.coalesce(F.sum("n_at_d").over(w), F.lit(0)))
+        .select(
+            F.col("d").alias("t_age"),
+            (F.col("tot") - F.col("before")).cast("bigint").alias("n_risk"),
+            F.col("e_at_d").alias("n_event"),
+        )
+        .filter(F.col("n_event") > 0)
+        .withColumn(
+            "h_x1e9",
+            F.expr("(1000000000 * n_event) div n_risk").cast("bigint"),
+        )
+    )
+    wc = Window.orderBy("t_age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return steps.withColumn(
+        "cumhaz_x1e9", F.sum("h_x1e9").over(wc).cast("bigint")
+    ).select("t_age", "n_risk", "n_event", "h_x1e9", "cumhaz_x1e9")
+
+
 def spearman_pairs(
     events: DataFrame,
     bucket_sec: int = 3600,

@@ -17340,6 +17340,63 @@ QUERIES["assortativity"] = q_assortativity
 ORACLES["assortativity"] = SQL_ASSORTATIVITY
 
 
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard over the kaplan_meier censored
+    lifetimes: integer micro-unit hazard increments and an exact
+    integer cumsum — the additive survival companion."""
+    from .operators.rollup import nelson_aalen
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("sec")
+    )
+    return nelson_aalen(ev)
+
+
+SQL_NELSON_AALEN = r"""
+WITH per_user AS (
+  SELECT user_id,
+         min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_t,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_t
+  FROM events GROUP BY 1
+),
+study AS (
+  SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS study_end FROM events
+),
+users AS (
+  SELECT CAST((last_t - first_t) // 3600 AS BIGINT) AS d,
+         CASE WHEN study_end - last_t >= 21600 THEN 1 ELSE 0 END AS churned
+  FROM per_user, study
+),
+per_d AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_at_d,
+         CAST(sum(churned) AS BIGINT) AS e_at_d
+  FROM users GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM users),
+steps AS (
+  SELECT d AS t_age,
+         CAST(tot - coalesce(CAST(sum(n_at_d) OVER (
+             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS BIGINT), 0) AS BIGINT) AS n_risk,
+         e_at_d AS n_event
+  FROM per_d, tot
+),
+ev AS (
+  SELECT t_age, n_risk, n_event,
+         CAST((1000000000 * n_event) // n_risk AS BIGINT) AS h_x1e9
+  FROM steps WHERE n_event > 0
+)
+SELECT t_age, n_risk, n_event, h_x1e9,
+       CAST(sum(h_x1e9) OVER (
+         ORDER BY t_age ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cumhaz_x1e9
+FROM ev
+"""
+
+QUERIES["nelson_aalen"] = q_nelson_aalen
+ORACLES["nelson_aalen"] = SQL_NELSON_AALEN
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
