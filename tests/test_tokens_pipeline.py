@@ -1745,3 +1745,34 @@ def test_nelson_aalen_hand_curve(spark):
     r2 = out[2]
     assert (r2.n_risk, r2.n_event) == (2, 1)
     assert r2.cumhaz_x1e9 == 250000000 + 333333333 + 10**9 // 2
+
+
+def test_hilbert_key_curve_properties(spark):
+    """bits=2 over the full 4x4 grid: keys are a bijection onto 0..15
+    AND consecutive curve positions are ALWAYS Manhattan-1 grid
+    neighbors (the defining Hilbert property Morton lacks); origin
+    starts the curve."""
+    from tsmp_spark.operators.rollup import hilbert_key
+
+    cells = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(cells, "x long, y long")
+    out = hilbert_key(df, "x", "y", bits=2).collect()
+    pos = {r.hkey: (r.x, r.y) for r in out}
+    assert sorted(pos) == list(range(16))  # bijection
+    for d in range(15):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+    assert pos[0] == (0, 0)
+    # Morton (zorder) violates neighbor-adjacency; Hilbert must not,
+    # checked at bits=3 too
+    cells3 = [(x, y) for x in range(8) for y in range(8)]
+    out3 = hilbert_key(
+        spark.createDataFrame(cells3, "x long, y long"), "x", "y", bits=3
+    ).collect()
+    pos3 = {r.hkey: (r.x, r.y) for r in out3}
+    assert sorted(pos3) == list(range(64))
+    assert all(
+        abs(pos3[d][0] - pos3[d + 1][0]) + abs(pos3[d][1] - pos3[d + 1][1])
+        == 1
+        for d in range(63)
+    )

@@ -2406,6 +2406,87 @@ def zorder_key(
     return df.withColumn("zkey", F.expr(zorder_expr(xm, ym, bits)).cast("long"))
 
 
+def hilbert_key(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+) -> DataFrame:
+    """Hilbert-curve layout key over two integer dimensions — the
+    locality-superior space-filling companion to :func:`zorder_key`
+    (consecutive Hilbert positions are ALWAYS grid neighbors, so
+    min/max file stats prune 2-D ranges strictly better than Morton's
+    quadrant jumps; Faloutsos & Roseman PODS 1989 made this the
+    database layout argument).
+
+    The standard xy→d bit walk (level-by-level quadrant code + frame
+    rotation) unrolls into ``bits`` integer expression layers — ALL
+    integer ops (&, >>, xor, subtract), bit-identical cross-engine,
+    generated from ONE Python loop for Spark and the SQL oracle so the
+    two cannot drift. Inputs are masked to the low ``bits`` (the
+    zorder contract). Zero shuffles: map-only projection; the layout
+    effect comes from writing sorted-by-hkey.
+    """
+    mask = (1 << bits) - 1
+    out = df.withColumn("_hx", F.expr(f"cast({x_col} as bigint) & {mask}")) \
+            .withColumn("_hy", F.expr(f"cast({y_col} as bigint) & {mask}")) \
+            .withColumn("_hd", F.lit(0).cast("long"))
+    for i in range(bits - 1, -1, -1):
+        rx = f"((_hx >> {i}) & 1)"
+        ry = f"((_hy >> {i}) & 1)"
+        out = out.withColumn(
+            "_hd2",
+            F.expr(f"_hd + (cast(1 as bigint) << {2 * i}) "
+                   f"* ((3 * {rx}) ^ {ry})"),
+        ).withColumn(
+            "_hx2",
+            F.expr(
+                f"CASE WHEN {ry} = 0 THEN "
+                f"CASE WHEN {rx} = 1 THEN {mask} - _hy ELSE _hy END "
+                f"ELSE _hx END"
+            ),
+        ).withColumn(
+            "_hy2",
+            F.expr(
+                f"CASE WHEN {ry} = 0 THEN "
+                f"CASE WHEN {rx} = 1 THEN {mask} - _hx ELSE _hx END "
+                f"ELSE _hy END"
+            ),
+        ).drop("_hx", "_hy", "_hd") \
+         .withColumnRenamed("_hx2", "_hx") \
+         .withColumnRenamed("_hy2", "_hy") \
+         .withColumnRenamed("_hd2", "_hd")
+    return out.withColumn("hkey", F.col("_hd").cast("long")).drop(
+        "_hx", "_hy", "_hd"
+    )
+
+
+def hilbert_sql_layers(x_expr: str, y_expr: str, bits: int = 16) -> str:
+    """The SAME per-level walk as :func:`hilbert_key`, emitted as
+    nested CTE layers for the DuckDB oracle (DuckDB's ``^`` is POWER —
+    xor() is spelled out)."""
+    mask = (1 << bits) - 1
+    layers = [
+        f"h{bits} AS (SELECT *, CAST({x_expr} AS BIGINT) & {mask} AS hx, "
+        f"CAST({y_expr} AS BIGINT) & {mask} AS hy, "
+        f"CAST(0 AS BIGINT) AS hd FROM base)"
+    ]
+    for i in range(bits - 1, -1, -1):
+        rx = f"((hx >> {i}) & 1)"
+        ry = f"((hy >> {i}) & 1)"
+        layers.append(
+            f"h{i} AS (SELECT * EXCLUDE (hx, hy, hd),\n"
+            f"  CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 "
+            f"THEN {mask} - hy ELSE hy END ELSE hx END AS hx,\n"
+            f"  CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 "
+            f"THEN {mask} - hx ELSE hx END ELSE hy END AS hy,\n"
+            f"  hd + (CAST(1 AS BIGINT) << {2 * i}) "
+            f"* xor(3 * {rx}, {ry}) AS hd\n"
+            f"FROM h{i + 1})"
+        )
+    return ",\n".join(layers)
+
+
 RATELIMIT_SCHEMA = (
     "key long, sec long, event_id long, allowed int, tokens_after long"
 )

@@ -17397,6 +17397,45 @@ QUERIES["nelson_aalen"] = q_nelson_aalen
 ORACLES["nelson_aalen"] = SQL_NELSON_AALEN
 
 
+def q_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout keys over (user_id, hourly bucket) — the
+    locality-superior space-filling companion to zorder; the per-level
+    integer bit walk is generated from one Python loop for both
+    engines."""
+    from .operators.rollup import hilbert_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_timestamp("ts").cast("long") / 3600)
+        .cast("long")
+        .alias("bucket"),
+    )
+    out = hilbert_key(ev, "user_id", "bucket", bits=16)
+    return out.select("event_id", "user_id", "bucket", "hkey")
+
+
+def _hilbert_oracle_sql(bits: int = 16) -> str:
+    from .operators.rollup import hilbert_sql_layers
+
+    layers = hilbert_sql_layers("user_id", "bucket", bits)
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket
+  FROM events
+),
+{layers}
+SELECT event_id, user_id, bucket, CAST(hd AS BIGINT) AS hkey FROM h0
+"""
+
+
+SQL_HILBERT_ORDER = _hilbert_oracle_sql(16)
+
+QUERIES["hilbert_order"] = q_hilbert_order
+ORACLES["hilbert_order"] = SQL_HILBERT_ORDER
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
