@@ -1776,3 +1776,35 @@ def test_hilbert_key_curve_properties(spark):
         == 1
         for d in range(63)
     )
+
+
+def test_k_anonymity_audit_hand_classes(spark):
+    """Class (1,A): 5 rows, 3 distinct balances -> clean; (2,B): 2 rows
+    1 balance -> violates both; minima and violation counts pinned."""
+    from tsmp_spark.operators.rollup import k_anonymity_audit
+
+    rows = (
+        [(i, 1, "A", float(100 + i % 3)) for i in range(5)]
+        + [(10, 2, "B", 7.0), (11, 2, "B", 7.0)]
+    )
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey int, c_mktsegment string, "
+              "c_acctbal double"
+    )
+    out = {
+        (r.c_nationkey, r.c_mktsegment): r
+        for r in k_anonymity_audit(
+            df, ["c_nationkey", "c_mktsegment"], "c_acctbal", k=5, l=3
+        ).collect()
+    }
+    a = out[(1, "A")]
+    assert (a.class_size, a.l_distinct, a.violates_k, a.violates_l) == (
+        5, 3, 0, 0,
+    )
+    b = out[(2, "B")]
+    assert (b.class_size, b.l_distinct, b.violates_k, b.violates_l) == (
+        2, 1, 1, 1,
+    )
+    assert (a.k_min, a.l_min, a.n_k_violations, a.n_l_violations) == (
+        2, 1, 1, 1,
+    )

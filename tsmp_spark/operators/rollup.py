@@ -4714,6 +4714,52 @@ def basket_lift(
     )
 
 
+def k_anonymity_audit(
+    table: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """k-anonymity + l-diversity privacy audit (Sweeney IJUFKS 2002;
+    Machanavajjhala et al. ICDE 2006) — the release-gate check a data
+    platform runs before publishing a quasi-identifier projection:
+    every equivalence class (distinct quasi-identifier tuple) must
+    contain ≥ k records (re-identification bound) and ≥ l distinct
+    sensitive values (homogeneity-attack bound).
+
+    Per class: exact integer ``class_size`` and ``l_distinct``
+    (COUNT(DISTINCT sensitive) — exact, not a sketch: the audit is a
+    gate, an estimate can pass a violating class), integer violation
+    flags, and the table-wide minima broadcast onto every row so one
+    glance gives the release decision. No float anywhere.
+
+    Scale: one (quasi-tuple) groupBy with a distinct aggregate —
+    Catalyst plans count(distinct) as the standard two-phase expand —
+    plus a scalar broadcast. Classes are the bounded dimension.
+    """
+    qs = [F.col(c) for c in quasi_cols]
+    cls = table.groupBy(*qs).agg(
+        F.count("*").cast("bigint").alias("class_size"),
+        F.countDistinct(F.col(sensitive_col)).cast("bigint")
+        .alias("l_distinct"),
+    )
+    flagged = cls.select(
+        *quasi_cols,
+        "class_size",
+        "l_distinct",
+        (F.col("class_size") < int(k)).cast("int").alias("violates_k"),
+        (F.col("l_distinct") < int(l)).cast("int").alias("violates_l"),
+    )
+    overall = flagged.agg(
+        F.min("class_size").cast("bigint").alias("k_min"),
+        F.min("l_distinct").cast("bigint").alias("l_min"),
+        F.sum("violates_k").cast("bigint").alias("n_k_violations"),
+        F.sum("violates_l").cast("bigint").alias("n_l_violations"),
+    )
+    return flagged.crossJoin(F.broadcast(overall))
+
+
 def nelson_aalen(
     events: DataFrame,
     grain_sec: int = 3600,

@@ -17436,6 +17436,54 @@ QUERIES["hilbert_order"] = q_hilbert_order
 ORACLES["hilbert_order"] = SQL_HILBERT_ORDER
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity release audit over the customer
+    quasi-identifier (nation, market segment) with account balance as
+    the sensitive attribute: exact class sizes, exact distinct counts,
+    integer violation flags, table minima broadcast."""
+    from .operators.rollup import k_anonymity_audit
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "c_acctbal", k=5, l=3
+    )
+    return out.select(
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        "c_mktsegment", "class_size", "l_distinct",
+        "violates_k", "violates_l",
+        "k_min", "l_min", "n_k_violations", "n_l_violations",
+    )
+
+
+SQL_K_ANONYMITY = r"""
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_distinct
+  FROM customer GROUP BY 1, 2
+),
+flagged AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+         class_size, l_distinct,
+         CAST(class_size < 5 AS INT) AS violates_k,
+         CAST(l_distinct < 3 AS INT) AS violates_l
+  FROM cls
+),
+overall AS (
+  SELECT CAST(min(class_size) AS BIGINT) AS k_min,
+         CAST(min(l_distinct) AS BIGINT) AS l_min,
+         CAST(sum(violates_k) AS BIGINT) AS n_k_violations,
+         CAST(sum(violates_l) AS BIGINT) AS n_l_violations
+  FROM flagged
+)
+SELECT f.*, o.k_min, o.l_min, o.n_k_violations, o.n_l_violations
+FROM flagged f CROSS JOIN overall o
+"""
+
+QUERIES["k_anonymity"] = q_k_anonymity
+ORACLES["k_anonymity"] = SQL_K_ANONYMITY
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
