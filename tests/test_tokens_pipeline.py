@@ -1808,3 +1808,30 @@ def test_k_anonymity_audit_hand_classes(spark):
     assert (a.k_min, a.l_min, a.n_k_violations, a.n_l_violations) == (
         2, 1, 1, 1,
     )
+
+
+def test_pettitt_test_level_shift(spark):
+    """[1,1,1,9,9,9]: w = (-3,-3,-3,3,3,3), prefix U = -3..-9..-3,
+    K = 9 at the third bucket — the brute double-sgn sum confirms
+    U_3 = -9; a constant series yields K = 0."""
+    from datetime import datetime, timedelta
+
+    from tsmp_spark.operators.rollup import pettitt_test
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("A", t0 + timedelta(hours=i), v)
+        for i, v in enumerate([1.0, 1.0, 1.0, 9.0, 9.0, 9.0])
+    ] + [
+        ("flat", t0 + timedelta(hours=i), 5.0) for i in range(4)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    out = {r.key: r for r in pettitt_test(ev).collect()}
+    a = out["A"]
+    epoch_hour = int(t0.timestamp()) // 3600
+    assert (a.n, a.k_stat, a.u_at_cp) == (6, 9, -9)
+    assert a.cp_bucket == epoch_hour + 2  # third bucket
+    f = out["flat"]
+    assert f.k_stat == 0 and f.cp_bucket == epoch_hour

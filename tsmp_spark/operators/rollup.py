@@ -4714,6 +4714,78 @@ def basket_lift(
     )
 
 
+def pettitt_test(
+    events: DataFrame,
+    bucket_sec: int = 3600,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Pettitt's nonparametric changepoint test (Pettitt JRSS-C 1979)
+    per key over the bucket-sum series — the rank-based single-
+    changepoint detector (the distribution-free companion to CUSUM's
+    mean-shift statistic).
+
+    EXACT-INTEGER reduction, ties included: Pettitt's
+    ``U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j)`` collapses to the prefix
+    sum ``U_t = Σ_{i≤t} w_i`` where ``w_i = #less(x_i) − #greater(x_i)``
+    over the WHOLE series — because the within-prefix sgn sum vanishes
+    by antisymmetry. ``w_i = 2·rank_min + ties − 2 − n`` is an exact
+    integer (the spearman doubled-midrank machinery), the prefix sum is
+    an integer cumsum in bucket order, ``K = max_t |U_t|`` (t < n) an
+    integer max, and the changepoint the SMALLEST bucket attaining it.
+    No float anywhere.
+
+    Scale: one (key, bucket) tier-1 groupBy; rank/cumsum windows and
+    the final groupBy all partition by key.
+
+    Output per key with n ≥ 2: (key, n, k_stat, u_at_cp, cp_bucket).
+    """
+    cu = F.round(F.col(value_col).cast("double") * 100).cast("bigint")
+    t1 = (
+        events.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.floor(F.unix_timestamp(ts_col) / bucket_sec)
+            .cast("long")
+            .alias("bucket"),
+            cu.alias("vc"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.sum("vc").cast("bigint").alias("s"))
+    )
+    wk = Window.partitionBy("key")
+    w = (
+        F.lit(2) * F.rank().over(wk.orderBy("s"))
+        + F.count("*").over(Window.partitionBy("key", "s"))
+        - F.lit(2)
+        - F.count("*").over(wk)
+    ).cast("bigint")
+    wo = wk.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rows = t1.select(
+        "key", "bucket", w.alias("w"), F.count("*").over(wk).alias("n")
+    ).select(
+        "key", "bucket", "n",
+        F.sum("w").over(wo).cast("bigint").alias("u"),
+        F.row_number().over(wk.orderBy("bucket")).alias("t"),
+    )
+    cand = rows.filter((F.col("t") < F.col("n")) & (F.col("n") >= 2))
+    kmax = cand.groupBy("key", "n").agg(
+        F.max(F.abs(F.col("u"))).cast("bigint").alias("k_stat")
+    )
+    at = (
+        cand.join(kmax, ["key", "n"])
+        .filter(F.abs(F.col("u")) == F.col("k_stat"))
+        .groupBy("key", "n", "k_stat")
+        .agg(
+            F.min("bucket").cast("bigint").alias("cp_bucket"),
+            F.min_by("u", "bucket").cast("bigint").alias("u_at_cp"),
+        )
+    )
+    return at.select("key", "n", "k_stat", "u_at_cp", "cp_bucket")
+
+
 def k_anonymity_audit(
     table: DataFrame,
     quasi_cols: list[str],

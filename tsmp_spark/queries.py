@@ -17484,6 +17484,56 @@ QUERIES["k_anonymity"] = q_k_anonymity
 ORACLES["k_anonymity"] = SQL_K_ANONYMITY
 
 
+def q_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test per event type over hourly bucket
+    sums: the U statistic as an exact integer prefix sum of global
+    rank weights (antisymmetry identity), integer max + smallest-
+    bucket argmax."""
+    from .operators.rollup import pettitt_test
+
+    return pettitt_test(_events(spark, sf_dir))
+
+
+SQL_PETTITT = r"""
+WITH t1 AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+         CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT))
+              AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+),
+wrows AS (
+  SELECT key, bucket,
+         CAST(2 * rank() OVER (PARTITION BY key ORDER BY s)
+              + count(*) OVER (PARTITION BY key, s)
+              - 2 - count(*) OVER (PARTITION BY key) AS BIGINT) AS w,
+         CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n
+  FROM t1
+),
+cum AS (
+  SELECT key, bucket, n,
+         CAST(sum(w) OVER (PARTITION BY key ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS u,
+         row_number() OVER (PARTITION BY key ORDER BY bucket) AS t
+  FROM wrows
+),
+cand AS (SELECT * FROM cum WHERE t < n AND n >= 2),
+kmax AS (
+  SELECT key, n, CAST(max(abs(u)) AS BIGINT) AS k_stat
+  FROM cand GROUP BY 1, 2
+)
+SELECT c.key, c.n, k.k_stat,
+       CAST(min_by(c.u, c.bucket) AS BIGINT) AS u_at_cp,
+       CAST(min(c.bucket) AS BIGINT) AS cp_bucket
+FROM cand c JOIN kmax k ON k.key = c.key AND abs(c.u) = k.k_stat
+GROUP BY c.key, c.n, k.k_stat
+"""
+
+QUERIES["pettitt"] = q_pettitt
+ORACLES["pettitt"] = SQL_PETTITT
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
