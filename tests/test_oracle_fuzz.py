@@ -314,3 +314,68 @@ def test_fuzz_sdt_tie_storms(tmp_path, spark):
         queries=["sdt_compress", "concurrency_peak", "kaplan_meier",
                  "sdt_stream"],
     )
+
+
+def test_fuzz_rank_drift_family(tmp_path, spark):
+    """Round-4 rank/drift operators under tie storms: dyadic values
+    from a TINY alphabet (heavy vc ties — KS argmin location, Spearman
+    midranks, Pettitt rank weights, winsorize bounds, quantile edges
+    all tie-stressed), plus exact-second collisions for cep_match's
+    (sec, event_id) total order and two CONSTANT-value users driving
+    the zero-variance NULL paths."""
+    rng = np.random.default_rng(4401)
+    gaps = {}
+    for uid in range(1, 12):
+        n = int(rng.integers(10, 50))
+        gaps[uid] = [int(rng.integers(0, 7200))] + [
+            int(g) for g in rng.choice([0, 0, 1, 3600, 7200], size=n - 1)
+        ]
+
+    def tiny_alphabet(rng2, n):
+        # k/64 with k from {-8, 0, 8, 16}: lands EXACTLY on .5 centi
+        # boundaries (±12.5, 25.0) — both engines round doubles half
+        # away from zero, and ties dominate every rank statistic;
+        # users 10 and 11 are planted constant for the NULL paths
+        v = rng2.choice([-8.0, 0.0, 8.0, 16.0], size=n) / 64.0
+        return v
+
+    _run_gate(
+        tmp_path, spark, rng, gaps,
+        value_override=tiny_alphabet,
+        queries=["ks_drift", "spearman", "pettitt", "winsorized",
+                 "quantile_bins", "cep_match", "nelson_aalen",
+                 "simple8b_roundtrip"],
+    )
+
+
+def test_fuzz_cep_stream_and_bop_schedules(tmp_path, spark):
+    """cep_stream (real drain) and bag_of_patterns under adversarial
+    schedules: A/B/C-only event mixes with exact-second ties, and
+    constant-value stretches that push sliding windows into the
+    low-variance drop path mid-series."""
+    rng = np.random.default_rng(4402)
+    gaps = {}
+    for uid in range(1, 8):
+        n = int(rng.integers(12, 40))
+        gaps[uid] = [int(rng.integers(0, 600))] + [
+            int(g) for g in rng.choice([0, 1, 60, 3600, 3601], size=n - 1)
+        ]
+
+    def abc_heavy(rng2, n):
+        return [
+            ["click", "purchase", "error"][i]
+            for i in rng2.integers(0, 3, size=n)
+        ]
+
+    def plateau_values(rng2, n):
+        v = _dyadic(rng2, n)
+        flat = rng2.random(size=n) < 0.5
+        v[flat] = 0.25  # constant stretches -> lowvar windows drop
+        return v
+
+    _run_gate(
+        tmp_path, spark, rng, gaps,
+        etype_override=abc_heavy,
+        value_override=plateau_values,
+        queries=["cep_match", "cep_stream", "bag_of_patterns"],
+    )
