@@ -850,3 +850,70 @@ def test_salted_skew_agg_two_phase_plan(docs):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "_salt" in plan.split("Exchange hashpartitioning")[1]
     assert "Window" not in plan and "Sort" not in plan
+
+
+def test_cep_pattern_match_single_key_exchange(events):
+    """Both look-ahead windows share one spec and the per-key groupBy
+    extends the key prefix: exactly ONE hashpartitioning on the data
+    path (the first-match rejoin reuses it), no BatchEvalPython."""
+    from tsmp_spark.operators.rollup import cep_pattern_match
+
+    ev = events.select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+    )
+    plan = _plan(cep_pattern_match(ev, "click", "purchase", "error"))
+    # every data shuffle is on the bare key (the first-match branch
+    # re-derives the bounded A table and joins back as a BROADCAST)
+    import re
+
+    parts = {m.split("#")[0] for m in
+             re.findall(r"hashpartitioning\(([^,)]+)", plan)}
+    assert parts == {"key"}
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hrw_shard_assign_zero_exchange(spark):
+    """HRW assignment is a pure per-row projection: no Exchange, no
+    Window, no join in the plan."""
+    from tsmp_spark.operators.catalog import hrw_shard_assign
+
+    keys = spark.range(100).select(F.col("id").cast("string").alias("key"))
+    plan = _plan(hrw_shard_assign(keys, n_shards=8, n_shards_after=9))
+    assert "Exchange" not in plan
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_readability_and_fertility_map_only(spark):
+    """readability_scores is zero-exchange map-only; tokenizer_fertility
+    adds exactly the one combinable source groupBy."""
+    from tsmp_spark.operators.text import (
+        readability_scores, tokenizer_fertility,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert "Exchange" not in _plan(readability_scores(docs))
+    fplan = _plan(tokenizer_fertility(docs))
+    assert fplan.count("Exchange") == 1
+    assert "partial" in fplan.lower()  # map-side combine present
+
+
+def test_bag_of_patterns_one_key_exchange(events):
+    """Leads, the numerosity lag, and the (key, word) groupBy ride one
+    key-hash partitioning family — no second data-wide shuffle key."""
+    from tsmp_spark.operators.series import bag_of_patterns
+
+    ev = events.select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("sec"), "value"
+    )
+    plan = _plan(
+        bag_of_patterns(ev, key_col="user_id", pos_col="sec",
+                        value_col="value")
+    )
+    import re
+
+    parts = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert parts == {"key"}
+    assert "BatchEvalPython" not in plan
