@@ -1835,3 +1835,28 @@ def test_pettitt_test_level_shift(spark):
     assert a.cp_bucket == epoch_hour + 2  # third bucket
     f = out["flat"]
     assert f.k_stat == 0 and f.cp_bucket == epoch_hour
+
+
+def test_kruskal_wallis_hand_book(spark):
+    """Textbook no-tie case {1,2,3} vs {4,5,6}: H = 27/7 exactly,
+    split evenly across the two groups; all-equal values give B = 0
+    and NULL contributions."""
+    from tsmp_spark.operators.rollup import kruskal_wallis
+
+    ev = spark.createDataFrame(
+        [("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+         ("g2", 4.0), ("g2", 5.0), ("g2", 6.0)],
+        "event_type string, value double",
+    )
+    out = {r.key: r for r in kruskal_wallis(ev).collect()}
+    g1, g2 = out["g1"], out["g2"]
+    # doubled ranks 2,4,6|8,10,12: R2 = 12|30, A = 81 both, B = 70
+    assert (g1.n, g1.r2, g1.a, g1.b, g1.n_total) == (3, 12, 81, 70, 6)
+    assert (g2.r2, g2.a) == (30, 81)
+    assert g1.h_contrib == pytest.approx(405 / 210)
+    assert g1.h_contrib + g2.h_contrib == pytest.approx(27 / 7)
+    const = spark.createDataFrame(
+        [("x", 2.0)] * 3 + [("y", 2.0)] * 4, "event_type string, value double"
+    )
+    c = {r.key: r for r in kruskal_wallis(const).collect()}
+    assert c["x"].b == 0 and c["x"].h_contrib is None

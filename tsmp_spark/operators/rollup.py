@@ -4714,6 +4714,88 @@ def basket_lift(
     )
 
 
+def kruskal_wallis(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Kruskal–Wallis k-group rank test (Kruskal & Wallis JASA 1952),
+    tie-robust variance form — "do the k groups share a value
+    distribution?", the k-group generalization of the Mann–Whitney
+    machinery already behind roc_auc.
+
+    Exact-integer core on DOUBLED midranks (Σdr ≡ N(N+1), so the grand
+    doubled mean is exactly N+1): per group ``A_i = (R2_i − n_i(N+1))²``
+    and the global ``B = Σ_v cnt_v·(dr_v − (N+1))²`` are order-free
+    bigint sums; the statistic ``H = (N−1)·Σ_i A_i/(n_i·B)`` is emitted
+    PER GROUP as ``h_contrib = (N−1)·A_i/(n_i·B)`` — one division per
+    row, the mi_contingency convention (the total would be an unordered
+    float sum; the reader's fold is one line). Ranks derive from the
+    BOUNDED distinct-value histogram (dr = 2·#less + #eq + 1), never a
+    global row window — the ks_drift sketch shape.
+
+    Scale: one (key, vc) groupBy, one vc histogram with a cumsum over
+    sketch rows, broadcast scalars. Integer-range contract: A_i and B
+    grow as (N·n_i)²; exact through ~10⁵-row groups (sf0.1), documented.
+
+    Output per group: (key, n, r2, a, b, n_total, h_contrib).
+    """
+    cu = F.round(F.col(value_col).cast("double") * 100).cast("bigint")
+    base = events.select(
+        F.col(key_col).cast("string").alias("key"), cu.alias("vc")
+    )
+    hg = base.groupBy("key", "vc").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    ha = hg.groupBy("vc").agg(F.sum("cnt").cast("bigint").alias("cnt_all"))
+    wv = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = ha.withColumn(
+        "less", F.coalesce(F.sum("cnt_all").over(wv), F.lit(0))
+    ).withColumn(
+        "dr",
+        (F.lit(2) * F.col("less") + F.col("cnt_all") + F.lit(1))
+        .cast("bigint"),
+    )
+    tot = ha.agg(F.sum("cnt_all").cast("bigint").alias("n_total"))
+    b = (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("cnt_all")
+                * (F.col("dr") - (F.col("n_total") + 1))
+                * (F.col("dr") - (F.col("n_total") + 1))
+            )
+            .cast("bigint")
+            .alias("b")
+        )
+    )
+    grp = (
+        hg.join(ranked.select("vc", "dr"), "vc")
+        .groupBy("key")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.sum(F.col("cnt") * F.col("dr")).cast("bigint").alias("r2"),
+        )
+    )
+    out = grp.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(b))
+    a = (
+        F.col("r2") - F.col("n") * (F.col("n_total") + 1)
+    ) * (
+        F.col("r2") - F.col("n") * (F.col("n_total") + 1)
+    )
+    # (N-1)·A can pass 2^63 before the ratio forms — multiply as
+    # doubles (both factors cast from exact bigints, correctly rounded
+    # identically on both engines; fixed shape)
+    h = (
+        (F.col("n_total") - 1).cast("double") * a.cast("bigint").cast("double")
+        / F.nullif((F.col("n") * F.col("b")).cast("double"), F.lit(0.0))
+    )
+    return out.select(
+        "key", "n", "r2", a.cast("bigint").alias("a"), "b", "n_total",
+        (h + F.lit(0.0)).alias("h_contrib"),
+    )
+
+
 def pettitt_test(
     events: DataFrame,
     bucket_sec: int = 3600,

@@ -17534,6 +17534,64 @@ QUERIES["pettitt"] = q_pettitt
 ORACLES["pettitt"] = SQL_PETTITT
 
 
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis k-group rank test over event-type value
+    distributions: doubled-midrank integers from the bounded value
+    histogram, per-group H contributions with one division each."""
+    from .operators.rollup import kruskal_wallis
+
+    return kruskal_wallis(_events(spark, sf_dir))
+
+
+SQL_KRUSKAL_WALLIS = r"""
+WITH base AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vc
+  FROM events
+),
+hg AS (
+  SELECT key, vc, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2
+),
+ha AS (SELECT vc, CAST(sum(cnt) AS BIGINT) AS cnt_all FROM hg GROUP BY vc),
+ranked AS (
+  SELECT vc, cnt_all,
+         CAST(COALESCE(sum(cnt_all) OVER (
+           ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS less
+  FROM ha
+),
+drv AS (
+  SELECT vc, cnt_all, CAST(2 * less + cnt_all + 1 AS BIGINT) AS dr
+  FROM ranked
+),
+tot AS (SELECT CAST(sum(cnt_all) AS BIGINT) AS n_total FROM ha),
+bb AS (
+  SELECT CAST(sum(cnt_all * (dr - (n_total + 1)) * (dr - (n_total + 1)))
+              AS BIGINT) AS b
+  FROM drv CROSS JOIN tot
+),
+grp AS (
+  SELECT hg.key, CAST(sum(hg.cnt) AS BIGINT) AS n,
+         CAST(sum(hg.cnt * d.dr) AS BIGINT) AS r2
+  FROM hg JOIN drv d ON d.vc = hg.vc
+  GROUP BY hg.key
+)
+SELECT g.key, g.n, g.r2,
+       CAST((g.r2 - g.n * (t.n_total + 1))
+            * (g.r2 - g.n * (t.n_total + 1)) AS BIGINT) AS a,
+       b.b, t.n_total,
+       CAST(t.n_total - 1 AS DOUBLE)
+         * CAST(CAST((g.r2 - g.n * (t.n_total + 1))
+                     * (g.r2 - g.n * (t.n_total + 1)) AS BIGINT) AS DOUBLE)
+         / nullif(CAST(g.n * b.b AS DOUBLE), 0.0)
+         + 0.0 AS h_contrib
+FROM grp g CROSS JOIN tot t CROSS JOIN bb b
+"""
+
+QUERIES["kruskal_wallis"] = q_kruskal_wallis
+ORACLES["kruskal_wallis"] = SQL_KRUSKAL_WALLIS
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
