@@ -1860,3 +1860,32 @@ def test_kruskal_wallis_hand_book(spark):
     )
     c = {r.key: r for r in kruskal_wallis(const).collect()}
     assert c["x"].b == 0 and c["x"].h_contrib is None
+
+
+def test_cluster_silhouette_separated_groups(spark):
+    """Two antipodal vector groups: every vector sits far closer to its
+    own centroid than the other -> silhouette near 1, groups land in
+    different clusters; identical vectors leave one live cluster and
+    zero silhouette rows."""
+    from tsmp_spark.operators.similarity import cluster_silhouette
+
+    rows = [
+        (i, [1.0, 0.05 * (i % 3), 0.0, 0.0]) for i in range(4)
+    ] + [
+        (10 + i, [-1.0, 0.0, 0.05 * (i % 3), 0.0]) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cluster_silhouette(df, n_clusters=2).collect()
+    assert len(out) == 8
+    by_group = {
+        frozenset(r.cluster for r in out if r.vec_id < 10),
+        frozenset(r.cluster for r in out if r.vec_id >= 10),
+    }
+    assert all(len(g) == 1 for g in by_group) and len(by_group) == 2
+    assert all(r.sil > 0.5 for r in out)
+    assert all(0.0 <= r.a_dist < r.b_dist for r in out)
+    same = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    assert cluster_silhouette(same, n_clusters=2).collect() == []

@@ -1885,3 +1885,91 @@ def rater_agreement(
             (kappa + F.lit(0.0)).alias("kappa"),
         )
     )
+
+
+def cluster_silhouette(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette (Rousseeuw 1987; the
+    "simplified silhouette" of Hruschka et al. 2004 every large-scale
+    clustering eval uses — true silhouette is all-pairs): per vector,
+    ``a`` = distance to its OWN trained centroid, ``b`` = distance to
+    the nearest OTHER centroid, ``s = (b − a)/max(a, b)`` — the
+    cluster-quality audit for the in-engine spherical k-means.
+
+    Determinism: centroids come from :func:`kmeans_centroids` (r9/r6
+    Lloyd replay, bit-identical cross-engine); per-(vector, centroid)
+    dot products and ``‖x‖²`` are r6-rounded IN ENGINE (the kmeans
+    convention for unordered float sums), after which distances
+    ``d = √max(‖x‖² − 2·dot + 1, 0)`` (centroids unit-norm) and the
+    silhouette are FIXED-SHAPE expressions over identical doubles —
+    gate raw. Assignment = max r6-dot with cluster-id ties, the house
+    rule; max(a,b)=0 → NULL.
+
+    Scale: the codebook is k-bounded (collected once, the honest
+    k-means shape); scores are one (vec, cluster) combinable groupBy
+    over the dim-exploded join — n·k rows, broadcast centroid side;
+    the top-2 pick is one vec-keyed WindowGroupLimit.
+
+    Output per vector: (vec_id, cluster, a_dist, b_dist, sil).
+    """
+    from pyspark.sql.window import Window
+
+    cents = kmeans_centroids(
+        embeddings, n_clusters=n_clusters, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col,
+    )
+    spark = embeddings.sparkSession
+    crows = spark.createDataFrame(
+        [(cl, d, c[d]) for cl, c in cents for d in range(len(c))],
+        "cluster int, dim int, c double",
+    )
+    v = F.col(vec_col).cast("array<double>")
+    ex = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(v).alias("dim", "x")
+    )
+    xsq = ex.groupBy("vec_id").agg(
+        F.round(F.sum(F.col("x") * F.col("x")), 6).alias("xsq")
+    )
+    scores = (
+        ex.join(F.broadcast(crows), "dim")
+        .groupBy("vec_id", "cluster")
+        .agg(F.round(F.sum(F.col("x") * F.col("c")), 6).alias("dot"))
+    )
+    d = F.sqrt(
+        F.greatest(
+            F.col("xsq") - F.lit(2.0) * F.col("dot") + F.lit(1.0),
+            F.lit(0.0),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dot").desc(), F.col("cluster").asc()
+    )
+    # xsq is corpus-sized (one row per vector) — a plain co-keyed join,
+    # never a broadcast
+    ranked = (
+        scores.join(xsq, "vec_id")
+        .withColumn("dist", d)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+    own = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "cluster", F.col("dist").alias("a_dist")
+    )
+    nxt = ranked.filter(F.col("rn") == 2).select(
+        "vec_id", F.col("dist").alias("b_dist")
+    )
+    sil = (F.col("b_dist") - F.col("a_dist")) / F.nullif(
+        F.greatest(F.col("a_dist"), F.col("b_dist")), F.lit(0.0)
+    )
+    return (
+        own.join(nxt, "vec_id")
+        .select(
+            "vec_id", "cluster", "a_dist", "b_dist",
+            (sil + F.lit(0.0)).alias("sil"),
+        )
+    )

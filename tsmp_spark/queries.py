@@ -17592,6 +17592,47 @@ QUERIES["kruskal_wallis"] = q_kruskal_wallis
 ORACLES["kruskal_wallis"] = SQL_KRUSKAL_WALLIS
 
 
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per vector over the trained spherical
+    k-means clusters: r6-rounded dots/norms (the kmeans convention),
+    fixed-shape distances and silhouette gating raw."""
+    from .operators.similarity import cluster_silhouette
+
+    return cluster_silhouette(_embeddings(spark, sf_dir))
+
+
+SQL_SILHOUETTE = f"""
+WITH {_sql_kmeans_codebook()},
+xsq AS (
+  SELECT vec_id, round(sum(x * x), 6) AS xsq FROM ex GROUP BY vec_id
+),
+scores AS (
+  SELECT ex.vec_id, c2.cluster,
+         round(sum(ex.x * c2.c), 6) AS dot
+  FROM ex JOIN c2 ON c2.dim = ex.i
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.vec_id, s.cluster,
+         sqrt(greatest(x.xsq - 2.0 * s.dot + 1.0, 0.0)) AS dist,
+         row_number() OVER (PARTITION BY s.vec_id
+                            ORDER BY s.dot DESC, s.cluster ASC) AS rn
+  FROM scores s JOIN xsq x USING (vec_id)
+),
+own AS (
+  SELECT vec_id, cluster, dist AS a_dist FROM ranked WHERE rn = 1
+),
+nxt AS (SELECT vec_id, dist AS b_dist FROM ranked WHERE rn = 2)
+SELECT o.vec_id, o.cluster, o.a_dist, n.b_dist,
+       (n.b_dist - o.a_dist)
+         / nullif(greatest(o.a_dist, n.b_dist), 0.0) + 0.0 AS sil
+FROM own o JOIN nxt n USING (vec_id)
+"""
+
+QUERIES["silhouette"] = q_silhouette
+ORACLES["silhouette"] = SQL_SILHOUETTE
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
