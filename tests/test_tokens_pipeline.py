@@ -1889,3 +1889,34 @@ def test_cluster_silhouette_separated_groups(spark):
         "vec_id long, embedding array<float>",
     )
     assert cluster_silhouette(same, n_clusters=2).collect() == []
+
+
+def test_rate_limit_stream_state_machine_splits():
+    """The streaming token bucket replayed across arbitrary batch
+    splits equals the hand-replayed batch recurrence (capacity 2,
+    refill 1/s, same-second ties in id order)."""
+    import pandas as pd
+
+    from tsmp_spark.streaming.rollup import _make_rate_func
+
+    class FakeState:
+        exists = False
+
+        def update(self, t):
+            self.exists, self.get = True, t
+
+    rows = [(0, 1), (0, 2), (0, 3), (5, 4), (6, 5), (6, 6), (6, 7), (6, 8)]
+    want_allowed = [1, 1, 0, 1, 1, 1, 0, 0]
+    for split in (1, 2, 3, 8):
+        st = FakeState()
+        func = _make_rate_func(2, 1)
+        chunk = len(rows) // split or 1
+        got = []
+        for i in range(0, len(rows), chunk):
+            part = rows[i : i + chunk]
+            pdf = pd.DataFrame(
+                {"sec": [s for s, _ in part], "event_id": [e for _, e in part]}
+            )
+            for out in func((7,), iter([pdf]), st):
+                got.extend(zip(out["event_id"], out["allowed"]))
+        assert [a for _, a in sorted(got)] == want_allowed

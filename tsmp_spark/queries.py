@@ -17633,6 +17633,49 @@ QUERIES["silhouette"] = q_silhouette
 ORACLES["silhouette"] = SQL_SILHOUETTE
 
 
+def q_rate_limit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming token-bucket rate limiter through a real drain: the
+    same integer recurrence as the batch replay with O(1) two-integer
+    state per key — gated by the batch recursive-CTE oracle
+    row-for-row (append-mode decisions are immutable)."""
+    import uuid
+
+    from .streaming.rollup import rate_limit_stream
+
+    name = "rate_sink_" + uuid.uuid4().hex[:8]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props map<string,string>"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            "user_id", "event_id",
+            F.unix_timestamp("ts").cast("long").alias("sec"),
+        )
+    )
+    out = rate_limit_stream(stream, capacity=5, refill_per_sec=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT key AS user_id, sec, event_id, allowed, tokens_after "
+        f"FROM {name}"
+    )
+
+
+QUERIES["rate_limit_stream"] = q_rate_limit_stream
+ORACLES["rate_limit_stream"] = SQL_RATE_LIMIT
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #

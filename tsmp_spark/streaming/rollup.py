@@ -323,3 +323,87 @@ def sdt_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RATE_OUTPUT_SCHEMA = (
+    "key long, sec long, event_id long, allowed int, tokens_after long"
+)
+RATE_STATE_SCHEMA = "tokens long, prev_sec long"
+
+
+def _make_rate_func(capacity: int, refill_per_sec: int):
+    cap, refill = int(capacity), int(refill_per_sec)
+
+    def func(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            tokens, prev = state.get
+            prev = None if prev < 0 else int(prev)
+        else:
+            tokens, prev = cap, None
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["sec", "event_id"], kind="mergesort"
+        )
+        secs = pdf["sec"].tolist()
+        eids = pdf["event_id"].tolist()
+        allowed, after = [], []
+        tokens = int(tokens)
+        for s, _e in zip(secs, eids):
+            s = int(s)
+            if prev is not None:
+                tokens = min(cap, tokens + (s - prev) * refill)
+            prev = s
+            if tokens >= 1:
+                tokens -= 1
+                allowed.append(1)
+            else:
+                allowed.append(0)
+            after.append(tokens)
+        state.update((tokens, -1 if prev is None else prev))
+        yield pd.DataFrame(
+            {
+                "key": [int(key[0])] * len(secs),
+                "sec": secs,
+                "event_id": eids,
+                "allowed": allowed,
+                "tokens_after": after,
+            }
+        )
+
+    return func
+
+
+def rate_limit_stream(
+    event_stream,
+    capacity: int = 5,
+    refill_per_sec: int = 1,
+    key_col: str = "user_id",
+    sec_col: str = "sec",
+    id_col: str = "event_id",
+):
+    """Streaming token-bucket rate limiter — the PRODUCTION twin of
+    ``operators.rollup.rate_limit_replay``'s audit replay, as an
+    ``applyInPandasWithState`` machine with the O(1) two-integer state
+    the batch docstring promises: (tokens, prev_sec) per key, ~16
+    bytes. Ordered-append contract (the stompi convention); within a
+    batch rows sort by (sec, event_id). Every decision is the SAME
+    integer recurrence, so every emitted row equals the batch replay
+    row-for-row and the batch recursive-CTE oracle gates the drained
+    stream directly (append mode: decisions are immutable once made).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    rows = event_stream.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(sec_col).cast("long").alias("sec"),
+        F.col(id_col).cast("long").alias("event_id"),
+    )
+    return rows.groupBy("key").applyInPandasWithState(
+        _make_rate_func(capacity, refill_per_sec),
+        outputStructType=RATE_OUTPUT_SCHEMA,
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
