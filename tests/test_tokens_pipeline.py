@@ -1920,3 +1920,23 @@ def test_rate_limit_stream_state_machine_splits():
             for out in func((7,), iter([pdf]), st):
                 got.extend(zip(out["event_id"], out["allowed"]))
         assert [a for _, a in sorted(got)] == want_allowed
+
+
+def test_tukey_fences_hand_box(spark):
+    """Values 1..11 plus outliers -100 and 100: Q1=3, Q3=9 (nearest
+    rank over 13), fences x2 = [-12, 72] half-centi x100 -> exactly
+    the two planted points flagged."""
+    from tsmp_spark.operators.rollup import tukey_fences
+
+    vals = [float(v) for v in range(1, 12)] + [-100.0, 100.0]
+    ev = spark.createDataFrame(
+        [("a", v, i) for i, v in enumerate(vals)],
+        "event_type string, value double, event_id long",
+    )
+    r = tukey_fences(ev).collect()[0]
+    # n=13: q1 rank ceil(13/4)=4 -> sorted vals[-100,1..11,100][4th]=3
+    # q3 rank ceil(39/4)=10 -> 9
+    assert (r.n, r.q1_centi, r.q3_centi) == (13, 300, 900)
+    assert (r.fence_lo_x2, r.fence_hi_x2) == (5 * 300 - 3 * 900,
+                                              5 * 900 - 3 * 300)
+    assert (r.n_out_lo, r.n_out_hi) == (1, 1)

@@ -4714,6 +4714,71 @@ def basket_lift(
     )
 
 
+def tukey_fences(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Tukey's boxplot fences (Tukey 1977, EDA): per key, values
+    outside ``[Q1 − 1.5·IQR, Q3 + 1.5·IQR]`` are outliers — the
+    distribution-shaped GLOBAL outlier rule next to the family's
+    rolling (hampel), iterative (sigma_clip), clamping (winsorize) and
+    dropping (trimmed_mean) robust aggregates.
+
+    ZERO float: quartiles are nearest-rank order statistics at
+    ``⌈n/4⌉`` / ``⌈3n/4⌉`` over the total (value, id) order (exact
+    centi integers), and the 1.5·IQR fences cross-multiply into
+    half-centi integer comparisons — ``v < Q1 − 1.5·IQR`` ⇔
+    ``2·vc < 5·q1 − 3·q3`` (and ``2·vc > 5·q3 − 3·q1`` above). The
+    fence positions are emitted in exact half-centi units.
+
+    Scale: the winsorize shape — one key exchange serves the rank
+    window, the flag projection, and the combinable groupBy.
+
+    Output per key: (key, n, q1_centi, q3_centi, fence_lo_x2,
+    fence_hi_x2, n_out_lo, n_out_hi).
+    """
+    cu = F.round(F.col(value_col).cast("double") * 100).cast("bigint")
+    base = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        cu.alias("vc"),
+        F.col(id_col).cast("long").alias("id"),
+    )
+    wo = Window.partitionBy("key").orderBy("vc", "id")
+    wk = Window.partitionBy("key")
+    ranked = base.select(
+        "key", "vc",
+        F.row_number().over(wo).alias("rk"),
+        F.count("*").over(wk).alias("n"),
+    )
+    q1r = F.expr("(n + 3) div 4")        # ceil(n/4)
+    q3r = F.expr("(3 * n + 3) div 4")    # ceil(3n/4)
+    qs = ranked.groupBy("key").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(F.when(F.col("rk") >= q1r, F.col("vc")))
+        .cast("bigint").alias("q1_centi"),
+        F.min(F.when(F.col("rk") >= q3r, F.col("vc")))
+        .cast("bigint").alias("q3_centi"),
+    )
+    j = ranked.join(qs.select("key", "q1_centi", "q3_centi"), "key")
+    lo = F.lit(2) * F.col("vc") < F.lit(5) * F.col("q1_centi") - F.lit(3) * F.col("q3_centi")
+    hi = F.lit(2) * F.col("vc") > F.lit(5) * F.col("q3_centi") - F.lit(3) * F.col("q1_centi")
+    agg = j.groupBy("key", "q1_centi", "q3_centi").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(lo.cast("int")).cast("bigint").alias("n_out_lo"),
+        F.sum(hi.cast("int")).cast("bigint").alias("n_out_hi"),
+    )
+    return agg.select(
+        "key", "n", "q1_centi", "q3_centi",
+        (F.lit(5) * F.col("q1_centi") - F.lit(3) * F.col("q3_centi"))
+        .cast("bigint").alias("fence_lo_x2"),
+        (F.lit(5) * F.col("q3_centi") - F.lit(3) * F.col("q1_centi"))
+        .cast("bigint").alias("fence_hi_x2"),
+        "n_out_lo", "n_out_hi",
+    )
+
+
 def kruskal_wallis(
     events: DataFrame,
     key_col: str = "event_type",

@@ -17676,6 +17676,53 @@ QUERIES["rate_limit_stream"] = q_rate_limit_stream
 ORACLES["rate_limit_stream"] = SQL_RATE_LIMIT
 
 
+def q_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot-fence outlier audit per event type: nearest-rank
+    integer quartiles, 1.5·IQR fences as half-centi integer
+    cross-multiplications — zero float anywhere."""
+    from .operators.rollup import tukey_fences
+
+    return tukey_fences(_events(spark, sf_dir))
+
+
+SQL_TUKEY_FENCES = r"""
+WITH base AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vc,
+         event_id AS id
+  FROM events
+),
+ranked AS (
+  SELECT key, vc,
+         row_number() OVER (PARTITION BY key ORDER BY vc, id) AS rk,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM base
+),
+qs AS (
+  SELECT key, CAST(max(n) AS BIGINT) AS n,
+         CAST(min(CASE WHEN rk >= (n + 3) // 4 THEN vc END) AS BIGINT)
+           AS q1_centi,
+         CAST(min(CASE WHEN rk >= (3 * n + 3) // 4 THEN vc END) AS BIGINT)
+           AS q3_centi
+  FROM ranked GROUP BY key
+)
+SELECT r.key,
+       CAST(count(*) AS BIGINT) AS n,
+       q.q1_centi, q.q3_centi,
+       CAST(5 * q.q1_centi - 3 * q.q3_centi AS BIGINT) AS fence_lo_x2,
+       CAST(5 * q.q3_centi - 3 * q.q1_centi AS BIGINT) AS fence_hi_x2,
+       CAST(sum(CASE WHEN 2 * r.vc < 5 * q.q1_centi - 3 * q.q3_centi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo,
+       CAST(sum(CASE WHEN 2 * r.vc > 5 * q.q3_centi - 3 * q.q1_centi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi
+FROM ranked r JOIN qs q USING (key)
+GROUP BY r.key, q.q1_centi, q.q3_centi
+"""
+
+QUERIES["tukey_fences"] = q_tukey_fences
+ORACLES["tukey_fences"] = SQL_TUKEY_FENCES
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
