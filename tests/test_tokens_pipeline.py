@@ -1940,3 +1940,31 @@ def test_tukey_fences_hand_box(spark):
     assert (r.fence_lo_x2, r.fence_hi_x2) == (5 * 300 - 3 * 900,
                                               5 * 900 - 3 * 300)
     assert (r.n_out_lo, r.n_out_hi) == (1, 1)
+
+
+def test_anon_ladder_and_oov_invariants(spark):
+    """Ladder: every assigned rung's class really reaches k=5 and no
+    earlier rung did (checked by recomputing class sizes); OOV: the
+    train split is OOV-free by construction and rates stay in [0,1]."""
+    from tsmp_spark.queries import q_anon_ladder, q_oov_rate
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_anon_ladder(spark, sf).collect()
+    assert rows and all(r.rung in (0, 1, 2, 3) for r in rows)
+    from collections import Counter
+
+    n0 = Counter((r.nat, r.seg) for r in rows)
+    n1 = Counter((r.reg, r.seg) for r in rows)
+    n2 = Counter(r.reg for r in rows)
+    for r in rows:
+        sizes = [n0[(r.nat, r.seg)], n1[(r.reg, r.seg)], n2[r.reg]]
+        if r.rung < 3:
+            assert sizes[r.rung] >= 5 and r.class_size == sizes[r.rung]
+            assert all(s < 5 for s in sizes[: r.rung])
+        else:
+            assert all(s < 5 for s in sizes) and r.class_size is None
+    oov = {r.split: r for r in q_oov_rate(spark, sf).collect()}
+    assert oov["train"].n_oov == 0 and oov["train"].oov_milli == 0
+    for s in ("val", "test"):
+        assert 0 <= oov[s].oov_milli <= 1000
+        assert oov[s].n_oov_types <= oov[s].n_oov

@@ -17723,6 +17723,151 @@ QUERIES["tukey_fences"] = q_tukey_fences
 ORACLES["tukey_fences"] = SQL_TUKEY_FENCES
 
 
+def q_anon_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Samarati-style generalization ladder to k-anonymity (k=5): each
+    customer takes the FIRST rung whose equivalence class reaches k —
+    (nation, segment) → (region, segment) → (region) → (*) — pure
+    integer class sizes, rung choice a CASE over three counts."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_regionkey"
+    )
+    base = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select(
+        "c_custkey",
+        F.col("c_nationkey").cast("bigint").alias("nat"),
+        F.col("n_regionkey").cast("bigint").alias("reg"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    from pyspark.sql.window import Window
+
+    k = 5
+    c0 = F.count("*").over(Window.partitionBy("nat", "seg"))
+    c1 = F.count("*").over(Window.partitionBy("reg", "seg"))
+    c2 = F.count("*").over(Window.partitionBy("reg"))
+    sized = base.select(
+        "c_custkey", "nat", "reg", "seg",
+        c0.cast("bigint").alias("n0"),
+        c1.cast("bigint").alias("n1"),
+        c2.cast("bigint").alias("n2"),
+    )
+    rung = (
+        F.when(F.col("n0") >= k, F.lit(0))
+        .when(F.col("n1") >= k, F.lit(1))
+        .when(F.col("n2") >= k, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    size_at = (
+        F.when(F.col("n0") >= k, F.col("n0"))
+        .when(F.col("n1") >= k, F.col("n1"))
+        .when(F.col("n2") >= k, F.col("n2"))
+        .otherwise(F.lit(None).cast("bigint"))
+    )
+    return sized.select(
+        "c_custkey", "nat", "reg", "seg",
+        rung.cast("int").alias("rung"),
+        size_at.cast("bigint").alias("class_size"),
+    )
+
+
+SQL_ANON_LADDER = r"""
+WITH base AS (
+  SELECT c.c_custkey, CAST(c.c_nationkey AS BIGINT) AS nat,
+         CAST(n.n_regionkey AS BIGINT) AS reg, c.c_mktsegment AS seg
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+sized AS (
+  SELECT c_custkey, nat, reg, seg,
+         CAST(count(*) OVER (PARTITION BY nat, seg) AS BIGINT) AS n0,
+         CAST(count(*) OVER (PARTITION BY reg, seg) AS BIGINT) AS n1,
+         CAST(count(*) OVER (PARTITION BY reg) AS BIGINT) AS n2
+  FROM base
+)
+SELECT c_custkey, nat, reg, seg,
+       CAST(CASE WHEN n0 >= 5 THEN 0 WHEN n1 >= 5 THEN 1
+                 WHEN n2 >= 5 THEN 2 ELSE 3 END AS INT) AS rung,
+       CAST(CASE WHEN n0 >= 5 THEN n0 WHEN n1 >= 5 THEN n1
+                 WHEN n2 >= 5 THEN n2 END AS BIGINT) AS class_size
+FROM sized
+"""
+
+QUERIES["anon_ladder"] = q_anon_ladder
+ORACLES["anon_ladder"] = SQL_ANON_LADDER
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out OOV audit: train/val/test words vs the TRAIN-split
+    vocabulary (the dataset_split md5 per-mille rule) — per split,
+    exact token totals, OOV token count, distinct OOV types, and the
+    milli-unit floor-division OOV rate. The tokenizer-coverage eval
+    every vocab build needs."""
+    from .operators.text import _words
+    from .operators.tokens import dataset_split
+
+    docs = _documents(spark, sf_dir)
+    split = dataset_split(docs).select("doc_id", "split")
+    toks = (
+        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+        .filter(F.length("w") > 0)
+        .join(split, "doc_id")
+    )
+    train_vocab = (
+        toks.filter(F.col("split") == "train").select("w").distinct()
+        .withColumn("in_train", F.lit(1))
+    )
+    tagged = toks.join(train_vocab, "w", "left")
+    agg = tagged.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("in_train").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_oov"),
+        F.countDistinct(
+            F.when(F.col("in_train").isNull(), F.col("w"))
+        ).cast("bigint").alias("n_oov_types"),
+    )
+    return agg.select(
+        "split", "n_tokens", "n_oov", "n_oov_types",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("(1000 * n_oov) div n_tokens").cast("bigint"),
+        ).alias("oov_milli"),
+    )
+
+
+SQL_OOV_RATE = r"""
+WITH toks AS (
+  SELECT d.doc_id, w,
+         CASE WHEN CAST(('0x' || substr(md5('s5:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000 < 800 THEN 'train'
+              WHEN CAST(('0x' || substr(md5('s5:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000 < 900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents d,
+       unnest(list_filter(string_split_regex(trim(lower(d.text)), '\s+'),
+                          x -> len(x) > 0)) AS u(w)
+),
+tv AS (SELECT DISTINCT w FROM toks WHERE split = 'train'),
+tagged AS (
+  SELECT t.split, t.w, CASE WHEN tv.w IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN tv ON tv.w = t.w
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       CAST(count(DISTINCT CASE WHEN oov = 1 THEN w END) AS BIGINT)
+         AS n_oov_types,
+       CASE WHEN count(*) > 0
+            THEN CAST((1000 * sum(oov)) // count(*) AS BIGINT) END
+         AS oov_milli
+FROM tagged GROUP BY split
+"""
+
+QUERIES["oov_rate"] = q_oov_rate
+ORACLES["oov_rate"] = SQL_OOV_RATE
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
