@@ -1968,3 +1968,24 @@ def test_anon_ladder_and_oov_invariants(spark):
     for s in ("val", "test"):
         assert 0 <= oov[s].oov_milli <= 1000
         assert oov[s].n_oov_types <= oov[s].n_oov
+
+
+def test_apriori_triples_hand_baskets(spark):
+    """Baskets {1,2,3}x3, {1,2,4}, {5,6}: only (1,2,3) is a frequent
+    triple (support 3) with face supports (4,3,3); the prune step
+    keeps infrequent-face candidates out by construction."""
+    from tsmp_spark.operators.rollup import apriori_triples
+
+    baskets = [
+        (10, [1, 2, 3]), (11, [1, 2, 3]), (12, [1, 2, 3]),
+        (13, [1, 2, 4]), (14, [5, 6]),
+    ]
+    rows = [(o, it) for o, items in baskets for it in items]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = apriori_triples(df, min_support=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.item_a, r.item_b, r.item_c, r.support) == (1, 2, 3, 3)
+    assert (r.sup_ab, r.sup_ac, r.sup_bc) == (4, 3, 3)
+    # support threshold above the best triple: empty
+    assert apriori_triples(df, min_support=4).collect() == []

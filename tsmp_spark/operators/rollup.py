@@ -4714,6 +4714,102 @@ def basket_lift(
     )
 
 
+def apriori_triples(
+    lineitem: DataFrame,
+    min_support: int = 3,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Apriori frequent-itemset mining up to size 3 (Agrawal & Srikant
+    VLDB 1994) — the level-wise support-pruned lattice walk that
+    :func:`basket_lift` (pairs only) and :func:`item_cf_similarity`
+    (similarity, not support) don't cover: L1 → L2 → candidate triples
+    by the JOIN STEP (two frequent pairs sharing their smallest item)
+    → the PRUNE STEP (the third face (b,c) must itself be frequent —
+    checked BEFORE any counting) → exact support counting.
+
+    All-integer: supports are exact basket counts; output is every
+    frequent triple with its support and its three face supports (the
+    confidence bookkeeping a rule miner needs), all bigints.
+
+    Scale: the Apriori argument IS the scale argument — candidates at
+    level k+1 are generated from level k's SURVIVORS only, so the
+    triple count is bounded by joins of the (support-pruned, hence
+    small) L2 table, never by |items|³; support counting re-joins the
+    basket table ONCE on the three items via the basket key. Baskets
+    dedupe first; the L1 prune caps the join fan-out exactly like the
+    hot-shingle caps cap theirs.
+
+    Output: (item_a, item_b, item_c, support, sup_ab, sup_ac, sup_bc)
+    with a < b < c.
+    """
+    base = lineitem.select(
+        F.col(order_col).alias("o"), F.col(item_col).alias("it")
+    ).distinct()
+    l1 = base.groupBy("it").agg(
+        F.count("*").cast("bigint").alias("s1")
+    ).filter(F.col("s1") >= int(min_support))
+    b1 = base.join(F.broadcast(l1.select("it")), "it")
+    a = b1.select("o", F.col("it").alias("ia"))
+    b = b1.select("o", F.col("it").alias("ib"))
+    l2 = (
+        a.join(b, "o")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").cast("bigint").alias("s2"))
+        .filter(F.col("s2") >= int(min_support))
+    )
+    # join step: (a,b) ⋈ (a,c) with b < c; prune step: (b,c) ∈ L2
+    p1 = l2.select(F.col("ia").alias("x"), F.col("ib").alias("yb"),
+                   F.col("s2").alias("sab"))
+    p2 = l2.select(F.col("ia").alias("x"), F.col("ib").alias("yc"),
+                   F.col("s2").alias("sac"))
+    cand = (
+        p1.join(p2, "x")
+        .filter(F.col("yb") < F.col("yc"))
+        .join(
+            l2.select(
+                F.col("ia").alias("yb"), F.col("ib").alias("yc"),
+                F.col("s2").alias("sbc"),
+            ),
+            ["yb", "yc"],
+        )
+        .select(
+            F.col("x").alias("ia"), F.col("yb").alias("ib"),
+            F.col("yc").alias("ic"), "sab", "sac", "sbc",
+        )
+    )
+    # count only over items that appear in some candidate — cuts the
+    # per-basket C(size,3) fan-out before it forms
+    cand_items = (
+        cand.select(F.col("ia").alias("it"))
+        .unionByName(cand.select(F.col("ib").alias("it")))
+        .unionByName(cand.select(F.col("ic").alias("it")))
+        .distinct()
+    )
+    bc = base.join(F.broadcast(cand_items), "it")
+    t1 = bc.select("o", F.col("it").alias("ia"))
+    t2 = bc.select("o", F.col("it").alias("ib"))
+    t3 = bc.select("o", F.col("it").alias("ic"))
+    sup3 = (
+        t1.join(t2, "o").join(t3, "o")
+        .filter((F.col("ia") < F.col("ib")) & (F.col("ib") < F.col("ic")))
+        .join(F.broadcast(cand.select("ia", "ib", "ic")), ["ia", "ib", "ic"])
+        .groupBy("ia", "ib", "ic")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= int(min_support))
+    )
+    return (
+        sup3.join(F.broadcast(cand), ["ia", "ib", "ic"])
+        .select(
+            F.col("ia").alias("item_a"), F.col("ib").alias("item_b"),
+            F.col("ic").alias("item_c"), "support",
+            F.col("sab").alias("sup_ab"), F.col("sac").alias("sup_ac"),
+            F.col("sbc").alias("sup_bc"),
+        )
+    )
+
+
 def tukey_fences(
     events: DataFrame,
     key_col: str = "event_type",

@@ -17868,6 +17868,69 @@ QUERIES["oov_rate"] = q_oov_rate
 ORACLES["oov_rate"] = SQL_OOV_RATE
 
 
+def q_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori frequent triples (support ≥ 2) over order baskets:
+    level-wise join+prune candidate generation from frequent pairs,
+    exact integer supports with all three face supports."""
+    from .operators.rollup import apriori_triples
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    return apriori_triples(li, min_support=2).select(
+        F.col("item_a").cast("bigint").alias("item_a"),
+        F.col("item_b").cast("bigint").alias("item_b"),
+        F.col("item_c").cast("bigint").alias("item_c"),
+        "support", "sup_ab", "sup_ac", "sup_bc",
+    )
+
+
+SQL_APRIORI = r"""
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS it FROM lineitem
+),
+l1 AS (
+  SELECT it, CAST(count(*) AS BIGINT) AS s1 FROM base GROUP BY it
+  HAVING count(*) >= 2
+),
+b1 AS (SELECT b.o, b.it FROM base b JOIN l1 ON l1.it = b.it),
+l2 AS (
+  SELECT a.it AS ia, b.it AS ib, CAST(count(*) AS BIGINT) AS s2
+  FROM b1 a JOIN b1 b ON a.o = b.o AND a.it < b.it
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+cand AS (
+  SELECT p1.ia, p1.ib, p2.ib AS ic,
+         p1.s2 AS sab, p2.s2 AS sac, f.s2 AS sbc
+  FROM l2 p1
+  JOIN l2 p2 ON p2.ia = p1.ia AND p1.ib < p2.ib
+  JOIN l2 f ON f.ia = p1.ib AND f.ib = p2.ib
+),
+citems AS (
+  SELECT DISTINCT it FROM (
+    SELECT ia AS it FROM cand UNION ALL SELECT ib FROM cand
+    UNION ALL SELECT ic FROM cand)
+),
+bc AS (SELECT b.o, b.it FROM base b JOIN citems c ON c.it = b.it),
+sup3 AS (
+  SELECT t1.it AS ia, t2.it AS ib, t3.it AS ic,
+         CAST(count(*) AS BIGINT) AS support
+  FROM bc t1
+  JOIN bc t2 ON t1.o = t2.o AND t1.it < t2.it
+  JOIN bc t3 ON t1.o = t3.o AND t2.it < t3.it
+  JOIN cand ON cand.ia = t1.it AND cand.ib = t2.it AND cand.ic = t3.it
+  GROUP BY 1, 2, 3 HAVING count(*) >= 2
+)
+SELECT CAST(s.ia AS BIGINT) AS item_a, CAST(s.ib AS BIGINT) AS item_b,
+       CAST(s.ic AS BIGINT) AS item_c, s.support,
+       c.sab AS sup_ab, c.sac AS sup_ac, c.sbc AS sup_bc
+FROM sup3 s JOIN cand c ON c.ia = s.ia AND c.ib = s.ib AND c.ic = s.ic
+"""
+
+QUERIES["apriori"] = q_apriori
+ORACLES["apriori"] = SQL_APRIORI
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
