@@ -1989,3 +1989,27 @@ def test_apriori_triples_hand_baskets(spark):
     assert (r.sup_ab, r.sup_ac, r.sup_bc) == (4, 3, 3)
     # support threshold above the best triple: empty
     assert apriori_triples(df, min_support=4).collect() == []
+
+
+def test_cuped_perfect_covariate(spark):
+    """Y = 2X exactly: theta = 2, both arms' adjusted means coincide at
+    the pooled value 0.50 and the variance-reduction ratio is 1."""
+    from datetime import datetime, timedelta
+
+    from tsmp_spark.operators.rollup import cuped_adjustment
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for uid, x in zip((1, 2, 3, 4), (0.10, 0.20, 0.30, 0.40)):
+        rows.append((uid, t0, x))                       # pre period
+        rows.append((uid, t0 + timedelta(seconds=100), 2 * x))  # post
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r.arm: r for r in cuped_adjustment(ev).collect()}
+    a0, a1 = out[0], out[1]
+    assert a0.n_users == 2 and a1.n_users == 2
+    assert a0.theta_num == 2 * a0.theta_den  # theta = 2 exactly
+    assert a0.raw_mean == pytest.approx(0.60)
+    assert a1.raw_mean == pytest.approx(0.40)
+    assert a0.adj_mean == pytest.approx(0.50)
+    assert a1.adj_mean == pytest.approx(0.50)
+    assert a0.var_reduction == pytest.approx(1.0)

@@ -4714,6 +4714,98 @@ def basket_lift(
     )
 
 
+def cuped_adjustment(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CUPED variance-reduced A/B metrics (Deng, Xu, Kohavi & Walker
+    WSDM 2013 — the pre-experiment-covariate adjustment every modern
+    experimentation platform runs): per user, Y = post-period value
+    sum, X = PRE-period value sum (periods split at the integer
+    midpoint of the observed time range); θ = cov(X,Y)/var(X) pooled
+    over all users; the adjusted arm mean is
+    ``Ȳ_a − θ·(X̄_a − X̄)``, whose variance shrinks by the squared
+    X–Y correlation.
+
+    Exact-integer core: per-user X/Y are exact centi sums; θ's
+    numerator ``n·Σxy − Σx·Σy`` and denominator ``n·Σxx − (Σx)²`` are
+    exact bigints (values are bucket-level sums of rounded centi —
+    no epoch-scale cancellation, the recenter rule's precondition);
+    arm sums likewise. The adjusted means, the θ ratio, and the
+    variance-reduction ratio ``ρ² = θ_num²/(θ_den·(n·Σyy−(Σy)²))``
+    are FIXED-SHAPE double expressions over those integers (products
+    formed after casting, the kruskal convention) — gate raw.
+    Constant X (θ_den = 0) NULLs the adjustment, never divides by
+    zero.
+
+    Scale: one per-user combinable groupBy (two conditional sums), one
+    scalar aggregate broadcast, one 2-row arm aggregate. Arms follow
+    the house ``user_id % 2`` assignment (ab_ztest).
+
+    Output per arm: (arm, n_users, sx, sy, theta_num, theta_den,
+    raw_mean, adj_mean, var_reduction).
+    """
+    cu = F.round(F.col(value_col).cast("double") * 100).cast("bigint")
+    sec = F.unix_timestamp(ts_col).cast("long")
+    base = events.select(
+        F.col(key_col).cast("long").alias("key"), cu.alias("vc"),
+        sec.alias("sec"),
+    )
+    span = base.agg(
+        F.expr("(min(sec) + max(sec)) div 2").cast("long").alias("mid")
+    )
+    per_user = (
+        base.crossJoin(F.broadcast(span))
+        .groupBy("key")
+        .agg(
+            F.sum(F.when(F.col("sec") < F.col("mid"), F.col("vc"))
+                  .otherwise(F.lit(0))).cast("bigint").alias("x"),
+            F.sum(F.when(F.col("sec") >= F.col("mid"), F.col("vc"))
+                  .otherwise(F.lit(0))).cast("bigint").alias("y"),
+        )
+        .withColumn("arm", (F.col("key") % 2).cast("int"))
+    )
+    g = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("ax"),
+        F.sum("y").cast("bigint").alias("ay"),
+    )
+    j = arms.crossJoin(F.broadcast(g))
+    tn = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("bigint")
+    td = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("bigint")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("bigint")
+    theta = tn.cast("double") / F.nullif(td.cast("double"), F.lit(0.0))
+    raw_mean = F.col("ay").cast("double") / (
+        F.lit(100.0) * F.col("n_users").cast("double")
+    )
+    xbar_gap = (
+        F.col("ax").cast("double") / F.col("n_users").cast("double")
+        - F.col("sx").cast("double") / F.col("n").cast("double")
+    )
+    adj_mean = raw_mean - theta * xbar_gap / F.lit(100.0)
+    vr = (tn.cast("double") * tn.cast("double")) / F.nullif(
+        td.cast("double") * vy.cast("double"), F.lit(0.0)
+    )
+    return j.select(
+        "arm", "n_users",
+        F.col("ax").alias("sx"), F.col("ay").alias("sy"),
+        tn.alias("theta_num"), td.alias("theta_den"),
+        (raw_mean + F.lit(0.0)).alias("raw_mean"),
+        (adj_mean + F.lit(0.0)).alias("adj_mean"),
+        (vr + F.lit(0.0)).alias("var_reduction"),
+    )
+
+
 def apriori_triples(
     lineitem: DataFrame,
     min_support: int = 3,

@@ -17931,6 +17931,68 @@ QUERIES["apriori"] = q_apriori
 ORACLES["apriori"] = SQL_APRIORI
 
 
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B arm means: pre-period covariate sums
+    at the integer time midpoint, pooled θ from exact bigint moment
+    sums, fixed-shape adjusted means + variance-reduction ratio."""
+    from .operators.rollup import cuped_adjustment
+
+    return cuped_adjustment(_events(spark, sf_dir))
+
+
+SQL_CUPED = r"""
+WITH base AS (
+  SELECT user_id AS key,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vc,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+span AS (SELECT (min(sec) + max(sec)) // 2 AS mid FROM base),
+per_user AS (
+  SELECT key,
+         CAST(sum(CASE WHEN sec < mid THEN vc ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN sec >= mid THEN vc ELSE 0 END) AS BIGINT) AS y,
+         CAST(key % 2 AS INT) AS arm
+  FROM base CROSS JOIN span GROUP BY key
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM per_user
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(x) AS BIGINT) AS ax, CAST(sum(y) AS BIGINT) AS ay
+  FROM per_user GROUP BY arm
+)
+SELECT a.arm, a.n_users, a.ax AS sx, a.ay AS sy,
+       CAST(g.n * g.sxy - g.sx * g.sy AS BIGINT) AS theta_num,
+       CAST(g.n * g.sxx - g.sx * g.sx AS BIGINT) AS theta_den,
+       CAST(a.ay AS DOUBLE) / (100.0 * CAST(a.n_users AS DOUBLE)) + 0.0
+         AS raw_mean,
+       CAST(a.ay AS DOUBLE) / (100.0 * CAST(a.n_users AS DOUBLE))
+         - (CAST(g.n * g.sxy - g.sx * g.sy AS BIGINT)
+            / nullif(CAST(CAST(g.n * g.sxx - g.sx * g.sx AS BIGINT)
+                          AS DOUBLE), 0.0))
+           * (CAST(a.ax AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+              - CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE)) / 100.0
+         + 0.0 AS adj_mean,
+       (CAST(CAST(g.n * g.sxy - g.sx * g.sy AS BIGINT) AS DOUBLE)
+        * CAST(CAST(g.n * g.sxy - g.sx * g.sy AS BIGINT) AS DOUBLE))
+         / nullif(CAST(CAST(g.n * g.sxx - g.sx * g.sx AS BIGINT) AS DOUBLE)
+                  * CAST(CAST(g.n * g.syy - g.sy * g.sy AS BIGINT) AS DOUBLE),
+                  0.0)
+         + 0.0 AS var_reduction
+FROM arms a CROSS JOIN g
+"""
+
+QUERIES["cuped"] = q_cuped
+ORACLES["cuped"] = SQL_CUPED
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
