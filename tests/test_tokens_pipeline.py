@@ -2013,3 +2013,27 @@ def test_cuped_perfect_covariate(spark):
     assert a0.adj_mean == pytest.approx(0.50)
     assert a1.adj_mean == pytest.approx(0.50)
     assert a0.var_reduction == pytest.approx(1.0)
+
+
+def test_bloom_index_prune_no_false_negatives(spark):
+    """Granules holding the probe key are ALWAYS maybe_present (bloom
+    guarantee); a never-seen probe can only skip or false-keep; counts
+    exact."""
+    from tsmp_spark.operators.rollup import bloom_index_prune
+
+    rows = [(i, 7 if i < 512 else i) for i in range(1536)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long")
+    out = bloom_index_prune(
+        ev, probe_keys=(7, 123456789), granule_rows=512
+    ).collect()
+    by = {(r.granule, r.probe_key): r for r in out}
+    assert by[(0, 7)].n_match == 512 and by[(0, 7)].maybe_present == 1
+    assert by[(0, 7)].false_keep == 0
+    for g in (1, 2):
+        r = by[(g, 7)]
+        assert r.n_match in (0, 1) and (
+            r.n_match == 0 or r.maybe_present == 1
+        )
+    absent = [r for r in out if r.probe_key == 123456789]
+    assert all(r.n_match == 0 for r in absent)
+    assert all(r.false_keep == r.maybe_present for r in absent)

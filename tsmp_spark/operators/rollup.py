@@ -4255,6 +4255,106 @@ def zonemap_stats(
     )
 
 
+def bloom_index_prune(
+    events: DataFrame,
+    probe_keys: tuple[int, ...] = (7, 99991),
+    granule_rows: int = 512,
+    m_bits: int = 1024,
+    k_hashes: int = 4,
+    id_col: str = "event_id",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """File-level bloom-index pruning audit — the EQUALITY-predicate
+    companion to :func:`zonemap_stats`' range pruning (parquet bloom
+    filters, ClickHouse ``bloom_filter`` skip indexes): per ingestion-
+    order granule, a bloom over the key column answers "can key = K be
+    here?", and the audit emits the skip decision next to the exact
+    match count — ``kept AND n_match = 0`` rows ARE the measured false
+    keeps of the (m, k) geometry on this layout.
+
+    The granule bloom is its set of DISTINCT hash positions (≤ m, the
+    bloom_probe_stats representation — a position list, not a packed
+    bitmap, so the SQL replay is a plain join); a probe key is MAYBE
+    present iff all ``k_hashes`` of its positions are set. Everything
+    is exact integer md5 arithmetic (the shared _h64 chain); false
+    NEGATIVES are impossible and pytest-pinned.
+
+    Scale: positions collapse map-side to ≤ m rows per granule; probe
+    keys are literals (the documented few-key audit contract). ONE
+    granule-keyed groupBy + a tiny aggregate per probe.
+
+    Output per (granule, probe_key): (granule, probe_key, n_rows,
+    n_hit_positions, maybe_present, n_match, false_keep).
+    """
+    from .dedup import _h64
+
+    g = events.select(
+        F.expr(f"({id_col} - pmod({id_col}, {granule_rows})) div {granule_rows}")
+        .cast("long")
+        .alias("granule"),
+        F.col(key_col).cast("long").alias("key"),
+    )
+    pos_cols = [
+        (_h64(F.col("key").cast("string"), r) % m_bits).cast("int")
+        for r in range(k_hashes)
+    ]
+    gpos = (
+        g.select("granule", F.explode(F.array(*pos_cols)).alias("pos"))
+        .distinct()
+    )
+    sizes = g.groupBy("granule").agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    import hashlib
+
+    out = None
+    for pk in probe_keys:
+        # the same md5 chain, evaluated for the literal probe key
+        want = sorted(
+            {
+                int(
+                    hashlib.md5(
+                        f"s{r // 4}:{pk}".encode()
+                    ).hexdigest()[8 * (r % 4): 8 * (r % 4) + 8],
+                    16,
+                )
+                % m_bits
+                for r in range(k_hashes)
+            }
+        )
+        hits = (
+            gpos.filter(F.col("pos").isin(*want))
+            .groupBy("granule")
+            .agg(F.countDistinct("pos").cast("bigint").alias("n_hit"))
+        )
+        matches = g.filter(F.col("key") == pk).groupBy("granule").agg(
+            F.count("*").cast("bigint").alias("n_match")
+        )
+        row = (
+            sizes.join(hits, "granule", "left")
+            .join(matches, "granule", "left")
+            .select(
+                "granule",
+                F.lit(int(pk)).cast("bigint").alias("probe_key"),
+                "n_rows",
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint")
+                .alias("n_hit_positions"),
+                (F.coalesce(F.col("n_hit"), F.lit(0)) == len(want))
+                .cast("int").alias("maybe_present"),
+                F.coalesce(F.col("n_match"), F.lit(0)).cast("bigint")
+                .alias("n_match"),
+            )
+            .withColumn(
+                "false_keep",
+                (
+                    (F.col("maybe_present") == 1) & (F.col("n_match") == 0)
+                ).cast("int"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def trimmed_mean(
     events: DataFrame,
     bucket_sec: int = 21600,

@@ -17993,6 +17993,77 @@ QUERIES["cuped"] = q_cuped
 ORACLES["cuped"] = SQL_CUPED
 
 
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level bloom-index pruning audit per ingestion granule: the
+    equality companion to zonemap_prune — per (granule, probe key),
+    skip decision + exact match count, false keeps measured."""
+    from .operators.rollup import bloom_index_prune
+
+    return bloom_index_prune(_events(spark, sf_dir))
+
+
+def _bloom_prune_sql(
+    probe_keys=(7, 99991), granule_rows=512, m_bits=1024, k_hashes=4
+) -> str:
+    def pos_expr(val: str, r: int) -> str:
+        return (
+            f"CAST(('0x' || substr(md5('s{r // 4}:' || {val}), "
+            f"{1 + 8 * (r % 4)}, 8)) AS BIGINT) % {m_bits}"
+        )
+
+    key_pos = ", ".join(
+        pos_expr("CAST(key AS VARCHAR)", r) for r in range(k_hashes)
+    )
+    blocks = []
+    for pk in probe_keys:
+        probe_pos = ", ".join(pos_expr(f"'{pk}'", r) for r in range(k_hashes))
+        blocks.append(f"""
+SELECT s.granule, CAST({pk} AS BIGINT) AS probe_key, s.n_rows,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_positions,
+       CAST(COALESCE(h.n_hit, 0) = (SELECT count(*) FROM want_{pk}) AS INT)
+         AS maybe_present,
+       CAST(COALESCE(m.n_match, 0) AS BIGINT) AS n_match,
+       CAST(COALESCE(h.n_hit, 0) = (SELECT count(*) FROM want_{pk})
+            AND COALESCE(m.n_match, 0) = 0 AS INT) AS false_keep
+FROM sizes s
+LEFT JOIN (
+  SELECT gp.granule, count(DISTINCT gp.pos) AS n_hit
+  FROM gpos gp JOIN want_{pk} w ON w.pos = gp.pos
+  GROUP BY gp.granule
+) h ON h.granule = s.granule
+LEFT JOIN (
+  SELECT granule, count(*) AS n_match FROM g WHERE key = {pk}
+  GROUP BY granule
+) m ON m.granule = s.granule""")
+    wants = ",\n".join(
+        f"want_{pk} AS (SELECT DISTINCT pos FROM "
+        f"(SELECT unnest([{', '.join(pos_expr(chr(39) + str(pk) + chr(39), r) for r in range(k_hashes))}]) AS pos))"
+        for pk in probe_keys
+    )
+    return f"""
+WITH g AS (
+  SELECT (event_id - event_id % {granule_rows}) // {granule_rows} AS granule,
+         CAST(user_id AS BIGINT) AS key
+  FROM events
+),
+gpos AS (
+  SELECT DISTINCT granule, pos
+  FROM g, unnest([{key_pos}]) AS u(pos)
+),
+sizes AS (
+  SELECT granule, CAST(count(*) AS BIGINT) AS n_rows FROM g GROUP BY granule
+),
+{wants}
+{" UNION ALL ".join(blocks)}
+"""
+
+
+SQL_BLOOM_PRUNE = _bloom_prune_sql()
+
+QUERIES["bloom_prune"] = q_bloom_prune
+ORACLES["bloom_prune"] = SQL_BLOOM_PRUNE
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
