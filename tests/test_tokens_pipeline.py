@@ -1776,6 +1776,19 @@ def test_hilbert_key_curve_properties(spark):
         == 1
         for d in range(63)
     )
+    # and at bits=4 (16x16): the generated 16-layer chain stays a
+    # neighbor-adjacent bijection
+    cells4 = [(x, y) for x in range(16) for y in range(16)]
+    out4 = hilbert_key(
+        spark.createDataFrame(cells4, "x long, y long"), "x", "y", bits=4
+    ).collect()
+    pos4 = {r.hkey: (r.x, r.y) for r in out4}
+    assert sorted(pos4) == list(range(256))
+    assert all(
+        abs(pos4[d][0] - pos4[d + 1][0]) + abs(pos4[d][1] - pos4[d + 1][1])
+        == 1
+        for d in range(255)
+    )
 
 
 def test_k_anonymity_audit_hand_classes(spark):
