@@ -379,3 +379,29 @@ def test_fuzz_cep_stream_and_bop_schedules(tmp_path, spark):
         value_override=plateau_values,
         queries=["cep_match", "cep_stream", "bag_of_patterns"],
     )
+
+
+def test_fuzz_rank_family_large_magnitudes(tmp_path, spark):
+    """Extreme dyadic values (±2¹⁸/64 — centi units ~4e5) through the
+    rank/drift family: rank statistics must be magnitude-blind, the
+    KS/quantile integer cross-products must stay inside bigint, and
+    asymmetric two-point masses stress the fence/winsorize bounds."""
+    rng = np.random.default_rng(4403)
+    gaps = {}
+    for uid in range(1, 10):
+        n = int(rng.integers(8, 36))
+        gaps[uid] = [int(rng.integers(0, 3600))] + [
+            int(g) for g in rng.choice([0, 1, 1800, 86400], size=n - 1)
+        ]
+
+    def big_dyadics(rng2, n):
+        return rng2.choice(
+            [-262144.0, -4096.0, -8.0, 0.0, 8.0, 4096.0, 262144.0], size=n
+        ) / 64.0
+
+    _run_gate(
+        tmp_path, spark, rng, gaps,
+        value_override=big_dyadics,
+        queries=["ks_drift", "pettitt", "winsorized", "quantile_bins",
+                 "kruskal_wallis", "tukey_fences"],
+    )
