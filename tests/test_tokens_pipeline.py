@@ -2050,3 +2050,35 @@ def test_bloom_index_prune_no_false_negatives(spark):
     absent = [r for r in out if r.probe_key == 123456789]
     assert all(r.n_match == 0 for r in absent)
     assert all(r.false_keep == r.maybe_present for r in absent)
+
+
+def test_kendall_pairs_tie_books(spark):
+    """Monotone pairs give tau ±1; the textbook tie case x=(1,1,2),
+    y=(5,7,9) gives C=2, x-tie 1 -> tau_b = 2/sqrt(3*2); constant y
+    NULLs out."""
+    import math
+    from datetime import datetime, timedelta
+
+    from tsmp_spark.operators.rollup import kendall_pairs
+
+    t0 = datetime(2024, 1, 1)
+
+    def rows(key, vals):
+        return [
+            (key, t0 + timedelta(hours=i), float(v))
+            for i, v in enumerate(vals)
+        ]
+
+    ev = spark.createDataFrame(
+        rows("up", [5, 7, 9]) + rows("mono", [1, 2, 3])
+        + rows("down", [9, 6, 3]) + rows("tied", [1, 1, 2])
+        + rows("const", [4, 4, 4]),
+        "event_type string, ts timestamp, value double",
+    )
+    out = {(r.key_a, r.key_b): r for r in kendall_pairs(ev).collect()}
+    assert out[("mono", "up")].tau_b == pytest.approx(1.0)
+    assert out[("down", "up")].tau_b == pytest.approx(-1.0)
+    r = out[("tied", "up")]
+    assert (r.n0, r.c, r.d, r.tx, r.ty) == (3, 2, 0, 1, 0)
+    assert r.tau_b == pytest.approx(2 / math.sqrt(6))
+    assert out[("const", "up")].tau_b is None

@@ -5337,6 +5337,93 @@ def nelson_aalen(
     ).select("t_age", "n_risk", "n_event", "h_x1e9", "cumhaz_x1e9")
 
 
+def kendall_pairs(
+    events: DataFrame,
+    bucket_sec: int = 3600,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Kendall's tau-b between every key pair's bucket-sum series
+    (Kendall 1938; tau-b tie correction) — the concordance companion
+    to :func:`spearman_pairs` (rank agreement vs pairwise ordering
+    agreement; tau is the one with the direct probabilistic reading
+    P(concordant) − P(discordant)).
+
+    EXACT pair classification: every bucket pair (i < j in bucket
+    order) is concordant / discordant / x-tied / y-tied / both-tied by
+    pure integer sign tests on the exact centi sums; tau-b is then ONE
+    fixed-shape expression over five bigint counts::
+
+        tau_b = (C − D) / sqrt((C + D + Ty)·(C + D + Tx))
+
+    (Tx = tied in x only, Ty = tied in y only — the both-tied pairs
+    drop out of both factors, which IS the tie correction). Zero
+    variance in either series → a 0 factor → NULL via the clamped
+    NULLIF'd sqrt (the spearman convention).
+
+    Scale: the O(n²) bucket-pair join runs over the BOUNDED
+    (keys × buckets) tier-1 sketch — n is the bucket-grid span, never
+    the raw row count (the ks/emd argument taken quadratic); the
+    conditional-sum groupBy is map-side combinable.
+    """
+    cu = F.round(F.col(value_col).cast("double") * 100).cast("bigint")
+    t1 = (
+        events.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.floor(F.unix_timestamp(ts_col) / bucket_sec)
+            .cast("long")
+            .alias("bucket"),
+            cu.alias("vc"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.sum("vc").cast("bigint").alias("s"))
+    )
+    a = t1.select(
+        F.col("key").alias("key_a"), "bucket", F.col("s").alias("x")
+    )
+    b = t1.select(
+        F.col("key").alias("key_b"), "bucket", F.col("s").alias("y")
+    )
+    rows = a.join(b, "bucket").where(F.col("key_a") < F.col("key_b"))
+    r1 = rows.select(
+        "key_a", "key_b", F.col("bucket").alias("b1"),
+        F.col("x").alias("x1"), F.col("y").alias("y1"),
+    )
+    r2 = rows.select(
+        "key_a", "key_b", F.col("bucket").alias("b2"),
+        F.col("x").alias("x2"), F.col("y").alias("y2"),
+    )
+    pp = r1.join(r2, ["key_a", "key_b"]).where(F.col("b1") < F.col("b2"))
+    dx = F.col("x1") - F.col("x2")
+    dy = F.col("y1") - F.col("y2")
+    conc = ((dx > 0) & (dy > 0)) | ((dx < 0) & (dy < 0))
+    disc = ((dx > 0) & (dy < 0)) | ((dx < 0) & (dy > 0))
+    tx_only = (dx == 0) & (dy != 0)
+    ty_only = (dy == 0) & (dx != 0)
+    agg = pp.groupBy("key_a", "key_b").agg(
+        F.count("*").cast("bigint").alias("n0"),
+        F.sum(conc.cast("int")).cast("bigint").alias("c"),
+        F.sum(disc.cast("int")).cast("bigint").alias("d"),
+        F.sum(tx_only.cast("int")).cast("bigint").alias("tx"),
+        F.sum(ty_only.cast("int")).cast("bigint").alias("ty"),
+    )
+    denom = F.sqrt(
+        F.greatest(
+            ((F.col("c") + F.col("d") + F.col("ty"))
+             * (F.col("c") + F.col("d") + F.col("tx"))).cast("double"),
+            F.lit(0.0),
+        )
+    )
+    tau = (F.col("c") - F.col("d")).cast("double") / F.nullif(
+        denom, F.lit(0.0)
+    )
+    return agg.select(
+        "key_a", "key_b", "n0", "c", "d", "tx", "ty",
+        (tau + F.lit(0.0)).alias("tau_b"),
+    )
+
+
 def spearman_pairs(
     events: DataFrame,
     bucket_sec: int = 3600,

@@ -18064,6 +18064,61 @@ QUERIES["bloom_prune"] = q_bloom_prune
 ORACLES["bloom_prune"] = SQL_BLOOM_PRUNE
 
 
+def q_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between every event-type pair's hourly bucket-sum
+    series: exact integer concordant/discordant/tie pair counts over
+    the bounded bucket grid, one fixed-shape tau expression."""
+    from .operators.rollup import kendall_pairs
+
+    return kendall_pairs(_events(spark, sf_dir))
+
+
+SQL_KENDALL = r"""
+WITH t1 AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+         CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT))
+              AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT a.key AS key_a, b.key AS key_b, a.bucket,
+         a.s AS x, b.s AS y
+  FROM t1 a JOIN t1 b ON a.bucket = b.bucket AND a.key < b.key
+),
+pp AS (
+  SELECT r1.key_a, r1.key_b,
+         r1.x - r2.x AS dx, r1.y - r2.y AS dy
+  FROM rows_ r1
+  JOIN rows_ r2 ON r1.key_a = r2.key_a AND r1.key_b = r2.key_b
+              AND r1.bucket < r2.bucket
+),
+agg AS (
+  SELECT key_a, key_b,
+         CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tx,
+         CAST(sum(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS ty
+  FROM pp GROUP BY 1, 2
+)
+SELECT key_a, key_b, n0, c, d, tx, ty,
+       CAST(c - d AS DOUBLE)
+         / nullif(sqrt(greatest(CAST((c + d + ty) * (c + d + tx) AS DOUBLE),
+                                0.0)),
+                  0.0)
+         + 0.0 AS tau_b
+FROM agg
+"""
+
+QUERIES["kendall"] = q_kendall
+ORACLES["kendall"] = SQL_KENDALL
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
