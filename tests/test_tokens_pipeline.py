@@ -2082,3 +2082,21 @@ def test_kendall_pairs_tie_books(spark):
     assert (r.n0, r.c, r.d, r.tx, r.ty) == (3, 2, 0, 1, 0)
     assert r.tau_b == pytest.approx(2 / math.sqrt(6))
     assert out[("const", "up")].tau_b is None
+
+
+def test_quantile_transform_midrank_positions(spark):
+    """Values (10, 20, 20, 30): doubled midranks 2, 5, 5, 8 over n=4;
+    q_micro = 1e6·dr/(2·5) = 200000/500000/500000/800000 — ties share
+    the exact midpoint, extremes stay strictly inside (0, 1e6)."""
+    from tsmp_spark.operators.rollup import quantile_transform
+
+    ev = spark.createDataFrame(
+        [("a", 0.10, 1), ("a", 0.20, 2), ("a", 0.20, 3), ("a", 0.30, 4)],
+        "event_type string, value double, event_id long",
+    )
+    out = {r.event_id: r for r in quantile_transform(ev).collect()}
+    assert [out[i].dr for i in (1, 2, 3, 4)] == [2, 5, 5, 8]
+    assert [out[i].q_micro for i in (1, 2, 3, 4)] == [
+        200000, 500000, 500000, 800000,
+    ]
+    assert all(0 < out[i].q_micro < 1000000 for i in (1, 2, 3, 4))

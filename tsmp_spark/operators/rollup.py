@@ -5337,6 +5337,54 @@ def nelson_aalen(
     ).select("t_age", "n_risk", "n_event", "h_x1e9", "cumhaz_x1e9")
 
 
+def quantile_transform(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-row quantile (rank) normalization — the scikit-learn
+    ``QuantileTransformer`` / rank-INT preprocessing step, made exact:
+    each row's normalized position is its MIDRANK over its key's value
+    distribution, emitted as the pure integer
+    ``q_micro = 10⁶·dr div (2·(n+1))`` (dr = doubled midrank, so the
+    ratio is the Bliss/van-der-Waerden ``rank/(n+1)`` plackett form in
+    micro-units — strictly inside (0, 10⁶), ties share a value, no
+    float anywhere).
+
+    Derivation rides the BOUNDED value histogram (dr = 2·#less + #eq
+    + 1, the kruskal chain): one (key, vc) groupBy, a cumsum over
+    sketch rows, one join back onto raw rows keyed (key, vc). No
+    global row window at any scale.
+
+    Output per row: (key, event_id, vc, dr, n, q_micro).
+    """
+    cu = F.round(F.col(value_col).cast("double") * 100).cast("bigint")
+    base = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        cu.alias("vc"),
+        F.col(id_col).cast("long").alias("event_id"),
+    )
+    hg = base.groupBy("key", "vc").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    wv = Window.partitionBy("key").orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wk = Window.partitionBy("key")
+    ranked = hg.select(
+        "key", "vc",
+        (F.lit(2) * F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+         + F.col("cnt") + F.lit(1)).cast("bigint").alias("dr"),
+        F.sum("cnt").over(wk).cast("bigint").alias("n"),
+    )
+    return base.join(ranked, ["key", "vc"]).select(
+        "key", "event_id", "vc", "dr", "n",
+        F.expr("(1000000 * dr) div (2 * (n + 1))").cast("bigint")
+        .alias("q_micro"),
+    )
+
+
 def kendall_pairs(
     events: DataFrame,
     bucket_sec: int = 3600,

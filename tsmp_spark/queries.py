@@ -18119,6 +18119,43 @@ QUERIES["kendall"] = q_kendall
 ORACLES["kendall"] = SQL_KENDALL
 
 
+def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-row quantile normalization per event type: doubled
+    midranks from the bounded value histogram, micro-unit rank/(n+1)
+    positions — pure integer, no global row window."""
+    from .operators.rollup import quantile_transform
+
+    return quantile_transform(_events(spark, sf_dir))
+
+
+SQL_QUANTILE_TRANSFORM = r"""
+WITH base AS (
+  SELECT CAST(event_type AS VARCHAR) AS key,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vc,
+         event_id
+  FROM events
+),
+hg AS (
+  SELECT key, vc, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2
+),
+ranked AS (
+  SELECT key, vc,
+         CAST(2 * COALESCE(sum(cnt) OVER (
+             PARTITION BY key ORDER BY vc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS BIGINT) AS dr,
+         CAST(sum(cnt) OVER (PARTITION BY key) AS BIGINT) AS n
+  FROM hg
+)
+SELECT b.key, b.event_id, b.vc, r.dr, r.n,
+       CAST((1000000 * r.dr) // (2 * (r.n + 1)) AS BIGINT) AS q_micro
+FROM base b JOIN ranked r ON r.key = b.key AND r.vc = b.vc
+"""
+
+QUERIES["quantile_transform"] = q_quantile_transform
+ORACLES["quantile_transform"] = SQL_QUANTILE_TRANSFORM
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
