@@ -2100,3 +2100,22 @@ def test_quantile_transform_midrank_positions(spark):
         200000, 500000, 500000, 800000,
     ]
     assert all(0 < out[i].q_micro < 1000000 for i in (1, 2, 3, 4))
+
+
+def test_soundex_code_classic_values(spark):
+    """Classic codes under the documented h/w-as-vowel variant:
+    robert/rupert collide at R163 (the canonical example), pfister
+    P236, short names zero-pad, letterless input is NULL."""
+    from tsmp_spark.operators.text import soundex_code
+
+    df = spark.createDataFrame(
+        [("robert",), ("rupert",), ("pfister",), ("ashcraft",),
+         ("lee",), ("123",)],
+        "w string",
+    )
+    out = {r.w: r.c for r in df.select("w", soundex_code(F.col("w")).alias("c")).collect()}
+    assert out["robert"] == "R163" and out["rupert"] == "R163"
+    assert out["pfister"] == "P236"
+    assert out["ashcraft"] == "A226"  # h/w-as-vowel variant, documented
+    assert out["lee"] == "L000"
+    assert out["123"] is None

@@ -65,6 +65,38 @@ def quality_features(
     )
 
 
+def soundex_code(col: Column) -> Column:
+    """American Soundex phonetic code (Russell/Odell 1918; the
+    record-linkage BLOCKING key predating every minhash) — simplified
+    variant treating h/w as vowels (the h/w same-code bridge rule is
+    deliberately out of scope, documented), which keeps the whole
+    algorithm a chain of translate/regexp ops with identical
+    Java-regex/RE2 semantics (run collapsing is per-digit ``d{2,}``
+    replaces — RE2 has no backreferences).
+
+    Steps: strip non-alpha, map every letter through the class table
+    (vowels+h/w/y → 0), collapse adjacent equal codes (covers the
+    second-letter-same-class drop), drop the first position and all
+    zeros, emit first letter + first three digits zero-padded. NULL
+    for strings with no letters.
+    """
+    nm = F.regexp_replace(F.lower(col), "[^a-z]", "")
+    codes = F.translate(
+        nm, "abcdefghijklmnopqrstuvwxyz", "01230120022455012623010202"
+    )
+    collapsed = codes
+    for d in "0123456":
+        collapsed = F.regexp_replace(collapsed, d + "{2,}", d)
+    tail = F.regexp_replace(F.substring(collapsed, 2, 1_000_000), "0", "")
+    return F.when(
+        F.length(nm) > 0,
+        F.concat(
+            F.upper(F.substring(nm, 1, 1)),
+            F.rpad(F.substring(tail, 1, 3), 3, "0"),
+        ),
+    )
+
+
 def rake_word_scores(
     documents: DataFrame,
     text_col: str = "text",

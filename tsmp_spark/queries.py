@@ -18156,6 +18156,69 @@ QUERIES["quantile_transform"] = q_quantile_transform
 ORACLES["quantile_transform"] = SQL_QUANTILE_TRANSFORM
 
 
+def q_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex phonetic blocking of the corpus vocabulary: per word its
+    code + corpus count, plus per-code block sizes — the classic
+    record-linkage blocking key next to the SymSpell ed-1 variants."""
+    from pyspark.sql.window import Window
+
+    from .operators.text import _words, soundex_code
+
+    vocab = (
+        _documents(spark, sf_dir)
+        .select(F.explode(_words(F.col("text"))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    coded = vocab.withColumn("code", soundex_code(F.col("w")))
+    wb = Window.partitionBy("code")
+    return coded.select(
+        F.col("w").alias("word"), "cnt", "code",
+        F.count("*").over(wb).cast("bigint").alias("block_types"),
+        F.sum("cnt").over(wb).cast("bigint").alias("block_tokens"),
+    )
+
+
+SQL_SOUNDEX_BLOCKING = r"""
+WITH vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents,
+       unnest(string_split_regex(trim(lower(text)), '\s+')) AS u(w)
+  WHERE regexp_matches(w, '^[a-z]+$')
+  GROUP BY w
+),
+coded AS (
+  SELECT w, cnt,
+         CASE WHEN len(regexp_replace(lower(w), '[^a-z]', '', 'g')) > 0 THEN
+           upper(substr(w, 1, 1)) ||
+           rpad(substr(
+             regexp_replace(
+               substr(
+                 regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(
+                   translate(w, 'abcdefghijklmnopqrstuvwxyz',
+                             '01230120022455012623010202'),
+                 '0{2,}', '0', 'g'), '1{2,}', '1', 'g'), '2{2,}', '2', 'g'),
+                 '3{2,}', '3', 'g'), '4{2,}', '4', 'g'), '5{2,}', '5', 'g'),
+                 '6{2,}', '6', 'g'),
+               2, 1000000),
+             '0', '', 'g'),
+           1, 3), 3, '0')
+         END AS code
+  FROM vocab
+)
+SELECT w AS word, cnt, code,
+       CAST(count(*) OVER (PARTITION BY code) AS BIGINT) AS block_types,
+       CAST(sum(cnt) OVER (PARTITION BY code) AS BIGINT) AS block_tokens
+FROM coded
+"""
+
+QUERIES["soundex_blocking"] = q_soundex_blocking
+ORACLES["soundex_blocking"] = SQL_SOUNDEX_BLOCKING
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
