@@ -2119,3 +2119,26 @@ def test_soundex_code_classic_values(spark):
     assert out["ashcraft"] == "A226"  # h/w-as-vowel variant, documented
     assert out["lee"] == "L000"
     assert out["123"] is None
+
+
+def test_cluster_purity_labeled_groups(spark):
+    """Two antipodal groups with labels 3/4 and 3/3 aligned: purity
+    0.75 (gini 0.375) and 1.0 (gini 0); majority-label ties take the
+    smaller label."""
+    from tsmp_spark.operators.similarity import cluster_purity
+
+    rows = (
+        [(i, [1.0, 0.01 * i, 0.0, 0.0], 0) for i in range(3)]
+        + [(3, [1.0, 0.03, 0.0, 0.0], 1)]
+        + [(10 + i, [-1.0, 0.0, 0.01 * i, 0.0], 1) for i in range(3)]
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.n: r for r in cluster_purity(df, n_clusters=2).collect()}
+    a = out[4]
+    assert (a.majority_label, a.majority_cnt, a.sum_sq) == (0, 3, 10)
+    assert a.purity == pytest.approx(0.75)
+    assert a.gini == pytest.approx(1 - 10 / 16)
+    b = out[3]
+    assert (b.majority_label, b.purity, b.gini) == (1, 1.0, 0.0)

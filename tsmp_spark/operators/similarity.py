@@ -1973,3 +1973,91 @@ def cluster_silhouette(
             (sil + F.lit(0.0)).alias("sil"),
         )
     )
+
+
+def cluster_purity(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cluster purity + Gini impurity per trained spherical-kmeans
+    cluster against the REAL label column — the external
+    cluster-quality audit (purity is the textbook external criterion,
+    Manning/Raghavan/Schütze IR ch.16; Gini the impurity the tree
+    literature uses) complementing :func:`cluster_silhouette`'s
+    internal one.
+
+    Assignment = max r6-dot with cluster-id ties (the silhouette/IVF
+    convention, bit-stable cross-engine). Per cluster everything is
+    EXACT INTEGERS: size, per-label counts folded to ``Σ cnt²``, the
+    majority label (max count, smaller label on ties), and the two
+    statistics are single fixed-shape expressions —
+    ``purity = max_cnt/n`` and ``gini = 1 − Σcnt²/n²`` (one division
+    each over exact bigints).
+
+    Scale: the silhouette plan minus the distance leg — k-bounded
+    codebook, one (vec, cluster) combinable score groupBy, one top-1
+    WindowGroupLimit, one (cluster, label) groupBy.
+
+    Output per cluster: (cluster, n, majority_label, majority_cnt,
+    sum_sq, purity, gini).
+    """
+    from pyspark.sql.window import Window
+
+    cents = kmeans_centroids(
+        embeddings, n_clusters=n_clusters, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col,
+    )
+    spark = embeddings.sparkSession
+    crows = spark.createDataFrame(
+        [(cl, d, c[d]) for cl, c in cents for d in range(len(c))],
+        "cluster int, dim int, c double",
+    )
+    v = F.col(vec_col).cast("array<double>")
+    ex = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).cast("bigint").alias("label"),
+        F.posexplode(v).alias("dim", "x"),
+    )
+    scores = (
+        ex.join(F.broadcast(crows), "dim")
+        .groupBy("vec_id", "label", "cluster")
+        .agg(F.round(F.sum(F.col("x") * F.col("c")), 6).alias("dot"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dot").desc(), F.col("cluster").asc()
+    )
+    assigned = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "cluster")
+    )
+    cl = assigned.groupBy("cluster", "label").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    per = cl.groupBy("cluster").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.max("cnt").cast("bigint").alias("majority_cnt"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sum_sq"),
+    )
+    maj = (
+        cl.join(per.select("cluster", "majority_cnt"), "cluster")
+        .filter(F.col("cnt") == F.col("majority_cnt"))
+        .groupBy("cluster")
+        .agg(F.min("label").cast("bigint").alias("majority_label"))
+    )
+    purity = F.col("majority_cnt").cast("double") / F.col("n").cast("double")
+    gini = F.lit(1.0) - F.col("sum_sq").cast("double") / (
+        F.col("n") * F.col("n")
+    ).cast("double")
+    return (
+        per.join(maj, "cluster")
+        .select(
+            "cluster", "n", "majority_label", "majority_cnt", "sum_sq",
+            (purity + F.lit(0.0)).alias("purity"),
+            (gini + F.lit(0.0)).alias("gini"),
+        )
+    )

@@ -18219,6 +18219,58 @@ QUERIES["soundex_blocking"] = q_soundex_blocking
 ORACLES["soundex_blocking"] = SQL_SOUNDEX_BLOCKING
 
 
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purity + Gini per trained k-means cluster against the real
+    embedding labels: r6-dot assignment, exact integer label counts,
+    one division per statistic."""
+    from .operators.similarity import cluster_purity
+
+    return cluster_purity(_embeddings(spark, sf_dir))
+
+
+SQL_CLUSTER_PURITY = f"""
+WITH {_sql_kmeans_codebook()},
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+scores AS (
+  SELECT ex.vec_id, c2.cluster, round(sum(ex.x * c2.c), 6) AS dot
+  FROM ex JOIN c2 ON c2.dim = ex.i
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT s.vec_id, l.label, s.cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cluster ASC) AS rn
+    FROM scores) s JOIN lab l ON l.vec_id = s.vec_id
+  WHERE s.rn = 1
+),
+clab AS (
+  SELECT cluster, label, CAST(count(*) AS BIGINT) AS cnt
+  FROM assigned GROUP BY 1, 2
+),
+per AS (
+  SELECT cluster, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(max(cnt) AS BIGINT) AS majority_cnt,
+         CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq
+  FROM clab GROUP BY cluster
+),
+maj AS (
+  SELECT clab.cluster, CAST(min(clab.label) AS BIGINT) AS majority_label
+  FROM clab JOIN per ON per.cluster = clab.cluster
+               AND clab.cnt = per.majority_cnt
+  GROUP BY clab.cluster
+)
+SELECT p.cluster, p.n, m.majority_label, p.majority_cnt, p.sum_sq,
+       CAST(p.majority_cnt AS DOUBLE) / CAST(p.n AS DOUBLE) + 0.0 AS purity,
+       1.0 - CAST(p.sum_sq AS DOUBLE) / CAST(p.n * p.n AS DOUBLE) + 0.0
+         AS gini
+FROM per p JOIN maj m ON m.cluster = p.cluster
+"""
+
+QUERIES["cluster_purity"] = q_cluster_purity
+ORACLES["cluster_purity"] = SQL_CLUSTER_PURITY
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact rotation (round 4).
 #
