@@ -405,3 +405,26 @@ def test_fuzz_rank_family_large_magnitudes(tmp_path, spark):
         queries=["ks_drift", "pettitt", "winsorized", "quantile_bins",
                  "kruskal_wallis", "tukey_fences"],
     )
+
+
+def test_fuzz_concordance_and_transform(tmp_path, spark):
+    """kendall (pair classification under heavy bucket-sum ties),
+    quantile_transform (midrank positions with duplicate-value
+    storms), and soundex_blocking (vocabulary stability under the
+    planted schedules) on a tie-heavy dyadic draw."""
+    rng = np.random.default_rng(4404)
+    gaps = {}
+    for uid in range(1, 10):
+        n = int(rng.integers(10, 40))
+        gaps[uid] = [int(rng.integers(0, 1800))] + [
+            int(g) for g in rng.choice([0, 0, 3600, 3601, 7200], size=n - 1)
+        ]
+
+    def few_values(rng2, n):
+        return rng2.choice([-16.0, 0.0, 16.0], size=n) / 64.0
+
+    _run_gate(
+        tmp_path, spark, rng, gaps,
+        value_override=few_values,
+        queries=["kendall", "quantile_transform", "soundex_blocking"],
+    )

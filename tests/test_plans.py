@@ -917,3 +917,31 @@ def test_bag_of_patterns_one_key_exchange(events):
     parts = set(re.findall(r"hashpartitioning\((\w+)", plan))
     assert parts == {"key"}
     assert "BatchEvalPython" not in plan
+
+
+def test_quantile_transform_no_global_row_window(events):
+    """The per-row transform must never sort raw rows globally: every
+    Window in the plan is key-partitioned (runs over the bounded value
+    histogram), and the join back is on (key, vc)."""
+    from tsmp_spark.operators.rollup import quantile_transform
+
+    plan = _plan(quantile_transform(events))
+    import re
+
+    # every windowspec partitions by key (no empty partition-by)
+    assert "Window" in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "key" in spec
+    assert "BatchEvalPython" not in plan
+
+
+def test_kendall_pairs_sketch_bounded_join(events):
+    """The O(n^2) pair join must consume the tier-1 SKETCH (post-
+    aggregation), never raw rows: the bucket-pair join sits above
+    HashAggregates and the plan has no cartesian product."""
+    from tsmp_spark.operators.rollup import kendall_pairs
+
+    plan = _plan(kendall_pairs(events.withColumn("ts", F.col("ts"))))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # tier-1 partial+final
