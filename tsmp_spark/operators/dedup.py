@@ -1324,8 +1324,12 @@ def containment_pairs(
     single divisions for the reader.
 
     Scale: identical plan to the Jaccard generator — ONE shingle
-    equi-join bounded by ``max_shingle_freq``, sizes broadcast onto the
-    pruned pair table. Same linear-measured shuffle family.
+    equi-join bounded by ``max_shingle_freq``; the per-document
+    shingle-size table is CORPUS-sized (one row per doc — never a
+    broadcast, the cluster_silhouette rule), so it reaches the pruned
+    pair table through plain co-keyed hash joins on the doc_a/doc_b
+    keys the pair table already carries. Same linear-measured shuffle
+    family.
     """
     sh = pin(shingle_table(_spread(documents, parallelism), text_col, id_col, n))
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_sh"))
@@ -1341,7 +1345,7 @@ def containment_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    joined = inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    joined = inter.join(sa, "doc_a").join(sb, "doc_b")
     thr = F.lit(int(threshold_milli))
     keep = (
         (F.lit(1000) * F.col("inter") >= thr * F.col("na"))

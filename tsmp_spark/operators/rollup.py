@@ -5088,8 +5088,11 @@ def kruskal_wallis(
     global row window — the ks_drift sketch shape.
 
     Scale: one (key, vc) groupBy, one vc histogram with a cumsum over
-    sketch rows, broadcast scalars. Integer-range contract: A_i and B
-    grow as (N·n_i)²; exact through ~10⁵-row groups (sf0.1), documented.
+    sketch rows, broadcast scalars. Integer-range contract: the centered
+    deviation r2 - n(N+1) is exact bigint (|dev| <= 2N²); its square A_i
+    is formed in DOUBLE (cast-then-square, one IEEE product, identical
+    on both engines) so it cannot wrap int64 at any group size. B stays
+    exact bigint through N ~ 2e6 rows (N³ < 2^63).
 
     Output per group: (key, n, r2, a, b, n_total, h_contrib).
     """
@@ -5131,20 +5134,25 @@ def kruskal_wallis(
         )
     )
     out = grp.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(b))
-    a = (
+    # The centered deviation r2 - n(N+1) stays well inside int64
+    # (|r2| <= 2N², ~2e10 at 1e5 rows), but its SQUARE passes 2^63 once
+    # |dev| > ~3e9 — Spark (non-ANSI) would wrap silently while DuckDB's
+    # HUGEINT path stays exact. Cast the exact bigint deviation to double
+    # FIRST and square in double: one correctly-rounded IEEE product,
+    # bit-identical on both engines at any group size.
+    dev = (
         F.col("r2") - F.col("n") * (F.col("n_total") + 1)
-    ) * (
-        F.col("r2") - F.col("n") * (F.col("n_total") + 1)
-    )
+    ).cast("double")
+    a = dev * dev
     # (N-1)·A can pass 2^63 before the ratio forms — multiply as
     # doubles (both factors cast from exact bigints, correctly rounded
     # identically on both engines; fixed shape)
     h = (
-        (F.col("n_total") - 1).cast("double") * a.cast("bigint").cast("double")
+        (F.col("n_total") - 1).cast("double") * a
         / F.nullif((F.col("n") * F.col("b")).cast("double"), F.lit(0.0))
     )
     return out.select(
-        "key", "n", "r2", a.cast("bigint").alias("a"), "b", "n_total",
+        "key", "n", "r2", a.alias("a"), "b", "n_total",
         (h + F.lit(0.0)).alias("h_contrib"),
     )
 
@@ -5719,9 +5727,15 @@ def cep_pattern_match(
     key ``sk = sec·2²⁴ + event_id`` (the house sessionization
     total-order rule — DuckDB orders TIES independently per window
     function, so both "next B" and "next C" look-aheads run over the
-    SAME integer order; contract: ``event_id < 2²⁴``, asserted
-    nowhere hot — the pack would overflow bigint far later anyway).
-    "Between" is strict in that total order. All comparisons integer.
+    SAME integer order; contract: ``event_id < 2²⁴``, enforced in-plan
+    by a codegen ``raise_error`` branch folded into the pack — larger
+    ids would silently corrupt the total order identically in operator,
+    oracle, and stream, so the gate could never catch it). "Between" is
+    strict in that total order. The WINDOW test compares SECONDS
+    (``next_b div 2²⁴ - sec <= window_sec``), not packed keys — a
+    packed-key comparison would make the exact-boundary pair
+    id-dependent (included iff ``event_id_b <= event_id_a``). All
+    comparisons integer.
 
     Scale: ONE key-hash exchange + one sort serve both look-ahead
     window passes (same spec) and the final per-key groupBy extends
@@ -5732,9 +5746,14 @@ def cep_pattern_match(
     first_a_sec, first_b_sec)`` — first match = smallest matching A in
     the total order; NULLs when unmatched.
     """
-    sk = (
+    sk = F.when(
+        F.col(id_col).cast("long") < F.lit(1 << 24),
         F.col(sec_col).cast("long") * F.lit(1 << 24)
-        + F.col(id_col).cast("long")
+        + F.col(id_col).cast("long"),
+    ).otherwise(
+        F.raise_error(F.lit("cep_pattern_match: event_id >= 2^24 "
+                            "breaks the packed total order"))
+        .cast("long")
     ).alias("sk")
     base = events.select(
         F.col(key_col).alias("key"),
@@ -5760,8 +5779,8 @@ def cep_pattern_match(
     hit = (
         F.col("next_b").isNotNull()
         & (
-            (F.col("next_b") - F.col("sk"))
-            <= F.lit(int(window_sec) * (1 << 24))
+            (F.expr(f"next_b div {1 << 24}") - F.col("sec"))
+            <= F.lit(int(window_sec))
         )
         & (F.col("next_c").isNull() | (F.col("next_c") > F.col("next_b")))
     )

@@ -1677,7 +1677,11 @@ def curriculum_stages(
     """
     if n_stages < 1:
         raise ValueError("n_stages must be >= 1")
-    docs = sequences.select(
+    # F.size(NULL) is -1 in non-ANSI Spark — a null tokens row would get
+    # n_tok = -1, join into the length-group prefix, and shift EVERY
+    # stage boundary. Drop null-array rows (the oracle's len(tokens)
+    # NULLs them out of the order anyway).
+    docs = sequences.filter(F.col(tokens_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.size(F.col(tokens_col)).cast("bigint").alias("n_tok"),
     )

@@ -16756,7 +16756,7 @@ look AS (
 a AS (
   SELECT key, sec, sk, next_b,
          CAST(next_b IS NOT NULL
-          AND next_b - sk <= CAST(3600 AS BIGINT) * 16777216
+          AND next_b // 16777216 - sec <= 3600
           AND (next_c IS NULL OR next_c > next_b) AS INT) AS hit
   FROM look WHERE etype = 'click'
 ),
@@ -17202,7 +17202,11 @@ def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CURRICULUM = f"""
 WITH {SQL_TOKC},
 docs AS (
+  -- tokens IS NOT NULL mirrors the operator's guard: Spark's
+  -- F.size(NULL) = -1 would shift every stage boundary, so null-array
+  -- rows are dropped on BOTH engines
   SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tok FROM tokc
+  WHERE tokens IS NOT NULL
 ),
 total AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM docs),
 pre AS (
@@ -17577,12 +17581,12 @@ grp AS (
   GROUP BY hg.key
 )
 SELECT g.key, g.n, g.r2,
-       CAST((g.r2 - g.n * (t.n_total + 1))
-            * (g.r2 - g.n * (t.n_total + 1)) AS BIGINT) AS a,
+       CAST(g.r2 - g.n * (t.n_total + 1) AS DOUBLE)
+         * CAST(g.r2 - g.n * (t.n_total + 1) AS DOUBLE) AS a,
        b.b, t.n_total,
        CAST(t.n_total - 1 AS DOUBLE)
-         * CAST(CAST((g.r2 - g.n * (t.n_total + 1))
-                     * (g.r2 - g.n * (t.n_total + 1)) AS BIGINT) AS DOUBLE)
+         * (CAST(g.r2 - g.n * (t.n_total + 1) AS DOUBLE)
+            * CAST(g.r2 - g.n * (t.n_total + 1) AS DOUBLE))
          / nullif(CAST(g.n * b.b AS DOUBLE), 0.0)
          + 0.0 AS h_contrib
 FROM grp g CROSS JOIN tot t CROSS JOIN bb b
@@ -18014,9 +18018,14 @@ def _bloom_prune_sql(
     key_pos = ", ".join(
         pos_expr("CAST(key AS VARCHAR)", r) for r in range(k_hashes)
     )
+    # one probe-position expression per key, used by the want_ CTEs —
+    # built exactly once so operator and oracle can't drift apart
+    probe_pos = {
+        pk: ", ".join(pos_expr(f"'{pk}'", r) for r in range(k_hashes))
+        for pk in probe_keys
+    }
     blocks = []
     for pk in probe_keys:
-        probe_pos = ", ".join(pos_expr(f"'{pk}'", r) for r in range(k_hashes))
         blocks.append(f"""
 SELECT s.granule, CAST({pk} AS BIGINT) AS probe_key, s.n_rows,
        CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_positions,
@@ -18037,7 +18046,7 @@ LEFT JOIN (
 ) m ON m.granule = s.granule""")
     wants = ",\n".join(
         f"want_{pk} AS (SELECT DISTINCT pos FROM "
-        f"(SELECT unnest([{', '.join(pos_expr(chr(39) + str(pk) + chr(39), r) for r in range(k_hashes))}]) AS pos))"
+        f"(SELECT unnest([{probe_pos[pk]}]) AS pos))"
         for pk in probe_keys
     )
     return f"""
@@ -18296,11 +18305,31 @@ _DRIVER_COVERED_R123 = frozenset({
     'mp_chunked', 'repetition',
 })
 
+# Round 4's driver sweep covered these 50 first-time names
+# (CORRECTNESS_r04.json); round 5 rotates them to the back too so the
+# ~207 still-never-covered queries lead the registry.
+_DRIVER_COVERED_R4 = frozenset({
+    'acf', 'asof_join', 'bm25', 'c4_filters', 'ccf', 'chunk_documents',
+    'cohort_retention', 'counter_rate', 'decontamination', 'dedup_groups',
+    'dedup_rewrite', 'dsir', 'duplication_rate', 'ewma', 'frame_sample',
+    'gopher_quality', 'ivf_kmeans_ann', 'ivf_pq_topk', 'kn_perplexity',
+    'lm_perplexity', 'lttb', 'm4_downsample', 'mp_packed_rollup',
+    'mp_tokens', 'pack_sequences', 'pack_spans', 'paragraph_dedup',
+    'periodogram', 'pii_scrub', 'pipeline_e2e', 'pq_adc_topk', 'pq_encode',
+    'random_projection', 'rollup_histogram', 'rollup_percentiles',
+    'rollup_trend', 'seasonal_decompose', 'semantic_dedup', 'sessionize',
+    'simhash_neardup', 'source_divergence', 'source_mix', 'substring_spans',
+    'time_weighted_avg', 'token_entropy', 'token_pmi',
+    'token_shard_roundtrip', 'token_vocab', 'tokenize', 'training_order',
+})
+
+_DRIVER_COVERED = _DRIVER_COVERED_R123 | _DRIVER_COVERED_R4
+
 
 def _rotate_registry() -> None:
     global QUERIES, ORACLES
-    fresh = [k for k in QUERIES if k not in _DRIVER_COVERED_R123]
-    stale = [k for k in QUERIES if k in _DRIVER_COVERED_R123]
+    fresh = [k for k in QUERIES if k not in _DRIVER_COVERED]
+    stale = [k for k in QUERIES if k in _DRIVER_COVERED]
     order = fresh + stale
     QUERIES = {k: QUERIES[k] for k in order}
     ORACLES = {k: ORACLES[k] for k in order if k in ORACLES}

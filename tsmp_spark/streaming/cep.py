@@ -39,7 +39,7 @@ STATE_SCHEMA = (
 
 
 def _make_func(window_sec: int):
-    wpack = int(window_sec) * PACK
+    window_sec = int(window_sec)
 
     def func(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -60,8 +60,11 @@ def _make_func(window_sec: int):
                 n_a += 1
                 open_a.append(sk)
             elif role == 1:  # B resolves every open A (this IS its next B)
-                lo = sk - wpack
-                matched = [a for a in open_a if a >= lo]
+                # window test on SECONDS (matches the batch operator):
+                # a packed-key test would make the exact-boundary pair
+                # id-dependent
+                lo_sec = sk // PACK - window_sec
+                matched = [a for a in open_a if a // PACK >= lo_sec]
                 n_matches += len(matched)
                 if matched and first_sk < 0:
                     first_sk = matched[0]
@@ -108,9 +111,15 @@ def cep_stream(
     rows = (
         event_stream.select(
             F.col(key_col).cast("long").alias("key"),
-            (
+            F.when(
+                F.col(id_col).cast("long") < F.lit(PACK),
                 F.col(sec_col).cast("long") * F.lit(PACK)
-                + F.col(id_col).cast("long")
+                + F.col(id_col).cast("long"),
+            ).otherwise(
+                F.raise_error(F.lit(
+                    "cep_stream: event_id >= 2^24 breaks the packed "
+                    "total order"
+                )).cast("long")
             ).alias("sk"),
             F.when(F.col(type_col) == a_type, F.lit(0))
             .when(F.col(type_col) == b_type, F.lit(1))
