@@ -998,6 +998,7 @@ def spectral_residual(
     key_col: str = "user_id",
     ts_col: str = "sec",
     value_col: str = "value",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Spectral-Residual saliency per series (Ren et al., KDD 2019 —
     the SR stage of Microsoft's SR-CNN KPI anomaly detector): DFT the
@@ -1012,12 +1013,14 @@ def spectral_residual(
     r4 mismatches under adversarial sum-order permutation):
     - inputs are micro-unit-exact bucket means (integer sums / integer
       counts — identical doubles both engines);
-    - every trig argument is ``2π·((k·j) mod n)/n`` — the integer mod
-      keeps the operand bit-identical, and both engines' libm produce
-      the same cos/sin on it (the Arrow kernel is numpy, not JVM);
-    - the only cross-engine noise is SUM ORDER (~1e-15 relative), and
-      the final ``round_even(·, 4)`` absorbs it with ~6 orders of
-      margin (r6 would not — measured flip risk at 18k values);
+    - the kernel transforms with ``np.fft.fft``/``ifft`` (O(n log n));
+      the SQL oracle keeps the dense ``2π·((k·j) mod n)/n`` DFT. The
+      two differ from each other ONLY by floating sum order (an FFT is
+      the same sum reassociated), i.e. ~1e-15 relative — exactly the
+      noise class the r4 ``round_even(·, 4)`` gate absorbs with ~6
+      orders of margin (r6 would not — measured flip risk at 18k
+      values). The round-4 dense-DFT kernel and this FFT kernel were
+      gated against the SAME oracle; both green on all three datasets;
     - the 3-tap MA is written as the explicit ``(lag+l+lead)/3`` chain
       (window ``avg`` would sum in engine order), edges ``(l+lead)/2``
       / ``(lag+l)/2``.
@@ -1030,13 +1033,17 @@ def spectral_residual(
     arithmetically symmetric inputs, where sum order could disagree
     about exact-zero-ness).
 
-    Scale: ONE combinable bucket groupBy, then the per-series O(n²)
-    Arrow kernel behind one group-hash exchange (n = buckets per
-    series, bounded by the retention horizon — at 10^12 rows the
-    kernel input is the TIER table, not raw events).
+    Scale: ONE combinable bucket groupBy, then the per-series
+    O(n log n) FFT Arrow kernel behind one group-hash exchange (n =
+    buckets per series, bounded by the retention horizon — at 10^12
+    rows the kernel input is the TIER table, not raw events).
     """
     import numpy as np
     import pandas as pd
+
+    empty = pd.DataFrame(
+        {"key": [], "bucket": [], "salience": []}
+    ).astype({"key": "int64", "bucket": "int64", "salience": "float64"})
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bucket")
@@ -1044,16 +1051,13 @@ def spectral_residual(
         c = pdf["c"].to_numpy(dtype=np.int64)
         v = su / (c * 1000000.0)
         n = len(v)
-        empty = pd.DataFrame(
-            {"key": [], "bucket": [], "salience": []}
-        ).astype({"key": "int64", "bucket": "int64", "salience": "float64"})
         if n < 4 or v.min() == v.max():
             return empty
-        j = np.arange(n)
-        ang = 2 * np.pi * (np.outer(j, j) % n) / n
-        C, S = np.cos(ang), np.sin(ang)
-        re = C @ v
-        im = -(S @ v)
+        # forward FFT == the dense C@v / -(S@v) DFT reassociated; the
+        # inverse (C+iS)@Y is exactly n·ifft(Y), so saliency =
+        # |ifft(X·scale)| — same math, O(n log n)
+        X = np.fft.fft(v)
+        re, im = X.real, X.imag
         amp = np.sqrt(re * re + im * im)
         if np.any(amp == 0):
             return empty
@@ -1063,10 +1067,8 @@ def spectral_residual(
         ma[-1] = (L[-2] + L[-1]) / 2
         ma[1:-1] = (L[:-2] + L[1:-1] + L[2:]) / 3
         scale = np.exp(L - ma) / amp
-        re2, im2 = re * scale, im * scale
-        sr = C @ re2 - S @ im2
-        si = S @ re2 + C @ im2
-        sal = np.round(np.sqrt(sr * sr + si * si) / n, 4) + 0.0
+        Y = np.fft.ifft(X * scale)
+        sal = np.round(np.sqrt(Y.real * Y.real + Y.imag * Y.imag), 4) + 0.0
         return pd.DataFrame(
             {
                 "key": pdf["key"].to_numpy(),
@@ -1075,17 +1077,27 @@ def spectral_residual(
             }
         )
 
-    cells = (
-        events.select(
-            F.col(key_col).cast("long").alias("key"),
-            F.floor(F.col(ts_col).cast("long") / bucket_sec)
-            .cast("long")
-            .alias("bucket"),
-            F.round(F.col(value_col) * 1_000_000).cast("bigint").alias("vu"),
-        )
-        .groupBy("key", "bucket")
-        .agg(F.sum("vu").alias("su"), F.count("*").alias("c"))
+    proj = events.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.floor(F.col(ts_col).cast("long") / bucket_sec)
+        .cast("long")
+        .alias("bucket"),
+        F.round(F.col(value_col) * 1_000_000).cast("bigint").alias("vu"),
     )
+    cells = proj.groupBy("key", "bucket").agg(
+        F.sum("vu").alias("su"), F.count("*").alias("c")
+    )
+    if parallelism is not None:
+        # The cell table is small, so AQE coalesces the exchange into
+        # the Arrow kernel down to ONE task — and the kernel stage's
+        # cost is per-GROUP pandas assembly, not bytes, so that
+        # serializes the whole Python stage. An explicit keyed
+        # repartition (hash on the SAME key as the groupBy below →
+        # ClusteredDistribution satisfied, exchange reused, and AQE
+        # honors user-specified numPartitions) spreads the groups.
+        # Stays None at real scale where cell volume sizes the
+        # exchange correctly.
+        cells = cells.repartition(int(parallelism), "key")
     return cells.groupBy("key").applyInPandas(kernel, SR_SCHEMA).select(
         F.col("key").alias(key_col), "bucket", "salience"
     )

@@ -8093,7 +8093,8 @@ def q_spectral_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.unix_timestamp("ts").alias("sec"), "value"
     )
     return spectral_residual(ev, bucket_sec=21600, key_col="user_id",
-                             ts_col="sec")
+                             ts_col="sec",
+                             parallelism=spark.sparkContext.defaultParallelism)
 
 
 SQL_SPECTRAL_RESIDUAL = r"""
