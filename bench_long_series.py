@@ -1,28 +1,35 @@
-"""Long-series fan-out evidence: a ≥10M-token SINGLE series through the
-diagonal-chunk path with measured shuffle bytes (SCALE.md §1, the round-3
-"What's wrong #3" done-criterion).
+"""Long-series fan-out evidence: a ≥10⁸-token SINGLE series through the
+diagonal-chunk path with measured shuffle bytes (SCALE.md §1; round-4
+VERDICT "What's wrong #2" done-criterion).
 
-Round-4 design under test (operators/matrix_profile.py
-`_matrix_profile_chunked_nested`):
-- fan rows carry ONLY (doc_id, chunk_id); tokens broadcast-join back, so
-  the series is never duplicated through an exchange (old fan shuffled
-  n_chunks full copies);
+Round-5 design under test (operators/matrix_profile.py
+`_matrix_profile_chunked_nested` with ``series_store``):
+- fan rows carry ONLY (doc_id, chunk_id); the tokens reach chunk tasks
+  through the SIDE-CHANNEL BLOCK STORE — (doc_id, block_id, block)
+  parquet rows written once, read per task via pyarrow doc-filtered
+  scans. NO broadcast of the tokens in the plan (asserted below) and no
+  token bytes through any exchange: the only shuffle is the trimmed
+  segment partials, so shuffle stays O(touched profile), not O(series ×
+  n_chunks). A 10⁸-token series is 0.4 GB int32 — already past the
+  comfort zone of a broadcast (and 10⁹ would exceed Spark's hard 8 GB
+  broadcast limit);
 - partials ship as SEGMENTS and merge per (doc_id, seg) — bounded task
   memory (n_chunks × 64k × 12 B), untouched segments trimmed;
 - nested reassembly via JVM collect_list/array_sort/flatten.
 
-Work bound: an exact full matrix profile of a 10M-point series is
-~5·10¹³ pairs — days of CPU anywhere, so the harness restricts the sweep
-to the top `DIAG_BAND` diagonals via the exclusion-zone parameter
+Work bound: an exact full matrix profile of a 10⁸-point series is
+~5·10¹⁵ pairs — years of CPU anywhere, so the harness restricts the
+sweep to the top `DIAG_BAND` diagonals via the exclusion-zone parameter
 (minlag = plen − band). That is a REAL parameter path (the operator's
-own API); the distribution machinery — fan, broadcast, full-length
+own API); the distribution machinery — fan, store reads, full-length
 partial arrays in flight, per-segment merges, reassembly — runs at the
-true 10M-position shape, which is what this harness measures. Kernel
+true 10⁸-position shape, which is what this harness measures. Kernel
 FLOP throughput at scale is covered by bench.py / bench_scaling.py.
 
 Run ALONE:  python bench_long_series.py   → BENCH_LONG_SERIES.json
-Env: LONG_SERIES_TOKENS (default 10_000_000), LONG_DIAG_BAND (200_000),
-     LONG_N_CHUNKS (32), SPARK_GRAFT_CPUS (32).
+Env: LONG_SERIES_TOKENS (default 100_000_000), LONG_DIAG_BAND (20_000),
+     LONG_N_CHUNKS (32), SPARK_GRAFT_CPUS (32), LONG_STORE (default
+     /tmp/tsmp_long_series_store).
 """
 
 from __future__ import annotations
@@ -49,10 +56,11 @@ def _stages(spark) -> list[dict]:
 
 
 def main() -> None:
-    n_tok = int(os.environ.get("LONG_SERIES_TOKENS", "10000000"))
-    band = int(os.environ.get("LONG_DIAG_BAND", "200000"))
+    n_tok = int(os.environ.get("LONG_SERIES_TOKENS", "100000000"))
+    band = int(os.environ.get("LONG_DIAG_BAND", "20000"))
     n_chunks = int(os.environ.get("LONG_N_CHUNKS", "32"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    store = os.environ.get("LONG_STORE", "/tmp/tsmp_long_series_store")
     w = 256
 
     spark = get_spark(
@@ -107,6 +115,11 @@ def main() -> None:
         exclusion_zone=ez,
         long_series_threshold=1 << 20,
         n_chunks=n_chunks,
+        series_store=store,
+    )
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    no_broadcast = (
+        "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
     )
     out = prof.select(
         F.size("mp").alias("n_pos"),
@@ -133,8 +146,17 @@ def main() -> None:
 
     series_bytes = n_actual * 4  # int32 tokens
     profile_bytes = plen * 12  # f64 mp + i32 pi
+    import glob
+    store_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(f"{store}/**", recursive=True)
+        if os.path.isfile(p)
+    )
     result = {
-        "metric": "long-series diagonal-chunk fan-out at 10M tokens (single series)",
+        "metric": "long-series diagonal-chunk fan-out, single series via "
+                  "side-channel block store (no broadcast)",
+        "tokens_via": "block store (pyarrow doc-filtered reads)",
+        "no_broadcast_in_plan": bool(no_broadcast),
+        "store_mb": round(store_bytes / 1e6, 1),
         "n_tokens": int(n_actual),
         "profile_len": int(plen),
         "window": w,

@@ -945,3 +945,33 @@ def test_kendall_pairs_sketch_bounded_join(events):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2  # tier-1 partial+final
+
+
+def test_theil_sen_mk_grid_bounded_pair_join(events):
+    """With grid_sec set, the Theil-Sen / Mann-Kendall pair joins must
+    consume the BOUNDED sub-bucket cell grid (aggregation BELOW the
+    join), never raw rows — one hot bucket cannot go quadratic (the
+    kendall_pairs tier-grid contract)."""
+    from tsmp_spark.operators.rollup import mann_kendall, theil_sen_trend
+
+    ev = events.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("sec"), "value",
+    )
+    for df in (
+        theil_sen_trend(ev, bucket_sec=21600, grid_sec=1800),
+        mann_kendall(ev, bucket_sec=21600, grid_sec=1800),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        # the cell fold (partial+final) must sit below the pair join
+        join_at = min(
+            i for i in (plan.find("SortMergeJoin"),
+                        plan.find("ShuffledHashJoin"),
+                        plan.find("BroadcastHashJoin"))
+            if i >= 0
+        )
+        assert "HashAggregate" in plan[join_at:], (
+            "pair join must read the aggregated grid, not raw rows"
+        )

@@ -84,6 +84,29 @@ def test_chunked_long_series_path(spark):
         np.testing.assert_allclose(mp, ref, atol=1e-9)
 
 
+def test_chunked_series_store_path_exact_no_broadcast(spark, tmp_path):
+    """The side-channel block-store fan-out (series_store set) equals the
+    broadcast join-back BIT-exactly (mp AND pi), and its plan ships no
+    token broadcast: at 10^8+-token scale the broadcast is the seam that
+    breaks, so the store path must be byte-equivalent and broadcast-free."""
+    docs = generate_sequences(spark, n_docs=4, seed=3, length=2000)
+    store = str(tmp_path / "blocks")
+    via_store = matrix_profile(
+        docs, W, long_series_threshold=100, n_chunks=8, series_store=store
+    )
+    plan = via_store._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+    got = via_store.toPandas()
+    base = matrix_profile(
+        docs, W, long_series_threshold=100, n_chunks=8
+    ).toPandas()
+    for doc in sorted(base.doc_id.unique()):
+        a = base[base.doc_id == doc].sort_values("pos")
+        b = got[got.doc_id == doc].sort_values("pos")
+        np.testing.assert_array_equal(a["mp"].to_numpy(), b["mp"].to_numpy())
+        np.testing.assert_array_equal(a["pi"].to_numpy(), b["pi"].to_numpy())
+
+
 def test_tier1_fused_equals_relational_bit_exact(spark):
     """matrix_profile_tier1 (kernel-fused, map-only) == rollup_tier over
     the finite exploded profile, BIT-exact with NO rounding: the fused
@@ -4147,3 +4170,58 @@ def test_ann_recall_audit_bounds(spark):
         assert 0 <= r.n_hit <= min(r.n_exact, max(r.n_approx, 0))
         assert 0.0 <= r.recall <= 1.0
     assert sum(r.n_hit for r in out) > 0
+
+
+def test_theil_sen_mk_grid_hot_bucket_bounded(spark):
+    """Hot-bucket contract: 5000 raw rows in ONE (key, bucket) — the
+    exact path would form 12.5M pairs; the grid path folds to <= 12
+    cells first, so the fitted point count (n) is grid-bounded and the
+    estimator matches a doc-by-doc numpy model bit-exactly."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tsmp_spark.operators.rollup import mann_kendall, theil_sen_trend
+
+    rng = np.random.default_rng(11)
+    n_raw = 5000
+    sec = rng.integers(0, 21600, n_raw)  # one 6h bucket, key 1
+    val = np.round(50 + 0.001 * sec + rng.normal(0, 5, n_raw), 3)
+    pdf = pd.DataFrame({
+        "user_id": np.ones(n_raw, dtype=np.int64),
+        "sec": sec, "value": val,
+        "event_id": np.arange(n_raw, dtype=np.int64),
+    })
+    df = spark.createDataFrame(pdf)
+
+    ts = theil_sen_trend(df, bucket_sec=21600, grid_sec=1800).collect()
+    mk = mann_kendall(df, bucket_sec=21600, grid_sec=1800).collect()
+    assert len(ts) == 1 and len(mk) == 1
+    assert ts[0].n <= 12 and mk[0].n <= 12  # pair join input grid-bounded
+
+    # numpy model of the grid estimator
+    g = sec // 1800
+    vu = np.round(val * 1e6).astype(np.int64)
+    cells = pd.DataFrame({"g": g, "vu": vu}).groupby("g")["vu"].agg(
+        ["sum", "count"]).reset_index().sort_values("g")
+    x = (cells["g"] * 1800).to_numpy(float)
+    v = cells["sum"].to_numpy(float) / (cells["count"].to_numpy(float) * 1e6)
+    m = len(x)
+    slopes = sorted((v[j] - v[i]) / (x[j] - x[i])
+                    for i in range(m) for j in range(m) if x[i] < x[j])
+    slope = slopes[(len(slopes) - 1) // 2]
+    resid = np.sort(v - slope * x)
+    icept = resid[(m - 1) // 2]
+    assert ts[0].slope == slope and ts[0].intercept == icept
+
+    mean = cells["sum"].to_numpy(np.int64) / cells["count"].to_numpy(np.int64)
+    vg = np.where(mean >= 0, np.floor(mean + 0.5),
+                  np.ceil(mean - 0.5)).astype(np.int64)
+    S = sum(int(np.sign(vg[j] - vg[i]))
+            for i in range(m) for j in range(i + 1, m))
+    _, t = np.unique(vg, return_counts=True)
+    var_s = (m * (m - 1) * (2 * m + 5)
+             - int(np.sum(t * (t - 1) * (2 * t + 5)))) / 18.0
+    assert mk[0].s == S and mk[0].var_s == var_s
+    if var_s > 0:
+        assert mk[0].z == (S - int(np.sign(S))) / np.sqrt(var_s)

@@ -145,12 +145,13 @@ def matrix_profile(
     num_partitions: int | None = None,
     long_series_threshold: int | None = 65536,
     n_chunks: int = 32,
+    series_store: str | None = None,
 ) -> DataFrame:
     """Exploded-form wrapper over :func:`matrix_profile_nested`."""
     return _explode_nested(
         matrix_profile_nested(
             sequences, window_size, exclusion_zone, algorithm,
-            num_partitions, long_series_threshold, n_chunks,
+            num_partitions, long_series_threshold, n_chunks, series_store,
         )
     )
 
@@ -163,6 +164,7 @@ def matrix_profile_nested(
     num_partitions: int | None = None,
     long_series_threshold: int | None = 65536,
     n_chunks: int = 32,
+    series_store: str | None = None,
 ) -> DataFrame:
     """Self-join matrix profile of every series in ``sequences``.
 
@@ -183,6 +185,9 @@ def matrix_profile_nested(
     - ``long_series_threshold``: series longer than this fan out as
       diagonal chunks (exact merge). ``None`` disables the long branch
       entirely, halving the input scan when series are known-short.
+    - ``series_store``: shared-storage path for the long-series block
+      store (see :func:`_matrix_profile_chunked_nested`); replaces the
+      broadcast join-back at 10⁸+-token scale.
     """
     w = int(window_size)
     ez_n = exclusion_zone_size(w, exclusion_zone)
@@ -235,7 +240,9 @@ def matrix_profile_nested(
     if long_ is None:
         return result
     # Long-series path: diagonal-chunk fan-out + per-series partial merge.
-    long_result = _matrix_profile_chunked_nested(long_, w, ez_n, n_chunks)
+    long_result = _matrix_profile_chunked_nested(
+        long_, w, ez_n, n_chunks, series_store=series_store
+    )
     return result.unionByName(long_result)
 
 
@@ -343,6 +350,8 @@ def _matrix_profile_chunked_nested(
     ez_n: int,
     n_chunks: int,
     merge_segment: int = 1 << 16,
+    series_store: str | None = None,
+    block_tokens: int = 1 << 20,
 ) -> DataFrame:
     """(series × diagonal-chunk) fan-out; exact merge via elementwise
     max-correlation (mpcore.merge_partials).
@@ -350,12 +359,27 @@ def _matrix_profile_chunked_nested(
     Round-4 scale shape (VERDICT r3 "What's wrong #3" — 10⁹-token-safe):
 
     - The fan rows carry ONLY ``(doc_id, chunk_id)``; the token arrays
-      join back via BROADCAST after the round-robin shuffle, so the
-      series is never duplicated through an exchange (the old fan
-      shuffled n_chunks full copies — n_chunks × series bytes). Long
-      series are few by the ``long_series_threshold`` contract, so the
-      broadcast is small; at multi-GB single-series scale replace it
-      with a side-channel read of the series shard.
+      reach the kernel either by BROADCAST join-back (default — fine
+      while the long-series set fits a broadcast, ≲1 GB) or, with
+      ``series_store`` set, through a SIDE-CHANNEL BLOCK STORE: the
+      series are written ONCE as ``(doc_id, block_id, block)`` parquet
+      rows of ``block_tokens`` int32 tokens each, and every chunk task
+      reads its series' blocks straight from shared storage
+      (pyarrow dataset, doc_id-filtered row groups). No broadcast, no
+      token bytes through any exchange — the only remaining shuffle is
+      the segment partials. Storage reads scale with the cluster's FS
+      bandwidth (n_chunks× read amplification, the standard distributed
+      MP trade), which is what survives a 10⁸–10⁹-token series where a
+      4 GB broadcast would fail outright.
+
+      Per-task memory stays O(series): mpx's exactness contract (each
+      diagonal marches i=0→end in ONE task, and ``muinvn``'s
+      global-mean shift + compensated prefix sums read the whole
+      series) rules out partial-range reads — a restart dot at a block
+      boundary would drift ~1 ulp from the serial sweep and break the
+      bit-exact merge pytest. Trading that contract for r4-rounded
+      equality would admit O(block) tiles; this engine keeps exactness
+      and documents the floor.
     - Each chunk emits its partial profile as SEGMENTS of
       ``merge_segment`` positions, and the merge groups on
       ``(doc_id, seg)``: no task ever holds more than
@@ -377,50 +401,103 @@ def _matrix_profile_chunked_nested(
     # REPARTITION_BY_NUM is exempt from AQE coalescing.
     spark = sequences.sparkSession
     n_tasks = max(spark.sparkContext.defaultParallelism * 4, n_chunks)
-    fan = (
+    fan = sequences.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk_id"),
+    ).repartition(n_tasks)
+    if series_store is None:
+        fan = fan.join(F.broadcast(sequences.select("doc_id", "tokens")), "doc_id")
+    else:
+        # ONE eager pass writes the blocked store; chunk tasks read from
+        # it directly. JVM-side slicing (no Python touches the tokens on
+        # the write path); int32 blocks round-trip the tokens exactly.
+        bt = int(block_tokens)
         sequences.select(
             "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk_id"),
-        )
-        .repartition(n_tasks)
-        .join(F.broadcast(sequences.select("doc_id", "tokens")), "doc_id")
-    )
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, greatest(int(ceil(size(tokens)"
+                    f" / {bt}.0)) - 1, 0)),"
+                    f" b -> slice(tokens, b * {bt} + 1, {bt}))"
+                )
+            ).alias("block_id", "block"),
+        ).write.mode("overwrite").parquet(series_store)
 
-    def partial_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _emit_rows(rows, doc_id, a, chunk_id):
         from ..mpcore import mpx_partial
 
+        plen = a.shape[0] - w + 1
+        chunks = diag_chunks(plen, minlag, n_chunks)
+        if chunk_id >= len(chunks):
+            return
+        lo, hi = chunks[int(chunk_id)]
+        corr, pi = mpx_partial(a, w, lo, hi, minlag=minlag)
+        pi32 = pi.astype(np.int32)
+        for s0 in range(0, plen, merge_segment):
+            s1 = min(plen, s0 + merge_segment)
+            # upper-diagonal chunks leave a (plen-lo, lo) gap
+            # untouched — don't ship all-(-1) segments. Chunk 0
+            # structurally touches every position and always
+            # emits, so no segment can vanish from the merge.
+            if int(chunk_id) != 0 and not np.any(pi32[s0:s1] >= 0):
+                continue
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "seg": s0 // merge_segment,
+                    "chunk_id": int(chunk_id),
+                    "corr": corr[s0:s1].tolist(),
+                    "pi": pi32[s0:s1].tolist(),
+                }
+            )
+
+    def partial_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, tokens, chunk_id in zip(pdf["doc_id"], pdf["tokens"], pdf["chunk_id"]):
+            for doc_id, tokens, chunk_id in zip(
+                pdf["doc_id"], pdf["tokens"], pdf["chunk_id"]
+            ):
                 a = np.asarray(tokens, dtype=np.float64)
-                plen = a.shape[0] - w + 1
-                chunks = diag_chunks(plen, minlag, n_chunks)
-                if chunk_id >= len(chunks):
-                    continue
-                lo, hi = chunks[int(chunk_id)]
-                corr, pi = mpx_partial(a, w, lo, hi, minlag=minlag)
-                pi32 = pi.astype(np.int32)
-                for s0 in range(0, plen, merge_segment):
-                    s1 = min(plen, s0 + merge_segment)
-                    # upper-diagonal chunks leave a (plen-lo, lo) gap
-                    # untouched — don't ship all-(-1) segments. Chunk 0
-                    # structurally touches every position and always
-                    # emits, so no segment can vanish from the merge.
-                    if int(chunk_id) != 0 and not np.any(pi32[s0:s1] >= 0):
-                        continue
-                    rows.append(
-                        {
-                            "doc_id": doc_id,
-                            "seg": s0 // merge_segment,
-                            "chunk_id": int(chunk_id),
-                            "corr": corr[s0:s1].tolist(),
-                            "pi": pi32[s0:s1].tolist(),
-                        }
-                    )
+                _emit_rows(rows, doc_id, a, chunk_id)
             if rows:
                 yield pd.DataFrame(rows)
 
-    partials = fan.mapInPandas(partial_kernel, SEG_PARTIAL_SCHEMA)
+    def partial_kernel_store(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(series_store)
+        cache: dict[str, np.ndarray] = {}
+
+        def load(doc_id: str) -> np.ndarray:
+            a = cache.get(doc_id)
+            if a is None:
+                tbl = dset.to_table(
+                    filter=pads.field("doc_id") == doc_id,
+                    columns=["block_id", "block"],
+                ).sort_by("block_id")
+                a = tbl["block"].combine_chunks().flatten().to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64)
+                cache.clear()  # hold ONE series at a time (O(n) bound)
+                cache[doc_id] = a
+            return a
+
+        for pdf in batches:
+            rows = []
+            # group by doc so each series loads once per task
+            order = pdf["doc_id"].to_numpy().argsort(kind="stable")
+            for i in order:
+                doc_id = pdf["doc_id"].iloc[i]
+                _emit_rows(rows, doc_id, load(doc_id), pdf["chunk_id"].iloc[i])
+            if rows:
+                yield pd.DataFrame(rows)
+
+    partials = fan.mapInPandas(
+        partial_kernel if series_store is None else partial_kernel_store,
+        SEG_PARTIAL_SCHEMA,
+    )
 
     def seg_merge_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         order = pdf["chunk_id"].to_numpy().argsort(kind="stable")

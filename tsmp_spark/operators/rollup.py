@@ -1576,6 +1576,7 @@ def theil_sen_trend(
     key_col: str = "user_id",
     ts_col: str = "sec",
     value_col: str = "value",
+    grid_sec: int | None = None,
 ) -> DataFrame:
     """Theil–Sen robust trend per (series, bucket): slope = median of all
     pairwise slopes ``(v_j - v_i)/(x_j - x_i)`` over distinct-x pairs,
@@ -1595,21 +1596,54 @@ def theil_sen_trend(
     at sf0.001: ``(a+b)/2`` vs ``a+(b-a)·g`` differ by 1 ulp). Pair
     slopes and residuals are exact-operand IEEE on both engines.
 
-    Scale: the pair self-join is O(m²) per (key, bucket) — by contract
-    a per-bucket robust fit over BOUNDED buckets (the same contract as
-    exact per-bucket percentiles; use rollup_trend for unbounded
-    buckets). All joins/aggs hash on (key, bucket) — the exchange is
-    planned once per side and reused through both median passes.
+    Scale: with ``grid_sec=None`` the pair self-join is O(m²) per
+    (key, bucket) — by contract a per-bucket robust fit over BOUNDED
+    buckets (the same contract as exact per-bucket percentiles; use
+    rollup_trend for unbounded buckets). With ``grid_sec`` set, raw
+    rows are first folded to per-sub-bucket micro-unit mean cells (one
+    combinable groupBy), and the pair join runs over that BOUNDED grid
+    — at most ``bucket_sec/grid_sec`` rows per bucket NO MATTER how hot
+    the bucket (the kendall_pairs tier-grid shape), so one hot key
+    cannot go quadratic. The grid estimator is Theil–Sen over the
+    sub-bucket mean series (x = sub-bucket origin offset), a documented
+    approximation of the raw-pair fit. All joins/aggs hash on
+    (key, bucket) — the exchange is planned once per side and reused
+    through both median passes.
+
+    Grid-path determinism: cell means divide identical integers
+    (micro-unit sums / counts) by the same constant on both engines;
+    x is an exact small integer as double. Downstream is the shared
+    exact machinery.
     """
     k, t, v = F.col(key_col), F.col(ts_col), F.col(value_col)
-    rows = events.select(
-        k.alias("key"),
-        F.floor(t.cast("long") / bucket_sec).cast("long").alias("bucket"),
-        (t.cast("long") - F.floor(t.cast("long") / bucket_sec) * bucket_sec)
-        .cast("double")
-        .alias("x"),
-        v.cast("double").alias("v"),
-    )
+    if grid_sec is not None:
+        gs = int(grid_sec)
+        base = events.select(
+            k.alias("key"),
+            F.floor(t.cast("long") / bucket_sec).cast("long").alias("bucket"),
+            (t.cast("long")
+             - F.floor(t.cast("long") / bucket_sec) * bucket_sec)
+            .cast("long").alias("off"),
+            F.round(v.cast("double") * 1_000_000).cast("bigint").alias("vu"),
+        ).withColumn("g", F.expr(f"off div {gs}"))
+        cells = base.groupBy("key", "bucket", "g").agg(
+            F.sum("vu").alias("su"), F.count("*").cast("bigint").alias("c")
+        )
+        rows = cells.select(
+            "key", "bucket",
+            (F.col("g") * gs).cast("double").alias("x"),
+            (F.col("su") / (F.col("c") * F.lit(1000000.0))).alias("v"),
+        )
+    else:
+        rows = events.select(
+            k.alias("key"),
+            F.floor(t.cast("long") / bucket_sec).cast("long").alias("bucket"),
+            (t.cast("long")
+             - F.floor(t.cast("long") / bucket_sec) * bucket_sec)
+            .cast("double")
+            .alias("x"),
+            v.cast("double").alias("v"),
+        )
     a, b = rows.alias("a"), rows.alias("b")
     pairs = a.join(
         b,
@@ -1717,6 +1751,7 @@ def mann_kendall(
     ts_col: str = "sec",
     value_col: str = "value",
     id_col: str = "event_id",
+    grid_sec: int | None = None,
 ) -> DataFrame:
     """Mann–Kendall trend test per (series, bucket): ``S = Σ_{i<j}
     sign(v_j − v_i)`` over all C(n,2) pairs in time order, the
@@ -1734,19 +1769,50 @@ def mann_kendall(
     (sec, vu, id) — equal-time pairs are ordered by value (sign ≥ 0 is
     then exact 0 for true ties), never arbitrarily.
 
-    Scale: the pair join is O(m²) per (key, bucket) — the same
-    bounded-bucket contract as theil_sen_trend / exact percentiles.
-    Every join/agg hashes on (key, bucket). z is NULL when Var(S) = 0
-    (n < 2 or all values tied), τ NULL when n < 2.
+    Scale: with ``grid_sec=None`` the pair join is O(m²) per
+    (key, bucket) — the same bounded-bucket contract as theil_sen_trend
+    / exact percentiles. With ``grid_sec`` set, raw rows fold to
+    per-sub-bucket cells first (one combinable groupBy) and the pair
+    join runs over that BOUNDED grid (≤ ``bucket_sec/grid_sec`` rows
+    per bucket however hot the bucket — the kendall_pairs tier-grid
+    shape). The grid statistic is MK over the sub-bucket ROUNDED
+    micro-unit mean series (sub-bucket index as time — distinct per
+    cell, so no time ties), a documented approximation: rounding the
+    mean to integer micro-units keeps every sign test and tie group
+    exact-integer on both engines (Spark round and DuckDB round are
+    both half-away on doubles). Every join/agg hashes on (key, bucket).
+    z is NULL when Var(S) = 0 (n < 2 or all values tied), τ NULL when
+    n < 2.
     """
     scale = 1_000_000
-    rows = events.select(
-        F.col(key_col).cast("long").alias("key"),
-        F.floor(F.col(ts_col).cast("long") / bucket_sec).cast("long").alias("bucket"),
-        F.col(ts_col).cast("long").alias("sec"),
-        F.round(F.col(value_col).cast("double") * scale).cast("long").alias("vu"),
-        F.col(id_col).cast("long").alias("rid"),
-    )
+    if grid_sec is not None:
+        gs = int(grid_sec)
+        t = F.col(ts_col).cast("long")
+        base = events.select(
+            F.col(key_col).cast("long").alias("key"),
+            F.floor(t / bucket_sec).cast("long").alias("bucket"),
+            (t - F.floor(t / bucket_sec) * bucket_sec)
+            .cast("long").alias("off"),
+            F.round(F.col(value_col).cast("double") * scale)
+            .cast("long").alias("vu_raw"),
+        ).withColumn("g", F.expr(f"off div {gs}"))
+        cells = base.groupBy("key", "bucket", "g").agg(
+            F.sum("vu_raw").alias("su"), F.count("*").cast("bigint").alias("c")
+        )
+        rows = cells.select(
+            "key", "bucket",
+            F.col("g").cast("long").alias("sec"),
+            F.round(F.col("su") / F.col("c")).cast("long").alias("vu"),
+            F.col("g").cast("long").alias("rid"),
+        )
+    else:
+        rows = events.select(
+            F.col(key_col).cast("long").alias("key"),
+            F.floor(F.col(ts_col).cast("long") / bucket_sec).cast("long").alias("bucket"),
+            F.col(ts_col).cast("long").alias("sec"),
+            F.round(F.col(value_col).cast("double") * scale).cast("long").alias("vu"),
+            F.col(id_col).cast("long").alias("rid"),
+        )
     a, b = rows.alias("a"), rows.alias("b")
     before = (F.col("a.sec") < F.col("b.sec")) | (
         (F.col("a.sec") == F.col("b.sec"))

@@ -6904,6 +6904,150 @@ QUERIES["mann_kendall"] = q_mann_kendall
 ORACLES["mann_kendall"] = SQL_MANN_KENDALL
 
 
+def q_theil_sen_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bounded Theil-Sen (30min sub-bucket mean cells, <=12 grid
+    rows per 6h bucket however hot the bucket): the pair join runs over
+    the bounded tier grid, never raw rows — the scale-safe variant of
+    q_theil_sen. Cell means divide identical integers on both engines;
+    downstream is the shared exact lower-median machinery."""
+    from .operators.rollup import theil_sen_trend
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    out = theil_sen_trend(ev, bucket_sec=21600, key_col="user_id",
+                          ts_col="sec", grid_sec=1800)
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        (F.col("slope") + F.lit(0.0)).alias("slope"),
+        (F.col("intercept") + F.lit(0.0)).alias("intercept"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+SQL_THEIL_SEN_GRID = r"""
+WITH base AS (
+  SELECT user_id AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+         (CAST(floor(epoch(ts)) AS BIGINT)
+          - (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600) // 1800 AS g,
+         CAST(round(value * 1000000) AS BIGINT) AS vu
+  FROM events
+),
+cells AS (
+  SELECT key, bucket, g, CAST(sum(vu) AS BIGINT) AS su,
+         CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2, 3
+),
+rows_ AS (
+  SELECT key, bucket, CAST(g * 1800 AS DOUBLE) AS x,
+         su / (c * 1000000.0) AS v
+  FROM cells
+),
+sl AS (
+  SELECT a.key, a.bucket,
+         quantile_disc((b.v - a.v) / (b.x - a.x), 0.5) AS slope
+  FROM rows_ a JOIN rows_ b
+    ON b.key = a.key AND b.bucket = a.bucket AND a.x < b.x
+  GROUP BY 1, 2
+),
+ic AS (
+  SELECT r.key, r.bucket,
+         quantile_disc(r.v - s.slope * r.x, 0.5) AS intercept
+  FROM rows_ r LEFT JOIN sl s ON s.key = r.key AND s.bucket = r.bucket
+  GROUP BY 1, 2
+)
+SELECT CAST(n.key AS BIGINT) AS user_id, CAST(n.bucket AS BIGINT) AS bucket,
+       s.slope + 0.0 AS slope, ic.intercept + 0.0 AS intercept,
+       CAST(n.n AS BIGINT) AS n
+FROM (SELECT key, bucket, count(*) AS n FROM rows_ GROUP BY 1, 2) n
+JOIN ic ON ic.key = n.key AND ic.bucket = n.bucket
+LEFT JOIN sl s ON s.key = n.key AND s.bucket = n.bucket
+"""
+
+QUERIES["theil_sen_grid"] = q_theil_sen_grid
+ORACLES["theil_sen_grid"] = SQL_THEIL_SEN_GRID
+
+
+def q_mann_kendall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bounded Mann-Kendall (30min sub-bucket cells, <=12 grid
+    rows per 6h bucket): MK over the rounded micro-unit mean series on
+    the bounded tier grid — the scale-safe variant of q_mann_kendall.
+    Rounded means are exact integers (both engines round half-away on
+    the same double), so every sign test and tie group stays exact."""
+    from .operators.rollup import mann_kendall
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("sec"), "value"
+    )
+    out = mann_kendall(ev, bucket_sec=21600, key_col="user_id",
+                       ts_col="sec", grid_sec=1800)
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n",
+        "s",
+        "var_s",
+        "z",
+        "tau",
+    )
+
+
+SQL_MANN_KENDALL_GRID = r"""
+WITH base AS (
+  SELECT user_id AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+         (CAST(floor(epoch(ts)) AS BIGINT)
+          - (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600) // 1800 AS g,
+         CAST(round(value * 1000000) AS BIGINT) AS vu_raw
+  FROM events
+),
+cells AS (
+  SELECT key, bucket, g, CAST(sum(vu_raw) AS BIGINT) AS su,
+         CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2, 3
+),
+rows_ AS (
+  SELECT key, bucket, g AS sec,
+         CAST(round(su / c) AS BIGINT) AS vu, g AS rid
+  FROM cells
+),
+s_agg AS (
+  SELECT a.key, a.bucket,
+         CAST(sum(sign(CAST(b.vu - a.vu AS DOUBLE))) AS BIGINT) AS s
+  FROM rows_ a JOIN rows_ b
+    ON b.key = a.key AND b.bucket = a.bucket
+   AND (a.sec < b.sec OR (a.sec = b.sec AND (a.vu < b.vu
+        OR (a.vu = b.vu AND a.rid < b.rid))))
+  GROUP BY 1, 2
+),
+ties AS (
+  SELECT key, bucket, sum(t * (t - 1) * (2 * t + 5)) AS tie_sum
+  FROM (SELECT key, bucket, vu, count(*) AS t FROM rows_ GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+n_agg AS (
+  SELECT key, bucket, count(*) AS n FROM rows_ GROUP BY 1, 2
+)
+SELECT n_agg.key AS user_id, CAST(n_agg.bucket AS BIGINT) AS bucket,
+       CAST(n AS BIGINT) AS n,
+       CAST(coalesce(s, 0) AS BIGINT) AS s,
+       (n * (n - 1) * (2 * n + 5) - tie_sum) / 18.0 AS var_s,
+       CASE WHEN (n * (n - 1) * (2 * n + 5) - tie_sum) / 18.0 > 0 THEN
+         (coalesce(s, 0) - CAST(sign(CAST(coalesce(s, 0) AS DOUBLE)) AS BIGINT))
+         / sqrt((n * (n - 1) * (2 * n + 5) - tie_sum) / 18.0)
+       END AS z,
+       CASE WHEN n >= 2 THEN coalesce(s, 0) / (n * (n - 1) / 2.0) END AS tau
+FROM n_agg
+JOIN ties ON ties.key = n_agg.key AND ties.bucket = n_agg.bucket
+LEFT JOIN s_agg ON s_agg.key = n_agg.key AND s_agg.bucket = n_agg.bucket
+"""
+
+QUERIES["mann_kendall_grid"] = q_mann_kendall_grid
+ORACLES["mann_kendall_grid"] = SQL_MANN_KENDALL_GRID
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog daily-distinct-users rollup: md5-derived registers
     (integer), exact integer Z = sum 2^(24-reg), and the Flajolet
