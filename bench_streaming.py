@@ -166,7 +166,13 @@ def _drain(out, tmp, name: str) -> dict:
     return state
 
 
-def worker(op: str, cpus: int, tmp: str) -> None:
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def worker(op: str, cpus: int, tmp: str, provider: str = "hdfs") -> None:
     import time
 
     from pyspark.sql import functions as F  # noqa: F401
@@ -180,9 +186,19 @@ def worker(op: str, cpus: int, tmp: str) -> None:
     # cluster (stores spread across executors) doesn't have. Holding it
     # fixed makes the 8-vs-32 delta the keyed COMPUTE, which is what
     # scales with executors.
+    #
+    # provider leg (VERDICT r4 Next #7): the default HDFSBackedStateStore
+    # snapshots the whole store per commit through one shared local disk;
+    # RocksDB keeps state off-heap with incremental changelogs — running
+    # both separates OPERATOR cost from STORE-COMMIT cost.
+    extra = {}
+    if provider == "rocksdb":
+        extra["spark.sql.streaming.stateStore.providerClass"] = (
+            ROCKSDB_PROVIDER
+        )
     spark = get_spark(
-        app_name=f"bench_stream_{op}_{cpus}", cpus=cpus,
-        shuffle_partitions=32,
+        app_name=f"bench_stream_{op}_{cpus}_{provider}", cpus=cpus,
+        shuffle_partitions=32, extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("WARN")
     _gen(spark)
@@ -241,6 +257,7 @@ def worker(op: str, cpus: int, tmp: str) -> None:
             {
                 "op": op,
                 "cpus": cpus,
+                "provider": provider,
                 "wall_sec": round(wall, 2),
                 "rows": n_rows,
                 "rows_per_sec": round(n_rows / wall, 1),
@@ -261,38 +278,49 @@ def main() -> None:
     if os.path.exists("BENCH_STREAMING.json"):
         with open("BENCH_STREAMING.json") as f:
             prior = {r["op"]: r for r in json.load(f).get("ops", [])}
+    providers = tuple(
+        p for p in os.environ.get(
+            "BENCH_STREAM_PROVIDERS", "hdfs,rocksdb").split(",") if p
+    )
     results = []
     for op in ops:
-        per_op = {}
-        for cpus in (8, 32):
-            tmp = tempfile.mkdtemp(prefix=f"bs_{op}_{cpus}_")
-            cmd = [
-                "taskset", "-c", f"0-{cpus - 1}", sys.executable,
-                __file__, "--worker", op, str(cpus), tmp,
-            ]
-            out = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=3600,
+        rec = {
+            "op": op,
+            "state_bound": {
+                "stompi": f"O(series_len): {N_SERIES} keys",
+                "pack": f"O(seq_len) per (source,shard): {4 * N_SHARDS} keys",
+                "hll": f"O(1) 512 registers per bucket: {N_BUCKETS} keys",
+                "hdr": "O(populated idx cells, <=16/octave) per "
+                       f"(key,bucket): {4 * N_BUCKETS} keys",
+            }[op],
+        }
+        for provider in providers:
+            per_op = {}
+            for cpus in (8, 32):
+                tmp = tempfile.mkdtemp(prefix=f"bs_{op}_{cpus}_{provider}_")
+                cmd = [
+                    "taskset", "-c", f"0-{cpus - 1}", sys.executable,
+                    __file__, "--worker", op, str(cpus), tmp, provider,
+                ]
+                out = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=3600,
+                )
+                line = [
+                    l for l in out.stdout.splitlines() if l.startswith("{")
+                ][-1]
+                per_op[cpus] = json.loads(line)
+                print(line)
+            eff = (
+                per_op[32]["rows_per_sec"] / per_op[8]["rows_per_sec"] / 4.0
             )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            per_op[cpus] = json.loads(line)
-            print(line)
-        eff = (
-            per_op[32]["rows_per_sec"] / per_op[8]["rows_per_sec"] / 4.0
-        )
-        results.append(
-            {
-                "op": op,
+            if provider == "hdfs":  # legacy top-level fields
+                rec["legs"] = [per_op[8], per_op[32]]
+                rec["scaling_efficiency"] = round(eff, 3)
+            rec.setdefault("providers", {})[provider] = {
                 "legs": [per_op[8], per_op[32]],
                 "scaling_efficiency": round(eff, 3),
-                "state_bound": {
-                    "stompi": f"O(series_len): {N_SERIES} keys",
-                    "pack": f"O(seq_len) per (source,shard): {4 * N_SHARDS} keys",
-                    "hll": f"O(1) 512 registers per bucket: {N_BUCKETS} keys",
-                    "hdr": "O(populated idx cells, <=16/octave) per "
-                           f"(key,bucket): {4 * N_BUCKETS} keys",
-                }[op],
             }
-        )
+        results.append(rec)
     done = {r["op"] for r in results}
     results.extend(v for k, v in prior.items() if k not in done)
     out = {
@@ -300,15 +328,19 @@ def main() -> None:
         "protocol": "fresh taskset-pinned JVM per leg; 4 micro-batches "
         "(maxFilesPerTrigger=1, availableNow); identical input both levels; "
         "state-store partition count held at 32 on both legs",
-        "note": "local-mode caveat: every leg commits HDFSBackedStateStore "
-        "deltas to ONE shared disk and replans each micro-batch on one "
+        "note": "local-mode caveat: every leg commits state-store changes "
+        "through ONE shared disk and replans each micro-batch on one "
         "driver, a serial cost a real cluster spreads across executors; "
         "pack/hll walls are state-commit-bound (their compute per state "
-        "byte is tiny by design), so their 8-vs-32 deltas measure disk, "
-        "not the operator. stompi is sized compute-bound (len^2/2 work "
-        "per series vs len state). The north-rule >=0.8 scaling artifact "
-        "is the BATCH engine (BENCH_SCALING.json); this file is the "
-        "VERDICT-r3 #7 rates + state-bound evidence.",
+        "byte is tiny by design), so their 8-vs-32 deltas measure the "
+        "STORE, not the operator — which is why each op now runs under "
+        "BOTH providers (hdfs = full-snapshot commits, rocksdb = "
+        "off-heap incremental changelog): the hdfs-vs-rocksdb delta at "
+        "fixed cores isolates store-commit cost from operator cost. "
+        "stompi is sized compute-bound (len^2/2 work per series vs len "
+        "state). The north-rule >=0.8 scaling artifact is the BATCH "
+        "engine (BENCH_SCALING.json); this file is the VERDICT #7 rates "
+        "+ state-bound + store-provider evidence.",
         "ops": results,
     }
     with open("BENCH_STREAMING.json", "w") as f:
@@ -318,6 +350,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(sys.argv[2], int(sys.argv[3]), sys.argv[4])
+        worker(sys.argv[2], int(sys.argv[3]), sys.argv[4],
+               sys.argv[5] if len(sys.argv) > 5 else "hdfs")
     else:
         main()
