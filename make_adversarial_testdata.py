@@ -142,6 +142,36 @@ def main() -> int:
             rows["value"].append(float(v))
             rows["props"].append(None)
             eid += 1
+    # uid 11 "hot_bucket": 900 events crammed into ONE 6h bucket (triples
+    # sharing the exact same second → time-tie storms for the MK total
+    # order; every 3rd value repeats its predecessor → exact micro-unit
+    # value ties for the tie corrections). Probes the bounded-bucket
+    # contract on the exact pairwise statistics (theil_sen /
+    # mann_kendall: 404k pairs here — hot but finite) and pins the grid
+    # variants (theil_sen_grid / mann_kendall_grid) whose pair join must
+    # stay <= C(12,2) regardless of this bucket's heat. The value series
+    # is a continuous 2-decimal-step random WALK, NOT a periodic or
+    # spike pattern: periodic values make every period-apart window
+    # EXACTLY identical (zero-distance MP ties that argmin tie-breaks
+    # resolve differently per engine — measured: 12 MP queries flipped
+    # on a 5-value cycle), while a walk with isolated duplicate values
+    # never produces affinely-equal windows.
+    # dedicated generator: the probe must NOT consume the shared rng
+    # stream — shifting it regenerates every downstream table (docs,
+    # embeddings) with new draws, and sum-order-sensitive oracles (mmr's
+    # greedy tie chain) are only guaranteed on the committed draws
+    rng_hot = np.random.default_rng(1107)
+    hv = 42.5
+    for k in range(900):
+        if k % 3 != 2:
+            hv = hv + round(float(rng_hot.normal(0, 0.5)), 2)
+        rows["event_id"].append(eid)
+        rows["ts"].append(t0 + datetime.timedelta(seconds=36 * (k // 3)))
+        rows["user_id"].append(11)
+        rows["event_type"].append("e")
+        rows["value"].append(round(hv, 2))
+        rows["props"].append(None)
+        eid += 1
     pq.write_table(
         pa.table(
             {
