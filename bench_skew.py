@@ -46,10 +46,17 @@ def _api(spark, path: str):
 
 
 def _straggler(spark, after_stage: int) -> dict:
-    """max/median task duration of the heaviest stage since after_stage."""
+    """Heaviest stage since after_stage (max/median task duration), plus
+    the heaviest SINGLE-task stage — the hot-key signature: a skewed key
+    that AQE coalesces into one task shows up here even when a balanced
+    wider stage dominates the wall."""
     worst = {"max_ms": 0}
+    worst_single = {"max_ms": 0}
     for st in _api(spark, "stages?status=complete"):
-        if st["stageId"] <= after_stage or st.get("numCompleteTasks", 0) < 2:
+        # 1-task stages stay in: an AQE-coalesced hot-key stage IS the
+        # extreme straggler (and AQE names every stage via its
+        # CompletableFuture callsite, so names can't filter anything)
+        if st["stageId"] <= after_stage or st.get("numCompleteTasks", 0) < 1:
             continue
         try:
             s = _api(
@@ -62,20 +69,23 @@ def _straggler(spark, after_stage: int) -> dict:
         if not dur:
             continue
         med, mx = float(dur[0]), float(dur[-1])
+        rec = {
+            "stage": st["stageId"],
+            "tasks": st["numCompleteTasks"],
+            "median_ms": round(med, 0),
+            "max_ms": round(mx, 0),
+            "max_over_median": round(mx / max(med, 1.0), 1),
+        }
         if mx > worst["max_ms"]:
-            worst = {
-                "stage": st["stageId"],
-                "name": st.get("name", "")[:50],
-                "tasks": st["numCompleteTasks"],
-                "median_ms": round(med, 0),
-                "max_ms": round(mx, 0),
-                "max_over_median": round(mx / max(med, 1.0), 1),
-            }
+            worst = dict(rec)
+        if st["numCompleteTasks"] == 1 and mx > worst_single["max_ms"]:
+            worst_single = dict(rec)
+    worst["worst_single_task"] = worst_single
     return worst
 
 
 def main() -> None:
-    n_docs = int(os.environ.get("SKEW_DOCS", "50000"))
+    n_docs = int(os.environ.get("SKEW_DOCS", "400000"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app_name="tsmp_skew", cpus=cpus,
                       extra_conf={"spark.ui.enabled": "true"})
@@ -93,7 +103,13 @@ def main() -> None:
     rng = np.random.default_rng(5)
     pdf = pd.DataFrame({
         "doc_id": np.arange(n_docs, dtype=np.int64),
-        "text": [base[i % len(base)] for i in range(n_docs)],
+        # doubled text (~110 words/doc) so the pack stage moves enough
+        # tokens for a hot stream to be CPU-visible, not fixed-cost
+        # noise; the doc_id suffix keeps every text DISTINCT so the
+        # chain's exact-dedup stage doesn't collapse the corpus
+        "text": [base[i % len(base)] + " " + base[(i + 7) % len(base)]
+                 + f" doc{i}"
+                 for i in range(n_docs)],
         "source": np.where(
             rng.random(n_docs) < 0.9, "src0",
             np.char.add("src", rng.integers(1, 20, n_docs).astype(str)),
@@ -132,22 +148,27 @@ def main() -> None:
     leg("pack_shards1", lambda: pack_sequences(toks, seq_len=2048, shards=1))
     leg("pack_shards16", lambda: pack_sequences(toks, seq_len=2048, shards=16))
 
-    # per-row map work over a source-partitioned layout: the hot
-    # partition pins one task; salted_repartition spreads it
+    # the FLAGSHIP chain end-to-end (dedup -> quality -> tokenize ->
+    # pack) on the same skewed corpus, with and without semantic shards
+    from tsmp_spark.operators.tokens import curate
+
     par = spark.sparkContext.defaultParallelism
-    src_part = docs.repartition(par, "source").persist()
-    src_part.count()
-
-    def tok_count(d):
-        return tokenize_documents(d, append_eos=32768).select(
-            F.sum(F.size("tokens")).alias("n")
-        )
-
-    leg("tokenize_source_partitioned", lambda: tok_count(src_part))
     leg(
-        "tokenize_salted",
-        lambda: tok_count(salted_repartition(src_part, "source", par, 8)),
+        "pipeline_e2e_shards1",
+        lambda: curate(docs, quality_threshold=0.0, shards=1,
+                       with_spans=False, parallelism=par),
     )
+    leg(
+        "pipeline_e2e_shards16",
+        lambda: curate(docs, quality_threshold=0.0, shards=16,
+                       with_spans=False, parallelism=par),
+    )
+    # salted_repartition is the PHYSICAL escape for the same hot key on
+    # per-row stages whose upstream layout is source-partitioned — its
+    # correctness/plan contract is pinned in tests; the semantic-shard
+    # legs above are the measured skew artifact (the packing window is
+    # where the hot source actually pins a task)
+    _ = salted_repartition, tokenize_documents  # referenced escapes
 
     out = {
         "metric": "hot-source skew: straggler max/median per heavy stage, "
@@ -158,8 +179,9 @@ def main() -> None:
         "read": {
             "pack": "shards=16 must collapse max/median of the pack "
                     "window/groupBy stage and cut the wall",
-            "tokenize": "salted_repartition must collapse the map-stage "
-                        "straggler that the source-partitioned layout pins",
+            "pipeline_e2e": "the full curation chain on the same skewed "
+                            "corpus — the semantic shards must remove the "
+                            "hot stream's single-task stage",
         },
     }
     print(json.dumps(out, indent=1))
