@@ -3663,6 +3663,36 @@ SELECT doc_id, pos, round(mp, 4) AS mp_r FROM mp
 QUERIES["mp_chunked"] = q_mp_chunked
 ORACLES["mp_chunked"] = SQL_MP_CHUNKED
 
+
+def q_mp_chunked_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME distributed long-series path as q_mp_chunked but with the
+    tokens flowing through the SIDE-CHANNEL BLOCK STORE instead of a
+    broadcast join-back — the 10⁸-token data path (series written once as
+    (doc_id, block_id, block) parquet rows, chunk tasks read via pyarrow
+    doc-filtered scans; zero token broadcast in the plan, pinned in
+    tests/test_spark_operators.py). Same brute-force SQL oracle: the
+    store path is bit-exact vs the broadcast path by construction."""
+    import tempfile
+
+    from .operators import matrix_profile
+
+    store = tempfile.mkdtemp(prefix="tsmp_mp_store_") + "/blocks"
+    prof = _finite_profile(
+        matrix_profile(
+            _sequences(spark, sf_dir), W, long_series_threshold=16,
+            n_chunks=4, series_store=store,
+        )
+    )
+    return prof.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        _r4("mp").alias("mp_r"),
+    )
+
+
+QUERIES["mp_chunked_store"] = q_mp_chunked_store
+ORACLES["mp_chunked_store"] = SQL_MP_CHUNKED
+
 # ---------------------------------------------------------------------------
 # queries — training-data pipeline round 2: repetition quality,
 # decontamination, near-dup groups (connected components)
