@@ -87,6 +87,10 @@ def ops_for(spark, sf_dir: str):
         "dedup_groups",
         "simhash_neardup",
         "paragraph_dedup",
+        # round 5: containment's size table moved from broadcast to
+        # co-keyed joins (corpus-sized, never a broadcast) — measure the
+        # post-change growth
+        "containment",
     )
     only = os.environ.get("BENCH_DEDUP_OPS")
     # unknown names are dropped, so BENCH_DEDUP_OPS=none runs no dedup
