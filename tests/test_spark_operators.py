@@ -4225,3 +4225,44 @@ def test_theil_sen_mk_grid_hot_bucket_bounded(spark):
     assert mk[0].s == S and mk[0].var_s == var_s
     if var_s > 0:
         assert mk[0].z == (S - int(np.sign(S))) / np.sqrt(var_s)
+
+
+def test_cosine_cross_decontamination_model_and_plan(spark):
+    """Embedding decontamination: pair set == brute-force numpy at the
+    raw-double threshold, and the plan broadcasts ONLY the bounded
+    benchmark side (corpus streams map-only — zero corpus shuffle)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tsmp_spark.operators.similarity import cosine_cross_decontamination
+
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(0, 1, (60, 16)).astype(np.float32)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(60, dtype=np.int64), "embedding": list(vecs),
+    })
+    df = spark.createDataFrame(pdf)
+    out = cosine_cross_decontamination(
+        df.where(F.col("vec_id") % 5 != 0),
+        df.where(F.col("vec_id") % 5 == 0),
+        threshold=0.2,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange" not in plan.split("BroadcastExchange")[0]
+
+    got = {(r.train_id, r.bench_id): r.cosine for r in out.collect()}
+    v = vecs.astype(np.float64)
+    exp = {}
+    for a in range(60):
+        if a % 5 == 0:
+            continue
+        for b in range(0, 60, 5):
+            c = float(v[a] @ v[b]
+                      / (np.sqrt((v[a] * v[a]).sum())
+                         * np.sqrt((v[b] * v[b]).sum())))
+            if c >= 0.2:
+                exp[(a, b)] = c
+    assert set(got) == set(exp)
+    assert max(abs(got[k] - exp[k]) for k in exp) < 1e-12

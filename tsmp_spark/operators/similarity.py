@@ -409,6 +409,51 @@ def ivf_topk(
     )
 
 
+def cosine_cross_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: every (corpus, bench)
+    pair with cosine >= τ — the EMBEDDING leg of the decontamination
+    family. The exact 13-gram gate (`dedup.decontaminate`) and the
+    MinHash fuzzy gate (`dedup.minhash_cross_pairs`) match surface
+    forms; this leg catches paraphrased / reformatted contamination no
+    n-gram method sees (the cross-split cousin of SemDeDup, Abbas et
+    al. 2023, arXiv:2303.09540).
+
+    Scale: the benchmark side is BOUNDED by contract (a benchmark
+    suite — thousands of rows) and broadcasts; the corpus side streams
+    map-only through the broadcast compare — zero shuffle of corpus
+    bytes (the embedding_topk contract). Norms are projected per ROW
+    below the join (the carried-norm rule).
+
+    Exactness: cosine routes through :func:`_cosine_carried` (pinned
+    operand order); the threshold compares RAW doubles on both engines
+    and callers round the emitted cosine r4 (the embedding_neardup
+    convention). Zero-norm vectors yield NULL cosine and drop.
+
+    Output: (train_id, bench_id, cosine), one row per contaminated pair.
+    """
+    a = corpus.select(
+        F.col(id_col).alias("train_id"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    ).withColumn("na", _norm(F.col("va")))
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    ).withColumn("nb", _norm(F.col("vb")))
+    cos = _cosine_carried(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("train_id", "bench_id", "cosine")
+    )
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

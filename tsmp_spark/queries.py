@@ -3633,6 +3633,57 @@ QUERIES["embedding_neardup"] = q_embedding_neardup
 ORACLES["embedding_neardup"] = SQL_EMBEDDING_NEARDUP
 
 
+def q_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: train split
+    (vec_id % 17 != 0) vs benchmark split (vec_id % 17 == 0), every pair
+    with cosine >= 0.35 — the embedding leg beside the exact 13-gram and
+    MinHash decontamination gates (catches paraphrased contamination no
+    n-gram method sees). Benchmark side broadcast (bounded by contract),
+    corpus side map-only; raw-double threshold, r4 cosine emitted."""
+    from .operators.similarity import cosine_cross_decontamination
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_cross_decontamination(
+        emb.where(F.col("vec_id") % 17 != 0),
+        emb.where(F.col("vec_id") % 17 == 0),
+        threshold=0.35,
+    )
+    return out.select(
+        F.col("train_id").cast("bigint").alias("train_id"),
+        F.col("bench_id").cast("bigint").alias("bench_id"),
+        (_r4("cosine") + F.lit(0.0)).alias("cosine"),
+    )
+
+
+SQL_EMBEDDING_DECONTAMINATION = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(v) AS x,
+         unnest(generate_series(1, len(v))) AS i
+  FROM e
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS train_id, b.vec_id AS bench_id, sum(a.x * b.x) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i
+   AND a.vec_id % 17 != 0 AND b.vec_id % 17 = 0
+  GROUP BY 1, 2
+)
+SELECT d.train_id, d.bench_id,
+       round(d.dot / NULLIF(na.nrm * nb.nrm, 0), 4) + 0.0 AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.train_id
+JOIN norms nb ON nb.vec_id = d.bench_id
+WHERE d.dot / NULLIF(na.nrm * nb.nrm, 0) >= 0.35
+"""
+
+QUERIES["embedding_decontamination"] = q_embedding_decontamination
+ORACLES["embedding_decontamination"] = SQL_EMBEDDING_DECONTAMINATION
+
+
 def q_mp_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-join MP computed through the DISTRIBUTED long-series path —
     every series forced through the diagonal-chunk fan-out + exact
